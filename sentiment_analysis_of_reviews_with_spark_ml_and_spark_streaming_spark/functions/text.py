@@ -1,0 +1,100 @@
+"""Scalar text functions, incl. lexicon sentiment scoring.
+
+The reference scores sentiment with an NLTK-VADER Python UDF — one
+closure-serialized ``SentimentIntensityAnalyzer`` call per row
+(``sia_udf`` at Scalable_EDA_Final.py:377-386). That is the canonical
+UDF-as-bottleneck anti-pattern: per-row pickle + GIL-bound Python.
+
+Spark-first re-design, two tiers:
+
+1. ``sentiment_compound`` — lexicon as a Catalyst *map literal*;
+   token-wise lookup + sum stays entirely in codegen (zero Python).
+   Right answer for lexicons up to a few thousand entries (VADER's
+   ~7.5k fits; we ship a compact built-in lexicon and accept
+   user-supplied ones).
+2. ``sentiment_score_lexicon_join`` — explode tokens and broadcast-join
+   a lexicon *DataFrame*; the scale path for arbitrarily large
+   lexicons (the join is map-side, no fact shuffle; re-agg by doc id
+   is one shuffle with map-side combine).
+
+Compound normalization follows VADER's published formula
+score/sqrt(score² + 15) → [-1, 1].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Compact polarity lexicon (public VADER-style valences, abridged).
+SENTIMENT_LEXICON: dict[str, float] = {
+    "good": 1.9, "great": 3.1, "excellent": 2.7, "amazing": 2.8,
+    "awesome": 3.1, "love": 3.2, "loved": 2.9, "best": 3.2,
+    "nice": 1.8, "happy": 2.7, "wonderful": 2.7, "delicious": 2.9,
+    "fantastic": 2.6, "perfect": 2.7, "friendly": 2.2, "fresh": 1.3,
+    "fast": 0.9, "clean": 1.7, "recommend": 1.5, "tasty": 2.3,
+    "bad": -2.5, "terrible": -2.1, "awful": -2.0, "horrible": -2.5,
+    "hate": -2.7, "hated": -2.8, "worst": -3.1, "slow": -0.8,
+    "dirty": -1.8, "rude": -2.0, "poor": -2.1, "disappointing": -2.1,
+    "disappointed": -2.2, "bland": -1.3, "cold": -0.4, "expensive": -0.9,
+    "wait": -0.3, "mediocre": -1.0, "gross": -2.1, "stale": -1.5,
+}
+
+_NORM = 15.0  # VADER's alpha
+
+
+def tokenize_ws(col: Column | str) -> Column:
+    """Lowercase + whitespace tokenize (Tokenizer parity, no pipeline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), "\\s+")
+
+
+def _lexicon_map(lexicon: dict[str, float]) -> Column:
+    pairs: list[Column] = []
+    for word, val in lexicon.items():
+        pairs.append(F.lit(word))
+        pairs.append(F.lit(float(val)))
+    return F.create_map(*pairs)
+
+
+def sentiment_compound(
+    tokens: Column | str, lexicon: dict[str, float] | None = None
+) -> Column:
+    """VADER-style compound score over a token array, fully codegen'd.
+
+    raw = Σ valence(token); compound = raw / sqrt(raw² + 15).
+    """
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    m = _lexicon_map(lexicon or SENTIMENT_LEXICON)
+    raw = F.aggregate(
+        t,
+        F.lit(0.0),
+        lambda acc, tok: acc + F.coalesce(m.getItem(tok), F.lit(0.0)),
+    )
+    return raw / F.sqrt(raw * raw + F.lit(_NORM))
+
+
+def sentiment_score_lexicon_join(
+    df: DataFrame,
+    lexicon_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Scale path: explode tokens, broadcast-join lexicon(word,valence),
+    re-aggregate per document. Returns (id_col, compound).
+
+    One shuffle (the per-doc re-agg, map-side combined); the lexicon
+    join itself is broadcast → no fact-side shuffle.
+    """
+    exploded = df.select(id_col, F.explode_outer(F.col(tokens_col)).alias("word"))
+    scored = exploded.join(F.broadcast(lexicon_df), on="word", how="left")
+    agg = scored.groupBy(id_col).agg(
+        F.sum(F.coalesce(F.col("valence"), F.lit(0.0))).alias("raw")
+    )
+    return agg.select(
+        id_col,
+        (F.col("raw") / F.sqrt(F.col("raw") * F.col("raw") + F.lit(_NORM))).alias(
+            "compound"
+        ),
+    )

@@ -1,0 +1,78 @@
+"""Text/row cleaning as native Column expressions.
+
+The reference implements these as untyped row-at-a-time Python UDFs
+(``punct_remover``/``rating_convert``/``remove_spaces`` at
+Yelp_Data_PreProcessing.py:116-130, Scalable_Project_ML_Model_Analysis.py:61-83,
+Scalable_Project_SVM_Model_Deployment.py:88-101, Prediction_Pipe_Line.py:50-64),
+which forces a BatchEvalPython boundary per partition and blocks
+Catalyst pushdown through the projection. Re-expressed here as
+``regexp_replace``/``when`` chains the whole cleaning stage stays
+inside whole-stage codegen — at 100 TB that is the difference between
+a scan-speed pipeline and a pickle-bound one.
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Same character class the reference builds with
+# re.escape(string.punctuation) + '0-9\r\t\n' (Yelp_Data_PreProcessing.py:116-118).
+# Spelled as an explicit char class so Spark (Java regex) and any ANSI
+# oracle (RE2) agree byte-for-byte.
+PUNCT_DIGITS_CLASS = "[" + "".join("\\" + c for c in string.punctuation) + "0-9\\r\\t\\n]"
+_WS_RUN = "\\s+"
+
+
+def strip_punct_digits(col: Column | str) -> Column:
+    """remove_punct parity: punctuation/digits/CR/TAB/LF → single space."""
+    return F.regexp_replace(col, PUNCT_DIGITS_CLASS, " ")
+
+
+def squeeze_spaces(col: Column | str) -> Column:
+    """remove_spaces parity: collapse whitespace runs, trim edges."""
+    return F.trim(F.regexp_replace(col, _WS_RUN, " "))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Full cleaning chain: punct/digit strip → space squeeze → ltrim.
+
+    Equivalent to the reference's UDF composition
+    ``remove_spaces_udf(punct_remover('text'))`` + ``ltrim``
+    (Scalable_Project_ML_Model_Analysis.py:86,112) in one codegen'd
+    expression.
+    """
+    return F.ltrim(squeeze_spaces(strip_punct_digits(col)))
+
+
+def binarize_rating(col: Column | str, threshold: float = 4.0) -> Column:
+    """rating_convert parity: label = 1 if stars >= threshold else 0.
+
+    The reference's untyped UDF returned the *string* '1'/'0' and was
+    re-cast downstream (Scalable_Project_ML_Model_Analysis.py:75-78,89);
+    we emit int directly (documented semantic cleanup, SURVEY.md §7.4).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.cast("double") >= threshold, 1).otherwise(0).cast("int")
+
+
+def impute_null(col: Column | str, value) -> Column:
+    """when(isNull, value).otherwise(col) — the post-left-join elite
+    impute (Scalable_Project_SVM_Model_Deployment.py:81)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(value))
+
+
+def drop_null_rows(df: DataFrame, subset: list[str]) -> DataFrame:
+    """dropna(subset=...) parity (Yelp_Data_PreProcessing.py:61)."""
+    return df.dropna(subset=subset)
+
+
+def quarantine_bad_stars(df: DataFrame, col: str = "stars", hi: float = 5.0) -> DataFrame:
+    """Drop mis-parsed rows where stars > hi or non-numeric
+    (Scalable_EDA_Final.py:322,365; junk label 2017 at
+    Scalable_Project_ML_Model_Analysis.py:171)."""
+    c = F.col(col).cast("double")
+    return df.filter(c.isNotNull() & (c <= hi) & (c >= 1.0))

@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale text pipelines.
+
+Uplift beyond the reference (whose only dedup is row-level
+``dropDuplicates`` on dimension tables, Yelp_Data_PreProcessing.py:77,91).
+Four tiers, each with a distinct scale/recall trade-off:
+
+- exact: hash-groupBy on normalized text. One shuffle; at 100 TB,
+  group on ``xxhash64(text)`` (8 bytes) instead of the full text to
+  keep shuffle volume ~key-sized, then verify within groups.
+- ngram-jaccard: exact pairwise Jaccard over word-ngram shingles via
+  an inverted-index self-join (blocking on shared shingle). Exact but
+  O(pairs-sharing-a-shingle); usable as the verify stage after LSH.
+- minhash-lsh: ``ml.feature.MinHashLSH`` banded candidate generation —
+  the 100 TB path (candidates only, linear-ish shuffle).
+- simhash: 64-bit simhash fingerprint from md5-derived token hashes,
+  fully native expressions; near-dup = small hamming distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_ws
+
+
+def dedup_exact(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on text: keep min id per identical text.
+
+    Returns (id_col, dup_count). Shuffles on a 64-bit text hash (not
+    the text payload); md5 collision-checked implicitly by grouping on
+    the full digest.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_fp"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .drop("_fp")
+    )
+
+
+def shingle(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string>) — distinct word n-gram shingles."""
+    toks = tokenize_ws(F.col(text_col))
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return df.select(
+        F.col(id_col), F.array_distinct(ngrams).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact near-dup pairs by word-ngram Jaccard ≥ threshold.
+
+    Inverted-index self-join: explode shingles, join on shingle with
+    id_a < id_b (dedup + no self-pairs), count shared shingles, then
+    |A∩B| / (|A|+|B|-|A∩B|). The explode-join blocks on shared
+    shingles, so disjoint docs never pair. Returns
+    (id_a, id_b, jaccard).
+
+    Scale: this is the *verify* stage; at 100 TB run it only on
+    LSH candidates (``minhash_lsh_candidates``) instead of the full
+    inverted index.
+    """
+    sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
+    sized = sh.select(
+        F.col(id_col).alias("_id"), F.size("shingles").alias("_sz"), "shingles"
+    )
+    inv = sized.select("_id", "_sz", F.explode("shingles").alias("_shingle"))
+    a = inv.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_shingle"
+    )
+    b = inv.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), "_shingle"
+    )
+    pairs = (
+        a.join(b, on="_shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = pairs.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (the 100 TB dedup path).
+
+    Shingle → HashingTF sparse indicator vector → MinHashLSH
+    approxSimilarityJoin. Returns (id_a, id_b, jaccard_distance) with
+    distance = 1 - exact Jaccard on the hashed shingle sets (Spark
+    computes the exact distance on the candidate pairs it generates).
+
+    Deterministic under a fixed seed. Banding: num_hash_tables trades
+    recall vs candidate volume; shuffle is O(docs × tables), never
+    O(docs²).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18
+    )
+    feat = tf.transform(sh)
+    # MinHashLSH requires at least one non-zero entry
+    feat = feat.filter(F.size("shingles") > 0)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(
+        feat, feat, max_jaccard_distance, distCol="jaccard_distance"
+    )
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("jaccard_distance"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def simhash(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprint per doc, fully native expressions.
+
+    Token hash = first 15 hex chars of md5 (60 bits, engine-portable);
+    bit j of the fingerprint is set iff Σ_tokens (2·bit_j(hash) - 1) > 0.
+    Returns (id_col, simhash: bigint). Near-dups share most bits —
+    group by band-substrings of the fingerprint to find them at scale.
+    """
+    toks = tokenize_ws(F.col(text_col))
+    tok_hash = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    with_hashes = df.select(F.col(id_col), tok_hash.alias("_th"))
+    # SQL lambdas: the Python API's shiftleft/shiftright only take
+    # literal shift amounts, the SQL forms take expressions.
+    fingerprint = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {bits - 1}), j -> named_struct(
+            'j', j,
+            'vote', aggregate(_th, 0,
+                     (acc, h) -> acc + if(shiftright(h, j) % 2 = 1, 1, -1)))),
+          cast(0 as bigint),
+          (acc, s) -> if(s.vote > 0, acc | shiftleft(cast(1 as bigint), s.j), acc)
+        )
+        """
+    )
+    return with_hashes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Banding on 16-bit fingerprint slices: a pair within hamming 3 of a
+    64-bit hash must agree exactly on ≥1 of 4 bands (pigeonhole), so
+    the self-join blocks on band value — linear shuffle, no O(n²).
+    """
+    fps = simhash(df, id_col=id_col, text_col=text_col)
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB:
+- payloads are ``binary`` columns (or parquet-external URIs for blobs
+  too large to inline); metadata (mime, width, duration…) are typed
+  sibling columns so filters/pruning never touch the payload bytes.
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` UDFs: one Python worker per partition, zero-copy
+  Arrow batches, payload bytes never hit the driver.
+
+The decode step itself is STUBBED (no image/audio libs in this
+container): ``decode_image_meta`` ships a deterministic fake parser
+(reads a header-like prefix) and ``decode_image_real`` raises
+NotImplementedError with the intended Pillow/ffmpeg call documented.
+The Spark-side plumbing — schema, batching, partition flow — is real
+and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BINARY_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("header_hash", T.StringType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+    ]
+)
+
+
+def to_binary_docs(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Promote a text table to the multimodal layout: payload bytes +
+    typed metadata. Used to exercise the binary plumbing with the
+    driver's documents table."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image_meta(df: DataFrame, *, batch_hint: int | None = None) -> DataFrame:
+    """Extract per-payload metadata via Arrow-batched mapInPandas.
+
+    Deterministic FAKE decode: 'width'/'height' derive from payload
+    bytes (so tests have stable expectations); a real deployment swaps
+    ``_fake_parse`` for a Pillow/ffmpeg call with the same signature.
+    """
+
+    def _fake_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "header_hash": payloads.map(
+                        lambda b: hashlib.md5(bytes(b[:16])).hexdigest()
+                        if b is not None
+                        else None
+                    ),
+                    # deterministic fake dimensions from the first bytes
+                    "fake_width": payloads.map(
+                        lambda b: 1 + (b[0] if b is not None and len(b) else 0) % 64
+                    ).astype("int32"),
+                    "fake_height": payloads.map(
+                        lambda b: 1 + (b[-1] if b is not None and len(b) else 0) % 64
+                    ).astype("int32"),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(_fake_parse, schema=IMAGE_META_SCHEMA)
+
+
+def decode_image_real(df: DataFrame) -> DataFrame:
+    """Real image decode (Pillow) — NOT available in this container.
+
+    Intended body (documented for deployment):
+        from PIL import Image; import io
+        w, h = Image.open(io.BytesIO(payload)).size
+    """
+    raise NotImplementedError(
+        "image decode requires Pillow/ffmpeg, not present in this environment; "
+        "use decode_image_meta (deterministic fake) for plumbing tests"
+    )
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plumbing: emits (doc_id, frame_idx, frame
+    bytes-slice) rows via mapInPandas — a deterministic stand-in that
+    slices the payload instead of ffmpeg-decoding it. One input row
+    fans out to ≤3 'frames'."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"] or b""
+                for i in range(0, min(len(payload), 3 * every_n), every_n):
+                    rows.append(
+                        {
+                            "doc_id": r["doc_id"],
+                            "frame_idx": i // every_n,
+                            "frame": bytes(payload[i : i + every_n]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.mapInPandas(_sample, schema=schema)

@@ -1,0 +1,118 @@
+"""Relational helpers: broadcast dim joins, top-k, histogram, set ops.
+
+Covers the reference's whole relational surface (SURVEY.md §2.2-2.6):
+single-key left-outer dim joins (Yelp_Data_PreProcessing.py:97,103),
+group-by counts + top-k (Scalable_EDA_Final.py:187-189), the
+RDD-histogram escape hatch (Scalable_EDA_Final.py:140), distinct,
+random split — all kept inside Catalyst.
+
+Scale notes:
+- ``join_dim`` broadcasts the dimension side explicitly; at 100 TB the
+  fact side never shuffles for a dim join.
+- ``top_k`` relies on Spark planning ``TakeOrderedAndProject`` (partial
+  per-partition top-k, no global sort materialization).
+- ``histogram`` is two scans (min/max agg, then bucket agg) instead of
+  the reference's collect-to-RDD; both scans are map-side-combined
+  hash aggregates.
+- ``salted_join`` is the skew escape hatch when AQE skew handling is
+  not enough (documented for cluster use; unit-tested locally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def join_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    *,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact ⋈ dimension equi-join; dim side broadcast by default."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=on, how=how)
+
+
+def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """Global top-k; plans as TakeOrderedAndProject (no full sort)."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Per-group top-k via row_number window (single shuffle on the
+    group keys). Order columns must produce a total order for
+    determinism (tie-break on a unique key)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+    )
+
+
+def histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame:
+    """Equi-width histogram, DataFrame-native.
+
+    Replaces ``df.rdd.flatMap(...).histogram(10)``
+    (Scalable_EDA_Final.py:140,146) — which collects bounds on the
+    driver and leaves Catalyst — with min/max agg + floor-bucketing +
+    hash aggregate. Top bucket is closed (max value included), matching
+    RDD.histogram semantics.
+    """
+    c = F.col(col).cast("double")
+    bounds = df.agg(
+        F.min(c).alias("lo"), F.max(c).alias("hi")
+    )
+    # one tiny row; cross-join broadcast keeps it fully distributed
+    bucketed = df.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((c - F.col("lo")) / ((F.col("hi") - F.col("lo")) / buckets)),
+            F.lit(buckets - 1),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(F.count("*").alias("count")).orderBy("bucket")
+
+
+def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def random_split(
+    df: DataFrame, weights: list[float], seed: int = 100
+) -> list[DataFrame]:
+    """Seeded randomSplit parity (Scalable_Project_ML_Model_Analysis.py:172)."""
+    return df.randomSplit(weights, seed=seed)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact key, explode the dim side.
+
+    For the case where one join key dominates (e.g. one user wrote 1%
+    of all reviews). AQE's skew-join split usually handles this; this
+    operator is the explicit fallback for deterministic plans.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_fact.join(salted_dim, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

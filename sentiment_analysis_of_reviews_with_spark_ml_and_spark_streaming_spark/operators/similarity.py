@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (array<float>).
+
+Uplift operators for LLM-data pipelines (no equivalent in the
+reference). Two tiers:
+
+- brute-force cosine top-k: exact; broadcast the (small) query set
+  against the corpus — one pass over the corpus, per-partition top-k
+  via TakeOrderedAndProject-style window. Correctness oracle.
+- LSH-bucketed ANN (``BucketedRandomProjectionLSH``): the scale path —
+  candidates come from hash-bucket collisions, so corpus-side work is
+  ~linear and the ranking only touches candidates.
+
+All arithmetic stays JVM-side (``zip_with`` + ``aggregate`` in codegen);
+no Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in doubles, left-to-right (portable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine_sim).
+
+    The query set is broadcast; the corpus is scanned once. Ties break
+    on neighbor id for determinism. ``round_to`` rounds the similarity
+    for cross-engine comparability (float64 everywhere already).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    sim = F.round(F.col("_sim"), round_to) if round_to is not None else F.col("_sim")
+    return out.select("query_id", "neighbor_id", "rank", sim.alias("cosine_sim"))
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate NN via BucketedRandomProjectionLSH (euclidean).
+
+    The 100 TB path: corpus hashed once (linear), query↔corpus
+    candidates from bucket collisions only. Returns
+    (query_id, neighbor_id, rank, euclidean_dist). Deterministic under
+    fixed seed; recall tunable via num_hash_tables/bucket_length.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    joined = model.approxSimilarityJoin(q, c, float("inf"), distCol="dist")
+    pairs = joined.select(
+        F.col("datasetA._id").alias("query_id"),
+        F.col("datasetB._id").alias("neighbor_id"),
+        F.col("dist").alias("euclidean_dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("euclidean_dist"), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("euclidean_dist", 4).alias("euclidean_dist"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_probe_centroids: int = 2,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans-partition the corpus, probe nearest
+    centroids only. Scale path where the centroid assignment becomes
+    the parquet partition key, so a query prunes partitions at scan
+    time. Exactness bounded by n_probe_centroids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid")
+    model = km.fit(c)
+    assigned = model.transform(c).select("neighbor_id", "_cv", "centroid")
+
+    centroids = [(i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())]
+    cent_df = corpus.sparkSession.createDataFrame(
+        centroids, "centroid int, cvec array<double>"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    # rank centroids per query, keep n_probe nearest
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "_qv",
+        "centroid",
+        _dot(F.col("_qv"), F.col("cvec")).alias("_cd"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cd").desc(), F.col("centroid"))
+    probes = qc.withColumn("_r", F.row_number().over(wq)).filter(
+        F.col("_r") <= n_probe_centroids
+    ).select("query_id", "_qv", "centroid")
+
+    cand = probes.join(assigned, on="centroid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_sim", 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Uplift for LLM-data pipelines; everything is native Column expressions
+(codegen, no Python), so these run at scan speed over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_ws
+
+# Tiny per-language stopword marker sets (public common stopwords).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "für"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+# A BPE-ish word/number/punct-run splitter: words, digit runs, or
+# single non-space symbols — a cheap proxy for subword token counts.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.trim(c) == "", 0).otherwise(
+        F.size(F.split(F.trim(c), "\\s+"))
+    ).cast("int")
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """Count of BPE-ish regex tokens (words / digit runs / symbols)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)).cast("int")
+
+
+def lang_marker_hits(tokens: Column, lang: str) -> Column:
+    """# tokens that are stopword markers for ``lang`` (with repeats)."""
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax over per-language marker hits.
+
+    Returns (id_col, lang_guess, marker_hits). Ties and zero-hit docs
+    resolve to 'und'. Pure expression tree — one pass, no shuffle.
+    """
+    toks = tokenize_ws(F.col(text_col))
+    scores = F.array(
+        *[
+            F.struct(
+                lang_marker_hits(toks, lang).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(scores)
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("lang_guess"),
+        best["hits"].cast("int").alias("marker_hits"),
+    )
+
+
+def quality_score(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document quality: length, punct density, stopword
+    ratio, mean word length → score ∈ [0,1].
+
+    Returns (id, n_chars_obs, n_tokens, punct_ratio, stopword_ratio,
+    mean_token_len, quality). All ratios rounded(6) for cross-engine
+    comparability.
+    """
+    c = F.col(text_col)
+    toks = tokenize_ws(c)
+    n_chars = F.length(c)
+    n_tokens = token_count_ws(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, "[\\p{Punct}]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    en_markers = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_markers, t)))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    mean_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n_tokens,
+    ).otherwise(0.0)
+    # simple bounded score: long enough, low punct, some stopwords,
+    # word lengths in a natural band
+    length_ok = F.least(n_tokens.cast("double") / 20.0, F.lit(1.0))
+    punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5.0)
+    wordlen_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), 1.0).otherwise(0.5)
+    quality = (length_ok + punct_ok + wordlen_ok) / 3.0
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_obs"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text
+    (lowercased, whitespace-squeezed). Engine-portable (md5 is ANSI
+    everywhere); at scale this doubles as the exact-dedup shuffle key.
+    Returns (id, fingerprint)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

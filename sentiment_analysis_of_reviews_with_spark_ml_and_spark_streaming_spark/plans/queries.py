@@ -1,0 +1,984 @@
+"""Named analytical queries + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 (plus the LLM-pipeline uplift
+operators) gets a named query over the driver's star schema
+(TESTDATA.md) and, where SQL-expressible, an equivalent ANSI-SQL
+oracle string for DuckDB. Column names AND types are aligned between
+the two engines; float aggregates are made engine-portable by summing
+through exact decimals (then casting to double) or rounding derived
+ratios, so value hashes match bit-for-bit.
+
+Role mapping (FIXTURES.md §5): orders/lineitem stand in for the Yelp
+review fact table, customer for the user dim (elite flag), part.p_type
+for the business categories string, documents for the review text
+corpus, events for the stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import SENTIMENT_LEXICON, sentiment_compound, tokenize_ws
+from ..operators import clean, dedup, multimodal, relational, similarity, textstats
+from ..sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp semantics must be engine-portable: session tz pinned to
+    # UTC (cheap runtime conf; idempotent) so LTZ<->NTZ conversions and
+    # collect() renderings match the tz-naive DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+    rejects; read nanos as long (legacy conf) and rebuild a
+    microsecond TIMESTAMP_NTZ. At production scale the ingest layer
+    would write micros; this shim keeps the scan native + vectorized."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    # integer `div` — float division would lose precision above 2^53 ns
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def _dsum(col, scale: int = 2):
+    """Engine-portable float sum: exact decimal accumulation, then one
+    deterministic decimal→double conversion (identical in DuckDB)."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _sql_str(s: str) -> str:
+    return s.replace("'", "''")
+
+
+_PUNCT_SQL = _sql_str(clean.PUNCT_DIGITS_CLASS)
+
+# DuckDB needs explicit 'g' for global regexp_replace; Spark is global
+# by default — every oracle regex below carries the flag.
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2/2.4/2.5 relational parity
+
+
+def q_topk_part_type_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — reference EDA3 shape (Scalable_EDA_Final.py:178-189):
+    explode split(categories) over positively-rated facts, NOT-IN junk
+    filter, group-count, top-10. Here: p_type tokens over high-quantity
+    lineitems. Dim side broadcast; top-k plans TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.filter(F.col("l_quantity") >= 25).join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    tokens = joined.select(
+        F.explode(F.split(F.col("p_type"), " ")).alias("token")
+    ).filter(~F.col("token").isin("0", "1"))
+    counts = tokens.groupBy("token").agg(F.count("*").alias("cnt"))
+    return relational.top_k(counts, [F.col("cnt").desc(), F.col("token")], 10)
+
+
+SQL_TOPK_PART_TYPE_TOKENS = """
+SELECT token, cnt FROM (
+  SELECT t.token AS token, count(*) AS cnt
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey,
+       unnest(string_split(p.p_type, ' ')) AS t(token)
+  WHERE l.l_quantity >= 25 AND token NOT IN ('0','1')
+  GROUP BY 1
+) ORDER BY cnt DESC, token LIMIT 10
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side partial
+    aggregation; the canonical 100 TB hash-agg (no join, one shuffle
+    on a tiny key domain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.avg("l_quantity"), 3).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       round(avg(l_quantity), 3) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_join_left_impute_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ETL join shape (Yelp_Data_PreProcessing.py:97 +
+    Scalable_Project_SVM_Model_Deployment.py:67-81): build a small dim
+    (elite users ↦ BUILDING-segment customers), dedup it, LEFT-join the
+    fact on the key, impute nulls via when/otherwise. Dim is broadcast:
+    the fact side never shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    dim = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("elite"))
+        .dropDuplicates()
+    )
+    joined = relational.join_dim(orders, dim, on="o_custkey", how="left")
+    imputed = joined.withColumn("elite", clean.impute_null("elite", 0))
+    return (
+        imputed.groupBy("elite")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("elite")
+    )
+
+
+SQL_JOIN_LEFT_IMPUTE_FLAG = """
+SELECT coalesce(d.elite, 0) AS elite, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey, 1 AS elite FROM customer
+           WHERE c_mktsegment = 'BUILDING') d
+  ON o.o_custkey = d.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_join_multi_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop dim chain (review→user→business in the reference):
+    orders→customer→nation→region, all dims broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    df = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "left",
+        )
+    )
+    return (
+        df.groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_JOIN_MULTI_HOP = """
+SELECT r_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_filter_isin_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isin predicate parity (stars.isin([4,5]), Scalable_EDA_Final.py:131)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_FILTER_ISIN_PRIORITY = """
+SELECT o_orderpriority, count(*) AS cnt FROM orders
+WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_filter_not_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN junk-category parity (Scalable_EDA_Final.py:187)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(~F.col("p_brand").isin("Brand#11", "Brand#22"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("p_brand")
+    )
+
+
+SQL_FILTER_NOT_IN_BRAND = """
+SELECT p_brand, count(*) AS cnt FROM part
+WHERE p_brand NOT IN ('Brand#11','Brand#22')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_predicate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison predicates (stars >= 4 / < 4 / <= 5 shapes,
+    Scalable_EDA_Final.py:180-181,322). Pushed into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 40)
+            & (F.col("l_discount") < 0.05)
+            & (F.col("l_tax") <= 0.07)
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_PREDICATE_RANGE = """
+SELECT l_returnflag, count(*) AS cnt FROM lineitem
+WHERE l_quantity >= 40 AND l_discount < 0.05 AND l_tax <= 0.07
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates parity (Yelp_Data_PreProcessing.py:77,91)."""
+    customer = _t(spark, sf_dir, "customer")
+    return relational.distinct_rows(
+        customer.select("c_mktsegment", "c_nationkey")
+    )
+
+
+SQL_DISTINCT_SEGMENTS = """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+"""
+
+
+def q_global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-count parity (elite vs common user counts,
+    Scalable_EDA_Final.py:247-248) — one pass, conditional counts."""
+    customer = _t(spark, sf_dir, "customer")
+    return customer.agg(
+        F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("n_elite"),
+        F.count(F.when(F.col("c_mktsegment") != "BUILDING", 1)).alias("n_common"),
+    )
+
+
+SQL_GLOBAL_COUNTS = """
+SELECT count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS n_elite,
+       count(*) FILTER (WHERE c_mktsegment != 'BUILDING') AS n_common
+FROM customer
+"""
+
+
+def q_dropna_after_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropna(subset=...) parity (Yelp_Data_PreProcessing.py:61):
+    LEFT-join produces genuine nulls; dropna removes them."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders.select("o_custkey", "o_orderkey"),
+        customer.c_custkey == F.col("o_custkey"),
+        "left",
+    )
+    kept = clean.drop_null_rows(joined, subset=["o_orderkey"])
+    return kept.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )
+
+
+SQL_DROPNA_AFTER_LEFT_JOIN = """
+SELECT count(*) AS n_rows, count(DISTINCT c_custkey) AS n_customers
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey IS NOT NULL
+"""
+
+
+def q_binarize_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rating-binarize parity (convert_rating UDF → native when/otherwise,
+    Yelp_Data_PreProcessing.py:123-126): label = price >= threshold."""
+    orders = _t(spark, sf_dir, "orders")
+    labeled = orders.withColumn(
+        "label", clean.binarize_rating(F.col("o_totalprice"), threshold=150000.0)
+    )
+    return (
+        labeled.groupBy("label")
+        .agg(F.count("*").alias("cnt"), _dsum("o_totalprice").alias("total_price"))
+        .orderBy("label")
+    )
+
+
+SQL_BINARIZE_LABEL = """
+SELECT CASE WHEN o_totalprice >= 150000.0 THEN 1 ELSE 0 END AS label,
+       count(*) AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native histogram replacing RDD.histogram
+    (Scalable_EDA_Final.py:140)."""
+    orders = _t(spark, sf_dir, "orders")
+    return relational.histogram(orders, "o_totalprice", buckets=10)
+
+
+SQL_HISTOGRAM_TOTALPRICE = """
+WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bucket,
+       count(*) AS count
+FROM orders, b GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit parity (Scalable_EDA_Final.py:187-189) —
+    TakeOrderedAndProject, never a full global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return relational.top_k(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+SQL_SORT_LIMIT_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function uplift: top-3 orders per priority class."""
+    orders = _t(spark, sf_dir, "orders")
+    out = relational.top_k_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+    return out.select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_union_distinct_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op uplift (reference uses none, SURVEY.md §2.6): UNION."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+SQL_UNION_DISTINCT_NATIONKEYS = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def q_except_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op uplift: EXCEPT (≡ anti-join; Catalyst plans it as one)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.select(F.col("c_custkey").alias("custkey"))
+        .subtract(orders.select(F.col("o_custkey").alias("custkey")))
+        .orderBy("custkey")
+    )
+
+
+SQL_EXCEPT_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+ORDER BY custkey
+"""
+
+
+def q_pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot over the event stream table."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "signup", "purchase", "error"]
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}") for t in types
+    ]
+    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+SQL_PIVOT_EVENT_TYPE = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# timestamps / windows / sessionization (batch twins of streaming ops)
+
+
+def q_window_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of
+    streaming.windowed_event_counts)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("total_value"))
+        .orderBy("hour_start", "event_type")
+    )
+
+
+SQL_WINDOW_HOURLY_EVENTS = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap): the
+    batch twin of session windows. One shuffle on user_id; both window
+    functions reuse the same partitioning."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(ts_us - F.lag(ts_us).over(w) > 1_800_000_000, 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_session GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.7/2.8 text cleaning / scalar functions
+
+
+def q_clean_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native text-cleaning chain replacing the reference's three
+    Python UDFs (SURVEY.md §2.8) — stays in whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean.normalize_text("text").alias("clean_text"))
+
+
+SQL_CLEAN_NORMALIZE_DOCS = f"""
+SELECT doc_id,
+       ltrim(trim(regexp_replace(regexp_replace(text, '{_PUNCT_SQL}', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))) AS clean_text
+FROM documents
+"""
+
+
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split+explode parity (Scalable_EDA_Final.py:178): corpus-wide
+    token frequencies, top 20."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize_ws("text")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    return relational.top_k(counts, [F.col("cnt").desc(), F.col("token")], 20)
+
+
+SQL_TOKEN_FREQUENCIES = """
+SELECT token, cnt FROM (
+  SELECT t.token AS token, count(*) AS cnt
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+  GROUP BY 1
+) ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size(split(...)) parity (word count, Scalable_EDA_Final.py:121)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.token_count_ws("text").cast("long").alias("n_tokens")
+    )
+
+
+SQL_DOC_TOKEN_COUNTS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (uplift, operators/textstats.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.token_count_bpe_ish("text").cast("long").alias("n_bpe_tokens")
+    )
+
+
+SQL_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_sql_str(textstats.BPE_ISH_PATTERN)}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_sentiment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment scoring, fully codegen'd (replaces the NLTK
+    VADER per-row UDF, Scalable_EDA_Final.py:377-386)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(sentiment_compound(tokenize_ws("text")), 6).alias("compound"),
+    )
+
+
+def _sentiment_case_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{_sql_str(w)}' THEN {v!r}" for w, v in SENTIMENT_LEXICON.items()
+    )
+    return f"CASE t {cases} ELSE 0.0 END"
+
+
+SQL_SENTIMENT_DOCS = f"""
+WITH raw AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(
+             string_split_regex(trim(lower(text)), '\\s+'),
+             t -> {_sentiment_case_sql()})), 0.0) AS r
+  FROM documents
+)
+SELECT doc_id, round(r / sqrt(r * r + 15.0), 6) AS compound FROM raw
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution (uplift)."""
+    docs = _t(spark, sf_dir, "documents")
+    guessed = textstats.lang_id(docs)
+    return guessed.groupBy("lang_guess").agg(F.count("*").alias("n_docs")).orderBy(
+        "lang_guess"
+    )
+
+
+def _lang_markers_values_sql() -> str:
+    from ..operators.textstats import LANG_MARKERS
+
+    rows = []
+    for lang in sorted(LANG_MARKERS):
+        words = ", ".join(f"'{_sql_str(w)}'" for w in LANG_MARKERS[lang])
+        rows.append(f"('{lang}', [{words}])")
+    return ", ".join(rows)
+
+
+SQL_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), scores AS (
+  SELECT doc_id, m.lang,
+         len(list_filter(toks.t, x -> list_contains(m.markers, x))) AS hits
+  FROM toks, (VALUES {_lang_markers_values_sql()}) AS m(lang, markers)
+), best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+  FROM scores
+)
+SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_guess,
+       count(*) AS n_docs
+FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics (uplift)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.quality_score(docs)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+def _en_markers_sql() -> str:
+    from ..operators.textstats import LANG_MARKERS
+
+    return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + "]"
+
+
+SQL_QUALITY_SCORES = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+  FROM documents
+), derived AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0
+              THEN len(list_filter(toks, t -> list_contains({_en_markers_sql()}, t))) / n_tokens
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_tokens > 0
+              THEN list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE))) / n_tokens
+              ELSE 0.0 END AS mean_token_len
+  FROM base
+)
+SELECT doc_id, n_chars AS n_chars_obs, n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_token_len, 6) AS mean_token_len,
+       round((least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+              + greatest(0.0, 1.0 - punct_ratio * 5.0)
+              + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0
+                     THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+FROM derived
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of normalized text (uplift; also the exact-dedup
+    shuffle key at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.fingerprint(docs)
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity uplift
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (the verify stage of the
+    LSH dedup path)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+), inv AS (
+  SELECT doc_id, len(shingles) AS sz, u.shingle
+  FROM sh, unnest(shingles) AS u(shingle)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(inter / (sz_a + sz_b - inter), 6) AS jaccard
+FROM pairs WHERE inter / (sz_a + sz_b - inter) >= 0.2
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs — the 100 TB dedup path. No SQL
+    oracle (hash-family internals); correctness is covered by the
+    exact-Jaccard twin above + unit tests on recall."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_candidates(docs, max_jaccard_distance=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard_distance", 6).alias("jaccard_distance"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via banded fingerprint join (native
+    bit-twiddling expressions; no Python). Rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=16)
+
+
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors —
+    exact ANN baseline, JVM-side arithmetic only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+SQL_SIMILARITY_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM q, c WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       round(sim, 4) AS cosine_sim
+FROM (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN — the scale path. Rows-only check
+    (hash-family internals); recall vs the exact twin is unit-tested."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_lsh_topk(emb, queries, k=5)
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (KMeans coarse quantizer + probed partitions).
+    Rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text → payload bytes + typed metadata,
+    decoded via Arrow-batched mapInPandas (deterministic fake decode).
+    The oracle reproduces the byte-level metadata in SQL, so the whole
+    mapInPandas path is value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    bin_docs = multimodal.to_binary_docs(docs)
+    return multimodal.decode_image_meta(bin_docs)
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(substr(text, 1, 16)) AS header_hash,
+       CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INT) AS fake_width,
+       CAST(1 + ascii(substr(text, -1, 1)) % 64 AS INT) AS fake_height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# ML (rows-only: model internals aren't SQL-expressible)
+
+
+def q_ml_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer→StopWords→CountVectorizer→IDF featurization as one
+    pipeline (replaces 4 separately-persisted objects,
+    Scalable_Project_SVM_Model_Deployment.py:126-178). Rows-only."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.functions import vector_to_array
+
+    from ..ml.pipeline import build_feature_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pipe = Pipeline(stages=build_feature_pipeline(text_col="text"))
+    fitted = pipe.fit(docs)
+    out = fitted.transform(docs)
+    arr = vector_to_array(F.col("features"))
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda v: v != 0)).cast("long").alias("n_nonzero_terms"),
+        F.round(
+            F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v)), 4
+        ).alias("tfidf_l2_norm"),
+    )
+
+
+def q_ml_train_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval parity run: LinearSVC(maxIter=50, regParam=0.3) on an
+    80/20 seed=100 split (BASELINE.md hyperparameters), label =
+    'is the doc English'. Returns one metrics row. Rows-only."""
+    from ..ml.pipeline import train_and_evaluate
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+    )
+    _, f1 = train_and_evaluate(labeled, "svm")
+    return spark.createDataFrame(
+        [("linear_svc", round(f1, 4))], "model string, f1 double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "topk_part_type_tokens": q_topk_part_type_tokens,
+    "pricing_summary": q_pricing_summary,
+    "join_left_impute_flag": q_join_left_impute_flag,
+    "join_multi_hop": q_join_multi_hop,
+    "filter_isin_priority": q_filter_isin_priority,
+    "filter_not_in_brand": q_filter_not_in_brand,
+    "predicate_range": q_predicate_range,
+    "distinct_segments": q_distinct_segments,
+    "global_counts": q_global_counts,
+    "dropna_after_left_join": q_dropna_after_left_join,
+    "binarize_label": q_binarize_label,
+    "histogram_totalprice": q_histogram_totalprice,
+    "sort_limit_top_orders": q_sort_limit_top_orders,
+    "topk_per_group": q_topk_per_group,
+    "union_distinct_nationkeys": q_union_distinct_nationkeys,
+    "except_customers_without_orders": q_except_customers_without_orders,
+    "pivot_event_type": q_pivot_event_type,
+    "window_hourly_events": q_window_hourly_events,
+    "sessionize_events": q_sessionize_events,
+    "clean_normalize_docs": q_clean_normalize_docs,
+    "token_frequencies": q_token_frequencies,
+    "doc_token_counts": q_doc_token_counts,
+    "token_count_bpe": q_token_count_bpe,
+    "sentiment_docs": q_sentiment_docs,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_cosine_topk": q_similarity_cosine_topk,
+    "similarity_ann_lsh": q_similarity_ann_lsh,
+    "similarity_ivf": q_similarity_ivf,
+    "multimodal_meta": q_multimodal_meta,
+    "ml_tfidf_features": q_ml_tfidf_features,
+    "ml_train_f1": q_ml_train_f1,
+}
+
+ORACLE: dict[str, str] = {
+    "topk_part_type_tokens": SQL_TOPK_PART_TYPE_TOKENS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "join_left_impute_flag": SQL_JOIN_LEFT_IMPUTE_FLAG,
+    "join_multi_hop": SQL_JOIN_MULTI_HOP,
+    "filter_isin_priority": SQL_FILTER_ISIN_PRIORITY,
+    "filter_not_in_brand": SQL_FILTER_NOT_IN_BRAND,
+    "predicate_range": SQL_PREDICATE_RANGE,
+    "distinct_segments": SQL_DISTINCT_SEGMENTS,
+    "global_counts": SQL_GLOBAL_COUNTS,
+    "dropna_after_left_join": SQL_DROPNA_AFTER_LEFT_JOIN,
+    "binarize_label": SQL_BINARIZE_LABEL,
+    "histogram_totalprice": SQL_HISTOGRAM_TOTALPRICE,
+    "sort_limit_top_orders": SQL_SORT_LIMIT_TOP_ORDERS,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "union_distinct_nationkeys": SQL_UNION_DISTINCT_NATIONKEYS,
+    "except_customers_without_orders": SQL_EXCEPT_CUSTOMERS_WITHOUT_ORDERS,
+    "pivot_event_type": SQL_PIVOT_EVENT_TYPE,
+    "window_hourly_events": SQL_WINDOW_HOURLY_EVENTS,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "clean_normalize_docs": SQL_CLEAN_NORMALIZE_DOCS,
+    "token_frequencies": SQL_TOKEN_FREQUENCIES,
+    "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
+    "sentiment_docs": SQL_SENTIMENT_DOCS,
+    "lang_id": SQL_LANG_ID,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "similarity_cosine_topk": SQL_SIMILARITY_COSINE_TOPK,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+}

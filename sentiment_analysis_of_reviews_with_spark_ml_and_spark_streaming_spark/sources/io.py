@@ -1,0 +1,96 @@
+"""Schema-enforced readers and writers.
+
+Replaces the reference's ad-hoc reads (header-only CSV at
+Yelp_Data_PreProcessing.py:53,69,84; inferSchema glob re-read at
+Scalable_EDA_Final.py:52; headerless CSV write caused by the
+``option("head","true")`` typo at Yelp_Data_PreProcessing.py:158).
+
+Scale notes:
+- Parquet everywhere internally: columnar scan + predicate pushdown +
+  column pruning survive in the physical plan (``PushedFilters`` /
+  ``ReadSchema`` visible in ``.explain("formatted")``).
+- CSV ingest uses PERMISSIVE mode with a ``_corrupt_record`` column so
+  dirty rows (the reference's stars>5 mis-parses, SURVEY.md §1.3) are
+  quarantined explicitly instead of poisoning downstream casts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import STAR_SCHEMA, TABLE_NAMES
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated star-schema table from parquet."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    multi_line: bool = True,
+    quarantine: bool = True,
+) -> DataFrame:
+    """CSV scan with explicit schema + dirty-row quarantine.
+
+    ``multiLine`` + ``escape='"'`` fix the mis-parsed-multiline-review
+    failure mode the reference worked around post hoc
+    (Scalable_EDA_Final.py:322,365).
+    """
+    full_schema = schema
+    if quarantine:
+        full_schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+    reader = (
+        spark.read.schema(full_schema)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("multiLine", multi_line)
+        .option("escape", '"')
+    )
+    return reader.csv(path)
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows, corrupt_rows) — corrupt rows kept for audit, never
+    silently dropped."""
+    if CORRUPT_COL not in df.columns:
+        return df, df.limit(0)
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return clean, bad
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Header actually written (the reference's ``option("head")`` typo
+    silently produced headerless output, Yelp_Data_PreProcessing.py:158)."""
+    df.write.mode(mode).option("header", True).csv(path)

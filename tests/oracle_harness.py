@@ -1,0 +1,81 @@
+"""Local twin of the driver's DuckDB-oracle comparison.
+
+Runs a Spark query and its oracle SQL side-by-side and compares
+row count, column names, and order-insensitive values — the same
+contract CORRECTNESS_r{N}.json grades, so failures show up here first.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.schemas import (
+    TABLE_NAMES,
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and integral floats
+        if v == 0:
+            return 0.0
+        return v
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return v
+
+
+def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in idx) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare(spark, query_fn, sql: str, sf_dir: str) -> dict:
+    sdf = query_fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_conn(sf_dir)
+    cur = con.execute(sql)
+    d_cols = [d[0] for d in cur.description]
+    d_rows = cur.fetchall()
+    con.close()
+
+    result = {
+        "rows_spark": len(s_rows),
+        "rows_oracle": len(d_rows),
+        "cols_spark": sorted(s_cols),
+        "cols_oracle": sorted(d_cols),
+        "count_match": len(s_rows) == len(d_rows),
+        "schema_match": sorted(s_cols) == sorted(d_cols),
+        "value_match": False,
+    }
+    if result["count_match"] and result["schema_match"]:
+        ns, nd = _normalize(s_rows, s_cols), _normalize(d_rows, d_cols)
+        result["value_match"] = ns == nd
+        if not result["value_match"]:
+            diffs = [(a, b) for a, b in zip(ns, nd) if a != b]
+            result["first_diffs"] = diffs[:3]
+    return result
