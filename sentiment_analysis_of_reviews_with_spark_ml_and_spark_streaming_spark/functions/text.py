@@ -69,7 +69,7 @@ def sentiment_compound(
     raw = F.aggregate(
         t,
         F.lit(0.0),
-        lambda acc, tok: acc + F.coalesce(m.getItem(tok), F.lit(0.0)),
+        lambda acc, tok: acc + F.coalesce(F.element_at(m, tok), F.lit(0.0)),
     )
     return raw / F.sqrt(raw * raw + F.lit(_NORM))
 

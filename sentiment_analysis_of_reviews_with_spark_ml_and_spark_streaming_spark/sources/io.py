@@ -72,6 +72,10 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     silently dropped."""
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
+    # Spark refuses to filter on only the corrupt-record column of a
+    # lazy CSV relation; caching materializes it first (documented
+    # limitation of columnNameOfCorruptRecord)
+    df = df.cache()
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, bad

@@ -1,0 +1,83 @@
+"""Unit tests for cleaning operators — reference-semantics parity on
+hand-computed inputs (SURVEY.md §5: known tiny inputs, golden outputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+    clean,
+)
+
+
+def test_normalize_text_reference_parity(spark):
+    # reference: remove_punct + remove_spaces + ltrim
+    # (Yelp_Data_PreProcessing.py:116-143)
+    rows = [
+        (1, "  Great food!!! 5/5 stars\r\n\tWould go again..."),
+        (2, "ok."),
+        (3, "a  b   c"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r["id"]: r["clean"]
+        for r in df.select("id", clean.normalize_text("text").alias("clean")).collect()
+    }
+    assert out[1] == "Great food stars Would go again"
+    assert out[2] == "ok"
+    assert out[3] == "a b c"
+    assert out[4] == ""
+
+
+def test_binarize_rating(spark):
+    # 1 if stars >= 4 else 0 (Yelp_Data_PreProcessing.py:123-126)
+    df = spark.createDataFrame(
+        [("5",), ("4",), ("3",), ("1",)], "stars string"
+    )
+    vals = [
+        r["label"]
+        for r in df.select(clean.binarize_rating("stars").alias("label")).collect()
+    ]
+    assert vals == [1, 1, 0, 0]
+
+
+def test_quarantine_bad_stars(spark):
+    # stars>5 mis-parses and junk sentinels dropped
+    # (Scalable_EDA_Final.py:322,365; junk 2017 at M:171)
+    df = spark.createDataFrame(
+        [("5",), ("2017",), ("abc",), ("3",), (None,)], "stars string"
+    )
+    kept = [r["stars"] for r in clean.quarantine_bad_stars(df).collect()]
+    assert sorted(kept) == ["3", "5"]
+
+
+def test_drop_null_rows_subset(spark):
+    # dropna(subset=...) (Yelp_Data_PreProcessing.py:61)
+    df = spark.createDataFrame(
+        [(1, "t", 0), (2, None, 1), (3, "u", None), (4, "v", 2)],
+        "id int, text string, funny int",
+    )
+    kept = clean.drop_null_rows(df, subset=["text", "funny"])
+    assert sorted(r["id"] for r in kept.collect()) == [1, 4]
+
+
+def test_impute_null_elite(spark):
+    # post-left-join elite impute (Scalable_Project_SVM_Model_Deployment.py:81)
+    df = spark.createDataFrame([(1, None), (2, 7)], "id int, elite int")
+    out = df.select("id", clean.impute_null("elite", 0).alias("elite"))
+    assert {r["id"]: r["elite"] for r in out.collect()} == {1: 0, 2: 7}
+
+
+def test_clean_stage_stays_in_codegen(spark):
+    """The cleaning chain must not introduce a BatchEvalPython boundary
+    (the reference's UDF anti-pattern, SURVEY.md §4.1)."""
+    df = spark.createDataFrame([(1, "x!")], "id int, text string")
+    plan = (
+        df.select(clean.normalize_text("text").alias("t"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan

@@ -1,0 +1,120 @@
+"""Dedup + similarity operator semantics on hand-built corpora, and
+LSH-vs-exact recall checks."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+    dedup,
+    similarity,
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different words about spark engines here"),
+        (5, "another unrelated document mentioning databases only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark):
+    out = {r["doc_id"]: r["dup_count"] for r in dedup.dedup_exact(_corpus(spark)).collect()}
+    assert out[1] == 2  # docs 1 and 3 collapse, min id kept
+    assert 3 not in out
+    assert out[2] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_pairs_exact_values(spark):
+    # doc1 vs doc3 identical: jaccard 1.0; doc1 vs doc2 share 6 of the 7
+    # 3-gram shingles each: |A∩B|=6, |A∪B|=8 → 0.75
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 3)] == 1.0
+    assert math.isclose(pairs[(1, 2)], 6 / 8)
+    assert math.isclose(pairs[(2, 3)], 6 / 8)
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_recall_vs_exact(spark):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(
+            _corpus(spark), max_jaccard_distance=0.5
+        ).collect()
+    }
+    assert exact <= approx  # full recall on this corpus
+
+
+def test_simhash_properties(spark):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_corpus(spark)).collect()}
+    assert fps[1] == fps[3]  # identical text → identical fingerprint
+    ham_12 = bin((fps[1] ^ fps[2]) & ((1 << 64) - 1)).count("1")
+    ham_14 = bin((fps[1] ^ fps[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_12 < ham_14  # near-dup closer than unrelated
+
+
+def test_simhash_near_dup_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(_corpus(spark), max_hamming=3).collect()
+    }
+    assert pairs[(1, 3)] == 0
+
+
+def _embeddings(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),   # closest to 2
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_bruteforce(spark):
+    emb = _embeddings(spark)
+    out = similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=2
+    ).collect()
+    ranked = [(r["neighbor_id"], r["rank"]) for r in out]
+    assert ranked[0] == (1, 1)  # nearest neighbor of 0 is 1
+    sims = {r["neighbor_id"]: r["cosine_sim"] for r in out}
+    assert math.isclose(sims[1], 0.9 / math.sqrt(0.82), rel_tol=1e-3)
+
+
+def test_ann_lsh_contains_true_neighbor(spark):
+    emb = _embeddings(spark)
+    out = similarity.ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=2, bucket_length=4.0
+    ).collect()
+    assert any(r["neighbor_id"] == 1 for r in out)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        relational,
+    )
+
+    fact = spark.createDataFrame(
+        [(k, i) for k in ["a", "b"] for i in range(50)], "k string, v int"
+    )
+    dim = spark.createDataFrame([("a", 1), ("b", 2)], "k string, d int")
+    plain = fact.join(dim, "k").agg(F.sum("d").alias("s")).collect()[0]["s"]
+    salted = (
+        relational.salted_join(fact, dim, "k").agg(F.sum("d").alias("s")).collect()[0]["s"]
+    )
+    assert plain == salted == 150

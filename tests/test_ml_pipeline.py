@@ -1,0 +1,91 @@
+"""ML pipeline tests: deterministic seeds, tiny hand-checked inputs,
+F1-threshold integration (the reference's de-facto test strategy,
+SURVEY.md §5), and PipelineModel save/load round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.pipeline import (
+    build_sentiment_pipeline,
+    evaluate_f1,
+    train_and_evaluate,
+)
+
+
+def _labeled_reviews(spark, n_per_class: int = 60):
+    pos_words = ["great", "amazing", "delicious", "wonderful", "friendly"]
+    neg_words = ["terrible", "awful", "rude", "disgusting", "slow"]
+    rows = []
+    for i in range(n_per_class):
+        rows.append((f"really {pos_words[i % 5]} food {pos_words[(i+1) % 5]} service", 1.0))
+        rows.append((f"really {neg_words[i % 5]} food {neg_words[(i+1) % 5]} service", 0.0))
+    return spark.createDataFrame(rows, "text string, label double")
+
+
+@pytest.mark.parametrize("model", ["svm", "logreg", "nb"])
+def test_train_eval_f1_threshold(spark, model):
+    """Separable corpus → F1 near 1.0 for all three classifiers
+    (mirrors the reference's evaluator usage with seed=100)."""
+    df = _labeled_reviews(spark)
+    fitted, f1 = train_and_evaluate(df, model)
+    assert f1 > 0.9, f"{model} f1={f1}"
+
+
+def test_pipeline_save_load_roundtrip(spark, tmp_path):
+    """Single PipelineModel persist replaces the reference's four
+    separately-saved objects (S:126-237, P:70-84)."""
+    from pyspark.ml import PipelineModel
+
+    df = _labeled_reviews(spark)
+    fitted, _ = train_and_evaluate(df, "svm")
+    path = str(tmp_path / "pipeline_model")
+    fitted.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    orig = fitted.transform(df).select("prediction").collect()
+    re = reloaded.transform(df).select("prediction").collect()
+    assert orig == re
+
+
+def test_deterministic_given_seed(spark):
+    df = _labeled_reviews(spark)
+    _, f1_a = train_and_evaluate(df, "logreg")
+    _, f1_b = train_and_evaluate(df, "logreg")
+    assert f1_a == f1_b
+
+
+def test_tokenizer_stopwords_hand_checked(spark):
+    """Feature stages on a fixed sentence — golden tokens."""
+    from pyspark.ml import Pipeline
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.pipeline import (
+        build_feature_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [("The quick brown fox and the lazy dog",)], "text string"
+    )
+    stages = build_feature_pipeline()
+    fitted = Pipeline(stages=stages[:2]).fit(df)  # tokenizer + stopwords
+    row = fitted.transform(df).collect()[0]
+    assert row["words"] == ["the", "quick", "brown", "fox", "and", "the", "lazy", "dog"]
+    assert row["words_nsw"] == ["quick", "brown", "fox", "lazy", "dog"]
+
+
+def test_evaluate_f1_perfect_predictions(spark):
+    preds = spark.createDataFrame(
+        [(1.0, 1.0), (0.0, 0.0), (1.0, 1.0)], "label double, prediction double"
+    )
+    assert evaluate_f1(preds) == 1.0
+
+
+def test_inspect_weights_most_negative_words(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.pipeline import (
+        inspect_weights,
+    )
+
+    df = _labeled_reviews(spark)
+    fitted, _ = train_and_evaluate(df, "svm")
+    top_neg = [r["word"] for r in inspect_weights(fitted, top_n=5).collect()]
+    assert set(top_neg) & {"terrible", "awful", "rude", "disgusting", "slow"}
