@@ -71,11 +71,16 @@ def histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame:
     bounds = df.agg(
         F.min(c).alias("lo"), F.max(c).alias("hi")
     )
-    # one tiny row; cross-join broadcast keeps it fully distributed
+    # one tiny row; cross-join broadcast keeps it fully distributed.
+    # Degenerate range (hi == lo) → everything lands in bucket 0
+    # (ANSI mode would otherwise raise DIVIDE_BY_ZERO).
     bucketed = df.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor((c - F.col("lo")) / ((F.col("hi") - F.col("lo")) / buckets)),
-            F.lit(buckets - 1),
+        F.when(F.col("hi") == F.col("lo"), 0)
+        .otherwise(
+            F.least(
+                F.floor((c - F.col("lo")) / ((F.col("hi") - F.col("lo")) / buckets)),
+                F.lit(buckets - 1),
+            )
         )
         .cast("int")
         .alias("bucket")

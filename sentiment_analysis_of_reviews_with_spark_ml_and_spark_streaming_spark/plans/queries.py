@@ -358,7 +358,9 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HISTOGRAM_TOTALPRICE = """
 WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
-SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bucket,
+SELECT CAST(CASE WHEN hi = lo THEN 0
+            ELSE least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9)
+            END AS INT) AS bucket,
        count(*) AS count
 FROM orders, b GROUP BY 1 ORDER BY 1
 """
