@@ -465,6 +465,151 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_agg_stats_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full aggregate surface the reference never used (SURVEY.md §2.4
+    uplift): min/max/stddev alongside sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.round(F.stddev("l_extendedprice"), 4).alias("stddev_price"),
+            _dsum("l_extendedprice").alias("sum_price"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_AGG_STATS_EXTENDED = """
+SELECT l_linestatus,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       round(stddev(l_extendedprice), 4) AS stddev_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS cnt
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation (uplift; subtotal + grand-total
+    rows come from one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), _dsum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_ROLLUP_RETURNFLAG = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
+
+
+def q_moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window aggregate per user (uplift): 4-event moving
+    average of event value."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-3, 0)
+    return ev.select(
+        "event_id", F.round(F.avg("value").over(w), 6).alias("moving_avg")
+    )
+
+
+SQL_MOVING_AVG_USER_VALUE = """
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg
+FROM events
+"""
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column extraction (uplift): pull props.k,
+    aggregate by it."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").try_cast("long")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("k")
+    )
+
+
+SQL_JSON_EXTRACT_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequencies (uplift text op), top 15."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle(docs, n=2)
+    grams = sh.select(F.explode("shingles").alias("bigram"))
+    counts = grams.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    return relational.top_k(counts, [F.col("cnt").desc(), F.col("bigram")], 15)
+
+
+SQL_NGRAM_TOP_BIGRAMS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - 1, 1) + 1),
+             i -> array_to_string(t[i:i+1], ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+)
+SELECT bigram, cnt FROM (
+  SELECT u.bigram AS bigram, count(*) AS cnt
+  FROM sh, unnest(shingles) AS u(bigram)
+  GROUP BY 1
+) ORDER BY cnt DESC, bigram LIMIT 15
+"""
+
+
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch counting (uplift): approx_count_distinct with 1% rsd
+    must land within 5% of exact. Output is the exact count + the
+    property check (sketch internals aren't cross-engine comparable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_brand = li.join(
+        F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    agg = per_brand.groupBy("p_brand").agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_n_approx"),
+    )
+    return agg.select(
+        "p_brand",
+        "n_exact",
+        (
+            F.abs(F.col("_n_approx") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 0.05
+        ).alias("approx_within_5pct"),
+    ).orderBy("p_brand")
+
+
+SQL_APPROX_DISTINCT_PARTS = """
+SELECT p_brand, count(DISTINCT l_partkey) AS n_exact,
+       true AS approx_within_5pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # timestamps / windows / sessionization (batch twins of streaming ops)
 
@@ -934,6 +1079,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_distinct_nationkeys": q_union_distinct_nationkeys,
     "except_customers_without_orders": q_except_customers_without_orders,
     "pivot_event_type": q_pivot_event_type,
+    "agg_stats_extended": q_agg_stats_extended,
+    "rollup_returnflag": q_rollup_returnflag,
+    "moving_avg_user_value": q_moving_avg_user_value,
+    "json_extract_props": q_json_extract_props,
+    "ngram_top_bigrams": q_ngram_top_bigrams,
+    "approx_distinct_parts": q_approx_distinct_parts,
     "window_hourly_events": q_window_hourly_events,
     "sessionize_events": q_sessionize_events,
     "clean_normalize_docs": q_clean_normalize_docs,
@@ -974,6 +1125,12 @@ ORACLE: dict[str, str] = {
     "union_distinct_nationkeys": SQL_UNION_DISTINCT_NATIONKEYS,
     "except_customers_without_orders": SQL_EXCEPT_CUSTOMERS_WITHOUT_ORDERS,
     "pivot_event_type": SQL_PIVOT_EVENT_TYPE,
+    "agg_stats_extended": SQL_AGG_STATS_EXTENDED,
+    "rollup_returnflag": SQL_ROLLUP_RETURNFLAG,
+    "moving_avg_user_value": SQL_MOVING_AVG_USER_VALUE,
+    "json_extract_props": SQL_JSON_EXTRACT_PROPS,
+    "ngram_top_bigrams": SQL_NGRAM_TOP_BIGRAMS,
+    "approx_distinct_parts": SQL_APPROX_DISTINCT_PARTS,
     "window_hourly_events": SQL_WINDOW_HOURLY_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "clean_normalize_docs": SQL_CLEAN_NORMALIZE_DOCS,
