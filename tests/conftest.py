@@ -11,7 +11,13 @@ SF_DIR_CORRECTNESS = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        app_name="tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield s
     s.stop()
