@@ -990,6 +990,64 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5)
 
 
+def q_tfidf_native_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as pure relational algebra (no ml.feature): explode →
+    tf count → doc-frequency agg → broadcast N → idf → per-doc top-3.
+
+    The SQL-expressible twin of ml CountVectorizer+IDF (formula parity:
+    idf = ln((N+1)/(df+1)), Spark ml's smoothed variant). Two shuffles
+    (both map-side combined) + one broadcast; the per-doc top-k reuses
+    the (doc) partitioning. That plan shape survives 100 TB; the dense
+    vector materialization of ml.feature would not.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokenize_ws("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+            ).alias("_tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("_tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", F.round("_tfidf", 6).alias("tfidf"))
+    )
+
+
+SQL_TFIDF_NATIVE_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((n.n_docs + 1) / (dfreq.df + 1)) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, CAST(rank AS INT) AS rank, round(tfidf, 6) AS tfidf
+FROM (SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 
@@ -1095,6 +1153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "doc_fingerprint": q_doc_fingerprint,
+    "tfidf_native_top_terms": q_tfidf_native_top_terms,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1141,6 +1200,7 @@ ORACLE: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "tfidf_native_top_terms": SQL_TFIDF_NATIVE_TOP_TERMS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "similarity_cosine_topk": SQL_SIMILARITY_COSINE_TOPK,

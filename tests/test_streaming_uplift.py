@@ -1,0 +1,99 @@
+"""Streaming uplift: stream-static joins, foreachBatch sinks, socket
+source construction, ML tuning."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Unbounded stream enriched against a static dim (SURVEY.md §7
+    step 4 uplift) — map-side broadcast per micro-batch, no state."""
+    src = tmp_path / "ss"
+    src.mkdir()
+    events = [
+        {"user_id": 1, "value": 10.0},
+        {"user_id": 2, "value": 20.0},
+        {"user_id": 99, "value": 5.0},  # no dim match
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(e) for e in events))
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, value double")
+        .load(str(src))
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["user_id"]: r["tier"] for r in spark.sql("select * from enriched").collect()}
+    assert rows == {1: "gold", 2: "silver", 99: None}
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch parity with the reference's foreachRDD
+    (Prediction_Pipe_Line.py:107) — per-batch arbitrary sink logic,
+    but with the model/logic captured ONCE outside the loop."""
+    src = tmp_path / "fb"
+    src.mkdir()
+    (src / "b0.txt").write_text("alpha\nbeta\n")
+    stream = spark.readStream.format("text").schema("value string").load(str(src))
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").json(str(out_dir / f"batch_{batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.json(str(out_dir / "batch_0"))
+    assert sorted(r["value"] for r in written.collect()) == ["alpha", "beta"]
+
+
+def test_socket_source_shape(spark):
+    """Socket-source parity (Prediction_Pipe_Line.py:101): unbounded
+    (value: string) frame. Construction only — no listener to hit."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.scoring import (
+        read_socket_lines,
+    )
+
+    df = read_socket_lines(spark, "localhost", 65395)
+    assert df.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("value", "string")
+    ]
+
+
+def test_cross_validated_tuning(spark):
+    """CrossValidator grid search (the reference's unused import made
+    real). Tiny grid on a separable corpus."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.tune import (
+        tune_svm,
+    )
+
+    pos = [(f"great amazing wonderful food {i % 7}", 1.0) for i in range(40)]
+    neg = [(f"terrible awful rude service {i % 7}", 0.0) for i in range(40)]
+    df = spark.createDataFrame(pos + neg, "text string, label double")
+    best_model, best_params, metrics = tune_svm(
+        df, reg_params=[0.1, 0.3], max_iters=[10], n_folds=2
+    )
+    assert set(best_params) == {"regParam", "maxIter"}
+    assert max(metrics) > 0.9
+    preds = best_model.transform(df)
+    assert preds.filter(F.col("prediction") != F.col("label")).count() == 0
