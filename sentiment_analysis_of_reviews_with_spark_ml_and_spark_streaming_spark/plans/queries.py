@@ -943,6 +943,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3, bands=4)
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (uplift): vectors closer than
+    cosine threshold are duplicates (0.4 here: this synthetic corpus
+    has random vectors maxing out near 0.51, so 0.4 exercises a
+    non-trivial match set). Brute-force here (exact oracle); the
+    scale path blocks candidates through ann_lsh/ivf first and runs
+    this as the verify stage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = similarity.cosine(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.4)
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine_sim
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4
+"""
+
+
 def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 10 vectors —
     exact ANN baseline, JVM-side arithmetic only."""
@@ -1158,6 +1190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_cosine_topk": q_similarity_cosine_topk,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ivf": q_similarity_ivf,
@@ -1203,6 +1236,7 @@ ORACLE: dict[str, str] = {
     "tfidf_native_top_terms": SQL_TFIDF_NATIVE_TOP_TERMS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "similarity_cosine_topk": SQL_SIMILARITY_COSINE_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }

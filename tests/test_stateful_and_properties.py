@@ -1,0 +1,115 @@
+"""Custom stateful streaming operator + hypothesis property tests."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+    clean,
+)
+
+_SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def test_applyinpandas_with_state_running_stats(spark, tmp_path):
+    """Two micro-batches accumulate per-user lifetime stats in the
+    state store."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    src = tmp_path / "st"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"user_id": 1, "value": 5.0},
+                {"user_id": 1, "value": 7.0},
+                {"user_id": 2, "value": 1.0},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch arrives while the query runs → state must carry over
+    (src / "b1.json").write_text(json.dumps({"user_id": 1, "value": 100.0}))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select * from running_stats order by n_events"
+    ).collect()
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = (r["n_events"], r["total_value"], r["max_value"])
+    assert latest[1] == (3, 112.0, 100.0)
+    assert latest[2] == (1, 1.0, 1.0)
+
+
+text_strategy = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+)
+
+
+@given(s=text_strategy)
+@settings(**_SETTINGS)
+def test_normalize_text_properties(spark, s):
+    """normalize_text output: no punctuation/digits, no double spaces,
+    no leading/trailing space, idempotent."""
+    import re
+
+    df = spark.createDataFrame([(s,)], "text string")
+    once = df.select(clean.normalize_text("text").alias("t"))
+    out = once.collect()[0]["t"]
+    assert not re.search(r"[^\sA-Za-z]|\s{2,}|^\s|\s$", out), repr((s, out))
+    twice = once.select(clean.normalize_text("t").alias("t")).collect()[0]["t"]
+    assert twice == out
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_histogram_partitions_all_rows(spark, vals):
+    """Histogram buckets always partition the input: counts sum to n,
+    buckets within range."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        relational,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = relational.histogram(df, "x", buckets=5).collect()
+    assert sum(r["count"] for r in rows) == len(vals)
+    assert all(0 <= r["bucket"] <= 4 for r in rows)
+
+
+@given(stars=st.integers(min_value=1, max_value=5))
+@settings(**_SETTINGS)
+def test_binarize_matches_reference_semantics(spark, stars):
+    """label == (1 if int(stars) >= 4 else 0) for every valid star."""
+    df = spark.createDataFrame([(str(stars),)], "stars string")
+    out = df.select(clean.binarize_rating("stars").alias("l")).collect()[0]["l"]
+    assert out == (1 if stars >= 4 else 0)
