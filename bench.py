@@ -40,6 +40,7 @@ HEADLINE = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_native",
     "dedup_simhash",
     "similarity_cosine_topk",
     "similarity_ann_lsh",

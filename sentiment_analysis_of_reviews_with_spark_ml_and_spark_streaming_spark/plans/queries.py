@@ -935,6 +935,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard_distance", 6).alias("jaccard_distance"))
 
 
+def q_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native banded MinHash (no ml.feature, 100% codegen): candidate
+    pairs with estimated Jaccard. Rows-only (xxhash64 family isn't
+    reproducible in the oracle); recall vs the exact twin is
+    unit-tested."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_native_candidates(
+        docs, num_hashes=32, rows_per_band=2, min_est_jaccard=0.15
+    )
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via banded fingerprint join (native
     bit-twiddling expressions; no Python). Rows-only check."""
@@ -1189,6 +1203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_native": q_dedup_minhash_native,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_cosine_topk": q_similarity_cosine_topk,

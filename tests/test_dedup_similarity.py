@@ -58,6 +58,23 @@ def test_minhash_recall_vs_exact(spark):
     assert exact <= approx  # full recall on this corpus
 
 
+def test_minhash_native_recall_and_estimate(spark):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_native_candidates(
+            _corpus(spark), num_hashes=32, rows_per_band=2, min_est_jaccard=0.3
+        ).collect()
+    }
+    assert set(exact) <= set(approx)  # full recall
+    assert approx[(1, 3)] == 1.0  # identical docs: every minhash agrees
+    # estimate tracks truth for the near-dup pair (0.75 true jaccard)
+    assert abs(approx[(1, 2)] - exact[(1, 2)]) < 0.3
+
+
 def test_simhash_properties(spark):
     fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_corpus(spark)).collect()}
     assert fps[1] == fps[3]  # identical text → identical fingerprint
