@@ -53,8 +53,15 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="bench")
 
-    # JVM/codegen warmup outside the timed region
+    # JVM/codegen warmup outside the timed region: exercise the parquet
+    # reader, decimal aggregation, and regex paths once so per-query
+    # timings reflect steady state, not first-call JIT
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    warm.selectExpr(
+        "cast(sum(cast(n_nationkey as decimal(18,2))) as double)",
+        "count(regexp_replace(n_name, '[A-Z]', 'x'))",
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
