@@ -512,6 +512,25 @@ ORDER BY 1, 2
 """
 
 
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    shuffle (uplift)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), _dsum("o_totalprice").alias("total_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_CUBE_STATUS_PRIORITY = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY 1, 2
+"""
+
+
 def q_moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-frame window aggregate per user (uplift): 4-event moving
     average of event value."""
@@ -1185,6 +1204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_type": q_pivot_event_type,
     "agg_stats_extended": q_agg_stats_extended,
     "rollup_returnflag": q_rollup_returnflag,
+    "cube_status_priority": q_cube_status_priority,
     "moving_avg_user_value": q_moving_avg_user_value,
     "json_extract_props": q_json_extract_props,
     "ngram_top_bigrams": q_ngram_top_bigrams,
@@ -1234,6 +1254,7 @@ ORACLE: dict[str, str] = {
     "pivot_event_type": SQL_PIVOT_EVENT_TYPE,
     "agg_stats_extended": SQL_AGG_STATS_EXTENDED,
     "rollup_returnflag": SQL_ROLLUP_RETURNFLAG,
+    "cube_status_priority": SQL_CUBE_STATUS_PRIORITY,
     "moving_avg_user_value": SQL_MOVING_AVG_USER_VALUE,
     "json_extract_props": SQL_JSON_EXTRACT_PROPS,
     "ngram_top_bigrams": SQL_NGRAM_TOP_BIGRAMS,
