@@ -74,6 +74,24 @@ def sentiment_compound(
     return raw / F.sqrt(raw * raw + F.lit(_NORM))
 
 
+def stem_light(col: Column | str) -> Column:
+    """Rule-based suffix stripper (Porter step-1-ish), pure regex.
+
+    The reference imports nltk PorterStemmer but never applies it
+    (Yelp_Data_PreProcessing.py:15-22, SURVEY.md §2.9 unused-surface);
+    this makes a light variant real, engine-side and codegen'd:
+    sses→ss, ies→i, ss stays, trailing s drops; ing/ed drop when a
+    vowel precedes (len guard via the preceding-stem pattern).
+    """
+    # capture-group rules (no lookbehind: RE2 oracles can't express it)
+    c = F.col(col) if isinstance(col, str) else col
+    step = F.regexp_replace(c, "sses$", "ss")
+    step = F.regexp_replace(step, "ies$", "i")
+    step = F.regexp_replace(step, "([^s])s$", "$1")
+    step = F.regexp_replace(step, "([aeiou][a-z])(ing|ed)$", "$1")
+    return step
+
+
 def sentiment_score_lexicon_join(
     df: DataFrame,
     lexicon_df: DataFrame,

@@ -770,6 +770,39 @@ FROM documents
 """
 
 
+def q_stemmed_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Light-stemmed token frequencies, top 20 (the reference's unused
+    Porter import made real; functions/text.stem_light)."""
+    from ..functions.text import stem_light
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize_ws("text")).alias("token")).select(
+        stem_light("token").alias("stem")
+    )
+    counts = toks.groupBy("stem").agg(F.count("*").alias("cnt"))
+    return relational.top_k(counts, [F.col("cnt").desc(), F.col("stem")], 20)
+
+
+SQL_STEMMED_TOKEN_FREQUENCIES = """
+WITH toks AS (
+  SELECT t.token AS token
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+), stemmed AS (
+  SELECT regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(token, 'sses$', 'ss'),
+               'ies$', 'i'),
+             '([^s])s$', '\\1'),
+           '([aeiou][a-z])(ing|ed)$', '\\1') AS stem
+  FROM toks
+)
+SELECT stem, cnt FROM (
+  SELECT stem, count(*) AS cnt FROM stemmed GROUP BY 1
+) ORDER BY cnt DESC, stem LIMIT 20
+"""
+
+
 def q_sentiment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon sentiment scoring, fully codegen'd (replaces the NLTK
     VADER per-row UDF, Scalable_EDA_Final.py:377-386)."""
@@ -1215,6 +1248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_frequencies": q_token_frequencies,
     "doc_token_counts": q_doc_token_counts,
     "token_count_bpe": q_token_count_bpe,
+    "stemmed_token_frequencies": q_stemmed_token_frequencies,
     "sentiment_docs": q_sentiment_docs,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1265,6 +1299,7 @@ ORACLE: dict[str, str] = {
     "token_frequencies": SQL_TOKEN_FREQUENCIES,
     "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
+    "stemmed_token_frequencies": SQL_STEMMED_TOKEN_FREQUENCIES,
     "sentiment_docs": SQL_SENTIMENT_DOCS,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
