@@ -69,6 +69,19 @@ def test_impute_null_elite(spark):
     assert {r["id"]: r["elite"] for r in out.collect()} == {1: 0, 2: 7}
 
 
+def test_stem_light_rules(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.functions.text import (
+        stem_light,
+    )
+
+    rows = [("glasses",), ("stories",), ("cats",), ("pass",), ("hoping",),
+            ("rated",), ("running",), ("table",)]
+    df = spark.createDataFrame(rows, "w string")
+    out = [r["s"] for r in df.select(stem_light("w").alias("s")).collect()]
+    #        sses→ss   ies→i    s-drop  ss kept  vowel+ing  vowel+ed  cons+ing  unchanged
+    assert out == ["glass", "stori", "cat", "pass", "hop", "rat", "running", "table"]
+
+
 def test_clean_stage_stays_in_codegen(spark):
     """The cleaning chain must not introduce a BatchEvalPython boundary
     (the reference's UDF anti-pattern, SURVEY.md §4.1)."""
