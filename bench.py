@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_native",
+    "dedup_pipeline_verified",
     "dedup_simhash",
     "similarity_cosine_topk",
     "similarity_ann_lsh",

@@ -253,6 +253,50 @@ def minhash_native_candidates(
     )
 
 
+def near_dup_verified(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The full 100 TB dedup pipeline as one operator:
+    native MinHash candidates → EXACT n-gram Jaccard verify on the
+    candidate pairs only. Returns (id_a, id_b, jaccard).
+
+    Cost: candidate generation is ~linear (banded signatures); the
+    exact verify joins shingle arrays for candidate pairs only (never
+    all pairs) and computes |A∩B| via array_intersect in codegen.
+    Equals ``ngram_jaccard_pairs(df, threshold=threshold)`` whenever
+    the banding recalls every true pair (tune num_hashes/rows_per_band
+    per corpus; unit-tested on ours).
+    """
+    cand = minhash_native_candidates(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        min_est_jaccard=0.0,
+    ).select("id_a", "id_b")
+    sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return (
+        joined.select(
+            "id_a", "id_b", (inter / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -84,6 +84,92 @@ def cosine_topk_bruteforce(
     return out.select("query_id", "neighbor_id", "rank", sim.alias("cosine_sim"))
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Vectorized brute-force cosine top-k: numpy matmul via
+    mapInPandas (Arrow batches, BLAS inside the Python worker).
+
+    The query matrix is collected (bounded: a query set, not the
+    corpus), L2-normalized once, and broadcast; each corpus partition
+    computes a (batch × n_queries) similarity block and keeps only its
+    partition-local top-k per query, so the final shuffle carries
+    ≤ k·partitions rows per query. For wide embeddings / large query
+    sets this beats the per-pair ``zip_with`` expression path —
+    measured ~same at 64-dim/10 queries, and the gap grows with both.
+    Output matches ``cosine_topk_bruteforce`` (same rounding, same
+    tie-break).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, Qn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("_sim", T.DoubleType()),
+        ]
+    )
+
+    def score_partition(batches):
+        ids, qn = bq.value
+        best_ids: list[np.ndarray] = []
+        best_sims: list[np.ndarray] = []
+        for pdf in batches:
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ qn.T  # (batch, n_q)
+            best_ids.append(pdf[id_col].to_numpy(dtype=np.int64))
+            best_sims.append(S)
+        if not best_ids:
+            return
+        cid = np.concatenate(best_ids)
+        sims = np.vstack(best_sims)  # (n_rows, n_q)
+        rows = []
+        for qi, qid in enumerate(ids):
+            col = sims[:, qi]
+            mask = cid != qid
+            c_idx = np.nonzero(mask)[0]
+            if not len(c_idx):
+                continue
+            # partition-local top-k (order by -sim, then neighbor id)
+            order = np.lexsort((cid[c_idx], -col[c_idx]))[:k]
+            for j in c_idx[order]:
+                rows.append((int(qid), int(cid[j]), float(col[j])))
+        yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "_sim"])
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score_partition, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("_sim"), round_to).alias("cosine_sim"),
+        )
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

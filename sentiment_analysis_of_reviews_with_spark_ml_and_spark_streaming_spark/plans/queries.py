@@ -987,6 +987,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard_distance", 6).alias("jaccard_distance"))
 
 
+def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB dedup flow (native MinHash candidates →
+    exact Jaccard verify on candidates only). Banding recall is full on
+    this corpus (unit-tested), so it shares the exact-Jaccard oracle —
+    the strongest possible check for an approximate-then-verify
+    pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.near_dup_verified(docs, n=3, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native banded MinHash (no ml.feature, 100% codegen): candidate
     pairs with estimated Jaccard. Rows-only (xxhash64 family isn't
@@ -1258,6 +1269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
+    "dedup_pipeline_verified": q_dedup_pipeline_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_cosine_topk": q_similarity_cosine_topk,
@@ -1308,6 +1320,7 @@ ORACLE: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "dedup_pipeline_verified": SQL_DEDUP_NGRAM_JACCARD,
     "similarity_cosine_topk": SQL_SIMILARITY_COSINE_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }

@@ -75,6 +75,34 @@ def test_minhash_native_recall_and_estimate(spark):
     assert abs(approx[(1, 2)] - exact[(1, 2)]) < 0.3
 
 
+def test_near_dup_verified_equals_exact(spark):
+    """LSH-candidates → exact-verify pipeline reproduces the full
+    exact-Jaccard result on corpora where banding has full recall."""
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()
+    }
+    piped = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.near_dup_verified(_corpus(spark), threshold=0.5).collect()
+    }
+    assert piped == exact
+
+
+def test_cosine_topk_pandas_matches_expression_path(spark):
+    emb = _embeddings(spark)
+    queries = emb.filter(F.col("vec_id") < 2)
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=3).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in similarity.cosine_topk_pandas(emb, queries, k=3).collect()
+    }
+    assert a == b
+
+
 def test_simhash_properties(spark):
     fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_corpus(spark)).collect()}
     assert fps[1] == fps[3]  # identical text → identical fingerprint
