@@ -315,14 +315,18 @@ def simhash(
     # the shuffle carries only (id, token, count) pairs with map-side
     # combine — the design that holds at 100 TB.
     toks = tokenize_ws(F.col(text_col))
-    per_token = (
+    counted = (
         df.select(F.col(id_col), F.explode(toks).alias("_tok"))
         .groupBy(id_col, "_tok")
         .agg(F.count("*").alias("_cnt"))
-        .withColumn(
-            "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
-        )
     )
+    # dictionary join: md5+conv once per DISTINCT token, not per
+    # (doc, token) instance — the token dictionary is orders of
+    # magnitude smaller than the instance table at corpus scale
+    tok_dict = counted.select("_tok").distinct().withColumn(
+        "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
+    )
+    per_token = counted.join(F.broadcast(tok_dict), "_tok")
     votes = [
         F.sum(
             F.when(

@@ -512,6 +512,53 @@ ORDER BY 1, 2
 """
 
 
+def q_quantiles_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (uplift): Spark's `percentile` and DuckDB's
+    `quantile_cont` share linear-interpolation semantics."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_QUANTILES_PRICE_BY_PRIORITY = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       count(*) AS cnt
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (uplift; the reference dropped its date
+    column unparsed, Yelp_Data_PreProcessing.py:62)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(F.count("*").alias("cnt"), _dsum("o_totalprice").alias("total_price"))
+        .orderBy("o_year", "o_month")
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(month(o_orderdate) AS INT) AS o_month,
+       count(*) AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all four grouping sets in one
     shuffle (uplift)."""
@@ -1249,6 +1296,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_stats_extended": q_agg_stats_extended,
     "rollup_returnflag": q_rollup_returnflag,
     "cube_status_priority": q_cube_status_priority,
+    "quantiles_price_by_priority": q_quantiles_price_by_priority,
+    "orders_by_month": q_orders_by_month,
     "moving_avg_user_value": q_moving_avg_user_value,
     "json_extract_props": q_json_extract_props,
     "ngram_top_bigrams": q_ngram_top_bigrams,
@@ -1301,6 +1350,8 @@ ORACLE: dict[str, str] = {
     "agg_stats_extended": SQL_AGG_STATS_EXTENDED,
     "rollup_returnflag": SQL_ROLLUP_RETURNFLAG,
     "cube_status_priority": SQL_CUBE_STATUS_PRIORITY,
+    "quantiles_price_by_priority": SQL_QUANTILES_PRICE_BY_PRIORITY,
+    "orders_by_month": SQL_ORDERS_BY_MONTH,
     "moving_avg_user_value": SQL_MOVING_AVG_USER_VALUE,
     "json_extract_props": SQL_JSON_EXTRACT_PROPS,
     "ngram_top_bigrams": SQL_NGRAM_TOP_BIGRAMS,
