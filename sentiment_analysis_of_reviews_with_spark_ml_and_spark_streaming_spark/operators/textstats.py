@@ -125,6 +125,37 @@ def quality_score(
     )
 
 
+def rolling_fingerprint_sketch(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_chars: int = 8,
+    sketch_size: int = 16,
+) -> DataFrame:
+    """Winnowing-style rolling-hash sketch: overlapping char k-grams
+    (lookahead regex — codegen, no per-char loop), xxhash64 each, keep
+    the ``sketch_size`` smallest hashes (bottom-k sketch ≈ winnowing's
+    window minima). Near-dup docs share most sketch elements; the
+    sketch doubles as a compact (id, 16×8B) shuffle payload at scale.
+
+    Returns (id, sketch: array<bigint>, sketch_hash: bigint) —
+    sketch_hash is an exact-dup key, the array powers containment
+    estimates (|A∩B|/k).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    grams = F.regexp_extract_all(
+        norm, F.lit(f"(?=(.{{{gram_chars}}}))."), 1
+    )
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, sketch_size)
+    return df.select(
+        F.col(id_col),
+        sketch.alias("sketch"),
+        F.xxhash64(sketch.cast("string")).alias("sketch_hash"),
+    )
+
+
 def fingerprint(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

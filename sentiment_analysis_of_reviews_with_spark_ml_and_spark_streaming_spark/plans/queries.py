@@ -961,6 +961,44 @@ FROM derived
 """
 
 
+def q_top_words_no_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference EDA1 parity (word-cloud prep, Scalable_EDA_Final.py:61-89):
+    tokenize → remove stopwords (custom list incl. the reference's
+    ['one','s'], E:65-68) → top-20 word counts."""
+    stop = sorted(set(textstats.LANG_MARKERS["en"]) | {"one", "s", "a"})
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize_ws("text")).alias("word"))
+    kept = toks.filter(~F.col("word").isin(stop) & (F.col("word") != ""))
+    counts = kept.groupBy("word").agg(F.count("*").alias("cnt"))
+    return relational.top_k(counts, [F.col("cnt").desc(), F.col("word")], 20)
+
+
+def _stoplist_sql() -> str:
+    from ..operators.textstats import LANG_MARKERS
+
+    stop = sorted(set(LANG_MARKERS["en"]) | {"one", "s", "a"})
+    return ", ".join(f"'{w}'" for w in stop)
+
+
+SQL_TOP_WORDS_NO_STOPWORDS = f"""
+SELECT word, cnt FROM (
+  SELECT t.word AS word, count(*) AS cnt
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(word)
+  WHERE t.word NOT IN ({_stoplist_sql()}) AND t.word != ''
+  GROUP BY 1
+) ORDER BY cnt DESC, word LIMIT 20
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing-style) bottom-k sketches. Rows-only
+    (xxhash64 family not expressible in the oracle); sketch properties
+    unit-tested."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.rolling_fingerprint_sketch(docs)
+    return out.select("doc_id", "sketch_hash", F.size("sketch").alias("sketch_len"))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprint of normalized text (uplift; also the exact-dedup
     shuffle key at scale)."""
@@ -1309,6 +1347,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_counts": q_doc_token_counts,
     "token_count_bpe": q_token_count_bpe,
     "stemmed_token_frequencies": q_stemmed_token_frequencies,
+    "top_words_no_stopwords": q_top_words_no_stopwords,
+    "rolling_fingerprint": q_rolling_fingerprint,
     "sentiment_docs": q_sentiment_docs,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1363,6 +1403,7 @@ ORACLE: dict[str, str] = {
     "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "stemmed_token_frequencies": SQL_STEMMED_TOKEN_FREQUENCIES,
+    "top_words_no_stopwords": SQL_TOP_WORDS_NO_STOPWORDS,
     "sentiment_docs": SQL_SENTIMENT_DOCS,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,

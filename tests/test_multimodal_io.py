@@ -53,6 +53,39 @@ def test_frame_sample_fanout(spark):
     assert bytes(frames[0]["frame"]) == b"0123456789"
 
 
+def test_write_csv_header_roundtrip(spark, tmp_path):
+    """write_csv actually writes the header (the reference's
+    option('head') typo silently produced headerless files,
+    Yelp_Data_PreProcessing.py:158)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.io import (
+        write_csv,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
+    path = str(tmp_path / "out_csv")
+    write_csv(df, path)
+    back = spark.read.option("header", True).schema("id int, name string").csv(path)
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_rolling_fingerprint_sketch_properties(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.textstats import (
+        rolling_fingerprint_sketch,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat tonight"),  # near dup
+        (4, "completely different content with no overlap at all!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rolling_fingerprint_sketch(df).collect()}
+    assert out[1]["sketch_hash"] == out[2]["sketch_hash"]  # exact dup key
+    s1, s3, s4 = (set(out[i]["sketch"]) for i in (1, 3, 4))
+    assert len(s1 & s3) > len(s1 & s4)  # near-dup shares more sketch
+
+
 def test_csv_quarantine(spark, tmp_path):
     """PERMISSIVE CSV: malformed rows land in _corrupt_record instead of
     silently poisoning downstream casts (SURVEY.md §1.3)."""
