@@ -680,6 +680,40 @@ GROUP BY 1 ORDER BY 1
 # timestamps / windows / sessionization (batch twins of streaming ops)
 
 
+def q_zscore_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via window aggregates — the NATIVE design for
+    relational normalization (the applyInPandas grouped-map is reserved
+    for math SQL can't express; see embedding_pca_by_label)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev("value").over(w)
+    return ev.select("event_id", "event_type", F.round(z, 6).alias("zscore"))
+
+
+SQL_ZSCORE_VALUE_BY_TYPE = """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER w) / stddev(value) OVER w, 6) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
+def q_embedding_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-label top principal component of
+    the embedding cloud (dense SVD — not relationally expressible).
+    Rows-only; determinism via sign normalization."""
+    from ..operators.embeddings_stats import per_group_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = per_group_pca(emb)
+    return out.select(
+        "label",
+        "n_vectors",
+        "explained_var_ratio",
+        F.round(F.element_at("top_component", 1), 4).alias("comp_0"),
+    ).orderBy("label")
+
+
 def q_window_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of
     streaming.windowed_event_counts)."""
@@ -1340,6 +1374,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract_props": q_json_extract_props,
     "ngram_top_bigrams": q_ngram_top_bigrams,
     "approx_distinct_parts": q_approx_distinct_parts,
+    "zscore_value_by_type": q_zscore_value_by_type,
+    "embedding_pca_by_label": q_embedding_pca_by_label,
     "window_hourly_events": q_window_hourly_events,
     "sessionize_events": q_sessionize_events,
     "clean_normalize_docs": q_clean_normalize_docs,
@@ -1396,6 +1432,7 @@ ORACLE: dict[str, str] = {
     "json_extract_props": SQL_JSON_EXTRACT_PROPS,
     "ngram_top_bigrams": SQL_NGRAM_TOP_BIGRAMS,
     "approx_distinct_parts": SQL_APPROX_DISTINCT_PARTS,
+    "zscore_value_by_type": SQL_ZSCORE_VALUE_BY_TYPE,
     "window_hourly_events": SQL_WINDOW_HOURLY_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "clean_normalize_docs": SQL_CLEAN_NORMALIZE_DOCS,
