@@ -1,0 +1,144 @@
+"""Differential fuzzing of the Spark↔DuckDB portability conventions.
+
+The oracle gate rests on conventions (decimal-accumulated float sums,
+rounding, null semantics in joins/groups, window tie-breaks). The
+fixed testdata exercises them on one distribution; here hypothesis
+feeds adversarial small tables (nulls, empty groups, negative values,
+duplicate keys) through BOTH engines and requires bit-equal results.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# money-like floats: exactly representable at 2 decimals
+money = st.integers(min_value=-10**6, max_value=10**6).map(lambda i: i / 100)
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),                 # key
+        st.one_of(st.none(), st.sampled_from(list("abcde"))),  # tag
+        st.one_of(st.none(), money),                           # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _materialize(spark, tmp_path_factory, rows):
+    path = str(tmp_path_factory.mktemp("fuzz") / "t.parquet")
+    df = spark.createDataFrame(rows, "k int, tag string, v double")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    return spark.read.parquet(path), con
+
+
+def _cmp(sdf, con, sql):
+    s_cols = sorted(sdf.columns)
+    s_rows = sorted(
+        [tuple(str(x) for x in r) for r in sdf.select(*s_cols).collect()]
+    )
+    cur = con.execute(sql)
+    d_cols = [d[0] for d in cur.description]
+    idx = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    d_rows = sorted([tuple(str(r[i]) for i in idx) for r in cur.fetchall()])
+    assert sorted(d_cols) == s_cols
+    assert s_rows == d_rows, (s_rows[:5], d_rows[:5])
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_fuzz_groupby_decimal_sum(spark, tmp_path_factory, rows):
+    sdf, con = _materialize(spark, tmp_path_factory, rows)
+    out = sdf.groupBy("k").agg(
+        F.count("*").alias("cnt"),
+        F.count("v").alias("cnt_v"),
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    _cmp(
+        out,
+        con,
+        """
+        SELECT k, count(*) AS cnt, count(v) AS cnt_v,
+               CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+               min(v) AS min_v, max(v) AS max_v
+        FROM t GROUP BY 1
+        """,
+    )
+    con.close()
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_fuzz_left_join_impute(spark, tmp_path_factory, rows):
+    sdf, con = _materialize(spark, tmp_path_factory, rows)
+    dim = (
+        sdf.filter(F.col("tag").isNotNull())
+        .select("k", F.lit(1).alias("flag"))
+        .dropDuplicates()
+    )
+    out = (
+        sdf.join(F.broadcast(dim), "k", "left")
+        .withColumn("flag", F.coalesce("flag", F.lit(0)))
+        .groupBy("flag")
+        .agg(F.count("*").alias("cnt"))
+    )
+    _cmp(
+        out,
+        con,
+        """
+        SELECT coalesce(d.flag, 0) AS flag, count(*) AS cnt
+        FROM t LEFT JOIN (SELECT DISTINCT k, 1 AS flag FROM t
+                          WHERE tag IS NOT NULL) d USING (k)
+        GROUP BY 1
+        """,
+    )
+    con.close()
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_fuzz_window_topk(spark, tmp_path_factory, rows):
+    sdf, con = _materialize(spark, tmp_path_factory, rows)
+    # total order tie-break: (v desc nulls last, tag asc nulls first) is
+    # not total across duplicate rows — make it total with a row id
+    sdf = sdf.withColumn("rid", F.monotonically_increasing_id())
+    # rid differs across engines; use it only to make sampling stable
+    w = Window.partitionBy("k").orderBy(
+        F.col("v").desc_nulls_last(), F.col("tag").asc_nulls_first()
+    )
+    out = (
+        sdf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("k")
+        .agg(F.count("*").alias("kept"), F.max("v").alias("top_v"))
+    )
+    _cmp(
+        out,
+        con,
+        """
+        SELECT k, count(*) AS kept, max(v) AS top_v FROM (
+          SELECT k, v,
+                 row_number() OVER (PARTITION BY k
+                                    ORDER BY v DESC NULLS LAST,
+                                             tag ASC NULLS FIRST) AS rn
+          FROM t
+        ) WHERE rn <= 2 GROUP BY 1
+        """,
+    )
+    con.close()
