@@ -74,6 +74,43 @@ def sentiment_compound(
     return raw / F.sqrt(raw * raw + F.lit(_NORM))
 
 
+MAP_LITERAL_LEXICON_LIMIT = 1000
+
+
+def score_sentiment(
+    df: DataFrame,
+    lexicon: dict[str, float] | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Size-adaptive sentiment scoring → (id_col, compound).
+
+    Small lexicons (≤ ~1000 entries) inline as a Catalyst map literal —
+    zero joins, pure codegen. Larger ones (VADER-scale, ~7.5k) switch
+    to the broadcast-join path: an inlined map that big bloats the plan
+    and codegen, while a broadcast join stays map-side with one
+    per-doc re-aggregation. Both paths produce identical scores
+    (unit-tested).
+    """
+    lex = lexicon or SENTIMENT_LEXICON
+    if len(lex) <= MAP_LITERAL_LEXICON_LIMIT:
+        return df.select(
+            F.col(id_col),
+            sentiment_compound(tokenize_ws(text_col), lex).alias("compound"),
+        )
+    spark = df.sparkSession
+    lex_df = spark.createDataFrame(
+        list(lex.items()), "word string, valence double"
+    )
+    with_tokens = df.select(
+        F.col(id_col), tokenize_ws(text_col).alias("tokens")
+    )
+    return sentiment_score_lexicon_join(
+        with_tokens, lex_df, id_col=id_col, tokens_col="tokens"
+    )
+
+
 def stem_light(col: Column | str) -> Column:
     """Rule-based suffix stripper (Porter step-1-ish), pure regex.
 

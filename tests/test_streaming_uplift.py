@@ -80,6 +80,26 @@ def test_socket_source_shape(spark):
     ]
 
 
+def test_processing_time_trigger(spark, tmp_path):
+    """Processing-time trigger path (the reference's 30 s cadence,
+    configured here at 1 s so the test is fast)."""
+    src = tmp_path / "trig"
+    src.mkdir()
+    (src / "b0.txt").write_text("tick\n")
+    stream = spark.readStream.format("text").schema("value string").load(str(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("trig_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck0"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("select * from trig_sink").count() == 1
+
+
 def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     """Stop a checkpointed stream, add data, restart from the same
     checkpoint: already-committed batches must not be reprocessed
