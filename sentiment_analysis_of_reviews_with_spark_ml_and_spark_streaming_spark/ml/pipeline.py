@@ -81,6 +81,21 @@ def evaluate_f1(predictions: DataFrame, *, label_col: str = "label") -> float:
     return float(evaluator.evaluate(predictions))
 
 
+def evaluate_auc(predictions: DataFrame, *, label_col: str = "label") -> float:
+    """Area under ROC via BinaryClassificationEvaluator — the
+    reference imported this evaluator but never used it
+    (Scalable_Project_ML_Model_Analysis.py:15-22)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    score_col = (
+        "rawPrediction" if "rawPrediction" in predictions.columns else "prediction"
+    )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol=score_col, metricName="areaUnderROC"
+    )
+    return float(evaluator.evaluate(predictions))
+
+
 def train_and_evaluate(
     df: DataFrame,
     model: str = "svm",

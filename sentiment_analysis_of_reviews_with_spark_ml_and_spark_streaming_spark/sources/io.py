@@ -94,6 +94,23 @@ def write_parquet(
     writer.parquet(path)
 
 
+def to_pandas_bounded(df: DataFrame, *, limit: int | None = 100_000):
+    """Arrow-accelerated driver hand-off with a mandatory row bound.
+
+    The reference collected an ENTIRE corpus un-Arrow'd
+    (Scalable_Project_ML_Model_Analysis.py:126 + SURVEY.md §4.2 item 1
+    — O(corpus) driver memory); here the bound is explicit and Arrow is
+    asserted on so the transfer is columnar.
+    """
+    spark = df.sparkSession
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+        == "true"
+    ), "enable Arrow before driver hand-off (see session.get_spark)"
+    bounded = df.limit(limit) if limit is not None else df
+    return bounded.toPandas()
+
+
 def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """Header actually written (the reference's ``option("head")`` typo
     silently produced headerless output, Yelp_Data_PreProcessing.py:158)."""

@@ -80,6 +80,26 @@ def test_evaluate_f1_perfect_predictions(spark):
     assert evaluate_f1(preds) == 1.0
 
 
+def test_evaluate_auc_separable(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.pipeline import (
+        evaluate_auc,
+    )
+
+    df = _labeled_reviews(spark)
+    fitted, _ = train_and_evaluate(df, "logreg")
+    auc = evaluate_auc(fitted.transform(df))
+    assert auc > 0.95
+
+
+def test_to_pandas_bounded_arrow(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.io import (
+        to_pandas_bounded,
+    )
+
+    pdf = to_pandas_bounded(spark.range(1000).toDF("id"), limit=10)
+    assert len(pdf) == 10
+
+
 def test_inspect_weights_most_negative_words(spark):
     from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.pipeline import (
         inspect_weights,
