@@ -38,17 +38,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's reader
-    rejects; read nanos as long (legacy conf) and rebuild a
-    microsecond TIMESTAMP_NTZ. At production scale the ingest layer
-    would write micros; this shim keeps the scan native + vectorized."""
+    """Nanos-timestamp shim lives in sources.io.load_events; tz pinned
+    here for oracle portability (see _t)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = load_table(spark, sf_dir, "events")
-    # integer `div` — float division would lose precision above 2^53 ns
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    from ..sources.io import load_events
+
+    return load_events(spark, sf_dir)
 
 
 def _dsum(col, scale: int = 2):

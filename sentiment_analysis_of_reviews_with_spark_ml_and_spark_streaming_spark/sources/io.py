@@ -36,6 +36,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet ships TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright; read nanos as long (legacy conf, runtime-
+    settable) and rebuild a microsecond TIMESTAMP_NTZ. Integer `div` —
+    float division would lose precision above 2^53 ns. A production
+    ingest layer would standardize on micros at write time."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

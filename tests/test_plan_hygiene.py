@@ -1,0 +1,45 @@
+"""Systematic physical-plan hygiene over the WHOLE query registry.
+
+The 100 TB guarantees, enforced as tests, for every named query:
+- no row-at-a-time Python (BatchEvalPython) anywhere — the only Python
+  allowed on a hot path is Arrow-batched (mapInPandas /
+  applyInPandas), and only in the explicitly whitelisted operators;
+- no unbounded cartesian products except the whitelisted brute-force
+  oracle baselines (and those must be broadcast-nested-loop, i.e. one
+  side bounded, not a shuffled CartesianProduct).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+    QUERIES,
+)
+
+from .conftest import SF_DIR_CORRECTNESS
+
+# operators whose Arrow-batched Python stage is the point
+ARROW_PYTHON_OK = {"multimodal_meta", "embedding_pca_by_label"}
+# exact brute-force baselines: cross join is deliberate and documented
+CROSS_JOIN_OK = {"dedup_embedding_cosine", "similarity_cosine_topk"}
+# ML pipeline fitting triggers jobs at plan-build time; plans are the
+# pipeline's own — skip (covered by ml tests)
+SKIP = {"ml_tfidf_features", "ml_train_f1", "dedup_minhash_lsh", "similarity_ann_lsh", "similarity_ivf"}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_plan_hygiene(spark, name):
+    df = QUERIES[name](spark, SF_DIR_CORRECTNESS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in ARROW_PYTHON_OK:
+        assert "Python" not in plan, f"{name}: unexpected Python stage"
+    assert "CartesianProduct" not in plan, (
+        f"{name}: shuffled cartesian product (unbounded at scale)"
+    )
+    if name not in CROSS_JOIN_OK and name != "similarity_cosine_topk":
+        assert "BroadcastNestedLoopJoin" not in plan or name in {
+            "histogram_totalprice",
+            "tfidf_native_top_terms",
+        }, f"{name}: unexpected nested-loop join"
