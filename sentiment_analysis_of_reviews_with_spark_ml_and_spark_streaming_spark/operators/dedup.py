@@ -253,6 +253,42 @@ def minhash_native_candidates(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicate token-span detection — the 'repeated substring'
+    primitive of training-data dedup (find every ``span_tokens``-token
+    window occurring ≥ ``min_occurrences`` times across the corpus).
+
+    Spans come from the lookahead-regex window extractor (codegen); the
+    groupBy key is the span's md5 (16 bytes shuffled per window, never
+    the text). Returns (span_hash, n_occurrences, n_docs,
+    first_doc_id). At 100 TB this is one explode + one map-side-
+    combined shuffle — the same shape Lee et al.-style suffix dedup
+    reduces to when windows are fixed-length.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    window_pat = "(?=(" + " ".join(["\\S+"] * span_tokens) + "))\\S+ ?"
+    spans = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(norm, F.lit(window_pat), 1)).alias("_span"),
+    )
+    return (
+        spans.groupBy(F.md5("_span").alias("span_hash"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("first_doc_id"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+
+
 def near_dup_verified(
     df: DataFrame,
     *,

@@ -1101,6 +1101,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard_distance", 6).alias("jaccard_distance"))
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate 5-token spans across the corpus (training-data
+    'repeated substring' dedup primitive; 5 tokens so the synthetic
+    corpus yields a non-trivial match set)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, span_tokens=5, min_occurrences=2)
+
+
+SQL_DUPLICATE_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), spans AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS span_hash
+  FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS r(i)
+)
+SELECT span_hash, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc_id
+FROM spans GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed 100 TB dedup flow (native MinHash candidates →
     exact Jaccard verify on candidates only). Banding recall is full on
@@ -1390,6 +1411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
     "dedup_pipeline_verified": q_dedup_pipeline_verified,
+    "duplicate_spans": q_duplicate_spans,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_cosine_topk": q_similarity_cosine_topk,
@@ -1445,6 +1467,7 @@ ORACLE: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_pipeline_verified": SQL_DEDUP_NGRAM_JACCARD,
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
     "similarity_cosine_topk": SQL_SIMILARITY_COSINE_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }

@@ -75,6 +75,29 @@ def test_minhash_native_recall_and_estimate(spark):
     assert abs(approx[(1, 2)] - exact[(1, 2)]) < 0.3
 
 
+def test_duplicate_spans_semantics(spark):
+    """A 3-token span repeated within a doc and across docs counts
+    every occurrence; unique spans are excluded."""
+    rows = [
+        (1, "alpha beta gamma delta alpha beta gamma"),  # 'alpha beta gamma' ×2
+        (2, "zzz alpha beta gamma yyy"),                 # ×1 more, other doc
+        (3, "totally unrelated words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicate_spans(df, span_tokens=3, min_occurrences=2)
+    import hashlib
+
+    target = hashlib.md5(b"alpha beta gamma").hexdigest()
+    hits = {r["span_hash"]: r for r in out.collect()}
+    assert target in hits
+    assert hits[target]["n_occurrences"] == 3
+    assert hits[target]["n_docs"] == 2
+    assert hits[target]["first_doc_id"] == 1
+    # no span from doc 3 repeats
+    doc3_only = [r for r in hits.values() if r["first_doc_id"] == 3]
+    assert not doc3_only
+
+
 def test_near_dup_verified_equals_exact(spark):
     """LSH-candidates → exact-verify pipeline reproduces the full
     exact-Jaccard result on corpora where banding has full recall."""
