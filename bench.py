@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_minhash_native",
     "dedup_pipeline_verified",
+    "duplicate_spans",
+    "tfidf_native_top_terms",
     "dedup_simhash",
     "similarity_cosine_topk",
     "similarity_ann_lsh",
