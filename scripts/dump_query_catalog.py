@@ -1,0 +1,46 @@
+"""Regenerate docs/QUERIES.md: one row per registered query with its
+check type and first docstring line. Run: python scripts/dump_query_catalog.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+    ORACLE,
+    QUERIES,
+)
+
+
+def main() -> None:
+    lines = [
+        "# QUERIES — driver-contract catalog",
+        "",
+        f"{len(QUERIES)} named queries; {len(ORACLE)} DuckDB-oracle-backed "
+        "(value-hash checked at sf0.01), the rest rows-only with unit-test "
+        "coverage (see PARITY.md).",
+        "",
+        "| query | check | summary |",
+        "|---|---|---|",
+    ]
+    for name in sorted(QUERIES):
+        fn = QUERIES[name]
+        doc = (fn.__doc__ or "").strip().splitlines()
+        summary = doc[0].strip() if doc else ""
+        check = "oracle" if name in ORACLE else "rows-only"
+        lines.append(f"| `{name}` | {check} | {summary} |")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "QUERIES.md",
+    )
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out} ({len(QUERIES)} queries)")
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,41 @@ def test_rolling_fingerprint_sketch_properties(spark):
     assert len(s1 & s3) > len(s1 & s4)  # near-dup shares more sketch
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink (second columnar format besides parquet)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = str(tmp_path / "orc_out")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_json_roundtrip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame([(1, {"a": 2})], "id long, payload map<string,int>")
+    path = str(tmp_path / "json_out")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.schema("id long, payload map<string,int>").json(path)
+    row = back.collect()[0]
+    assert row["id"] == 1 and row["payload"]["a"] == 2
+
+
+def test_rate_source_produces_rows(spark, tmp_path):
+    """Rate source (deterministic-cadence synthetic stream)."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("select * from rate_sink").columns == ["timestamp", "value"]
+
+
 def test_csv_quarantine(spark, tmp_path):
     """PERMISSIVE CSV: malformed rows land in _corrupt_record instead of
     silently poisoning downstream casts (SURVEY.md §1.3)."""
