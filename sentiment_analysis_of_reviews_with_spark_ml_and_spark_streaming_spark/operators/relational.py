@@ -99,6 +99,71 @@ def random_split(
     return df.randomSplit(weights, seed=seed)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row of
+    the same key with right.ts <= left.ts (inclusive).
+
+    Spark has no ASOF JOIN; the naive formulations (theta-join +
+    per-row max, or a correlated subquery) are O(n·m) per key. This is
+    the scalable composition: tag + UNION both sides, one shuffle on
+    the key, and ``last(..., ignorenulls=True)`` over the ts-ordered
+    window carries the most recent right values forward onto left
+    rows. Cost = one shuffle + one sort per key — the same shape as
+    sessionization, independent of match distances.
+
+    Returns all left rows + ``value_cols`` from the matched right row
+    (+ ``matched_ts``), nulls where no right row precedes.
+    """
+    value_cols = value_cols or []
+    l_cols = left.columns
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c).alias(f"_l_{c}") for c in l_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in l_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(ts_col).alias("_r_ts"),
+    )
+    from pyspark.sql import Window
+
+    # right rows sort before left rows at equal ts → inclusive match
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = lt.unionByName(rt)
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in value_cols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
+    )
+    out = filled.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in l_cols],
+        *[F.col(f"_m_{c}").alias(f"right_{c}") for c in value_cols],
+        F.col("_m_ts").alias("matched_ts"),
+    )
+    return out
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

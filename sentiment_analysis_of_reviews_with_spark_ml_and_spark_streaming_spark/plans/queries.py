@@ -675,6 +675,41 @@ GROUP BY 1 ORDER BY 1
 # timestamps / windows / sessionization (batch twins of streaming ops)
 
 
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, SURVEY §7 'operators Spark lacks'
+    case (a) — composition of built-ins): for every event, the most
+    recent prior-or-simultaneous purchase by the same user. One shuffle
+    + one per-key sort, independent of match distance. Oracle uses
+    DuckDB's native ASOF LEFT JOIN."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = relational.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        F.round("right_value", 2).alias("last_purchase_value"),
+        F.col("matched_ts").alias("last_purchase_ts"),
+    )
+
+
+SQL_ASOF_LAST_PURCHASE = """
+SELECT l.event_id,
+       round(r.value, 2) AS last_purchase_value,
+       CAST(r.ts AS TIMESTAMP) AS last_purchase_ts
+FROM events l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_zscore_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score via window aggregates — the NATIVE design for
     relational normalization (the applyInPandas grouped-map is reserved
@@ -1390,6 +1425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract_props": q_json_extract_props,
     "ngram_top_bigrams": q_ngram_top_bigrams,
     "approx_distinct_parts": q_approx_distinct_parts,
+    "asof_last_purchase": q_asof_last_purchase,
     "zscore_value_by_type": q_zscore_value_by_type,
     "embedding_pca_by_label": q_embedding_pca_by_label,
     "window_hourly_events": q_window_hourly_events,
@@ -1449,6 +1485,7 @@ ORACLE: dict[str, str] = {
     "json_extract_props": SQL_JSON_EXTRACT_PROPS,
     "ngram_top_bigrams": SQL_NGRAM_TOP_BIGRAMS,
     "approx_distinct_parts": SQL_APPROX_DISTINCT_PARTS,
+    "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
     "zscore_value_by_type": SQL_ZSCORE_VALUE_BY_TYPE,
     "window_hourly_events": SQL_WINDOW_HOURLY_EVENTS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,

@@ -172,6 +172,32 @@ def test_ann_lsh_contains_true_neighbor(spark):
     assert any(r["neighbor_id"] == 1 for r in out)
 
 
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        asof_join,
+    )
+
+    ts = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    left = spark.createDataFrame(
+        [(1, ts(0, 30), "early"), (1, ts(1), "at-match"), (1, ts(2), "late"),
+         (2, ts(1), "no-right-key")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0), 0.5), (1, ts(1), 1.5)], "k long, ts timestamp, value double"
+    )
+    out = {
+        r["tag"]: (r["right_value"], r["matched_ts"])
+        for r in asof_join(left, right, on="k", value_cols=["value"]).collect()
+    }
+    assert out["early"] == (0.5, ts(0))        # latest right <= 00:30
+    assert out["at-match"] == (1.5, ts(1))     # inclusive equality
+    assert out["late"] == (1.5, ts(1))         # carries forward
+    assert out["no-right-key"] == (None, None)  # left preserved
+
+
 def test_salted_join_matches_plain_join(spark):
     from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
         relational,
