@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_pipeline_verified",
     "duplicate_spans",
     "tfidf_native_top_terms",
+    "asof_last_purchase",
     "dedup_simhash",
     "similarity_cosine_topk",
     "similarity_ann_lsh",

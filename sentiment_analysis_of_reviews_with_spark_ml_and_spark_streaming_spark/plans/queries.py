@@ -1081,6 +1081,8 @@ FROM documents
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-keyed hash groupBy, min-id winner per text
+    (shuffle carries 16-byte digests, never payloads)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.dedup_exact(docs)
 
