@@ -70,6 +70,39 @@ def drop_null_rows(df: DataFrame, subset: list[str]) -> DataFrame:
     return df.dropna(subset=subset)
 
 
+URL_PATTERN = r"(?:https?://|www\.)\S+"
+HTML_TAG_PATTERN = r"<[^>]{1,200}>"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?\d[\d\s().-]{7,}\d"
+
+
+def strip_urls(col: Column | str, replacement: str = " ") -> Column:
+    """Remove URLs (http/https/www) — standard web-corpus cleaning."""
+    return F.regexp_replace(col, URL_PATTERN, replacement)
+
+
+def strip_html_tags(col: Column | str, replacement: str = " ") -> Column:
+    """Remove HTML/XML tags (bounded length to avoid runaway matches
+    on stray '<')."""
+    return F.regexp_replace(col, HTML_TAG_PATTERN, replacement)
+
+
+def mask_pii(col: Column | str) -> Column:
+    """Mask emails and phone-like sequences with typed placeholders —
+    the minimal PII pass a training-data pipeline runs before
+    tokenization. Order matters: emails first (phones regex could eat
+    digit runs inside mangled emails)."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+
+
+def web_text_clean(col: Column | str) -> Column:
+    """Web-corpus pre-clean: tags → urls → pii → whitespace squeeze.
+    Composes with normalize_text for the full reference-parity chain."""
+    return squeeze_spaces(mask_pii(strip_urls(strip_html_tags(col))))
+
+
 def quarantine_bad_stars(df: DataFrame, col: str = "stars", hi: float = 5.0) -> DataFrame:
     """Drop mis-parsed rows where stars > hi or non-numeric
     (Scalable_EDA_Final.py:322,365; junk label 2017 at

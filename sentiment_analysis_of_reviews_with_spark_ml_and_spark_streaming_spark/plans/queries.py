@@ -1063,6 +1063,58 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "sketch_hash", F.size("sketch").alias("sketch_len"))
 
 
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality rule):
+    distinct-token ratio per doc; heavily repeated docs score low."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws("text")
+    n = F.size(toks)
+    ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(1.0)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(ratio, 6).alias("distinct_ratio"),
+    )
+
+
+SQL_REPETITION_RATIO = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, len(toks) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks)) / len(toks)
+                  ELSE 1.0 END, 6) AS distinct_ratio
+FROM t
+"""
+
+
+def q_corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card style per-(source, lang) stats: doc counts, total
+    chars, mean token count."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = textstats.token_count_ws(F.col("text"))
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(n_tok.cast("double")), 4).alias("avg_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SQL_CORPUS_STATS_BY_SOURCE = """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       round(avg(CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE)), 4)
+         AS avg_tokens
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprint of normalized text (uplift; also the exact-dedup
     shuffle key at scale)."""
@@ -1443,6 +1495,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_ratio": q_repetition_ratio,
+    "corpus_stats_by_source": q_corpus_stats_by_source,
     "tfidf_native_top_terms": q_tfidf_native_top_terms,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1501,6 +1555,8 @@ ORACLE: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "repetition_ratio": SQL_REPETITION_RATIO,
+    "corpus_stats_by_source": SQL_CORPUS_STATS_BY_SOURCE,
     "tfidf_native_top_terms": SQL_TFIDF_NATIVE_TOP_TERMS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,

@@ -69,6 +69,21 @@ def test_impute_null_elite(spark):
     assert {r["id"]: r["elite"] for r in out.collect()} == {1: 0, 2: 7}
 
 
+def test_web_text_clean_pipeline(spark):
+    """HTML tags, URLs, emails and phone numbers all cleaned in one
+    codegen'd pass."""
+    rows = [
+        (1, '<p>Visit https://example.com/x?y=1 or www.foo.org now</p>'),
+        (2, "mail me at john.doe+spam@example.co.uk or call +1 (555) 123-4567"),
+        (3, "plain text stays untouched"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r["t"] for r in df.select("id", clean.web_text_clean("text").alias("t")).collect()}
+    assert out[1] == "Visit or now"
+    assert out[2] == "mail me at <EMAIL> or call <PHONE>"
+    assert out[3] == "plain text stays untouched"
+
+
 def test_stem_light_rules(spark):
     from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.functions.text import (
         stem_light,
