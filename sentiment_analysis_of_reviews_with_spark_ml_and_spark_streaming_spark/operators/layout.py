@@ -38,6 +38,55 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def zorder_value(col_a, col_b, *, bits: int = 21):
+    """Interleave the low ``bits`` of two non-negative int columns into
+    a Z-curve (Morton) value — statically-unrolled shifts, all codegen.
+
+    Sorting/range-partitioning by this value before writing parquet
+    clusters BOTH dimensions into the same row groups, so min/max
+    stats prune scans for predicates on either column — the data-
+    skipping layout trick for multi-dim filters (42 bits total fits a
+    bigint with headroom).
+    """
+    from pyspark.sql import functions as F
+
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    *,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-partitioned + sorted by the Z-value of
+    (col_a, col_b): row-group min/max stats become selective for
+    filters on either column."""
+    from pyspark.sql import functions as F
+
+    z = zorder_value(col_a, col_b).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: str | list[str]
 ) -> DataFrame:

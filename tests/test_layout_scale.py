@@ -80,6 +80,43 @@ def test_filter_pushdown_reaches_parquet(spark, tmp_path):
     assert "id" not in read_schema
 
 
+def test_zorder_value_interleaving(spark):
+    """Z-value matches a Python reference bit-interleave."""
+    def z_ref(a: int, b: int, bits: int = 21) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (12345, 67), (2**20, 2**20 - 1)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = df.select("a", "b", layout.zorder_value("a", "b").alias("z")).collect()
+    for r in out:
+        assert r["z"] == z_ref(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_write_improves_file_skipping(spark, tmp_path):
+    """After z-ordered write, each file covers a narrow range of BOTH
+    dims → a point-ish filter on either column touches few files."""
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "cast(id % 64 as long) as x", "cast(id div 64 as long) as y"
+    )
+    path = str(tmp_path / "zord")
+    layout.write_zordered(df, path, "x", "y", n_files=16)
+    scan = spark.read.parquet(path)
+    total_files = scan.select(F.input_file_name()).distinct().count()
+    touched = (
+        scan.filter((F.col("x") >= 8) & (F.col("x") < 16))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    # an un-clustered layout would touch every file for this filter
+    assert touched < total_files
+
+
 def test_topk_plans_take_ordered(spark):
     df = spark.range(0, 10000).withColumn("v", F.col("id") % 997)
     top = relational.top_k(df, [F.col("v").desc()], 5)
