@@ -765,6 +765,81 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2 h windows every 1 h) — the batch
+    twin of streaming sliding windows; each event lands in 2 windows."""
+    ev = _events(spark, sf_dir)
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SQL_WINDOW_SLIDING_EVENTS = """
+WITH starts AS (
+  SELECT event_type,
+         unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+  FROM events
+)
+SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
+       count(*) AS n_events
+FROM starts GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (exists-style): customers having ≥1 order —
+    explicit coverage of the join types the reference never used."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    active = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+        how="left_semi",
+    )
+    return active.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_active")
+    ).orderBy("c_mktsegment")
+
+
+SQL_SEMI_JOIN_ACTIVE_CUSTOMERS = """
+SELECT c_mktsegment, count(*) AS n_active
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (not-exists-style): customers with no orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    inactive = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+        how="left_anti",
+    )
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_inactive")
+    ).orderBy("c_mktsegment")
+
+
+SQL_ANTI_JOIN_INACTIVE_CUSTOMERS = """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min inactivity gap): the
     batch twin of session windows. One shuffle on user_id; both window
@@ -1483,6 +1558,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zscore_value_by_type": q_zscore_value_by_type,
     "embedding_pca_by_label": q_embedding_pca_by_label,
     "window_hourly_events": q_window_hourly_events,
+    "window_sliding_events": q_window_sliding_events,
+    "semi_join_active_customers": q_semi_join_active_customers,
+    "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "sessionize_events": q_sessionize_events,
     "clean_normalize_docs": q_clean_normalize_docs,
     "token_frequencies": q_token_frequencies,
@@ -1544,6 +1622,9 @@ ORACLE: dict[str, str] = {
     "asof_last_purchase": SQL_ASOF_LAST_PURCHASE,
     "zscore_value_by_type": SQL_ZSCORE_VALUE_BY_TYPE,
     "window_hourly_events": SQL_WINDOW_HOURLY_EVENTS,
+    "window_sliding_events": SQL_WINDOW_SLIDING_EVENTS,
+    "semi_join_active_customers": SQL_SEMI_JOIN_ACTIVE_CUSTOMERS,
+    "anti_join_inactive_customers": SQL_ANTI_JOIN_INACTIVE_CUSTOMERS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "clean_normalize_docs": SQL_CLEAN_NORMALIZE_DOCS,
     "token_frequencies": SQL_TOKEN_FREQUENCIES,
