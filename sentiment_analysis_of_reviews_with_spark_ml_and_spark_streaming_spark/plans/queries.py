@@ -209,6 +209,105 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _revenue_dec():
+    """Exact-decimal revenue term: price(dec 18,2) × (1−disc)(dec 4,2)
+    — decimal arithmetic is exact in both engines, so the sum is
+    bit-portable without rounding tolerances."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    return F.sum(price * disc).cast("double")
+
+
+_REVENUE_SQL = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)"
+)
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join, segment + date filters pushed to
+    scans, revenue top-10. Customer dim broadcast; the orders⋈lineitem
+    join shuffles on orderkey only after both sides are filtered."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("2024-06-01").cast("timestamp_ntz")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = li.filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        o.join(F.broadcast(building), o.o_custkey == building.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _revenue_dec().alias("revenue")
+    )
+    return relational.top_k(
+        agg, [F.col("revenue").desc(), F.col("o_orderkey")], 10
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority, {_REVENUE_SQL} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '2024-06-01'
+  AND l.l_shipdate > TIMESTAMP '2024-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join (customer and supplier in the
+    SAME nation), region filter, revenue per nation. Every dim
+    broadcast; the only big shuffle is lineitem⋈orders on orderkey."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nr = nation.join(
+        F.broadcast(region.filter(F.col("r_name").isin("AMERICA", "ASIA"))),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(_revenue_dec().alias("revenue"), F.count("*").alias("n_lineitems"))
+        .orderBy("n_name")
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name, {_REVENUE_SQL} AS revenue, count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('AMERICA', 'ASIA')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_filter_isin_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """isin predicate parity (stars.isin([4,5]), Scalable_EDA_Final.py:131)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1532,6 +1631,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "join_left_impute_flag": q_join_left_impute_flag,
     "join_multi_hop": q_join_multi_hop,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
     "filter_isin_priority": q_filter_isin_priority,
     "filter_not_in_brand": q_filter_not_in_brand,
     "predicate_range": q_predicate_range,
@@ -1597,6 +1698,8 @@ ORACLE: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "join_left_impute_flag": SQL_JOIN_LEFT_IMPUTE_FLAG,
     "join_multi_hop": SQL_JOIN_MULTI_HOP,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "filter_isin_priority": SQL_FILTER_ISIN_PRIORITY,
     "filter_not_in_brand": SQL_FILTER_NOT_IN_BRAND,
     "predicate_range": SQL_PREDICATE_RANGE,
