@@ -15,3 +15,26 @@ Design principles (SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+from .session import get_spark  # noqa: E402,F401
+from .sources.io import (  # noqa: E402,F401
+    load_events,
+    load_table,
+    load_tables,
+    read_csv,
+    write_csv,
+    write_parquet,
+)
+
+
+def all_queries():
+    """Named query registry (lazy import: pulls in ml/streaming deps)."""
+    from .plans.queries import QUERIES
+
+    return dict(QUERIES)
+
+
+def all_oracle_sql():
+    from .plans.queries import ORACLE
+
+    return dict(ORACLE)
