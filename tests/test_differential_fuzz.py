@@ -111,6 +111,57 @@ def test_fuzz_left_join_impute(spark, tmp_path_factory, rows):
     con.close()
 
 
+text_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=50
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(texts=text_strategy)
+@settings(**_SETTINGS)
+def test_fuzz_text_cleaning_conventions(spark, tmp_path_factory, texts):
+    """normalize/tokenize/token-count conventions hold for arbitrary
+    printable-ASCII text in both engines (the exact convention the
+    documents-table oracles rely on)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        clean,
+        textstats,
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        _PUNCT_SQL,
+    )
+
+    rows = list(enumerate(texts))
+    path = str(tmp_path_factory.mktemp("fuzztext") / "d.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    sdf = spark.read.parquet(path)
+    out = sdf.select(
+        "doc_id",
+        clean.normalize_text("text").alias("clean_text"),
+        textstats.token_count_ws("text").cast("long").alias("n_tokens"),
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    _cmp(
+        out,
+        con,
+        f"""
+        SELECT doc_id,
+               ltrim(trim(regexp_replace(regexp_replace(text, '{_PUNCT_SQL}', ' ', 'g'),
+                                         '\\s+', ' ', 'g'))) AS clean_text,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM d
+        """,
+    )
+    con.close()
+
+
 @given(rows=rows_strategy)
 @settings(**_SETTINGS)
 def test_fuzz_window_topk(spark, tmp_path_factory, rows):
