@@ -86,6 +86,34 @@ def test_rolling_fingerprint_sketch_properties(spark):
     assert len(s1 & s3) > len(s1 & s4)  # near-dup shares more sketch
 
 
+def test_csv_quarantine_catches_malformed_rows(spark, tmp_path):
+    """Truly malformed rows (wrong arity, broken quoting) land in the
+    quarantine with the RAW record preserved for audit — the failure
+    mode the reference silently mis-parsed into stars>5 garbage
+    (SURVEY.md §1.3)."""
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "review_id,user_id,business_id,stars,date,text,useful,funny,cool\n"
+        "r1,u1,b1,5,2020-01-01,good,1,0,0\n"
+        "r2,u2\n"
+        'r3,u3,b3,4,2020-01-02,"unclosed quote,1,0,0\n'
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.schemas import (
+        YELP_REVIEW,
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.io import (
+        read_csv,
+        split_quarantine,
+    )
+
+    clean, bad = split_quarantine(
+        read_csv(spark, str(p), YELP_REVIEW, multi_line=False)
+    )
+    assert clean.count() == 1
+    raw = sorted(r["_corrupt_record"] for r in bad.collect())
+    assert raw == ["r2,u2", 'r3,u3,b3,4,2020-01-02,"unclosed quote,1,0,0']
+
+
 def test_orc_roundtrip(spark, tmp_path):
     """ORC source/sink (second columnar format besides parquet)."""
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
