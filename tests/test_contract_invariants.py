@@ -1,0 +1,43 @@
+"""Driver-contract invariants: the properties the correctness gate
+assumes about the registries themselves."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def test_registry_shapes():
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    assert len(qs) >= 60
+    assert set(osql) <= set(qs), "oracle without a query"
+    assert all(callable(fn) for fn in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+
+
+def test_rows_only_set_is_intentional():
+    """Every query without an oracle must be one of the documented
+    non-SQL-expressible families (LSH/hash internals, ML internals,
+    grouped dense math)."""
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    rows_only = set(qs) - set(osql)
+    allowed = {
+        "dedup_minhash_lsh",
+        "dedup_minhash_native",
+        "dedup_simhash",
+        "rolling_fingerprint",
+        "similarity_ann_lsh",
+        "similarity_ivf",
+        "ml_tfidf_features",
+        "ml_train_f1",
+        "embedding_pca_by_label",
+    }
+    assert rows_only == allowed, rows_only ^ allowed
+
+
+def test_queries_are_fresh_callables():
+    """queries() must return a fresh dict (driver may mutate it)."""
+    a = entry_mod.queries()
+    a.clear()
+    assert len(entry_mod.queries()) >= 60
