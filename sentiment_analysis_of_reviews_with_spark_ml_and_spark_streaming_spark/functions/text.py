@@ -92,8 +92,17 @@ def score_sentiment(
     and codegen, while a broadcast join stays map-side with one
     per-doc re-aggregation. Both paths produce identical scores
     (unit-tested).
+
+    The default lexicon is the full 1,650+-entry VADER-style lexicon
+    (``vader_lexicon.FULL_LEXICON``), which exercises the broadcast-join
+    path; for the complete context-rule treatment (negation, boosters,
+    caps, punctuation) use :func:`vader_score`.
     """
-    lex = lexicon or SENTIMENT_LEXICON
+    if lexicon is None:
+        from .vader_lexicon import FULL_LEXICON
+
+        lexicon = FULL_LEXICON
+    lex = lexicon
     if len(lex) <= MAP_LITERAL_LEXICON_LIMIT:
         return df.select(
             F.col(id_col),
@@ -127,6 +136,166 @@ def stem_light(col: Column | str) -> Column:
     step = F.regexp_replace(step, "([^s])s$", "$1")
     step = F.regexp_replace(step, "([aeiou][a-z])(ing|ed)$", "$1")
     return step
+
+
+def vader_score(
+    df: DataFrame,
+    lexicon: dict[str, float] | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Full VADER-style sentiment: lexicon + the published context rules,
+    entirely as native expressions → (id_col, compound).
+
+    Replaces the reference's per-row NLTK ``SentimentIntensityAnalyzer``
+    UDF (Scalable_EDA_Final.py:377-386) with a declarative plan:
+
+      posexplode(tokens)                          narrow
+      → broadcast join lexicon(word, valence)     map-side, no fact shuffle
+      → lag-window context (3 preceding tokens)   ONE shuffle on doc id
+      → per-doc aggregation                       reuses the window partitioning
+
+    Implemented rules (Hutto & Gilbert 2014 constants, sequential
+    per-distance application exactly as the public reference):
+
+    - ALL-CAPS emphasis (+0.733·sign) when the doc is mixed-case
+    - booster/dampener words at distance 1-3 (±0.293, damped
+      ×1/0.95/0.9, caps-boosted, only when the booster token itself is
+      not a lexicon entry), applied with the sign of the *running*
+      valence so a nearer negation affects a farther booster
+    - negation flip ×(-0.74) per matching distance (compounding)
+    - '!' emphasis 0.292 each (≤4) and '?' emphasis (0.36-0.96) added
+      to the doc score with its sign
+    - normalization x/√(x²+15)
+
+    Out of scope (documented subset): idiom table, "never so/this"
+    special case, the but-clause re-weighting, and emoticons (token-edge
+    punctuation is stripped before lookup).
+
+    Cross-engine determinism: per-token valences are rounded to integer
+    micro-units and summed as longs, so the per-doc sum is independent
+    of partial-aggregation order (same trick as exact-decimal sums).
+    """
+    from .vader_lexicon import (
+        ALPHA,
+        B_DECAY,
+        BOOSTERS,
+        C_INCR,
+        EP_UNIT,
+        FULL_LEXICON,
+        N_SCALAR,
+        NEGATORS,
+        QM_CAP,
+        QM_UNIT,
+    )
+    from pyspark.sql import Window
+
+    lex = lexicon or FULL_LEXICON
+    spark = df.sparkSession
+    lex_df = spark.createDataFrame(
+        sorted(lex.items()), "word string, valence double"
+    )
+
+    text = F.col(text_col)
+    n_ex = F.length(text) - F.length(F.regexp_replace(text, "!", ""))
+    n_qm = F.length(text) - F.length(F.regexp_replace(text, "\\?", ""))
+    emph = F.least(n_ex, F.lit(4)) * F.lit(EP_UNIT) + (
+        F.when(n_qm > 3, F.lit(QM_CAP))
+        .when(n_qm > 1, n_qm * F.lit(QM_UNIT))
+        .otherwise(F.lit(0.0))
+    )
+
+    base = df.select(
+        F.col(id_col),
+        emph.alias("emph"),
+        F.posexplode(F.split(F.trim(text), "\\s+")).alias("pos", "rawtok"),
+    )
+    strip = F.regexp_replace(
+        "rawtok", "^[^A-Za-z0-9']+|[^A-Za-z0-9']+$", ""
+    )
+    toks = base.select(
+        id_col,
+        "emph",
+        "pos",
+        F.lower(strip).alias("word"),
+        strip.rlike("^[A-Z][A-Z]+$").cast("int").alias("is_caps"),
+        (strip.rlike("[A-Za-z]") & ~strip.rlike("^[A-Z][A-Z]+$"))
+        .cast("int")
+        .alias("is_noncaps_alpha"),
+    )
+    joined = toks.join(F.broadcast(lex_df), on="word", how="left")
+
+    wdoc = Window.partitionBy(id_col)
+    worder = Window.partitionBy(id_col).orderBy("pos")
+    mixed = (F.max("is_caps").over(wdoc) == 1) & (
+        F.max("is_noncaps_alpha").over(wdoc) == 1
+    )
+    in_lex = F.col("valence").isNotNull().cast("int")
+    ctx = joined.select(
+        id_col,
+        "emph",
+        "pos",
+        "word",
+        "is_caps",
+        F.coalesce("valence", F.lit(0.0)).alias("v0"),
+        mixed.alias("mixed"),
+        *[F.lag("word", d).over(worder).alias(f"w{d}") for d in (1, 2, 3)],
+        *[F.lag(in_lex, d).over(worder).alias(f"il{d}") for d in (1, 2, 3)],
+        *[
+            F.lag("is_caps", d).over(worder).alias(f"ic{d}")
+            for d in (1, 2, 3)
+        ],
+    )
+
+    bmap = F.create_map(
+        *[
+            F.lit(x)
+            for pair in sorted(BOOSTERS.items())
+            for x in (pair[0], float(pair[1]))
+        ]
+    )
+    neg_list = sorted(NEGATORS)
+
+    # caps emphasis on the scored token itself
+    v = F.col("v0") + F.when(
+        (F.col("is_caps") == 1) & F.col("mixed"),
+        F.lit(C_INCR) * F.signum("v0"),
+    ).otherwise(F.lit(0.0))
+    # sequential distance-1..3 steps: booster with the sign of the
+    # RUNNING valence, then negation flip — order matters and matches
+    # the published algorithm's loop.
+    for d, decay in zip((1, 2, 3), B_DECAY):
+        b_d = F.element_at(bmap, F.col(f"w{d}"))
+        caps_term = F.when(
+            (F.col(f"ic{d}") == 1) & F.col("mixed"), F.lit(C_INCR)
+        ).otherwise(F.lit(0.0))
+        v = v + F.when(
+            b_d.isNotNull() & (F.col(f"il{d}") == 0),
+            (b_d + caps_term) * F.lit(decay) * F.signum(v),
+        ).otherwise(F.lit(0.0))
+        v = F.when(
+            (F.col(f"il{d}") == 0) & F.col(f"w{d}").isin(neg_list),
+            v * F.lit(N_SCALAR),
+        ).otherwise(v)
+
+    micro = F.round(v * F.lit(1_000_000.0), 0).cast("long")
+    agg = ctx.select(id_col, "emph", micro.alias("micro")).groupBy(id_col).agg(
+        F.sum("micro").alias("m"), F.max("emph").alias("emph")
+    )
+    raw = F.col("m") / F.lit(1_000_000.0)
+    raw2 = (
+        F.when(raw > 0, raw + F.col("emph"))
+        .when(raw < 0, raw - F.col("emph"))
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        F.col(id_col),
+        F.round(raw2 / F.sqrt(raw2 * raw2 + F.lit(ALPHA)), round_digits).alias(
+            "compound"
+        ),
+    )
 
 
 def sentiment_score_lexicon_join(

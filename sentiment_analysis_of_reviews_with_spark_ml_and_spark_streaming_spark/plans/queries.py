@@ -1117,6 +1117,134 @@ SELECT doc_id, round(r / sqrt(r * r + 15.0), 6) AS compound FROM raw
 """
 
 
+def q_sentiment_vader_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full VADER-rule sentiment over the 1,650+-entry lexicon —
+    broadcast-join scale path + lag-window context rules, zero Python
+    (replaces NLTK ``sia_udf``, Scalable_EDA_Final.py:377-386)."""
+    from ..functions.text import vader_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return vader_score(docs)
+
+
+def _vader_sql() -> str:
+    """DuckDB twin of ``vader_score``: identical constants, identical
+    sequential rule application, identical micro-unit summation."""
+    from ..functions import vader_lexicon as VL
+
+    lex_vals = ", ".join(
+        f"('{_sql_str(w)}', {v!r})" for w, v in sorted(VL.FULL_LEXICON.items())
+    )
+    boost_vals = ", ".join(
+        f"('{_sql_str(w)}', {float(v)!r})" for w, v in sorted(VL.BOOSTERS.items())
+    )
+    negs = ", ".join(f"'{_sql_str(w)}'" for w in sorted(VL.NEGATORS))
+    c_incr, n_scalar, alpha = VL.C_INCR, VL.N_SCALAR, VL.ALPHA
+    d1, d2, d3 = VL.B_DECAY
+
+    # sequential per-distance steps (booster add with running sign, then
+    # negation flip), mirroring vader_score token-for-token
+    steps = []
+    prev = "v_caps"
+    for d, decay in ((1, d1), (2, d2), (3, d3)):
+        steps.append(
+            f"""s{d} AS (
+  SELECT *, CASE WHEN il{d} = 0 AND w{d} IN ({negs})
+                 THEN vb{d} * {n_scalar!r} ELSE vb{d} END AS v_{d}
+  FROM (
+    SELECT *, {prev} + CASE WHEN bv{d} IS NOT NULL AND il{d} = 0
+        THEN (bv{d} + CASE WHEN ic{d} = 1 AND mixed THEN {c_incr!r}
+                           ELSE 0.0 END) * {decay!r} * sign({prev})
+        ELSE 0.0 END AS vb{d}
+    FROM {'ctx2' if d == 1 else f's{d - 1}'}
+  )
+)"""
+        )
+        prev = f"v_{d}"
+    step_sql = ",\n".join(steps)
+
+    return f"""
+WITH lex AS (SELECT * FROM (VALUES {lex_vals}) t(word, val)),
+boosters AS (SELECT * FROM (VALUES {boost_vals}) t(word, bv)),
+base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         least(len(text) - len(replace(text, '!', '')), 4) * {VL.EP_UNIT!r}
+         + (CASE WHEN (len(text) - len(replace(text, '?', ''))) > 3 THEN {VL.QM_CAP!r}
+                 WHEN (len(text) - len(replace(text, '?', ''))) > 1
+                 THEN (len(text) - len(replace(text, '?', ''))) * {VL.QM_UNIT!r}
+                 ELSE 0.0 END) AS emph
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, emph,
+         unnest(list_transform(toks, (x, i) -> {{'pos': i, 'tok': x}})) AS u
+  FROM base
+),
+tok AS (
+  SELECT doc_id, emph, u.pos - 1 AS pos,
+         regexp_replace(u.tok,
+                        '^[^A-Za-z0-9'']+|[^A-Za-z0-9'']+$', '', 'g') AS strip
+  FROM tok0
+),
+tok2 AS (
+  SELECT doc_id, emph, pos, lower(strip) AS word,
+         CASE WHEN regexp_matches(strip, '^[A-Z][A-Z]+$') THEN 1 ELSE 0 END AS is_caps,
+         CASE WHEN regexp_matches(strip, '[A-Za-z]')
+                   AND NOT regexp_matches(strip, '^[A-Z][A-Z]+$')
+              THEN 1 ELSE 0 END AS is_noncaps_alpha
+  FROM tok
+),
+flags AS (
+  SELECT t.*, coalesce(l.val, 0.0) AS v0,
+         CASE WHEN l.val IS NOT NULL THEN 1 ELSE 0 END AS in_lex
+  FROM tok2 t LEFT JOIN lex l ON t.word = l.word
+),
+ctx AS (
+  SELECT f.*,
+         (max(is_caps) OVER (PARTITION BY doc_id) = 1
+          AND max(is_noncaps_alpha) OVER (PARTITION BY doc_id) = 1) AS mixed,
+         lag(word, 1) OVER w AS w1, lag(word, 2) OVER w AS w2,
+         lag(word, 3) OVER w AS w3,
+         lag(in_lex, 1) OVER w AS il1, lag(in_lex, 2) OVER w AS il2,
+         lag(in_lex, 3) OVER w AS il3,
+         lag(is_caps, 1) OVER w AS ic1, lag(is_caps, 2) OVER w AS ic2,
+         lag(is_caps, 3) OVER w AS ic3,
+         v0 + CASE WHEN is_caps = 1
+                        AND (max(is_caps) OVER (PARTITION BY doc_id) = 1
+                             AND max(is_noncaps_alpha) OVER (PARTITION BY doc_id) = 1)
+                   THEN {c_incr!r} * sign(v0) ELSE 0.0 END AS v_caps
+  FROM flags f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+ctx2 AS (
+  SELECT c.*, b1.bv AS bv1, b2.bv AS bv2, b3.bv AS bv3
+  FROM ctx c
+  LEFT JOIN boosters b1 ON c.w1 = b1.word
+  LEFT JOIN boosters b2 ON c.w2 = b2.word
+  LEFT JOIN boosters b3 ON c.w3 = b3.word
+),
+{step_sql},
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CAST(round(v_3 * 1000000.0) AS BIGINT)) AS BIGINT) AS m,
+         max(emph) AS emph
+  FROM s3 GROUP BY doc_id
+),
+fin AS (
+  SELECT doc_id,
+         CASE WHEN m > 0 THEN m / 1000000.0 + emph
+              WHEN m < 0 THEN m / 1000000.0 - emph
+              ELSE 0.0 END AS raw2
+  FROM agg
+)
+SELECT doc_id,
+       round(raw2 / sqrt(raw2 * raw2 + {alpha!r}), 6) AS compound
+FROM fin
+"""
+
+
+SQL_SENTIMENT_VADER_FULL = _vader_sql()
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID distribution (uplift)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1657,6 +1785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stemmed_token_frequencies": q_stemmed_token_frequencies,
     "top_words_no_stopwords": q_top_words_no_stopwords,
     "sentiment_docs": q_sentiment_docs,
+    "sentiment_vader_full": q_sentiment_vader_full,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1756,6 +1885,7 @@ ORACLE: dict[str, str] = {
     "stemmed_token_frequencies": SQL_STEMMED_TOKEN_FREQUENCIES,
     "top_words_no_stopwords": SQL_TOP_WORDS_NO_STOPWORDS,
     "sentiment_docs": SQL_SENTIMENT_DOCS,
+    "sentiment_vader_full": SQL_SENTIMENT_VADER_FULL,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -1,0 +1,170 @@
+"""Differential test: native-expression VADER scorer vs a straightline
+pure-Python implementation of the same published rule subset
+(Hutto & Gilbert 2014 constants), plus lexicon contract checks.
+
+The reference applies NLTK VADER through a per-row Python UDF
+(Scalable_EDA_Final.py:377-386); the engine re-expresses lexicon +
+context rules as native Catalyst expressions. This test proves the
+native plan computes the documented formula, token for token.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.functions import (
+    vader_lexicon as VL,
+)
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.functions.text import (
+    vader_score,
+)
+
+
+def _sign(x: float) -> float:
+    return 1.0 if x > 0 else (-1.0 if x < 0 else 0.0)
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def vader_reference(text: str, lexicon: dict[str, float] | None = None) -> float:
+    """Straightline scorer: the same published subset, imperative."""
+    lex = lexicon or VL.FULL_LEXICON
+    toks = re.split(r"\s+", text.strip())
+    strips = [re.sub(r"^[^A-Za-z0-9']+|[^A-Za-z0-9']+$", "", t) for t in toks]
+    words = [s.lower() for s in strips]
+    caps = [bool(re.fullmatch(r"[A-Z][A-Z]+", s)) for s in strips]
+    alpha = [bool(re.search(r"[A-Za-z]", s)) for s in strips]
+    mixed = any(caps) and any(a and not c for a, c in zip(alpha, caps))
+
+    micro = 0
+    for i, w in enumerate(words):
+        v0 = lex.get(w, 0.0)
+        v = v0 + (VL.C_INCR * _sign(v0) if caps[i] and mixed else 0.0)
+        for d, decay in zip((1, 2, 3), VL.B_DECAY):
+            j = i - d
+            if j < 0 or words[j] in lex:
+                continue
+            b = VL.BOOSTERS.get(words[j])
+            if b is not None:
+                v += (
+                    b + (VL.C_INCR if caps[j] and mixed else 0.0)
+                ) * decay * _sign(v)
+            if words[j] in VL.NEGATORS:
+                v *= VL.N_SCALAR
+        micro += _round_half_away(v * 1_000_000.0)
+
+    n_ex = min(text.count("!"), 4)
+    n_qm = text.count("?")
+    emph = n_ex * VL.EP_UNIT + (
+        VL.QM_CAP if n_qm > 3 else (n_qm * VL.QM_UNIT if n_qm > 1 else 0.0)
+    )
+    raw = micro / 1_000_000.0
+    raw2 = raw + emph if raw > 0 else (raw - emph if raw < 0 else 0.0)
+    return raw2 / math.sqrt(raw2 * raw2 + VL.ALPHA)
+
+
+FIXTURES = [
+    "the food was good",
+    "the food was very good",
+    "the food was not good",
+    "really not good at all",  # negation nearer than booster: running-sign order
+    "not very good",
+    "the food was VERY good",  # caps booster in a mixed-case doc
+    "the food was GOOD",  # caps scored token
+    "THE FOOD WAS GOOD",  # all-caps doc → no caps emphasis (not mixed)
+    "good!!!",
+    "good!!!!!!",  # '!' capped at 4
+    "good???",
+    "was it good??",
+    "barely good",  # dampener
+    "hardly the worst meal ever",
+    "I don't hate it",
+    "never ever happy about this terrible terrible service",
+    "this was an absolutely amazing utterly wonderful experience!!",
+    "the staff was kind of rude",
+    "so so so great",  # booster chain, each preceding 'so' not in lexicon
+    "happy good",  # preceding word IS in lexicon → booster/negation gate closed
+    "",
+    "   ",
+    "no sentiment words here whatsoever",
+    "don't",  # negator with nothing to negate
+    "GREAT GREAT awful",
+]
+
+
+@pytest.mark.parametrize("idx", range(len(FIXTURES)))
+def test_vader_native_matches_reference(spark, idx):
+    text = FIXTURES[idx]
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = vader_score(df).collect()[0]["compound"]
+    want = round(vader_reference(text), 6)
+    assert got == pytest.approx(want, abs=1.5e-6), (text, got, want)
+
+
+def test_vader_batch_consistency(spark):
+    """All fixtures in one DataFrame — window/agg partitioning must not
+    change any score vs the single-row runs."""
+    rows = [(i, t) for i, t in enumerate(FIXTURES)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["compound"] for r in vader_score(df).collect()}
+    for i, t in rows:
+        assert got[i] == pytest.approx(round(vader_reference(t), 6), abs=1.5e-6), t
+
+
+def test_full_lexicon_exercises_broadcast_join_path():
+    """>1000 entries is the documented threshold where score_sentiment
+    switches off the map-literal path; the VADER lexicon must clear it."""
+    assert len(VL.FULL_LEXICON) > 1000
+    assert all(-4.0 <= v <= 4.0 for v in VL.FULL_LEXICON.values())
+    # booster/negator words must not shadow lexicon gates trivially
+    assert "very" in VL.BOOSTERS and "not" in VL.NEGATORS
+
+
+def test_directionality_on_obvious_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "absolutely wonderful amazing service, loved it!"),
+            (2, "horrible disgusting experience, never again"),
+            (3, "the chair is on the floor"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["compound"] for r in vader_score(df).collect()}
+    assert got[1] > 0.5
+    assert got[2] < -0.5
+    assert got[3] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_negation_flips_and_booster_amplifies(spark):
+    df = spark.createDataFrame(
+        [(1, "good"), (2, "very good"), (3, "not good")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["compound"] for r in vader_score(df).collect()}
+    assert got[2] > got[1] > 0
+    assert got[3] < 0
+
+
+def test_load_vader_lexicon_tsv(tmp_path):
+    p = tmp_path / "vader_lexicon.txt"
+    p.write_text(
+        "good\t1.9\t0.7\t[2, 2, 2]\n"
+        "bad\t-2.5\t0.6\t[-3, -2, -2]\n"
+        "WEIRD\t0.5\t0.1\t[]\n"
+        "malformed line without tabs\n",
+        encoding="utf-8",
+    )
+    lex = VL.load_vader_lexicon(str(p))
+    assert lex == {"good": 1.9, "bad": -2.5, "weird": 0.5}
+
+
+def test_no_python_udf_in_vader_plan(spark):
+    df = spark.createDataFrame([(1, "very good!!")], "doc_id long, text string")
+    plan = vader_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
