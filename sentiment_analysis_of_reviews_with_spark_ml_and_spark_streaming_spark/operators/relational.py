@@ -148,18 +148,25 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = lt.unionByName(rt)
+    # Carry ONE struct keyed on the row's presence (ts is never null on
+    # a right row), not per-column last(ignorenulls): per-column carry
+    # would skip a matched row's genuinely-NULL value in favor of an
+    # older row's value, diverging from standard ASOF semantics (and
+    # DuckDB's ASOF JOIN), which return the latest row's NULL as-is.
+    pack = F.when(
+        F.col("_is_left") == 0,
+        F.struct(
+            F.col("_r_ts").alias("_ts"),
+            *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+        ),
+    )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in value_cols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
+        "*", F.last(pack, ignorenulls=True).over(w).alias("_m")
     )
     out = filled.filter(F.col("_is_left") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in l_cols],
-        *[F.col(f"_m_{c}").alias(f"right_{c}") for c in value_cols],
-        F.col("_m_ts").alias("matched_ts"),
+        *[F.col(f"_m.{c}").alias(f"right_{c}") for c in value_cols],
+        F.col("_m._ts").alias("matched_ts"),
     )
     return out
 

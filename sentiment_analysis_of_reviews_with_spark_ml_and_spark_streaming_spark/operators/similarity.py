@@ -92,12 +92,16 @@ def cosine_topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Vectorized brute-force cosine top-k: numpy matmul via
     mapInPandas (Arrow batches, BLAS inside the Python worker).
 
     The query matrix is collected (bounded: a query set, not the
-    corpus), L2-normalized once, and broadcast; each corpus partition
+    corpus — enforced by ``max_queries``, mirroring
+    ``to_pandas_bounded``'s contract, so an oversized query set fails
+    fast instead of silently OOMing the driver), L2-normalized once,
+    and broadcast; each corpus partition
     computes a (batch × n_queries) similarity block and keeps only its
     partition-local top-k per query, so the final shuffle carries
     ≤ k·partitions rows per query. For wide embeddings / large query
@@ -110,6 +114,14 @@ def cosine_topk_pandas(
     import pandas as pd
     from pyspark.sql import types as T
 
+    n_queries = queries.count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"query set has {n_queries} rows, exceeding max_queries="
+            f"{max_queries}; a driver-side collect of the query matrix "
+            "is only safe for bounded query sets — raise max_queries "
+            "explicitly if the driver has the memory for it"
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)

@@ -1633,13 +1633,17 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tfidf_native_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF as pure relational algebra (no ml.feature): explode →
-    tf count → doc-frequency agg → broadcast N → idf → per-doc top-3.
+    tf count → doc-frequency agg → idf → per-doc top-3.
 
     The SQL-expressible twin of ml CountVectorizer+IDF (formula parity:
-    idf = ln((N+1)/(df+1)), Spark ml's smoothed variant). Two shuffles
-    (both map-side combined) + one broadcast; the per-doc top-k reuses
-    the (doc) partitioning. That plan shape survives 100 TB; the dense
-    vector materialization of ml.feature would not.
+    idf = ln((N+1)/(df+1)), Spark ml's smoothed variant). The
+    tf ⋈ doc-frequency join is deliberately NOT broadcast: a web-scale
+    corpus has a vocabulary (with doc frequencies) far beyond broadcast
+    limits, so it shuffle-joins on `term` (both sides are produced by
+    term-keyed aggregations; AQE may still pick broadcast at small SF).
+    Only the single-row corpus count N is broadcast. The per-doc top-k
+    reuses the (doc) partitioning. That plan shape survives 100 TB; the
+    dense vector materialization of ml.feature would not.
     """
     docs = _t(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokenize_ws("text")).alias("term"))
@@ -1647,7 +1651,7 @@ def q_tfidf_native_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_counts), "term")
+        tf.join(df_counts, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

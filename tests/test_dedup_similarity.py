@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
@@ -196,6 +197,42 @@ def test_asof_join_semantics(spark):
     assert out["at-match"] == (1.5, ts(1))     # inclusive equality
     assert out["late"] == (1.5, ts(1))         # carries forward
     assert out["no-right-key"] == (None, None)  # left preserved
+
+
+def test_asof_join_preserves_matched_row_nulls(spark):
+    """Standard ASOF semantics (and DuckDB's ASOF JOIN): the LATEST
+    preceding right row wins even when its value is NULL — the carry
+    must not skip it in favor of an older non-null row."""
+    from datetime import datetime
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        asof_join,
+    )
+
+    ts = lambda h: datetime(2024, 1, 1, h)
+    left = spark.createDataFrame(
+        [(1, ts(3), "after-null-row")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(1), 0.5), (1, ts(2), None)],
+        "k long, ts timestamp, value double",
+    )
+    row = asof_join(left, right, on="k", value_cols=["value"]).collect()[0]
+    assert row["matched_ts"] == ts(2)
+    assert row["right_value"] is None  # the matched row's NULL, kept
+
+
+def test_cosine_topk_pandas_rejects_oversized_query_set(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.cosine_topk_pandas(emb, emb, k=2, max_queries=5)
 
 
 def test_salted_join_matches_plain_join(spark):

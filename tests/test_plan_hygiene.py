@@ -43,3 +43,22 @@ def test_plan_hygiene(spark, name):
             "histogram_totalprice",
             "tfidf_native_top_terms",
         }, f"{name}: unexpected nested-loop join"
+
+
+def test_tfidf_does_not_broadcast_vocabulary(spark):
+    """The tf ⋈ doc-frequency join must NOT carry a broadcast hint: the
+    vocabulary (term, df) grows with the corpus, and at web scale it is
+    far beyond broadcast limits. The only allowed hint is the single-row
+    corpus count N. (AQE may still choose broadcast at tiny SF — that is
+    a runtime decision on measured size, which is fine; the *hint* is
+    what would force it at 100 TB.)"""
+    df = QUERIES["tfidf_native_top_terms"](spark, SF_DIR_CORRECTNESS)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = analyzed.count("ResolvedHint")
+    assert hints == 1, f"expected only the n_docs broadcast hint, saw {hints}"
+    # the hinted subtree must be the global count, not the term dictionary
+    hint_idx = analyzed.index("ResolvedHint")
+    tail = analyzed[hint_idx:]
+    assert "n_docs" in tail.split("\n")[1] or "count(1) AS n_docs" in tail, (
+        "broadcast hint is not on the single-row corpus count"
+    )
