@@ -18,7 +18,7 @@ Four tiers, each with a distinct scale/recall trade-off:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_ws
@@ -286,6 +286,88 @@ def duplicate_spans(
             F.min(id_col).alias("first_doc_id"),
         )
         .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+
+
+def maximal_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_tokens: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Variable-length maximal repeated spans — the suffix-array-style
+    training-data dedup primitive (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed as a
+    Spark-shaped seed-and-merge:
+
+    1. *Seed*: every ``seed_tokens``-token window, position-indexed via
+       the lookahead-regex extractor (window ordinal == start token
+       position, codegen).
+    2. *Corpus-wide duplication*: group windows by md5 (16-byte keys,
+       payloads never shuffled), keep hashes occurring
+       ≥ ``min_occurrences`` times, semi-join back to (doc, pos).
+    3. *Extend-and-merge*: per doc, duplicated windows at consecutive /
+       overlapping positions merge into maximal regions
+       (gaps-and-islands over one position-ordered window — a region
+       is exactly the union of covered token positions, so any
+       repeated substring of length ≥ seed_tokens surfaces at its full
+       length).
+
+    Returns (doc_id, span_start, n_tokens, span_hash): 0-based start
+    token, region length in tokens, md5 of the region's normalized
+    text. Cost at scale: one explode, one map-side-combined shuffle on
+    window hashes, one per-doc sort (the same partitioning serves the
+    island merge and the region agg), one keyed join to recover span
+    text — no all-pairs stage anywhere.
+    """
+    k = seed_tokens
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    window_pat = "(?=(" + " ".join(["\\S+"] * k) + "))\\S+ ?"
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(norm, F.lit(window_pat), 1)
+        ).alias("pos", "_span"),
+    ).select(id_col, "pos", F.md5("_span").alias("_h"))
+    dup_hashes = (
+        wins.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_occurrences)
+        .select("_h")
+    )
+    seeds = wins.join(dup_hashes, "_h", "left_semi")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = (prev.isNull() | (F.col("pos") > prev + k)).cast("int")
+    isl = seeds.select(
+        id_col,
+        "pos",
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_island"),
+    )
+    regions = isl.groupBy(id_col, "_island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(k) - F.min("pos")).cast("long").alias("n_tokens"),
+    )
+    toks = df.select(F.col(id_col), F.split(norm, " ").alias("_toks"))
+    return regions.join(toks, id_col).select(
+        id_col,
+        "span_start",
+        "n_tokens",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "_toks",
+                    (F.col("span_start") + 1).cast("int"),
+                    F.col("n_tokens").cast("int"),
+                ),
+            )
+        ).alias("span_hash"),
     )
 
 

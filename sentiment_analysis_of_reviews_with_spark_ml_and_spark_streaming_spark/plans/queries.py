@@ -1519,6 +1519,50 @@ FROM spans GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_maximal_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length maximal repeated spans (Lee et al.-style
+    seed-and-merge; extends fixed-window duplicate_spans): per-doc
+    maximal regions where every 5-token window repeats corpus-wide."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.maximal_duplicate_spans(
+        docs, seed_tokens=5, min_occurrences=2
+    )
+
+
+SQL_MAXIMAL_DUPLICATE_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), wins AS (
+  SELECT doc_id, r.i - 1 AS pos, md5(array_to_string(t[r.i:r.i+4], ' ')) AS h
+  FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS r(i)
+), dup AS (
+  SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+), seeds AS (
+  SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS brk
+  FROM seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), regions AS (
+  SELECT doc_id, island,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 5 - min(pos) AS BIGINT) AS n_tokens
+  FROM isl2 GROUP BY 1, 2
+)
+SELECT r.doc_id, r.span_start, r.n_tokens,
+       md5(array_to_string(
+           t.t[CAST(r.span_start + 1 AS INT):CAST(r.span_start + r.n_tokens AS INT)],
+           ' ')) AS span_hash
+FROM regions r JOIN toks t USING (doc_id)
+"""
+
+
 def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed 100 TB dedup flow (native MinHash candidates →
     exact Jaccard verify on candidates only). Banding recall is full on
@@ -1779,6 +1823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_pipeline_verified": q_dedup_pipeline_verified,
     "duplicate_spans": q_duplicate_spans,
+    "maximal_duplicate_spans": q_maximal_duplicate_spans,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_cosine_topk": q_similarity_cosine_topk,
     "multimodal_meta": q_multimodal_meta,
@@ -1901,6 +1946,7 @@ ORACLE: dict[str, str] = {
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "dedup_pipeline_verified": SQL_DEDUP_NGRAM_JACCARD,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "maximal_duplicate_spans": SQL_MAXIMAL_DUPLICATE_SPANS,
     "similarity_cosine_topk": SQL_SIMILARITY_COSINE_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }

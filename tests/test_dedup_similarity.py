@@ -222,6 +222,57 @@ def test_asof_join_preserves_matched_row_nulls(spark):
     assert row["right_value"] is None  # the matched row's NULL, kept
 
 
+def test_maximal_duplicate_spans_seeded_fixture(spark):
+    """Two docs share a known 12-token substring (embedded at different
+    offsets, different surroundings): the merge must surface it at its
+    FULL length, once per doc, at the right start position — not as a
+    chain of fixed 5-token windows."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.dedup import (
+        maximal_duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog every single day"
+    assert len(shared.split()) == 12
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"unrelated prefix words here {shared}"),
+            (3, "completely different text with no repeats at all okay"),
+        ],
+        "doc_id long, text string",
+    )
+    out = maximal_duplicate_spans(docs, seed_tokens=5, min_occurrences=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["span_start"] == 2 and rows[1]["n_tokens"] == 12
+    assert rows[2]["span_start"] == 4 and rows[2]["n_tokens"] == 12
+    # identical normalized span text → identical hash across docs
+    assert rows[1]["span_hash"] == rows[2]["span_hash"]
+
+
+def test_maximal_spans_merge_and_gap(spark):
+    """Two separated repeats in one doc stay two regions; overlapping
+    seed windows inside each repeat merge into one."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.dedup import (
+        maximal_duplicate_spans,
+    )
+
+    rep_a = "one two three four five six"          # 6 tokens
+    rep_b = "red orange yellow green blue"          # 5 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{rep_a} filler1 filler2 filler3 filler4 filler5 filler6 {rep_b}"),
+            (2, f"{rep_a} zzz yyy xxx www vvv uuu {rep_b}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = maximal_duplicate_spans(docs, seed_tokens=5, min_occurrences=2)
+    doc1 = sorted(
+        (r["span_start"], r["n_tokens"]) for r in out.collect() if r["doc_id"] == 1
+    )
+    assert doc1 == [(0, 6), (12, 5)]
+
+
 def test_cosine_topk_pandas_rejects_oversized_query_set(spark):
     from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
         similarity,
