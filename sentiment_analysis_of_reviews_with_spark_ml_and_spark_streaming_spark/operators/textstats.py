@@ -132,21 +132,40 @@ def rolling_fingerprint_sketch(
     text_col: str = "text",
     gram_chars: int = 8,
     sketch_size: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing-style rolling-hash sketch: overlapping char k-grams
-    (lookahead regex — codegen, no per-char loop), xxhash64 each, keep
+    (lookahead regex — codegen, no per-char loop), hash each, keep
     the ``sketch_size`` smallest hashes (bottom-k sketch ≈ winnowing's
     window minima). Near-dup docs share most sketch elements; the
     sketch doubles as a compact (id, 16×8B) shuffle payload at scale.
 
-    Returns (id, sketch: array<bigint>, sketch_hash: bigint) —
-    sketch_hash is an exact-dup key, the array powers containment
-    estimates (|A∩B|/k).
+    ``hash_fn``:
+    - ``"xxhash64"`` (default) — cheapest per gram, 8 B elements; the
+      production scale path. Sketch: array<bigint>, sketch_hash bigint.
+    - ``"md5"`` — ANSI-portable (identical output in DuckDB:
+      ``list_sort(list_distinct(...md5 grams...))[1:k]``), so the
+      sketch is oracle-checkable engine-to-engine. Sketch:
+      array<string> of hex (lexicographic bottom-k), sketch_hash =
+      md5 of the comma-joined sketch. Same plan shape, pricier hash.
+
+    Returns (id, sketch, sketch_hash) — sketch_hash is an exact-dup
+    key, the array powers containment estimates (|A∩B|/k).
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     grams = F.regexp_extract_all(
         norm, F.lit(f"(?=(.{{{gram_chars}}}))."), 1
     )
+    if hash_fn == "md5":
+        hashes = F.transform(grams, lambda g: F.md5(g))
+        sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, sketch_size)
+        return df.select(
+            F.col(id_col),
+            sketch.alias("sketch"),
+            F.md5(F.concat_ws(",", sketch)).alias("sketch_hash"),
+        )
+    if hash_fn != "xxhash64":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     hashes = F.transform(grams, lambda g: F.xxhash64(g))
     sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, sketch_size)
     return df.select(

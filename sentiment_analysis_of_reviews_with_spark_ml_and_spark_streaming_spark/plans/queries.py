@@ -843,6 +843,80 @@ def q_embedding_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+def q_embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational twin of the PCA grouped-map: per-label vector count,
+    covariance trace (the denominator of explained_var_ratio) and mean
+    L2 norm — fully SQL-expressible, so the driver cross-checks the
+    embedding pipeline's moments even though the SVD itself is
+    rows-only. All sums pass through exact decimals so results are
+    partial-aggregation-order independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ex = emb.select("label", F.posexplode(v).alias("dim", "x"))
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("s2"),
+        F.count("*").alias("n"),
+    )
+    var = (
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    ).cast("decimal(28,12)")
+    tv = per_dim.groupBy("label").agg(
+        F.sum(var).cast("double").alias("total_var")
+    )
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    mn = emb.select("label", nrm.alias("nrm")).groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        (F.sum(F.col("nrm").cast("decimal(28,12)")).cast("double") / F.count("*"))
+        .alias("mean_norm"),
+    )
+    return (
+        tv.join(mn, "label")
+        .select(
+            "label",
+            "n_vectors",
+            F.round("total_var", 6).alias("total_var"),
+            F.round("mean_norm", 6).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_STATS_BY_LABEL = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT label, u.dim AS dim, u.x AS x FROM (
+    SELECT label, unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x})) AS u
+    FROM e
+  )
+),
+per_dim AS (
+  SELECT label, dim,
+         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+         count(*) AS n
+  FROM ex GROUP BY 1, 2
+),
+tv AS (
+  SELECT label,
+         CAST(sum(CAST((s2 - s1 * s1 / n) / n AS DECIMAL(28,12))) AS DOUBLE)
+           AS total_var
+  FROM per_dim GROUP BY 1
+),
+norms AS (SELECT label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+mn AS (
+  SELECT label, count(*) AS n_vectors,
+         CAST(sum(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_norm
+  FROM norms GROUP BY 1
+)
+SELECT t.label, m.n_vectors, round(t.total_var, 6) AS total_var,
+       round(m.mean_norm, 6) AS mean_norm
+FROM tv t JOIN mn m USING (label) ORDER BY label
+"""
+
+
 def q_window_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of
     streaming.windowed_event_counts)."""
@@ -1357,12 +1431,35 @@ SELECT word, cnt FROM (
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash (winnowing-style) bottom-k sketches. Rows-only
-    (xxhash64 family not expressible in the oracle); sketch properties
-    unit-tested."""
+    """Rolling-hash (winnowing-style) bottom-k sketches, md5 variant —
+    ANSI-portable hashing makes the whole sketch oracle-checkable
+    (the xxhash64 variant is the cheaper production path, same plan)."""
     docs = _t(spark, sf_dir, "documents")
-    out = textstats.rolling_fingerprint_sketch(docs)
-    return out.select("doc_id", "sketch_hash", F.size("sketch").alias("sketch_len"))
+    out = textstats.rolling_fingerprint_sketch(docs, hash_fn="md5")
+    return out.select(
+        "doc_id",
+        "sketch_hash",
+        F.size("sketch").cast("long").alias("sketch_len"),
+    )
+
+
+SQL_ROLLING_FINGERPRINT = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+             range(1, greatest(len(norm) - 7, 0) + 1),
+             i -> md5(substr(norm, CAST(i AS INT), 8))))) AS h
+  FROM n
+)
+SELECT doc_id,
+       md5(array_to_string(h[1:16], ',')) AS sketch_hash,
+       CAST(least(len(h), 16) AS BIGINT) AS sketch_len
+FROM hs
+"""
 
 
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1838,6 +1935,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "doc_fingerprint": q_doc_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "embedding_stats_by_label": q_embedding_stats_by_label,
     "repetition_ratio": q_repetition_ratio,
     "corpus_stats_by_source": q_corpus_stats_by_source,
     "tfidf_native_top_terms": q_tfidf_native_top_terms,
@@ -1885,7 +1984,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ivf": q_similarity_ivf,
-    "rolling_fingerprint": q_rolling_fingerprint,
     "embedding_pca_by_label": q_embedding_pca_by_label,
     "ml_tfidf_features": q_ml_tfidf_features,
     "ml_train_f1": q_ml_train_f1,
@@ -1938,6 +2036,8 @@ ORACLE: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "embedding_stats_by_label": SQL_EMBEDDING_STATS_BY_LABEL,
     "repetition_ratio": SQL_REPETITION_RATIO,
     "corpus_stats_by_source": SQL_CORPUS_STATS_BY_SOURCE,
     "tfidf_native_top_terms": SQL_TFIDF_NATIVE_TOP_TERMS,

@@ -26,7 +26,6 @@ def test_rows_only_set_is_intentional():
         "dedup_minhash_lsh",
         "dedup_minhash_native",
         "dedup_simhash",
-        "rolling_fingerprint",
         "similarity_ann_lsh",
         "similarity_ivf",
         "ml_tfidf_features",

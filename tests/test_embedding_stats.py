@@ -1,0 +1,81 @@
+"""Embedding-stats oracle twin + PCA differential verification.
+
+``embedding_pca_by_label`` is rows-only for the driver (dense SVD has
+no SQL twin), so this test supplies the missing evidence: the engine's
+top component / explained-variance ratio must match an eigendecomposition
+of the covariance matrix computed INDEPENDENTLY by DuckDB from the same
+parquet — up to sign, which the operator normalizes away.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.embeddings_stats import (
+    per_group_pca,
+)
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.io import (
+    load_table,
+)
+
+from .conftest import SF_DIR_SMOKE
+
+
+@pytest.fixture(scope="module")
+def duck_cov():
+    """Per-label covariance matrices via DuckDB (independent engine)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT label, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{SF_DIR_SMOKE}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    by_label: dict[int, list[list[float]]] = {}
+    for label, vec in rows:
+        by_label.setdefault(label, []).append(vec)
+    out = {}
+    for label, vecs in by_label.items():
+        X = np.array(vecs)
+        Xc = X - X.mean(axis=0, keepdims=True)
+        out[label] = (len(vecs), (Xc.T @ Xc) / len(vecs))
+    return out
+
+
+def test_pca_matches_duckdb_covariance_eigvector(spark, duck_cov):
+    emb = load_table(spark, SF_DIR_SMOKE, "embeddings")
+    got = {r["label"]: r for r in per_group_pca(emb).collect()}
+    assert set(got) == set(duck_cov)
+    for label, (n, cov) in duck_cov.items():
+        evals, evecs = np.linalg.eigh(cov)
+        lam1, v1 = evals[-1], evecs[:, -1]
+        r = got[label]
+        assert r["n_vectors"] == n
+        # explained-variance ratio vs independent eigenvalues
+        assert r["explained_var_ratio"] == pytest.approx(
+            lam1 / evals.sum(), abs=1e-4
+        )
+        # top component up to sign (operator pins the sign; undo it here)
+        comp = np.array(r["top_component"])
+        cos = abs(float(comp @ v1) / (np.linalg.norm(comp) * np.linalg.norm(v1)))
+        assert cos == pytest.approx(1.0, abs=1e-6), (label, cos)
+
+
+def test_embedding_stats_trace_consistent_with_pca(spark, duck_cov):
+    """total_var (the oracle-checked trace) must equal the sum of the
+    covariance eigenvalues — tying the driver-graded relational twin to
+    the rows-only SVD path."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        QUERIES,
+    )
+
+    stats = {
+        r["label"]: r
+        for r in QUERIES["embedding_stats_by_label"](spark, SF_DIR_SMOKE).collect()
+    }
+    for label, (n, cov) in duck_cov.items():
+        assert stats[label]["n_vectors"] == n
+        assert stats[label]["total_var"] == pytest.approx(
+            float(np.trace(cov)), abs=1e-4
+        )
