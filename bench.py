@@ -51,7 +51,107 @@ HEADLINE = [
     "similarity_cosine_topk",
     "similarity_ann_lsh",
     "multimodal_meta",
+    "sentiment_vader_full",
+    "maximal_duplicate_spans",
 ]
+
+
+def _progress_metrics(query, settle_seconds: float) -> dict:
+    """Run a started streaming query for ``settle_seconds``, then distill
+    recentProgress into throughput + latency numbers (first trigger and
+    empty batches excluded — those are warmup/idle, not steady state)."""
+    import time as _t
+
+    _t.sleep(settle_seconds)
+    progress = [p for p in query.recentProgress if p is not None]
+    query.stop()
+    query.awaitTermination(30)
+    rows = [p for p in progress[1:] if p["numInputRows"] > 0]
+    if not rows:
+        return {"rows_per_sec": 0.0, "trigger_ms_avg": 0.0, "n_triggers": 0}
+    rps = [p["processedRowsPerSecond"] for p in rows]
+    lat = [p["durationMs"]["triggerExecution"] for p in rows]
+    return {
+        "rows_per_sec": round(sum(rps) / len(rps), 1),
+        "trigger_ms_avg": round(sum(lat) / len(lat), 1),
+        "trigger_ms_max": max(lat),
+        "n_triggers": len(rows),
+    }
+
+
+def streaming_bench(spark) -> dict:
+    """Rate-source throughput + per-trigger latency for the two
+    streaming flagships: model scoring (score_stream) and watermarked
+    windowed aggregation (windowed_event_counts). Self-terminating;
+    noop sink so timings measure the pipeline, not a sink."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.pipeline import (
+        build_sentiment_pipeline,
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.scoring import (
+        score_stream,
+        windowed_event_counts,
+    )
+
+    out: dict[str, dict] = {}
+
+    # --- scoring: tiny model fitted once (setup, untimed), then an
+    # unbounded synthetic-text stream through the full clean+score plan
+    train = spark.createDataFrame(
+        [("good great fine nice", 1.0), ("bad awful poor terrible", 0.0)] * 50,
+        "text string, label double",
+    )
+    model = build_sentiment_pipeline("svm").fit(train)
+    words = F.array(*[F.lit(w) for w in "good bad great awful fine poor ok".split()])
+    lines = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 20000)
+        .load()
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at(words, (F.col("value") % 7 + 1).cast("int")),
+                F.element_at(words, (F.col("value") % 5 + 1).cast("int")),
+                F.element_at(words, (F.col("value") % 3 + 1).cast("int")),
+            ).alias("value")
+        )
+    )
+    q = (
+        score_stream(lines, model)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench-score-"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    out["score_stream"] = _progress_metrics(q, 12)
+
+    # --- watermarked tumbling-window aggregation over a rate stream
+    events = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100000)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).cast("string").alias("event_type"),
+            (F.col("value") % 100).cast("double").alias("value"),
+        )
+    )
+    agg = windowed_event_counts(
+        events, window_duration="10 seconds", watermark="5 seconds"
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench-window-"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    out["windowed_event_counts"] = _progress_metrics(q, 12)
+    return out
 
 
 def main() -> None:
@@ -82,6 +182,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
     total = round(sum(timings.values()), 3)
+    streaming = streaming_bench(spark)
     print(
         json.dumps(
             {
@@ -89,6 +190,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": sf,
             }
         )
