@@ -1949,7 +1949,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "filter_isin_priority": q_filter_isin_priority,
-    "filter_not_in_brand": q_filter_not_in_brand,
     "predicate_range": q_predicate_range,
     "distinct_segments": q_distinct_segments,
     "global_counts": q_global_counts,
@@ -1967,13 +1966,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract_props": q_json_extract_props,
     "asof_last_purchase": q_asof_last_purchase,
     "semi_join_active_customers": q_semi_join_active_customers,
-    "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "window_hourly_events": q_window_hourly_events,
     "sessionize_events": q_sessionize_events,
+    # --- tier D: oracle-backed, §2-row redundant (covered by an
+    # in-prefix sibling: anti≈except, NOT-IN≈IN, etc.) ---
+    "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "orders_by_month": q_orders_by_month,
     "agg_stats_extended": q_agg_stats_extended,
-    # --- tier D: oracle-backed, §2-row redundant ---
     "token_count_bpe": q_token_count_bpe,
+    "filter_not_in_brand": q_filter_not_in_brand,
     "union_distinct_nationkeys": q_union_distinct_nationkeys,
     "cube_status_priority": q_cube_status_priority,
     "window_sliding_events": q_window_sliding_events,
