@@ -137,3 +137,97 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
 
     return df.mapInPandas(_sample, schema=schema)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_byte_histogram_features(
+    df: DataFrame, *, n_bins: int = 64
+) -> DataFrame:
+    """REAL (not stubbed) feature extraction over binary payloads:
+    L1-normalized byte-value histogram → fixed-length double vector.
+
+    Byte histograms are genuine content features (format sniffing,
+    corruption detection, near-dup blocking) and need no media libs, so
+    this path is fully capability-tested — and its output plugs
+    straight into the similarity operators (cosine_topk_*, ann_*),
+    closing the binary → feature → ANN pipeline end-to-end.
+
+    Vectorized inside the Arrow batch: one numpy bincount per payload,
+    no per-byte Python. At scale the cost is a linear payload scan per
+    partition; output is (id, n_bins×8 B) — tiny shuffle payloads.
+    """
+    import numpy as np
+
+    assert 256 % n_bins == 0, "n_bins must divide 256"
+    shrink = 256 // n_bins
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                if b is None or len(b) == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                arr = np.frombuffer(bytes(b), dtype=np.uint8) // shrink
+                hist = np.bincount(arr, minlength=n_bins).astype(np.float64)
+                feats.append((hist / hist.sum()).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return df.mapInPandas(_features, schema=FEATURE_SCHEMA)
+
+
+def resize_image_stub(
+    df: DataFrame, *, target_width: int = 32, target_height: int = 32
+) -> DataFrame:
+    """Image resize plumbing: payload → resized payload + updated typed
+    metadata, via mapInPandas. Deterministic stand-in: 'resizes' by
+    nearest-neighbor sampling the BYTE stream to target_width×
+    target_height bytes (a real deployment swaps the sampler for
+    Pillow's Image.resize with the same signature/schema). Metadata
+    columns are recomputed, payload never touches the driver."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    n_out = target_width * target_height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, sizes = [], []
+            for b in pdf["payload"]:
+                if b is None or len(b) == 0:
+                    payloads.append(b"")
+                    sizes.append(0)
+                    continue
+                src = np.frombuffer(bytes(b), dtype=np.uint8)
+                idx = np.linspace(0, len(src) - 1, n_out).astype(np.int64)
+                out = src[idx].tobytes()
+                payloads.append(out)
+                sizes.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "width": pd.Series([target_width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=schema)

@@ -53,6 +53,65 @@ def test_frame_sample_fanout(spark):
     assert bytes(frames[0]["frame"]) == b"0123456789"
 
 
+def test_byte_histogram_features(spark):
+    """REAL feature extraction (no stub): L1-normalized byte histogram
+    with known expected bins; output plugs into the similarity ops."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, ""), (3, "ab")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["feature"]
+        for r in multimodal.extract_byte_histogram_features(
+            multimodal.to_binary_docs(docs), n_bins=64
+        ).collect()
+    }
+    assert all(len(v) == 64 for v in out.values())
+    # 'a' = 97 → bin 97//4 = 24; all mass in one bin
+    assert out[1][24] == pytest.approx(1.0)
+    assert sum(out[1]) == pytest.approx(1.0)
+    # empty payload → zero vector (no NaN)
+    assert out[2] == [0.0] * 64
+    # 'a'(97)→24, 'b'(98)→24 (same bin at 64 bins): both in bin 24
+    assert out[3][24] == pytest.approx(1.0)
+
+
+def test_byte_histogram_feeds_similarity(spark):
+    """Closing the loop: binary → features → cosine top-k, all engine
+    operators."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa bbbb"), (2, "aaab bbba"), (3, "zzzz yyyy")],
+        "doc_id long, text string",
+    )
+    feats = multimodal.extract_byte_histogram_features(
+        multimodal.to_binary_docs(docs)
+    ).select(F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding"))
+    out = similarity.cosine_topk_bruteforce(
+        feats, feats.filter(F.col("vec_id") == 1), k=1
+    ).collect()
+    # doc 2 (anagram-ish bytes) is nearer to doc 1 than doc 3
+    assert out[0]["neighbor_id"] == 2
+
+
+def test_resize_stub_schema_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 5000), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_image_stub(
+            multimodal.to_binary_docs(docs), target_width=8, target_height=4
+        ).collect()
+    }
+    assert out[1]["n_bytes"] == 32 and len(bytes(out[1]["payload"])) == 32
+    assert (out[1]["width"], out[1]["height"]) == (8, 4)
+    assert bytes(out[1]["payload"]) == b"x" * 32  # nearest-neighbor of constant
+    assert out[2]["n_bytes"] == 0 and bytes(out[2]["payload"]) == b""
+
+
 def test_write_csv_header_roundtrip(spark, tmp_path):
     """write_csv actually writes the header (the reference's
     option('head') typo silently produced headerless files,
