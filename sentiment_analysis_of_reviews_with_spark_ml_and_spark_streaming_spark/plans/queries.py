@@ -1838,6 +1838,37 @@ WHERE rank <= 3
 # multimodal plumbing
 
 
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL (non-stub) multimodal feature path, driver-graded:
+    binary payloads → L1-normalized 64-bin byte histograms via Arrow
+    mapInPandas, exploded to (doc_id, bin, share) scalars so the oracle
+    value-checks every histogram entry. Valid as an oracle because the
+    synthetic corpus is ASCII (byte == codepoint, asserted-by-data);
+    the operator itself is byte-correct for any payload."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = multimodal.extract_byte_histogram_features(
+        multimodal.to_binary_docs(docs), n_bins=64
+    )
+    ex = feats.select("doc_id", F.posexplode("feature").alias("bin", "share"))
+    return ex.filter(F.col("share") > 0).select(
+        "doc_id", "bin", F.round("share", 6).alias("share")
+    )
+
+
+SQL_MULTIMODAL_BYTE_FEATURES = """
+WITH b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(text) + 1),
+                i -> ord(substr(text, CAST(i AS INT), 1)) // 4)) AS bin
+  FROM documents WHERE len(text) > 0
+),
+tot AS (SELECT doc_id, count(*) AS n FROM b GROUP BY 1),
+hist AS (SELECT doc_id, bin, count(*) AS c FROM b GROUP BY 1, 2)
+SELECT h.doc_id, CAST(h.bin AS INT) AS bin, round(h.c / t.n, 6) AS share
+FROM hist h JOIN tot t USING (doc_id)
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text → payload bytes + typed metadata,
     decoded via Arrow-batched mapInPandas (deterministic fake decode).
@@ -1924,6 +1955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_cosine_topk": q_similarity_cosine_topk,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_byte_features": q_multimodal_byte_features,
     # --- tier B: text analysis (all oracle-backed) ---
     "clean_normalize_docs": q_clean_normalize_docs,
     "token_frequencies": q_token_frequencies,
@@ -1965,12 +1997,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_avg_user_value": q_moving_avg_user_value,
     "json_extract_props": q_json_extract_props,
     "asof_last_purchase": q_asof_last_purchase,
-    "semi_join_active_customers": q_semi_join_active_customers,
     "window_hourly_events": q_window_hourly_events,
     "sessionize_events": q_sessionize_events,
     # --- tier D: oracle-backed, §2-row redundant (covered by an
     # in-prefix sibling: anti≈except, NOT-IN≈IN, etc.) ---
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
+    "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
     "agg_stats_extended": q_agg_stats_extended,
     "token_count_bpe": q_token_count_bpe,
@@ -2050,4 +2082,5 @@ ORACLE: dict[str, str] = {
     "maximal_duplicate_spans": SQL_MAXIMAL_DUPLICATE_SPANS,
     "similarity_cosine_topk": SQL_SIMILARITY_COSINE_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_byte_features": SQL_MULTIMODAL_BYTE_FEATURES,
 }

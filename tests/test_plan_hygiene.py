@@ -20,7 +20,11 @@ from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans
 from .conftest import SF_DIR_CORRECTNESS
 
 # operators whose Arrow-batched Python stage is the point
-ARROW_PYTHON_OK = {"multimodal_meta", "embedding_pca_by_label"}
+ARROW_PYTHON_OK = {
+    "multimodal_meta",
+    "multimodal_byte_features",
+    "embedding_pca_by_label",
+}
 # exact brute-force baselines: cross join is deliberate and documented
 CROSS_JOIN_OK = {"dedup_embedding_cosine", "similarity_cosine_topk"}
 # ML pipeline fitting triggers jobs at plan-build time; plans are the
