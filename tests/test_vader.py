@@ -150,6 +150,32 @@ def test_negation_flips_and_booster_amplifies(spark):
     assert got[3] < 0
 
 
+def test_vader_randomized_differential(spark):
+    """Seeded random sentences over a vocabulary stressing every rule
+    interaction (lexicon hits, boosters, negators, caps, punctuation,
+    gates) — 80 docs scored in one batch vs the straightline scorer."""
+    import random
+
+    rng = random.Random(20260813)
+    vocab = [
+        "good", "great", "terrible", "love", "worst", "fine",  # lexicon
+        "very", "really", "barely", "kinda", "so",  # boosters
+        "not", "never", "don't", "without",  # negators
+        "the", "a", "chair", "table", "walks",  # neutral
+        "GOOD", "VERY", "NOT", "GREAT",  # caps variants
+        "good!", "great?", "bad!!",  # token-edge punctuation
+    ]
+    docs = []
+    for i in range(80):
+        n = rng.randint(0, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["compound"] for r in vader_score(df).collect()}
+    for i, text in docs:
+        want = round(vader_reference(text), 6)
+        assert got[i] == pytest.approx(want, abs=1.5e-6), (text, got[i], want)
+
+
 def test_load_vader_lexicon_tsv(tmp_path):
     p = tmp_path / "vader_lexicon.txt"
     p.write_text(
