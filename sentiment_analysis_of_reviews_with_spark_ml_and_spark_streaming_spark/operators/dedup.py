@@ -515,3 +515,73 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → cluster labels.
+
+    The final stage of corpus dedup: candidate/verified pairs from any
+    of the pair generators above form an undirected graph; each doc's
+    cluster is labeled by the smallest doc id reachable from it, and
+    the canonical keep-doc per cluster is the label itself.
+
+    Algorithm: iterative min-label propagation (the GraphX/GraphFrames
+    CC recipe) — labels start as each node's own id; each round every
+    node takes the min label over itself and its neighbors; stop when
+    no label changed. Rounds needed = graph diameter, which for dup
+    clusters (dense blobs of copies of one document) is tiny — 2-3 in
+    practice. Per round: one shuffle on node id (join + groupBy share
+    the same hash partitioning, so AQE coalesces them), carrying only
+    (long, long) rows — at 100 TB the traffic is edge-count × 16 bytes,
+    independent of document payload size. ``localCheckpoint`` truncates
+    the growing lineage each round so plans stay O(1). The monotone
+    label-sum doubles as a cheap convergence metric (labels only ever
+    decrease), so each round costs exactly one extra action.
+
+    Returns (node, component) for every node that appears in an edge;
+    isolated docs are absent (callers coalesce to their own id).
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).union(
+        edges.select(
+            F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")
+        )
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("comp"))
+        .select(F.col("u").alias("node"), F.least("comp", "node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+
+    for _ in range(max_iter):
+        # neighbor-min pass: label(node) <- min(label(node), label(neighbor))
+        neigh = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.u, "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", "comp")

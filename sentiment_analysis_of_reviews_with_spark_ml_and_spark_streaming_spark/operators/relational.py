@@ -193,3 +193,45 @@ def salted_join(
     )
     out = salted_fact.join(salted_dim, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def range_join_point_in_interval(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Temporal range join with NO equi key: point ∈ [start, end).
+
+    The naive plan is a cartesian product with a range filter —
+    O(points × intervals), a broadcast-nested-loop at best. This
+    operator applies the standard bucketing rewrite: quantize time
+    into ``bucket_seconds`` buckets, explode each interval to the
+    buckets it overlaps (``sequence`` of epoch-bucket ids), tag each
+    point with its single bucket, equi-join on bucket id, then apply
+    the exact half-open range predicate. Each (interval, point) match
+    is produced exactly once because a point lives in exactly one
+    bucket.
+
+    Scale: shuffle is hash(bucket) on both sides — linear in
+    points + intervals × ⌈span/bucket⌉. Pick ``bucket_seconds`` close
+    to the typical interval length so intervals explode to ~2 buckets;
+    time-skew (a hot bucket) is handled by AQE skew-join splitting.
+
+    Returns the joined frame with all columns from both inputs.
+    """
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / F.lit(bucket_seconds))
+    iv = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(bucket(F.col(start_col)), bucket(F.col(end_col))))
+    )
+    pt = points.withColumn("_bucket", bucket(F.col(point_ts)))
+    return (
+        iv.join(pt, on="_bucket")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )

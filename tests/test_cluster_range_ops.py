@@ -1,0 +1,130 @@
+"""Unit tests for the round-2 operators: connected-components dedup
+clustering and the bucketed temporal range join — seeded inputs with
+hand-checked expectations, independent of the DuckDB oracles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+    dedup,
+    relational,
+)
+
+from .conftest import SF_DIR_CORRECTNESS
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = dedup.connected_components(df)
+    return {r["node"]: r["comp"] for r in out.collect()}
+
+
+def test_cc_two_components(spark):
+    # {1,2,3} via 1-2, 2-3 ; {10,11} ; node order in pairs shuffled
+    got = _cc(spark, [(2, 1), (2, 3), (11, 10)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_chain_diameter(spark):
+    # a 7-node path needs several propagation rounds: 6-5-4-3-2-1-0
+    got = _cc(spark, [(i, i + 1) for i in range(6)])
+    assert got == {i: 0 for i in range(7)}
+
+
+def test_cc_self_loop_and_duplicate_edges(spark):
+    got = _cc(spark, [(5, 5), (7, 8), (8, 7), (7, 8)])
+    assert got == {5: 5, 7: 7, 8: 7}
+
+
+def test_cc_star_converges_one_round(spark):
+    got = _cc(spark, [(100, i) for i in range(1, 5)])
+    assert set(got.values()) == {1}
+
+
+def _range_join(spark, points, intervals):
+    pts = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, m, s),) for (m, s) in points], "p_ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, sm, ss), dt.datetime(2024, 1, 1, 0, em, es))
+            for i, (sm, ss), (em, es) in intervals
+        ],
+        "iv_id long, w_start timestamp, w_end timestamp",
+    )
+    out = relational.range_join_point_in_interval(
+        pts, ivs, point_ts="p_ts", start_col="w_start", end_col="w_end",
+        bucket_seconds=60,
+    )
+    return sorted((r["iv_id"], r["p_ts"].minute, r["p_ts"].second) for r in out.collect())
+
+
+def test_range_join_half_open_boundaries(spark):
+    # interval [00:01:00, 00:03:00): point at start included, at end excluded
+    got = _range_join(
+        spark,
+        points=[(0, 59), (1, 0), (2, 30), (3, 0)],
+        intervals=[(1, (1, 0), (3, 0))],
+    )
+    assert got == [(1, 1, 0), (1, 2, 30)]
+
+
+def test_range_join_no_duplicate_matches_across_buckets(spark):
+    # interval spans 4 buckets; each in-range point matched exactly once
+    got = _range_join(
+        spark,
+        points=[(0, 30), (1, 30), (2, 30), (3, 30)],
+        intervals=[(7, (0, 15), (3, 45))],
+    )
+    assert got == [(7, 0, 30), (7, 1, 30), (7, 2, 30), (7, 3, 30)]
+
+
+def test_range_join_disjoint_intervals_isolated(spark):
+    got = _range_join(
+        spark,
+        points=[(1, 0), (4, 0)],
+        intervals=[(1, (0, 30), (1, 30)), (2, (3, 30), (4, 30))],
+    )
+    assert got == [(1, 1, 0), (2, 4, 0)]
+
+
+def test_pack_sequences_partitions_every_doc_once(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        QUERIES,
+    )
+
+    bins = QUERIES["pack_sequences"](spark, SF_DIR_CORRECTNESS)
+    rows = bins.collect()
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR_CORRECTNESS}/documents.parquet")
+    assert n_docs_total == docs.count()
+    # bin ids per (source, shard) start at 0 and are contiguous
+    from collections import defaultdict
+
+    by_part = defaultdict(list)
+    for r in rows:
+        by_part[(r["source"], r["shard"])].append(r["bin_id"])
+    for ids in by_part.values():
+        assert sorted(ids) == list(range(len(ids)))
+    # a bin only ever exceeds capacity via its final overflowing doc:
+    # the exclusive prefix within the bin stays < 2048, so any bin with
+    # >1 doc has bin_tokens - (its largest doc) < 2048; cheap proxy:
+    # no bin is empty and token counts are non-negative
+    assert all(r["n_docs"] >= 1 and r["bin_tokens"] >= 0 for r in rows)
+
+
+def test_contamination_excludes_benchmark_docs(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        QUERIES,
+    )
+
+    out = QUERIES["contamination_check"](spark, SF_DIR_CORRECTNESS)
+    rows = out.collect()
+    assert all(r["doc_id"] % 97 != 0 for r in rows)
+    assert all(0.0 <= r["overlap_ratio"] <= 1.0 for r in rows)
+    assert all(
+        (r["overlap_ratio"] >= 0.5) == bool(r["contaminated"]) for r in rows
+    )
