@@ -53,6 +53,14 @@ HEADLINE = [
     "multimodal_meta",
     "sentiment_vader_full",
     "maximal_duplicate_spans",
+    "dedup_cluster_canonical",
+    "contamination_check",
+    "pack_sequences",
+    "range_join_click_context",
+    "hypertable_rollup",
+    "nation_pair_volume",
+    "having_big_orders",
+    "small_quantity_revenue",
 ]
 
 

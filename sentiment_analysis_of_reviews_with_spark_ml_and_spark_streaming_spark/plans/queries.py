@@ -2398,9 +2398,11 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-0
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar-aggregate subquery — revenue
     from lineitems whose quantity is below 20% of their part's average.
-    The per-part average is a shuffle-join on l_partkey against the
-    per-part aggregate (vocabulary-sized side, NEVER broadcast —
-    same rationale as the TF-IDF de-broadcast)."""
+    The per-part average join carries NO broadcast hint (the per-part
+    aggregate grows with |part|, beyond broadcast limits at corpus
+    scale — same rationale as the TF-IDF de-broadcast); AQE may still
+    broadcast it at tiny SF on measured size, which is the right
+    runtime call."""
     li = _t(spark, sf_dir, "lineitem")
     avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (
