@@ -2569,6 +2569,42 @@ GROUP BY 1
 """
 
 
+def q_click_attribution_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stream_stream_click_attribution: count
+    each purchase's SAME-USER clicks in the preceding 10 minutes.
+    Equi-key on user_id makes this a plain shuffled hash/sort-merge
+    join with the time bound as a post-filter — per-user event sets
+    are small, so no bucketing rewrite is needed (contrast with the
+    key-less range_join_click_context)."""
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy("event_id")
+        .agg(F.count("c_ts").alias("n_user_clicks_10m"))
+    )
+
+
+SQL_CLICK_ATTRIBUTION_USER = """
+SELECT p.event_id, count(c.ts) AS n_user_clicks_10m
+FROM events p LEFT JOIN events c
+  ON c.event_type = 'click' AND c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2655,6 +2691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "having_big_orders": q_having_big_orders,
     "disjunctive_part_revenue": q_disjunctive_part_revenue,
     "idle_rich_customers": q_idle_rich_customers,
+    "click_attribution_user": q_click_attribution_user,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -2750,4 +2787,5 @@ ORACLE: dict[str, str] = {
     "having_big_orders": SQL_HAVING_BIG_ORDERS,
     "disjunctive_part_revenue": SQL_DISJUNCTIVE_PART_REVENUE,
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
+    "click_attribution_user": SQL_CLICK_ATTRIBUTION_USER,
 }

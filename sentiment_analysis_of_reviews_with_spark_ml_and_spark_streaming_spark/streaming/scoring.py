@@ -137,3 +137,38 @@ def sessionize_stream(
             "n_events",
         )
     )
+
+
+def stream_stream_click_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream join: attribute each purchase to the same user's
+    clicks in the preceding ``window_minutes``.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both streams, so Spark can expire buffered rows — state
+    per side is O(watermark × rate), not unbounded. The join keys on
+    user_id (hash-partitioned state store), the time bound is a
+    post-condition — the canonical Structured Streaming interval-join
+    shape. Batch twin (oracle-backed): ``click_attribution_user``.
+    """
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col("event_id").alias("p_event_id"),
+        F.col(user_col).alias("p_user"),
+        F.col(ts_col).alias("p_ts"),
+    )
+    c = clicks.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("c_user"), F.col(ts_col).alias("c_ts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    return p.join(c, cond, "inner").select("p_event_id", "p_user", "p_ts", "c_ts")

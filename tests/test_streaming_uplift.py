@@ -148,3 +148,74 @@ def test_cross_validated_tuning(spark):
     assert max(metrics) > 0.9
     preds = best_model.transform(df)
     assert preds.filter(F.col("prediction") != F.col("label")).count() == 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join (click attribution): both sides
+    are unbounded file streams; the event-time bound + watermark make
+    the join state finite. Result must equal the batch join on the
+    same data."""
+    import datetime as dt
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.scoring import (
+        stream_stream_click_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def iso(minutes):
+        return (t0 + dt.timedelta(minutes=minutes)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    purchases = [
+        {"event_id": 1, "user_id": 7, "ts": iso(10)},
+        {"event_id": 2, "user_id": 7, "ts": iso(30)},
+        {"event_id": 3, "user_id": 8, "ts": iso(10)},
+    ]
+    clicks = [
+        {"user_id": 7, "ts": iso(5)},   # → purchase 1 (within 10 min before)
+        {"user_id": 7, "ts": iso(9)},   # → purchase 1
+        {"user_id": 7, "ts": iso(10)},  # boundary: == p_ts, excluded
+        {"user_id": 7, "ts": iso(25)},  # → purchase 2
+        {"user_id": 8, "ts": iso(29)},  # wrong user for 2, too late for 3
+        {"user_id": 9, "ts": iso(9)},   # no purchase
+    ]
+    pdir, cdir = tmp_path / "p", tmp_path / "c"
+    pdir.mkdir(), cdir.mkdir()
+    (pdir / "b0.json").write_text("\n".join(json.dumps(e) for e in purchases))
+    (cdir / "b0.json").write_text("\n".join(json.dumps(e) for e in clicks))
+    p_schema = "event_id long, user_id long, ts timestamp"
+    c_schema = "user_id long, ts timestamp"
+    p_stream = spark.readStream.format("json").schema(p_schema).load(str(pdir))
+    c_stream = spark.readStream.format("json").schema(c_schema).load(str(cdir))
+    joined = stream_stream_click_attribution(p_stream, c_stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["p_event_id"], r["c_ts"].minute)
+        for r in spark.sql("select * from attributed").collect()
+    )
+    assert got == [(1, 5), (1, 9), (2, 25)]
+    # batch twin on the same frames agrees
+    pb = spark.read.format("json").schema(p_schema).load(str(pdir))
+    cb = spark.read.format("json").schema(c_schema).load(str(cdir))
+    cond = (
+        (pb.user_id == cb.user_id)
+        & (cb.ts >= pb.ts - F.expr("INTERVAL 10 MINUTES"))
+        & (cb.ts < pb.ts)
+    )
+    batch = sorted(
+        (r["event_id"], r["ts2"].minute)
+        for r in pb.join(cb.select(F.col("user_id").alias("u2"), F.col("ts").alias("ts2")),
+                         (pb.user_id == F.col("u2"))
+                         & (F.col("ts2") >= pb.ts - F.expr("INTERVAL 10 MINUTES"))
+                         & (F.col("ts2") < pb.ts))
+        .select("event_id", "ts2").collect()
+    )
+    assert batch == got
