@@ -2605,6 +2605,99 @@ GROUP BY 1
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid geometry: centroid L2 norm and mean cosine of
+    each vector to its label centroid (intra-cluster cohesion — the
+    embedding-QA metric behind IVF cell quality). Centroid table is
+    (labels × dims) — bounded by the class count, so broadcasting it
+    back onto the exploded vectors is scale-safe. Every float sum runs
+    through exact decimals (embedding_stats_by_label pattern), so the
+    whole chain is partial-aggregation-order independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ex = emb.select("vec_id", "label", F.posexplode(v).alias("dim", "x"))
+    cent = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    cn = cent.groupBy("label").agg(
+        F.sqrt(
+            F.sum((F.col("c") * F.col("c")).cast("decimal(28,12)")).cast("double")
+        ).alias("centroid_l2")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("x") * F.col("c")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nrm = emb.select(
+        "vec_id",
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    cos = (
+        dots.join(nrm, "vec_id")
+        .join(F.broadcast(cn), "label")
+        .select(
+            "label",
+            (F.col("dot") / (F.col("nrm") * F.col("centroid_l2"))).alias("cosv"),
+        )
+    )
+    agg = cos.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        (
+            F.sum(F.col("cosv").cast("decimal(28,12)")).cast("double") / F.count("*")
+        ).alias("avg_cos_to_centroid"),
+    )
+    return cn.join(agg, "label").select(
+        "label", "n_vectors", "centroid_l2", "avg_cos_to_centroid"
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, label, u.dim AS dim, u.x AS x FROM (
+    SELECT vec_id, label, unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x})) AS u
+    FROM e
+  )
+),
+cent AS (
+  SELECT label, dim,
+         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+  FROM ex GROUP BY 1, 2
+),
+cn AS (
+  SELECT label,
+         sqrt(CAST(sum(CAST(c * c AS DECIMAL(28,12))) AS DOUBLE)) AS centroid_l2
+  FROM cent GROUP BY 1
+),
+dots AS (
+  SELECT ex.vec_id, ex.label,
+         CAST(sum(CAST(ex.x * cent.c AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+  GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cos AS (
+  SELECT d.label, d.dot / (n.nrm * c.centroid_l2) AS cosv
+  FROM dots d JOIN norms n ON d.vec_id = n.vec_id JOIN cn c ON d.label = c.label
+),
+agg AS (
+  SELECT label, count(*) AS n_vectors,
+         CAST(sum(CAST(cosv AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+           AS avg_cos_to_centroid
+  FROM cos GROUP BY 1
+)
+SELECT cn.label, agg.n_vectors, cn.centroid_l2, agg.avg_cos_to_centroid
+FROM cn JOIN agg ON cn.label = agg.label
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2692,6 +2785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "disjunctive_part_revenue": q_disjunctive_part_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "click_attribution_user": q_click_attribution_user,
+    "embedding_centroids": q_embedding_centroids,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -2788,4 +2882,5 @@ ORACLE: dict[str, str] = {
     "disjunctive_part_revenue": SQL_DISJUNCTIVE_PART_REVENUE,
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
     "click_attribution_user": SQL_CLICK_ATTRIBUTION_USER,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
 }

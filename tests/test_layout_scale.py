@@ -121,3 +121,72 @@ def test_topk_plans_take_ordered(spark):
     df = spark.range(0, 10000).withColumn("v", F.col("id") % 997)
     top = relational.top_k(df, [F.col("v").desc()], 5)
     assert "TakeOrderedAndProject" in _executed_plan(top)
+
+
+def test_upsert_into_partitioned(spark, tmp_path):
+    """Dynamic-partition MERGE: only touched partitions rewritten;
+    latest version wins per key; inserts land; other partitions'
+    files are physically untouched."""
+    import os
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.layout import (
+        upsert_into_partitioned,
+    )
+
+    path = str(tmp_path / "ds")
+    base = spark.createDataFrame(
+        [(1, "a", 10, 1), (2, "a", 20, 1), (3, "b", 30, 1), (4, "c", 40, 1)],
+        "id long, part string, val long, version long",
+    )
+    base.write.partitionBy("part").parquet(path)
+
+    def files(p):
+        out = {}
+        for root, _, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    fp = os.path.join(root, n)
+                    out[fp] = os.path.getmtime(fp)
+        return out
+
+    before = {f: m for f, m in files(path).items() if "part=b" in f or "part=c" in f}
+
+    updates = spark.createDataFrame(
+        [(2, "a", 99, 2),   # update existing key in partition a
+         (5, "a", 50, 2)],  # insert new key into partition a
+        "id long, part string, val long, version long",
+    )
+    upsert_into_partitioned(
+        spark, updates, path,
+        key_cols=["id"], partition_col="part", version_col="version",
+    )
+    got = {
+        r["id"]: (r["part"], r["val"], r["version"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("a", 10, 1), 2: ("a", 99, 2), 5: ("a", 50, 2),
+        3: ("b", 30, 1), 4: ("c", 40, 1),
+    }
+    after = {f: m for f, m in files(path).items() if "part=b" in f or "part=c" in f}
+    assert before == after, "untouched partitions were rewritten"
+
+
+def test_upsert_version_tie_prefers_update(spark, tmp_path):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.layout import (
+        upsert_into_partitioned,
+    )
+
+    path = str(tmp_path / "ds2")
+    spark.createDataFrame(
+        [(1, "a", 10, 1)], "id long, part string, val long, version long"
+    ).write.partitionBy("part").parquet(path)
+    upsert_into_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 11, 1)], "id long, part string, val long, version long"
+        ),
+        path, key_cols=["id"], partition_col="part", version_col="version",
+    )
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0]["val"] == 11
