@@ -2698,6 +2698,88 @@ FROM cn JOIN agg ON cn.label = agg.label
 """
 
 
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5(doc_id) prefix —
+    the reproducible holdout-split primitive (no RNG, no engine
+    dependence, stable under re-partitioning and re-runs; a doc's split
+    never changes when the corpus grows). Buckets by the first two hex
+    chars: < 'f6' train (246/256), < 'fb' val (5/256), else test."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b < "f6", "train").when(b < "fb", "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            textstats.token_count_ws("text").cast("long").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+SQL_DETERMINISTIC_SPLIT = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 'f6' THEN 'train'
+            WHEN b < 'fb' THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM s GROUP BY 1
+"""
+
+
+def q_quality_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composed filter: turn the quality_scores signals
+    into a keep/drop decision with the FIRST failing rule as the
+    reason. Pure derivation over the already-oracle-matched signal
+    columns, so thresholding is bit-portable by construction."""
+    q = q_quality_scores(spark, sf_dir)
+    reason = (
+        F.when(F.col("n_tokens") < 10, "too_short")
+        .when(F.col("n_tokens") > 5000, "too_long")
+        .when(F.col("punct_ratio") > 0.15, "punct_heavy")
+        .when(F.col("stopword_ratio") < 0.01, "low_stopword")
+        .when(
+            (F.col("mean_token_len") < 2.0) | (F.col("mean_token_len") > 12.0),
+            "weird_wordlen",
+        )
+        .otherwise("ok")
+    )
+    return q.select(
+        "doc_id",
+        reason.alias("reject_reason"),
+        (reason == "ok").cast("int").alias("keep"),
+    )
+
+
+SQL_QUALITY_FILTER_DECISION = """
+WITH q AS ({quality_scores}),
+d AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < 10 THEN 'too_short'
+              WHEN n_tokens > 5000 THEN 'too_long'
+              WHEN punct_ratio > 0.15 THEN 'punct_heavy'
+              WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+              WHEN mean_token_len < 2.0 OR mean_token_len > 12.0
+                THEN 'weird_wordlen'
+              ELSE 'ok' END AS reject_reason
+  FROM q
+)
+SELECT doc_id, reject_reason,
+       CAST(reject_reason = 'ok' AS INTEGER) AS keep
+FROM d
+""".replace("{quality_scores}", SQL_QUALITY_SCORES)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2786,6 +2868,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_rich_customers": q_idle_rich_customers,
     "click_attribution_user": q_click_attribution_user,
     "embedding_centroids": q_embedding_centroids,
+    "deterministic_split": q_deterministic_split,
+    "quality_filter_decision": q_quality_filter_decision,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -2883,4 +2967,6 @@ ORACLE: dict[str, str] = {
     "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
     "click_attribution_user": SQL_CLICK_ATTRIBUTION_USER,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "deterministic_split": SQL_DETERMINISTIC_SPLIT,
+    "quality_filter_decision": SQL_QUALITY_FILTER_DECISION,
 }
