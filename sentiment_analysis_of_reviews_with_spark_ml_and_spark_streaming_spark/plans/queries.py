@@ -2780,6 +2780,57 @@ FROM d
 """.replace("{quality_scores}", SQL_QUALITY_SCORES)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token chunks, stride 48 → 16-token
+    overlap) — the context-window chunk table behind RAG indexing and
+    packed training shards. Pure array ops (split → sequence-explode →
+    slice → md5), all codegen; chunk identity is the md5 of the
+    re-joined token window so downstream chunk-level dedup composes
+    with the dedup tier."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    chunked = base.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.size("t") - 1) / F.lit(48)),
+            )
+        ).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.slice(F.col("t"), (F.col("chunk_id") * 48 + 1).cast("int"), 64).alias(
+            "ctoks"
+        ),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size("ctoks").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("ctoks", " ")).alias("chunk_md5"),
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(0, CAST(floor((len(t) - 1) / 48) AS BIGINT) + 1),
+             s -> {'chunk_id': s, 'ctoks': t[s*48+1 : s*48+64]})) AS u
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, CAST(u.chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(u.ctoks) AS BIGINT) AS n_tokens,
+       md5(array_to_string(u.ctoks, ' ')) AS chunk_md5
+FROM ch
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2870,6 +2921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "deterministic_split": q_deterministic_split,
     "quality_filter_decision": q_quality_filter_decision,
+    "chunk_documents": q_chunk_documents,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -2969,4 +3021,5 @@ ORACLE: dict[str, str] = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
     "quality_filter_decision": SQL_QUALITY_FILTER_DECISION,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }
