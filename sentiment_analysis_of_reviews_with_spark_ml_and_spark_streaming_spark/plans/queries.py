@@ -2831,6 +2831,58 @@ FROM ch
 """
 
 
+def q_unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM scoring: each doc's mean ln P(token) under the
+    corpus's own unigram distribution — the classic cheap fluency /
+    outlier filter (gibberish and boilerplate score far from the
+    bulk). The token→frequency join is vocabulary-sized, so it carries
+    NO broadcast hint (TF-IDF rule); per-token logs are summed through
+    decimals and the mean rounded to 4 so libm last-ulp differences
+    between engines cannot surface."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_ws(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = toks.agg(F.count("*").cast("double").alias("_total"))
+    lp = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.log(F.col("tf") / F.col("_total")))
+            .cast("decimal(28,12)")
+            .alias("lp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum("lp").cast("double") / F.count("*"), 4
+        ).alias("mean_logprob"),
+    )
+
+
+SQL_UNIGRAM_LOGPROB_DOCS = """
+WITH toks AS (
+  SELECT doc_id, u.tok FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+  ) AS u(doc_id, tok)
+), vocab AS (
+  SELECT tok, count(*) AS tf FROM toks GROUP BY 1
+), total AS (SELECT count(*) AS n FROM toks),
+lp AS (
+  SELECT t.doc_id,
+         CAST(ln(v.tf / CAST(total.n AS DOUBLE)) AS DECIMAL(28,12)) AS lp
+  FROM toks t JOIN vocab v ON t.tok = v.tok, total
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_logprob
+FROM lp GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2922,6 +2974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deterministic_split": q_deterministic_split,
     "quality_filter_decision": q_quality_filter_decision,
     "chunk_documents": q_chunk_documents,
+    "unigram_logprob_docs": q_unigram_logprob_docs,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -3022,4 +3075,5 @@ ORACLE: dict[str, str] = {
     "deterministic_split": SQL_DETERMINISTIC_SPLIT,
     "quality_filter_decision": SQL_QUALITY_FILTER_DECISION,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "unigram_logprob_docs": SQL_UNIGRAM_LOGPROB_DOCS,
 }

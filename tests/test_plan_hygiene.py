@@ -46,10 +46,11 @@ def test_plan_hygiene(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan or name in {
             "histogram_totalprice",
             "tfidf_native_top_terms",
-            # 1-row scalar-subquery threshold crossJoined (Q22 shape):
-            # the broadcast side is a single aggregate row by
-            # construction, never data-sized
+            # 1-row scalar-subquery threshold crossJoined (Q22 shape /
+            # corpus-total normalizer): the broadcast side is a single
+            # aggregate row by construction, never data-sized
             "idle_rich_customers",
+            "unigram_logprob_docs",
         }, f"{name}: unexpected nested-loop join"
 
 
