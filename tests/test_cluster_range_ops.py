@@ -128,3 +128,25 @@ def test_contamination_excludes_benchmark_docs(spark):
     assert all(
         (r["overlap_ratio"] >= 0.5) == bool(r["contaminated"]) for r in rows
     )
+
+
+def test_training_data_pipeline_example(spark):
+    """The end-to-end example composes cleanly: dedup only removes
+    docs, splits partition the corpus, chunks cover every kept doc."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    from examples.training_data_pipeline import build_training_corpus
+
+    kept, chunks, report = build_training_corpus(spark, SF_DIR_CORRECTNESS)
+    assert report["after_dedup"] <= report["after_quality"] <= report["raw_docs"]
+    n_kept = kept.count()
+    assert n_kept == report["after_dedup"]
+    splits = dict(kept.groupBy("split").count().collect())
+    assert sum(splits.values()) == n_kept
+    assert set(splits) <= {"train", "val", "test"}
+    assert chunks.select("doc_id").distinct().count() == n_kept
