@@ -2883,6 +2883,64 @@ FROM lp GROUP BY 1
 """
 
 
+def q_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family in one pass: row_number, ntile
+    deciles, percent_rank and cume_dist over order value within each
+    priority. Ties broken by orderkey so every rank is deterministic
+    across engines. One shuffle on the partition key; all four ranks
+    share a single Window node."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return ranked.filter(F.col("rn") <= 100)
+
+
+SQL_RANK_FAMILY_ORDERS = """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         row_number() OVER w AS rn,
+         ntile(10) OVER w AS decile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey)
+)
+WHERE rn <= 100
+"""
+
+
+def q_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of pivot_event_type: widen-stored
+    part measures to long (partkey, measure, value) form, the shape
+    feature stores and metric sinks ingest. Native ``unpivot`` (Expand
+    node: zero shuffles, rows×measures emitted map-side)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
+
+
+SQL_UNPIVOT_PART_MEASURES = """
+SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value
+FROM part
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2975,6 +3033,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter_decision": q_quality_filter_decision,
     "chunk_documents": q_chunk_documents,
     "unigram_logprob_docs": q_unigram_logprob_docs,
+    "rank_family_orders": q_rank_family_orders,
+    "unpivot_part_measures": q_unpivot_part_measures,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -3076,4 +3136,6 @@ ORACLE: dict[str, str] = {
     "quality_filter_decision": SQL_QUALITY_FILTER_DECISION,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "unigram_logprob_docs": SQL_UNIGRAM_LOGPROB_DOCS,
+    "rank_family_orders": SQL_RANK_FAMILY_ORDERS,
+    "unpivot_part_measures": SQL_UNPIVOT_PART_MEASURES,
 }
