@@ -2968,11 +2968,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_canonical": q_dedup_cluster_canonical,
     "contamination_check": q_contamination_check,
     "pack_sequences": q_pack_sequences,
+    "deterministic_split": q_deterministic_split,
+    "chunk_documents": q_chunk_documents,
     # --- tier B: text analysis (all oracle-backed) ---
     "clean_normalize_docs": q_clean_normalize_docs,
     "token_frequencies": q_token_frequencies,
     "doc_token_counts": q_doc_token_counts,
-    "stemmed_token_frequencies": q_stemmed_token_frequencies,
     "top_words_no_stopwords": q_top_words_no_stopwords,
     "sentiment_docs": q_sentiment_docs,
     "sentiment_vader_full": q_sentiment_vader_full,
@@ -2984,7 +2985,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_ratio": q_repetition_ratio,
     "corpus_stats_by_source": q_corpus_stats_by_source,
     "tfidf_native_top_terms": q_tfidf_native_top_terms,
-    "ngram_top_bigrams": q_ngram_top_bigrams,
     # --- tier C: relational core (all oracle-backed) ---
     "topk_part_type_tokens": q_topk_part_type_tokens,
     "pricing_summary": q_pricing_summary,
@@ -3014,6 +3014,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # global-count/binarize≈corpus-stats/impute-flag) or beyond-§2
     # relational uplift (TPC-H subquery shapes, hypertable rollup) whose
     # oracles run in the local harness every round ---
+    "stemmed_token_frequencies": q_stemmed_token_frequencies,
+    "ngram_top_bigrams": q_ngram_top_bigrams,
     "filter_isin_priority": q_filter_isin_priority,
     "distinct_segments": q_distinct_segments,
     "global_counts": q_global_counts,
@@ -3029,9 +3031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_rich_customers": q_idle_rich_customers,
     "click_attribution_user": q_click_attribution_user,
     "embedding_centroids": q_embedding_centroids,
-    "deterministic_split": q_deterministic_split,
     "quality_filter_decision": q_quality_filter_decision,
-    "chunk_documents": q_chunk_documents,
     "unigram_logprob_docs": q_unigram_logprob_docs,
     "rank_family_orders": q_rank_family_orders,
     "unpivot_part_measures": q_unpivot_part_measures,

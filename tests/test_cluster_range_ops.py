@@ -150,3 +150,23 @@ def test_training_data_pipeline_example(spark):
     assert sum(splits.values()) == n_kept
     assert set(splits) <= {"train", "val", "test"}
     assert chunks.select("doc_id").distinct().count() == n_kept
+
+
+def test_deterministic_split_stable_under_corpus_growth(spark):
+    """A doc's split assignment depends only on its id, so it must not
+    change when the corpus scales (sf0.001 and sf0.01 share doc ids)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        _t,
+    )
+
+    def assign(sf):
+        docs = _t(spark, sf, "documents")
+        b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        split = F.when(b < "f6", "train").when(b < "fb", "val").otherwise("test")
+        return {r["doc_id"]: r["s"] for r in docs.select("doc_id", split.alias("s")).collect()}
+
+    small = assign("/root/testdata/sf0.001")
+    big = assign("/root/testdata/sf0.01")
+    common = set(small) & set(big)
+    assert common, "fixtures share no doc ids"
+    assert all(small[d] == big[d] for d in common)
