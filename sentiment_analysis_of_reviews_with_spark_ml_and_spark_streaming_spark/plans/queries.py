@@ -923,7 +923,12 @@ def q_window_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_start"), F.col("event_type")
+            # NTZ so collect() renders the UTC wall-clock regardless of
+            # the driver process's OS timezone (see hypertable_rollup)
+            F.date_trunc("hour", F.col("ts"))
+            .cast("timestamp_ntz")
+            .alias("hour_start"),
+            F.col("event_type"),
         )
         .agg(F.count("*").alias("n_events"), _dsum("value").alias("total_value"))
         .orderBy("hour_start", "event_type")
