@@ -2946,6 +2946,51 @@ FROM part
 """
 
 
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats: sentences per doc and mean sentence
+    token length. Splitter is ``[.!?]+\\s+`` (delimiters consumed) —
+    deliberately lookaround-free so the Java-regex and RE2 (DuckDB)
+    engines segment identically. Mean lengths route through decimals
+    for hash portability."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.trim(F.col("text")), "[.!?]+\\s+"),
+        lambda s: F.length(s) > 0,
+    )
+    per_sent = docs.select(
+        "doc_id", F.explode(sents).alias("sent")
+    ).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("sent")), "\\s+")).cast("long").alias("n_tok"),
+    )
+    return per_sent.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.round(
+            F.sum(F.col("n_tok").cast("decimal(18,0)")).cast("double") / F.count("*"),
+            4,
+        ).alias("mean_sentence_tokens"),
+    )
+
+
+SQL_SENTENCE_STATS = """
+WITH sents AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '[.!?]+\\s+')) AS s
+    FROM documents
+  ) WHERE length(s) > 0
+), per_sent AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS n_tok
+  FROM sents
+)
+SELECT doc_id, count(*) AS n_sentences,
+       round(CAST(sum(CAST(n_tok AS DECIMAL(18,0))) AS DOUBLE) / count(*), 4)
+         AS mean_sentence_tokens
+FROM per_sent GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3040,6 +3085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob_docs": q_unigram_logprob_docs,
     "rank_family_orders": q_rank_family_orders,
     "unpivot_part_measures": q_unpivot_part_measures,
+    "sentence_stats": q_sentence_stats,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -3143,4 +3189,5 @@ ORACLE: dict[str, str] = {
     "unigram_logprob_docs": SQL_UNIGRAM_LOGPROB_DOCS,
     "rank_family_orders": SQL_RANK_FAMILY_ORDERS,
     "unpivot_part_measures": SQL_UNPIVOT_PART_MEASURES,
+    "sentence_stats": SQL_SENTENCE_STATS,
 }
