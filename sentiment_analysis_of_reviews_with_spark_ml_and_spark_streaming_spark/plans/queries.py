@@ -2991,6 +2991,450 @@ FROM per_sent GROUP BY 1
 """
 
 
+def q_market_share_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a supplier nation's share of revenue delivered
+    to one region's customers, per year. All dims broadcast; the only
+    big exchange is lineitem⋈orders on orderkey; the share is one
+    deterministic double division of exact-decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust_nat = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nat = supplier.select("s_suppkey", "s_nationkey")
+    joined = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    rev = price * disc
+    focal = F.sum(F.when(F.col("s_nationkey") == 5, rev)).cast("double")
+    total = F.sum(rev).cast("double")
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.coalesce(focal, F.lit(0.0)).alias("nation5_revenue"),
+            total.alias("total_revenue"),
+            F.round(F.coalesce(focal, F.lit(0.0)) / total, 6).alias("mkt_share"),
+        )
+    )
+
+
+SQL_MARKET_SHARE_REGION = """
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       coalesce(CAST(sum(CASE WHEN s.s_nationkey = 5
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               END) AS DOUBLE), 0.0) AS nation5_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+         AS DOUBLE) AS total_revenue,
+       round(coalesce(CAST(sum(CASE WHEN s.s_nationkey = 5
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+               END) AS DOUBLE), 0.0)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+               AS DOUBLE), 6) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q_returned_items_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R') for H2-1995 orders, with nation name. Fact⋈
+    fact on orderkey, dims broadcast, top-k via TakeOrderedAndProject;
+    tie-break on c_custkey keeps the limit deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    per_cust = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        _revenue_dec().alias("lost_revenue")
+    )
+    return relational.top_k(
+        per_cust, [F.col("lost_revenue").desc(), F.col("c_custkey")], 20
+    )
+
+
+SQL_RETURNED_ITEMS_CUSTOMERS = f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       {_REVENUE_SQL} AS lost_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — scalar-aggregate subquery over an aggregate (the
+    classic "view + max" pattern). Implemented rank-over-aggregate:
+    the per-supplier aggregate is |supplier|-sized, so the global
+    rank window is a single small exchange, not a fact-table sort.
+    Revenue is an exact-decimal sum, so max-equality is bit-portable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    per_supp = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _revenue_dec().alias("total_revenue")
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    best = (
+        per_supp.withColumn("_rk", F.rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return (
+        best.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("supplier_no", "s_name", "total_revenue")
+        .orderBy("supplier_no")
+    )
+
+
+SQL_TOP_SUPPLIER_REVENUE = f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no, {_REVENUE_SQL} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT r.supplier_no, s.s_name, r.total_revenue
+FROM revenue0 r JOIN supplier s ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue0)
+ORDER BY r.supplier_no
+"""
+
+
+def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp-free adaptation): parts whose shipped
+    value from a supplier-nation group exceeds a fixed fraction of that
+    group's total value — per-group aggregate vs global scalar
+    aggregate. The global total is an exact-decimal window sum (the
+    threshold compare ``2000 * part_value > total`` is integer-scaled
+    decimal math, bit-portable; no float fraction ever materializes).
+    The window runs over the |part|-sized aggregate, not the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    joined = li.join(
+        F.broadcast(
+            supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+        ),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    val = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    per_part = joined.groupBy("l_partkey").agg(
+        F.sum(val).cast("decimal(30,4)").alias("_val_dec")
+    )
+    total = F.sum("_val_dec").over(Window.partitionBy())
+    return (
+        per_part.withColumn("_total", total)
+        .filter(
+            # 2000 pinned to decimal(4,0): result decimal(35,4) stays exact
+            # under Spark's 38-digit cap (int literal would promote via
+            # decimal(10,0) → precision 41 → silent scale loss)
+            F.col("_val_dec") * F.lit(2000).cast("decimal(4,0)") > F.col("_total")
+        )
+        .select(
+            "l_partkey",
+            F.col("_val_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+SQL_IMPORTANT_PARTS_SHARE = """
+WITH pv AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS val_dec
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey < 5
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+FROM pv
+WHERE val_dec * CAST(2000 AS DECIMAL(4,0)) > (SELECT sum(val_dec) FROM pv)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality gates, reported as per-source pass
+    rates. Every rule is INTEGER math (cross-multiplied thresholds —
+    ``5*n_alpha >= 4*n_tokens`` instead of a float ratio), so the
+    aggregate is bit-portable by construction. The alphabetic-token
+    count is the one higher-order-function filter (interpreted, not
+    codegen) — acceptable off the bench path; all other rules are
+    pure codegen string ops."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.trim(F.col("text"))
+    toks = F.split(txt, "\\s+")
+    n_tokens = F.when(txt == "", F.lit(0)).otherwise(F.size(toks)).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_chars = F.length(txt).cast("long")
+    n_hash = (n_chars - F.length(F.regexp_replace(txt, "#", ""))).cast("long")
+    n_ell = F.floor(
+        (n_chars - F.length(F.regexp_replace(txt, "\\.\\.\\.", ""))) / 3
+    ).cast("long")
+    r_wordcount = (n_tokens >= 5) & (n_tokens <= 5000)
+    r_alpha = (n_tokens > 0) & (n_alpha * 5 >= n_tokens * 4)
+    r_symbols = (n_hash + n_ell) * 50 <= n_chars
+    flags = docs.select(
+        "source",
+        r_wordcount.cast("int").alias("p_wc"),
+        r_alpha.cast("int").alias("p_al"),
+        r_symbols.cast("int").alias("p_sy"),
+        (r_wordcount & r_alpha & r_symbols).cast("int").alias("p_all"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("p_wc").alias("n_pass_wordcount"),
+        F.sum("p_al").alias("n_pass_alpha"),
+        F.sum("p_sy").alias("n_pass_symbols"),
+        F.sum("p_all").alias("n_pass_all"),
+    )
+
+
+SQL_GOPHER_QUALITY_RULES = """
+WITH f AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+         length(trim(text)) AS n_chars,
+         length(trim(text)) - length(replace(trim(text), '#', '')) AS n_hash,
+         CAST(floor((length(trim(text))
+                     - length(replace(trim(text), '...', ''))) / 3) AS BIGINT)
+           AS n_ell
+  FROM documents
+), r AS (
+  SELECT source,
+         CAST(n_tokens >= 5 AND n_tokens <= 5000 AS INTEGER) AS p_wc,
+         CAST(n_tokens > 0 AND n_alpha * 5 >= n_tokens * 4 AS INTEGER) AS p_al,
+         CAST((n_hash + n_ell) * 50 <= n_chars AS INTEGER) AS p_sy
+  FROM f
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(p_wc) AS BIGINT) AS n_pass_wordcount,
+       CAST(sum(p_al) AS BIGINT) AS n_pass_alpha,
+       CAST(sum(p_sy) AS BIGINT) AS n_pass_symbols,
+       CAST(sum(p_wc * p_al * p_sy) AS BIGINT) AS n_pass_all
+FROM r GROUP BY 1
+"""
+
+
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware chunking: sentences fill a 64-token budget and a
+    chunk breaks at the first sentence that would start past the
+    budget boundary (``chunk_id = floor(tokens_before_sentence/64)``)
+    — sentences are never split mid-way, unlike the fixed-stride
+    ``chunk_documents``. Prefix sums are per-doc window aggregations
+    over integer token counts, so chunk assignment is bit-portable.
+    Splitter is the lookaround-free ``[.!?]+\\s+`` (see
+    q_sentence_stats) so Java regex and RE2 segment identically."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.trim(F.col("text")), "[.!?]+\\s+"),
+        lambda s: F.length(s) > 0,
+    )
+    per_sent = docs.select(
+        "doc_id", F.posexplode(sents).alias("_pos", "sent")
+    ).select(
+        "doc_id",
+        # 1-based to match SQL ordinality (generate_subscripts) convention
+        (F.col("_pos") + 1).alias("sent_idx"),
+        F.size(F.split(F.trim(F.col("sent")), "\\s+")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = per_sent.select(
+        "doc_id",
+        "sent_idx",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 64)
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    return assigned.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("sent_idx").cast("long").alias("first_sentence"),
+    )
+
+
+SQL_SENTENCE_CHUNKS = """
+WITH sents AS (
+  SELECT doc_id, s, i FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '[.!?]+\\s+')) AS s,
+           generate_subscripts(string_split_regex(trim(text), '[.!?]+\\s+'), 1) AS i
+    FROM documents
+  ) WHERE length(s) > 0
+), per_sent AS (
+  SELECT doc_id, i AS sent_idx,
+         CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS n_tok
+  FROM sents
+), assigned AS (
+  SELECT doc_id, sent_idx, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY doc_id ORDER BY sent_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / 64) AS BIGINT) AS chunk_id
+  FROM per_sent
+)
+SELECT doc_id, chunk_id, count(*) AS n_sentences,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(min(sent_idx) AS BIGINT) AS first_sentence
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def q_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: deterministic per-stratum keep
+    decision by md5(doc_id) hex prefix — down-samples the dominant
+    language (en keeps 32/256 ≈ 12.5%) while keeping half of every
+    other stratum. No RNG: the same doc always lands the same way on
+    any cluster size or run (same contract as q_deterministic_split;
+    string-compare buckets avoid hex-parse portability)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = F.when(F.col("lang") == "en", b < "20").otherwise(b < "80")
+    return (
+        docs.select("lang", keep.cast("int").alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.round(
+                F.sum("keep").cast("double") / F.count("*"), 4
+            ).alias("sample_rate"),
+        )
+    )
+
+
+SQL_HASH_STRATIFIED_SAMPLE = """
+WITH k AS (
+  SELECT lang,
+         CASE WHEN lang = 'en'
+              THEN CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20' AS INTEGER)
+              ELSE CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' AS INTEGER)
+         END AS keep
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+       round(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS sample_rate
+FROM k GROUP BY 1
+"""
+
+
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-type stats: exact p05/p95 (interpolated
+    percentile — matches DuckDB quantile_cont bit-for-bit at round(4))
+    computed per event_type as window aggregates, then each value is
+    winsorized (clipped) to that band and the clipped count reported.
+    The percentile windows run on the grouped key partitioning, one
+    shuffle total; at 100 TB the exact percentile would swap for
+    approx_percentile with the same clip logic."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    p05 = F.expr("percentile(value, 0.05)").over(w)
+    p95 = F.expr("percentile(value, 0.95)").over(w)
+    clipped = ev.select(
+        "event_type",
+        "value",
+        p05.alias("_p05"),
+        p95.alias("_p95"),
+        (F.col("value") < p05).cast("int").alias("_below"),
+        (F.col("value") > p95).cast("int").alias("_above"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("_p05"), 4).alias("p05"),
+        F.round(F.min("_p95"), 4).alias("p95"),
+        F.sum("_below").alias("n_clipped_low"),
+        F.sum("_above").alias("n_clipped_high"),
+    )
+
+
+SQL_WINSORIZED_VALUE_STATS = """
+WITH b AS (
+  SELECT event_type, value,
+         quantile_cont(value, 0.05) OVER (PARTITION BY event_type) AS p05,
+         quantile_cont(value, 0.95) OVER (PARTITION BY event_type) AS p95
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       round(min(p05), 4) AS p05, round(min(p95), 4) AS p95,
+       CAST(sum(CAST(value < p05 AS INTEGER)) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CAST(value > p95 AS INTEGER)) AS BIGINT) AS n_clipped_high
+FROM b GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3086,6 +3530,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_family_orders": q_rank_family_orders,
     "unpivot_part_measures": q_unpivot_part_measures,
     "sentence_stats": q_sentence_stats,
+    "market_share_region": q_market_share_region,
+    "returned_items_customers": q_returned_items_customers,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "important_parts_share": q_important_parts_share,
+    "gopher_quality_rules": q_gopher_quality_rules,
+    "sentence_chunks": q_sentence_chunks,
+    "hash_stratified_sample": q_hash_stratified_sample,
+    "winsorized_value_stats": q_winsorized_value_stats,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -3190,4 +3642,12 @@ ORACLE: dict[str, str] = {
     "rank_family_orders": SQL_RANK_FAMILY_ORDERS,
     "unpivot_part_measures": SQL_UNPIVOT_PART_MEASURES,
     "sentence_stats": SQL_SENTENCE_STATS,
+    "market_share_region": SQL_MARKET_SHARE_REGION,
+    "returned_items_customers": SQL_RETURNED_ITEMS_CUSTOMERS,
+    "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
+    "important_parts_share": SQL_IMPORTANT_PARTS_SHARE,
+    "gopher_quality_rules": SQL_GOPHER_QUALITY_RULES,
+    "sentence_chunks": SQL_SENTENCE_CHUNKS,
+    "hash_stratified_sample": SQL_HASH_STRATIFIED_SAMPLE,
+    "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
 }
