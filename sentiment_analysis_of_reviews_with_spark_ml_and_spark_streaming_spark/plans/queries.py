@@ -3435,6 +3435,155 @@ FROM b GROUP BY 1
 """
 
 
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of what the web-corpus cleaning pass would
+    redact (clean.strip_urls / strip_html_tags / mask_pii patterns):
+    match counts per category plus docs-affected. All counts are
+    integers from the same lookaround-free patterns both regex engines
+    (Java, RE2) interpret identically, so the aggregate is
+    hash-portable. One scan, pure codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.col("text")
+
+    def n(pat: str):
+        return F.size(F.regexp_extract_all(txt, F.lit(pat), 0)).cast("long")
+
+    n_urls = n(clean.URL_PATTERN)
+    n_emails = n(clean.EMAIL_PATTERN)
+    n_phones = n(clean.PHONE_PATTERN)
+    n_html = n(clean.HTML_TAG_PATTERN)
+    flags = docs.select(
+        "source",
+        n_urls.alias("u"),
+        n_emails.alias("e"),
+        n_phones.alias("p"),
+        n_html.alias("h"),
+        ((n_urls + n_emails + n_phones + n_html) > 0).cast("int").alias("any_hit"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("u").alias("n_urls"),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("h").alias("n_html_tags"),
+        F.sum("any_hit").alias("n_docs_affected"),
+    )
+
+
+SQL_PII_REDACTION_STATS = f"""
+WITH f AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_sql_str(clean.URL_PATTERN)}')) AS u,
+         len(regexp_extract_all(text, '{_sql_str(clean.EMAIL_PATTERN)}')) AS e,
+         len(regexp_extract_all(text, '{_sql_str(clean.PHONE_PATTERN)}')) AS p,
+         len(regexp_extract_all(text, '{_sql_str(clean.HTML_TAG_PATTERN)}')) AS h
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(u) AS BIGINT) AS n_urls,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(h) AS BIGINT) AS n_html_tags,
+       CAST(sum(CAST(u + e + p + h > 0 AS INTEGER)) AS BIGINT) AS n_docs_affected
+FROM f GROUP BY 1
+"""
+
+
+def q_repeated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-n-gram rule: per doc, the fraction of bigram /
+    trigram occurrences that are repeats (1 − distinct/total) —
+    the standard boilerplate detector alongside the distinct-token
+    repetition_ratio. Spark shingles via one codegen'd lookahead
+    regexp_extract_all over squeezed text (Java regex; ~8× faster
+    than interpreted HOF slicing — see docs/SCALING.md); the RE2
+    oracle builds the identical shingles with list ops instead,
+    since RE2 has no lookahead."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    bi = F.regexp_extract_all(norm, F.lit(r"(?=(\S+ \S+))\S+ ?"), 1)
+    tri = F.regexp_extract_all(norm, F.lit(r"(?=(\S+ \S+ \S+))\S+ ?"), 1)
+    n_bi = F.size(bi).cast("long")
+    n_tri = F.size(tri).cast("long")
+    frac = lambda arr, tot: F.when(  # noqa: E731
+        tot > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(arr)) / tot, 6
+        ),
+    ).otherwise(0.0)
+    return docs.select(
+        "doc_id",
+        n_bi.alias("n_bigrams"),
+        frac(bi, n_bi).alias("dup_bigram_frac"),
+        n_tri.alias("n_trigrams"),
+        frac(tri, n_tri).alias("dup_trigram_frac"),
+    )
+
+
+SQL_REPEATED_NGRAM_FRACTION = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                        i -> array_to_string(toks[i:i+1], ' ')) AS bi,
+         list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS tri
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(bi) AS BIGINT) AS n_bigrams,
+       CASE WHEN len(bi) > 0
+            THEN round(1.0 - len(list_distinct(bi)) / len(bi), 6)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CAST(len(tri) AS BIGINT) AS n_trigrams,
+       CASE WHEN len(tri) > 0
+            THEN round(1.0 - len(list_distinct(tri)) / len(tri), 6)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM g
+"""
+
+
+def q_tokenizer_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-cost report per language: chars per BPE-ish token —
+    the fertility/compression metric that drives token-budget planning
+    across languages. Integer sums, one deterministic division."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.trim(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        F.length(txt).cast("long").alias("nc"),
+        textstats.token_count_ws("text").cast("long").alias("nw"),
+        textstats.token_count_bpe_ish("text").cast("long").alias("nb"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nc").alias("total_chars"),
+        F.sum("nw").alias("total_ws_tokens"),
+        F.sum("nb").alias("total_bpe_tokens"),
+        F.round(
+            F.sum("nc").cast("double") / F.sum("nb"), 4
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+SQL_TOKENIZER_COMPRESSION_RATIO = f"""
+WITH d AS (
+  SELECT lang, length(trim(text)) AS nc,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw,
+         len(regexp_extract_all(text, '{_sql_str(textstats.BPE_ISH_PATTERN)}')) AS nb
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       CAST(sum(nw) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(nb) AS BIGINT) AS total_bpe_tokens,
+       round(CAST(sum(nc) AS DOUBLE) / sum(nb), 4) AS chars_per_bpe_token
+FROM d GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3538,6 +3687,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_chunks": q_sentence_chunks,
     "hash_stratified_sample": q_hash_stratified_sample,
     "winsorized_value_stats": q_winsorized_value_stats,
+    "pii_redaction_stats": q_pii_redaction_stats,
+    "repeated_ngram_fraction": q_repeated_ngram_fraction,
+    "tokenizer_compression_ratio": q_tokenizer_compression_ratio,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -3650,4 +3802,7 @@ ORACLE: dict[str, str] = {
     "sentence_chunks": SQL_SENTENCE_CHUNKS,
     "hash_stratified_sample": SQL_HASH_STRATIFIED_SAMPLE,
     "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
+    "pii_redaction_stats": SQL_PII_REDACTION_STATS,
+    "repeated_ngram_fraction": SQL_REPEATED_NGRAM_FRACTION,
+    "tokenizer_compression_ratio": SQL_TOKENIZER_COMPRESSION_RATIO,
 }
