@@ -61,6 +61,12 @@ HEADLINE = [
     "nation_pair_volume",
     "having_big_orders",
     "small_quantity_revenue",
+    "market_share_region",
+    "returned_items_customers",
+    "important_parts_share",
+    "repeated_ngram_fraction",
+    "sentence_chunks",
+    "pii_redaction_stats",
 ]
 
 
