@@ -3584,6 +3584,40 @@ FROM d GROUP BY 1
 """
 
 
+def q_quantile_binning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature discretization: per-event-type decile assignment
+    (ntile(10) over a TOTAL order — (value, event_id) tie-break makes
+    bucket membership deterministic across engines and runs), then
+    per-bucket edges and mass. The window sorts within the event_type
+    shuffle partitioning, one exchange total; decile edges are raw
+    column values (no arithmetic), so the hash is exact."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = ev.select(
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return binned.groupBy("event_type", "decile").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+SQL_QUANTILE_BINNING_EVENTS = """
+WITH b AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile, count(*) AS n_events,
+       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM b GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3690,6 +3724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction_stats": q_pii_redaction_stats,
     "repeated_ngram_fraction": q_repeated_ngram_fraction,
     "tokenizer_compression_ratio": q_tokenizer_compression_ratio,
+    "quantile_binning_events": q_quantile_binning_events,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -3805,4 +3840,5 @@ ORACLE: dict[str, str] = {
     "pii_redaction_stats": SQL_PII_REDACTION_STATS,
     "repeated_ngram_fraction": SQL_REPEATED_NGRAM_FRACTION,
     "tokenizer_compression_ratio": SQL_TOKENIZER_COMPRESSION_RATIO,
+    "quantile_binning_events": SQL_QUANTILE_BINNING_EVENTS,
 }

@@ -1,1 +1,7 @@
-from .io import load_table, load_tables, read_csv, write_parquet  # noqa: F401
+from .io import (  # noqa: F401
+    load_table,
+    load_tables,
+    read_csv,
+    read_parquet_evolved,
+    write_parquet,
+)

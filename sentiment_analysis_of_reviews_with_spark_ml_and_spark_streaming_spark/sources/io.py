@@ -124,6 +124,36 @@ def to_pandas_bounded(df: DataFrame, *, limit: int | None = 100_000):
     return bounded.toPandas()
 
 
+def read_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read a parquet directory whose batches were written under
+    EVOLVING schemas (columns added over time, integer types widened)
+    into one stable frame — the standard data-lake ingestion concern
+    at 100 TB, where a decade of writers never shared one schema.
+
+    With ``target_schema``, the requested schema is pushed into the
+    parquet reader itself (no post-hoc casts): files missing a column
+    yield typed nulls, extra columns never leave the scan (pruned at
+    the footer), and integer widening (file INT32 → requested BIGINT)
+    happens in the vectorized reader. This is the scalable path — the
+    scan stays columnar + pushdown-capable and no per-file driver work
+    happens.
+
+    Without ``target_schema``, falls back to ``mergeSchema=true``
+    footer-union discovery (distributed, but reads every footer and
+    REFUSES conflicting types — Spark raises CANNOT_MERGE_SCHEMAS on
+    e.g. INT vs BIGINT vintages). Use discovery to LEARN what's in a
+    lake; use the explicit target to INGEST it.
+    """
+    if target_schema is None:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    return spark.read.schema(target_schema).parquet(path)
+
+
 def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """Header actually written (the reference's ``option("head")`` typo
     silently produced headerless output, Yelp_Data_PreProcessing.py:158)."""
