@@ -585,3 +585,64 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select("node", "comp")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    token_bucket: int = 8,
+    prefix_len: int = 120,
+    max_dist: int = 15,
+) -> DataFrame:
+    """Near-dup pairs by prefix edit distance within length blocks.
+
+    Blocking: (lang, floor(n_tokens / token_bucket)) — all-pairs work
+    is confined to docs of the same language and similar length, the
+    standard record-linkage blocking that turns O(n²) into
+    O(Σ block²). Within a block, pairs are scored by JVM-native
+    ``levenshtein`` over the first ``prefix_len`` chars (bounded cost
+    per pair regardless of doc length) and kept at distance
+    ≤ ``max_dist``.
+
+    Blocking tradeoff (deliberate, documented): near-dups straddling a
+    bucket boundary are missed — at 100 TB this operator is the cheap
+    VERIFY stage over MinHash/SimHash candidates, not the candidate
+    generator; standalone it's a recall-bounded fast path. The
+    self-join shuffles on the block key (two scans of (id, lang,
+    bucket, prefix) — never full text), so skew is bounded by the
+    largest block; bucket width is the knob.
+    """
+    toks = tokenize_ws(text_col)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        F.floor(F.size(toks) / token_bucket).cast("long").alias("_bkt"),
+        F.substring(F.lower(F.trim(F.col(text_col))), 1, prefix_len).alias(
+            "_prefix"
+        ),
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        "_lang",
+        "_bkt",
+        F.col("_prefix").alias("_pa"),
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        "_lang",
+        "_bkt",
+        F.col("_prefix").alias("_pb"),
+    )
+    return (
+        a.join(b, on=["_lang", "_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_pa", "_pb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

@@ -34,6 +34,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC (cheap runtime conf; idempotent) so LTZ<->NTZ conversions and
     # collect() renderings match the tz-naive DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # external drivers may run from any cwd — Python-worker operators
+    # (mapInPandas/applyInPandas) need the package shipped to workers
+    from ..session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     return load_table(spark, sf_dir, name)
 
 
@@ -41,8 +46,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nanos-timestamp shim lives in sources.io.load_events; tz pinned
     here for oracle portability (see _t)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from ..session import ensure_worker_imports
     from ..sources.io import load_events
 
+    ensure_worker_imports(spark)
     return load_events(spark, sf_dir)
 
 
@@ -3618,6 +3625,60 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked prefix-edit-distance near-dup pairs
+    (dedup.edit_distance_pairs): all-pairs confined to (lang,
+    length-bucket) blocks, JVM-native levenshtein over 120-char
+    prefixes — the cheap verify-stage sibling of the Jaccard pair
+    scorer. Both engines implement levenshtein identically
+    (unit-cost Wagner-Fischer), so distances are hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(docs, max_dist=40).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_EDIT_DISTANCE = """
+WITH base AS (
+  SELECT doc_id AS id, lang,
+         CAST(floor(len(string_split_regex(trim(lower(text)), '\\s+')) / 8)
+              AS BIGINT) AS bkt,
+         substr(lower(trim(text)), 1, 120) AS prefix
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+FROM base a
+JOIN base b ON a.lang = b.lang AND a.bkt = b.bkt AND a.id < b.id
+WHERE levenshtein(a.prefix, b.prefix) <= 40
+ORDER BY 1, 2
+"""
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens via the Misra-Gries sketch path
+    (operators/sketch.py): bounded k=256 counters per partition,
+    ≤ k×partitions candidate rows shuffled (never one row per
+    distinct value), then exact recount of candidates only. The MG
+    retention guarantee (freq > N/257 survives any partitioning)
+    holds with ~9× margin for this corpus's top-10, so the sketch
+    output deterministically equals the oracle's exact SQL top-10 —
+    an approximate-algorithm query with an exact correctness gate."""
+    from ..operators import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize_ws("text")).alias("token"))
+    return sketch.heavy_hitters(toks, "token", k=256, top=10)
+
+
+SQL_HEAVY_HITTER_TOKENS = """
+SELECT token, cnt FROM (
+  SELECT t.token AS token, count(*) AS cnt
+  FROM documents d,
+       unnest(string_split_regex(trim(lower(d.text)), '\\s+')) AS t(token)
+  GROUP BY 1
+) ORDER BY cnt DESC, token LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3725,6 +3786,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_ngram_fraction": q_repeated_ngram_fraction,
     "tokenizer_compression_ratio": q_tokenizer_compression_ratio,
     "quantile_binning_events": q_quantile_binning_events,
+    "dedup_edit_distance": q_dedup_edit_distance,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -3841,4 +3904,6 @@ ORACLE: dict[str, str] = {
     "repeated_ngram_fraction": SQL_REPEATED_NGRAM_FRACTION,
     "tokenizer_compression_ratio": SQL_TOKENIZER_COMPRESSION_RATIO,
     "quantile_binning_events": SQL_QUANTILE_BINNING_EVENTS,
+    "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
+    "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
 }

@@ -21,6 +21,45 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's cwd/PYTHONPATH.
+
+    cloudpickle serializes module-level functions (mapInPandas /
+    applyInPandas batch fns) BY REFERENCE — workers must re-import the
+    module. An external driver that imports `__spark_entry__` via
+    sys.path manipulation from some other cwd gives its workers no way
+    to do that, so the engine self-registers: zip the package once per
+    SparkContext and ``addPyFile`` it (shipped via SparkFiles, prepended
+    to worker sys.path at task deserialization). Idempotent, ~ms cost,
+    pure-JVM queries never notice.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_spark_graft_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    arc = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, arc)
+    sc.addPyFile(zpath)
+    sc._spark_graft_pyfiles_added = True
+
+
 def get_spark(
     app_name: str = "sentiment_reviews_spark_engine",
     master: str | None = None,

@@ -1,0 +1,69 @@
+"""Misra-Gries sketch: retention guarantee, merge behavior, recount
+exactness — on seeded skewed data with hand-computable truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+    sketch,
+)
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.sketch import (
+    _mg_reduce,
+)
+
+
+def test_mg_reduce_decrement_semantics():
+    # k=2: third-largest count (2) is subtracted from all
+    got = _mg_reduce({"a": 10, "b": 5, "c": 2, "d": 1}, 2)
+    assert got == {"a": 8, "b": 3}
+    # already small enough: untouched
+    assert _mg_reduce({"a": 1}, 2) == {"a": 1}
+
+
+def _skewed(spark, n_parts=8):
+    # 'hot' appears 300×, 'warm' 100×, 100 singletons — N=500,
+    # with k=16 the bar is N/17 ≈ 29.4: hot and warm must survive
+    rows = (
+        [("hot",)] * 300 + [("warm",)] * 100 + [(f"cold{i}",) for i in range(100)]
+    )
+    return spark.createDataFrame(rows, "v string").repartition(n_parts)
+
+
+def test_heavy_hitters_retains_guaranteed_values(spark):
+    df = _skewed(spark)
+    top = sketch.heavy_hitters(df, "v", k=16, top=2).collect()
+    assert [(r["v"], r["cnt"]) for r in top] == [("hot", 300), ("warm", 100)]
+
+
+def test_heavy_hitters_counts_are_exact_not_lower_bounds(spark):
+    df = _skewed(spark)
+    got = {r["v"]: r["cnt"] for r in sketch.heavy_hitters(df, "v", k=16, top=2).collect()}
+    # recount stage: exact frequencies, not MG weights
+    assert got == {"hot": 300, "warm": 100}
+
+
+def test_candidate_set_is_bounded(spark):
+    df = _skewed(spark, n_parts=4)
+    cands = sketch.misra_gries_candidates(df, "v", k=16)
+    # ≤ k × partitions candidates ever reach the merge
+    assert cands.count() <= 16 * 4
+
+
+def test_guarantee_independent_of_partitioning(spark):
+    for parts in (1, 3, 13):
+        df = _skewed(spark, n_parts=parts)
+        top = sketch.heavy_hitters(df, "v", k=16, top=2).collect()
+        assert {r["v"] for r in top} == {"hot", "warm"}, f"parts={parts}"
+
+
+def test_uniform_data_degrades_gracefully(spark):
+    # no value clears N/(k+1): output is still a valid exact-counted
+    # top-k of SOME candidate subset (approximation contract)
+    rows = [(f"u{i % 50}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    top = sketch.heavy_hitters(df, "v", k=8, top=5).collect()
+    assert len(top) <= 5
+    # every reported count is a true exact count (4 each here)
+    for r in top:
+        assert r["cnt"] == 4
