@@ -67,6 +67,8 @@ HEADLINE = [
     "repeated_ngram_fraction",
     "sentence_chunks",
     "pii_redaction_stats",
+    "dedup_edit_distance",
+    "heavy_hitter_tokens",
 ]
 
 

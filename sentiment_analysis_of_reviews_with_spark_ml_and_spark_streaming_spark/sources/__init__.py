@@ -2,6 +2,7 @@ from .io import (  # noqa: F401
     load_table,
     load_tables,
     read_csv,
+    read_jsonl,
     read_parquet_evolved,
     write_parquet,
 )

@@ -80,6 +80,33 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    quarantine: bool = True,
+) -> DataFrame:
+    """JSON-lines scan with explicit schema + dirty-row quarantine —
+    the raw-crawl ingestion format (one JSON doc per line). Same
+    contract as ``read_csv``: PERMISSIVE mode routes unparseable lines
+    into ``_corrupt_record`` for ``split_quarantine`` instead of
+    failing the job or silently nulling. Explicit schema keeps the
+    scan single-pass (inferSchema would read everything twice) and
+    projection-prunable."""
+    full_schema = schema
+    if quarantine:
+        full_schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_rows, corrupt_rows) — corrupt rows kept for audit, never
     silently dropped."""

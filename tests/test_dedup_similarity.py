@@ -300,3 +300,42 @@ def test_salted_join_matches_plain_join(spark):
         relational.salted_join(fact, dim, "k").agg(F.sum("d").alias("s")).collect()[0]["s"]
     )
     assert plain == salted == 150
+
+
+def test_edit_distance_blocked_finds_planted_near_dup(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "en"),
+        (2, base.replace("lazy", "hazy"), "en"),  # 1 edit, same opening
+        (3, "completely different text with other words entirely here", "en"),
+        (4, base, "fr"),  # same text, different lang: blocked apart
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in dedup.edit_distance_pairs(df, max_dist=5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_edit_distance_verify_scores_given_pairs_only(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc def", "en"), (2, "abc deg", "en"), (3, "xyz", "en")],
+        "doc_id long, text string, lang string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in dedup.edit_distance_verify(df, cands, max_dist=10).collect()
+    }
+    # scored pair within distance kept; (2,3) never considered
+    assert got == {(1, 2): 1, (1, 3): 7}

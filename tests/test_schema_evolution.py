@@ -82,3 +82,32 @@ def test_evolved_read_survives_downstream_agg(spark, tmp_path):
         F.count("*").alias("n"), F.sum("score").alias("s")
     ).collect()[0]
     assert (out["n"], out["s"]) == (4, 16)
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines ingestion (same quarantine contract as CSV)
+
+
+def test_read_jsonl_quarantines_bad_lines(spark, tmp_path):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.io import (
+        read_jsonl,
+        split_quarantine,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "good line"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "text": "another"}\n'
+        '{"id": "NOT_A_NUMBER", "text": "type mismatch"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    clean, bad = split_quarantine(df)
+    assert {r["id"] for r in clean.collect()} == {1, 2}
+    assert bad.count() == 2  # junk line + type-mismatch line
+    # corrupt payloads preserved verbatim for audit
+    payloads = [r["_corrupt_record"] for r in bad.collect()]
+    assert any("not json" in p for p in payloads)
