@@ -113,3 +113,56 @@ def test_binarize_matches_reference_semantics(spark, stars):
     df = spark.createDataFrame([(str(stars),)], "stars string")
     out = df.select(clean.binarize_rating("stars").alias("l")).collect()[0]["l"]
     assert out == (1 if stars >= 4 else 0)
+
+
+def test_streaming_heavy_hitters_accumulates_across_batches(spark, tmp_path):
+    """A hot value keeps its MG counter across micro-batches; state
+    never exceeds k counters per shard."""
+    import json as _json
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    src = tmp_path / "hh"
+    src.mkdir()
+    batch0 = ["hot"] * 50 + [f"cold{i}" for i in range(30)]
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps({"event_type": v}) for v in batch0)
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = streaming_heavy_hitters(stream, k=8, num_shards=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    batch1 = ["hot"] * 50 + [f"warm{i}" for i in range(10)]
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps({"event_type": v}) for v in batch1)
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM hh_stream").collect()
+    # last emission per (shard, value) reflects accumulated state
+    latest: dict = {}
+    for r in rows:
+        latest[(r["shard"], r["value"])] = r["mg_weight"]
+    hot = [w for (s, v), w in latest.items() if v == "hot"]
+    assert hot, "hot value must survive in its shard's counters"
+    # 100 occurrences, ≤ 89 decrement loss (k=8 → N_shard/(k+1) bound);
+    # MG weight is a lower bound but must stay positive and ≤ true count
+    assert 0 < hot[0] <= 100
+    # cardinality cap: state never exceeds k counters per shard
+    from collections import Counter
+
+    last_per_shard = Counter(s for (s, v) in latest)
+    assert all(c <= 8 for c in last_per_shard.values())
