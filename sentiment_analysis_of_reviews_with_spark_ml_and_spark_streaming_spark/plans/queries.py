@@ -3684,6 +3684,40 @@ SELECT token, cnt FROM (
 """
 
 
+def q_pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over the directed
+    customer→supplier purchase graph (orders⋈lineitem edges). Rows-only
+    (iterative float fixed-point — no portable SQL oracle); correctness
+    is pinned by tests/test_graph.py's closed-form fixed-point checks.
+    Suppliers accumulate rank from their buyer base — a centrality
+    score for the 'most systemically bought-from' suppliers."""
+    from ..operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # supplier keys offset so the two id spaces never collide
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=5)
+    return (
+        ranks.filter(F.col("node") >= 10_000_000)
+        .select(
+            (F.col("node") - 10_000_000).alias("s_suppkey"),
+            F.round("rank", 8).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3812,6 +3846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_by_label": q_embedding_pca_by_label,
     "ml_tfidf_features": q_ml_tfidf_features,
     "ml_train_f1": q_ml_train_f1,
+    "pagerank_purchase_graph": q_pagerank_purchase_graph,
 }
 
 ORACLE: dict[str, str] = {
