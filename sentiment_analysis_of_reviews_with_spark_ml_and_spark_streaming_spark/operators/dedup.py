@@ -681,3 +681,38 @@ def edit_distance_verify(
         .select("id_a", "id_b", F.levenshtein("_pa", "_pb").alias("edit_dist"))
     )
     return scored.filter(F.col("edit_dist") <= max_dist)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    known_fingerprints: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an INCOMING batch against a persisted fingerprint store —
+    the production shape: the corpus is never re-deduped end-to-end;
+    each ingest batch checks (1) itself, then (2) the store.
+
+    Returns (fresh_docs_with_fingerprint, updated_store_delta):
+    ``fresh`` = batch-internal exact dedup (min-id per fingerprint)
+    anti-joined against the store; ``delta`` = just the new
+    fingerprints to append to the store. Both joins are on the 32-char
+    md5 only — document payloads never shuffle against the store, so
+    the store side scales as (fingerprint, id) pairs (bucketable by
+    fingerprint to make the anti join exchange-free on the store
+    side)."""
+    fp = F.md5(F.trim(F.lower(F.col(text_col))))
+    batch = new_docs.withColumn(fp_col, fp)
+    w = Window.partitionBy(fp_col).orderBy(id_col)
+    batch_unique = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    fresh = batch_unique.join(
+        known_fingerprints.select(fp_col), on=fp_col, how="left_anti"
+    )
+    delta = fresh.select(fp_col, F.col(id_col).alias("first_seen_id"))
+    return fresh, delta

@@ -144,3 +144,20 @@ def upsert_into_partitioned(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_sorted(
+    df: DataFrame, path: str, col: str, *, n_files: int = 16, mode: str = "overwrite"
+) -> None:
+    """1-D clustered write: range-partition by ``col`` then sort within
+    partitions — every output file covers a disjoint key range, so
+    row-group min/max stats prune point/range predicates on ``col`` to
+    a single file (the 1-D sibling of ``write_zordered``; use that for
+    two-column filter workloads). repartitionByRange samples the key
+    distribution, so skewed keys still yield balanced files."""
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )

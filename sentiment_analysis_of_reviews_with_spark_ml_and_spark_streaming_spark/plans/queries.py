@@ -3718,6 +3718,53 @@ def q_pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile (operators/profile.py) of the orders
+    fact: null counts, exact distincts, typed min/max — one scan, one
+    reduce, one unpivot. Numeric bounds stay doubles and string bounds
+    stay strings, so no float→text formatting ever enters the hash.
+    Timestamp column deliberately excluded (text renderings differ
+    across engines; its bounds belong to hypertable_rollup's domain)."""
+    from ..operators.profile import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    return profile_columns(orders, cols)
+
+
+SQL_PROFILE_ORDERS = """
+SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS DOUBLE) AS num_min,
+       CAST(max(o_orderkey) AS DOUBLE) AS num_max,
+       CAST(NULL AS VARCHAR) AS str_min, CAST(NULL AS VARCHAR) AS str_max
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+       NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus), NULL, NULL,
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       min(o_totalprice), max(o_totalprice), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority), NULL, NULL,
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3827,6 +3874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_binning_events": q_quantile_binning_events,
     "dedup_edit_distance": q_dedup_edit_distance,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "profile_orders": q_profile_orders,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -3946,4 +3994,5 @@ ORACLE: dict[str, str] = {
     "quantile_binning_events": SQL_QUANTILE_BINNING_EVENTS,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
+    "profile_orders": SQL_PROFILE_ORDERS,
 }
