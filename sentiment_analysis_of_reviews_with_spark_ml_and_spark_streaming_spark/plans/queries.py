@@ -3765,6 +3765,79 @@ FROM orders
 """
 
 
+def q_resample_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap semantics: per event_type, a dense
+    hourly spine (sequence over that type's [min, max] hour), hours
+    with no events get n_events = 0, and the hourly mean value is
+    forward-filled from the last observed hour (last-observation-
+    carried-forward). The spine explodes from ONE row per type (hours
+    are bounded by the time range, not the data volume); the ffill is
+    a per-type ordered window — one shuffle total. Means route through
+    decimal sums so the fill values are bit-portable."""
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = (
+        ev.groupBy(F.col("event_type"), hour.alias("hour_start"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("_avg"),
+        )
+    )
+    spans = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("_lo"),
+        F.date_trunc("hour", F.max("ts")).alias("_hi"),
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    joined = spine.join(hourly, ["event_type", "hour_start"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
+        F.last("_avg", ignorenulls=True).over(w).alias("avg_value_ffill"),
+    )
+
+
+SQL_RESAMPLE_FILL_EVENTS = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+           AS avg_v
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+  FROM spans
+)
+SELECT s.event_type, CAST(s.hour_start AS TIMESTAMP) AS hour_start,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+       last_value(h.avg_v IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value_ffill
+FROM spine s LEFT JOIN hourly h
+  ON s.event_type = h.event_type AND s.hour_start = h.hour_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3875,6 +3948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_edit_distance": q_dedup_edit_distance,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "profile_orders": q_profile_orders,
+    "resample_fill_events": q_resample_fill_events,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -3995,4 +4069,5 @@ ORACLE: dict[str, str] = {
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
     "profile_orders": SQL_PROFILE_ORDERS,
+    "resample_fill_events": SQL_RESAMPLE_FILL_EVENTS,
 }

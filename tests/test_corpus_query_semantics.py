@@ -248,3 +248,29 @@ def test_market_share_sums_to_one_denominator(spark):
     for r in Q.q_market_share_region(spark, SF_DIR_CORRECTNESS).collect():
         assert 0.0 <= r["mkt_share"] <= 1.0
         assert r["nation5_revenue"] <= r["total_revenue"] + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# resample_fill_events
+
+
+def test_resample_spine_is_dense_and_ffilled(spark):
+    rows = Q.q_resample_fill_events(spark, SF_DIR_CORRECTNESS).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour_start"])
+        # dense hourly spine: consecutive rows are exactly 1h apart
+        for a, b in zip(rs, rs[1:]):
+            assert (b["hour_start"] - a["hour_start"]).total_seconds() == 3600
+        # first spine hour has data by construction (min-hour)
+        assert rs[0]["n_events"] > 0
+        assert rs[0]["avg_value_ffill"] is not None
+        # gap rows are zero-count but still carry a forward-filled value
+        gaps = [r for r in rs if r["n_events"] == 0]
+        for g in gaps:
+            assert g["avg_value_ffill"] is not None
