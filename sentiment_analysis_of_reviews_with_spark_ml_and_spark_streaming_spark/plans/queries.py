@@ -3838,6 +3838,72 @@ FROM spine s LEFT JOIN hourly h
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: first view → first click AFTER that view →
+    first purchase AFTER that click, per user. Each step is a
+    user-keyed aggregate of the filtered fact (|users| rows), chained
+    by user_id joins — every join reuses the same user_id hash
+    partitioning, so the funnel costs one fact scan per step + small
+    co-partitioned joins (AQE merges the exchanges). Output is one row
+    of integer stage counts + a rounded conversion rate."""
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # one declarative plan — no driver-side counts: left-chain the
+    # stage tables (all user_id-partitioned) and count non-nulls
+    chained = views.join(clicks, "user_id", "left").join(buys, "user_id", "left")
+    return chained.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after"),
+        F.count("t3").alias("n_purchased_after"),
+    ).select(
+        "n_viewed",
+        "n_clicked_after",
+        "n_purchased_after",
+        F.round(F.col("n_purchased_after") / F.col("n_viewed"), 6).alias(
+            "view_to_purchase_rate"
+        ),
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t1
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after,
+       (SELECT count(*) FROM p) AS n_purchased_after,
+       round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM v), 6)
+         AS view_to_purchase_rate
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3949,6 +4015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "profile_orders": q_profile_orders,
     "resample_fill_events": q_resample_fill_events,
+    "funnel_conversion": q_funnel_conversion,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -4070,4 +4137,5 @@ ORACLE: dict[str, str] = {
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
     "profile_orders": SQL_PROFILE_ORDERS,
     "resample_fill_events": SQL_RESAMPLE_FILL_EVENTS,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
 }
