@@ -1,1 +1,12 @@
-from . import clean, dedup, multimodal, relational, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    clean,
+    dedup,
+    graph,
+    layout,
+    multimodal,
+    profile,
+    relational,
+    similarity,
+    sketch,
+    textstats,
+)
