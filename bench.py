@@ -190,27 +190,37 @@ def main() -> None:
         "l_orderkey"
     ).limit(1).collect()
 
+    # Per-query fault isolation: one broken query must cost ONE number,
+    # not the whole artifact (round 2 lost all 28 measurements to a
+    # single AnalysisException). Failures land in "errors"; the JSON
+    # line is emitted no matter what.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
+        try:
+            rows = fn(spark, sf_dir).collect()
+            assert rows is not None
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - record and keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(timings.values()), 3)
-    streaming = streaming_bench(spark)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "streaming": streaming,
-                "sf": sf,
-            }
-        )
-    )
+    try:
+        streaming = streaming_bench(spark)
+    except Exception as exc:  # noqa: BLE001
+        streaming = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "streaming": streaming,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
 
 

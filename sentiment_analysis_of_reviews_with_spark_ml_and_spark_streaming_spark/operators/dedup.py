@@ -532,17 +532,29 @@ def connected_components(
     the canonical keep-doc per cluster is the label itself.
 
     Algorithm: iterative min-label propagation (the GraphX/GraphFrames
-    CC recipe) — labels start as each node's own id; each round every
-    node takes the min label over itself and its neighbors; stop when
-    no label changed. Rounds needed = graph diameter, which for dup
-    clusters (dense blobs of copies of one document) is tiny — 2-3 in
-    practice. Per round: one shuffle on node id (join + groupBy share
-    the same hash partitioning, so AQE coalesces them), carrying only
-    (long, long) rows — at 100 TB the traffic is edge-count × 16 bytes,
-    independent of document payload size. ``localCheckpoint`` truncates
-    the growing lineage each round so plans stay O(1). The monotone
-    label-sum doubles as a cheap convergence metric (labels only ever
-    decrease), so each round costs exactly one extra action.
+    CC recipe) with POINTER DOUBLING — labels start as each node's own
+    id; each round every node takes (1) the min label over itself and
+    its neighbors, then (2) its label's label (path compression, the
+    Shiloach-Vishkin shortcut). Step 2 makes label chains halve each
+    round, so convergence is O(log diameter), not O(diameter): a
+    10⁶-node path converges in ~20 rounds instead of 10⁶. Dup clusters
+    (dense blobs of copies) converge in 2-3 rounds either way; the
+    bound is what protects a pathological 100 TB pair graph — combined
+    with ``max_iter`` (default 20 ⇒ handles diameters up to ~2²⁰) the
+    loop cannot spin unbounded (tests/test_cluster_range_ops.py
+    exercises a 64-node path under the default bound).
+
+    Per round: two shuffles on node id (neighbor-min, then the
+    compression self-join; join + groupBy share the same hash
+    partitioning, so AQE coalesces them), carrying only (long, long)
+    rows — at 100 TB the traffic is edge-count × 16 bytes, independent
+    of document payload size. ``localCheckpoint`` truncates the growing
+    lineage each round so plans stay O(1). The monotone label-sum
+    doubles as a cheap convergence metric (labels only ever decrease),
+    so each round costs exactly one extra action. If ``max_iter`` is
+    exhausted before the fixpoint, the partial labels are returned
+    (still a valid refinement — every label is a reachable node id) and
+    a warning is logged.
 
     Returns (node, component) for every node that appears in an edge;
     isolated docs are absent (callers coalesce to their own id).
@@ -564,6 +576,7 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
 
+    converged = False
     for _ in range(max_iter):
         # neighbor-min pass: label(node) <- min(label(node), label(neighbor))
         neigh = (
@@ -571,19 +584,38 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("ncomp"))
         )
+        propagated = labels.join(neigh, labels.node == neigh.u, "left").select(
+            "node",
+            F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"),
+        )
+        # pointer-doubling pass: label(node) <- label(label(node)).
+        # Every label is itself a node id, so a self-join resolves one
+        # more hop; doing this each round halves chain lengths.
+        ptr = propagated.select(
+            F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
+        )
         new_labels = (
-            labels.join(neigh, labels.node == neigh.u, "left")
+            propagated.join(ptr, propagated.comp == ptr.pnode, "left")
             .select(
                 "node",
-                F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"),
+                F.least("comp", F.coalesce("pcomp", "comp")).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iter} rounds; "
+            "returning partial labels (graph diameter > 2^max_iter?)",
+            stacklevel=2,
+        )
     return labels.select("node", "comp")
 
 

@@ -3686,11 +3686,15 @@ SELECT token, cnt FROM (
 
 def q_pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (operators/graph.py) over the directed
-    customer→supplier purchase graph (orders⋈lineitem edges). Rows-only
-    (iterative float fixed-point — no portable SQL oracle); correctness
-    is pinned by tests/test_graph.py's closed-form fixed-point checks.
-    Suppliers accumulate rank from their buyer base — a centrality
-    score for the 'most systemically bought-from' suppliers."""
+    customer→supplier purchase graph (orders⋈lineitem edges).
+    Oracle-backed since round 3: a fixed iteration count is just an
+    unrolled chain of per-step CTEs, so the DuckDB twin replays the
+    exact power iteration; round(8) absorbs summation-order float
+    noise (both engines sum doubles; relative error ~1e-15/iter, rank
+    magnitudes ~1e-3). tests/test_graph.py pins closed-form fixpoints
+    independently. Suppliers accumulate rank from their buyer base — a
+    centrality score for the 'most systemically bought-from'
+    suppliers."""
     from ..operators.graph import pagerank
 
     orders = _t(spark, sf_dir, "orders")
@@ -3716,6 +3720,45 @@ def q_pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "s_suppkey")
         .limit(20)
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unroll the fixed-iteration power method as chained CTEs —
+    byte-for-byte the same recurrence as operators/graph.py:pagerank
+    (rank = (1-d)/N + d·Σ rank(src)/deg(src), d=0.85, dangling mass
+    leaks)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""r{i} AS (
+  SELECT nodes.node,
+         0.15 / p.n + 0.85 * coalesce(c.contrib, 0.0) AS r
+  FROM nodes CROSS JOIN p
+  LEFT JOIN (
+    SELECT e.dst, sum(r{i-1}.r / deg.deg) AS contrib
+    FROM e JOIN r{i-1} ON e.src = r{i-1}.node
+           JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) c ON c.dst = nodes.node
+)""")
+    return f"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / p.n AS r FROM nodes CROSS JOIN p),
+{",".join(steps)}
+SELECT node - 10000000 AS s_suppkey, round(r, 8) AS "rank"
+FROM r{iterations}
+WHERE node >= 10000000
+ORDER BY "rank" DESC, s_suppkey
+LIMIT 20
+"""
+
+
+SQL_PAGERANK_PURCHASE_GRAPH = _pagerank_oracle_sql(5)
 
 
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3908,81 +3951,29 @@ SELECT (SELECT count(*) FROM v) AS n_viewed,
 # registry
 
 
-# Registry order is a CONTRACT with the driver: it grades a prefix (50 keys
-# in round 1).  Order = priority tiers, every oracle-backed query before any
-# rows-only one, so the graded prefix is maximally oracle-backed:
-#   A. flagship LLM-pipeline operators (dedup / similarity / multimodal)
-#   B. text-analysis operators
-#   C. relational core
-#   D. oracle-backed but §2-row-redundant (another graded query covers the
-#      same inventory row — safe to fall past a grading window)
-#   E. rows-only (ML / sketches / PCA — no portable SQL oracle)
+# Registry order is a CONTRACT with the driver: it grades a 50-key prefix.
+# Rotation policy (docs/QUERIES.md): queries that earned green driver rows in
+# BOTH r01 and r02 are proven and rotate past the window; never-graded
+# oracle-backed queries rotate in so every operator eventually earns a driver
+# correctness row.  Round-3 window:
+#   W1. the 7 events-tier queries red in r02 (the load_events vintage
+#       regression) — kept in-window to prove the fix;
+#   W2. 33 oracle-backed queries never yet graded by the driver (TPC-H
+#       subquery shapes, Gopher rules, funnel/resample, profiler, heavy
+#       hitters, edit-distance dedup, ...);
+#   W3. 10 single-green flagship LLM-pipeline queries (first graded r02).
+# Then all remaining oracle-backed queries (each with >=1 green driver row),
+# then rows-only tier (no portable SQL oracle) last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- tier A: flagship LLM-pipeline (all oracle-backed) ---
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_pipeline_verified": q_dedup_pipeline_verified,
-    "duplicate_spans": q_duplicate_spans,
-    "maximal_duplicate_spans": q_maximal_duplicate_spans,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "similarity_cosine_topk": q_similarity_cosine_topk,
-    "multimodal_meta": q_multimodal_meta,
-    "multimodal_byte_features": q_multimodal_byte_features,
-    "dedup_cluster_canonical": q_dedup_cluster_canonical,
-    "contamination_check": q_contamination_check,
-    "pack_sequences": q_pack_sequences,
-    "deterministic_split": q_deterministic_split,
-    "chunk_documents": q_chunk_documents,
-    # --- tier B: text analysis (all oracle-backed) ---
-    "clean_normalize_docs": q_clean_normalize_docs,
-    "token_frequencies": q_token_frequencies,
-    "doc_token_counts": q_doc_token_counts,
-    "top_words_no_stopwords": q_top_words_no_stopwords,
-    "sentiment_docs": q_sentiment_docs,
-    "sentiment_vader_full": q_sentiment_vader_full,
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
-    "doc_fingerprint": q_doc_fingerprint,
-    "rolling_fingerprint": q_rolling_fingerprint,
-    "embedding_stats_by_label": q_embedding_stats_by_label,
-    "repetition_ratio": q_repetition_ratio,
-    "corpus_stats_by_source": q_corpus_stats_by_source,
-    "tfidf_native_top_terms": q_tfidf_native_top_terms,
-    # --- tier C: relational core (all oracle-backed) ---
-    "topk_part_type_tokens": q_topk_part_type_tokens,
-    "pricing_summary": q_pricing_summary,
-    "join_left_impute_flag": q_join_left_impute_flag,
-    "join_multi_hop": q_join_multi_hop,
-    "shipping_priority": q_shipping_priority,
-    "local_supplier_volume": q_local_supplier_volume,
-    "predicate_range": q_predicate_range,
-    "dropna_after_left_join": q_dropna_after_left_join,
-    "histogram_totalprice": q_histogram_totalprice,
-    "sort_limit_top_orders": q_sort_limit_top_orders,
-    "topk_per_group": q_topk_per_group,
-    "except_customers_without_orders": q_except_customers_without_orders,
+    # --- W1: events tier, red in r02 via the shared loader regression ---
     "pivot_event_type": q_pivot_event_type,
-    "rollup_returnflag": q_rollup_returnflag,
-    "quantiles_price_by_priority": q_quantiles_price_by_priority,
-    "approx_distinct_parts": q_approx_distinct_parts,
     "moving_avg_user_value": q_moving_avg_user_value,
     "json_extract_props": q_json_extract_props,
     "asof_last_purchase": q_asof_last_purchase,
     "range_join_click_context": q_range_join_click_context,
     "window_hourly_events": q_window_hourly_events,
     "sessionize_events": q_sessionize_events,
-    # --- tier D: oracle-backed but safe to fall past a 50-wide grading
-    # window — either §2-row redundant (covered by an in-prefix sibling:
-    # anti≈except, NOT-IN≈IN, isin≈not-in, distinct≈union-distinct,
-    # global-count/binarize≈corpus-stats/impute-flag) or beyond-§2
-    # relational uplift (TPC-H subquery shapes, hypertable rollup) whose
-    # oracles run in the local harness every round ---
-    "stemmed_token_frequencies": q_stemmed_token_frequencies,
-    "ngram_top_bigrams": q_ngram_top_bigrams,
-    "filter_isin_priority": q_filter_isin_priority,
-    "distinct_segments": q_distinct_segments,
-    "global_counts": q_global_counts,
-    "binarize_label": q_binarize_label,
+    # --- W2: oracle-backed, never driver-graded before round 3 ---
     "hypertable_rollup": q_hypertable_rollup,
     "exists_late_shipping": q_exists_late_shipping,
     "nation_pair_volume": q_nation_pair_volume,
@@ -4016,6 +4007,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_orders": q_profile_orders,
     "resample_fill_events": q_resample_fill_events,
     "funnel_conversion": q_funnel_conversion,
+    # --- W3: flagship LLM-pipeline, single green row (r02) ---
+    "dedup_exact": q_dedup_exact,
+    "dedup_pipeline_verified": q_dedup_pipeline_verified,
+    "maximal_duplicate_spans": q_maximal_duplicate_spans,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "similarity_cosine_topk": q_similarity_cosine_topk,
+    "multimodal_byte_features": q_multimodal_byte_features,
+    "dedup_cluster_canonical": q_dedup_cluster_canonical,
+    "contamination_check": q_contamination_check,
+    "pack_sequences": q_pack_sequences,
+    "sentiment_vader_full": q_sentiment_vader_full,
+    # --- proven oracle-backed (>=1 green driver row; local oracle twins
+    # still run every round via tests/test_queries_oracle.py) ---
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "duplicate_spans": q_duplicate_spans,
+    "multimodal_meta": q_multimodal_meta,
+    "deterministic_split": q_deterministic_split,
+    "chunk_documents": q_chunk_documents,
+    "clean_normalize_docs": q_clean_normalize_docs,
+    "token_frequencies": q_token_frequencies,
+    "doc_token_counts": q_doc_token_counts,
+    "top_words_no_stopwords": q_top_words_no_stopwords,
+    "sentiment_docs": q_sentiment_docs,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "doc_fingerprint": q_doc_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "embedding_stats_by_label": q_embedding_stats_by_label,
+    "repetition_ratio": q_repetition_ratio,
+    "corpus_stats_by_source": q_corpus_stats_by_source,
+    "tfidf_native_top_terms": q_tfidf_native_top_terms,
+    "topk_part_type_tokens": q_topk_part_type_tokens,
+    "pricing_summary": q_pricing_summary,
+    "join_left_impute_flag": q_join_left_impute_flag,
+    "join_multi_hop": q_join_multi_hop,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "predicate_range": q_predicate_range,
+    "dropna_after_left_join": q_dropna_after_left_join,
+    "histogram_totalprice": q_histogram_totalprice,
+    "sort_limit_top_orders": q_sort_limit_top_orders,
+    "topk_per_group": q_topk_per_group,
+    "except_customers_without_orders": q_except_customers_without_orders,
+    "rollup_returnflag": q_rollup_returnflag,
+    "quantiles_price_by_priority": q_quantiles_price_by_priority,
+    "approx_distinct_parts": q_approx_distinct_parts,
+    "stemmed_token_frequencies": q_stemmed_token_frequencies,
+    "ngram_top_bigrams": q_ngram_top_bigrams,
+    "filter_isin_priority": q_filter_isin_priority,
+    "distinct_segments": q_distinct_segments,
+    "global_counts": q_global_counts,
+    "binarize_label": q_binarize_label,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
     "semi_join_active_customers": q_semi_join_active_customers,
     "orders_by_month": q_orders_by_month,
@@ -4026,7 +4069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_status_priority": q_cube_status_priority,
     "window_sliding_events": q_window_sliding_events,
     "zscore_value_by_type": q_zscore_value_by_type,
-    # --- tier E: rows-only (no portable SQL oracle) ---
+    # --- rows-only (no portable SQL oracle) ---
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
     "dedup_simhash": q_dedup_simhash,
@@ -4098,6 +4141,7 @@ ORACLE: dict[str, str] = {
     "maximal_duplicate_spans": SQL_MAXIMAL_DUPLICATE_SPANS,
     "similarity_cosine_topk": SQL_SIMILARITY_COSINE_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "pagerank_purchase_graph": SQL_PAGERANK_PURCHASE_GRAPH,
     "multimodal_byte_features": SQL_MULTIMODAL_BYTE_FEATURES,
     "dedup_cluster_canonical": SQL_DEDUP_CLUSTER_CANONICAL,
     "contamination_check": SQL_CONTAMINATION_CHECK,

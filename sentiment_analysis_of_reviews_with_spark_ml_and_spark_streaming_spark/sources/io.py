@@ -37,16 +37,35 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet ships TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright; read nanos as long (legacy conf, runtime-
-    settable) and rebuild a microsecond TIMESTAMP_NTZ. Integer `div` —
-    float division would lose precision above 2^53 ns. A production
-    ingest layer would standardize on micros at write time."""
+    """Load events.parquet, normalizing ``ts`` to TIMESTAMP_NTZ across
+    testdata vintages.
+
+    Two vintages exist in the wild:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright;
+      with ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a
+      LongType of epoch-nanos, which we rebuild into a microsecond
+      timestamp. Integer ``div`` — float division would lose precision
+      above 2^53 ns.
+    - timestamp[us] (current testdata): reads natively as a timestamp;
+      a plain cast to NTZ suffices, and — unlike the long rebuild —
+      keeps the column eligible for parquet min/max pruning when a ts
+      predicate is pushed down.
+
+    Dispatch on the *actual* column type so a testdata regeneration in
+    either direction can't silently break every events consumer (the
+    round-2 regression; see tests/test_events_vintage.py).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts_col = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        ts_col = F.col("ts").cast("timestamp_ntz")
+    else:  # pragma: no cover - future vintage; fail loudly, not mid-query
+        raise TypeError(f"events.ts has unsupported parquet type {ts_type}")
+    return ev.withColumn("ts", ts_col)
 
 
 def read_csv(

@@ -34,6 +34,33 @@ def test_cc_chain_diameter(spark):
     assert got == {i: 0 for i in range(7)}
 
 
+def test_cc_long_chain_converges_under_default_bound(spark):
+    """64-node path, diameter 63: plain min-propagation would need 63
+    rounds (> the default max_iter=20); pointer doubling must converge
+    in O(log 63) ~ 6-7 rounds, well inside the bound."""
+    got = _cc(spark, [(i, i + 1) for i in range(63)])
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cc_exhausted_iterations_warns_and_returns(spark):
+    """A bound of 1 round on a 16-node path cannot reach the fixpoint:
+    the call must still return a full labelling (bounded, no spin) and
+    warn — a pathological 100 TB pair graph degrades, not hangs."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = {r["node"]: r["comp"] for r in
+               dedup.connected_components(df, max_iter=1).collect()}
+    assert len(out) == 16
+    # labels are a valid refinement even when unconverged
+    assert all(comp <= node for node, comp in out.items())
+    assert any("no fixpoint" in str(w.message) for w in caught)
+
+
 def test_cc_self_loop_and_duplicate_edges(spark):
     got = _cc(spark, [(5, 5), (7, 8), (8, 7), (7, 8)])
     assert got == {5: 5, 7: 7, 8: 7}

@@ -54,6 +54,22 @@ def test_plan_hygiene(spark, name):
         }, f"{name}: unexpected nested-loop join"
 
 
+def test_events_ts_predicate_pushes_to_scan(spark):
+    """With ``ts`` arriving as a native timestamp (post round-2 vintage
+    fix in ``load_events``), ts predicates must reach the parquet scan.
+    The old long→timestamp rebuild wrapped ``ts`` in an expression, which
+    blocked pushdown and min/max row-group pruning entirely. Range
+    conditions that live in the join predicate can't push (expected);
+    the derived IsNotNull guard can, and its presence proves the scan
+    sees the raw column."""
+    df = QUERIES["range_join_click_context"](spark, SF_DIR_CORRECTNESS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "IsNotNull(ts)" in plan, (
+        "ts predicate no longer reaches the parquet scan - did load_events "
+        "reintroduce a pre-scan ts rewrite?"
+    )
+
+
 def test_tfidf_does_not_broadcast_vocabulary(spark):
     """The tf ⋈ doc-frequency join must NOT carry a broadcast hint: the
     vocabulary (term, df) grows with the corpus, and at web scale it is
