@@ -28,12 +28,9 @@ def test_rows_only_set_is_intentional():
         "dedup_simhash",
         "similarity_ann_lsh",
         "similarity_ivf",
-        "ml_tfidf_features",
-        "ml_train_f1",
         "embedding_pca_by_label",
-        # iterative float fixed-point; pinned by closed-form tests in
-        # tests/test_graph.py instead of a SQL oracle
-        "pagerank_purchase_graph",
+        # round 3 promoted ml_tfidf_features / ml_train_f1 /
+        # pagerank_purchase_graph out of this set (real oracles now)
     }
     assert rows_only == allowed, rows_only ^ allowed
 
