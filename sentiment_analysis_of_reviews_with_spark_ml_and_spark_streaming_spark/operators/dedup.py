@@ -748,3 +748,89 @@ def incremental_dedup(
     )
     delta = fresh.select(fp_col, F.col(id_col).alias("first_seen_id"))
     return fresh, delta
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_round: int = 6,
+    sim_round: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster by
+    nearest seed centroid, then drop near-duplicates WITHIN clusters
+    only → (id, cluster, keep).
+
+    The clustering is what makes semantic dedup scale: pairwise cosine
+    comparisons happen only inside a cluster, so the pair count is
+    bounded by Σ|cluster|² instead of n² — with k ≈ √n clusters the
+    total work is ~n^1.5 versus the brute-force oracle's n² (the same
+    role LSH bands play for MinHash). Plan shape: the k seed vectors
+    broadcast against the corpus (one narrow k×n pass, argmax per
+    row = one row_number window on the id), then ONE shuffle on the
+    cluster key for the intra-cluster self-join; document payloads
+    never shuffle — only (id, vector) pairs.
+
+    Determinism/portability: seeds are the ``n_clusters`` smallest ids
+    (not sampled), assignment cosines round to ``assign_round`` before
+    the argmax (ties then break on seed id identically in any engine),
+    and the drop rule — a LOWER-id same-cluster neighbor with cosine ≥
+    ``threshold`` on a ``sim_round``-rounded value — is exactly the
+    DuckDB oracle's. At production scale swap the seed rule for
+    trained centroids (ml.KMeans fits on a sample; the plan below is
+    unchanged — centroids are still a broadcast-sized table).
+    """
+    from .similarity import cosine
+
+    seeds = (
+        emb.orderBy(F.col(id_col))
+        .limit(n_clusters)
+        .select(
+            F.col(id_col).alias("_seed_id"), F.col(vec_col).alias("_seed_vec")
+        )
+    )
+    assign = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(seeds)
+    ).select(
+        F.col(id_col),
+        F.col("_seed_id"),
+        F.round(cosine(F.col(vec_col), F.col("_seed_vec")), assign_round).alias(
+            "_cos"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col("_seed_id")
+    )
+    best = (
+        assign.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_seed_id").alias("cluster"))
+    )
+    vb = emb.select(F.col(id_col), F.col(vec_col)).join(best, id_col)
+    a = vb.select(
+        F.col("cluster").alias("_ca"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = vb.select(
+        F.col("cluster").alias("_cb"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    drops = (
+        a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), sim_round) >= threshold)
+        .select(F.col("_idb").alias("_drop_id"))
+        .distinct()
+    )
+    return (
+        vb.join(drops, vb[id_col] == drops["_drop_id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.col("_drop_id").isNull().alias("keep"),
+        )
+    )

@@ -40,6 +40,65 @@ def token_count_bpe_ish(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)).cast("int")
 
 
+def c4_line_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning decisions (Raffel et al. 2020 §2.2)
+    as pure Column expressions → one row per doc.
+
+    Per line (split on ``\\n``): keep iff it ends in a terminal
+    punctuation mark (``. ! ? "``) AND has ≥ ``min_words_per_line``
+    whitespace words. Per doc: ``keep_doc`` iff ≥ ``min_kept_lines``
+    kept lines, no ``lorem ipsum``, and no ``{`` (the C4 code-page
+    heuristic).
+
+    Scale shape: everything is higher-order array functions over the
+    text column — a single narrow projection, zero shuffles, zero
+    Python; runs at scan speed over 100 TB and composes with any
+    downstream filter. Returns (id, n_lines, n_kept_lines,
+    kept_char_frac, has_lorem_ipsum, has_curly_brace, keep_doc).
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    wc = lambda ln: F.when(F.trim(ln) == "", 0).otherwise(  # noqa: E731
+        F.size(F.split(F.trim(ln), "\\s+"))
+    )
+    is_kept = lambda ln: F.rtrim(ln).rlike('[.!?"]$') & (  # noqa: E731
+        wc(ln) >= min_words_per_line
+    )
+    kept = F.filter(lines, is_kept)
+    total_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, ln: acc + F.length(ln)
+    )
+    kept_chars = F.aggregate(
+        kept, F.lit(0), lambda acc, ln: acc + F.length(ln)
+    )
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.round(
+            F.when(total_chars == 0, 0.0).otherwise(
+                kept_chars.cast("double") / total_chars
+            ),
+            4,
+        ).alias("kept_char_frac"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        (
+            (n_kept >= min_kept_lines) & ~has_lorem & ~has_brace
+        ).alias("keep_doc"),
+    )
+
+
 def _spaced_norm(text: Column) -> Column:
     """' ' + whitespace-squeezed lowercase text + ' ' — every token is
     then exactly ' token '-delimited for zero-width regex matching."""

@@ -4009,6 +4009,254 @@ SELECT (SELECT count(*) FROM v) AS n_viewed,
 
 
 # ---------------------------------------------------------------------------
+# round-3 uplift: C4 line filters, SemDeDup, bigram LM, mixture planning
+
+
+def q_c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/textstats.c4_line_stats):
+    per doc, line keep-counts under the Raffel et al. 2020 rules
+    (terminal punctuation + ≥5 words per line, ≥3 kept lines,
+    lorem-ipsum / curly-brace page rejects). The synthetic corpus is
+    single-line unpunctuated text, so decisions here are degenerate by
+    construction (every rule still computes and hashes); the rule
+    mechanics are exercised on newline-rich fixtures in
+    tests/test_c4_and_mixture.py. Pure HOF projection — no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.c4_line_stats(docs)
+
+
+SQL_C4_LINE_FILTER_STATS = """
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace
+  FROM documents
+), k AS (
+  SELECT doc_id, lines, has_lorem, has_brace,
+         list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$') AND
+           (CASE WHEN trim(x) = '' THEN 0
+                 ELSE len(string_split_regex(trim(x), '\\s+')) END) >= 5
+         ) AS kept
+  FROM l
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       round(CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) = 0
+                  THEN 0.0
+                  ELSE coalesce(list_sum(list_transform(kept, x -> length(x))), 0) * 1.0
+                       / list_sum(list_transform(lines, x -> length(x)))
+             END, 4) AS kept_char_frac,
+       has_lorem AS has_lorem_ipsum,
+       has_brace AS has_curly_brace,
+       (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep_doc
+FROM k
+"""
+
+
+def q_semdedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.semdedup): assign
+    each embedding to its nearest of 8 deterministic seed centroids,
+    then drop vectors with a lower-id same-cluster neighbor at cosine
+    ≥ 0.4. Pairwise work is bounded by cluster sizes — the scale story
+    vs the brute-force `dedup_embedding_cosine` oracle twin (which
+    found the global pair set this keep-set must be consistent with
+    inside clusters)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semdedup(emb, n_clusters=8, threshold=0.4)
+
+
+SQL_SEMDEDUP_KEEP_SET = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, e AS se FROM v ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT v.vec_id, seeds.seed_id,
+         round(list_dot_product(v.e, seeds.se)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(seeds.se, seeds.se))), 6) AS c
+  FROM v CROSS JOIN seeds
+),
+best AS (
+  SELECT vec_id, seed_id AS cluster FROM (
+    SELECT vec_id, seed_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, seed_id) AS rn
+    FROM assign
+  ) WHERE rn = 1
+),
+vb AS (SELECT v.vec_id, v.e, best.cluster FROM v JOIN best USING (vec_id)),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM vb a JOIN vb b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4
+)
+SELECT vb.vec_id, vb.cluster, d.vec_id IS NULL AS keep
+FROM vb LEFT JOIN drops d ON vb.vec_id = d.vec_id
+"""
+
+
+def q_bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (CCNet-style perplexity filtering, one
+    order up from `unigram_logprob_docs`): mean ln P(w₂|w₁) per doc
+    under the corpus's own add-1-smoothed bigram model,
+    P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V).
+
+    Plan shape: bigrams come from an array self-zip (slice+transform —
+    NO window shuffle, no posexplode join); the count joins are
+    vocabulary-sized (no broadcast hint — TF-IDF rule), V is a
+    single-row broadcast. Per-token logs sum through decimals so
+    partial-agg order can't move the hash (same trick as unigram).
+    Docs with <2 tokens have no bigrams and drop out (inner-join
+    semantics, both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize_ws(F.col("text")).alias("t"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    lambda x, i: F.struct(
+                        x.alias("w1"),
+                        F.element_at(F.col("t"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("_bg"),
+        )
+        .select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_n = (
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("_v"))
+    )
+    lp = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("_v")))
+            .cast("decimal(28,12)")
+            .alias("lp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 4).alias(
+            "mean_bigram_logprob"
+        ),
+    )
+
+
+SQL_BIGRAM_LOGPROB_DOCS = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  FROM documents
+), bi AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM t)
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bi GROUP BY 1
+), v AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS n
+  FROM (SELECT unnest(l) AS tok FROM t)
+), lp AS (
+  SELECT bi.doc_id,
+         CAST(ln((c12.c12 + 1) / (c1.c1 + v.n)) AS DECIMAL(28,12)) AS lp
+  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS mean_bigram_logprob
+FROM lp GROUP BY 1
+"""
+
+
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner (the Pile/Dolma mixing computation):
+    given per-source target weights and a global token budget, derive
+    each source's sampling rate (down-sample oversupplied sources) or
+    oversampling epochs (undersupplied). Weights are formulaic —
+    1 + (source number mod 9) — so the plan is deterministic at any SF
+    without a pinned source list. Target tokens use integer `div`
+    (never float floor) so both engines land the same row. One scan +
+    one bounded-key aggregation; the global weight total is a
+    single-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            textstats.token_count_ws("text").cast("long").alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("_nt").alias("n_tokens"))
+        .withColumn(
+            "_w",
+            (
+                F.coalesce(
+                    F.regexp_extract(F.col("source"), "(\\d+)", 1).try_cast(
+                        "long"
+                    ),
+                    F.lit(0),
+                )
+                % 9
+                + 1
+            ),
+        )
+    )
+    tot = per_src.agg(F.sum("_w").alias("_tw"))
+    budget = 100_000
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("_w") / F.col("_tw"), 6).alias("target_share"),
+            F.expr(f"({budget} * _w) div _tw").alias("target_tokens"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.expr(f"({budget} * _w) div _tw") / F.col("n_tokens"),
+                ),
+                4,
+            ).alias("sample_rate"),
+            F.round(
+                F.greatest(
+                    F.lit(1.0),
+                    F.expr(f"({budget} * _w) div _tw") / F.col("n_tokens"),
+                ),
+                4,
+            ).alias("epochs"),
+        )
+    )
+
+
+SQL_MIXTURE_TOKEN_BUDGET = """
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+           AS n_tokens,
+         (coalesce(try_cast(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 9 + 1)
+           AS w
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(w) AS tw FROM s)
+SELECT source, n_docs, n_tokens,
+       round(w * 1.0 / tw, 6) AS target_share,
+       (100000 * w) // tw AS target_tokens,
+       round(least(1.0, ((100000 * w) // tw) * 1.0 / n_tokens), 4) AS sample_rate,
+       round(greatest(1.0, ((100000 * w) // tw) * 1.0 / n_tokens), 4) AS epochs
+FROM s, tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -4079,6 +4327,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "pack_sequences": q_pack_sequences,
     "sentiment_vader_full": q_sentiment_vader_full,
+    # --- round-3 uplift, queued for the round-4 grading window (all
+    # oracle-backed; added at position 51+ so they don't displace the
+    # never-graded W2 tier from this round's window) ---
+    "c4_line_filter_stats": q_c4_line_filter_stats,
+    "semdedup_keep_set": q_semdedup_keep_set,
+    "bigram_logprob_docs": q_bigram_logprob_docs,
+    "mixture_token_budget": q_mixture_token_budget,
     # --- proven oracle-backed (>=1 green driver row; local oracle twins
     # still run every round via tests/test_queries_oracle.py) ---
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4205,6 +4460,10 @@ ORACLE: dict[str, str] = {
     "pagerank_purchase_graph": SQL_PAGERANK_PURCHASE_GRAPH,
     "ml_tfidf_features": SQL_ML_TFIDF_FEATURES,
     "ml_train_f1": SQL_ML_TRAIN_F1,
+    "c4_line_filter_stats": SQL_C4_LINE_FILTER_STATS,
+    "semdedup_keep_set": SQL_SEMDEDUP_KEEP_SET,
+    "bigram_logprob_docs": SQL_BIGRAM_LOGPROB_DOCS,
+    "mixture_token_budget": SQL_MIXTURE_TOKEN_BUDGET,
     "multimodal_byte_features": SQL_MULTIMODAL_BYTE_FEATURES,
     "dedup_cluster_canonical": SQL_DEDUP_CLUSTER_CANONICAL,
     "contamination_check": SQL_CONTAMINATION_CHECK,

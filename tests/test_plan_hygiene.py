@@ -51,6 +51,12 @@ def test_plan_hygiene(spark, name):
             # aggregate row by construction, never data-sized
             "idle_rich_customers",
             "unigram_logprob_docs",
+            "bigram_logprob_docs",
+            "mixture_token_budget",
+            # k=8 seed centroids crossJoined against the corpus — the
+            # broadcast side is n_clusters rows by construction (the
+            # IVF/SemDeDup assign step), never data-sized
+            "semdedup_keep_set",
         }, f"{name}: unexpected nested-loop join"
 
 
