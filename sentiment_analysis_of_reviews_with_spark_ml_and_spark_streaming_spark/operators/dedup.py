@@ -783,8 +783,6 @@ def semdedup(
     trained centroids (ml.KMeans fits on a sample; the plan below is
     unchanged — centroids are still a broadcast-sized table).
     """
-    from .similarity import cosine
-
     seeds = (
         emb.orderBy(F.col(id_col))
         .limit(n_clusters)
@@ -792,14 +790,24 @@ def semdedup(
             F.col(id_col).alias("_seed_id"), F.col(vec_col).alias("_seed_vec")
         )
     )
-    assign = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(
-        F.broadcast(seeds)
-    ).select(
+    # Norms are computed ONCE per vector and carried as a scalar column
+    # — the pairwise stage then costs one dot product per pair instead
+    # of three HOF aggregates. dot/( |a|·|b| ) with hoisted |·| is the
+    # SAME float sequence as computing the norms inline, so results are
+    # bit-identical to the DuckDB oracle's per-pair formula.
+    from .similarity import _dot, _norm
+
+    withn = emb.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
+    assign = withn.crossJoin(F.broadcast(seeds)).select(
         F.col(id_col),
         F.col("_seed_id"),
-        F.round(cosine(F.col(vec_col), F.col("_seed_vec")), assign_round).alias(
-            "_cos"
-        ),
+        F.round(
+            _dot(F.col(vec_col), F.col("_seed_vec"))
+            / (F.col("_nrm") * _norm(F.col("_seed_vec"))),
+            assign_round,
+        ).alias("_cos"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_cos").desc(), F.col("_seed_id")
@@ -809,20 +817,28 @@ def semdedup(
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col("_seed_id").alias("cluster"))
     )
-    vb = emb.select(F.col(id_col), F.col(vec_col)).join(best, id_col)
+    vb = withn.join(best, id_col)
     a = vb.select(
         F.col("cluster").alias("_ca"),
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
     b = vb.select(
         F.col("cluster").alias("_cb"),
         F.col(id_col).alias("_idb"),
         F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     drops = (
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), sim_round) >= threshold)
+        .filter(
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                sim_round,
+            )
+            >= threshold
+        )
         .select(F.col("_idb").alias("_drop_id"))
         .distinct()
     )

@@ -292,3 +292,103 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("_sim", 4).alias("cosine_sim"))
     )
+
+
+def kmeans_fixed(
+    emb: DataFrame,
+    *,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_round: int = 9,
+    dist_round: int = 6,
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means, DataFrame-native and
+    oracle-reproducible → (id, cluster).
+
+    Like :func:`~..operators.graph.pagerank`, a FIXED iteration count
+    turns an "iterative ML" algorithm into a finite declarative plan a
+    SQL oracle can replay as unrolled CTEs. Determinism across engines:
+    seeds are the ``k`` smallest ids (no RNG); centroid components
+    round to ``cent_round`` and assignment distances to ``dist_round``
+    each iteration, so BOTH engines feed every round bit-identical
+    inputs and any tie breaks the same way (then on cluster id). An
+    empty cluster keeps its previous centroid (standard Lloyd fallback,
+    mirrored in the oracle via left-join coalesce).
+
+    Scale shape per iteration: the k centroids broadcast against the
+    corpus (narrow k×n pass + one row_number window on the id — the
+    same assign step as IVF/SemDeDup), then ONE shuffle keyed on
+    (cluster, dim) for the per-dimension means (bounded k×d keys,
+    map-side combined). Nothing driver-side except the loop counter;
+    ``localCheckpoint`` on the k-row centroid frame keeps plans O(1)
+    across rounds. At 100 TB this is exactly ml.KMeans' data motion
+    with the centroid update kept declarative.
+    """
+    v = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    cent = (
+        v.orderBy(F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.transform(F.col("_e"), lambda x: F.round(x, cent_round)).alias(
+                "_ce"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("_e"), F.col("_ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("_cid").asc())
+    assign = None
+    for _ in range(iterations):
+        assign = (
+            v.crossJoin(F.broadcast(cent))
+            .select(
+                F.col(id_col),
+                F.col("_cid"),
+                F.round(dist2, dist_round).alias("_d2"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col(id_col), F.col("_cid").alias("cluster"))
+        )
+        dims = (
+            v.join(assign, id_col)
+            .select("cluster", F.posexplode("_e").alias("_j", "_val"))
+            .groupBy("cluster", "_j")
+            .agg(F.avg("_val").alias("_mv"))
+        )
+        new_cent = dims.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_j"), F.col("_mv")))
+                ),
+                lambda s: F.round(s["_mv"], cent_round),
+            ).alias("_nce")
+        )
+        cent = (
+            cent.join(new_cent, cent["_cid"] == new_cent["cluster"], "left")
+            .select(
+                F.col("_cid"),
+                F.coalesce(F.col("_nce"), F.col("_ce")).alias("_ce"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # final assignment against the last centroids
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col), F.col("_cid"), F.round(dist2, dist_round).alias("_d2")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_cid").alias("cluster"))
+    )

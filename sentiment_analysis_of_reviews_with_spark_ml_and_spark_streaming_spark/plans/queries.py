@@ -4256,6 +4256,75 @@ FROM s, tot
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embeddings table
+    (operators/similarity.kmeans_fixed): k=4, 3 rounds, deterministic
+    min-id seeds. Iterative distributed ML with a FULL value-hash
+    oracle — the fixed iteration count unrolls into chained CTEs
+    (the pagerank playbook), and per-round rounding keeps both engines'
+    float streams synchronized. Feeds the SemDeDup/IVF tier: these
+    centroids are what replaces the seed rule at production scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_fixed(emb, k=4, iterations=3)
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 3) -> str:
+    """Unrolled Lloyd rounds — the same recurrence as
+    similarity.kmeans_fixed (assign → per-dim means → coalesce empty
+    clusters), distances and centroids rounded identically."""
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, len(v.e)),"
+        " j -> (v.e[j] - c.ce[j]) * (v.e[j] - c.ce[j]))), 6)"
+    )
+
+    def assign(i: int, prev: str) -> str:
+        return f"""a{i} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""c0 AS (
+  SELECT vec_id AS cid, list_transform(e, x -> round(x, 9)) AS ce
+  FROM v ORDER BY vec_id LIMIT {k}
+)""",
+        """u AS (
+  SELECT vec_id, j, e[j] AS val
+  FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS j FROM v)
+)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(assign(i, f"c{i-1}"))
+        parts.append(
+            f"""m{i} AS (
+  SELECT a.cluster AS cid, u.j, round(avg(u.val), 9) AS mv
+  FROM a{i} a JOIN u USING (vec_id) GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""n{i} AS (SELECT cid, list(mv ORDER BY j) AS ce FROM m{i} GROUP BY cid)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT c.cid, coalesce(n.ce, c.ce) AS ce
+  FROM c{i-1} c LEFT JOIN n{i} n USING (cid)
+)"""
+        )
+    parts.append(assign(iterations + 1, f"c{iterations}"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, cluster FROM a{iterations + 1}"
+    )
+
+
+SQL_KMEANS_CLUSTERS = _kmeans_oracle_sql(4, 3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4334,6 +4403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_keep_set": q_semdedup_keep_set,
     "bigram_logprob_docs": q_bigram_logprob_docs,
     "mixture_token_budget": q_mixture_token_budget,
+    "kmeans_clusters": q_kmeans_clusters,
     # --- proven oracle-backed (>=1 green driver row; local oracle twins
     # still run every round via tests/test_queries_oracle.py) ---
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4464,6 +4534,7 @@ ORACLE: dict[str, str] = {
     "semdedup_keep_set": SQL_SEMDEDUP_KEEP_SET,
     "bigram_logprob_docs": SQL_BIGRAM_LOGPROB_DOCS,
     "mixture_token_budget": SQL_MIXTURE_TOKEN_BUDGET,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "multimodal_byte_features": SQL_MULTIMODAL_BYTE_FEATURES,
     "dedup_cluster_canonical": SQL_DEDUP_CLUSTER_CANONICAL,
     "contamination_check": SQL_CONTAMINATION_CHECK,

@@ -145,3 +145,38 @@ def test_mixture_budget_rates_and_epochs(spark):
     assert s8["target_tokens"] == (100_000 * 9) // 11
     assert s1["sample_rate"] < 1.0 and s1["epochs"] == 1.0
     assert s8["sample_rate"] == 1.0 and s8["epochs"] > 1.0
+
+
+def test_kmeans_fixed_closed_form(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    # two well-separated blobs, seeds (ids 0,1) one in each: every
+    # point must land with its blob and stay there across rounds
+    rows = (
+        [(0, [0.0, 0.0]), (1, [5.0, 0.0])]
+        + [(10 + i, [0.1 * (i + 1), 0.2]) for i in range(5)]
+        + [(20 + i, [4.9 - 0.1 * i, -0.2]) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cluster"] for r in
+           similarity.kmeans_fixed(df, k=2, iterations=3).collect()}
+    assert out[0] == 0 and out[1] == 1
+    assert all(out[10 + i] == 0 for i in range(5))
+    assert all(out[20 + i] == 1 for i in range(5))
+
+
+def test_kmeans_empty_cluster_and_ties_survive(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    # identical seeds (ids 0,1) and ALL points identical: every
+    # distance ties, the lower cid wins every round, cluster 1 stays
+    # empty and must coalesce its old centroid without crashing
+    rows = [(i, [1.0, 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cluster"] for r in
+           similarity.kmeans_fixed(df, k=2, iterations=3).collect()}
+    assert set(out.values()) == {0}

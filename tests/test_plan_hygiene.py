@@ -53,10 +53,11 @@ def test_plan_hygiene(spark, name):
             "unigram_logprob_docs",
             "bigram_logprob_docs",
             "mixture_token_budget",
-            # k=8 seed centroids crossJoined against the corpus — the
+            # k seed centroids crossJoined against the corpus — the
             # broadcast side is n_clusters rows by construction (the
-            # IVF/SemDeDup assign step), never data-sized
+            # IVF/SemDeDup/k-means assign step), never data-sized
             "semdedup_keep_set",
+            "kmeans_clusters",
         }, f"{name}: unexpected nested-loop join"
 
 
