@@ -69,6 +69,12 @@ HEADLINE = [
     "pii_redaction_stats",
     "dedup_edit_distance",
     "heavy_hitter_tokens",
+    # round-3 uplift tier
+    "c4_line_filter_stats",
+    "semdedup_keep_set",
+    "bigram_logprob_docs",
+    "mixture_token_budget",
+    "kmeans_clusters",
 ]
 
 
