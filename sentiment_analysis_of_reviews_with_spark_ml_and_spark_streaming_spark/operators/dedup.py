@@ -759,6 +759,7 @@ def semdedup(
     vec_col: str = "embedding",
     assign_round: int = 6,
     sim_round: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster by
     nearest seed centroid, then drop near-duplicates WITHIN clusters
@@ -779,17 +780,30 @@ def semdedup(
     the argmax (ties then break on seed id identically in any engine),
     and the drop rule — a LOWER-id same-cluster neighbor with cosine ≥
     ``threshold`` on a ``sim_round``-rounded value — is exactly the
-    DuckDB oracle's. At production scale swap the seed rule for
-    trained centroids (ml.KMeans fits on a sample; the plan below is
-    unchanged — centroids are still a broadcast-sized table).
+    DuckDB oracle's.
+
+    ``centroids`` (a (centroid_id, centroid_vec) frame, e.g. from
+    :func:`~.similarity.kmeans_fixed`'s centroid side or ml.KMeans on a
+    sample) replaces the min-id seed rule for the production path —
+    trained centroids balance cluster sizes, which is what keeps
+    Σ|cluster|² near n²/k on skewed corpora. The plan is unchanged:
+    centroids stay a broadcast-sized table. Column order must be
+    (id, vector); ``n_clusters`` is ignored when given.
     """
-    seeds = (
-        emb.orderBy(F.col(id_col))
-        .limit(n_clusters)
-        .select(
-            F.col(id_col).alias("_seed_id"), F.col(vec_col).alias("_seed_vec")
+    if centroids is not None:
+        cid_col, cvec_col = centroids.columns[:2]
+        seeds = centroids.select(
+            F.col(cid_col).alias("_seed_id"), F.col(cvec_col).alias("_seed_vec")
         )
-    )
+    else:
+        seeds = (
+            emb.orderBy(F.col(id_col))
+            .limit(n_clusters)
+            .select(
+                F.col(id_col).alias("_seed_id"),
+                F.col(vec_col).alias("_seed_vec"),
+            )
+        )
     # Norms are computed ONCE per vector and carried as a scalar column
     # — the pairwise stage then costs one dot product per pair instead
     # of three HOF aggregates. dot/( |a|·|b| ) with hoisted |·| is the

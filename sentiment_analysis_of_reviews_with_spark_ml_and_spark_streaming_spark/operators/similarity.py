@@ -303,9 +303,12 @@ def kmeans_fixed(
     vec_col: str = "embedding",
     cent_round: int = 9,
     dist_round: int = 6,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Fixed-iteration Lloyd's k-means, DataFrame-native and
-    oracle-reproducible → (id, cluster).
+    oracle-reproducible → (id, cluster); with ``return_centroids``,
+    the final (centroid_id, centroid_vec) frame instead — the trained
+    quantizer that feeds :func:`~.dedup.semdedup` / IVF at scale.
 
     Like :func:`~..operators.graph.pagerank`, a FIXED iteration count
     turns an "iterative ML" algorithm into a finite declarative plan a
@@ -381,6 +384,10 @@ def kmeans_fixed(
                 F.coalesce(F.col("_nce"), F.col("_ce")).alias("_ce"),
             )
             .localCheckpoint(eager=True)
+        )
+    if return_centroids:
+        return cent.select(
+            F.col("_cid").alias("centroid_id"), F.col("_ce").alias("centroid_vec")
         )
     # final assignment against the last centroids
     return (

@@ -180,3 +180,32 @@ def test_kmeans_empty_cluster_and_ties_survive(spark):
     out = {r["vec_id"]: r["cluster"] for r in
            similarity.kmeans_fixed(df, k=2, iterations=3).collect()}
     assert set(out.values()) == {0}
+
+
+def test_semdedup_with_trained_kmeans_centroids(spark):
+    """The production composition: kmeans_fixed trains the quantizer,
+    semdedup uses its centroids instead of the min-id seed rule."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    # two blobs; each blob holds an exact-duplicate pair
+    rows = (
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])]
+        + [(10, [0.01, 1.0]), (11, [0.01, 1.0])]   # dups in blob A
+        + [(20, [1.0, 0.01]), (21, [1.0, 0.01])]   # dups in blob B
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.kmeans_fixed(df, k=2, iterations=2, return_centroids=True)
+    assert cents.count() == 2
+    out = {r["vec_id"]: r for r in
+           dedup.semdedup(df, threshold=0.99, centroids=cents).collect()}
+    # blob members are all near-parallel, so only each blob's lowest
+    # id survives; everything else has a lower-id neighbor >= 0.99
+    assert out[0]["keep"] is True and out[1]["keep"] is True
+    assert not out[10]["keep"] and not out[11]["keep"]
+    assert not out[20]["keep"] and not out[21]["keep"]
+    # blob members share their blob's (trained) centroid
+    assert out[10]["cluster"] == out[11]["cluster"] == out[0]["cluster"]
+    assert out[20]["cluster"] == out[21]["cluster"] == out[1]["cluster"]
+    assert out[0]["cluster"] != out[1]["cluster"]
