@@ -399,3 +399,103 @@ def kmeans_fixed(
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col("_cid").alias("cluster"))
     )
+
+
+def ivf_topk_deterministic(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k_clusters: int = 4,
+    iterations: int = 3,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+    sim_round: int = 4,
+) -> DataFrame:
+    """IVF ANN with a :func:`kmeans_fixed`-trained quantizer — the
+    first fully oracle-reproducible ANN tier (the ml.KMeans-backed
+    :func:`ivf_topk` stays the production variant; this one's fixed
+    seeds + per-round rounding let a SQL twin replay the entire
+    index build + probe + rank pipeline).
+
+    Index: every corpus vector is assigned to its nearest trained
+    centroid (same rounded-distance argmin as the k-means rounds, so
+    the inverted lists match the oracle's exactly). Query: rank
+    centroids per query by the same metric, probe the ``n_probe``
+    nearest lists, exact-cosine only the candidates. Corpus-side work
+    is one broadcast assign pass; per-query work is bounded by the
+    probed lists — the IVF contract at 100 TB.
+    """
+    cents = kmeans_fixed(
+        corpus,
+        k=k_clusters,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        return_centroids=True,
+    )
+    v = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    c = cents.select(
+        F.col("centroid_id").alias("_cid"), F.col("centroid_vec").alias("_ce")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("_e"), F.col("_ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    wv = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("_cid").asc())
+    assign = (
+        v.crossJoin(F.broadcast(c))
+        .select(F.col(id_col), F.col("_cid"), F.round(dist2, dist_round).alias("_d2"))
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col).alias("_nid"), F.col("_cid").alias("_cluster"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("_qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qe"),
+    )
+    qdist2 = F.aggregate(
+        F.zip_with(F.col("_qe"), F.col("_ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.col("_qd2").asc(), F.col("_cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select("_qid", "_qe", F.col("_cid"), F.round(qdist2, dist_round).alias("_qd2"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("_qid", "_qe", F.col("_cid").alias("_cluster"))
+    )
+    nv = v.select(F.col(id_col).alias("_nid"), F.col("_e").alias("_ne"))
+    cand = (
+        probes.join(assign, "_cluster")
+        .filter(F.col("_qid") != F.col("_nid"))
+        .join(nv, "_nid")
+    )
+    scored = cand.select(
+        "_qid",
+        "_nid",
+        F.round(
+            _dot(F.col("_qe"), F.col("_ne"))
+            / (_norm(F.col("_qe")) * _norm(F.col("_ne"))),
+            sim_round,
+        ).alias("_sim"),
+    )
+    wr = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_nid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_sim").alias("cosine_sim"),
+        )
+    )

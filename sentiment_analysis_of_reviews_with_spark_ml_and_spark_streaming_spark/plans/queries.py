@@ -4268,10 +4268,12 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_fixed(emb, k=4, iterations=3)
 
 
-def _kmeans_oracle_sql(k: int = 4, iterations: int = 3) -> str:
+def _kmeans_cte_parts(k: int = 4, iterations: int = 3) -> tuple[list[str], str, str]:
     """Unrolled Lloyd rounds — the same recurrence as
     similarity.kmeans_fixed (assign → per-dim means → coalesce empty
-    clusters), distances and centroids rounded identically."""
+    clusters), distances and centroids rounded identically. Returns
+    (cte_parts, final_assign_cte, final_centroid_cte) so the IVF
+    oracle can reuse the index-build chain."""
     d2 = (
         "round(list_sum(list_transform(generate_series(1, len(v.e)),"
         " j -> (v.e[j] - c.ce[j]) * (v.e[j] - c.ce[j]))), 6)"
@@ -4315,14 +4317,87 @@ def _kmeans_oracle_sql(k: int = 4, iterations: int = 3) -> str:
 )"""
         )
     parts.append(assign(iterations + 1, f"c{iterations}"))
+    return parts, f"a{iterations + 1}", f"c{iterations}"
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 3) -> str:
+    parts, final_assign, _ = _kmeans_cte_parts(k, iterations)
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT vec_id, cluster FROM a{iterations + 1}"
+        + f"\nSELECT vec_id, cluster FROM {final_assign}"
     )
 
 
 SQL_KMEANS_CLUSTERS = _kmeans_oracle_sql(4, 3)
+
+
+def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the kmeans_fixed-trained quantizer
+    (operators/similarity.ivf_topk_deterministic): the first
+    oracle-backed row for the ANN family — the DuckDB twin replays
+    index build (the k-means CTE chain), inverted-list assignment,
+    2-probe centroid ranking, and candidate top-5 exactly. The
+    ml.KMeans-backed `similarity_ivf` stays the production variant
+    (rows-only, recall-tested)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk_deterministic(
+        emb, queries, k_clusters=4, iterations=3, n_probe=2, k=5
+    )
+
+
+def _ivf_kmeans_oracle_sql(
+    k_clusters: int = 4,
+    iterations: int = 3,
+    n_probe: int = 2,
+    k: int = 5,
+) -> str:
+    parts, final_assign, final_cent = _kmeans_cte_parts(k_clusters, iterations)
+    qd2 = (
+        "round(list_sum(list_transform(generate_series(1, len(q.qe)),"
+        " j -> (q.qe[j] - c.ce[j]) * (q.qe[j] - c.ce[j]))), 6)"
+    )
+    cos = (
+        "round(list_dot_product(qv.e, nv.e)"
+        " / (sqrt(list_dot_product(qv.e, qv.e))"
+        " * sqrt(list_dot_product(nv.e, nv.e))), 4)"
+    )
+    parts += [
+        "q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10)",
+        f"""probe AS (
+  SELECT query_id, cid AS cluster FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {qd2} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN {final_cent} c
+  ) WHERE rn <= {n_probe}
+)""",
+        f"""cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN {final_assign} a USING (cluster)
+  WHERE a.vec_id != p.query_id
+)""",
+        f"""scored AS (
+  SELECT c.query_id, c.neighbor_id, {cos} AS cosine_sim
+  FROM cand c
+  JOIN v qv ON qv.vec_id = c.query_id
+  JOIN v nv ON nv.vec_id = c.neighbor_id
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+    )
+
+
+SQL_SIMILARITY_IVF_KMEANS = _ivf_kmeans_oracle_sql(4, 3, 2, 5)
 
 
 # ---------------------------------------------------------------------------
@@ -4404,6 +4479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob_docs": q_bigram_logprob_docs,
     "mixture_token_budget": q_mixture_token_budget,
     "kmeans_clusters": q_kmeans_clusters,
+    "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     # --- proven oracle-backed (>=1 green driver row; local oracle twins
     # still run every round via tests/test_queries_oracle.py) ---
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4535,6 +4611,7 @@ ORACLE: dict[str, str] = {
     "bigram_logprob_docs": SQL_BIGRAM_LOGPROB_DOCS,
     "mixture_token_budget": SQL_MIXTURE_TOKEN_BUDGET,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "similarity_ivf_kmeans": SQL_SIMILARITY_IVF_KMEANS,
     "multimodal_byte_features": SQL_MULTIMODAL_BYTE_FEATURES,
     "dedup_cluster_canonical": SQL_DEDUP_CLUSTER_CANONICAL,
     "contamination_check": SQL_CONTAMINATION_CHECK,

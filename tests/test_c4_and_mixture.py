@@ -209,3 +209,26 @@ def test_semdedup_with_trained_kmeans_centroids(spark):
     assert out[10]["cluster"] == out[11]["cluster"] == out[0]["cluster"]
     assert out[20]["cluster"] == out[21]["cluster"] == out[1]["cluster"]
     assert out[0]["cluster"] != out[1]["cluster"]
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark):
+    """Deterministic IVF (2 of 4 lists probed) must recover most of the
+    exact top-5 on the real embeddings table - the recall/efficiency
+    contract that justifies probing over brute force."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        similarity,
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.io import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    approx = similarity.ivf_topk_deterministic(
+        emb, queries, k_clusters=4, iterations=3, n_probe=2, k=5
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"

@@ -58,6 +58,7 @@ def test_plan_hygiene(spark, name):
             # IVF/SemDeDup/k-means assign step), never data-sized
             "semdedup_keep_set",
             "kmeans_clusters",
+            "similarity_ivf_kmeans",
         }, f"{name}: unexpected nested-loop join"
 
 

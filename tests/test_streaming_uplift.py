@@ -219,3 +219,40 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .select("event_id", "ts2").collect()
     )
     assert batch == got
+
+
+def test_c4_line_filter_runs_on_stream(spark, tmp_path):
+    """The C4 quality gate (operators/textstats.c4_line_stats) is a
+    pure stateless projection, so the SAME operator runs unchanged on
+    a readStream — the unified batch/stream contract the engine's
+    text-cleaning tier promises. Filter-at-ingest is the 100 TB shape:
+    documents rejected here never reach storage or downstream state."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        textstats,
+    )
+
+    src = tmp_path / "c4s"
+    src.mkdir()
+    docs = [
+        {"doc_id": 1, "text": "one good line of six words.\n" * 3},
+        {"doc_id": 2, "text": "lorem ipsum dolor sit amet here."},
+        {"doc_id": 3, "text": "short."},
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(d) for d in docs))
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, text string")
+        .load(str(src))
+    )
+    gated = textstats.c4_line_stats(stream).filter(F.col("keep_doc"))
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("c4_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "c4ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = [r["doc_id"] for r in spark.sql("select * from c4_gate").collect()]
+    assert kept == [1]  # doc 2: lorem ipsum; doc 3: <3 kept lines
