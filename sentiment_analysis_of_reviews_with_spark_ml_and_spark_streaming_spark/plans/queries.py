@@ -1699,10 +1699,62 @@ def q_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via banded fingerprint join (native
-    bit-twiddling expressions; no Python). Rows-only check."""
+    bit-twiddling expressions; no Python).
+
+    Oracle-backed since round 3: the token hash is the first 15 hex
+    chars of md5 (engine-portable), the 64 bit-votes and fingerprint
+    assembly are integer-exact, and 4-band pigeonhole blocking has
+    FULL recall at hamming ≤ 3 — so the banded result set equals the
+    brute-force hamming join the DuckDB twin runs. The oracle being
+    O(n²) while the engine is banded-linear is the point: same
+    answer, different asymptotics."""
     docs = _t(spark, sf_dir, "documents")
     # max_hamming ≤ bands-1 so the band-join guarantees full recall
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3, bands=4)
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Brute-force replay of the simhash pipeline: same md5-derived
+    60-bit token hashes, same 64 unrolled bit-votes, same signed-long
+    fingerprint assembly (bit 63 = long MIN_VALUE)."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{j}"
+        for j in range(64)
+    )
+    fp_terms = " |\n     ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({(1 << j) if j < 63 else -(1 << 63)}"
+        f" AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+  ) GROUP BY 1, 2
+),
+hashes AS (
+  SELECT tok, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT DISTINCT tok FROM toks)
+),
+votes AS (
+  SELECT t.doc_id,
+         {votes}
+  FROM toks t JOIN hashes USING (tok) GROUP BY 1
+),
+fp AS (
+  SELECT doc_id,
+    ({fp_terms}) AS simhash
+  FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_oracle_sql(3)
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4612,6 +4664,7 @@ ORACLE: dict[str, str] = {
     "mixture_token_budget": SQL_MIXTURE_TOKEN_BUDGET,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "similarity_ivf_kmeans": SQL_SIMILARITY_IVF_KMEANS,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "multimodal_byte_features": SQL_MULTIMODAL_BYTE_FEATURES,
     "dedup_cluster_canonical": SQL_DEDUP_CLUSTER_CANONICAL,
     "contamination_check": SQL_CONTAMINATION_CHECK,
