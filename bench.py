@@ -75,6 +75,7 @@ HEADLINE = [
     "bigram_logprob_docs",
     "mixture_token_budget",
     "kmeans_clusters",
+    "similarity_ivf_kmeans",
 ]
 
 
