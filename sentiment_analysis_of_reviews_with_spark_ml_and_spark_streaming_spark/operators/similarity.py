@@ -499,3 +499,140 @@ def ivf_topk_deterministic(
             F.col("_sim").alias("cosine_sim"),
         )
     )
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    *,
+    k_clusters: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+) -> DataFrame:
+    """Persist an IVF index: inverted lists as cluster-partitioned
+    parquet (`path/lists/cluster=<cid>/...`) plus the trained centroid
+    table (`path/centroids/`).
+
+    This is the serving-side half of the IVF contract at 100 TB: the
+    index is built ONCE (one k-means fit + one assign pass), and every
+    probe afterwards reads ONLY the probed clusters' files — partition
+    pruning does the list selection at the storage layer, so a 2-probe
+    query over a k=√n index touches ~2/√n of the corpus bytes
+    (asserted in tests/test_c4_and_mixture.py via the scan's
+    partition-filter count). Returns the centroid frame for callers
+    that probe immediately.
+    """
+    cents = kmeans_fixed(
+        corpus,
+        k=k_clusters,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        return_centroids=True,
+    )
+    c = cents.select(
+        F.col("centroid_id").alias("_cid"), F.col("centroid_vec").alias("_ce")
+    )
+    v = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("_e"), F.col("_ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("_cid").asc())
+    assigned = (
+        v.crossJoin(F.broadcast(c))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_cid"),
+            F.round(dist2, dist_round).alias("_d2"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("_cid").alias("cluster"))
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/lists"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+    sim_round: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: rank the stored centroids per
+    query, then scan ONLY the probed `cluster=` partitions (the
+    cluster IN-list reaches the parquet scan as a partition filter —
+    no full-index read). Same output contract as
+    :func:`ivf_topk_deterministic`."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    c = cents.select(
+        F.col("centroid_id").alias("_cid"), F.col("centroid_vec").alias("_ce")
+    )
+    q = queries.select(
+        F.col(id_col).alias("_qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qe"),
+    )
+    qdist2 = F.aggregate(
+        F.zip_with(F.col("_qe"), F.col("_ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.col("_qd2").asc(), F.col("_cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            "_qid", "_qe", F.col("_cid"), F.round(qdist2, dist_round).alias("_qd2")
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("_qid", "_qe", F.col("_cid").alias("cluster"))
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    cand = (
+        lists.join(F.broadcast(probes), "cluster")
+        .filter(F.col("_qid") != F.col(id_col))
+        .select(
+            "_qid",
+            "_qe",
+            F.col(id_col).alias("_nid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_ne"),
+        )
+    )
+    scored = cand.select(
+        "_qid",
+        "_nid",
+        F.round(
+            _dot(F.col("_qe"), F.col("_ne"))
+            / (_norm(F.col("_qe")) * _norm(F.col("_ne"))),
+            sim_round,
+        ).alias("_sim"),
+    )
+    wr = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_nid").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_sim").alias("cosine_sim"),
+        )
+    )

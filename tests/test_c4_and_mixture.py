@@ -232,3 +232,33 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+
+
+def test_ivf_index_persist_and_probe(spark, tmp_path):
+    """Serving-side IVF: index written once (inverted lists partitioned
+    by cluster + centroid table), probes read back with DYNAMIC
+    PARTITION PRUNING on the cluster key — only probed lists' files are
+    scanned — and return exactly the inline pipeline's results."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        similarity,
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.io import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_index_write(emb, path, k_clusters=4, iterations=3)
+    probed = similarity.ivf_index_probe(spark, path, queries, n_probe=2, k=5)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "cluster partition filter did not reach the lists scan - the "
+        "probe would read the whole index"
+    )
+    inline = similarity.ivf_topk_deterministic(
+        emb, queries, k_clusters=4, iterations=3, n_probe=2, k=5
+    )
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
