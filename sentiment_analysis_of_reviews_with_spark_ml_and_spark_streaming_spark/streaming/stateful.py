@@ -126,3 +126,135 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _simhash_py(text: str) -> int:
+    """Python twin of operators/dedup.simhash's per-doc fingerprint:
+    same whitespace-lowercase tokens, same 60-bit md5-prefix token
+    hash, same count-weighted bit votes, same signed-64-bit assembly —
+    differential-tested against the batch operator in
+    tests/test_streaming_near_dup.py."""
+    import hashlib
+    from collections import Counter
+
+    counts = Counter(text.strip().lower().split())
+    votes = [0] * 64
+    for tok, cnt in counts.items():
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+        for j in range(64):
+            votes[j] += cnt if (h >> j) & 1 else -cnt
+    fp = 0
+    for j in range(64):
+        if votes[j] > 0:
+            fp |= 1 << j
+    # two's-complement into signed 64-bit (bit 63 = long MIN_VALUE)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def stream_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_state_per_band: int = 10_000,
+) -> DataFrame:
+    """Streaming SimHash near-dup detection: emits a verified
+    (doc_id, matched_doc_id, hamming, band) event whenever an arriving
+    doc is within ``max_hamming`` of any previously-seen doc sharing a
+    fingerprint band.
+
+    The batch pipeline's shape, streamed: (1) a STATELESS Arrow stage
+    fingerprints each doc (no streaming agg, so no watermark coupling),
+    (2) each doc explodes into its ``bands`` 16-bit band keys, (3) a
+    stateful per-(band, key) verify — state holds the (id, fingerprint)
+    pairs seen under that band key, new arrivals are checked by exact
+    hamming against ONLY those (the pigeonhole guarantee: a pair within
+    hamming ≤ bands-1 shares ≥ 1 exact band). State per group is tiny
+    (band keys are selective); ``max_state_per_band`` hard-caps
+    pathological hot keys FIFO, trading recall for boundedness — the
+    same contract as the streaming heavy-hitters sketch.
+
+    A pair that agrees on b bands is emitted b times (once per band);
+    consumers dedupe on (doc_id, matched_doc_id) — kept that way so the
+    operator stays single-stage (chaining a second stateful agg would
+    couple watermarks).
+    """
+    import pandas as pd  # noqa: F811 - local for the worker closure
+
+    fp_schema = f"{id_col} long, simhash long"
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "simhash": pdf[text_col].map(_simhash_py).astype("int64"),
+                }
+            )
+
+    fps = docs.select(id_col, text_col).mapInPandas(fingerprint, schema=fp_schema)
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    out_schema = (
+        f"{id_col} long, matched_doc_id long, hamming int, band int"
+    )
+    state_schema = "ids array<long>, fps array<long>"
+
+    def verify(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, fps_seen = state.get
+            ids, fps_seen = list(ids), list(fps_seen)
+        else:
+            ids, fps_seen = [], []
+        rows = []
+        for pdf in batches:
+            # deterministic within-batch order: ids ascending, so the
+            # earlier doc is always the "matched" side
+            pdf = pdf.sort_values(id_col)
+            for rid, fp in zip(pdf[id_col], pdf["simhash"]):
+                rid, fp = int(rid), int(fp)
+                for sid, sfp in zip(ids, fps_seen):
+                    ham = bin((fp ^ sfp) & ((1 << 64) - 1)).count("1")
+                    if ham <= max_hamming:
+                        rows.append((rid, sid, ham, int(key[0])))
+                ids.append(rid)
+                fps_seen.append(fp)
+        if len(ids) > max_state_per_band:
+            ids = ids[-max_state_per_band:]
+            fps_seen = fps_seen[-max_state_per_band:]
+        state.update((ids, fps_seen))
+        yield pd.DataFrame(
+            rows, columns=[id_col, "matched_doc_id", "hamming", "band"]
+        )
+
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        verify,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
