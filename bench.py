@@ -76,6 +76,7 @@ HEADLINE = [
     "mixture_token_budget",
     "kmeans_clusters",
     "similarity_ivf_kmeans",
+    "curation_funnel",
 ]
 
 

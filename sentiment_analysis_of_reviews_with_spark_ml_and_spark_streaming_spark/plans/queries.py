@@ -4452,6 +4452,91 @@ FROM (
 SQL_SIMILARITY_IVF_KMEANS = _ivf_kmeans_oracle_sql(4, 3, 2, 5)
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel as ONE query: exact dedup (min-id
+    canonical per md5 of text) → quality gate (the oracle-matched
+    quality_filter_decision rules) → per-source survivor report with
+    final token shares — the report a 100 TB curation run ships to its
+    training-mix owners. Every stage reuses an already-oracle-matched
+    building block, so the composition is bit-portable by
+    construction: one scan + two id-keyed joins + one bounded-key agg;
+    the grand total is a single-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    canonical = (
+        docs.groupBy(F.md5("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("_canon"))
+    )
+    quality = (
+        q_quality_filter_decision(spark, sf_dir)
+        .select("doc_id", (F.col("keep") == 1).alias("_qok"))
+    )
+    flags = (
+        docs.select(
+            "source",
+            "doc_id",
+            textstats.token_count_ws("text").cast("long").alias("_nt"),
+        )
+        .join(canonical, "doc_id", "left")
+        .join(quality, "doc_id", "left")
+        .select(
+            "source",
+            "_nt",
+            F.coalesce("_canon", F.lit(False)).alias("_canon"),
+            F.coalesce("_qok", F.lit(False)).alias("_qok"),
+        )
+    )
+    per = flags.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.col("_canon").cast("long")).alias("n_after_dedup"),
+        F.sum((F.col("_canon") & F.col("_qok")).cast("long")).alias(
+            "n_after_quality"
+        ),
+        F.sum(
+            F.when(F.col("_canon") & F.col("_qok"), F.col("_nt")).otherwise(0)
+        ).alias("tokens_final"),
+    )
+    tot = per.agg(F.sum("tokens_final").alias("_t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_raw",
+        "n_after_dedup",
+        "n_after_quality",
+        "tokens_final",
+        F.round(F.col("tokens_final") / F.col("_t"), 6).alias("final_share"),
+    )
+
+
+SQL_CURATION_FUNNEL = """
+WITH qd AS ({quality_filter_decision}),
+dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+flags AS (
+  SELECT d.source,
+         CASE WHEN trim(d.text) = '' THEN 0
+              ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS nt,
+         (dd.doc_id IS NOT NULL) AS canon,
+         coalesce(qd.keep = 1, FALSE) AS qok
+  FROM documents d
+  LEFT JOIN dd ON d.doc_id = dd.doc_id
+  LEFT JOIN qd ON d.doc_id = qd.doc_id
+),
+per AS (
+  SELECT source,
+         count(*) AS n_raw,
+         CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+         CAST(sum(CASE WHEN canon AND qok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_quality,
+         CAST(sum(CASE WHEN canon AND qok THEN nt ELSE 0 END) AS BIGINT)
+           AS tokens_final
+  FROM flags GROUP BY source
+),
+tot AS (SELECT sum(tokens_final) AS t FROM per)
+SELECT source, n_raw, n_after_dedup, n_after_quality, tokens_final,
+       round(tokens_final * 1.0 / tot.t, 6) AS final_share
+FROM per, tot
+""".replace("{quality_filter_decision}", SQL_QUALITY_FILTER_DECISION)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4532,6 +4617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_token_budget": q_mixture_token_budget,
     "kmeans_clusters": q_kmeans_clusters,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+    "curation_funnel": q_curation_funnel,
     # --- proven oracle-backed (>=1 green driver row; local oracle twins
     # still run every round via tests/test_queries_oracle.py) ---
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4665,6 +4751,7 @@ ORACLE: dict[str, str] = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "similarity_ivf_kmeans": SQL_SIMILARITY_IVF_KMEANS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "curation_funnel": SQL_CURATION_FUNNEL,
     "multimodal_byte_features": SQL_MULTIMODAL_BYTE_FEATURES,
     "dedup_cluster_canonical": SQL_DEDUP_CLUSTER_CANONICAL,
     "contamination_check": SQL_CONTAMINATION_CHECK,

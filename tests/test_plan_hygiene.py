@@ -53,6 +53,7 @@ def test_plan_hygiene(spark, name):
             "unigram_logprob_docs",
             "bigram_logprob_docs",
             "mixture_token_budget",
+            "curation_funnel",
             # k seed centroids crossJoined against the corpus — the
             # broadcast side is n_clusters rows by construction (the
             # IVF/SemDeDup/k-means assign step), never data-sized
