@@ -130,14 +130,23 @@ def streaming_heavy_hitters(
 
 def _simhash_py(text: str) -> int:
     """Python twin of operators/dedup.simhash's per-doc fingerprint:
-    same whitespace-lowercase tokens, same 60-bit md5-prefix token
-    hash, same count-weighted bit votes, same signed-64-bit assembly —
-    differential-tested against the batch operator in
-    tests/test_streaming_near_dup.py."""
+    same tokens, same 60-bit md5-prefix token hash, same
+    count-weighted bit votes, same signed-64-bit assembly —
+    differential-tested (fixed + randomized) against the batch
+    operator in tests/test_streaming_near_dup.py.
+
+    Tokenizer parity is exact, not approximate: Spark's ``trim``
+    strips ASCII spaces only, its ``\\s`` is the Java ASCII class
+    (U+00A0 etc. are NOT separators), and ``split`` with limit -1
+    KEEPS empty tokens from edge whitespace — all mirrored here.
+    (Caveat: ``str.lower`` vs UTF8String.toLowerCase can differ on
+    locale-special casing like U+0130; identical on ASCII and common
+    Unicode.)"""
     import hashlib
+    import re
     from collections import Counter
 
-    counts = Counter(text.strip().lower().split())
+    counts = Counter(re.split(r"[ \t\n\x0b\f\r]+", text.lower().strip(" ")))
     votes = [0] * 64
     for tok, cnt in counts.items():
         h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)

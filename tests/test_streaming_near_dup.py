@@ -112,3 +112,36 @@ def test_stream_near_dup_matches_batch_pairs(spark, tmp_path):
         for r in spark.sql("select * from near_dups_full").collect()
     }
     assert stream_pairs == batch_pairs
+
+
+def test_python_fingerprint_randomized_differential(spark):
+    """Seeded adversarial texts — edge whitespace (Spark split keeps
+    empty tokens at limit -1), tabs/newlines (Java ASCII \\s), U+00A0
+    (NOT a separator in either engine), empty strings — must fingerprint
+    identically in the Python twin and the JVM operator."""
+    import random
+    import string
+
+    rng = random.Random(7)
+    ws = " \t\n\x0b\f\r\xa0"
+    cases = ["\tword alpha beta", "word alpha beta\t", "a\xa0b c",
+             "  x y  ", "A B\nC", ""]
+    for _ in range(60):
+        n = rng.randint(1, 12)
+        toks = [
+            "".join(rng.choices(string.ascii_letters + string.digits + ".,!?",
+                                k=rng.randint(1, 8)))
+            for _ in range(n)
+        ]
+        seps = [rng.choice(ws) * rng.randint(1, 2) for _ in range(n)]
+        cases.append(
+            rng.choice(["", " ", "\t"])
+            + "".join(t + s for t, s in zip(toks, seps))
+        )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    jvm = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert len(jvm) == len(cases)
+    for i, t in enumerate(cases):
+        assert _simhash_py(t) == jvm[i], repr(t)
