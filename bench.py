@@ -175,6 +175,44 @@ def streaming_bench(spark) -> dict:
         .start()
     )
     out["windowed_event_counts"] = _progress_metrics(q, 12)
+
+    # --- streaming SimHash near-dup detection: synthetic doc stream
+    # with a duplicate-heavy distribution (value % 500 -> ~40 docs per
+    # family at steady state), full fingerprint + stateful band verify
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        stream_near_dup_pairs,
+    )
+
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 2000)
+        .load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(
+                        F.array(*[F.lit(w) for w in vocab]),
+                        (((F.col("value") % 500) % (i + 3)) % 10 + 1).cast(
+                            "int"
+                        ),
+                    )
+                    for i in range(12)
+                ],
+            ).alias("text"),
+        )
+    )
+    q = (
+        stream_near_dup_pairs(docs, max_state_per_band=2000)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench-neardup-"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    out["stream_near_dup_pairs"] = _progress_metrics(q, 12)
     return out
 
 

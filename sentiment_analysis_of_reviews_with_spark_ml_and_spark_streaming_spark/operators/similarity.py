@@ -350,7 +350,6 @@ def kmeans_fixed(
         lambda acc, d: acc + d,
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("_cid").asc())
-    assign = None
     for _ in range(iterations):
         assign = (
             v.crossJoin(F.broadcast(cent))

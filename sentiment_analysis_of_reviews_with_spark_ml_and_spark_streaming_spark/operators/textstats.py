@@ -64,13 +64,18 @@ def c4_line_stats(
     kept_char_frac, has_lorem_ipsum, has_curly_brace, keep_doc).
     """
     c = F.col(text_col)
-    lines = F.split(c, "\n")
+    # \r?\n so CRLF text doesn't leave \r on every line; the terminal-
+    # punctuation check reads the literal last char instead of a '$'
+    # regex — Java's '$' matches BEFORE a trailing line terminator
+    # while RE2's does not, so an anchor here would silently diverge
+    # from the DuckDB oracle on \r-bearing lines (round-3 review find)
+    lines = F.split(c, "\\r?\\n")
     wc = lambda ln: F.when(F.trim(ln) == "", 0).otherwise(  # noqa: E731
         F.size(F.split(F.trim(ln), "\\s+"))
     )
-    is_kept = lambda ln: F.rtrim(ln).rlike('[.!?"]$') & (  # noqa: E731
-        wc(ln) >= min_words_per_line
-    )
+    is_kept = lambda ln: F.substring(F.rtrim(ln), -1, 1).isin(  # noqa: E731
+        ".", "!", "?", '"'
+    ) & (wc(ln) >= min_words_per_line)
     kept = F.filter(lines, is_kept)
     total_chars = F.aggregate(
         lines, F.lit(0), lambda acc, ln: acc + F.length(ln)

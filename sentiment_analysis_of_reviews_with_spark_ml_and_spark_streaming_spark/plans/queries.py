@@ -4079,13 +4079,13 @@ def q_c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_C4_LINE_FILTER_STATS = """
 WITH l AS (
-  SELECT doc_id, string_split(text, chr(10)) AS lines,
+  SELECT doc_id, string_split_regex(text, '\\r?\\n') AS lines,
          contains(lower(text), 'lorem ipsum') AS has_lorem,
          contains(text, '{') AS has_brace
   FROM documents
 ), k AS (
   SELECT doc_id, lines, has_lorem, has_brace,
-         list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$') AND
+         list_filter(lines, x -> right(rtrim(x), 1) IN ('.', '!', '?', '"') AND
            (CASE WHEN trim(x) = '' THEN 0
                  ELSE len(string_split_regex(trim(x), '\\s+')) END) >= 5
          ) AS kept
@@ -4552,8 +4552,9 @@ FROM per, tot
 #       subquery shapes, Gopher rules, funnel/resample, profiler, heavy
 #       hitters, edit-distance dedup, ...);
 #   W3. 10 single-green flagship LLM-pipeline queries (first graded r02).
-# Then all remaining oracle-backed queries (each with >=1 green driver row),
-# then rows-only tier (no portable SQL oracle) last.
+# Then the round-3 additions (positions 51+, queued for round 4), the
+# remaining oracle-backed queries (each with >=1 green driver row), the
+# four round-3 oracle promotions, and the rows-only tier last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- W1: events tier, red in r02 via the shared loader regression ---
     "pivot_event_type": q_pivot_event_type,
@@ -4669,16 +4670,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_status_priority": q_cube_status_priority,
     "window_sliding_events": q_window_sliding_events,
     "zscore_value_by_type": q_zscore_value_by_type,
-    # --- rows-only (no portable SQL oracle) ---
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_native": q_dedup_minhash_native,
+    # --- promoted to oracle-backed in round 3 (kept here, past the
+    # grading window, until a round-4 rotation slots them in) ---
     "dedup_simhash": q_dedup_simhash,
-    "similarity_ann_lsh": q_similarity_ann_lsh,
-    "similarity_ivf": q_similarity_ivf,
-    "embedding_pca_by_label": q_embedding_pca_by_label,
     "ml_tfidf_features": q_ml_tfidf_features,
     "ml_train_f1": q_ml_train_f1,
     "pagerank_purchase_graph": q_pagerank_purchase_graph,
+    # --- rows-only (no portable SQL oracle: seeded-RNG hash families
+    # and ml/numpy internals; each has a recall/property-test twin) ---
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_native": q_dedup_minhash_native,
+    "similarity_ann_lsh": q_similarity_ann_lsh,
+    "similarity_ivf": q_similarity_ivf,
+    "embedding_pca_by_label": q_embedding_pca_by_label,
 }
 
 ORACLE: dict[str, str] = {

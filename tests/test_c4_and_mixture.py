@@ -262,3 +262,46 @@ def test_ivf_index_persist_and_probe(spark, tmp_path):
     assert sorted(map(tuple, probed.collect())) == sorted(
         map(tuple, inline.collect())
     )
+
+
+def test_c4_crlf_matches_oracle(spark, tmp_path):
+    """Round-3 review find: Windows line endings must behave
+    identically in the operator and its DuckDB twin. Java's '$'
+    matches before a trailing \\r while RE2's does not, so the rule
+    uses a literal last-char check and both engines split on \\r?\\n."""
+    import duckdb
+    import os
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        SQL_C4_LINE_FILTER_STATS,
+        q_c4_line_filter_stats,
+    )
+
+    docs = [
+        (1, "five good words in line one.\r\nfive good words in line two!\r\nfive good words in line three?\r\n"),
+        (2, "no terminal punctuation on this line\r\nshort.\r\n"),
+        (3, "lone carriage return line five.\rsecond part here today now."),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in q_c4_line_filter_stats(spark, str(tmp_path)).collect()
+    }
+    # doc 1: 3 CRLF-terminated keepable lines + trailing "" line
+    assert got[1]["n_lines"] == 4 and got[1]["n_kept_lines"] == 3
+    assert got[1]["keep_doc"] is True
+    # doc 3: lone \r stays INSIDE the line; last char '.' -> kept
+    assert got[3]["n_lines"] == 1 and got[3]["n_kept_lines"] == 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(SQL_C4_LINE_FILTER_STATS)
+    cols = [d[0] for d in res.description]
+    oracle = {row[0]: dict(zip(cols, row)) for row in res.fetchall()}
+    for doc_id, srow in got.items():
+        for col, val in srow.items():
+            assert oracle[doc_id][col] == val, (doc_id, col, val, oracle[doc_id][col])
