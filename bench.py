@@ -77,6 +77,7 @@ HEADLINE = [
     "kmeans_clusters",
     "similarity_ivf_kmeans",
     "curation_funnel",
+    "sole_blocking_supplier",
 ]
 
 

@@ -4537,6 +4537,78 @@ FROM per, tot
 """.replace("{quality_filter_decision}", SQL_QUALITY_FILTER_DECISION)
 
 
+def q_sole_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema: no receipt/commit
+    dates, so 'late' = shipped > 60 days after order date): suppliers
+    who were the SOLE late shipper on multi-supplier finalized orders.
+    The distinctive pattern is the double correlation — EXISTS
+    (another supplier touched the order) AND NOT EXISTS (another
+    supplier was ALSO late) — planned as one semi- and one anti-join
+    with a non-equi conjunct on the supplier key, both shuffling on
+    the shared orderkey (AQE coalesces the exchanges). Top-10 by
+    blocked-order-line count, name tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    blocked = (
+        l1.join(
+            l2,
+            (F.col("_ok") == F.col("_ok2")) & (F.col("_sk") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("_ok") == F.col("_ok3")) & (F.col("_sk") != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    counts = blocked.groupBy("_sk").agg(F.count("*").alias("numwait"))
+    return (
+        counts.join(supp, counts._sk == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+SQL_SOLE_BLOCKING_SUPPLIER = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4619,6 +4691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "curation_funnel": q_curation_funnel,
+    "sole_blocking_supplier": q_sole_blocking_supplier,
     # --- proven oracle-backed (>=1 green driver row; local oracle twins
     # still run every round via tests/test_queries_oracle.py) ---
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4756,6 +4829,7 @@ ORACLE: dict[str, str] = {
     "similarity_ivf_kmeans": SQL_SIMILARITY_IVF_KMEANS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "curation_funnel": SQL_CURATION_FUNNEL,
+    "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "multimodal_byte_features": SQL_MULTIMODAL_BYTE_FEATURES,
     "dedup_cluster_canonical": SQL_DEDUP_CLUSTER_CANONICAL,
     "contamination_check": SQL_CONTAMINATION_CHECK,
