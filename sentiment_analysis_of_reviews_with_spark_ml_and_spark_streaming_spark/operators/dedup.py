@@ -864,3 +864,100 @@ def semdedup(
             F.col("_drop_id").isNull().alias("keep"),
         )
     )
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    known_signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-dup-aware incremental ingest: dedup an incoming batch
+    against a persisted (id, simhash) signature store — the continuous
+    complement of :func:`incremental_dedup` (exact md5) and the batch
+    twin of ``streaming.stateful.stream_near_dup_pairs``.
+
+    Steps: fingerprint the batch once (:func:`simhash`), suppress
+    batch-internal near-dups (lower-id survivor, same banded join +
+    exact hamming verify as :func:`simhash_near_dup_pairs`), then drop
+    batch docs within ``max_hamming`` of any STORED signature — the
+    store never re-fingerprints, and both joins block on 16-bit band
+    keys, so the shuffle carries (id, 8-byte signature) pairs, never
+    document payloads. Bands are derived from the stored signature on
+    the fly (a projection), so the store schema stays minimal.
+
+    Returns (fresh, delta): ``fresh`` = surviving docs with their
+    ``simhash`` column attached; ``delta`` = (id, simhash) rows to
+    append to the store. Re-ingesting the same batch against the
+    updated store yields zero fresh rows (idempotence, tested).
+    """
+    fps = simhash(new_docs, id_col=id_col, text_col=text_col)
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame, id_name: str, fp_name: str) -> DataFrame:
+        return df.select(
+            F.col(id_name),
+            F.col(fp_name),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col(fp_name), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            F.col(id_name), F.col(fp_name), F.col("bk.band"), F.col("bk.key")
+        )
+
+    b = banded(fps, id_col, "simhash")
+    # batch-internal: drop any id with a lower-id near-dup in the batch
+    a_side = b.select(
+        F.col(id_col).alias("_ida"), F.col("simhash").alias("_fpa"), "band", "key"
+    )
+    b_side = b.select(
+        F.col(id_col).alias("_idb"), F.col("simhash").alias("_fpb"), "band", "key"
+    )
+    internal_drops = (
+        a_side.join(b_side, ["band", "key"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.bit_count(F.col("_fpa").bitwiseXOR(F.col("_fpb"))) <= max_hamming
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    survivors = fps.join(internal_drops, id_col, "left_anti")
+    # store check: candidates from band collisions, exact hamming verify
+    store_fp = known_signatures.columns[1]
+    store_b = banded(
+        known_signatures.select(
+            F.col(known_signatures.columns[0]).alias("_sid"),
+            F.col(store_fp).alias("_sfp"),
+        ),
+        "_sid",
+        "_sfp",
+    )
+    sb = banded(survivors, id_col, "simhash")
+    store_drops = (
+        sb.join(store_b.select("band", "key", "_sfp"), ["band", "key"])
+        .filter(
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("_sfp")))
+            <= max_hamming
+        )
+        .select(F.col(id_col))
+        .distinct()
+    )
+    fresh_ids = survivors.join(store_drops, id_col, "left_anti")
+    fresh = new_docs.join(fresh_ids.select(id_col, "simhash"), id_col)
+    delta = fresh.select(F.col(id_col), F.col("simhash"))
+    return fresh, delta

@@ -145,3 +145,32 @@ def test_python_fingerprint_randomized_differential(spark):
     assert len(jvm) == len(cases)
     for i, t in enumerate(cases):
         assert _simhash_py(t) == jvm[i], repr(t)
+
+
+def test_incremental_near_dedup_two_batches(spark):
+    """Batch-ingest twin of the streaming operator: batch-internal
+    near-dups collapse to the min id, docs near a STORED signature are
+    dropped, novel docs append to the store, and replaying a batch
+    against the updated store yields zero fresh rows."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different subject matter entirely here with many words"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + "extra"), (3, other)],
+        "doc_id long, text string",
+    )
+    empty_store = spark.createDataFrame([], "doc_id long, simhash long")
+    fresh1, delta1 = dedup.incremental_near_dedup(b1, empty_store)
+    ids1 = {r["doc_id"] for r in fresh1.collect()}
+    assert ids1 == {1, 3}  # 2 is a near-dup of 1 within the batch
+    store = delta1
+    # batch 2: near-dup of stored doc 1, plus a novel doc
+    b2 = spark.createDataFrame(
+        [(10, base + "extra"), (11, "novel content unseen before now")],
+        "doc_id long, text string",
+    )
+    fresh2, delta2 = dedup.incremental_near_dedup(b2, store)
+    assert {r["doc_id"] for r in fresh2.collect()} == {11}
+    store = store.union(delta2)
+    # replay batch 1: everything already represented in the store
+    fresh3, _ = dedup.incremental_near_dedup(b1, store)
+    assert fresh3.count() == 0
