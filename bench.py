@@ -78,6 +78,7 @@ HEADLINE = [
     "similarity_ivf_kmeans",
     "curation_funnel",
     "sole_blocking_supplier",
+    "boilerplate_line_stats",
 ]
 
 

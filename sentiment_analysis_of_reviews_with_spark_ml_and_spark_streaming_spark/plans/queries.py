@@ -4609,6 +4609,85 @@ LIMIT 10
 """
 
 
+def q_boilerplate_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style boilerplate detection: lines (split \\r?\\n,
+    whitespace-normalized) whose DOCUMENT frequency ≥ 3 are boilerplate
+    (nav menus, footers, cookie banners repeat across pages; real
+    prose doesn't). Per doc: line count, boilerplate count, char
+    fraction. Complements `duplicate_spans` (token windows catch
+    within-doc repetition; line-DF catches template furniture).
+    Plan: one explode → one (line-hash) DF agg (md5 keys the shuffle,
+    not line text) → one id-keyed re-agg. On this single-line corpus a
+    'line' is the whole doc, so boilerplate ≡ docs with ≥3 exact
+    copies — degenerate but computed identically; multi-line semantics
+    are pinned by tests/test_c4_and_mixture.py fixtures."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\\r?\\n")).alias("_pos", "_line"),
+    ).select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower(F.col("_line")), "\\s+", " ")).alias(
+            "_norm"
+        ),
+        F.length("_line").alias("_chars"),
+    ).filter(F.col("_norm") != "")
+    linedf = lines.groupBy(F.md5("_norm").alias("_lh")).agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    flagged = lines.withColumn("_lh", F.md5("_norm")).join(linedf, "_lh")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("_df") >= 3).cast("long")).alias("n_boilerplate_lines"),
+        F.round(
+            F.sum(F.when(F.col("_df") >= 3, F.col("_chars")).otherwise(0))
+            / F.sum("_chars"),
+            4,
+        ).alias("boilerplate_char_frac"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_boilerplate_lines", F.lit(0)).alias("n_boilerplate_lines"),
+        F.coalesce("boilerplate_char_frac", F.lit(0.0)).alias(
+            "boilerplate_char_frac"
+        ),
+    )
+
+
+SQL_BOILERPLATE_LINE_STATS = """
+WITH lines AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(l), '\\s+', ' ', 'g')) AS norm,
+         length(l) AS chars
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\r?\\n')) AS l
+    FROM documents
+  )
+  WHERE trim(regexp_replace(lower(l), '\\s+', ' ', 'g')) != ''
+),
+linedf AS (
+  SELECT md5(norm) AS lh, count(DISTINCT doc_id) AS df
+  FROM lines GROUP BY 1
+),
+per_doc AS (
+  SELECT l.doc_id,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate_lines,
+         round(sum(CASE WHEN f.df >= 3 THEN l.chars ELSE 0 END) * 1.0
+               / sum(l.chars), 4) AS boilerplate_char_frac
+  FROM lines l JOIN linedf f ON md5(l.norm) = f.lh
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_lines, 0) AS n_lines,
+       coalesce(p.n_boilerplate_lines, 0) AS n_boilerplate_lines,
+       coalesce(p.boilerplate_char_frac, 0.0) AS boilerplate_char_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4692,6 +4771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "curation_funnel": q_curation_funnel,
     "sole_blocking_supplier": q_sole_blocking_supplier,
+    "boilerplate_line_stats": q_boilerplate_line_stats,
     # --- proven oracle-backed (>=1 green driver row; local oracle twins
     # still run every round via tests/test_queries_oracle.py) ---
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4830,6 +4910,7 @@ ORACLE: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
+    "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
     "multimodal_byte_features": SQL_MULTIMODAL_BYTE_FEATURES,
     "dedup_cluster_canonical": SQL_DEDUP_CLUSTER_CANONICAL,
     "contamination_check": SQL_CONTAMINATION_CHECK,

@@ -305,3 +305,47 @@ def test_c4_crlf_matches_oracle(spark, tmp_path):
     for doc_id, srow in got.items():
         for col, val in srow.items():
             assert oracle[doc_id][col] == val, (doc_id, col, val, oracle[doc_id][col])
+
+
+def test_boilerplate_lines_multiline_fixture(spark, tmp_path):
+    """A footer line repeated across >=3 docs is boilerplate; unique
+    prose is not; whitespace/case variants normalize to one line.
+    Cross-checked against the DuckDB twin on the same fixture."""
+    import duckdb
+    import os
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        SQL_BOILERPLATE_LINE_STATS,
+        q_boilerplate_line_stats,
+    )
+
+    footer = "copyright example corp all rights reserved"
+    docs = [
+        (1, f"unique prose about one topic\n{footer}"),
+        (2, f"different unique text here\n  {footer.upper()}  "),
+        (3, f"third unique body of text\n{footer}\nanother unique line"),
+        (4, "entirely standalone document"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in q_boilerplate_line_stats(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["n_boilerplate_lines"] == 1 and got[1]["n_lines"] == 2
+    assert got[2]["n_boilerplate_lines"] == 1  # case/space variant normalized
+    assert got[3]["n_boilerplate_lines"] == 1 and got[3]["n_lines"] == 3
+    assert got[4]["n_boilerplate_lines"] == 0
+    assert 0 < got[1]["boilerplate_char_frac"] < 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(SQL_BOILERPLATE_LINE_STATS)
+    cols = [d[0] for d in res.description]
+    oracle = {row[0]: dict(zip(cols, row)) for row in res.fetchall()}
+    for doc_id, srow in got.items():
+        for col, val in srow.items():
+            assert oracle[doc_id][col] == val, (doc_id, col, val, oracle[doc_id][col])
