@@ -262,14 +262,34 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # n_ok/n_errors make the headline total honest across rounds: a
+        # round where queries errored sums fewer queries, which would
+        # otherwise read as a speedup in cross-round comparisons.
+        "n_ok": len(timings),
+        "n_errors": len(errors),
         "queries": timings,
         "streaming": streaming,
         "sf": sf,
     }
     if errors:
         result["errors"] = errors
+    # Teardown BEFORE the metric line: stopping the session with live
+    # streaming state stores dumps multi-KB abort stack traces, and the
+    # driver keeps only the tail of the output — round 3's artifact lost
+    # all 54 measurements that way. Stop every active stream first, then
+    # emit the JSON line as the absolute last thing on stdout.
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:  # noqa: BLE001 - teardown must not kill the metric
+            pass
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    sys.stdout.flush()
     print(json.dumps(result))
-    spark.stop()
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -73,6 +73,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs by word-ngram Jaccard ≥ threshold.
 
@@ -82,15 +83,43 @@ def ngram_jaccard_pairs(
     shingles, so disjoint docs never pair. Returns
     (id_a, id_b, jaccard).
 
+    ``max_shingle_df`` caps shingle document frequency: shingles shared
+    by more than that many docs (boilerplate headers/footers/license
+    blocks) are dropped from every doc's shingle set BEFORE the
+    self-join, and Jaccard is computed over the capped sets (sizes and
+    intersections both). Without the cap one shingle shared by 10⁶ docs
+    makes the self-join emit ~10¹²/2 candidate rows; with it the
+    blow-up is bounded at ~max_shingle_df²/2 pairs per shingle. Docs
+    that genuinely near-duplicate each other still pair through their
+    rarer shingles (prefix-filtering rationale); docs whose only
+    overlap is ultra-hot boilerplate are exactly the pairs a dedup
+    pipeline should NOT link. The hot set is tiny by construction
+    (only shingles with df > cap), so it broadcasts.
+
     Scale: this is the *verify* stage; at 100 TB run it only on
     LSH candidates (``minhash_lsh_candidates``) instead of the full
-    inverted index.
+    inverted index, and keep the DF cap on as the boilerplate guard.
     """
     sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
-    sized = sh.select(
-        F.col(id_col).alias("_id"), F.size("shingles").alias("_sz"), "shingles"
-    )
-    inv = sized.select("_id", "_sz", F.explode("shingles").alias("_shingle"))
+    if max_shingle_df is not None:
+        bare = sh.select(
+            F.col(id_col).alias("_id"), F.explode("shingles").alias("_shingle")
+        )
+        hot = (
+            bare.groupBy("_shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_shingle")
+        )
+        kept = bare.join(F.broadcast(hot), "_shingle", "left_anti")
+        inv = kept.withColumn(
+            "_sz", F.count("*").over(Window.partitionBy("_id"))
+        )
+    else:
+        sized = sh.select(
+            F.col(id_col).alias("_id"), F.size("shingles").alias("_sz"), "shingles"
+        )
+        inv = sized.select("_id", "_sz", F.explode("shingles").alias("_shingle"))
     a = inv.select(
         F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_shingle"
     )

