@@ -4520,47 +4520,78 @@ SQL_SIMILARITY_IVF_KMEANS = _ivf_kmeans_oracle_sql(4, 3, 2, 5)
 
 
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation funnel as ONE query: exact dedup (min-id
-    canonical per md5 of text) → quality gate (the oracle-matched
+    """End-to-end curation funnel as ONE query, RefinedWeb stage
+    ordering: exact dedup (min-id canonical per md5 of text) →
+    boilerplate-line removal (lines whose document frequency within
+    the DEDUPED corpus is ≥ 3 are stripped; docs left with no content
+    drop out) → quality gate (the oracle-matched
     quality_filter_decision rules) → per-source survivor report with
-    final token shares — the report a 100 TB curation run ships to its
-    training-mix owners. Every stage reuses an already-oracle-matched
-    building block, so the composition is bit-portable by
-    construction: one scan + two id-keyed joins + one bounded-key agg;
-    the grand total is a single-row broadcast."""
+    final CLEAN-token shares — the report a 100 TB curation run ships
+    to its training-mix owners. Every stage reuses an already
+    oracle-matched building block (dedup_exact, boilerplate_line_stats,
+    quality_filter_decision), so the composition is bit-portable by
+    construction. Plan shape: one documents scan feeds the dedup agg
+    and the line explode; the line-DF agg shuffles md5(line) keys only
+    (never text payloads); the rest is id-keyed joins + one
+    bounded-key agg; the grand total is a single-row broadcast."""
     docs = _t(spark, sf_dir, "documents")
     canonical = (
         docs.groupBy(F.md5("text").alias("_fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(True).alias("_canon"))
     )
+    # boilerplate stage runs on canonical docs only: duplicate copies
+    # must not inflate a line's document frequency
+    lines = (
+        docs.join(canonical.select("doc_id"), "doc_id")
+        .select("doc_id", F.explode(F.split("text", "\\r?\\n")).alias("_l"))
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.lower("_l"), "\\s+", " ")).alias("_norm"),
+        )
+        .filter(F.col("_norm") != "")
+    )
+    linedf = lines.groupBy(F.md5("_norm").alias("_lh")).agg(
+        F.count_distinct("doc_id").alias("_df")
+    )
+    clean = lines.join(
+        linedf.filter(F.col("_df") >= 3).select("_lh"),
+        F.md5(F.col("_norm")) == F.col("_lh"),
+        "left_anti",
+    )
+    per_doc_clean = clean.groupBy("doc_id").agg(
+        F.sum(F.size(F.split("_norm", " ")).cast("long")).alias("_clean_nt")
+    )
     quality = (
         q_quality_filter_decision(spark, sf_dir)
         .select("doc_id", (F.col("keep") == 1).alias("_qok"))
     )
     flags = (
-        docs.select(
-            "source",
-            "doc_id",
-            textstats.token_count_ws("text").cast("long").alias("_nt"),
-        )
+        docs.select("source", "doc_id")
         .join(canonical, "doc_id", "left")
+        .join(per_doc_clean, "doc_id", "left")
         .join(quality, "doc_id", "left")
         .select(
             "source",
-            "_nt",
             F.coalesce("_canon", F.lit(False)).alias("_canon"),
+            # survives boilerplate = canonical AND has >=1 clean line
+            (
+                F.coalesce("_canon", F.lit(False))
+                & F.col("_clean_nt").isNotNull()
+            ).alias("_bok"),
+            F.coalesce("_clean_nt", F.lit(0)).alias("_clean_nt"),
             F.coalesce("_qok", F.lit(False)).alias("_qok"),
         )
     )
     per = flags.groupBy("source").agg(
         F.count("*").alias("n_raw"),
         F.sum(F.col("_canon").cast("long")).alias("n_after_dedup"),
-        F.sum((F.col("_canon") & F.col("_qok")).cast("long")).alias(
+        F.sum(F.col("_bok").cast("long")).alias("n_after_boilerplate"),
+        F.sum((F.col("_bok") & F.col("_qok")).cast("long")).alias(
             "n_after_quality"
         ),
         F.sum(
-            F.when(F.col("_canon") & F.col("_qok"), F.col("_nt")).otherwise(0)
+            F.when(F.col("_bok") & F.col("_qok"), F.col("_clean_nt")).otherwise(0)
         ).alias("tokens_final"),
     )
     tot = per.agg(F.sum("tokens_final").alias("_t"))
@@ -4568,37 +4599,66 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_raw",
         "n_after_dedup",
+        "n_after_boilerplate",
         "n_after_quality",
         "tokens_final",
-        F.round(F.col("tokens_final") / F.col("_t"), 6).alias("final_share"),
+        # try_divide: an all-filtered corpus has zero total tokens;
+        # NULL share matches the oracle (DuckDB x/0 -> NULL), where
+        # ANSI division would kill the whole report
+        F.round(F.try_divide(F.col("tokens_final"), F.col("_t")), 6).alias(
+            "final_share"
+        ),
     )
 
 
 SQL_CURATION_FUNNEL = """
 WITH qd AS ({quality_filter_decision}),
 dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+lines AS (
+  SELECT d.doc_id,
+         trim(regexp_replace(lower(u.l), '\\s+', ' ', 'g')) AS norm
+  FROM documents d
+  JOIN dd ON d.doc_id = dd.doc_id,
+       unnest(string_split_regex(d.text, '\\r?\\n')) AS u(l)
+  WHERE trim(regexp_replace(lower(u.l), '\\s+', ' ', 'g')) != ''
+),
+linedf AS (
+  SELECT md5(norm) AS lh, count(DISTINCT doc_id) AS df
+  FROM lines GROUP BY 1
+),
+cleandoc AS (
+  SELECT l.doc_id,
+         CAST(sum(len(string_split(l.norm, ' '))) AS BIGINT) AS clean_nt
+  FROM lines l JOIN linedf f ON md5(l.norm) = f.lh
+  WHERE f.df < 3
+  GROUP BY 1
+),
 flags AS (
   SELECT d.source,
-         CASE WHEN trim(d.text) = '' THEN 0
-              ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS nt,
          (dd.doc_id IS NOT NULL) AS canon,
+         (dd.doc_id IS NOT NULL AND c.clean_nt IS NOT NULL) AS bok,
+         coalesce(c.clean_nt, 0) AS clean_nt,
          coalesce(qd.keep = 1, FALSE) AS qok
   FROM documents d
   LEFT JOIN dd ON d.doc_id = dd.doc_id
+  LEFT JOIN cleandoc c ON d.doc_id = c.doc_id
   LEFT JOIN qd ON d.doc_id = qd.doc_id
 ),
 per AS (
   SELECT source,
          count(*) AS n_raw,
          CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
-         CAST(sum(CASE WHEN canon AND qok THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(sum(CASE WHEN bok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after_boilerplate,
+         CAST(sum(CASE WHEN bok AND qok THEN 1 ELSE 0 END) AS BIGINT)
            AS n_after_quality,
-         CAST(sum(CASE WHEN canon AND qok THEN nt ELSE 0 END) AS BIGINT)
+         CAST(sum(CASE WHEN bok AND qok THEN clean_nt ELSE 0 END) AS BIGINT)
            AS tokens_final
   FROM flags GROUP BY source
 ),
 tot AS (SELECT sum(tokens_final) AS t FROM per)
-SELECT source, n_raw, n_after_dedup, n_after_quality, tokens_final,
+SELECT source, n_raw, n_after_dedup, n_after_boilerplate, n_after_quality,
+       tokens_final,
        round(tokens_final * 1.0 / tot.t, 6) AS final_share
 FROM per, tot
 """.replace("{quality_filter_decision}", SQL_QUALITY_FILTER_DECISION)
