@@ -505,7 +505,15 @@ def simhash_near_dup_pairs(
     Banding on 16-bit fingerprint slices: a pair within hamming 3 of a
     64-bit hash must agree exactly on ≥1 of 4 bands (pigeonhole), so
     the self-join blocks on band value — linear shuffle, no O(n²).
+
+    Raises ValueError when ``max_hamming > bands - 1`` (the pigeonhole
+    full-recall guarantee would silently break).
     """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole full-recall "
+            f"guarantee for bands={bands}: require max_hamming <= bands-1"
+        )
     fps = simhash(df, id_col=id_col, text_col=text_col)
     band_bits = 64 // bands
     mask = (1 << band_bits) - 1
@@ -922,7 +930,17 @@ def incremental_near_dedup(
     ``simhash`` column attached; ``delta`` = (id, simhash) rows to
     append to the store. Re-ingesting the same batch against the
     updated store yields zero fresh rows (idempotence, tested).
+
+    Raises ValueError when ``max_hamming > bands - 1``: past that the
+    pigeonhole guarantee (any pair within hamming h < bands shares at
+    least one exact band) no longer holds and the banded join would
+    silently lose recall the docstring promises.
     """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole full-recall "
+            f"guarantee for bands={bands}: require max_hamming <= bands-1"
+        )
     fps = simhash(new_docs, id_col=id_col, text_col=text_col)
     band_bits = 64 // bands
     mask = (1 << band_bits) - 1

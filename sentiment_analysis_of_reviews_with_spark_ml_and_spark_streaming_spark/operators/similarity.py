@@ -577,10 +577,18 @@ def ivf_index_probe(
     sim_round: int = 4,
 ) -> DataFrame:
     """Query a persisted IVF index: rank the stored centroids per
-    query, then scan ONLY the probed `cluster=` partitions (the
-    cluster IN-list reaches the parquet scan as a partition filter —
-    no full-index read). Same output contract as
-    :func:`ivf_topk_deterministic`."""
+    query, then scan ONLY the probed `cluster=` partitions. Same
+    output contract as :func:`ivf_topk_deterministic`.
+
+    Pruning is STATIC, not optimizer-dependent: the probed cluster set
+    (≤ n_queries × n_probe ids, driver-bounded by the probe contract)
+    is collected and applied as a literal ``isin`` partition filter on
+    the lists read, so partition pruning happens at plan time no
+    matter how dynamic partition pruning is configured. The broadcast
+    probes join alone would only prune via DPP — which silently
+    degrades to a full-index scan with DPP disabled, or when the
+    inferred ``cluster=`` partition-column type differs from the
+    stored centroid-id type (e.g. non-integer ids)."""
     cents = spark.read.parquet(f"{path}/centroids")
     c = cents.select(
         F.col("centroid_id").alias("_cid"), F.col("centroid_vec").alias("_ce")
@@ -604,7 +612,12 @@ def ivf_index_probe(
         .filter(F.col("_rn") <= n_probe)
         .select("_qid", "_qe", F.col("_cid").alias("cluster"))
     )
-    lists = spark.read.parquet(f"{path}/lists")
+    # static partition pruning: one tiny job over the (already
+    # broadcast-sized) probes frame yields the literal cluster IN-list
+    probed_ids = [r["cluster"] for r in probes.select("cluster").distinct().collect()]
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cluster").isin(probed_ids)
+    )
     cand = (
         lists.join(F.broadcast(probes), "cluster")
         .filter(F.col("_qid") != F.col(id_col))

@@ -2038,6 +2038,19 @@ def q_ml_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         stages=build_feature_pipeline(text_col="text", stop_words=stop)
     )
     fitted = pipe.fit(docs)
+    # The SQL twin has an UNBOUNDED vocabulary; if the corpus ever
+    # exceeds the CountVectorizer cap the hashes would silently diverge
+    # (truncated vocab on the Spark side only). Fail loudly instead —
+    # zero extra scans: the fitted model already knows its vocabulary.
+    from pyspark.ml.feature import CountVectorizerModel
+
+    cv = next(s for s in fitted.stages if isinstance(s, CountVectorizerModel))
+    cap = cv.getVocabSize()
+    if len(cv.vocabulary) >= cap:
+        raise ValueError(
+            f"corpus vocabulary hit the CountVectorizer cap ({cap}): the "
+            "unbounded-vocab SQL oracle would diverge; raise vocab_size"
+        )
     out = fitted.transform(docs)
     arr = vector_to_array(F.col("features"))
     return out.select(
@@ -2084,32 +2097,51 @@ def q_ml_train_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     80/20 seed=100 split (BASELINE.md hyperparameters), label =
     'is the doc English'.
 
-    Oracle-backed since round 3 via a threshold assertion the driver
-    can hash: the exact F1 is a float fixed-point no portable SQL can
-    replay (and randomSplit's per-partition sampling makes the last
-    digits sensitive to input partitioning), but `f1 >= 0.35` is
-    stable — measured 0.42-0.44 at sf0.001/sf0.01 (the synthetic
-    corpus's lang labels are only weakly separable from TF-IDF under
-    regParam=0.3, so the honest floor sits below the reference's Yelp
-    F1), with the margin wide enough to absorb split jitter. Exact
-    repeatability itself is covered by tests/test_ml_pipeline.py's
-    double-train determinism test; the raw F1 is asserted by the ML
-    tests, not hashed here."""
+    Honest classification: THRESHOLD-ASSERTED, not fully oracle-backed.
+    The exact F1 is a float fixed-point no portable SQL can replay
+    (and randomSplit's per-partition sampling makes the last digits
+    sensitive to input partitioning), but `f1 >= 0.35` is stable —
+    measured 0.42-0.44 at sf0.001/sf0.01 (the synthetic corpus's lang
+    labels are only weakly separable from TF-IDF under regParam=0.3,
+    so the honest floor sits below the reference's Yelp F1), with the
+    margin wide enough to absorb split jitter. To keep the driver row
+    falsifiable the output also carries DATA-DERIVED columns the
+    oracle recomputes independently — the corpus size and per-class
+    counts feeding the split — so a drifted input flips the hash even
+    though the F1 bit alone could not. Exact repeatability is covered
+    by tests/test_ml_pipeline.py's double-train determinism test; the
+    raw F1 is asserted by the ML tests, not hashed here."""
     from ..ml.pipeline import train_and_evaluate
 
     docs = _t(spark, sf_dir, "documents")
     labeled = docs.withColumn(
         "label", F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
     )
+    counts = labeled.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("label").cast("long")).alias("n_positive"),
+    ).collect()[0]
     _, f1 = train_and_evaluate(labeled, "svm")
     return spark.createDataFrame(
-        [("linear_svc", bool(f1 >= 0.35))],
-        "model string, f1_above_floor boolean",
+        [
+            (
+                "linear_svc",
+                int(counts["n_docs"]),
+                int(counts["n_positive"]),
+                bool(f1 >= 0.35),
+            )
+        ],
+        "model string, n_docs long, n_positive long, f1_above_floor boolean",
     )
 
 
 SQL_ML_TRAIN_F1 = """
-SELECT 'linear_svc' AS model, TRUE AS f1_above_floor
+SELECT 'linear_svc' AS model,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive,
+       TRUE AS f1_above_floor
+FROM documents
 """
 
 

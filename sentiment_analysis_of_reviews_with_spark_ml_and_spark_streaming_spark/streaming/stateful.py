@@ -189,7 +189,16 @@ def stream_near_dup_pairs(
     consumers dedupe on (doc_id, matched_doc_id) — kept that way so the
     operator stays single-stage (chaining a second stateful agg would
     couple watermarks).
+
+    Raises ValueError when ``max_hamming > bands - 1``: past that the
+    pigeonhole guarantee behind the banded state lookup no longer
+    holds and pairs would be silently missed.
     """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole full-recall "
+            f"guarantee for bands={bands}: require max_hamming <= bands-1"
+        )
     import pandas as pd  # noqa: F811 - local for the worker closure
 
     fp_schema = f"{id_col} long, simhash long"

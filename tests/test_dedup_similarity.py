@@ -439,3 +439,24 @@ def test_shingle_df_cap_noop_when_no_hot_shingles(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_simhash_banding_rejects_recall_breaking_hamming(spark):
+    """max_hamming > bands-1 voids the pigeonhole guarantee; all three
+    simhash-banded entry points must refuse it loudly."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        stream_near_dup_pairs,
+    )
+
+    corpus = _corpus(spark)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_dup_pairs(corpus, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.incremental_near_dedup(
+            corpus,
+            spark.createDataFrame([], "doc_id long, simhash long"),
+            max_hamming=5,
+            bands=4,
+        )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        stream_near_dup_pairs(corpus, max_hamming=4, bands=4)
