@@ -3654,6 +3654,41 @@ FROM b GROUP BY 1
 """
 
 
+def q_winsorized_value_stats_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB execution shape of winsorized_value_stats, runnable:
+    approx_percentile (KLL-style mergeable sketch, map-side combined —
+    no per-group full sort/materialization) computed in a groupBy agg,
+    broadcast back onto the fact scan for the clip pass. Two scans of
+    events, zero windowed materialization of whole partitions; the
+    sketch agg and the clip agg both shuffle only (event_type, sketch)
+    / (event_type, counters). Rows-only: sketch internals aren't
+    portable SQL, so correctness is a tolerance test against the exact
+    twin (tests/test_approx_quantiles.py), which is the real contract
+    — approx within sketch accuracy of exact."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.05, 10000)").alias("_p05"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("_p95"),
+    )
+    joined = ev.join(F.broadcast(bounds), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("_p05"), 4).alias("p05"),
+            F.round(F.min("_p95"), 4).alias("p95"),
+            F.sum((F.col("value") < F.col("_p05")).cast("long")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("value") > F.col("_p95")).cast("long")).alias(
+                "n_clipped_high"
+            ),
+        )
+    )
+
+
 def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source audit of what the web-corpus cleaning pass would
     redact (clean.strip_urls / strip_html_tags / mask_pii patterns):
@@ -4990,6 +5025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_purchase_graph": q_pagerank_purchase_graph,
     # --- rows-only (no portable SQL oracle: seeded-RNG hash families
     # and ml/numpy internals; each has a recall/property-test twin) ---
+    "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
     "similarity_ann_lsh": q_similarity_ann_lsh,
