@@ -4887,21 +4887,39 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 
 
 # Registry order is a CONTRACT with the driver: it grades a 50-key prefix.
-# Rotation policy (docs/QUERIES.md): queries that earned green driver rows in
-# BOTH r01 and r02 are proven and rotate past the window; never-graded
-# oracle-backed queries rotate in so every operator eventually earns a driver
-# correctness row.  Round-3 window:
-#   W1. the 7 events-tier queries red in r02 (the load_events vintage
-#       regression) — kept in-window to prove the fix;
-#   W2. 33 oracle-backed queries never yet graded by the driver (TPC-H
-#       subquery shapes, Gopher rules, funnel/resample, profiler, heavy
-#       hitters, edit-distance dedup, ...);
-#   W3. 10 single-green flagship LLM-pipeline queries (first graded r02).
-# Then the round-3 additions (positions 51+, queued for round 4), the
-# remaining oracle-backed queries (each with >=1 green driver row), the
-# four round-3 oracle promotions, and the rows-only tier last.
+# Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
+# queries and queries whose semantics changed this round enter the window;
+# multi-green veterans rotate past it.  Round-4 window (positions 1-50):
+#   W1. the 13 round-3 additions/promotions that have never had a driver
+#       correctness row (VERDICT r3 top-next item);
+#   W2. the 2 dedup queries whose edge generation gained the hot-shingle
+#       DF cap this round (semantics re-certified);
+#   W3. the 7 events-tier queries (r02-red via the loader regression,
+#       green r03 — kept in-window for a second consecutive green);
+#   W4. the 16 queries whose only green row is r01 (stalest
+#       certifications);
+#   W5. 12 of the r03-first-green tier, filling to exactly 50.
+# Then the 22 remaining r03-single-green queries (queued for round 5),
+# the multi-green veterans, and the rows-only tier last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- W1: events tier, red in r02 via the shared loader regression ---
+    # --- W1: never driver-graded (r3 additions + promotions) ---
+    "c4_line_filter_stats": q_c4_line_filter_stats,
+    "semdedup_keep_set": q_semdedup_keep_set,
+    "bigram_logprob_docs": q_bigram_logprob_docs,
+    "mixture_token_budget": q_mixture_token_budget,
+    "kmeans_clusters": q_kmeans_clusters,
+    "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+    "curation_funnel": q_curation_funnel,
+    "sole_blocking_supplier": q_sole_blocking_supplier,
+    "boilerplate_line_stats": q_boilerplate_line_stats,
+    "dedup_simhash": q_dedup_simhash,
+    "pagerank_purchase_graph": q_pagerank_purchase_graph,
+    "ml_tfidf_features": q_ml_tfidf_features,
+    "ml_train_f1": q_ml_train_f1,
+    # --- W2: hot-shingle DF cap added this round ---
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_cluster_canonical": q_dedup_cluster_canonical,
+    # --- W3: events tier, second consecutive green wanted ---
     "pivot_event_type": q_pivot_event_type,
     "moving_avg_user_value": q_moving_avg_user_value,
     "json_extract_props": q_json_extract_props,
@@ -4909,7 +4927,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_click_context": q_range_join_click_context,
     "window_hourly_events": q_window_hourly_events,
     "sessionize_events": q_sessionize_events,
-    # --- W2: oracle-backed, never driver-graded before round 3 ---
+    # --- W4: single green row from r01 (stale certifications) ---
+    "filter_isin_priority": q_filter_isin_priority,
+    "filter_not_in_brand": q_filter_not_in_brand,
+    "distinct_segments": q_distinct_segments,
+    "global_counts": q_global_counts,
+    "binarize_label": q_binarize_label,
+    "union_distinct_nationkeys": q_union_distinct_nationkeys,
+    "agg_stats_extended": q_agg_stats_extended,
+    "cube_status_priority": q_cube_status_priority,
+    "orders_by_month": q_orders_by_month,
+    "ngram_top_bigrams": q_ngram_top_bigrams,
+    "zscore_value_by_type": q_zscore_value_by_type,
+    "window_sliding_events": q_window_sliding_events,
+    "semi_join_active_customers": q_semi_join_active_customers,
+    "anti_join_inactive_customers": q_anti_join_inactive_customers,
+    "token_count_bpe": q_token_count_bpe,
+    "stemmed_token_frequencies": q_stemmed_token_frequencies,
+    # --- W5: r03-first-green fill to 50 ---
     "hypertable_rollup": q_hypertable_rollup,
     "exists_late_shipping": q_exists_late_shipping,
     "nation_pair_volume": q_nation_pair_volume,
@@ -4922,6 +4957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "click_attribution_user": q_click_attribution_user,
     "embedding_centroids": q_embedding_centroids,
     "quality_filter_decision": q_quality_filter_decision,
+    # --- past the window: remaining r03-single-green (round-5 queue), then multi-green veterans ---
     "unigram_logprob_docs": q_unigram_logprob_docs,
     "rank_family_orders": q_rank_family_orders,
     "unpivot_part_measures": q_unpivot_part_measures,
@@ -4943,32 +4979,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_orders": q_profile_orders,
     "resample_fill_events": q_resample_fill_events,
     "funnel_conversion": q_funnel_conversion,
-    # --- W3: flagship LLM-pipeline, single green row (r02) ---
     "dedup_exact": q_dedup_exact,
     "dedup_pipeline_verified": q_dedup_pipeline_verified,
     "maximal_duplicate_spans": q_maximal_duplicate_spans,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_cosine_topk": q_similarity_cosine_topk,
     "multimodal_byte_features": q_multimodal_byte_features,
-    "dedup_cluster_canonical": q_dedup_cluster_canonical,
     "contamination_check": q_contamination_check,
     "pack_sequences": q_pack_sequences,
     "sentiment_vader_full": q_sentiment_vader_full,
-    # --- round-3 uplift, queued for the round-4 grading window (all
-    # oracle-backed; added at position 51+ so they don't displace the
-    # never-graded W2 tier from this round's window) ---
-    "c4_line_filter_stats": q_c4_line_filter_stats,
-    "semdedup_keep_set": q_semdedup_keep_set,
-    "bigram_logprob_docs": q_bigram_logprob_docs,
-    "mixture_token_budget": q_mixture_token_budget,
-    "kmeans_clusters": q_kmeans_clusters,
-    "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
-    "curation_funnel": q_curation_funnel,
-    "sole_blocking_supplier": q_sole_blocking_supplier,
-    "boilerplate_line_stats": q_boilerplate_line_stats,
-    # --- proven oracle-backed (>=1 green driver row; local oracle twins
-    # still run every round via tests/test_queries_oracle.py) ---
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "duplicate_spans": q_duplicate_spans,
     "multimodal_meta": q_multimodal_meta,
     "deterministic_split": q_deterministic_split,
@@ -5001,30 +5020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_returnflag": q_rollup_returnflag,
     "quantiles_price_by_priority": q_quantiles_price_by_priority,
     "approx_distinct_parts": q_approx_distinct_parts,
-    "stemmed_token_frequencies": q_stemmed_token_frequencies,
-    "ngram_top_bigrams": q_ngram_top_bigrams,
-    "filter_isin_priority": q_filter_isin_priority,
-    "distinct_segments": q_distinct_segments,
-    "global_counts": q_global_counts,
-    "binarize_label": q_binarize_label,
-    "anti_join_inactive_customers": q_anti_join_inactive_customers,
-    "semi_join_active_customers": q_semi_join_active_customers,
-    "orders_by_month": q_orders_by_month,
-    "agg_stats_extended": q_agg_stats_extended,
-    "token_count_bpe": q_token_count_bpe,
-    "filter_not_in_brand": q_filter_not_in_brand,
-    "union_distinct_nationkeys": q_union_distinct_nationkeys,
-    "cube_status_priority": q_cube_status_priority,
-    "window_sliding_events": q_window_sliding_events,
-    "zscore_value_by_type": q_zscore_value_by_type,
-    # --- promoted to oracle-backed in round 3 (kept here, past the
-    # grading window, until a round-4 rotation slots them in) ---
-    "dedup_simhash": q_dedup_simhash,
-    "ml_tfidf_features": q_ml_tfidf_features,
-    "ml_train_f1": q_ml_train_f1,
-    "pagerank_purchase_graph": q_pagerank_purchase_graph,
-    # --- rows-only (no portable SQL oracle: seeded-RNG hash families
-    # and ml/numpy internals; each has a recall/property-test twin) ---
+    # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
