@@ -282,6 +282,140 @@ def minhash_native_candidates(
     )
 
 
+# Carter-Wegman universal-hash modulus for the PORTABLE MinHash
+# family: the Mersenne prime 2^31 - 1. Chosen so a*x + b with
+# a, x < 2^31 stays under 2^62 — exact in the signed 64-bit integer
+# arithmetic BOTH engines (Spark long, DuckDB BIGINT) share, which is
+# what makes the DuckDB oracle able to replay the signatures bit-for-
+# bit. The xxhash64 variant above remains the raw-throughput path; at
+# a 2^31 hash space the per-pair collision term is ~|shingles|²/2^31,
+# negligible at oracle scale and bounded at 100 TB because collisions
+# only ever ADD candidates for the exact-verify stage to reject.
+MINHASH_PORTABLE_PRIME = 2147483647
+
+
+def minhash_portable_coeffs(
+    num_hashes: int, seed: int = 7
+) -> list[tuple[int, int]]:
+    """Deterministic (a, b) Carter-Wegman coefficients.
+
+    Generated by a fixed-constant 64-bit LCG (Knuth MMIX multiplier)
+    seeded with ``seed`` so the Spark operator and the generated
+    DuckDB oracle SQL embed the SAME family without sharing state —
+    both call this function (the SQL generator inlines the values as
+    literals). a ∈ [1, p-1], b ∈ [0, p-1].
+    """
+    state = seed & ((1 << 64) - 1)
+    out = []
+    for _ in range(num_hashes):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+        a = state % (MINHASH_PORTABLE_PRIME - 1) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+        b = state % MINHASH_PORTABLE_PRIME
+        out.append((a, b))
+    return out
+
+
+def minhash_portable_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    min_est_jaccard: float = 0.2,
+    seed: int = 7,
+) -> DataFrame:
+    """Banded MinHash with an engine-portable hash family (oracle-able).
+
+    Same banded-candidate semantics and plan shape as
+    :func:`minhash_native_candidates` — explode shingles → K hashes →
+    min per hash (ONE map-side-combined shuffle carrying (id, K ints))
+    → band signatures → equi-join on (band, signature) — but the hash
+    family is replayable outside the JVM: base hash is the first 15 hex
+    chars of md5(shingle) (60 bits, the same device the simhash
+    promotion used) reduced mod p = 2^31-1, and member k is
+    ``(a_k * base + b_k) mod p`` with :func:`minhash_portable_coeffs`
+    literals. A DuckDB twin recomputes identical signatures, bands and
+    pairs, turning the whole LSH pipeline — not just its exact-verify
+    stage — into a value-hash-checked query. Band signature is the
+    ':'-joined member values (string equi-join key, no extra hash).
+
+    Returns (id_a, id_b, est_jaccard) with est_jaccard = fraction of
+    agreeing minhashes, filtered to >= min_est_jaccard. Recall for true
+    similarity j: 1-(1-j^r)^(K/r), identical to the native variant.
+    """
+    if num_hashes % rows_per_band:
+        raise ValueError("num_hashes must be a multiple of rows_per_band")
+    n_bands = num_hashes // rows_per_band
+    coeffs = minhash_portable_coeffs(num_hashes, seed)
+    p = MINHASH_PORTABLE_PRIME
+    sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
+    base = sh.select(F.col(id_col), F.explode("shingles").alias("_s")).select(
+        F.col(id_col),
+        (
+            F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long") % p
+        ).alias("_h0"),
+    )
+    sig = base.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("_h0") + F.lit(b)) % p).alias(f"_m{k}")
+            for k, (a, b) in enumerate(coeffs)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col),
+        *[F.col(f"_m{k}") for k in range(num_hashes)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"_m{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, *[f"_m{k}" for k in range(num_hashes)], "bk.band", "bk.sig")
+    a_side = bands.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"_m{k}").alias(f"_a{k}") for k in range(num_hashes)],
+        "band",
+        "sig",
+    )
+    b_side = bands.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"_m{k}").alias(f"_b{k}") for k in range(num_hashes)],
+        "band",
+        "sig",
+    )
+    cand = (
+        a_side.join(b_side, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("band", "sig")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = sum(
+        F.when(F.col(f"_a{k}") == F.col(f"_b{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(float(num_hashes))
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     *,

@@ -114,15 +114,16 @@ def cosine_topk_pandas(
     import pandas as pd
     from pyspark.sql import types as T
 
-    n_queries = queries.count()
-    if n_queries > max_queries:
+    # Single job: collect at most max_queries+1 rows and check the length
+    # driver-side, instead of a separate count() job followed by collect().
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
         raise ValueError(
-            f"query set has {n_queries} rows, exceeding max_queries="
-            f"{max_queries}; a driver-side collect of the query matrix "
-            "is only safe for bounded query sets — raise max_queries "
-            "explicitly if the driver has the memory for it"
+            f"query set exceeds max_queries={max_queries}; a driver-side "
+            "collect of the query matrix is only safe for bounded query "
+            "sets — raise max_queries explicitly if the driver has the "
+            "memory for it"
         )
-    q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

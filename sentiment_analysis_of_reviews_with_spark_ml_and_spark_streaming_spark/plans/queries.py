@@ -1753,6 +1753,84 @@ def q_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash with the engine-portable Carter-Wegman family
+    (r4): same banded plan shape as dedup_minhash_native, but the hash
+    family (md5-based 60-bit shingle hash reduced mod 2^31-1, then
+    a_k·x+b_k mod p members) is replayed exactly by the DuckDB twin —
+    promoting the LSH candidate-generation stage itself, not just its
+    exact-Jaccard verify, to value-hash-checked. The oracle is a
+    brute-force O(n²) band-equality join while the engine is banded
+    equi-join linear-ish in docs: same answer, different asymptotics
+    (the same contract the simhash promotion established)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_portable_candidates(
+        docs, n=3, num_hashes=16, rows_per_band=2, min_est_jaccard=0.2
+    )
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def _minhash_portable_oracle_sql(
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    min_est: float = 0.2,
+    seed: int = 7,
+) -> str:
+    """Brute-force replay of minhash_portable_candidates: identical
+    shingles (the capped-Jaccard queries' sh CTE), identical md5-based
+    base hash, identical (a, b) literals from minhash_portable_coeffs,
+    band-equality predicate instead of the banded equi-join."""
+    coeffs = dedup.minhash_portable_coeffs(num_hashes, seed)
+    p = dedup.MINHASH_PORTABLE_PRIME
+    mins = ",\n         ".join(
+        f"min(({a} * h0 + {b}) % {p}) AS m{k}"
+        for k, (a, b) in enumerate(coeffs)
+    )
+    n_bands = num_hashes // rows_per_band
+    band_pred = "\n    OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{bb * rows_per_band + r} = b.m{bb * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for bb in range(n_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.m{k} = b.m{k} THEN 1 ELSE 0 END)"
+        for k in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+), base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(u.shingle), 1, 15)) AS BIGINT) % {p} AS h0
+  FROM sh, unnest(shingles) AS u(shingle)
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM base GROUP BY 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST({agree} AS DOUBLE) / {num_hashes}, 6) AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({band_pred})
+  AND CAST({agree} AS DOUBLE) / {num_hashes} >= {min_est}
+"""
+
+
+SQL_DEDUP_MINHASH_PORTABLE = _minhash_portable_oracle_sql()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via banded fingerprint join (native
     bit-twiddling expressions; no Python).
@@ -5020,6 +5098,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_returnflag": q_rollup_returnflag,
     "quantiles_price_by_priority": q_quantiles_price_by_priority,
     "approx_distinct_parts": q_approx_distinct_parts,
+    # --- r4 additions (queued for the round-5 grading window) ---
+    "dedup_minhash_portable": q_dedup_minhash_portable,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5099,6 +5179,7 @@ ORACLE: dict[str, str] = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "similarity_ivf_kmeans": SQL_SIMILARITY_IVF_KMEANS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_minhash_portable": SQL_DEDUP_MINHASH_PORTABLE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
