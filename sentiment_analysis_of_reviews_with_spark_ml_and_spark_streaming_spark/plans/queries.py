@@ -3821,6 +3821,90 @@ FROM f GROUP BY 1
 """
 
 
+def q_redacted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction TRANSFORM itself, hash-certified (r4): while
+    pii_redaction_stats counts what the cleaning pass would touch, this
+    query runs clean.web_text_clean (tags → urls → email/phone masks →
+    whitespace squeeze) over every document and emits md5 + length of
+    the redacted text plus placeholder counts — so the DuckDB twin
+    verifies the byte-exact output of the redaction chain, not just its
+    match counts. The synthetic corpus contains no organic PII, so both
+    sides plant deterministic doc_id-derived emails (doc_id % 5 == 0),
+    phones (% 7 == 0) and markup+URL (% 11 == 0) before redacting —
+    without the plant the mask branches would never fire and the hash
+    check could not falsify them. Pure codegen projection, zero
+    shuffle; at 100 TB this is a scan-speed map stage."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" call +1 (555) 010-"), did % 100, F.lit(" ok")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" <div class=x>see</div> https://ex.org/d/"),
+                did,
+                F.lit(" end"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = clean.web_text_clean(planted)
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.size(F.regexp_extract_all(red, F.lit("<EMAIL>"), 0))
+        .cast("long")
+        .alias("n_email_masks"),
+        F.size(F.regexp_extract_all(red, F.lit("<PHONE>"), 0))
+        .cast("long")
+        .alias("n_phone_masks"),
+    )
+
+
+SQL_REDACTED_DOCUMENTS = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +1 (555) 010-' || (doc_id % 100) || ' ok'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' <div class=x>see</div> https://ex.org/d/' || doc_id || ' end'
+                 ELSE '' END AS text
+  FROM documents
+), red AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             regexp_replace(
+                 regexp_replace(
+                     regexp_replace(
+                         regexp_replace(text,
+                             '{_sql_str(clean.HTML_TAG_PATTERN)}', ' ', 'g'),
+                         '{_sql_str(clean.URL_PATTERN)}', ' ', 'g'),
+                     '{_sql_str(clean.EMAIL_PATTERN)}', '<EMAIL>', 'g'),
+                 '{_sql_str(clean.PHONE_PATTERN)}', '<PHONE>', 'g'),
+             '\\s+', ' ', 'g')) AS t
+  FROM planted
+)
+SELECT doc_id, md5(t) AS redacted_md5,
+       CAST(length(t) AS BIGINT) AS redacted_len,
+       CAST(len(regexp_extract_all(t, '<EMAIL>')) AS BIGINT) AS n_email_masks,
+       CAST(len(regexp_extract_all(t, '<PHONE>')) AS BIGINT) AS n_phone_masks
+FROM red
+"""
+
+
 def q_repeated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-n-gram rule: per doc, the fraction of bigram /
     trigram occurrences that are repeats (1 − distinct/total) —
@@ -5100,6 +5184,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_parts": q_approx_distinct_parts,
     # --- r4 additions (queued for the round-5 grading window) ---
     "dedup_minhash_portable": q_dedup_minhash_portable,
+    "redacted_documents": q_redacted_documents,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5180,6 +5265,7 @@ ORACLE: dict[str, str] = {
     "similarity_ivf_kmeans": SQL_SIMILARITY_IVF_KMEANS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_portable": SQL_DEDUP_MINHASH_PORTABLE,
+    "redacted_documents": SQL_REDACTED_DOCUMENTS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
