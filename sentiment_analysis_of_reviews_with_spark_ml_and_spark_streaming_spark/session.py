@@ -17,6 +17,7 @@ We centralize one builder with the settings that matter at scale:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -58,6 +59,63 @@ def ensure_worker_imports(spark: SparkSession) -> None:
                     zf.write(full, arc)
     sc.addPyFile(zpath)
     sc._spark_graft_pyfiles_added = True
+
+
+@contextmanager
+def runtime_bloom_filter(
+    spark: SparkSession,
+    *,
+    creation_side_threshold: str = "100MB",
+    application_side_scan_threshold: str = "10GB",
+):
+    """Scope Catalyst's runtime bloom-filter semi-join reduction.
+
+    For a fact ⋈ selectively-filtered dim where the dim exceeds the
+    broadcast threshold (so DPP via broadcast reuse is off the table),
+    Spark can build a bloom filter over the dim's join keys
+    (``bloom_filter_agg``) and push ``might_contain`` onto the fact
+    side BEFORE its shuffle — at 100 TB this is the difference between
+    shuffling the full fact table and shuffling only rows that can
+    possibly match. Injection is gated by size thresholds
+    (``spark.sql.optimizer.runtime.bloomFilter.*``): the application
+    side must scan more than ``application_side_scan_threshold``
+    (default 10GB — why local runs never see it fire) and the creation
+    side must stay under ``creation_side_threshold``.
+
+    Results are EXACT regardless of the filter's false-positive rate:
+    a bloom FP only admits a non-matching fact row into the exact join,
+    which rejects it — the filter trades shuffle volume, never
+    correctness (equivalence is asserted in
+    tests/test_plan_hygiene.py::test_runtime_bloom_join_exact).
+
+    Conf scoping matters because injection happens at OPTIMIZATION
+    time, i.e. when an action runs — so the action must execute inside
+    this context, not merely have its DataFrame built here. Prior conf
+    values are restored on exit.
+    """
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            creation_side_threshold
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": application_side_scan_threshold,
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def get_spark(

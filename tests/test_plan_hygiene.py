@@ -96,3 +96,60 @@ def test_tfidf_does_not_broadcast_vocabulary(spark):
     assert "n_docs" in tail.split("\n")[1] or "count(1) AS n_docs" in tail, (
         "broadcast hint is not on the single-row corpus count"
     )
+
+
+def test_runtime_bloom_join_injected_and_exact(spark):
+    """Runtime bloom-filter semi-join reduction (the 100 TB path for a
+    selective dim too big to broadcast): with broadcast disabled and
+    thresholds scoped by session.runtime_bloom_filter, Catalyst must
+    inject bloom_filter_agg on the dim side and might_contain on the
+    fact side — and the result must equal the unfiltered join exactly
+    (bloom FPs only admit rows the exact join then rejects)."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.session import (
+        runtime_bloom_filter,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR_CORRECTNESS}/orders.parquet")
+    cust = spark.read.parquet(
+        f"{SF_DIR_CORRECTNESS}/customer.parquet"
+    ).filter(F.col("c_mktsegment") == "BUILDING")
+
+    def joined():
+        return (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("o_totalprice").alias("total"),
+            )
+        )
+
+    baseline = joined().collect()
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle join so bloom reduction is applicable (a
+        # broadcast join needs no runtime filter)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with runtime_bloom_filter(
+            spark, application_side_scan_threshold="0"
+        ):
+            df = joined()
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in plan, "no bloom build on dim side"
+            assert "might_contain" in plan, "no bloom probe on fact side"
+            rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+    key = lambda r: r["c_mktsegment"]  # noqa: E731
+    rows, baseline = sorted(rows, key=key), sorted(baseline, key=key)
+    assert [(r["c_mktsegment"], r["n"]) for r in rows] == [
+        (r["c_mktsegment"], r["n"]) for r in baseline
+    ]
+    # double sum is order-dependent across partitionings; value-equal
+    # within float tolerance
+    for r, b in zip(rows, baseline):
+        assert r["total"] == pytest.approx(b["total"], rel=1e-12)
