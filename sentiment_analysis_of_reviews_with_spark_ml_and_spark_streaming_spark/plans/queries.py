@@ -2213,6 +2213,64 @@ def q_ml_train_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style hashed-n-gram quality classifier (r4 uplift,
+    ml/quality.py): distill integer-exact Gopher-style weak labels into
+    a HashingTF(uni+bigram)+LogisticRegression scorer — the CCNet /
+    LLaMA-1 corpus-filtering pattern, Spark-first (no vocabulary fit,
+    nothing to broadcast; scoring is one JVM transform).
+
+    Falsifiable-oracle pattern (same contract as ml_train_f1): the
+    per-source doc and weak-label-pass counts are DATA-DERIVED and
+    replayed exactly by the DuckDB twin; the classifier's train-set
+    agreement with the weak rule is THRESHOLD-ASSERTED (boolean >= 0.9
+    floor; measured 1.0 at sf0.001 and sf0.01 — the rule is linearly
+    separable in hashed n-gram space with wide margin)."""
+    from ..ml.quality import train_quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    _model, scored = train_quality_classifier(docs)
+    agree = scored.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("label") == F.col("prediction")).cast("long")).alias(
+            "n_agree"
+        ),
+    ).collect()[0]
+    agreement_ok = bool(agree["n_agree"] >= 0.9 * agree["n"])
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("label").cast("long")).alias("n_weak_pass"),
+        )
+        .withColumn("agreement_above_floor", F.lit(agreement_ok))
+    )
+
+
+SQL_QUALITY_CLASSIFIER_AGREEMENT = """
+WITH f AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+         length(trim(text)) AS n_chars,
+         length(trim(text)) - length(replace(trim(text), '#', '')) AS n_hash,
+         CAST(floor((length(trim(text))
+                     - length(replace(trim(text), '...', ''))) / 3) AS BIGINT)
+           AS n_ell
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_tokens >= 40 AND n_tokens <= 5000
+                      AND n_tokens > 0 AND n_alpha * 5 >= n_tokens * 4
+                      AND (n_hash + n_ell) * 50 <= n_chars
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_weak_pass,
+       TRUE AS agreement_above_floor
+FROM f GROUP BY 1
+"""
+
+
 SQL_ML_TRAIN_F1 = """
 SELECT 'linear_svc' AS model,
        count(*) AS n_docs,
@@ -5185,6 +5243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r4 additions (queued for the round-5 grading window) ---
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "redacted_documents": q_redacted_documents,
+    "quality_classifier_agreement": q_quality_classifier_agreement,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5266,6 +5325,7 @@ ORACLE: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_portable": SQL_DEDUP_MINHASH_PORTABLE,
     "redacted_documents": SQL_REDACTED_DOCUMENTS,
+    "quality_classifier_agreement": SQL_QUALITY_CLASSIFIER_AGREEMENT,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

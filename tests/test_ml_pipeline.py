@@ -109,3 +109,64 @@ def test_inspect_weights_most_negative_words(spark):
     fitted, _ = train_and_evaluate(df, "svm")
     top_neg = [r["word"] for r in inspect_weights(fitted, top_n=5).collect()]
     assert set(top_neg) & {"terrible", "awful", "rude", "disgusting", "slow"}
+
+
+def test_quality_classifier_learns_planted_rule(spark):
+    """The hashed-n-gram LR must recover a weak label that separates
+    cleanly in n-gram space: long docs about one vocabulary vs short
+    docs about another. Uses min_tokens low enough that the rule fires
+    on content, not the fixture's length."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.quality import (
+        train_quality_classifier,
+        weak_quality_label,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(40):
+        # quality: >= 12 alpha tokens
+        rows.append((i, "good clean prose with many plain words here today " * 3))
+    for i in range(40, 80):
+        rows.append((i, "### ### ### junk"))  # fails alpha+symbol rules
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model, scored = train_quality_classifier(docs, min_tokens=10)
+    agg = scored.agg(
+        F.sum("label").alias("n_pos"),
+        F.sum((F.col("label") == F.col("prediction")).cast("long")).alias(
+            "n_agree"
+        ),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg["n_pos"] == 40  # label split is what we planted
+    assert agg["n_agree"] == agg["n"]  # separable -> full agreement
+    # probabilities order consistently with the label
+    probs = scored.groupBy("label").agg(F.avg("q_probability").alias("p")).collect()
+    by_label = {int(r["label"]): r["p"] for r in probs}
+    assert by_label[1] > 0.8 > 0.2 > by_label[0]
+
+
+def test_quality_weak_label_matches_integer_rule(spark):
+    """weak_quality_label must agree with a direct Python replay of the
+    integer rule on edge cases (empty text, exactly-threshold counts)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.quality import (
+        weak_quality_label,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, ""),  # empty -> 0 tokens -> fail
+        (2, "one two three four five six seven eight nine ten"),  # 10 toks
+        (3, "w " * 39 + "w"),  # exactly 40 tokens, all alpha
+        (4, "# " * 50),  # symbol-heavy -> fail alpha + symbols
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["lab"]
+        for r in df.select(
+            "id", weak_quality_label("text", min_tokens=40).alias("lab")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] == 0.0  # under the 40-token floor
+    assert got[3] == 1.0
+    assert got[4] == 0.0

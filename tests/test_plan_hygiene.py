@@ -29,7 +29,14 @@ ARROW_PYTHON_OK = {
 CROSS_JOIN_OK = {"dedup_embedding_cosine", "similarity_cosine_topk"}
 # ML pipeline fitting triggers jobs at plan-build time; plans are the
 # pipeline's own — skip (covered by ml tests)
-SKIP = {"ml_tfidf_features", "ml_train_f1", "dedup_minhash_lsh", "similarity_ann_lsh", "similarity_ivf"}
+SKIP = {
+    "ml_tfidf_features",
+    "ml_train_f1",
+    "quality_classifier_agreement",
+    "dedup_minhash_lsh",
+    "similarity_ann_lsh",
+    "similarity_ivf",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
