@@ -4939,6 +4939,106 @@ FROM s, tot
 """
 
 
+def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture plan MATERIALIZED (r4): q_mixture_token_budget
+    derives per-source sampling rates; this query executes the
+    down-sample with the engine's deterministic hash sampler — doc
+    uniform u = first-8-hex-of-md5(doc_id)/2^32, keep iff u < rate —
+    and reports per-source survivors with a membership checksum
+    (sum of kept doc_ids), so the oracle falsifies the exact kept SET,
+    not just its size. No RNG anywhere: the same doc lands the same
+    way at any cluster size, which is what makes the sample
+    reproducible (and resumable) at 100 TB. Rates divide identical
+    longs on both engines, so the double comparison is bit-portable.
+    Plan: one scan + bounded per-source agg broadcast back onto the
+    scan — no fact-side shuffle beyond the final bounded-key agg."""
+    docs = _t(spark, sf_dir, "documents")
+    # 20k budget (vs the planner's 100k): the test corpus holds ~28k
+    # tokens, so at 100k most rates saturate at 1.0 and the sampler is
+    # barely exercised; 20k forces real down-sampling on most sources
+    budget = 20_000
+    with_nt = docs.select(
+        "source",
+        "doc_id",
+        textstats.token_count_ws("text").cast("long").alias("_nt"),
+    )
+    per_src = (
+        with_nt.groupBy("source")
+        .agg(F.sum("_nt").alias("n_tokens"))
+        .withColumn(
+            "_w",
+            (
+                F.coalesce(
+                    F.regexp_extract(F.col("source"), "(\\d+)", 1).try_cast(
+                        "long"
+                    ),
+                    F.lit(0),
+                )
+                % 9
+                + 1
+            ),
+        )
+    )
+    tot = per_src.agg(F.sum("_w").alias("_tw"))
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.expr(f"({budget} * _w) div _tw") / F.col("n_tokens"),
+        ).alias("_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    keep = (u < F.col("_rate")).cast("int")
+    return (
+        with_nt.join(F.broadcast(rates), "source")
+        .select("source", "doc_id", "_nt", keep.alias("_keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_keep").alias("n_kept"),
+            F.sum(F.col("_keep") * F.col("doc_id")).alias("kept_id_checksum"),
+            F.sum(F.col("_keep") * F.col("_nt")).alias("n_tokens_kept"),
+        )
+    )
+
+
+SQL_MIXTURE_SAMPLE_DOCS = """
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+           AS nt
+  FROM documents
+), s AS (
+  SELECT source, sum(nt) AS n_tokens,
+         (coalesce(try_cast(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0)
+          % 9 + 1) AS w
+  FROM d GROUP BY source
+), tot AS (SELECT sum(w) AS tw FROM s),
+rates AS (
+  SELECT source,
+         least(1.0, ((20000 * w) // tw) * 1.0 / n_tokens) AS rate
+  FROM s, tot
+), k AS (
+  SELECT d.source, d.doc_id, d.nt,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 < r.rate
+              THEN 1 ELSE 0 END AS keep
+  FROM d JOIN rates r ON d.source = r.source
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       CAST(sum(keep * doc_id) AS BIGINT) AS kept_id_checksum,
+       CAST(sum(keep * nt) AS BIGINT) AS n_tokens_kept
+FROM k GROUP BY 1
+"""
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration Lloyd's k-means over the embeddings table
     (operators/similarity.kmeans_fixed): k=4, 3 rounds, deterministic
@@ -5526,6 +5626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "product_profit_by_nation": q_product_profit_by_nation,
     "returned_item_customers": q_returned_item_customers,
     "top_supplier": q_top_supplier,
+    "mixture_sample_docs": q_mixture_sample_docs,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5613,6 +5714,7 @@ ORACLE: dict[str, str] = {
     "product_profit_by_nation": SQL_PRODUCT_PROFIT_BY_NATION,
     "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
     "top_supplier": SQL_TOP_SUPPLIER,
+    "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
