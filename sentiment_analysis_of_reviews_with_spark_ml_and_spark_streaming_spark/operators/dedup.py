@@ -534,6 +534,83 @@ def maximal_duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_tokens: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORM (Lee et al. 2021 §4: the
+    duplicated substring is *removed* from all but one occurrence, not
+    merely reported). Builds on :func:`maximal_duplicate_spans`:
+
+    - canonical occurrence per span_hash = first by (doc_id,
+      span_start); every other occurrence's token range is excised;
+    - cleaned text = the doc's normalized tokens outside removed
+      ranges, order preserved.
+
+    Returns (id, n_tokens, n_tokens_removed, cleaned_text) for EVERY
+    input doc (fully-duplicated docs come back with empty text, not
+    dropped). Cost at scale: the span pipeline's cost + one
+    row_number over span_hash (16-byte keys), one posexplode of the
+    corpus and a per-doc anti range-join against removed spans — all
+    linear, no pair stage. The collect_list is per-doc (bounded by doc
+    length), sorted by position before joining, so reassembly is
+    deterministic under any partitioning.
+    """
+    spans = maximal_duplicate_spans(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        seed_tokens=seed_tokens,
+        min_occurrences=min_occurrences,
+    )
+    w = Window.partitionBy("span_hash").orderBy(id_col, "span_start")
+    removed = (
+        spans.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(
+            F.col(id_col).alias("_rid"),
+            F.col("span_start").alias("_rs"),
+            (F.col("span_start") + F.col("n_tokens")).alias("_re"),
+        )
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(norm, " ")).alias("pos", "tok")
+    )
+    kept = toks.join(
+        removed,
+        (toks[id_col] == removed["_rid"])
+        & (F.col("pos") >= F.col("_rs"))
+        & (F.col("pos") < F.col("_re")),
+        "left_anti",
+    )
+    cleaned = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    orig = df.select(
+        F.col(id_col), F.size(F.split(norm, " ")).cast("long").alias("n_tokens")
+    )
+    return orig.join(cleaned, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
 def near_dup_verified(
     df: DataFrame,
     *,

@@ -1728,6 +1728,86 @@ FROM regions r JOIN toks t USING (doc_id)
 """
 
 
+def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a transform (r4; Lee et al. 2021 §4):
+    duplicated ≥5-token maximal spans are EXCISED from every
+    occurrence but the first (canonical = min (doc_id, span_start) per
+    span hash). Emits per-doc token counts and the md5 of the cleaned
+    text, so the oracle falsifies the byte-exact post-removal corpus —
+    the detection stage (maximal_duplicate_spans) was already
+    oracle-backed; this certifies the rewrite."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.remove_duplicate_spans(docs, seed_tokens=5, min_occurrences=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_removed",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )
+
+
+SQL_DUPLICATE_SPAN_REMOVAL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), wins AS (
+  SELECT doc_id, r.i - 1 AS pos, md5(array_to_string(t[r.i:r.i+4], ' ')) AS h
+  FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS r(i)
+), dup AS (
+  SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+), seeds AS (
+  SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS brk
+  FROM seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), regions AS (
+  SELECT doc_id, island,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 5 - min(pos) AS BIGINT) AS n_tokens
+  FROM isl2 GROUP BY 1, 2
+), spans AS (
+  SELECT r.doc_id, r.span_start, r.n_tokens,
+         md5(array_to_string(
+             t.t[CAST(r.span_start + 1 AS INT):CAST(r.span_start + r.n_tokens AS INT)],
+             ' ')) AS span_hash
+  FROM regions r JOIN toks t USING (doc_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY span_hash
+                               ORDER BY doc_id, span_start) AS rk
+  FROM spans
+), removed AS (
+  SELECT doc_id, span_start, span_start + n_tokens AS span_end
+  FROM ranked WHERE rk > 1
+), tokpos AS (
+  SELECT doc_id, r.i - 1 AS pos, t[r.i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+), kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM removed rm
+    WHERE rm.doc_id = tp.doc_id
+      AND tp.pos >= rm.span_start AND tp.pos < rm.span_end)
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+  FROM kept GROUP BY 1
+), orig AS (
+  SELECT doc_id, len(t) AS n_tokens FROM toks
+)
+SELECT o.doc_id, CAST(o.n_tokens AS BIGINT) AS n_tokens,
+       CAST(o.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+       coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+FROM orig o LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed 100 TB dedup flow (native MinHash candidates →
     exact Jaccard verify on candidates only). Banding recall is full on
@@ -5627,6 +5707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_item_customers": q_returned_item_customers,
     "top_supplier": q_top_supplier,
     "mixture_sample_docs": q_mixture_sample_docs,
+    "duplicate_span_removal": q_duplicate_span_removal,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5715,6 +5796,7 @@ ORACLE: dict[str, str] = {
     "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
     "top_supplier": SQL_TOP_SUPPLIER,
     "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
+    "duplicate_span_removal": SQL_DUPLICATE_SPAN_REMOVAL,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

@@ -494,3 +494,29 @@ def test_simhash_banding_rejects_recall_breaking_hamming(spark):
         )
     with pytest.raises(ValueError, match="pigeonhole"):
         stream_near_dup_pairs(corpus, max_hamming=4, bands=4)
+
+
+def test_remove_duplicate_spans_keeps_canonical_only(spark):
+    """Planted: docs 1 and 2 share a 6-token span; doc 1 (canonical,
+    lower id) keeps it, doc 2 loses exactly those tokens; doc 3 is
+    untouched."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"intro one two {shared} outro here"),
+        (2, f"different opening words {shared} closing words now"),
+        (3, "totally unrelated content with no repeats at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(
+            docs, seed_tokens=5, min_occurrences=2
+        ).collect()
+    }
+    assert out[1]["n_tokens_removed"] == 0
+    assert shared in out[1]["cleaned_text"]
+    assert out[2]["n_tokens_removed"] == 6
+    assert shared not in out[2]["cleaned_text"]
+    assert out[2]["cleaned_text"] == "different opening words closing words now"
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[3]["cleaned_text"] == rows[2][1]
