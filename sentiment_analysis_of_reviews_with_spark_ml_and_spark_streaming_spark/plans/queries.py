@@ -2802,105 +2802,6 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
-def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: a target nation's share of ECONOMY-part volume
-    sold into ASIA, per year. Two nation roles (customer side pruned
-    through region, supplier side labels the share), conditional
-    aggregation for the share numerator. All dims broadcast; the only
-    large exchange is lineitem⋈orders."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
-    )
-    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    customer = _t(spark, sf_dir, "customer")
-    supplier = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    cust_nations = (
-        nation.join(
-            F.broadcast(region),
-            nation.n_regionkey == region.r_regionkey,
-        )
-        .select(F.col("n_nationkey").alias("c_nkey"))
-    )
-    supp_nation = nation.select(
-        F.col("n_nationkey").alias("s_nkey"),
-        F.col("n_name").alias("supp_nation"),
-    )
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    one_minus_disc = F.lit(1).cast("decimal(3,2)") - F.col(
-        "l_discount"
-    ).cast("decimal(3,2)")
-    vol = (price * one_minus_disc).alias("volume")
-    joined = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(
-            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
-        .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("c_nkey"))
-        .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
-            li.l_suppkey == F.col("s_suppkey"),
-        )
-        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
-        .select(F.year("o_orderdate").cast("int").alias("o_year"), vol, "supp_nation")
-    )
-    zero = F.lit(0).cast("decimal(21,4)")
-    # share division happens on DOUBLES (after exact decimal sums):
-    # Spark's decimal division truncates to result-scale 6 while other
-    # engines keep more digits — IEEE double division of identical
-    # inputs is bit-identical everywhere, rounded for hash stability
-    return (
-        joined.groupBy("o_year")
-        .agg(
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("supp_nation") == "NATION_3", F.col("volume")
-                    ).otherwise(zero)
-                ).cast("double")
-                / F.sum("volume").cast("double"),
-                9,
-            ).alias("mkt_share"),
-            F.sum("volume").cast("double").alias("total_volume"),
-        )
-        .orderBy("o_year")
-    )
-
-
-SQL_MARKET_SHARE = """
-WITH vols AS (
-  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-         CAST(l.l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
-           AS volume,
-         n2.n_name AS supp_nation
-  FROM lineitem l
-  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-  JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-  WHERE o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
-)
-SELECT o_year,
-       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                           ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE)
-             / CAST(sum(volume) AS DOUBLE), 9) AS mkt_share,
-       CAST(sum(volume) AS DOUBLE) AS total_volume
-FROM vols GROUP BY 1 ORDER BY 1
-"""
-
-
 def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: the driver testdata carries no
     partsupp, so profit omits the ps_supplycost term — documented
@@ -2945,97 +2846,6 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY 1, 2
-"""
-
-
-def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: top-20 customers by revenue on returned items
-    (l_returnflag = 'R') for orders placed in 1996 Q1. TakeOrdered
-    top-k after the fact-side agg; deterministic tiebreak on custkey
-    so the LIMIT cut is engine-independent."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    customer = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    joined = (
-        li.join(
-            orders.select("o_orderkey", "o_custkey"),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
-        .join(
-            F.broadcast(
-                customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
-            ),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .join(
-            F.broadcast(
-                nation.select("n_nationkey", F.col("n_name").alias("nation"))
-            ),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-    )
-    return (
-        joined.groupBy("c_custkey", "c_name", "c_acctbal", "nation")
-        .agg(_revenue_dec().alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-SQL_RETURNED_ITEM_CUSTOMERS = f"""
-SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
-       {_REVENUE_SQL} AS revenue
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE l.l_returnflag = 'R'
-  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o.o_orderdate < TIMESTAMP '1996-04-01'
-GROUP BY 1, 2, 3, 4
-ORDER BY revenue DESC, c_custkey ASC
-LIMIT 20
-"""
-
-
-def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
-    revenue — the revenue agg feeds both the per-supplier rows and a
-    1-row max that broadcast-joins back as the filter (the view +
-    scalar-subquery pattern). Double equality is safe because both
-    sides of the comparison come from the same decimal-sum pipeline."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    supplier = _t(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(_revenue_dec().alias("total_revenue"))
-    max_rev = rev.agg(F.max("total_revenue").alias("_max_rev"))
-    return (
-        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("_max_rev"))
-        .join(
-            F.broadcast(supplier.select("s_suppkey", "s_name")),
-            rev.l_suppkey == F.col("s_suppkey"),
-        )
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-SQL_TOP_SUPPLIER = f"""
-WITH revenue AS (
-  SELECT l_suppkey, {_REVENUE_SQL} AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate < TIMESTAMP '1996-04-01'
-  GROUP BY 1
-)
-SELECT s.s_suppkey, s.s_name, r.total_revenue
-FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
-WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
 
 
@@ -5702,10 +5512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redacted_documents": q_redacted_documents,
     "quality_classifier_agreement": q_quality_classifier_agreement,
     "forecast_revenue_change": q_forecast_revenue_change,
-    "market_share": q_market_share,
     "product_profit_by_nation": q_product_profit_by_nation,
-    "returned_item_customers": q_returned_item_customers,
-    "top_supplier": q_top_supplier,
     "mixture_sample_docs": q_mixture_sample_docs,
     "duplicate_span_removal": q_duplicate_span_removal,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
@@ -5791,10 +5598,7 @@ ORACLE: dict[str, str] = {
     "redacted_documents": SQL_REDACTED_DOCUMENTS,
     "quality_classifier_agreement": SQL_QUALITY_CLASSIFIER_AGREEMENT,
     "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,
-    "market_share": SQL_MARKET_SHARE,
     "product_profit_by_nation": SQL_PRODUCT_PROFIT_BY_NATION,
-    "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
-    "top_supplier": SQL_TOP_SUPPLIER,
     "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
     "duplicate_span_removal": SQL_DUPLICATE_SPAN_REMOVAL,
     "curation_funnel": SQL_CURATION_FUNNEL,

@@ -60,6 +60,7 @@ def test_plan_hygiene(spark, name):
             "unigram_logprob_docs",
             "bigram_logprob_docs",
             "mixture_token_budget",
+            "mixture_sample_docs",
             "curation_funnel",
             # k seed centroids crossJoined against the corpus — the
             # broadcast side is n_clusters rows by construction (the
