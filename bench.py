@@ -79,6 +79,14 @@ HEADLINE = [
     "curation_funnel",
     "sole_blocking_supplier",
     "boilerplate_line_stats",
+    # round-4 uplift tier (quality_classifier_agreement excluded: ML
+    # training dominates, covered by its own tests like ml_train_f1)
+    "forecast_revenue_change",
+    "product_profit_by_nation",
+    "redacted_documents",
+    "mixture_sample_docs",
+    "duplicate_span_removal",
+    "dedup_minhash_portable",
 ]
 
 
