@@ -183,6 +183,94 @@ def cosine_topk_pandas(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_max: int = 127,
+) -> DataFrame:
+    """Symmetric per-dimension int8 scalar quantization — the standard
+    4× memory lever for ANN indexes (FAISS SQ8 style): at 100 TB an
+    IVF inverted list of float32 vectors becomes unaffordable RAM, and
+    int8 codes with per-dim scales keep recall within ~1%.
+
+    Scheme: per-dim scale m_d = max(|v_d|) over the corpus; code_d =
+    floor(v_d · bits_max / m_d + 0.5) ∈ [-bits_max, bits_max] (dims
+    with m_d = 0 code to 0). ``floor(x + 0.5)`` is chosen over round()
+    deliberately: both engines floor identically, while round()'s
+    half-way tie-breaking differs across engines — so the codes are
+    INTEGER-EXACT portable and a SQL oracle can replay every code.
+
+    Plan shape: one posexplode → (dim)-keyed map-side-combined agg
+    (n_dims rows — trivially broadcast back) → scan-speed projection;
+    codes reassemble per vector with a position-sorted collect. Returns
+    (id, codes array<int>, plus the original vector for callers that
+    want reconstruction error).
+    """
+    dims = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(vec_col).alias("_d", "_v"),
+    ).select(
+        id_col, vec_col, "_d", F.col("_v").cast("double").alias("_v")
+    )
+    absmax = dims.groupBy("_d").agg(F.max(F.abs(F.col("_v"))).alias("_m"))
+    coded = dims.join(F.broadcast(absmax), "_d").select(
+        F.col(id_col),
+        F.col(vec_col),
+        "_d",
+        F.when(F.col("_m") == 0.0, F.lit(0))
+        .otherwise(
+            F.floor(F.col("_v") * bits_max / F.col("_m") + F.lit(0.5)).cast(
+                "int"
+            )
+        )
+        .alias("_code"),
+    )
+    return coded.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_d", "_code"))),
+            lambda x: x["_code"],
+        ).alias("codes"),
+    )
+
+
+def quantization_scales(
+    df: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """The per-dimension scale table the codes were built against:
+    (dim, absmax). n_dims rows — at any corpus size this is the tiny
+    side (an index stores it once, not per vector); broadcast it to
+    dequantize: v̂_d = code_d · absmax_d / bits_max."""
+    return (
+        df.select(F.posexplode(vec_col).alias("dim", "_v"))
+        .groupBy("dim")
+        .agg(F.max(F.abs(F.col("_v").cast("double"))).alias("absmax"))
+    )
+
+
+def dequantize(
+    quantized: DataFrame,
+    scales: DataFrame,
+    *,
+    codes_col: str = "codes",
+    bits_max: int = 127,
+) -> DataFrame:
+    """Reconstruct float vectors from int8 codes + the scale table:
+    collect the (bounded, n_dims-row) scale table once, then a pure
+    scan-speed zip_with — no join, no shuffle."""
+    rows = sorted(
+        (r["dim"], r["absmax"]) for r in scales.collect()
+    )
+    scale_arr = F.array(*[F.lit(m / bits_max) for _d, m in rows])
+    recon = F.zip_with(
+        F.col(codes_col), scale_arr, lambda c, s: c.cast("double") * s
+    )
+    return quantized.withColumn("reconstructed", recon)
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

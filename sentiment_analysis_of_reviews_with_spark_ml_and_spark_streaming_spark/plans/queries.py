@@ -3132,6 +3132,68 @@ GROUP BY 1
 """
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus (r4; FAISS-SQ8
+    style — the 4× memory lever that keeps a 100 TB ANN index in RAM).
+    Codes are INTEGER-EXACT portable: floor(v·127/absmax_d + 0.5) with
+    per-dim absmax, floor chosen over round() because round()'s
+    half-way ties differ across engines. The oracle replays every code
+    (per-label code checksums); reconstruction quality is
+    threshold-asserted (min cosine(orig, recon) ≥ 0.999 — measured
+    ≥ 0.999 at both SFs, int8 per-dim scaling loses <0.1% cosine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    quant = similarity.quantize_embeddings(
+        emb, id_col="vec_id", vec_col="embedding"
+    )
+    scales = similarity.quantization_scales(emb, vec_col="embedding")
+    recon = similarity.dequantize(quant, scales)
+    cos = similarity.cosine(F.col("embedding"), F.col("reconstructed"))
+    per_vec = recon.join(
+        F.broadcast(_t(spark, sf_dir, "embeddings").select("vec_id", "label")),
+        "vec_id",
+    ).select("vec_id", "label", "codes", cos.alias("_cos"))
+    min_cos = per_vec.agg(F.min("_cos")).collect()[0][0]
+    sum_codes = F.aggregate(
+        "codes", F.lit(0).cast("long"), lambda a, c: a + c
+    )
+    sum_abs = F.aggregate(
+        "codes", F.lit(0).cast("long"), lambda a, c: a + F.abs(c)
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(sum_codes).alias("code_checksum"),
+            F.sum(sum_abs).alias("abs_code_sum"),
+            F.max(F.array_max(F.transform("codes", F.abs))).alias(
+                "max_abs_code"
+            ),
+        )
+        .withColumn("recon_cosine_ok", F.lit(bool(min_cos >= 0.999)))
+    )
+
+
+SQL_EMBEDDING_QUANTIZATION = """
+WITH e AS (
+  SELECT vec_id, label, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+), m AS (
+  SELECT i, max(abs(v)) AS am FROM e GROUP BY 1
+), c AS (
+  SELECT e.vec_id, e.label,
+         CASE WHEN m.am = 0 THEN 0
+              ELSE CAST(floor(e.v * 127 / m.am + 0.5) AS INTEGER) END AS code
+  FROM e JOIN m USING (i)
+)
+SELECT label, count(DISTINCT vec_id) AS n_vecs,
+       CAST(sum(code) AS BIGINT) AS code_checksum,
+       CAST(sum(abs(code)) AS BIGINT) AS abs_code_sum,
+       CAST(max(abs(code)) AS INTEGER) AS max_abs_code,
+       TRUE AS recon_cosine_ok
+FROM c GROUP BY 1
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid geometry: centroid L2 norm and mean cosine of
     each vector to its label centroid (intra-cluster cohesion — the
@@ -5515,6 +5577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "product_profit_by_nation": q_product_profit_by_nation,
     "mixture_sample_docs": q_mixture_sample_docs,
     "duplicate_span_removal": q_duplicate_span_removal,
+    "embedding_quantization": q_embedding_quantization,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5601,6 +5664,7 @@ ORACLE: dict[str, str] = {
     "product_profit_by_nation": SQL_PRODUCT_PROFIT_BY_NATION,
     "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
     "duplicate_span_removal": SQL_DUPLICATE_SPAN_REMOVAL,
+    "embedding_quantization": SQL_EMBEDDING_QUANTIZATION,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

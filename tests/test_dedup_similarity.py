@@ -520,3 +520,30 @@ def test_remove_duplicate_spans_keeps_canonical_only(spark):
     assert out[2]["cleaned_text"] == "different opening words closing words now"
     assert out[3]["n_tokens_removed"] == 0
     assert out[3]["cleaned_text"] == rows[2][1]
+
+
+def test_quantize_embeddings_codes_and_reconstruction(spark):
+    """Hand-checkable int8 quantization: per-dim absmax scaling,
+    floor(x+0.5) codes, zero-dims code to 0, reconstruction preserves
+    direction."""
+    rows = [
+        (0, [2.0, -1.0, 0.0]),
+        (1, [4.0, 0.5, 0.0]),   # dim0 absmax=4, dim1 absmax=1, dim2 all-zero
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.quantize_embeddings(emb, id_col="vec_id", vec_col="embedding")
+    codes = {r["vec_id"]: r["codes"] for r in q.collect()}
+    # dim0: 2/4*127=63.5 -> floor(64.0)=64 ; 4/4*127 = 127
+    # dim1: -1/1*127 = -127 ; 0.5*127=63.5 -> 64
+    assert codes[0] == [64, -127, 0]
+    assert codes[1] == [127, 64, 0]
+    scales = similarity.quantization_scales(emb, vec_col="embedding")
+    recon = similarity.dequantize(q, scales)
+    got = {r["vec_id"]: r["reconstructed"] for r in recon.collect()}
+    assert got[1][0] == pytest.approx(4.0)         # 127 * 4/127
+    assert got[0][1] == pytest.approx(-1.0)        # -127 * 1/127
+    assert got[0][0] == pytest.approx(2.0157, abs=1e-3)  # 64 * 4/127
+    cos = recon.select(
+        similarity.cosine(F.col("embedding"), F.col("reconstructed")).alias("c")
+    ).collect()
+    assert all(r["c"] > 0.999 for r in cos)

@@ -256,3 +256,50 @@ def test_c4_line_filter_runs_on_stream(spark, tmp_path):
     q.stop()
     kept = [r["doc_id"] for r in spark.sql("select * from c4_gate").collect()]
     assert kept == [1]  # doc 2: lorem ipsum; doc 3: <3 kept lines
+
+
+def test_quality_classifier_scores_stream(spark, tmp_path):
+    """The hashed-n-gram quality classifier (ml/quality.py) is a pure
+    PipelineModel, so a model trained on batch data scores an unbounded
+    stream unchanged — the filter-at-ingest deployment the fastText
+    pattern exists for. Stream predictions must match the batch
+    transform row-for-row."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.quality import (
+        train_quality_classifier,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "good clean prose with many plain words here today " * 3)
+         for i in range(30)]
+        + [(i, "### ### ### junk") for i in range(30, 60)],
+        "doc_id long, text string",
+    )
+    model, _ = train_quality_classifier(train, min_tokens=10)
+
+    docs = [
+        {"doc_id": 100, "text": "good clean prose with many plain words here today " * 3},
+        {"doc_id": 101, "text": "### ### ### junk"},
+    ]
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(d) for d in docs))
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, text string")
+        .load(str(src))
+    )
+    scored = model.transform(stream).select("doc_id", "prediction")
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("q_scores")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "qck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: r["prediction"]
+        for r in spark.sql("select * from q_scores").collect()
+    }
+    assert got == {100: 1.0, 101: 0.0}
