@@ -547,3 +547,27 @@ def test_quantize_embeddings_codes_and_reconstruction(spark):
         similarity.cosine(F.col("embedding"), F.col("reconstructed")).alias("c")
     ).collect()
     assert all(r["c"] > 0.999 for r in cos)
+
+
+def test_quantized_rerank_recall_vs_exact(spark):
+    """The int8 scale path composed with search: score neighbors on
+    RECONSTRUCTED vectors (what an SQ8 index would hold), take top-k,
+    and check recall@k against exact float top-k on a real embedding
+    slice. SQ8's promise is ~no recall loss; assert >= 0.9."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    q = similarity.quantize_embeddings(emb, id_col="vec_id", vec_col="embedding")
+    scales = similarity.quantization_scales(emb, vec_col="embedding")
+    recon = similarity.dequantize(q, scales).select(
+        "vec_id", F.col("reconstructed").alias("embedding")
+    )
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(recon, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"SQ8 recall@10 dropped to {recall}"
