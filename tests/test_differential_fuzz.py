@@ -193,3 +193,115 @@ def test_fuzz_window_topk(spark, tmp_path_factory, rows):
         """,
     )
     con.close()
+
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abc XY1#.")),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=texts_strategy)
+def test_fuzz_minhash_portable_hash_family(spark, tmp_path_factory, texts):
+    """The portable MinHash signature must be replayed bit-for-bit by
+    an independent Python recomputation (md5 base, Carter-Wegman mod
+    2^31-1) on adversarial short/empty/punctuated docs."""
+    import hashlib
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        dedup,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingle(df, n=3)
+    p = dedup.MINHASH_PORTABLE_PRIME
+    coeffs = dedup.minhash_portable_coeffs(4, seed=7)
+    # independent Python replay from collected shingles
+    got = {}
+    for r in sh.collect():
+        mins = []
+        for a, b in coeffs:
+            vals = []
+            for s in r["shingles"]:
+                h0 = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % p
+                vals.append((a * h0 + b) % p)
+            mins.append(min(vals))
+        got[r["doc_id"]] = mins
+    # engine signatures: the same expressions minhash_portable_candidates
+    # builds its sig frame from
+    base = sh.select(
+        F.col("doc_id"), F.explode("shingles").alias("_s")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long") % p
+        ).alias("_h0"),
+    )
+    sig = base.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("_h0") + F.lit(b)) % p).alias(f"_m{k}")
+            for k, (a, b) in enumerate(coeffs)
+        ]
+    )
+    eng = {
+        row["doc_id"]: [row[f"_m{k}"] for k in range(4)]
+        for row in sig.collect()
+    }
+    assert eng == got
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000).map(
+                lambda i: i / 100
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_fuzz_quantization_codes_vs_numpy(spark, tmp_path_factory, vecs):
+    """int8 codes must equal a numpy replay of floor(v*127/absmax+0.5)
+    on adversarial vectors (zeros, negatives, shared absmax)."""
+    import math
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.quantize_embeddings(
+            emb, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    # numpy-free python replay in float64 (matches the operator's
+    # explicit double casts)
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    n_dims = 3
+    absmax = [
+        max(abs(f32(v[d])) for v in vecs) for d in range(n_dims)
+    ]
+    for i, v in enumerate(vecs):
+        expect = [
+            0
+            if absmax[d] == 0
+            else math.floor(f32(v[d]) * 127 / absmax[d] + 0.5)
+            for d in range(n_dims)
+        ]
+        assert got[i] == expect, (i, got[i], expect)
