@@ -303,3 +303,51 @@ def test_quality_classifier_scores_stream(spark, tmp_path):
         for r in spark.sql("select * from q_scores").collect()
     }
     assert got == {100: 1.0, 101: 0.0}
+
+
+def test_hash_sampler_keep_rule_on_stream(spark, tmp_path):
+    """The deterministic md5-prefix keep rule (mixture_sample_docs /
+    hash_stratified_sample) is a stateless projection, so it runs
+    unchanged on a readStream — and because it is hash-derived, the
+    streaming decision for any doc equals the batch decision, which is
+    what makes ingest-time down-sampling consistent with a later batch
+    re-run (no RNG divergence between the two paths)."""
+    docs = [{"doc_id": i, "text": f"doc number {i}"} for i in range(40)]
+    src = tmp_path / "hsrc"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(d) for d in docs))
+
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    rate = 0.5
+
+    batch_df = (
+        spark.read.json(str(src), schema="doc_id long, text string")
+        .filter(u < rate)
+    )
+    batch_kept = {r["doc_id"] for r in batch_df.collect()}
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, text string")
+        .load(str(src))
+        .filter(u < rate)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hash_sample")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_kept = {
+        r["doc_id"] for r in spark.sql("select * from hash_sample").collect()
+    }
+    assert stream_kept == batch_kept
+    assert 0 < len(stream_kept) < 40  # the rule genuinely splits
