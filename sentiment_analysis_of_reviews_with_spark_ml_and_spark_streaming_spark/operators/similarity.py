@@ -271,6 +271,112 @@ def dequantize(
     return quantized.withColumn("reconstructed", recon)
 
 
+def hyperplane_coeffs(
+    n_planes: int, n_dims: int, seed: int = 11
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1), derived from
+    md5 so the Spark operator and a generated SQL oracle embed the SAME
+    planes as literals (the device the portable-MinHash family uses for
+    its coefficients). repr(float) round-trips, so literal embedding is
+    bit-exact in both engines."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(n_dims):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8]
+            row.append((int(h, 16) / 4294967296.0) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def ann_hyperplane_deterministic(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH ANN with an engine-portable plane
+    family — the ANN-tier twin of the portable-MinHash promotion: the
+    whole candidate-generation stage (not just a brute-force oracle) is
+    replayable in SQL.
+
+    Bucket bit p = [v·h_p ≥ 0]; the dot product is an explicit
+    left-associated sum (zip_with + left fold), matching the
+    left-parenthesized term chain the SQL twin spells out — double
+    addition is order-sensitive, so BOTH engines must fold in array
+    order for bucket equality to be exact. Candidates share all
+    n_planes bits (one 8-bit bucket equi-join — at 100 TB the corpus
+    buckets once, ~n/2^planes candidates per query); rerank is exact
+    cosine within the bucket, ties broken on neighbor id.
+
+    Returns (query_id, neighbor_id, rank, cosine_sim) with
+    rank ≤ k per query; self-matches excluded. Recall is probabilistic
+    (collision prob = (1 - θ/π)^planes); the brute-force twin
+    `cosine_topk_bruteforce` remains the exact baseline.
+    """
+    planes = hyperplane_coeffs(n_planes, len_dims := _first_dim(corpus, vec_col), seed)
+    bucket = _hyperplane_bucket(F.col(vec_col), planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        bucket.alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        bucket.alias("_bucket"),
+    )
+    joined = (
+        q.join(c, "_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("_cos", 6).alias("cosine_sim"),
+        )
+    )
+
+
+def _first_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from one row (bounded driver lookup)."""
+    row = df.select(F.size(vec_col).alias("n")).limit(1).collect()
+    return int(row[0]["n"])
+
+
+def _hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Σ_p [v·h_p ≥ 0]·2^p with the dot as a left fold over
+    zip_with — the summation order the SQL twin reproduces."""
+    bucket = F.lit(0)
+    for p, row in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in row])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3194,6 +3194,94 @@ FROM c GROUP BY 1
 """
 
 
+def q_similarity_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN with an engine-portable plane family
+    (r4) — the ANN-tier analogue of the portable-MinHash promotion:
+    bucket bits, candidate join, and exact-cosine rerank are ALL
+    replayed by the DuckDB twin. Portability hinges on summation
+    order: the dot products fold left over the array in both engines
+    (Spark: zip_with + aggregate; SQL: an explicitly left-associated
+    term chain), because double addition is order-sensitive."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ann_hyperplane_deterministic(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        # 6 planes -> 64 buckets: ~8 vectors/bucket on the 500-vector
+        # fixture, so top-5 lists actually fill (8 planes left most
+        # queries with <2 candidates - a weak hash check)
+        n_planes=6,
+    )
+    return out
+
+
+def _hyperplane_oracle_sql(
+    n_planes: int = 6, n_dims: int = 64, k: int = 5, seed: int = 11
+) -> str:
+    """Replay of ann_hyperplane_deterministic: identical plane
+    literals (similarity.hyperplane_coeffs), identical left-associated
+    double folds for bucket bits, norms, and the rerank cosine."""
+    planes = similarity.hyperplane_coeffs(n_planes, n_dims, seed)
+
+    def chain(terms: list[str]) -> str:
+        expr = "0.0"
+        for t in terms:
+            expr = f"({expr} + {t})"
+        return expr
+
+    def dot(col: str, row: list[float]) -> str:
+        return chain(
+            [
+                f"CAST({col}[{i + 1}] AS DOUBLE) * {x!r}"
+                for i, x in enumerate(row)
+            ]
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('embedding', row)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+    sq = chain(
+        [
+            f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            f" * CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i in range(n_dims)
+        ]
+    )
+    qc_dot = chain(
+        [
+            f"CAST(q.embedding[{i + 1}] AS DOUBLE)"
+            f" * CAST(c.embedding[{i + 1}] AS DOUBLE)"
+            for i in range(n_dims)
+        ]
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {bucket} AS bucket,
+         sqrt({sq}) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT * FROM b WHERE vec_id < 5
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ({qc_dot}) / (q.nrm * c.nrm) AS cos
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank,
+       round(cos, 6) AS cosine_sim
+FROM ranked WHERE rk <= {k}
+"""
+
+
+SQL_SIMILARITY_HYPERPLANE_LSH = _hyperplane_oracle_sql()
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid geometry: centroid L2 norm and mean cosine of
     each vector to its label centroid (intra-cluster cohesion — the
@@ -5578,6 +5666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample_docs": q_mixture_sample_docs,
     "duplicate_span_removal": q_duplicate_span_removal,
     "embedding_quantization": q_embedding_quantization,
+    "similarity_hyperplane_lsh": q_similarity_hyperplane_lsh,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5665,6 +5754,7 @@ ORACLE: dict[str, str] = {
     "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
     "duplicate_span_removal": SQL_DUPLICATE_SPAN_REMOVAL,
     "embedding_quantization": SQL_EMBEDDING_QUANTIZATION,
+    "similarity_hyperplane_lsh": SQL_SIMILARITY_HYPERPLANE_LSH,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
