@@ -2849,6 +2849,91 @@ GROUP BY 1, 2
 """
 
 
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the testdata carries no partsupp, so
+    the part-supplier cost relation derives from lineitem — cost =
+    min extendedprice each supplier ever shipped the part for,
+    decimal-exact): for ECONOMY parts, the ASIA supplier(s) matching
+    the per-part MINIMUM cost (the correlated-scalar-subquery pattern,
+    planned as an aggregate reused on both sides of a per-part min
+    join), top-20 by supplier acctbal with full deterministic
+    tiebreak. Region/nation/supplier/part all broadcast; the only big
+    exchange is the (partkey, suppkey) cost aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_suppliers = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "nation")
+    )
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(asia_suppliers), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "nation")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_cost")
+        )
+    )
+    min_cost = (
+        cost.groupBy("p_partkey")
+        .agg(F.min("_cost").alias("_min_cost"))
+        .select(F.col("p_partkey").alias("_mp"), "_min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("_mp"))
+            & (F.col("_cost") == F.col("_min_cost")),
+        )
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "nation",
+            F.col("_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey")
+        )
+        .limit(20)
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PER_PART = """
+WITH asia_suppliers AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name AS nation
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+), cost AS (
+  SELECT l.l_partkey AS p_partkey, a.s_suppkey, a.s_name, a.s_acctbal,
+         a.nation,
+         min(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS c
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+  JOIN asia_suppliers a ON l.l_suppkey = a.s_suppkey
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT c.p_partkey, c.s_suppkey, c.s_name, c.s_acctbal, c.nation,
+       CAST(c.c AS DOUBLE) AS supply_cost
+FROM cost c
+WHERE c.c = (SELECT min(c2.c) FROM cost c2 WHERE c2.p_partkey = c.p_partkey)
+ORDER BY c.s_acctbal DESC, c.p_partkey, c.s_suppkey
+LIMIT 20
+"""
+
+
 def q_custdist_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: two-level aggregation — per-customer order
     counts (left join so 0-order customers survive), then the
@@ -5667,6 +5752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_span_removal": q_duplicate_span_removal,
     "embedding_quantization": q_embedding_quantization,
     "similarity_hyperplane_lsh": q_similarity_hyperplane_lsh,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5755,6 +5841,7 @@ ORACLE: dict[str, str] = {
     "duplicate_span_removal": SQL_DUPLICATE_SPAN_REMOVAL,
     "embedding_quantization": SQL_EMBEDDING_QUANTIZATION,
     "similarity_hyperplane_lsh": SQL_SIMILARITY_HYPERPLANE_LSH,
+    "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

@@ -571,3 +571,24 @@ def test_quantized_rerank_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"SQ8 recall@10 dropped to {recall}"
+
+
+def test_hyperplane_ann_finds_planted_neighbor(spark):
+    """A vector and its tiny perturbation must share all hyperplane
+    sign bits (they straddle no plane w.h.p. at this angle) and the
+    ANN must return the perturbed twin as rank-1."""
+    import random
+
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    twin = [x + 0.001 for x in base]
+    far = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(0, base), (1, twin)] + [(i + 2, v) for i, v in enumerate(far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ann_hyperplane_deterministic(
+        emb, emb.filter(F.col("vec_id") == 0), k=3, n_planes=4
+    ).collect()
+    assert out, "bucket join returned nothing"
+    rank1 = [r for r in out if r["rank"] == 1][0]
+    assert rank1["neighbor_id"] == 1
+    assert rank1["cosine_sim"] > 0.999
