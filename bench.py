@@ -87,6 +87,9 @@ HEADLINE = [
     "mixture_sample_docs",
     "duplicate_span_removal",
     "dedup_minhash_portable",
+    "similarity_hyperplane_lsh",
+    "cheapest_supplier_per_part",
+    "embedding_quantization",
 ]
 
 
