@@ -351,3 +351,65 @@ def test_hash_sampler_keep_rule_on_stream(spark, tmp_path):
     }
     assert stream_kept == batch_kept
     assert 0 < len(stream_kept) < 40  # the rule genuinely splits
+
+
+def test_stream_upsert_sink_exactly_once_on_replay(spark, tmp_path):
+    """End-to-end effectively-exactly-once streaming sink: stream →
+    foreachBatch → layout.upsert_into_partitioned. foreachBatch is
+    at-least-once under failure (a batch can be re-delivered after a
+    crash before the checkpoint commits), so the SINK must be
+    idempotent — the keyed version-winning MERGE is exactly that.
+    Simulated redelivery: apply the same batch twice; the dataset must
+    be byte-identical to a single delivery, and a genuinely newer
+    version must still win."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        layout,
+    )
+
+    base = tmp_path / "tbl"
+    seed = spark.createDataFrame(
+        [(1, "d1", "old", 1), (2, "d1", "old", 1), (3, "d2", "old", 1)],
+        "id long, day string, payload string, version long",
+    )
+    seed.write.partitionBy("day").parquet(str(base))
+
+    src = tmp_path / "usrc"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        json.dumps({"id": 2, "day": "d1", "payload": "new", "version": 2})
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("id long, day string, payload string, version long")
+        .load(str(src))
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        # applied TWICE per batch to simulate at-least-once redelivery
+        for _ in range(2):
+            layout.upsert_into_partitioned(
+                spark,
+                batch_df,
+                str(base),
+                key_cols=["id"],
+                partition_col="day",
+                version_col="version",
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "uck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        r["id"]: (r["payload"], r["version"], r["day"])
+        for r in spark.read.parquet(str(base)).collect()
+    }
+    assert rows == {
+        1: ("old", 1, "d1"),
+        2: ("new", 2, "d1"),   # updated once, despite double apply
+        3: ("old", 1, "d2"),   # untouched partition never rewritten
+    }
