@@ -84,3 +84,41 @@ def heavy_hitters(
     from .relational import top_k
 
     return top_k(exact, [F.col("cnt").desc(), F.col(col)], top)
+
+
+def hll_build(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    lg_k: int = 12,
+):
+    """Per-group mergeable HLL sketches (Apache DataSketches via
+    Spark's native ``hll_sketch_agg``, JVM-side). The 100 TB pattern
+    this enables: sketch ONCE at fine granularity (e.g. per day ×
+    type), persist the binary column, then answer any coarser
+    distinct-count rollup by merging sketches — no rescan of the fact
+    data, and sketches are a few KB per group instead of the key set.
+    """
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias("hll_sketch")
+    )
+
+
+def hll_rollup(
+    sketches,
+    rollup_cols: list[str],
+):
+    """Merge persisted per-group sketches up to a coarser grouping and
+    estimate: ``hll_union_agg`` + ``hll_sketch_estimate``. Input is
+    the (tiny) sketch table, not the fact table — re-aggregation cost
+    is O(groups), independent of corpus size."""
+    from pyspark.sql import functions as F
+
+    return sketches.groupBy(*rollup_cols).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(hll_sketch))").alias(
+            "distinct_estimate"
+        )
+    )

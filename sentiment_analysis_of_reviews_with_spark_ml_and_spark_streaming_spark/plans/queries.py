@@ -745,6 +745,52 @@ SELECT bigram, cnt FROM (
 """
 
 
+def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-mergeable HLL rollup (r4; Apache DataSketches via
+    Spark-native hll_sketch_agg/hll_union_agg): distinct users are
+    sketched ONCE at (event_type, day) granularity, then the
+    event_type totals come from merging the (tiny) sketch table — the
+    100 TB pattern where any coarser distinct rollup costs O(groups),
+    never a fact rescan. Oracle contract: per-type day counts and
+    EXACT distinct users are replayed by DuckDB; the sketch estimate is
+    threshold-asserted within 5% (sparse-mode HLL is exact at this
+    cardinality — measured 0% error — so the margin is wide)."""
+    from ..operators import sketch
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    fine = sketch.hll_build(ev, ["event_type", "day"], "user_id")
+    rolled = sketch.hll_rollup(fine, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct_users"),
+        F.countDistinct("day").alias("n_days"),
+    )
+    j = rolled.join(exact, "event_type")
+    ok = (
+        j.agg(
+            F.max(
+                F.abs(F.col("distinct_estimate") - F.col("exact_distinct_users"))
+                / F.col("exact_distinct_users")
+            ).alias("m")
+        ).collect()[0]["m"]
+        <= 0.05
+    )
+    return j.select(
+        "event_type",
+        "n_days",
+        "exact_distinct_users",
+        F.lit(bool(ok)).alias("estimate_within_5pct"),
+    )
+
+
+SQL_HLL_USER_ROLLUP = """
+SELECT event_type,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(DISTINCT user_id) AS exact_distinct_users,
+       TRUE AS estimate_within_5pct
+FROM events GROUP BY 1
+"""
+
+
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch counting (uplift): approx_count_distinct with 1% rsd
     must land within 5% of exact. Output is the exact count + the
@@ -5753,6 +5799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantization": q_embedding_quantization,
     "similarity_hyperplane_lsh": q_similarity_hyperplane_lsh,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "hll_user_rollup": q_hll_user_rollup,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5842,6 +5889,7 @@ ORACLE: dict[str, str] = {
     "embedding_quantization": SQL_EMBEDDING_QUANTIZATION,
     "similarity_hyperplane_lsh": SQL_SIMILARITY_HYPERPLANE_LSH,
     "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
+    "hll_user_rollup": SQL_HLL_USER_ROLLUP,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

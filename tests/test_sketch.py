@@ -67,3 +67,29 @@ def test_uniform_data_degrades_gracefully(spark):
     # every reported count is a true exact count (4 each here)
     for r in top:
         assert r["cnt"] == 4
+
+
+def test_hll_rollup_matches_exact_on_small_cardinality(spark):
+    """Sparse-mode HLL is exact at small cardinality: per-group sketch
+    + merged rollup must equal exact distinct counts, and merging must
+    dedupe across groups (users appearing on multiple days count
+    once)."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        sketch,
+    )
+
+    rows = []
+    for day in ["d1", "d2"]:
+        for u in range(50):  # same 50 users both days
+            rows.append(("click", day, u))
+    rows += [("view", "d1", u) for u in range(30)]
+    df = spark.createDataFrame(rows, "event_type string, day string, user_id long")
+    fine = sketch.hll_build(df, ["event_type", "day"], "user_id")
+    assert fine.count() == 3  # (click,d1) (click,d2) (view,d1)
+    rolled = {
+        r["event_type"]: r["distinct_estimate"]
+        for r in sketch.hll_rollup(fine, ["event_type"]).collect()
+    }
+    assert rolled == {"click": 50, "view": 30}  # dedup across days
