@@ -90,6 +90,7 @@ HEADLINE = [
     "similarity_hyperplane_lsh",
     "cheapest_supplier_per_part",
     "embedding_quantization",
+    "hll_user_rollup",
 ]
 
 
