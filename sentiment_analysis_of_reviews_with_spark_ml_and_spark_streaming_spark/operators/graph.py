@@ -67,3 +67,81 @@ def pagerank(
         )
     adj.unpersist()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count via degree-ordered edge orientation — the
+    standard distributed-triangle algorithm (Cohen's MapReduce
+    formulation / Suri-Vassilvitskii): orient every undirected edge
+    from the lower-(degree, id) endpoint to the higher, then count
+    length-2 oriented paths a→b→c that close with an oriented a→c
+    edge. Under ANY total order each triangle is counted exactly once;
+    degree ordering is chosen because it bounds per-node out-degree by
+    the graph's degeneracy, so the wedge join is Σ outdeg² ≈ m·α(G)
+    instead of Σ deg² — the difference between a skew-immune and a
+    hub-melting shuffle at 10⁹ edges. An id-ordered replay (the SQL
+    oracle) gives the same count with simpler joins: same answer,
+    different asymptotics.
+
+    Returns one row: (n_nodes, n_edges, n_triangles,
+    global_clustering) with clustering = 3·triangles / wedges,
+    wedges = Σ deg·(deg−1)/2 (integer-exact).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("_dv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    # orient from lower (deg, id) to higher — strict total order
+    fwd = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1 = oriented.select(F.col("a"), F.col("b"))
+    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = oriented.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("_wedges"),
+    )
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.when(F.col("_wedges") > 0,
+                   F.round(3.0 * F.col("n_triangles") / F.col("_wedges"), 6)
+                   ).otherwise(0.0).alias("global_clustering"),
+        )
+    )

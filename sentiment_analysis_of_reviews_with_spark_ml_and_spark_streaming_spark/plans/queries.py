@@ -791,6 +791,223 @@ FROM events GROUP BY 1
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (r4; the canonical product-analytics query no
+    engine ships without): users cohorted by first-seen day; per
+    cohort, how many return exactly 1 and 7 days later. Two bounded
+    aggregations — (user) first-day and (user, day) activity — joined
+    on user; the final rollup is per-cohort conditional counts. At
+    100 TB the (user, day) distinct is the only fact-sized shuffle;
+    everything after runs on |users| rows. Rates round(6) on exact
+    integer ratios, so the hash is stable."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    activity = ev.distinct()
+    first_day = activity.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    j = activity.join(first_day, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("offset"),
+    )
+    return (
+        j.groupBy("cohort_day")
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(
+                F.when(F.col("offset") == 1, F.col("user_id"))
+            ).alias("retained_d1"),
+            F.countDistinct(
+                F.when(F.col("offset") == 7, F.col("user_id"))
+            ).alias("retained_d7"),
+        )
+        .select(
+            "cohort_day",
+            "cohort_size",
+            "retained_d1",
+            "retained_d7",
+            F.round(
+                F.col("retained_d1") / F.col("cohort_size"), 6
+            ).alias("d1_rate"),
+            F.round(
+                F.col("retained_d7") / F.col("cohort_size"), 6
+            ).alias("d7_rate"),
+        )
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first_day AS (
+  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY 1
+), j AS (
+  SELECT a.user_id, f.cohort_day, date_diff('day', f.cohort_day, a.day) AS off
+  FROM activity a JOIN first_day f ON a.user_id = f.user_id
+)
+SELECT cohort_day,
+       count(DISTINCT user_id) AS cohort_size,
+       count(DISTINCT CASE WHEN off = 1 THEN user_id END) AS retained_d1,
+       count(DISTINCT CASE WHEN off = 7 THEN user_id END) AS retained_d7,
+       round(count(DISTINCT CASE WHEN off = 1 THEN user_id END)
+             * 1.0 / count(DISTINCT user_id), 6) AS d1_rate,
+       round(count(DISTINCT CASE WHEN off = 7 THEN user_id END)
+             * 1.0 / count(DISTINCT user_id), 6) AS d7_rate
+FROM j GROUP BY 1
+"""
+
+
+def q_gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-filling with last-observation-carried-forward
+    (r4; the hypertable `time_bucket_gapfill` + `locf` pattern): per
+    event_type, a dense hourly grid over that type's own [min, max]
+    hour — `sequence()` generates the grid from the bounded per-type
+    bounds row, so grid size is O(hours), never fact-sized — left
+    joins the real hourly aggregates; missing hours carry the last
+    seen hourly mean forward (last IGNORE NULLS window) and flag
+    is_gap. Means are decimal-routed (sum decimal(18,6), divide as
+    double) so both engines land identical doubles despite
+    order-sensitive float addition."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("value"),
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hourly_avg"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("hour").alias("_lo"), F.max("hour").alias("_hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    joined = grid.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("hourly_avg", ignorenulls=True).over(w).alias("filled_avg"),
+        F.col("hourly_avg").isNull().cast("int").alias("is_gap"),
+    )
+
+
+SQL_GAPFILL_LOCF_HOURLY = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events
+), hourly AS (
+  SELECT event_type, hour, count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS hourly_avg
+  FROM ev GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM ev GROUP BY 1
+), grid AS (
+  SELECT b.event_type, g.h AS hour
+  FROM bounds b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+)
+SELECT g.event_type, g.hour,
+       CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+       last_value(h.hourly_avg IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg,
+       CAST(h.hourly_avg IS NULL AS INTEGER) AS is_gap
+FROM grid g LEFT JOIN hourly h
+  ON g.event_type = h.event_type AND g.hour = h.hour
+"""
+
+
+def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering on the customer
+    co-purchase graph (r4): customers are linked when they bought the
+    same part in a two-month window, with a part-degree cap ≤ 10 so
+    projection of the bipartite purchase relation can't go quadratic
+    on popular parts (the same hot-key device as the dedup shingle-DF
+    cap). The engine orients edges by (degree, id) — wedge work
+    bounded by graph degeneracy, the skew-immune shape at 10⁹ edges —
+    while the DuckDB twin replays with plain id-ordering: same count,
+    different asymptotics."""
+    from ..operators.graph import triangle_count
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-03-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    buyers = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("l_partkey", "o_custkey")
+        .distinct()
+    )
+    keep = (
+        buyers.groupBy("l_partkey")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") <= 10)
+        .select("l_partkey")
+    )
+    capped = buyers.join(keep, "l_partkey")
+    a = capped.select("l_partkey", F.col("o_custkey").alias("src"))
+    b = capped.select("l_partkey", F.col("o_custkey").alias("dst"))
+    edges = (
+        a.join(b, "l_partkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT_COPURCHASE = """
+WITH buyers AS (
+  SELECT DISTINCT l.l_partkey, o.o_custkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-03-01'
+), keep AS (
+  SELECT l_partkey FROM buyers GROUP BY 1 HAVING count(*) <= 10
+), edges AS (
+  SELECT DISTINCT a.o_custkey AS u, b.o_custkey AS v
+  FROM buyers a JOIN keep USING (l_partkey) JOIN buyers b USING (l_partkey)
+  WHERE a.o_custkey < b.o_custkey
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN (SELECT sum(d * (d - 1)) / 2 FROM deg) > 0
+            THEN round(3.0 * n_triangles
+                       / (SELECT sum(d * (d - 1)) / 2 FROM deg), 6)
+            ELSE 0.0 END AS global_clustering
+FROM tri
+"""
+
+
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch counting (uplift): approx_count_distinct with 1% rsd
     must land within 5% of exact. Output is the exact count + the
@@ -5800,6 +6017,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_hyperplane_lsh": q_similarity_hyperplane_lsh,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "hll_user_rollup": q_hll_user_rollup,
+    "cohort_retention": q_cohort_retention,
+    "gapfill_locf_hourly": q_gapfill_locf_hourly,
+    "triangle_count_copurchase": q_triangle_count_copurchase,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5890,6 +6110,9 @@ ORACLE: dict[str, str] = {
     "similarity_hyperplane_lsh": SQL_SIMILARITY_HYPERPLANE_LSH,
     "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
     "hll_user_rollup": SQL_HLL_USER_ROLLUP,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "gapfill_locf_hourly": SQL_GAPFILL_LOCF_HOURLY,
+    "triangle_count_copurchase": SQL_TRIANGLE_COUNT_COPURCHASE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

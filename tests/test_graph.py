@@ -50,3 +50,27 @@ def test_mass_conserved_without_dangling_nodes(spark):
     # strongly-connected: total rank stays ~1 (no dangling leak)
     got = _pr(spark, [(1, 2), (2, 3), (3, 1)], iterations=25)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangle_count_closed_forms(spark):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.graph import (
+        triangle_count,
+    )
+
+    def tc(pairs):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return triangle_count(df).collect()[0]
+
+    # K4: C(4,3)=4 triangles; wedges = 4*C(3,2)=12; clustering = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = tc(k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["global_clustering"] == 1.0
+    # path graph: zero triangles
+    r = tc([(0, 1), (1, 2), (2, 3)])
+    assert r["n_triangles"] == 0
+    # triangle + pendant: 1 triangle; duplicate/reversed edges collapse
+    r = tc([(0, 1), (1, 0), (1, 2), (2, 0), (2, 0), (2, 3)])
+    assert (r["n_edges"], r["n_triangles"]) == (4, 1)

@@ -62,6 +62,9 @@ def test_plan_hygiene(spark, name):
             "mixture_token_budget",
             "mixture_sample_docs",
             "curation_funnel",
+            # three 1-row aggregates (stats × edge count × triangle
+            # count) crossJoined into the single result row
+            "triangle_count_copurchase",
             # k seed centroids crossJoined against the corpus — the
             # broadcast side is n_clusters rows by construction (the
             # IVF/SemDeDup/k-means assign step), never data-sized
