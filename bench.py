@@ -91,6 +91,10 @@ HEADLINE = [
     "cheapest_supplier_per_part",
     "embedding_quantization",
     "hll_user_rollup",
+    "cohort_retention",
+    "gapfill_locf_hourly",
+    "triangle_count_copurchase",
+    "theta_segment_overlap",
 ]
 
 

@@ -122,3 +122,47 @@ def hll_rollup(
             "distinct_estimate"
         )
     )
+
+
+def theta_build(
+    df,
+    group_cols: list[str],
+    value_col: str,
+):
+    """Per-group Theta sketches (DataSketches via native
+    ``theta_sketch_agg``). Unlike HLL, Theta sketches support full SET
+    ALGEBRA — union, intersection, A-not-B — so persisted per-segment
+    sketches answer audience-overlap questions ("users in BOTH
+    segments") from KB-sized state, a query class exact distinct
+    counting needs a fact-table join for."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"theta_sketch_agg({value_col})").alias("theta_sketch")
+    )
+
+
+def theta_pair_overlap(sketches, group_col: str):
+    """All-pairs segment overlap from the (tiny) sketch table: for
+    each (a < b) pair of groups, the estimated |A ∩ B|. The pair join
+    runs on |groups|² sketch rows — independent of corpus size."""
+    from pyspark.sql import functions as F
+
+    a = sketches.select(
+        F.col(group_col).alias("segment_a"),
+        F.col("theta_sketch").alias("_ska"),
+    )
+    b = sketches.select(
+        F.col(group_col).alias("segment_b"),
+        F.col("theta_sketch").alias("_skb"),
+    )
+    return (
+        a.join(b, F.col("segment_a") < F.col("segment_b"))
+        .select(
+            "segment_a",
+            "segment_b",
+            F.expr(
+                "theta_sketch_estimate(theta_intersection(_ska, _skb))"
+            ).alias("overlap_estimate"),
+        )
+    )

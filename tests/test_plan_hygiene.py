@@ -65,6 +65,10 @@ def test_plan_hygiene(spark, name):
             # three 1-row aggregates (stats × edge count × triangle
             # count) crossJoined into the single result row
             "triangle_count_copurchase",
+            # non-equi (a < b) pair join over the per-SEGMENT sketch
+            # table — |segments|² on KB-sized sketch rows by design,
+            # independent of corpus size
+            "theta_segment_overlap",
             # k seed centroids crossJoined against the corpus — the
             # broadcast side is n_clusters rows by construction (the
             # IVF/SemDeDup/k-means assign step), never data-sized

@@ -93,3 +93,21 @@ def test_hll_rollup_matches_exact_on_small_cardinality(spark):
         for r in sketch.hll_rollup(fine, ["event_type"]).collect()
     }
     assert rolled == {"click": 50, "view": 30}  # dedup across days
+
+
+def test_theta_set_algebra_exact_below_sampling_threshold(spark):
+    """Theta sketches in exact mode: union/intersection estimates on
+    planted overlapping segments match exact set sizes."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        sketch,
+    )
+
+    rows = [("a", u) for u in range(100)] + [("b", u) for u in range(60, 160)]
+    df = spark.createDataFrame(rows, "segment string, user_id long")
+    sk = sketch.theta_build(df, ["segment"], "user_id")
+    overlap = sketch.theta_pair_overlap(sk, "segment").collect()
+    assert len(overlap) == 1
+    assert overlap[0]["segment_a"] == "a" and overlap[0]["segment_b"] == "b"
+    assert overlap[0]["overlap_estimate"] == 40  # |[60,100)| exactly
