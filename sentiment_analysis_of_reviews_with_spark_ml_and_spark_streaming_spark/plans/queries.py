@@ -791,6 +791,70 @@ FROM events GROUP BY 1
 """
 
 
+def q_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ANSI window-function surface in one query (r4):
+    rank, dense_rank, percent_rank, cume_dist, lag/lead deltas and a
+    centered moving average over a deterministic total order
+    (value DESC, event_id) per event_type. All ranking functions share
+    ONE window partitioning/ordering, so Catalyst plans a single sort
+    + single Window operator — worth asserting because each extra
+    window spec is another full sort at 100 TB. Restricted to one hour
+    of events to keep the graded row count tight; doubles rounded(6)
+    on both sides."""
+    ev = _events(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-01 01:00:00").cast("timestamp"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    wrows = w.rowsBetween(-1, 1)
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            F.col("value") - F.lag("value", 1).over(w), 6
+        ).alias("delta_prev"),
+        F.round(
+            F.lead("value", 1).over(w) - F.col("value"), 6
+        ).alias("delta_next"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(wrows)
+            .cast("double")
+            / F.count("*").over(wrows),
+            6,
+        ).alias("centered_avg3"),
+    )
+
+
+SQL_WINDOW_FUNCTION_SUITE = """
+SELECT event_type, event_id, round(value, 6) AS value,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(value - lag(value, 1) OVER w, 6) AS delta_prev,
+       round(lead(value, 1) OVER w - value, 6) AS delta_next,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY event_type
+                        ORDER BY value DESC, event_id
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+             / count(*) OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id
+                              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+             6) AS centered_avg3
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts < TIMESTAMP '2024-01-01 01:00:00'
+WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+"""
+
+
 def q_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap via Theta-sketch set algebra (r4): per
     event-type user sketches, estimated |A ∩ B| for every type pair —
@@ -6080,6 +6144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gapfill_locf_hourly": q_gapfill_locf_hourly,
     "triangle_count_copurchase": q_triangle_count_copurchase,
     "theta_segment_overlap": q_theta_segment_overlap,
+    "window_function_suite": q_window_function_suite,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6174,6 +6239,7 @@ ORACLE: dict[str, str] = {
     "gapfill_locf_hourly": SQL_GAPFILL_LOCF_HOURLY,
     "triangle_count_copurchase": SQL_TRIANGLE_COUNT_COPURCHASE,
     "theta_segment_overlap": SQL_THETA_SEGMENT_OVERLAP,
+    "window_function_suite": SQL_WINDOW_FUNCTION_SUITE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

@@ -168,3 +168,14 @@ def test_runtime_bloom_join_injected_and_exact(spark):
     # within float tolerance
     for r, b in zip(rows, baseline):
         assert r["total"] == pytest.approx(b["total"], rel=1e-12)
+
+
+def test_window_suite_plans_minimal_sorts(spark):
+    """The ranking functions in window_function_suite share one window
+    spec; only the centered frame differs. The executed plan must not
+    exceed two Window operators (ranking + framed agg) — each extra
+    window spec is another full per-partition sort at 100 TB."""
+    df = QUERIES["window_function_suite"](spark, SF_DIR_CORRECTNESS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_window = plan.count("Window ") + plan.count("Window\n")
+    assert 0 < n_window <= 2, f"expected <=2 Window operators, saw {n_window}"
