@@ -95,6 +95,7 @@ HEADLINE = [
     "gapfill_locf_hourly",
     "triangle_count_copurchase",
     "theta_segment_overlap",
+    "window_function_suite",
 ]
 
 

@@ -235,3 +235,62 @@ def range_join_point_in_interval(
         )
         .drop("_bucket")
     )
+
+
+def mergeable_rollup(df, keys: list[str], value_col: str):
+    """Aggregate ``value_col`` per key group into a MERGEABLE state row:
+    (count, decimal sum, min, max, sum of squares). Every component is
+    an algebraic aggregate — two state rows combine into one with no
+    access to base data — which is what makes incremental materialized-
+    view maintenance possible: aggregate each new partition/batch once,
+    then fold it into the stored rollup with :func:`merge_rollups`.
+    Derived stats (avg, variance) come from the state at read time.
+    Decimal sums keep the merge bit-exact regardless of merge order."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+        F.sum(
+            F.col(value_col).cast("decimal(28,6)")
+            * F.col(value_col).cast("decimal(28,6)")
+        ).alias("sum_sq"),
+    )
+
+
+def merge_rollups(base, delta, keys: list[str]):
+    """Fold a delta rollup into a base rollup — the incremental
+    materialized-view step: cost is O(|touched key groups|), never a
+    rescan of base data. All components are algebraic (count/sum/min/
+    max/sum-of-squares), so ``merge(rollup(A), rollup(B)) ==
+    rollup(A ∪ B)`` exactly — asserted by the recompute-equivalence
+    test. Decimal sums make the equality independent of merge order."""
+    from pyspark.sql import functions as F
+
+    both = base.unionByName(delta)
+    return both.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.sum("sum_sq").alias("sum_sq"),
+    )
+
+
+def rollup_stats(rollup):
+    """Read-time derived statistics from mergeable state: avg and
+    population variance via sum/sum_sq/n (decimal → double at the
+    end, one deterministic division)."""
+    from pyspark.sql import functions as F
+
+    n = F.col("n").cast("double")
+    s = F.col("sum_v").cast("double")
+    sq = F.col("sum_sq").cast("double")
+    return rollup.withColumns(
+        {
+            "avg_v": F.round(s / n, 6),
+            "var_v": F.round(sq / n - (s / n) * (s / n), 6),
+        }
+    )

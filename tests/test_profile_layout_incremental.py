@@ -98,3 +98,42 @@ def test_incremental_dedup_against_store(spark):
     store2 = store.union(delta.select("fingerprint"))
     fresh2, _ = dedup.incremental_dedup(batch, store2)
     assert fresh2.count() == 0
+
+
+def test_mergeable_rollup_merge_equals_recompute(spark):
+    """The incremental-materialized-view contract:
+    merge(rollup(A), rollup(B)) == rollup(A ∪ B) bit-for-bit, and
+    derived stats match a direct computation."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        relational,
+    )
+
+    a = spark.createDataFrame(
+        [("x", 1.5), ("x", 2.5), ("y", 10.0)], "k string, v double"
+    )
+    b = spark.createDataFrame(
+        [("x", 4.0), ("z", -1.0), ("y", 0.0)], "k string, v double"
+    )
+    merged = relational.merge_rollups(
+        relational.mergeable_rollup(a, ["k"], "v"),
+        relational.mergeable_rollup(b, ["k"], "v"),
+        ["k"],
+    )
+    full = relational.mergeable_rollup(a.unionByName(b), ["k"], "v")
+    cols = ["k", "n", "sum_v", "min_v", "max_v", "sum_sq"]
+    assert sorted(map(tuple, merged.select(cols).collect())) == sorted(
+        map(tuple, full.select(cols).collect())
+    )
+    stats = {
+        r["k"]: (r["avg_v"], r["var_v"])
+        for r in relational.rollup_stats(merged).collect()
+    }
+    # x: values 1.5, 2.5, 4.0 -> avg 8/3, var = E[x^2]-E[x]^2
+    import pytest as _pytest
+
+    assert stats["x"][0] == _pytest.approx(round(8 / 3, 6))
+    ex2 = (1.5**2 + 2.5**2 + 4.0**2) / 3
+    assert stats["x"][1] == _pytest.approx(round(ex2 - (8 / 3) ** 2, 6), abs=2e-6)
+    assert stats["z"] == (-1.0, 0.0)
