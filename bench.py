@@ -96,6 +96,7 @@ HEADLINE = [
     "triangle_count_copurchase",
     "theta_segment_overlap",
     "window_function_suite",
+    "keyword_search_postings",
 ]
 
 

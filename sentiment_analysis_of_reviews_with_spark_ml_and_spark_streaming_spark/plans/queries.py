@@ -791,6 +791,61 @@ FROM events GROUP BY 1
 """
 
 
+def q_keyword_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean keyword search via posting-list intersection (r4): the
+    inverted index (term → sorted doc postings with term frequency)
+    built once as a DataFrame, then an AND-query ('spark' ∧ 'join' ∧
+    'filter') answered by intersecting posting lists — a semi-join per
+    term followed by a match-count filter, never a text rescan. Score
+    = Σ tf of the query terms (conjunctive tf ranking), deterministic
+    tiebreak (score DESC, doc_id), top 15. At 100 TB the index is the
+    artifact you persist (bucketed by term); queries touch |postings|
+    rows for the rarest term first — the classic search-engine plan
+    this query's shape mirrors."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "join", "filter"]
+    postings = (
+        docs.select(
+            "doc_id", F.explode(tokenize_ws(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    q = postings.filter(F.col("term").isin(terms))
+    matched = (
+        q.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("_n_terms"),
+            F.sum("tf").alias("score"),
+        )
+        .filter(F.col("_n_terms") == len(terms))
+    )
+    return (
+        matched.select("doc_id", F.col("score").cast("long").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+SQL_KEYWORD_SEARCH_POSTINGS = """
+WITH postings AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+  )
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+FROM postings
+WHERE term IN ('spark', 'join', 'filter')
+GROUP BY doc_id
+HAVING count(DISTINCT term) = 3
+ORDER BY score DESC, doc_id
+LIMIT 15
+"""
+
+
 def q_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining ANSI window-function surface in one query (r4):
     rank, dense_rank, percent_rank, cume_dist, lag/lead deltas and a
@@ -6145,6 +6200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count_copurchase": q_triangle_count_copurchase,
     "theta_segment_overlap": q_theta_segment_overlap,
     "window_function_suite": q_window_function_suite,
+    "keyword_search_postings": q_keyword_search_postings,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6240,6 +6296,7 @@ ORACLE: dict[str, str] = {
     "triangle_count_copurchase": SQL_TRIANGLE_COUNT_COPURCHASE,
     "theta_segment_overlap": SQL_THETA_SEGMENT_OVERLAP,
     "window_function_suite": SQL_WINDOW_FUNCTION_SUITE,
+    "keyword_search_postings": SQL_KEYWORD_SEARCH_POSTINGS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
