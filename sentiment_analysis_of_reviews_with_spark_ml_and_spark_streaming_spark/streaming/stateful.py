@@ -276,3 +276,78 @@ def stream_near_dup_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_gapfill_locf(
+    hourly: DataFrame,
+    *,
+    key_col: str = "event_type",
+    hour_col: str = "hour",
+) -> DataFrame:
+    """Streaming twin of the batch LOCF gap-fill
+    (plans.q_gapfill_locf_hourly): per key, emit a DENSE hourly series
+    — arriving hours pass through, missing hours between the last seen
+    hour and a new arrival are emitted with the last observed mean
+    carried forward and ``is_gap = 1``. State per key is two scalars
+    (last hour epoch, last mean), so the state store stays O(|keys|)
+    forever — the gap EMISSION is driven by arrivals, not timers,
+    which is what keeps this expressible without processing-time
+    triggers. Input must be pre-aggregated to hourly rows
+    (event_type, hour, n_events, hourly_avg); rows at or before the
+    last seen hour are late arrivals and are dropped (the batch twin
+    recomputes them; the stream contract is monotone append).
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        batch = pd.concat(list(pdfs))
+        if not len(batch):
+            return
+        batch = batch.sort_values(hour_col)
+        if state.exists:
+            last_epoch, last_avg = state.get
+        else:
+            last_epoch, last_avg = -1, float("nan")
+        out_hours, out_n, out_avg, out_gap = [], [], [], []
+        hour_s = 3600
+        for _, row in batch.iterrows():
+            epoch = int(pd.Timestamp(row[hour_col]).timestamp())
+            if epoch <= last_epoch:
+                continue  # late arrival; batch twin owns corrections
+            if last_epoch >= 0:
+                for g in range(last_epoch + hour_s, epoch, hour_s):
+                    out_hours.append(pd.Timestamp(g, unit="s"))
+                    out_n.append(0)
+                    out_avg.append(last_avg)
+                    out_gap.append(1)
+            out_hours.append(pd.Timestamp(epoch, unit="s"))
+            out_n.append(int(row["n_events"]))
+            out_avg.append(float(row["hourly_avg"]))
+            out_gap.append(0)
+            last_epoch, last_avg = epoch, float(row["hourly_avg"])
+        state.update((last_epoch, last_avg))
+        if out_hours:
+            yield pd.DataFrame(
+                {
+                    "event_type": [etype] * len(out_hours),
+                    "hour": out_hours,
+                    "n_events": out_n,
+                    "filled_avg": out_avg,
+                    "is_gap": out_gap,
+                }
+            )
+
+    return hourly.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, hour timestamp, n_events long, "
+            "filled_avg double, is_gap int"
+        ),
+        stateStructType="last_epoch long, last_avg double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

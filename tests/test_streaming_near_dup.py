@@ -174,3 +174,64 @@ def test_incremental_near_dedup_two_batches(spark):
     # replay batch 1: everything already represented in the store
     fresh3, _ = dedup.incremental_near_dedup(b1, store)
     assert fresh3.count() == 0
+
+
+def test_streaming_gapfill_locf_matches_batch_semantics(spark, tmp_path):
+    """Two micro-batches of hourly rows with holes: the streaming
+    LOCF emits the dense series the batch gap-fill would produce for
+    the same data — including a gap that SPANS the batch boundary
+    (state carries the last mean across batches)."""
+    import json as _json
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        streaming_gapfill_locf,
+    )
+
+    src = tmp_path / "gf"
+    src.mkdir()
+    b0 = [
+        {"event_type": "click", "hour": "2024-01-01 00:00:00", "n_events": 4, "hourly_avg": 2.0},
+        {"event_type": "click", "hour": "2024-01-01 03:00:00", "n_events": 2, "hourly_avg": 5.0},
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b0))
+
+    schema = (
+        "event_type string, hour timestamp, n_events long, hourly_avg double"
+    )
+    stream = spark.readStream.format("json").schema(schema).load(str(src))
+    q = (
+        streaming_gapfill_locf(stream)
+        .writeStream.format("memory")
+        .queryName("gapfill_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gfck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch: next hour is 06:00 — the 04:00/05:00 gap spans the
+    # batch boundary and must carry 5.0 forward from state
+    b1 = [
+        {"event_type": "click", "hour": "2024-01-01 06:00:00", "n_events": 1, "hourly_avg": 9.0},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = sorted(
+        (
+            str(r["hour"]),
+            r["n_events"],
+            r["filled_avg"],
+            r["is_gap"],
+        )
+        for r in spark.sql("select * from gapfill_out").collect()
+    )
+    assert rows == [
+        ("2024-01-01 00:00:00", 4, 2.0, 0),
+        ("2024-01-01 01:00:00", 0, 2.0, 1),
+        ("2024-01-01 02:00:00", 0, 2.0, 1),
+        ("2024-01-01 03:00:00", 2, 5.0, 0),
+        ("2024-01-01 04:00:00", 0, 5.0, 1),
+        ("2024-01-01 05:00:00", 0, 5.0, 1),
+        ("2024-01-01 06:00:00", 1, 9.0, 0),
+    ]
