@@ -704,6 +704,7 @@ def ivf_index_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dist_round: int = 6,
+    quantize: bool = False,
 ) -> DataFrame:
     """Persist an IVF index: inverted lists as cluster-partitioned
     parquet (`path/lists/cluster=<cid>/...`) plus the trained centroid
@@ -752,6 +753,18 @@ def ivf_index_write(
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col(vec_col), F.col("_cid").alias("cluster"))
     )
+    if quantize:
+        # SQ8 lists: 4x smaller at rest/in memory (the int8 codes are
+        # what a RAM-resident inverted list would hold at 100 TB);
+        # per-dim scales stored once beside the index
+        codes = quantize_embeddings(
+            corpus, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "codes")
+        scales = quantization_scales(corpus, vec_col=vec_col)
+        assigned = assigned.join(codes, id_col).select(
+            F.col(id_col), F.col("codes"), F.col("cluster")
+        )
+        scales.write.mode("overwrite").parquet(f"{path}/scales")
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(
         f"{path}/lists"
     )
@@ -770,6 +783,7 @@ def ivf_index_probe(
     vec_col: str = "embedding",
     dist_round: int = 6,
     sim_round: int = 4,
+    quantized: bool = False,
 ) -> DataFrame:
     """Query a persisted IVF index: rank the stored centroids per
     query, then scan ONLY the probed `cluster=` partitions. Same
@@ -813,6 +827,20 @@ def ivf_index_probe(
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("cluster").isin(probed_ids)
     )
+    if quantized:
+        # reconstruct from SQ8 codes with the index's per-dim scales
+        # (n_dims rows, collected once, folded in as literals - a pure
+        # zip_with projection, no join)
+        srows = sorted(
+            (r["dim"], r["absmax"])
+            for r in spark.read.parquet(f"{path}/scales").collect()
+        )
+        scale_arr = F.array(*[F.lit(m / 127) for _d, m in srows])
+        neighbor_vec = F.zip_with(
+            F.col("codes"), scale_arr, lambda cde, sc: cde.cast("double") * sc
+        )
+    else:
+        neighbor_vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cand = (
         lists.join(F.broadcast(probes), "cluster")
         .filter(F.col("_qid") != F.col(id_col))
@@ -820,7 +848,7 @@ def ivf_index_probe(
             "_qid",
             "_qe",
             F.col(id_col).alias("_nid"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_ne"),
+            neighbor_vec.alias("_ne"),
         )
     )
     scored = cand.select(

@@ -349,3 +349,42 @@ def test_boilerplate_lines_multiline_fixture(spark, tmp_path):
     for doc_id, srow in got.items():
         for col, val in srow.items():
             assert oracle[doc_id][col] == val, (doc_id, col, val, oracle[doc_id][col])
+
+
+def test_ivf_index_quantized_probe_recall(spark, tmp_path):
+    """SQ8 IVF index: lists persist int8 codes (4x smaller), probes
+    dequantize with the stored per-dim scales and must recover the
+    float index's top-k with recall >= 0.9 on a real embedding slice."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    fpath = str(tmp_path / "ivf_float")
+    qpath = str(tmp_path / "ivf_sq8")
+    similarity.ivf_index_write(emb, fpath, k_clusters=4, iterations=2)
+    similarity.ivf_index_write(
+        emb, qpath, k_clusters=4, iterations=2, quantize=True
+    )
+    # quantized lists genuinely store codes, not float vectors
+    qlists = spark.read.parquet(f"{qpath}/lists")
+    assert "codes" in qlists.columns and "embedding" not in qlists.columns
+
+    base = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_index_probe(
+            spark, fpath, queries, n_probe=2, k=5
+        ).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_index_probe(
+            spark, qpath, queries, n_probe=2, k=5, quantized=True
+        ).collect()
+    }
+    recall = len(base & quant) / len(base)
+    assert recall >= 0.9, f"SQ8 probe recall {recall}"
