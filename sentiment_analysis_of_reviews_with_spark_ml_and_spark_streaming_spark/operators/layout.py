@@ -161,3 +161,57 @@ def write_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Bin-pack a parquet dataset's small files into ~target-sized ones
+    (the OPTIMIZE/compaction half of what table formats automate).
+
+    Small files are the silent killer of 100 TB scans: every file costs
+    a task + footer read + open, so a streaming sink dribbling KB files
+    turns a scan-bound job into a scheduler-bound one. Mechanics:
+    measure current bytes from the file listing (no data read),
+    ``coalesce`` — never ``repartition``, compaction must not shuffle —
+    to ceil(bytes / target), and rewrite atomically via a temp dir +
+    rename. Returns {files_before, files_after, bytes}. No-op (returns
+    early) when the dataset already has fewer than
+    ``min_files_to_compact`` data files.
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    if len(files) < min_files_to_compact:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total,
+        }
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df = spark.read.parquet(path)
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    out_files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(out_files),
+        "bytes": total,
+    }

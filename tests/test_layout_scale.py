@@ -190,3 +190,31 @@ def test_upsert_version_tie_prefers_update(spark, tmp_path):
     )
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 1 and rows[0]["val"] == 11
+
+
+def test_compact_small_files(spark, tmp_path):
+    """64 tiny files bin-pack into far fewer target-sized ones with the
+    data byte-identical; an already-compact dataset is a no-op."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        layout,
+    )
+
+    path = str(tmp_path / "small")
+    spark.range(10_000).toDF("id").repartition(64).write.parquet(path)
+    import os
+
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 64
+    report = layout.compact_small_files(
+        spark, path, target_file_bytes=64 * 1024
+    )
+    assert report["files_before"] == 64
+    assert report["files_after"] < 16
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg({"id": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
+    # idempotent-ish: second pass finds the compacted layout
+    again = layout.compact_small_files(
+        spark, path, target_file_bytes=64 * 1024
+    )
+    assert again["files_after"] <= report["files_after"]
