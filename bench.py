@@ -97,6 +97,7 @@ HEADLINE = [
     "theta_segment_overlap",
     "window_function_suite",
     "keyword_search_postings",
+    "association_rules_brands",
 ]
 
 

@@ -791,6 +791,114 @@ FROM events GROUP BY 1
 """
 
 
+def q_association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (r4; the a-priori first pass):
+    baskets = distinct (order, brand); items below the support floor
+    are pruned BEFORE pairing — the a-priori monotonicity step that
+    keeps pair generation from going quadratic on the item vocabulary
+    at scale — then surviving-item pairs within a basket roll up to
+    support / confidence / lift for both rule directions. Per-basket
+    pair work is bounded by basket size (≤13 here; a basket-size cap
+    is the hot-key guard on pathological carts). All ratios are
+    single divisions of exact longs, round(6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    min_pair_support = 0.02
+    baskets = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_baskets = baskets.select("basket").distinct().count()
+    floor_cnt = int(min_pair_support * n_baskets)
+    item_counts = baskets.groupBy("item").agg(F.count("*").alias("n_item"))
+    frequent = item_counts.filter(F.col("n_item") >= floor_cnt)
+    pruned = baskets.join(
+        F.broadcast(frequent.select("item")), "item"
+    )
+    a = pruned.select("basket", F.col("item").alias("item_a"))
+    b = pruned.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= floor_cnt)
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("_na")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("_nb")
+    )
+    enriched = pairs.join(F.broadcast(ca), "item_a").join(
+        F.broadcast(cb), "item_b"
+    )
+    fwd = enriched.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_co",
+        F.col("_na").alias("_nant"),
+        F.col("_nb").alias("_ncons"),
+    )
+    rev = enriched.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "n_co",
+        F.col("_nb").alias("_nant"),
+        F.col("_na").alias("_ncons"),
+    )
+    rules = fwd.unionByName(rev)
+    nb = F.lit(float(n_baskets))
+    return rules.select(
+        "antecedent",
+        "consequent",
+        "n_co",
+        F.round(F.col("n_co") / nb, 6).alias("support"),
+        F.round(F.col("n_co") / F.col("_nant"), 6).alias("confidence"),
+        F.round(
+            (F.col("n_co") / F.col("_nant")) / (F.col("_ncons") / nb), 6
+        ).alias("lift"),
+    )
+
+
+SQL_ASSOCIATION_RULES_BRANDS = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), nb AS (SELECT count(DISTINCT basket) AS n FROM baskets),
+ic AS (SELECT item, count(*) AS n_item FROM baskets GROUP BY 1),
+floorv AS (SELECT CAST(floor(0.02 * n) AS BIGINT) AS f FROM nb),
+pruned AS (
+  SELECT b.* FROM baskets b JOIN ic USING (item), floorv
+  WHERE ic.n_item >= floorv.f
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+  FROM pruned a JOIN pruned b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+), kept AS (
+  SELECT p.* FROM pairs p, floorv WHERE p.n_co >= floorv.f
+), rules AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_co FROM kept
+  UNION ALL
+  SELECT item_b, item_a, n_co FROM kept
+)
+SELECT r.antecedent, r.consequent, r.n_co,
+       round(r.n_co * 1.0 / nb.n, 6) AS support,
+       round(r.n_co * 1.0 / ia.n_item, 6) AS confidence,
+       round((r.n_co * 1.0 / ia.n_item) / (ic2.n_item * 1.0 / nb.n), 6)
+         AS lift
+FROM rules r
+JOIN ic ia ON r.antecedent = ia.item
+JOIN ic ic2 ON r.consequent = ic2.item
+CROSS JOIN nb
+"""
+
+
 def q_keyword_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean keyword search via posting-list intersection (r4): the
     inverted index (term → sorted doc postings with term frequency)
@@ -6201,6 +6309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theta_segment_overlap": q_theta_segment_overlap,
     "window_function_suite": q_window_function_suite,
     "keyword_search_postings": q_keyword_search_postings,
+    "association_rules_brands": q_association_rules_brands,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6297,6 +6406,7 @@ ORACLE: dict[str, str] = {
     "theta_segment_overlap": SQL_THETA_SEGMENT_OVERLAP,
     "window_function_suite": SQL_WINDOW_FUNCTION_SUITE,
     "keyword_search_postings": SQL_KEYWORD_SEARCH_POSTINGS,
+    "association_rules_brands": SQL_ASSOCIATION_RULES_BRANDS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
