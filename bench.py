@@ -98,6 +98,7 @@ HEADLINE = [
     "window_function_suite",
     "keyword_search_postings",
     "association_rules_brands",
+    "data_quality_expectations",
 ]
 
 

@@ -791,6 +791,84 @@ FROM events GROUP BY 1
 """
 
 
+def q_data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over orders (r4; the
+    Great-Expectations/dbt-test pattern as ONE scan): each expectation
+    is a conditional count in a single aggregation — no per-rule scans
+    — plus one key-uniqueness check (the lone shuffle, on the 8-byte
+    key). Emits one row per expectation with violation counts, so the
+    report is append-only mergeable across partitions/days at 100 TB."""
+    orders = _t(spark, sf_dir, "orders")
+    viol = orders.agg(
+        F.count("*").alias("_n"),
+        F.sum(
+            (F.col("o_totalprice") <= 0).cast("long")
+        ).alias("v_price_positive"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias(
+            "v_custkey_not_null"
+        ),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("v_status_domain"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp"))
+            ).cast("long")
+        ).alias("v_orderdate_range"),
+    )
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1)
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("v"))
+    )
+    v = viol.collect()[0]
+    d = dup_keys.collect()[0]["v"]
+    rows = [
+        ("price_positive", int(v["_n"]), int(v["v_price_positive"])),
+        ("custkey_not_null", int(v["_n"]), int(v["v_custkey_not_null"])),
+        ("status_in_domain", int(v["_n"]), int(v["v_status_domain"])),
+        ("orderdate_in_range", int(v["_n"]), int(v["v_orderdate_range"])),
+        ("orderkey_unique", int(v["_n"]), int(d)),
+    ]
+    return spark.createDataFrame(
+        [
+            (name, n, nv, bool(nv == 0))
+            for name, n, nv in rows
+        ],
+        "expectation string, n_rows long, n_violations long, passed boolean",
+    )
+
+
+SQL_DATA_QUALITY_EXPECTATIONS = """
+WITH agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_cust,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                        OR o_orderdate >= TIMESTAMP '2010-01-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+  FROM orders
+), dup AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS v FROM (
+    SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+  )
+)
+SELECT 'price_positive' AS expectation, n AS n_rows, v_price AS n_violations,
+       v_price = 0 AS passed FROM agg
+UNION ALL
+SELECT 'custkey_not_null', n, v_cust, v_cust = 0 FROM agg
+UNION ALL
+SELECT 'status_in_domain', n, v_status, v_status = 0 FROM agg
+UNION ALL
+SELECT 'orderdate_in_range', n, v_date, v_date = 0 FROM agg
+UNION ALL
+SELECT 'orderkey_unique', n, dup.v, dup.v = 0 FROM agg, dup
+"""
+
+
 def q_association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules (r4; the a-priori first pass):
     baskets = distinct (order, brand); items below the support floor
@@ -6310,6 +6388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_function_suite": q_window_function_suite,
     "keyword_search_postings": q_keyword_search_postings,
     "association_rules_brands": q_association_rules_brands,
+    "data_quality_expectations": q_data_quality_expectations,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6407,6 +6486,7 @@ ORACLE: dict[str, str] = {
     "window_function_suite": SQL_WINDOW_FUNCTION_SUITE,
     "keyword_search_postings": SQL_KEYWORD_SEARCH_POSTINGS,
     "association_rules_brands": SQL_ASSOCIATION_RULES_BRANDS,
+    "data_quality_expectations": SQL_DATA_QUALITY_EXPECTATIONS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
