@@ -99,6 +99,7 @@ HEADLINE = [
     "keyword_search_postings",
     "association_rules_brands",
     "data_quality_expectations",
+    "readability_scores",
 ]
 
 

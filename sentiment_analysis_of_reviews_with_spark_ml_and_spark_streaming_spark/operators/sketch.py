@@ -166,3 +166,24 @@ def theta_pair_overlap(sketches, group_col: str):
             ).alias("overlap_estimate"),
         )
     )
+
+
+def theta_a_not_b(sketches, group_col: str, seg_a: str, seg_b: str):
+    """|A \\ B| from persisted sketches (``theta_difference``): the
+    churn/exclusive-audience estimate — users in segment A that never
+    appear in B — answered from KB-sized sketch state."""
+    from pyspark.sql import functions as F
+
+    a = sketches.filter(F.col(group_col) == seg_a).select(
+        F.col("theta_sketch").alias("_ska")
+    )
+    b = sketches.filter(F.col(group_col) == seg_b).select(
+        F.col("theta_sketch").alias("_skb")
+    )
+    return a.crossJoin(b).select(
+        F.lit(seg_a).alias("segment_a"),
+        F.lit(seg_b).alias("segment_b"),
+        F.expr("theta_sketch_estimate(theta_difference(_ska, _skb))").alias(
+            "a_not_b_estimate"
+        ),
+    )

@@ -791,6 +791,62 @@ FROM events GROUP BY 1
 """
 
 
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document (r4; rounds out the
+    text-quality family next to Gopher gates and LM fluency): word,
+    sentence, and syllable-approximation counts — syllables ≈ vowel
+    groups, the standard cheap proxy — all from codegen'd
+    regexp_extract_all over one scan, then the Flesch reading-ease
+    formula on exact integer ratios. Zero shuffle; score round(6) on
+    deterministic double arithmetic (identical operand order both
+    engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.trim(F.lower(F.col("text")))
+    n_words = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(txt, F.lit(r"[.!?]+"), 0)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_syll = F.greatest(
+        F.size(
+            F.regexp_extract_all(txt, F.lit(r"[aeiouy]+"), 0)
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.filter(F.length(txt) > 0).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllable_approx"),
+        F.round(score, 6).alias("flesch_approx"),
+    )
+
+
+SQL_READABILITY_SCORES = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(trim(lower(text)), '\\S+')) AS BIGINT)
+           AS n_words,
+         greatest(CAST(len(regexp_extract_all(trim(lower(text)), '[.!?]+'))
+                       AS BIGINT), 1) AS n_sentences,
+         greatest(CAST(len(regexp_extract_all(trim(lower(text)), '[aeiouy]+'))
+                       AS BIGINT), 1) AS n_syllable_approx
+  FROM documents WHERE length(trim(lower(text))) > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllable_approx,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllable_approx AS DOUBLE)
+                       / CAST(n_words AS DOUBLE)), 6) AS flesch_approx
+FROM c
+"""
+
+
 def q_data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over orders (r4; the
     Great-Expectations/dbt-test pattern as ONE scan): each expectation
@@ -6389,6 +6445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyword_search_postings": q_keyword_search_postings,
     "association_rules_brands": q_association_rules_brands,
     "data_quality_expectations": q_data_quality_expectations,
+    "readability_scores": q_readability_scores,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6487,6 +6544,7 @@ ORACLE: dict[str, str] = {
     "keyword_search_postings": SQL_KEYWORD_SEARCH_POSTINGS,
     "association_rules_brands": SQL_ASSOCIATION_RULES_BRANDS,
     "data_quality_expectations": SQL_DATA_QUALITY_EXPECTATIONS,
+    "readability_scores": SQL_READABILITY_SCORES,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

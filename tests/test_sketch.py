@@ -111,3 +111,19 @@ def test_theta_set_algebra_exact_below_sampling_threshold(spark):
     assert len(overlap) == 1
     assert overlap[0]["segment_a"] == "a" and overlap[0]["segment_b"] == "b"
     assert overlap[0]["overlap_estimate"] == 40  # |[60,100)| exactly
+
+
+def test_theta_a_not_b_exact_on_planted_segments(spark):
+    """A\\B from sketches equals the exact exclusive count in exact
+    mode: 100-user segment A, B overlaps the last 40 -> |A\\B| = 60."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        sketch,
+    )
+
+    rows = [("a", u) for u in range(100)] + [("b", u) for u in range(60, 160)]
+    df = spark.createDataFrame(rows, "segment string, user_id long")
+    sk = sketch.theta_build(df, ["segment"], "user_id")
+    r = sketch.theta_a_not_b(sk, "segment", "a", "b").collect()[0]
+    assert r["a_not_b_estimate"] == 60
+    r2 = sketch.theta_a_not_b(sk, "segment", "b", "a").collect()[0]
+    assert r2["a_not_b_estimate"] == 60  # |B\A| = users 100..159
