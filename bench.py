@@ -100,6 +100,7 @@ HEADLINE = [
     "association_rules_brands",
     "data_quality_expectations",
     "readability_scores",
+    "modern_aggregates_by_type",
 ]
 
 

@@ -791,6 +791,77 @@ FROM events GROUP BY 1
 """
 
 
+def q_modern_aggregates_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-3.4+ aggregate surface in one query (r4): median
+    (interpolated — ≡ DuckDB quantile_cont at round(4), the
+    equivalence the winsorized tier already certifies), mode over
+    deciles (argmax is unique per type on this data, so mode is
+    well-defined and portable), and approx_top_k re-ranked
+    deterministically (count DESC, item ASC) — exact below the
+    sketch's tracking capacity, so the top-1 bucket equals the exact
+    SQL ranking."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.expr("median(value)"), 4).alias("median_value"),
+        F.expr("mode(bucket)").alias("mode_bucket"),
+        F.expr("approx_top_k(bucket, 11)").alias("_topk"),
+    )
+    top = agg.select(
+        "event_type",
+        "median_value",
+        "mode_bucket",
+        F.explode("_topk").alias("_e"),
+    ).select(
+        "event_type",
+        "median_value",
+        "mode_bucket",
+        F.col("_e.item").alias("_item"),
+        F.col("_e.count").alias("_cnt"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("_cnt"), F.asc("_item")
+    )
+    return (
+        top.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "median_value",
+            "mode_bucket",
+            F.col("_item").cast("long").alias("top_bucket"),
+            F.col("_cnt").cast("long").alias("top_bucket_count"),
+        )
+    )
+
+
+SQL_MODERN_AGGREGATES_BY_TYPE = """
+WITH b AS (
+  SELECT event_type, value,
+         CAST(floor(value / 10) AS BIGINT) AS bucket
+  FROM events
+), m AS (
+  SELECT event_type,
+         round(median(value), 4) AS median_value,
+         mode(bucket) AS mode_bucket
+  FROM b GROUP BY 1
+), counts AS (
+  SELECT event_type, bucket, count(*) AS c FROM b GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, bucket, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, bucket ASC) AS rn
+  FROM counts
+)
+SELECT m.event_type, m.median_value, m.mode_bucket,
+       r.bucket AS top_bucket, r.c AS top_bucket_count
+FROM m JOIN ranked r ON m.event_type = r.event_type AND r.rn = 1
+"""
+
+
 def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-style readability per document (r4; rounds out the
     text-quality family next to Gopher gates and LM fluency): word,
@@ -6446,6 +6517,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "association_rules_brands": q_association_rules_brands,
     "data_quality_expectations": q_data_quality_expectations,
     "readability_scores": q_readability_scores,
+    "modern_aggregates_by_type": q_modern_aggregates_by_type,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6545,6 +6617,7 @@ ORACLE: dict[str, str] = {
     "association_rules_brands": SQL_ASSOCIATION_RULES_BRANDS,
     "data_quality_expectations": SQL_DATA_QUALITY_EXPECTATIONS,
     "readability_scores": SQL_READABILITY_SCORES,
+    "modern_aggregates_by_type": SQL_MODERN_AGGREGATES_BY_TYPE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
