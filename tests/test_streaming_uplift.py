@@ -413,3 +413,47 @@ def test_stream_upsert_sink_exactly_once_on_replay(spark, tmp_path):
         2: ("new", 2, "d1"),   # updated once, despite double apply
         3: ("old", 1, "d2"),   # untouched partition never rewritten
     }
+
+
+def test_quality_expectations_run_on_stream(spark, tmp_path):
+    """The declarative expectation counters are plain conditional
+    aggregates, so the same expressions run as a streaming
+    aggregation — violations accumulate across micro-batches in
+    complete mode (ingest-time data-contract monitoring)."""
+    src = tmp_path / "dq"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"o_orderkey": 1, "o_totalprice": 10.0, "o_orderstatus": "O"},
+                {"o_orderkey": 2, "o_totalprice": -5.0, "o_orderstatus": "O"},
+                {"o_orderkey": 3, "o_totalprice": 7.0, "o_orderstatus": "X"},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("o_orderkey long, o_totalprice double, o_orderstatus string")
+        .load(str(src))
+    )
+    agg = stream.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
+            "v_price_positive"
+        ),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("v_status_domain"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("dq_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "dqck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    r = spark.sql("select * from dq_out").collect()[0]
+    assert (r["n_rows"], r["v_price_positive"], r["v_status_domain"]) == (3, 1, 1)
