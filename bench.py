@@ -101,6 +101,8 @@ HEADLINE = [
     "data_quality_expectations",
     "readability_scores",
     "modern_aggregates_by_type",
+    "null_semantics_suite",
+    "date_function_suite",
 ]
 
 

@@ -791,6 +791,126 @@ FROM events GROUP BY 1
 """
 
 
+def q_date_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-function surface with integer-exact outputs only (r4):
+    per order-month — quarter, ISO day-of-week, day-of-year, last-day
+    distance, date_add round-trip check, and epoch-day arithmetic.
+    Float-valued temporal functions (months_between) are deliberately
+    excluded: their fractional conventions differ across engines,
+    while everything here is calendar-integer math both engines define
+    identically. Tie-broken sample row per month keeps the output
+    bounded at any SF."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    per_order = orders.select(
+        F.date_format(d, "yyyy-MM").alias("month"),
+        F.col("o_orderkey"),
+        F.quarter(d).cast("int").alias("quarter"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.datediff(F.last_day(d), d).cast("int").alias("days_to_month_end"),
+        (F.datediff(F.date_add(d, 30), d) == 30).cast("int").alias(
+            "date_add_roundtrip_ok"
+        ),
+        F.datediff(d, F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
+    )
+    w = Window.partitionBy("month").orderBy("o_orderkey")
+    return (
+        per_order.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+SQL_DATE_FUNCTION_SUITE = """
+WITH per_order AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         o_orderkey,
+         CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS quarter,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+         CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS doy,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        last_day(CAST(o_orderdate AS DATE))) AS INTEGER)
+           AS days_to_month_end,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) = 30
+              AS INTEGER) AS date_add_roundtrip_ok,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS epoch_day,
+         row_number() OVER (PARTITION BY strftime(CAST(o_orderdate AS DATE),
+                                                  '%Y-%m')
+                            ORDER BY o_orderkey) AS rn
+  FROM orders
+)
+SELECT month, o_orderkey, quarter, dow, doy, days_to_month_end,
+       date_add_roundtrip_ok, epoch_day
+FROM per_order WHERE rn = 1
+"""
+
+
+def q_null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI null semantics, certified cross-engine (r4): the fixture
+    has no organic nulls, so acctbal is deterministically nulled
+    (c_custkey % 7 == 0) and then every null-sensitive behavior runs
+    in one aggregation per segment — null-safe equality (<=> ≡
+    IS NOT DISTINCT FROM), null-propagating arithmetic, aggregate null
+    exclusion (avg ignores nulls; count(col) vs count(*)),
+    coalesce fallback sums, and conditional counting of the nulls
+    themselves. Every output is integer-exact or a decimal-routed
+    mean."""
+    customer = _t(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    c = customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        bal.alias("bal"),
+    )
+    nullsafe_zero = F.col("bal").eqNullSafe(F.lit(0.0))
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.count("bal").alias("n_nonnull"),
+        F.sum(F.col("bal").isNull().cast("long")).alias("n_null"),
+        F.sum(nullsafe_zero.cast("long")).alias("n_nullsafe_eq_zero"),
+        F.sum((F.col("bal") + F.lit(1)).isNull().cast("long")).alias(
+            "n_arith_propagated"
+        ),
+        F.sum(F.coalesce(F.col("bal"), F.lit(0.0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_coalesced"),
+        F.round(
+            F.sum(F.col("bal").cast("decimal(18,2)")).cast("double")
+            / F.count("bal"),
+            6,
+        ).alias("avg_ignoring_nulls"),
+    )
+
+
+SQL_NULL_SEMANTICS_SUITE = """
+WITH c AS (
+  SELECT c_mktsegment, c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer
+)
+SELECT c_mktsegment,
+       count(*) AS n_rows,
+       count(bal) AS n_nonnull,
+       CAST(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN bal IS NOT DISTINCT FROM 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nullsafe_eq_zero,
+       CAST(sum(CASE WHEN bal + 1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_arith_propagated,
+       CAST(sum(CAST(coalesce(bal, 0.0) AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_coalesced,
+       round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) / count(bal), 6)
+         AS avg_ignoring_nulls
+FROM c GROUP BY 1
+"""
+
+
 def q_modern_aggregates_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark-3.4+ aggregate surface in one query (r4): median
     (interpolated — ≡ DuckDB quantile_cont at round(4), the
@@ -6518,6 +6638,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_quality_expectations": q_data_quality_expectations,
     "readability_scores": q_readability_scores,
     "modern_aggregates_by_type": q_modern_aggregates_by_type,
+    "null_semantics_suite": q_null_semantics_suite,
+    "date_function_suite": q_date_function_suite,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6618,6 +6740,8 @@ ORACLE: dict[str, str] = {
     "data_quality_expectations": SQL_DATA_QUALITY_EXPECTATIONS,
     "readability_scores": SQL_READABILITY_SCORES,
     "modern_aggregates_by_type": SQL_MODERN_AGGREGATES_BY_TYPE,
+    "null_semantics_suite": SQL_NULL_SEMANTICS_SUITE,
+    "date_function_suite": SQL_DATE_FUNCTION_SUITE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
