@@ -103,6 +103,7 @@ HEADLINE = [
     "modern_aggregates_by_type",
     "null_semantics_suite",
     "date_function_suite",
+    "string_function_suite",
 ]
 
 

@@ -791,6 +791,66 @@ FROM events GROUP BY 1
 """
 
 
+def q_string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface beyond the cleaning tier (r4):
+    translate, lpad/rpad, reverse, repeat, strpos/instr, left/right
+    composition, and split_part — applied to part names so every value
+    is data-derived. initcap is deliberately absent: the oracle engine
+    lacks it, and title-casing conventions (locale, apostrophes)
+    diverge; the rest are byte-exact in both engines. One scan, pure
+    codegen projection; md5 over the concatenated transforms
+    compresses the per-row check into one hash column."""
+    part = _t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    transforms = F.concat_ws(
+        "|",
+        F.translate(name, "aeiou", "AEIOU"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0"),
+        F.rpad(F.col("p_brand"), 12, "."),
+        F.reverse(name),
+        F.repeat(F.substring(name, 1, 2), 3),
+        F.instr(name, " ").cast("string"),
+        F.concat(
+            F.substring(name, 1, 3),
+            F.substring(name, -2, 2),
+        ),
+        F.split_part(name, F.lit(" "), F.lit(1)),
+    )
+    return part.select(
+        "p_partkey",
+        F.md5(transforms).alias("transforms_md5"),
+        F.length(transforms).cast("long").alias("transforms_len"),
+    )
+
+
+SQL_STRING_FUNCTION_SUITE = """
+SELECT p_partkey,
+       md5(concat_ws('|',
+           translate(p_name, 'aeiou', 'AEIOU'),
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0'),
+           rpad(p_brand, 12, '.'),
+           reverse(p_name),
+           repeat(substr(p_name, 1, 2), 3),
+           CAST(strpos(p_name, ' ') AS VARCHAR),
+           concat(substr(p_name, 1, 3),
+                  substr(p_name, length(p_name) - 1, 2)),
+           split_part(p_name, ' ', 1)
+       )) AS transforms_md5,
+       CAST(length(concat_ws('|',
+           translate(p_name, 'aeiou', 'AEIOU'),
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0'),
+           rpad(p_brand, 12, '.'),
+           reverse(p_name),
+           repeat(substr(p_name, 1, 2), 3),
+           CAST(strpos(p_name, ' ') AS VARCHAR),
+           concat(substr(p_name, 1, 3),
+                  substr(p_name, length(p_name) - 1, 2)),
+           split_part(p_name, ' ', 1)
+       )) AS BIGINT) AS transforms_len
+FROM part
+"""
+
+
 def q_date_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-function surface with integer-exact outputs only (r4):
     per order-month — quarter, ISO day-of-week, day-of-year, last-day
@@ -6640,6 +6700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "modern_aggregates_by_type": q_modern_aggregates_by_type,
     "null_semantics_suite": q_null_semantics_suite,
     "date_function_suite": q_date_function_suite,
+    "string_function_suite": q_string_function_suite,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6742,6 +6803,7 @@ ORACLE: dict[str, str] = {
     "modern_aggregates_by_type": SQL_MODERN_AGGREGATES_BY_TYPE,
     "null_semantics_suite": SQL_NULL_SEMANTICS_SUITE,
     "date_function_suite": SQL_DATE_FUNCTION_SUITE,
+    "string_function_suite": SQL_STRING_FUNCTION_SUITE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
