@@ -104,6 +104,7 @@ HEADLINE = [
     "null_semantics_suite",
     "date_function_suite",
     "string_function_suite",
+    "array_function_suite",
 ]
 
 

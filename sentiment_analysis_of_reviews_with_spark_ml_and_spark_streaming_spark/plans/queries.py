@@ -791,6 +791,65 @@ FROM events GROUP BY 1
 """
 
 
+def q_array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order-function surface certified in one query
+    (r4): sort, distinct, slice, HOF filter + transform, existential
+    checks, and a fold — over each document's token array, so every
+    value is data-derived. Outputs are integer-exact counts plus an
+    md5 over the canonicalized (sorted-distinct) array, which pins the
+    exact array CONTENT, not just its size. Engine↔oracle mapping:
+    transform ≡ list_transform, filter ≡ list_filter, array_sort ≡
+    list_sort, exists ≡ len(list_filter) > 0, aggregate ≡ a left fold
+    spelled as list_sum over transformed lengths (integer sum —
+    order-free). One scan, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    canon = F.array_sort(F.array_distinct(toks))
+    long_toks = F.filter(toks, lambda t: F.length(t) > 4)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(canon).cast("long").alias("n_distinct"),
+        F.md5(F.array_join(canon, " ")).alias("canon_md5"),
+        F.md5(F.array_join(F.slice(canon, 1, 5), " ")).alias("head5_md5"),
+        F.size(long_toks).cast("long").alias("n_long_tokens"),
+        F.exists(toks, lambda t: t == F.lit("spark"))
+        .cast("int")
+        .alias("has_spark"),
+        total_chars.alias("total_token_chars"),
+    )
+
+
+SQL_ARRAY_FUNCTION_SUITE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         list_sort(list_distinct(toks)) AS canon
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(canon) AS BIGINT) AS n_distinct,
+       md5(array_to_string(canon, ' ')) AS canon_md5,
+       md5(array_to_string(canon[1:5], ' ')) AS head5_md5,
+       CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT)
+         AS n_long_tokens,
+       CAST(len(list_filter(toks, x -> x = 'spark')) > 0 AS INTEGER)
+         AS has_spark,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+         AS total_token_chars
+FROM c
+"""
+
+
 def q_string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string-function surface beyond the cleaning tier (r4):
     translate, lpad/rpad, reverse, repeat, strpos/instr, left/right
@@ -6701,6 +6760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_semantics_suite": q_null_semantics_suite,
     "date_function_suite": q_date_function_suite,
     "string_function_suite": q_string_function_suite,
+    "array_function_suite": q_array_function_suite,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6804,6 +6864,7 @@ ORACLE: dict[str, str] = {
     "null_semantics_suite": SQL_NULL_SEMANTICS_SUITE,
     "date_function_suite": SQL_DATE_FUNCTION_SUITE,
     "string_function_suite": SQL_STRING_FUNCTION_SUITE,
+    "array_function_suite": SQL_ARRAY_FUNCTION_SUITE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
