@@ -105,6 +105,7 @@ HEADLINE = [
     "date_function_suite",
     "string_function_suite",
     "array_function_suite",
+    "intersect_repeat_buyers",
 ]
 
 

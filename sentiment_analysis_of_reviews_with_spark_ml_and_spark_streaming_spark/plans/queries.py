@@ -526,6 +526,29 @@ ORDER BY nationkey
 """
 
 
+def q_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op completion (r4): INTERSECT — customers who ordered in
+    BOTH 1996 and 1997 (Catalyst plans it as a left-semi over
+    distincts, same asymptotics as the except/anti siblings). Finishes
+    the §2.6 trio: union ∪, except ∖, intersect ∩."""
+    orders = _t(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.intersect(y97).orderBy("custkey")
+
+
+SQL_INTERSECT_REPEAT_BUYERS = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+ORDER BY custkey
+"""
+
+
 def q_except_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op uplift: EXCEPT (≡ anti-join; Catalyst plans it as one)."""
     customer = _t(spark, sf_dir, "customer")
@@ -6761,6 +6784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_function_suite": q_date_function_suite,
     "string_function_suite": q_string_function_suite,
     "array_function_suite": q_array_function_suite,
+    "intersect_repeat_buyers": q_intersect_repeat_buyers,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6865,6 +6889,7 @@ ORACLE: dict[str, str] = {
     "date_function_suite": SQL_DATE_FUNCTION_SUITE,
     "string_function_suite": SQL_STRING_FUNCTION_SUITE,
     "array_function_suite": SQL_ARRAY_FUNCTION_SUITE,
+    "intersect_repeat_buyers": SQL_INTERSECT_REPEAT_BUYERS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
