@@ -106,6 +106,7 @@ HEADLINE = [
     "string_function_suite",
     "array_function_suite",
     "intersect_repeat_buyers",
+    "map_function_suite",
 ]
 
 

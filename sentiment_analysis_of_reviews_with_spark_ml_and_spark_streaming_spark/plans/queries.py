@@ -526,6 +526,74 @@ ORDER BY nationkey
 """
 
 
+def q_map_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface certified via canonical entries (r4): per order,
+    a brand→quantity map built with map_from_entries, then map_keys,
+    map_values, map_filter, and transform_values — each canonicalized
+    to a sorted "k=v" string and md5'd, because a map has no portable
+    serialization order but its ENTRY SET does. The oracle recomputes
+    the same canonical strings from the underlying grouped rows — the
+    check certifies the map operators' *content*, engine-independent
+    of map layout. Keyed agg + scan-level map ops; bounded map sizes
+    (≤ basket brands)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_orderkey", "p_brand")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("p_brand", "qty")))
+    )
+    grouped = per.groupBy("l_orderkey").agg(m.alias("m"))
+
+    def canon(mp):
+        entries = F.transform(
+            F.array_sort(F.map_entries(mp)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+        )
+        return F.md5(F.array_join(entries, ","))
+
+    doubled = F.transform_values(F.col("m"), lambda _k, v: v * 2)
+    heavy = F.map_filter(F.col("m"), lambda _k, v: v > 50)
+    return grouped.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.size("m").cast("long").alias("n_brands"),
+        F.md5(F.array_join(F.array_sort(F.map_keys(F.col("m"))), ",")).alias(
+            "keys_md5"
+        ),
+        F.aggregate(
+            F.map_values(F.col("m")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("total_qty"),
+        canon(doubled).alias("doubled_md5"),
+        F.size(heavy).cast("long").alias("n_heavy_brands"),
+    )
+
+
+SQL_MAP_FUNCTION_SUITE = """
+WITH per AS (
+  SELECT l.l_orderkey, p.p_brand, CAST(sum(l.l_quantity) AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT l_orderkey AS orderkey,
+       count(*) AS n_brands,
+       md5(string_agg(p_brand, ',' ORDER BY p_brand)) AS keys_md5,
+       CAST(sum(qty) AS BIGINT) AS total_qty,
+       md5(string_agg(p_brand || '=' || CAST(qty * 2 AS VARCHAR), ','
+                      ORDER BY p_brand)) AS doubled_md5,
+       CAST(sum(CASE WHEN qty > 50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_heavy_brands
+FROM per GROUP BY 1
+"""
+
+
 def q_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op completion (r4): INTERSECT — customers who ordered in
     BOTH 1996 and 1997 (Catalyst plans it as a left-semi over
@@ -6785,6 +6853,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_function_suite": q_string_function_suite,
     "array_function_suite": q_array_function_suite,
     "intersect_repeat_buyers": q_intersect_repeat_buyers,
+    "map_function_suite": q_map_function_suite,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6890,6 +6959,7 @@ ORACLE: dict[str, str] = {
     "string_function_suite": SQL_STRING_FUNCTION_SUITE,
     "array_function_suite": SQL_ARRAY_FUNCTION_SUITE,
     "intersect_repeat_buyers": SQL_INTERSECT_REPEAT_BUYERS,
+    "map_function_suite": SQL_MAP_FUNCTION_SUITE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
