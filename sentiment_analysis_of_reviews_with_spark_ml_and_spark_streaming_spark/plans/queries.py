@@ -6688,6 +6688,197 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def q_priority_class_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the testdata carries no l_shipmode, so
+    l_linestatus plays the ship-mode role): lineitem⋈orders over a
+    one-year shipdate window, per-status counts of critical-priority
+    (1-URGENT / 2-HIGH) vs other orders.  Completes the 22-shape TPC-H
+    sweep alongside Q1-Q11/Q13-Q15/Q17-Q22 (see docs/QUERIES.md).
+    Scale: the shipdate range is pushed to the parquet scan; the join
+    shuffles on orderkey with only 3 columns in flight; the final
+    2-group aggregate is a map-side partial.  At 100 TB the orders side
+    prunes to the same one-year window via the join keys' date
+    correlation only if orders is date-partitioned — left unfiltered
+    here because o_orderdate ≠ l_shipdate windows don't align exactly."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    crit = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.select("l_orderkey", "l_linestatus")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(crit).alias("high_line_count"),
+            F.sum(1 - crit).alias("low_line_count"),
+        )
+    )
+
+
+SQL_PRIORITY_CLASS_BY_STATUS = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+def q_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp table, so the distinct
+    (l_partkey, l_suppkey) pairs observed in lineitem play the
+    part-supplier relation; no complaint text, so negative account
+    balance marks the excluded suppliers): supplier count per part
+    (brand, type, size) over a filtered attribute domain, excluding
+    flagged suppliers via NOT IN.
+    Scale: the pair-distinct shuffles on (partkey, suppkey) — the only
+    large exchange; part is broadcast onto the pairs; the flagged-
+    supplier set is a broadcast anti join (NOT IN with guaranteed
+    non-null rhs ≡ anti join); count(DISTINCT) re-shuffles on the
+    3-attribute group key, which is bounded by the attribute domain."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    wanted = part.filter(
+        (F.col("p_brand") != "Brand#15")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 23, 25, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = supplier.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad")
+    )
+    return (
+        pairs.join(F.broadcast(wanted), pairs.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(flagged),
+            pairs.l_suppkey == F.col("_bad"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_COUNT_BY_PART_ATTRS = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON ps.l_partkey = p_partkey
+WHERE p_brand <> 'Brand#15'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 14, 23, 25, 45)
+  AND ps.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp/ps_availqty, so per
+    (supplier, part) pre-1996 shipped quantity proxies accumulated
+    inventory; the classic p_name LIKE 'forest%' filter becomes the
+    'red '-prefixed parts of this corpus): suppliers in EUROPE holding
+    excess inventory — pairs whose historical stock exceeds half of
+    their 1996 demand — via the nested-semi-join pattern.
+    Scale: both per-pair aggregates shuffle once on (suppkey, partkey)
+    and reuse the same partitioning for the pair join (no extra
+    exchange); the red-part id set, supplier, nation and region dims
+    all broadcast.  Quantity sums accumulate as exact decimals then
+    convert once to double so the 2·avail > demand comparison is
+    engine-portable (same rationale as _dsum)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    red = part.filter(F.col("p_name").startswith("red ")).select("p_partkey")
+    li_red = li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey")).select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    cut = F.lit("1996-01-01").cast("timestamp")
+    stock = (
+        li_red.filter(F.col("l_shipdate") < cut)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(_dsum("l_quantity").alias("avail_qty"))
+    )
+    demand = (
+        li_red.filter(
+            (F.col("l_shipdate") >= cut)
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_suppkey").alias("d_suppkey"),
+            F.col("l_partkey").alias("d_partkey"),
+        )
+        .agg(_dsum("l_quantity").alias("demand_qty"))
+    )
+    excess = (
+        stock.join(
+            demand,
+            (F.col("l_suppkey") == F.col("d_suppkey"))
+            & (F.col("l_partkey") == F.col("d_partkey")),
+        )
+        .filter(F.lit(2.0) * F.col("avail_qty") > F.col("demand_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    europe = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return europe.join(
+        excess, europe.s_suppkey == excess.l_suppkey, "left_semi"
+    )
+
+
+SQL_EXCESS_INVENTORY_SUPPLIERS = """
+WITH li_red AS (
+  SELECT l_suppkey, l_partkey, l_quantity, l_shipdate
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red %'
+), stock AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS avail_qty
+  FROM li_red WHERE l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1, 2
+), demand AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS demand_qty
+  FROM li_red
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+), excess AS (
+  SELECT DISTINCT s.l_suppkey
+  FROM stock s JOIN demand d
+    ON s.l_suppkey = d.l_suppkey AND s.l_partkey = d.l_partkey
+  WHERE 2.0 * s.avail_qty > d.demand_qty
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM excess)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6854,6 +7045,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_function_suite": q_array_function_suite,
     "intersect_repeat_buyers": q_intersect_repeat_buyers,
     "map_function_suite": q_map_function_suite,
+    "priority_class_by_status": q_priority_class_by_status,
+    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
+    "excess_inventory_suppliers": q_excess_inventory_suppliers,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6960,6 +7154,9 @@ ORACLE: dict[str, str] = {
     "array_function_suite": SQL_ARRAY_FUNCTION_SUITE,
     "intersect_repeat_buyers": SQL_INTERSECT_REPEAT_BUYERS,
     "map_function_suite": SQL_MAP_FUNCTION_SUITE,
+    "priority_class_by_status": SQL_PRIORITY_CLASS_BY_STATUS,
+    "supplier_count_by_part_attrs": SQL_SUPPLIER_COUNT_BY_PART_ATTRS,
+    "excess_inventory_suppliers": SQL_EXCESS_INVENTORY_SUPPLIERS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
