@@ -107,6 +107,12 @@ HEADLINE = [
     "array_function_suite",
     "intersect_repeat_buyers",
     "map_function_suite",
+    "priority_class_by_status",
+    "supplier_count_by_part_attrs",
+    "excess_inventory_suppliers",
+    "variant_props_stats",
+    "lateral_top_orders",
+    "observe_scan_metrics",
 ]
 
 

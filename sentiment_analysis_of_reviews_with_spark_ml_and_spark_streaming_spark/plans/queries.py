@@ -6879,6 +6879,134 @@ WHERE r.r_name = 'EUROPE'
 """
 
 
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4.0 parse_json /
+    variant_get / schema_of_variant): props parsed ONCE into the
+    binary VARIANT encoding, then typed paths extracted — the modern
+    replacement for per-path get_json_object re-parsing (contrast
+    q_json_extract_props, kept as the legacy twin).  At 100 TB the
+    difference is real: VARIANT decodes each props payload once per
+    row instead of once per extracted path, and shredded-variant
+    statistics survive into the scan.  n_variant_schemas counts
+    distinct inferred object shapes — the schema-drift detector for an
+    evolving event stream (DuckDB twin: json_structure)."""
+    ev = _events(spark, sf_dir)
+    v = ev.withColumn("v", F.parse_json("props"))
+    return (
+        v.select(
+            "event_type",
+            F.variant_get("v", "$.k", "long").alias("k"),
+            F.schema_of_variant(F.col("v")).alias("vschema"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("vschema").alias("n_variant_schemas"),
+        )
+    )
+
+
+SQL_VARIANT_PROPS_STATS = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(DISTINCT json_structure(props)) AS n_variant_schemas
+FROM events GROUP BY 1
+"""
+
+
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark 3.4+ SQL surface): per BUILDING
+    customer, the 2 highest-value orders via a correlated ORDER BY …
+    LIMIT subquery — the SQL-native spelling of per-group top-k.
+    Catalyst decorrelates this to the same window/TakeOrdered shape as
+    q_topk_per_group (the DataFrame spelling); both are kept because a
+    reference user migrating SQL workloads writes THIS form.  Ties
+    break on o_orderkey so the result is deterministic cross-engine."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _lat_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+SQL_LATERAL_TOP_ORDERS = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON TRUE
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+def q_observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.observe() operational metrics (uplift): quality
+    counters ride the SAME job as the business aggregate — zero extra
+    scans, exactly how a 100 TB pipeline gets row-count /
+    domain-violation telemetry for free (CollectMetrics is a
+    streaming-safe accumulator node, unlike a second count() pass).
+    The returned 1-row frame re-publishes the observed metrics plus
+    the business result's group count; assembly is driver-side but
+    O(1).  Oracle recomputes the same metrics relationally — proving
+    the piggybacked counters equal a dedicated scan's answer."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_discount") > F.lit(0.05), 1).otherwise(0)
+        ).alias("n_high_discount"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias(
+            "n_nonpositive_qty"
+        ),
+    )
+    business = (
+        observed.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_high_discount"]),
+                int(m["n_nonpositive_qty"]),
+                len(business),
+            )
+        ],
+        "n_rows long, n_high_discount long, n_nonpositive_qty long, "
+        "n_return_flags long",
+    )
+
+
+SQL_OBSERVE_SCAN_METRICS = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_discount,
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonpositive_qty,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_return_flags
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7048,6 +7176,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_class_by_status": q_priority_class_by_status,
     "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
     "excess_inventory_suppliers": q_excess_inventory_suppliers,
+    "variant_props_stats": q_variant_props_stats,
+    "lateral_top_orders": q_lateral_top_orders,
+    "observe_scan_metrics": q_observe_scan_metrics,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7157,6 +7288,9 @@ ORACLE: dict[str, str] = {
     "priority_class_by_status": SQL_PRIORITY_CLASS_BY_STATUS,
     "supplier_count_by_part_attrs": SQL_SUPPLIER_COUNT_BY_PART_ATTRS,
     "excess_inventory_suppliers": SQL_EXCESS_INVENTORY_SUPPLIERS,
+    "variant_props_stats": SQL_VARIANT_PROPS_STATS,
+    "lateral_top_orders": SQL_LATERAL_TOP_ORDERS,
+    "observe_scan_metrics": SQL_OBSERVE_SCAN_METRICS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
