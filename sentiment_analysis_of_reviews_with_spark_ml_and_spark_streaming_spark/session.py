@@ -118,6 +118,55 @@ def runtime_bloom_filter(
                 spark.conf.set(k, old)
 
 
+@contextmanager
+def rocksdb_state(spark: SparkSession, *, unload_on_commit: bool = False):
+    """Scope streaming state onto the RocksDB state store provider.
+
+    The default HDFSBackedStateStoreProvider keeps EVERY store's full
+    key-value map on the executor heap — at 100 TB-scale stateful
+    streaming (dedup signature stores, sessionization, stream-stream
+    join buffers) that is the first thing to OOM. RocksDB (bundled
+    with Spark since 3.2) spills state to local SSD with a bounded
+    block cache, supports changelog checkpointing, and is the only
+    provider Databricks/EMR run large stateful jobs on.
+
+    The provider is read PER QUERY at stream start from the session
+    conf, so scoping works: queries .start()ed inside this context get
+    RocksDB state, concurrent ones outside keep the default. State
+    FORMAT is checkpoint-persistent — never flip providers under an
+    existing checkpoint dir (Spark refuses); use fresh checkpoints.
+
+    Semantics are provider-independent (asserted in
+    tests/test_streaming_uplift.py::test_rocksdb_state_store_equivalence:
+    same windowed aggregation, RocksDB vs default, identical rows).
+    """
+    keys = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        # free the native memory of idle stores promptly in tests
+        "spark.sql.streaming.stateStore.rocksdb.unloadOnCommit": (
+            "true" if unload_on_commit else "false"
+        ),
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
 def get_spark(
     app_name: str = "sentiment_reviews_spark_engine",
     master: str | None = None,

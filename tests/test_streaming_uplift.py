@@ -457,3 +457,65 @@ def test_quality_expectations_run_on_stream(spark, tmp_path):
     q.stop()
     r = spark.sql("select * from dq_out").collect()[0]
     assert (r["n_rows"], r["v_price_positive"], r["v_status_domain"]) == (3, 1, 1)
+
+
+def test_rocksdb_state_store_equivalence(spark, tmp_path):
+    """Same windowed aggregation under RocksDBStateStoreProvider and the
+    default HDFS-backed provider: identical results, and the RocksDB
+    run's progress reports the rocksdb provider's custom metrics.
+    Providers are per-query (read at .start()), so scoping via
+    session.rocksdb_state works with fresh checkpoints."""
+    import json
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.session import (
+        rocksdb_state,
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.scoring import (
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"ts": f"2024-01-01T0{h}:{m:02d}:00Z", "event_type": t, "value": 1.0}
+        for h in range(3)
+        for m in (5, 35)
+        for t in ("click", "view")
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    def run(name, ck):
+        stream = (
+            spark.readStream.format("json")
+            .schema("ts timestamp, event_type string, value double")
+            .load(str(src))
+        )
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        progress = q.lastProgress
+        q.stop()
+        out = sorted(
+            tuple(str(v) for v in r)
+            for r in spark.sql(f"select * from {name}").collect()
+        )
+        return out, progress
+
+    base, _ = run("ssp_default", "ck_default")
+    with rocksdb_state(spark, unload_on_commit=True):
+        rocks, progress = run("ssp_rocks", "ck_rocks")
+
+    assert base == rocks and len(base) == 6
+    custom = progress["stateOperators"][0]["customMetrics"]
+    assert any(k.startswith("rocksdb") for k in custom), custom
+    # conf restored outside the scope
+    assert "RocksDB" not in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "HDFSBackedStateStoreProvider",
+    )
