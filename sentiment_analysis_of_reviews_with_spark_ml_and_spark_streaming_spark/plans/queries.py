@@ -7007,6 +7007,27 @@ FROM lineitem
 """
 
 
+def q_distinct_users_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via the two-level salted
+    aggregation (operators/relational.py:skew_safe_count_distinct):
+    values salt by hash(user_id) % 32 so a hot event type's value space
+    splits across 32 reducers before the disjoint partial counts are
+    summed.  countDistinct's single-reducer-per-key shuffle is the
+    aggregation skew problem AQE does NOT fix; this is the exact
+    (non-approx) escape hatch, certified here against the direct
+    COUNT(DISTINCT) oracle."""
+    ev = _events(spark, sf_dir)
+    return relational.skew_safe_count_distinct(
+        ev, "event_type", "user_id", salt_buckets=32, out_col="n_users"
+    )
+
+
+SQL_DISTINCT_USERS_SKEWSAFE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7179,6 +7200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variant_props_stats": q_variant_props_stats,
     "lateral_top_orders": q_lateral_top_orders,
     "observe_scan_metrics": q_observe_scan_metrics,
+    "distinct_users_skewsafe": q_distinct_users_skewsafe,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7291,6 +7313,7 @@ ORACLE: dict[str, str] = {
     "variant_props_stats": SQL_VARIANT_PROPS_STATS,
     "lateral_top_orders": SQL_LATERAL_TOP_ORDERS,
     "observe_scan_metrics": SQL_OBSERVE_SCAN_METRICS,
+    "distinct_users_skewsafe": SQL_DISTINCT_USERS_SKEWSAFE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

@@ -197,3 +197,33 @@ def test_deterministic_split_stable_under_corpus_growth(spark):
     common = set(small) & set(big)
     assert common, "fixtures share no doc ids"
     assert all(small[d] == big[d] for d in common)
+
+
+def test_skew_safe_count_distinct_exact(spark):
+    """Two-level salted distinct == direct countDistinct, on a fixture
+    with one hot key owning 100x the distinct values of the rest."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        skew_safe_count_distinct,
+    )
+
+    hot = spark.range(2000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 1500).alias("v")
+    )
+    cold = spark.range(200).select(
+        F.concat(F.lit("c"), (F.col("id") % 10)).alias("k"),
+        (F.col("id") % 15).alias("v"),
+    )
+    df = hot.unionAll(cold)
+    got = {
+        (r["k"], r["n_distinct"])
+        for r in skew_safe_count_distinct(df, "k", "v", salt_buckets=8).collect()
+    }
+    want = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    assert got == want and ("hot", 1500) in got

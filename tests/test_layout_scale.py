@@ -218,3 +218,24 @@ def test_compact_small_files(spark, tmp_path):
         spark, path, target_file_bytes=64 * 1024
     )
     assert again["files_after"] <= report["files_after"]
+
+
+def test_analyze_table_stats_feeds_cbo(spark):
+    """ANALYZE writes rowCount + per-column NDV into the catalog — the
+    numbers join reordering needs; values match the data exactly."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.layout import (
+        analyze_table_stats,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 37).alias("grp")
+    )
+    out = analyze_table_stats(
+        spark, df, "cbo_stats_probe", columns=["id", "grp"]
+    )
+    assert "1000 rows" in out["table_stats"]
+    assert out["columns"]["grp"]["distinct_count"] == "37"
+    assert out["columns"]["id"]["num_nulls"] == "0"
+    spark.sql("DROP TABLE IF EXISTS cbo_stats_probe")
