@@ -351,3 +351,83 @@ def streaming_gapfill_locf(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_stats_tws(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """`running_user_stats` on transformWithStateInPandas (Spark 4.0's
+    stateful-processing v2) — the successor API to
+    applyInPandasWithState, and the one new stateful features land on.
+
+    What v2 buys at 100 TB state:
+    - typed, NAMED state variables (value/list/map) instead of one
+      monolithic state tuple — partial updates touch only the variable
+      that changed;
+    - per-state TTL (``state_ttl_ms``) enforced by the store itself —
+      lifetime aggregates age out without hand-rolled timeout code
+      (the v1 operator's documented production gap);
+    - event-time/processing-time timers for scheduled emission;
+    - initial-state bootstrap and state-schema evolution.
+
+    Requires the RocksDB state store provider (TWS does not run on the
+    HDFS-backed provider) — compose with ``session.rocksdb_state`` —
+    and, at RUNTIME only, the protobuf python package (Spark's TWS
+    state protocol; plan construction works without it, execution
+    raises STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE if absent —
+    this container ships no google.protobuf, so the equivalence test
+    gates on importability).  Output schema and semantics match
+    ``running_user_stats`` exactly (asserted in
+    tests/test_stateful_and_properties.py::
+    test_transform_with_state_matches_v1; plan surface always checked
+    by test_transform_with_state_plan_builds).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats",
+                "cnt long, total double, mx double",
+                ttlDurationMs=state_ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                cnt, total, mx = self._state.get()
+            else:
+                cnt, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                cnt += len(pdf)
+                total += float(pdf[value_col].sum())
+                if len(pdf):
+                    mx = max(mx, float(pdf[value_col].max()))
+            self._state.update((cnt, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "total_value": [total],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_RunningStats(),
+        outputStructType=(
+            "user_id long, n_events long, total_value double, "
+            "max_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

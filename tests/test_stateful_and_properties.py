@@ -166,3 +166,83 @@ def test_streaming_heavy_hitters_accumulates_across_batches(spark, tmp_path):
 
     last_per_shard = Counter(s for (s, v) in latest)
     assert all(c <= 8 for c in last_per_shard.values())
+
+
+def test_transform_with_state_plan_builds(spark):
+    """The TWS logical plan constructs without protobuf (only the
+    runtime state protocol needs it): operator surface + output schema
+    are checked even in containers missing google.protobuf."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value % 3 AS user_id", "CAST(value AS DOUBLE) AS value")
+    )
+    out = running_user_stats_tws(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_events", "total_value", "max_value",
+    ]
+
+
+def test_transform_with_state_matches_v1(spark, tmp_path):
+    """transformWithStateInPandas (v2, RocksDB-backed) accumulates the
+    same per-user lifetime stats as the applyInPandasWithState v1
+    operator across two micro-batches.
+
+    Execution (not the API) requires the protobuf python package —
+    Spark's TWS state protocol imports google.protobuf in the driver
+    worker; absent from this container and pip-install is off-limits,
+    so the runtime leg gates on importability (the plan-construction
+    leg above always runs)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.session import (
+        rocksdb_state,
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    src = tmp_path / "tws"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"user_id": 1, "value": 5.0},
+                {"user_id": 1, "value": 7.0},
+                {"user_id": 2, "value": 1.0},
+            ]
+        )
+    )
+    with rocksdb_state(spark, unload_on_commit=True):
+        stream = (
+            spark.readStream.format("json")
+            .schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src))
+        )
+        q = (
+            running_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_stats")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "twsck"))
+            .start()
+        )
+        q.processAllAvailable()
+        (src / "b1.json").write_text(json.dumps({"user_id": 1, "value": 100.0}))
+        q.processAllAvailable()
+        q.stop()
+    rows = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+        for r in spark.sql(
+            "select * from tws_stats qualify row_number() over "
+            "(partition by user_id order by n_events desc) = 1"
+        ).collect()
+    }
+    assert rows == {1: (3, 112.0, 100.0), 2: (1, 1.0, 1.0)}
