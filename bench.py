@@ -113,6 +113,7 @@ HEADLINE = [
     "variant_props_stats",
     "lateral_top_orders",
     "observe_scan_metrics",
+    "distinct_users_skewsafe",
 ]
 
 
