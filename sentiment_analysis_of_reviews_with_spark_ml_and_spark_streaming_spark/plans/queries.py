@@ -6961,13 +6961,20 @@ def q_observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     The returned 1-row frame re-publishes the observed metrics plus
     the business result's group count; assembly is driver-side but
     O(1).  Oracle recomputes the same metrics relationally — proving
-    the piggybacked counters equal a dedicated scan's answer."""
-    from pyspark.sql import Observation
+    the piggybacked counters equal a dedicated scan's answer.
 
+    Deliberately uses the STRING-named observe() form and reads the
+    metrics row off the action's QueryExecution, NOT the Observation
+    helper object: a registered Observation stays in the session's
+    ObservationManager, which is not serializable and poisons any
+    LATER streaming query in the same session whose task closure
+    captures the session (e.g. ml Transformer UDFs) — measured as
+    'Task not serializable: ObservationManager' in bench's streaming
+    leg. The string form attaches the same CollectMetrics plan node
+    with zero session-level registration."""
     li = _t(spark, sf_dir, "lineitem")
-    obs = Observation("scan_metrics")
     observed = li.observe(
-        obs,
+        "scan_metrics",
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
             F.when(F.col("l_discount") > F.lit(0.05), 1).otherwise(0)
@@ -6976,19 +6983,20 @@ def q_observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nonpositive_qty"
         ),
     )
-    business = (
-        observed.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    business = observed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    m = obs.get
+    n_groups = len(business.collect())
+    jrow = business._jdf.queryExecution().observedMetrics().apply(
+        "scan_metrics"
+    )
     return spark.createDataFrame(
         [
             (
-                int(m["n_rows"]),
-                int(m["n_high_discount"]),
-                int(m["n_nonpositive_qty"]),
-                len(business),
+                jrow.getLong(0),
+                jrow.getLong(1),
+                jrow.getLong(2),
+                n_groups,
             )
         ],
         "n_rows long, n_high_discount long, n_nonpositive_qty long, "

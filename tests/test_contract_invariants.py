@@ -48,3 +48,20 @@ def test_queries_are_fresh_callables():
     a = entry_mod.queries()
     a.clear()
     assert len(entry_mod.queries()) >= 60
+
+
+def test_observe_query_rerunnable_no_session_registration(spark):
+    """The string-form observe() must leave NOTHING registered on the
+    session: the query is re-runnable in one session (the Observation
+    helper raises REUSE_OBSERVATION / poisons later streaming closures
+    with a non-serializable ObservationManager — the bench regression
+    this pins). Both runs must agree and carry a CollectMetrics node."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        QUERIES,
+    )
+
+    from .conftest import SF_DIR_CORRECTNESS
+
+    a = QUERIES["observe_scan_metrics"](spark, SF_DIR_CORRECTNESS).collect()
+    b = QUERIES["observe_scan_metrics"](spark, SF_DIR_CORRECTNESS).collect()
+    assert a == b and a[0]["n_rows"] > 0
