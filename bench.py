@@ -114,6 +114,7 @@ HEADLINE = [
     "lateral_top_orders",
     "observe_scan_metrics",
     "distinct_users_skewsafe",
+    "try_function_suite",
 ]
 
 

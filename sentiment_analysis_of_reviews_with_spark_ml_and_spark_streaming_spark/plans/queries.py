@@ -7036,6 +7036,86 @@ FROM events GROUP BY 1
 """
 
 
+def q_try_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety surface (r4): Spark 4 ships ANSI ON, so a bad
+    cast / zero divide / bigint overflow THROWS mid-job — at 100 TB one
+    malformed row 6 hours in kills the run. The try_* family returns
+    NULL instead, making failure a per-row data-quality fact. Exercised
+    with deterministic per-row successes AND failures: try_cast on a
+    non-numeric string (and its numeric prefix), try_divide with a
+    planted % 3 == 0 zero denominator, try_add at the bigint ceiling
+    (overflows exactly when o_orderkey > 7), try_element_at past the
+    array bound. NULLs pinned via coalesce sentinels so the md5 digest
+    certifies exactly WHICH rows nulled, not just the survivors."""
+    orders = _t(spark, sf_dir, "orders")
+    bad_cast = F.col("o_orderpriority").try_cast("bigint")
+    ok_cast = F.split_part(
+        F.col("o_orderpriority"), F.lit("-"), F.lit(1)
+    ).try_cast("bigint")
+    div = F.round(
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")
+        ),
+        6,
+    )
+    ceiling_add = F.try_add(
+        F.lit(9223372036854775800), F.col("o_orderkey")
+    )
+    past_bound = F.try_element_at(
+        F.split(F.col("o_orderpriority"), "-"), F.lit(3)
+    )
+    in_bound = F.try_element_at(
+        F.split(F.col("o_orderpriority"), "-"), F.lit(2)
+    )
+    nul = F.lit("Ø")
+    digest = F.concat_ws(
+        "|",
+        F.coalesce(bad_cast.cast("string"), nul),
+        F.coalesce(ok_cast.cast("string"), nul),
+        F.coalesce(div.cast("string"), nul),
+        F.coalesce(ceiling_add.cast("string"), nul),
+        F.coalesce(past_bound, nul),
+        F.coalesce(in_bound, nul),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.md5(digest).alias("try_md5"),
+        (
+            bad_cast.isNull().cast("int")
+            + div.isNull().cast("int")
+            + ceiling_add.isNull().cast("int")
+            + past_bound.isNull().cast("int")
+        ).alias("n_nulled"),
+    )
+
+
+SQL_TRY_FUNCTION_SUITE = """
+SELECT o_orderkey,
+       md5(concat_ws('|',
+           coalesce(CAST(try_cast(o_orderpriority AS BIGINT) AS VARCHAR),
+                    'Ø'),
+           coalesce(CAST(try_cast(split_part(o_orderpriority, '-', 1)
+                                  AS BIGINT) AS VARCHAR), 'Ø'),
+           coalesce(CAST(round(o_totalprice
+                               / CAST(o_orderkey % 3 AS DOUBLE), 6)
+                         AS VARCHAR), 'Ø'),
+           coalesce(CAST(CASE WHEN o_orderkey > 7 THEN NULL
+                              ELSE 9223372036854775800 + o_orderkey END
+                         AS VARCHAR), 'Ø'),
+           coalesce(str_split(o_orderpriority, '-')[3], 'Ø'),
+           coalesce(str_split(o_orderpriority, '-')[2], 'Ø')
+       )) AS try_md5,
+       (CASE WHEN try_cast(o_orderpriority AS BIGINT) IS NULL
+             THEN 1 ELSE 0 END
+        + CASE WHEN o_totalprice / CAST(o_orderkey % 3 AS DOUBLE) IS NULL
+               THEN 1 ELSE 0 END
+        + CASE WHEN o_orderkey > 7 THEN 1 ELSE 0 END
+        + CASE WHEN str_split(o_orderpriority, '-')[3] IS NULL
+               THEN 1 ELSE 0 END) AS n_nulled
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7209,6 +7289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lateral_top_orders": q_lateral_top_orders,
     "observe_scan_metrics": q_observe_scan_metrics,
     "distinct_users_skewsafe": q_distinct_users_skewsafe,
+    "try_function_suite": q_try_function_suite,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7322,6 +7403,7 @@ ORACLE: dict[str, str] = {
     "lateral_top_orders": SQL_LATERAL_TOP_ORDERS,
     "observe_scan_metrics": SQL_OBSERVE_SCAN_METRICS,
     "distinct_users_skewsafe": SQL_DISTINCT_USERS_SKEWSAFE,
+    "try_function_suite": SQL_TRY_FUNCTION_SUITE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

@@ -238,4 +238,18 @@ def test_analyze_table_stats_feeds_cbo(spark):
     assert "1000 rows" in out["table_stats"]
     assert out["columns"]["grp"]["distinct_count"] == "37"
     assert out["columns"]["id"]["num_nulls"] == "0"
+    # the numbers must reach the OPTIMIZER, not just the catalog: with
+    # CBO on, the optimized plan's cost model sees the analyzed rowCount
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        stats = (
+            spark.table("cbo_stats_probe")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert int(str(stats.rowCount().get())) == 1000
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
     spark.sql("DROP TABLE IF EXISTS cbo_stats_probe")
