@@ -115,6 +115,8 @@ HEADLINE = [
     "observe_scan_metrics",
     "distinct_users_skewsafe",
     "try_function_suite",
+    "session_window_native",
+    "argmax_aggregates_by_priority",
 ]
 
 

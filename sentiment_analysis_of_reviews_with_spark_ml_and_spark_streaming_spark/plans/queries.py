@@ -7116,6 +7116,98 @@ FROM orders
 """
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window() sessionization (r4): Spark's built-in
+    gap-merging session operator, certified against the classic
+    gaps-and-islands SQL construction (the oracle) — proving the two
+    spellings agree. Complements q_sessionize_events (the islands
+    spelling): same 30-min gap, same per-user rollup. Boundary
+    semantics: session_window ends are EXCLUSIVE (end = last_ts + gap),
+    so an event exactly gap-separated starts a NEW session — the
+    oracle's new-session predicate is therefore >= gap, not > gap.
+    At scale the native operator needs only ONE shuffle on user_id
+    (merging is a sort-based in-partition pass) vs the islands form's
+    two window functions over the same sort."""
+    ev = _events(spark, sf_dir)
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    per_session = ev.groupBy("user_id", sw.alias("sw")).agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("n_events_total"),
+    )
+
+
+SQL_SESSION_WINDOW_NATIVE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP)
+                                                      OVER w)
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       CAST(sum(n_events) AS BIGINT) AS n_events_total
+FROM per_session GROUP BY 1
+"""
+
+
+def q_argmax_aggregates_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-/conditional-aggregate surface (r4): max_by / min_by
+    (argmax/argmin), count_if, bool_or / bool_and, any_value — per
+    order priority. Determinism is engineered, not assumed: max_by's
+    ordering value is a FIXED-WIDTH sort key '%016.2f(price)|%012d(key)'
+    so lexicographic == numeric and ties on price break on the unique
+    orderkey identically in both engines (DuckDB's arg_max accepts only
+    scalar ordering values, so a struct tiebreak is not portable);
+    any_value is applied to a group-CONSTANT expression, the only form
+    with a deterministic answer. Single scan, one group-key shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    sort_key = F.concat_ws(
+        "|",
+        F.format_string("%016.2f", F.col("o_totalprice")),
+        F.format_string("%012d", F.col("o_orderkey")),
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by(F.col("o_orderkey"), sort_key).alias("top_order_key"),
+        F.min_by(F.col("o_orderkey"), sort_key).alias("bottom_order_key"),
+        F.count_if(F.col("o_totalprice") > 400000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "O").alias("any_open"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.any_value(F.substring(F.col("o_orderpriority"), 1, 1)).alias(
+            "priority_digit"
+        ),
+    )
+
+
+SQL_ARGMAX_AGGREGATES_BY_PRIORITY = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey, printf('%016.2f', o_totalprice) || '|' ||
+                           printf('%012d', o_orderkey)) AS top_order_key,
+       arg_min(o_orderkey, printf('%016.2f', o_totalprice) || '|' ||
+                           printf('%012d', o_orderkey)) AS bottom_order_key,
+       CAST(count(*) FILTER (WHERE o_totalprice > 400000) AS BIGINT)
+         AS n_big,
+       bool_or(o_orderstatus = 'O') AS any_open,
+       bool_and(o_totalprice > 0) AS all_positive,
+       any_value(substr(o_orderpriority, 1, 1)) AS priority_digit
+FROM orders GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7290,6 +7382,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "observe_scan_metrics": q_observe_scan_metrics,
     "distinct_users_skewsafe": q_distinct_users_skewsafe,
     "try_function_suite": q_try_function_suite,
+    "session_window_native": q_session_window_native,
+    "argmax_aggregates_by_priority": q_argmax_aggregates_by_priority,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7404,6 +7498,8 @@ ORACLE: dict[str, str] = {
     "observe_scan_metrics": SQL_OBSERVE_SCAN_METRICS,
     "distinct_users_skewsafe": SQL_DISTINCT_USERS_SKEWSAFE,
     "try_function_suite": SQL_TRY_FUNCTION_SUITE,
+    "session_window_native": SQL_SESSION_WINDOW_NATIVE,
+    "argmax_aggregates_by_priority": SQL_ARGMAX_AGGREGATES_BY_PRIORITY,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
