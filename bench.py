@@ -117,6 +117,7 @@ HEADLINE = [
     "try_function_suite",
     "session_window_native",
     "argmax_aggregates_by_priority",
+    "keyword_search_bm25",
 ]
 
 

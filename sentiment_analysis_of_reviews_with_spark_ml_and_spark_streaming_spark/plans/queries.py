@@ -1489,6 +1489,127 @@ LIMIT 15
 """
 
 
+def q_keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked disjunctive keyword search (r4): the standard IR
+    scoring function (Robertson/Lucene variant, k1=1.2 b=0.75) over the
+    same DataFrame inverted index as q_keyword_search_postings — which
+    stays as the conjunctive boolean twin. idf = ln(1 + (N-df+0.5)/
+    (df+0.5)); tf normalized by doc length against the corpus mean.
+    Float determinism is engineered: each term's contribution is
+    computed by an IDENTICAL expression tree in both engines, rounded,
+    and the per-doc score sums the terms in FIXED textual order via
+    per-term conditional aggregates (a groupBy sum over doubles would
+    be partition-order-dependent). Corpus stats (N, avgdl, df) are
+    1-row/term-row broadcasts; scoring touches only matching postings."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "join", "filter"]
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_ws(F.col("text"))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    postings = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ),
+        )
+    )
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(
+                f"c_{t}"
+            )
+            for t in terms
+        ]
+    )
+    score = F.round(
+        F.coalesce(F.col("c_spark"), F.lit(0.0))
+        + F.coalesce(F.col("c_join"), F.lit(0.0))
+        + F.coalesce(F.col("c_filter"), F.lit(0.0)),
+        4,
+    )
+    return (
+        per_term.select("doc_id", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+SQL_KEYWORD_SEARCH_BM25 = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), postings AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN ('spark', 'join', 'filter')
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM postings GROUP BY 1
+), scored AS (
+  SELECT p.doc_id, p.term,
+         round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)),
+               6) AS contrib
+  FROM postings p
+  JOIN dfreq f ON p.term = f.term
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+), per_term AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'spark' THEN contrib END) AS c_spark,
+         sum(CASE WHEN term = 'join' THEN contrib END) AS c_join,
+         sum(CASE WHEN term = 'filter' THEN contrib END) AS c_filter
+  FROM scored GROUP BY 1
+)
+SELECT doc_id,
+       round(coalesce(c_spark, 0.0) + coalesce(c_join, 0.0)
+             + coalesce(c_filter, 0.0), 4) AS bm25
+FROM per_term
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
 def q_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining ANSI window-function surface in one query (r4):
     rank, dense_rank, percent_rank, cume_dist, lag/lead deltas and a
@@ -7384,6 +7505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "try_function_suite": q_try_function_suite,
     "session_window_native": q_session_window_native,
     "argmax_aggregates_by_priority": q_argmax_aggregates_by_priority,
+    "keyword_search_bm25": q_keyword_search_bm25,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7500,6 +7622,7 @@ ORACLE: dict[str, str] = {
     "try_function_suite": SQL_TRY_FUNCTION_SUITE,
     "session_window_native": SQL_SESSION_WINDOW_NATIVE,
     "argmax_aggregates_by_priority": SQL_ARGMAX_AGGREGATES_BY_PRIORITY,
+    "keyword_search_bm25": SQL_KEYWORD_SEARCH_BM25,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
