@@ -1,0 +1,104 @@
+"""mapInArrow operators: columnar Python without the pandas detour.
+
+mapInPandas pays Arrow→pandas→Arrow conversion per batch (object
+boxing for strings, index allocation, copy for list columns).
+mapInArrow hands the Python function raw ``pyarrow.RecordBatch``es —
+for pure-numeric kernels over list columns (embeddings), numpy can
+operate directly on the Arrow buffers with ZERO row materialization.
+This is the lowest-overhead Python escape hatch PySpark has; at 100 TB
+it is the difference between the Python stage being conversion-bound
+and compute-bound.
+
+Kept to the same discipline as the rest of the repo: an equivalence
+test pins the kernel to the native-expression twin
+(tests/test_arrow_ops.py), and the native twin is the default for
+anything a HOF expression can say.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_embeddings_arrow(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2-normalize an embedding column via mapInArrow.
+
+    The kernel reshapes each batch's list<float> buffer to an (n, d)
+    numpy view (embeddings are fixed-dimension), computes row norms
+    with one BLAS-free vectorized pass, and rebuilds the list array
+    from the scaled buffer — no per-row Python, no pandas objects.
+    Zero-norm rows pass through unscaled (norm reported as 0.0) so the
+    operator is total.
+
+    Native twin (the expression-only spelling, equal within fp
+    tolerance): ``sqrt(aggregate(zip_with(v, v, (a,b) -> a*b), ...))``
+    and ``transform(v, x -> x / norm)``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = f"{id_col} long, unit array<float>, norm double"
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            emb = rb.column(rb.schema.get_field_index(vec_col))
+            if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
+                emb = emb.combine_chunks()
+            lst = emb
+            n = len(lst)
+            if n == 0:
+                continue
+            flat = lst.values.to_numpy(zero_copy_only=False)
+            offsets = lst.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offsets)
+            d = int(widths[0]) if n else 0
+            assert (widths == d).all(), "ragged embedding column"
+            mat = flat[offsets[0] : offsets[-1]].reshape(n, d).astype(
+                "float64", copy=False
+            )
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            safe = np.where(norms == 0.0, 1.0, norms)
+            unit = (mat / safe[:, None]).astype("float32")
+            unit_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(unit.ravel(), type=pa.float32()), d
+            ).cast(pa.list_(pa.float32()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, unit_arr, pa.array(norms, type=pa.float64())],
+                [id_col, "unit", "norm"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(kernel, out_schema)
+
+
+def normalize_embeddings_native(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Expression-only twin: stays in codegen, no Python stage."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = F.when(norm == 0.0, v).otherwise(
+        F.transform(v, lambda x: (x / norm).cast("float"))
+    )
+    return df.select(
+        F.col(id_col),
+        unit.alias("unit"),
+        F.when(norm == 0.0, F.lit(0.0)).otherwise(norm).alias("norm"),
+    )
