@@ -118,6 +118,7 @@ HEADLINE = [
     "session_window_native",
     "argmax_aggregates_by_priority",
     "keyword_search_bm25",
+    "recursive_month_series",
 ]
 
 
