@@ -1,0 +1,146 @@
+"""Custom Python DataSource (Spark 4.0 API): synthetic document corpus.
+
+The modern extension point for sources Spark has no connector for —
+implemented in pure Python, registered per-session, planned and
+executed like any native source (one task per ``InputPartition``).
+This one generates a DETERMINISTIC synthetic corpus shaped like the
+``documents`` table (doc_id, text, lang, source, n_chars), used by
+stress tests to scale dedup/search fixtures WITHOUT shipping data:
+content derives from md5(seed, id), so any worker regenerates any
+partition independently — the property that makes a synthetic source
+preferable to a parquet fixture at 100 TB test scale.
+
+Scale behaviors demonstrated (and tested in
+tests/test_python_datasource.py):
+
+- **partition-parallel**: the id range splits into ``n_partitions``
+  independent ranges; no driver-side generation, no shuffle.
+- **filter pushdown** (Spark 4.1 ``pushFilters``): doc_id range
+  predicates narrow the GENERATED range — the source never yields
+  rows a ``doc_id < N`` query will drop. Non-range filters are
+  returned to Spark for post-evaluation (the contract: returned
+  filters are applied by Spark, absorbed ones must be exact).
+- **planted duplication**: every 5th doc repeats the previous doc's
+  text (when ``dup_fraction`` > 0), giving dedup stress tests a known
+  exact-duplicate rate with zero coordination.
+
+Batch-only by design (the streaming near-dup stress uses the rate
+source); ``streamReader`` intentionally not implemented.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+_VOCAB = (
+    "spark join filter scan shuffle batch stream state window "
+    "vector token corpus dedup index bucket merge sort hash range"
+).split()
+
+_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _doc_text(seed: int, content_id: int) -> str:
+    h = hashlib.md5(f"{seed}:{content_id}".encode()).digest()
+    n_words = 8 + h[0] % 25
+    words = []
+    for w in range(n_words):
+        hw = hashlib.md5(f"{seed}:{content_id}:{w}".encode()).digest()
+        words.append(_VOCAB[hw[0] % len(_VOCAB)])
+    return " ".join(words)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.dup_every = int(options.get("dup_every", 5))
+        self.seed = int(options.get("seed", 7))
+        # effective id range; narrowed by pushFilters
+        self.lo = 0
+        self.hi = self.n_docs
+
+    def pushFilters(self, filters):
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            val = getattr(f, "value", None)
+            if col == ("doc_id",) and isinstance(val, int):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, val)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, val + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, val)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, val + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, val)
+                    self.hi = min(self.hi, val + 1)
+                    continue
+            yield f  # not absorbed — Spark re-applies it
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = max(1, min(self.n_partitions, hi - lo or 1))
+        step = max(1, (hi - lo + n - 1) // n)
+        return [
+            _RangePartition(i, min(i + step, hi))
+            for i in range(lo, hi, step)
+        ] or [_RangePartition(lo, lo)]
+
+    def read(self, partition):
+        for i in range(partition.lo, partition.hi):
+            content_id = (
+                i - 1
+                if self.dup_every and i % self.dup_every == self.dup_every - 1
+                else i
+            )
+            text = _doc_text(self.seed, content_id)
+            lang = "en" if i % 10 else "de"
+            source = f"synthetic/{i % 4}"
+            yield (i, text, lang, source, len(text))
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``spark.read.format("synthetic_docs")`` after
+    ``spark.dataSource.register(SyntheticDocsDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    # pushFilters is gated by a conf (default false in 4.1); a reader
+    # that implements it FAILS planning with the conf off, so enabling
+    # it here is part of registration, not tuning
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticDocsDataSource)

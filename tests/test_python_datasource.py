@@ -1,0 +1,73 @@
+"""Custom Python DataSource: determinism, parallelism, pushdown."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    LessThan,
+    StringStartsWith,
+)
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.synthetic import (
+    SyntheticDocsReader,
+    register_synthetic_source,
+)
+
+
+def _load(spark, **opts):
+    register_synthetic_source(spark)
+    r = spark.read.format("synthetic_docs")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_deterministic_and_partition_parallel(spark):
+    df = _load(spark, n_docs=500, n_partitions=8, seed=11)
+    assert df.count() == 500
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in _load(spark, n_docs=500, n_partitions=3, seed=11).collect())
+    # content independent of partitioning — any worker regenerates any range
+    assert a == b
+    assert df.rdd.getNumPartitions() == 8
+
+
+def test_planted_duplicates_exact_rate(spark):
+    df = _load(spark, n_docs=500, dup_every=5)
+    dups = (
+        df.groupBy("text").count().filter(F.col("count") > 1).count()
+    )
+    # every 5th doc repeats its predecessor: 100 duplicated texts
+    assert dups == 100
+
+
+def test_filter_pushdown_narrows_generated_range(spark):
+    df = _load(spark, n_docs=10_000).filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+    )
+    got = sorted(r["doc_id"] for r in df.collect())
+    assert got == list(range(100, 150))
+
+
+def test_push_filters_contract_unit():
+    r = SyntheticDocsReader({"n_docs": "1000"})
+    remaining = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 10),
+                LessThan(("doc_id",), 20),
+                StringStartsWith(("lang",), "e"),  # not absorbable
+            ]
+        )
+    )
+    assert (r.lo, r.hi) == (10, 20)
+    assert remaining == [StringStartsWith(("lang",), "e")]
+    parts = r.partitions()
+    covered = sorted((p.lo, p.hi) for p in parts)
+    assert covered[0][0] == 10 and covered[-1][1] == 20
+    # equality pin
+    r2 = SyntheticDocsReader({"n_docs": "1000"})
+    list(r2.pushFilters([EqualTo(("doc_id",), 42)]))
+    assert (r2.lo, r2.hi) == (42, 43)
