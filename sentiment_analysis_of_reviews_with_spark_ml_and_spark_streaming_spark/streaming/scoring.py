@@ -147,6 +147,7 @@ def stream_stream_click_attribution(
     user_col: str = "user_id",
     window_minutes: int = 10,
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream join: attribute each purchase to the same user's
     clicks in the preceding ``window_minutes``.
@@ -157,6 +158,14 @@ def stream_stream_click_attribution(
     user_id (hash-partitioned state store), the time bound is a
     post-condition — the canonical Structured Streaming interval-join
     shape. Batch twin (oracle-backed): ``click_attribution_user``.
+
+    ``how="left_outer"`` keeps click-less purchases: the null-padded
+    row is emitted only once the CLICK-side watermark passes the
+    purchase's join window (before that, a matching click could still
+    arrive) — so outer results trail the inner results by up to the
+    watermark delay. That emission-lag asymmetry is the semantic
+    difference from a batch left join, tested in
+    tests/test_streaming_uplift.py::test_stream_stream_left_outer_null_padding.
     """
     p = purchases.withWatermark(ts_col, watermark).select(
         F.col("event_id").alias("p_event_id"),
@@ -171,4 +180,4 @@ def stream_stream_click_attribution(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
         & (F.col("c_ts") < F.col("p_ts"))
     )
-    return p.join(c, cond, "inner").select("p_event_id", "p_user", "p_ts", "c_ts")
+    return p.join(c, cond, how).select("p_event_id", "p_user", "p_ts", "c_ts")

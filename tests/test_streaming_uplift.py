@@ -519,3 +519,73 @@ def test_rocksdb_state_store_equivalence(spark, tmp_path):
         "spark.sql.streaming.stateStore.providerClass",
         "HDFSBackedStateStoreProvider",
     )
+
+
+def test_stream_stream_left_outer_null_padding(spark, tmp_path):
+    """Left-outer interval join emits the null-padded row for a
+    click-less purchase only after the click-side watermark passes its
+    join window — the emission-lag semantics batch left joins lack."""
+    import json
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.scoring import (
+        stream_stream_click_attribution,
+    )
+
+    pdir, cdir = tmp_path / "p", tmp_path / "c"
+    pdir.mkdir(), cdir.mkdir()
+
+    def iso(minutes):
+        return f"2024-01-01T{minutes // 60:02d}:{minutes % 60:02d}:00Z"
+
+    # purchase 1 has a click 5 min before; purchase 2 has NO clicks
+    (pdir / "b0.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"event_id": 1, "user_id": 7, "ts": iso(60)},
+                {"event_id": 2, "user_id": 8, "ts": iso(60)},
+            ]
+        )
+    )
+    (cdir / "b0.json").write_text(
+        json.dumps({"user_id": 7, "ts": iso(55)})
+    )
+    schema_p = "event_id long, user_id long, ts timestamp"
+    schema_c = "user_id long, ts timestamp"
+    p = spark.readStream.format("json").schema(schema_p).load(str(pdir))
+    c = spark.readStream.format("json").schema(schema_c).load(str(cdir))
+    joined = stream_stream_click_attribution(
+        p, c, watermark="30 minutes", how="left_outer"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sslo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    early = {
+        (r["p_event_id"], r["c_ts"] is None)
+        for r in spark.sql("select * from sslo").collect()
+    }
+    # inner match emitted; the outer row for purchase 2 must NOT be
+    # out yet — its window could still receive a click
+    assert (1, False) in early and not any(e == 2 for e, _ in early)
+    # late far-future events push both watermarks past purchase 2's
+    # window → the null-padded row flushes
+    (pdir / "b1.json").write_text(
+        json.dumps({"event_id": 99, "user_id": 1, "ts": iso(600)})
+    )
+    (cdir / "b1.json").write_text(
+        json.dumps({"user_id": 1, "ts": iso(600)})
+    )
+    q.processAllAvailable()
+    # one more empty-ish batch lets the state manager evict + emit
+    q.processAllAvailable()
+    q.stop()
+    final = {
+        (r["p_event_id"], r["c_ts"] is None)
+        for r in spark.sql("select * from sslo").collect()
+    }
+    assert (2, True) in final, final
