@@ -24,8 +24,9 @@ tests/test_python_datasource.py):
   text (when ``dup_fraction`` > 0), giving dedup stress tests a known
   exact-duplicate rate with zero coordination.
 
-Batch-only by design (the streaming near-dup stress uses the rate
-source); ``streamReader`` intentionally not implemented.
+The streaming leg (``SyntheticDocsStreamReader``) emits
+``docs_per_batch`` docs per micro-batch with checkpointable offsets
+and exact replay — see its docstring.
 """
 
 from __future__ import annotations
@@ -41,6 +42,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 _VOCAB = (
@@ -123,8 +125,62 @@ class SyntheticDocsReader(DataSourceReader):
             yield (i, text, lang, source, len(text))
 
 
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming leg: ``docs_per_batch`` new docs per micro-batch with
+    monotonically increasing doc_ids.
+
+    Offsets are ``{"doc_id": next_id}`` dicts — Spark checkpoints them,
+    and because content is a pure function of (seed, id),
+    ``readBetweenOffsets`` replays any committed range EXACTLY on
+    failure recovery: the source is deterministic-replayable, which is
+    the property exactly-once sinks need from a source. Replay
+    equivalence is asserted in
+    tests/test_python_datasource.py::test_stream_source_replay_exact.
+    """
+
+    def __init__(self, options):
+        self.docs_per_batch = int(options.get("docs_per_batch", 100))
+        self.dup_every = int(options.get("dup_every", 5))
+        self.seed = int(options.get("seed", 7))
+        # 0 = unbounded. A bounded corpus makes the source DRAINABLE:
+        # read() returns an empty batch at the cap, so
+        # processAllAvailable()/availableNow terminate — without a cap
+        # a self-generating source always has "more available" and
+        # drain-style triggers never return.
+        self.max_docs = int(options.get("max_docs", 0))
+
+    def initialOffset(self) -> dict:
+        return {"doc_id": 0}
+
+    def _rows(self, lo: int, hi: int):
+        for i in range(lo, hi):
+            content_id = (
+                i - 1
+                if self.dup_every and i % self.dup_every == self.dup_every - 1
+                else i
+            )
+            text = _doc_text(self.seed, content_id)
+            yield (i, text, "en" if i % 10 else "de", f"synthetic/{i % 4}", len(text))
+
+    def read(self, start: dict):
+        lo = start["doc_id"]
+        hi = lo + self.docs_per_batch
+        if self.max_docs:
+            hi = min(hi, self.max_docs)
+        # materialized, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator (generators can't be)
+        return iter(list(self._rows(lo, hi))), {"doc_id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(start["doc_id"], end["doc_id"])))
+
+    def commit(self, end: dict) -> None:
+        pass  # stateless source: nothing to release
+
+
 class SyntheticDocsDataSource(DataSource):
-    """``spark.read.format("synthetic_docs")`` after
+    """``spark.read.format("synthetic_docs")`` (batch) or
+    ``spark.readStream.format("synthetic_docs")`` (stream) after
     ``spark.dataSource.register(SyntheticDocsDataSource)``."""
 
     @classmethod
@@ -136,6 +192,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:

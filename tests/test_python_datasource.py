@@ -71,3 +71,50 @@ def test_push_filters_contract_unit():
     r2 = SyntheticDocsReader({"n_docs": "1000"})
     list(r2.pushFilters([EqualTo(("doc_id",), 42)]))
     assert (r2.lo, r2.hi) == (42, 43)
+
+
+def test_stream_source_emits_contiguous_batches(spark, tmp_path):
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("docs_per_batch", 50)
+        .option("max_docs", 120)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("syn_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(
+        r["doc_id"] for r in spark.sql("select * from syn_stream").collect()
+    )
+    # drains exactly at the cap: 120 docs over 50/50/20 batches
+    assert ids == list(range(120))
+    # stream content identical to the batch source at the same ids
+    batch = {
+        r["doc_id"]: r["text"]
+        for r in _load(spark, n_docs=len(ids)).collect()
+    }
+    stream_rows = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql("select * from syn_stream").collect()
+    }
+    assert stream_rows == batch
+
+
+def test_stream_source_replay_exact():
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.synthetic import (
+        SyntheticDocsStreamReader,
+    )
+
+    r = SyntheticDocsStreamReader({"docs_per_batch": "25"})
+    rows, end = r.read(r.initialOffset())
+    first = list(rows)
+    assert end == {"doc_id": 25} and len(first) == 25
+    replay = list(r.readBetweenOffsets({"doc_id": 0}, {"doc_id": 25}))
+    assert replay == first
