@@ -118,3 +118,26 @@ def test_stream_source_replay_exact():
     assert end == {"doc_id": 25} and len(first) == 25
     replay = list(r.readBetweenOffsets({"doc_id": 0}, {"doc_id": 25}))
     assert replay == first
+
+
+def test_synthetic_source_feeds_dedup_at_scale(spark):
+    """The source's purpose: a 20k-doc corpus with a KNOWN duplicate
+    rate generated partition-parallel, flowing straight into the exact
+    dedup operator — keep-count is exactly predictable: every 5th doc
+    duplicates its predecessor, so 4 of every 5 texts are canonical."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.dedup import (
+        dedup_exact,
+    )
+
+    df = _load(spark, n_docs=20_000, n_partitions=16, dup_every=5)
+    kept = dedup_exact(df)
+    n_kept = kept.count()
+    # 4000 pairs (i, i+1) share text -> 16000 distinct texts, unless
+    # two different content_ids hash-collide into equal text (possible:
+    # short docs over a 20-word vocab). Allow that slack only downward.
+    assert 15_800 <= n_kept <= 16_000
+    # every planted duplicate really is a duplicate
+    two_plus = kept.filter(F.col("dup_count") >= 2).count()
+    assert two_plus <= 4000
+    total = kept.agg(F.sum("dup_count")).collect()[0][0]
+    assert total == 20_000
