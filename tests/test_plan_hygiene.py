@@ -62,6 +62,10 @@ def test_plan_hygiene(spark, name):
             "mixture_token_budget",
             "mixture_sample_docs",
             "curation_funnel",
+            # 1-row corpus-stats aggregate (N, avgdl) crossJoined onto
+            # the postings — broadcast side is a single row by
+            # construction (BM25 normalization constants)
+            "keyword_search_bm25",
             # three 1-row aggregates (stats × edge count × triangle
             # count) crossJoined into the single result row
             "triangle_count_copurchase",
