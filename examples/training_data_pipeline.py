@@ -43,10 +43,29 @@ from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sessi
 )
 
 
+def _load_corpus(spark, sf_dir: str):
+    """Parquet fixture, or the synthetic Python DataSource when sf_dir
+    is 'synthetic:N' — scale the pipeline to any corpus size with zero
+    fixture bytes (content regenerates partition-parallel on workers)."""
+    if sf_dir.startswith("synthetic:"):
+        from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.synthetic import (
+            register_synthetic_source,
+        )
+
+        register_synthetic_source(spark)
+        return (
+            spark.read.format("synthetic_docs")
+            .option("n_docs", int(sf_dir.split(":", 1)[1]))
+            .option("n_partitions", 32)
+            .load()
+        )
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
 def build_training_corpus(spark, sf_dir: str):
     """Returns (kept_docs, report): the cleaned/deduped/split corpus
     with chunk counts, plus a one-row-per-stage attrition report."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _load_corpus(spark, sf_dir)
     n0 = docs.count()
 
     # 1. web-clean: strip urls/html, mask pii, squeeze whitespace
@@ -108,6 +127,7 @@ def build_training_corpus(spark, sf_dir: str):
 
 
 def main() -> None:
+    # also accepts synthetic:N (e.g. synthetic:200000) for fixture-free runs
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
         prefix="training-corpus-"
