@@ -305,3 +305,64 @@ def test_fuzz_quantization_codes_vs_numpy(spark, tmp_path_factory, vecs):
             for d in range(n_dims)
         ]
         assert got[i] == expect, (i, got[i], expect)
+
+
+# try_* portability: integral-form strings only. Probed divergences,
+# deliberately EXCLUDED from the strategy and documented here: DuckDB
+# try_cast('1e3' AS BIGINT) = 1000 and try_cast('3.9' AS BIGINT) = 4
+# (parses through numeric with rounding) where Spark returns NULL
+# (bigint cast demands integral form) — same convention class as the
+# initcap exclusion in the string suite.
+try_strings = st.one_of(
+    st.none(),
+    # suffix alphabet excludes 'e': '0e0' is scientific notation to
+    # DuckDB (-> 0) but junk to Spark's bigint cast (-> NULL)
+    st.from_regex(r"\A *[+-]?[0-9]{1,19}[a-df-z]{0,2} *\Z"),
+    st.just(""),
+    st.just("9223372036854775807"),
+    st.just("9223372036854775808"),  # BIGINT_MAX + 1 -> NULL both
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            try_strings,
+            st.integers(min_value=-(10**18), max_value=10**18),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzz_try_functions(spark, tmp_path_factory, rows):
+    """try_cast / try_add overflow / try_divide zero-denominator agree
+    bit-for-bit across engines on the portable input domain."""
+    path = str(tmp_path_factory.mktemp("fuzztry") / "t.parquet")
+    df = spark.createDataFrame(rows, "s string, a long, d int")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    sdf = spark.read.parquet(path).selectExpr(
+        "coalesce(cast(try_cast(s as bigint) as string), 'Ø') c1",
+        "coalesce(cast(try_add(a, 9223372036854775000L) as string), 'Ø') c2",
+        "coalesce(cast(round(try_divide(cast(a % 97 as double), "
+        "cast(d as double)), 6) as string), 'Ø') c3",
+    )
+    _cmp(
+        sdf,
+        con,
+        """
+        SELECT coalesce(CAST(try_cast(s AS BIGINT) AS VARCHAR), 'Ø') AS c1,
+               coalesce(CAST(CASE
+                   WHEN a > 807 THEN NULL
+                   ELSE a + 9223372036854775000 END AS VARCHAR), 'Ø') AS c2,
+               coalesce(CAST(round(CAST(a % 97 AS DOUBLE)
+                                   / CAST(d AS DOUBLE), 6)
+                             AS VARCHAR), 'Ø') AS c3
+        FROM t
+        """,
+    )
