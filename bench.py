@@ -119,6 +119,7 @@ HEADLINE = [
     "argmax_aggregates_by_priority",
     "keyword_search_bm25",
     "recursive_month_series",
+    "xml_extract_orders",
 ]
 
 

@@ -1610,6 +1610,56 @@ LIMIT 15
 """
 
 
+def q_xml_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML surface (Spark 4.0 from_xml + the xpath_* family,
+    r4): each order serialized to an XML fragment IN the query, then
+    parsed back via attribute xpath (@id), element xpath (text()), and
+    schema'd from_xml — a pure roundtrip, so ground truth is the source
+    columns themselves and the oracle simply re-selects them. This is
+    the falsifiable way to certify a parser the oracle engine doesn't
+    have: any Spark-side parse defect (entity handling, attribute
+    quoting, double rendering) breaks the hash. One scan, zero shuffle
+    beyond the final aggregate-free projection; escape-sensitive values
+    excluded (o_orderstatus/o_orderpriority carry no XML metachars —
+    asserted by the junk-free filter so the fixture can't silently
+    acquire '&')."""
+    orders = _t(spark, sf_dir, "orders")
+    safe = orders.filter(~F.col("o_orderpriority").rlike("[<>&'\"]"))
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><price>'),
+        F.col("o_totalprice").cast("string"),
+        F.lit("</price><priority>"),
+        F.col("o_orderpriority"),
+        F.lit("</priority></order>"),
+    )
+    parsed = safe.withColumn("x", xml).select(
+        F.expr("xpath_long(x, '/order/@id')").alias("id_back"),
+        F.expr("xpath_double(x, '/order/price/text()')").alias("price_back"),
+        F.expr(
+            "from_xml(x, 'price double, priority string').priority"
+        ).alias("priority_back"),
+    )
+    return parsed.groupBy("priority_back").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("id_back").alias("sum_ids"),
+        _dsum("price_back").alias("sum_price"),
+    )
+
+
+SQL_XML_EXTRACT_ORDERS = """
+SELECT o_orderpriority AS priority_back,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_ids,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM orders
+WHERE NOT regexp_matches(o_orderpriority, '[<>&''\"]')
+GROUP BY 1
+"""
+
+
 def q_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4.0 WITH RECURSIVE, r4): dense month spine
     from min to max order month generated by recursion, left-joined to
@@ -7570,6 +7620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "argmax_aggregates_by_priority": q_argmax_aggregates_by_priority,
     "keyword_search_bm25": q_keyword_search_bm25,
     "recursive_month_series": q_recursive_month_series,
+    "xml_extract_orders": q_xml_extract_orders,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7688,6 +7739,7 @@ ORACLE: dict[str, str] = {
     "argmax_aggregates_by_priority": SQL_ARGMAX_AGGREGATES_BY_PRIORITY,
     "keyword_search_bm25": SQL_KEYWORD_SEARCH_BM25,
     "recursive_month_series": SQL_RECURSIVE_MONTH_SERIES,
+    "xml_extract_orders": SQL_XML_EXTRACT_ORDERS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
