@@ -120,6 +120,7 @@ HEADLINE = [
     "keyword_search_bm25",
     "recursive_month_series",
     "xml_extract_orders",
+    "codec_roundtrip_suite",
 ]
 
 

@@ -1660,6 +1660,80 @@ GROUP BY 1
 """
 
 
+def q_codec_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec/URL surface via construct-parse roundtrips (r4, same
+    falsification pattern as q_xml_extract_orders): parse_url +
+    url_encode/url_decode (a full URL built from order columns and
+    dissected back), base64/unbase64, hex/unhex, and
+    aes_encrypt/aes_decrypt in ECB mode — ECB because GCM salts a
+    random IV per call, which is exactly right in production and
+    exactly wrong in a determinism-certified roundtrip (the ONLY
+    reason ECB appears here; never use ECB for real secrecy). Any
+    codec asymmetry (charset, padding, '+'-vs-%20 space handling)
+    breaks the equality flags; the oracle re-selects source columns
+    and expects every flag true."""
+    orders = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop.example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?priority="),
+        F.expr("url_encode(o_orderpriority)"),
+    )
+    key = "0123456789abcdef"
+    checked = orders.withColumn("u", url).select(
+        "o_orderpriority",
+        F.expr("parse_url(u, 'HOST')").alias("host"),
+        F.expr(
+            "cast(regexp_extract(parse_url(u, 'PATH'),"
+            " '/orders/([0-9]+)', 1) as long)"
+        ).alias("id_back"),
+        (
+            F.expr("url_decode(parse_url(u, 'QUERY', 'priority'))")
+            == F.col("o_orderpriority")
+        ).alias("url_ok"),
+        (
+            F.expr(
+                "cast(unbase64(base64(cast(o_orderpriority as binary)))"
+                " as string)"
+            )
+            == F.col("o_orderpriority")
+        ).alias("b64_ok"),
+        (
+            F.expr(
+                "decode(unhex(hex(encode(o_orderpriority, 'utf-8'))),"
+                " 'utf-8')"
+            )
+            == F.col("o_orderpriority")
+        ).alias("hex_ok"),
+        (
+            F.expr(
+                f"cast(aes_decrypt(aes_encrypt(cast(o_orderpriority as"
+                f" binary), '{key}', 'ECB'), '{key}', 'ECB') as string)"
+            )
+            == F.col("o_orderpriority")
+        ).alias("aes_ok"),
+    )
+    return checked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("id_back").alias("sum_ids"),
+        F.min("host").alias("host"),
+        F.bool_and("url_ok").alias("url_ok"),
+        F.bool_and("b64_ok").alias("b64_ok"),
+        F.bool_and("hex_ok").alias("hex_ok"),
+        F.bool_and("aes_ok").alias("aes_ok"),
+    )
+
+
+SQL_CODEC_ROUNDTRIP_SUITE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_ids,
+       'shop.example.com' AS host,
+       TRUE AS url_ok, TRUE AS b64_ok, TRUE AS hex_ok, TRUE AS aes_ok
+FROM orders GROUP BY 1
+"""
+
+
 def q_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4.0 WITH RECURSIVE, r4): dense month spine
     from min to max order month generated by recursion, left-joined to
@@ -7621,6 +7695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyword_search_bm25": q_keyword_search_bm25,
     "recursive_month_series": q_recursive_month_series,
     "xml_extract_orders": q_xml_extract_orders,
+    "codec_roundtrip_suite": q_codec_roundtrip_suite,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7740,6 +7815,7 @@ ORACLE: dict[str, str] = {
     "keyword_search_bm25": SQL_KEYWORD_SEARCH_BM25,
     "recursive_month_series": SQL_RECURSIVE_MONTH_SERIES,
     "xml_extract_orders": SQL_XML_EXTRACT_ORDERS,
+    "codec_roundtrip_suite": SQL_CODEC_ROUNDTRIP_SUITE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
