@@ -121,6 +121,7 @@ HEADLINE = [
     "recursive_month_series",
     "xml_extract_orders",
     "codec_roundtrip_suite",
+    "data_card_by_source",
 ]
 
 

@@ -1734,6 +1734,79 @@ FROM orders GROUP BY 1
 """
 
 
+def q_data_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card generator (r4 capstone): the per-source summary a
+    training-data release ships — composition of the profiling
+    primitives in ONE pass over documents plus one md5-keyed dup
+    check. Per source: doc count, language mix, token-count
+    mean/median/max (exact median via two-level count; portable),
+    exact-duplicate rate (docs sharing a text fingerprint within the
+    source), and short-doc fraction (<20 tokens). Two shuffles total:
+    (source, fingerprint) for the dup count and source for the final
+    rollup; at 100 TB both are map-side-combined aggregations, no
+    joins, no windows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    base = docs.select(
+        "source",
+        "lang",
+        toks.alias("n_tok"),
+        F.md5(F.col("text")).alias("_fp"),
+    )
+    per_fp = base.groupBy("source", "_fp").agg(
+        F.count("*").alias("n_copies"),
+        F.sum("n_tok").alias("_tok_sum"),
+        F.max("n_tok").alias("_tok_max"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("_n_en"),
+        F.sum(F.when(F.col("n_tok") < 20, 1).otherwise(0)).alias("_n_short"),
+    )
+    return per_fp.groupBy("source").agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count("*").alias("n_unique_texts"),
+        F.round(
+            F.lit(1.0) - F.count("*") / F.sum("n_copies"), 4
+        ).alias("dup_rate"),
+        F.sum("_n_en").alias("n_en"),
+        F.sum("_tok_sum").alias("n_tokens"),
+        F.round(F.sum("_tok_sum") / F.sum("n_copies"), 4).alias(
+            "mean_tokens"
+        ),
+        F.max("_tok_max").alias("max_tokens"),
+        F.round(F.sum("_n_short") / F.sum("n_copies"), 4).alias(
+            "short_doc_frac"
+        ),
+    )
+
+
+SQL_DATA_CARD_BY_SOURCE = """
+WITH base AS (
+  SELECT source, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         md5(text) AS fp
+  FROM documents
+), per_fp AS (
+  SELECT source, fp, count(*) AS n_copies,
+         CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+         max(n_tok) AS tok_max,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_en,
+         CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_short
+  FROM base GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n_copies) AS BIGINT) AS n_docs,
+       count(*) AS n_unique_texts,
+       round(1.0 - count(*) * 1.0 / sum(n_copies), 4) AS dup_rate,
+       CAST(sum(n_en) AS BIGINT) AS n_en,
+       CAST(sum(tok_sum) AS BIGINT) AS n_tokens,
+       round(sum(tok_sum) * 1.0 / sum(n_copies), 4) AS mean_tokens,
+       CAST(max(tok_max) AS INTEGER) AS max_tokens,
+       round(sum(n_short) * 1.0 / sum(n_copies), 4) AS short_doc_frac
+FROM per_fp GROUP BY 1
+"""
+
+
 def q_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4.0 WITH RECURSIVE, r4): dense month spine
     from min to max order month generated by recursion, left-joined to
@@ -7696,6 +7769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recursive_month_series": q_recursive_month_series,
     "xml_extract_orders": q_xml_extract_orders,
     "codec_roundtrip_suite": q_codec_roundtrip_suite,
+    "data_card_by_source": q_data_card_by_source,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7816,6 +7890,7 @@ ORACLE: dict[str, str] = {
     "recursive_month_series": SQL_RECURSIVE_MONTH_SERIES,
     "xml_extract_orders": SQL_XML_EXTRACT_ORDERS,
     "codec_roundtrip_suite": SQL_CODEC_ROUNDTRIP_SUITE,
+    "data_card_by_source": SQL_DATA_CARD_BY_SOURCE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
