@@ -122,6 +122,7 @@ HEADLINE = [
     "xml_extract_orders",
     "codec_roundtrip_suite",
     "data_card_by_source",
+    "bpe_merge_training",
 ]
 
 

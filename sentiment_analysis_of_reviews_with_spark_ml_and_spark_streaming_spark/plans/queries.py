@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import SENTIMENT_LEXICON, sentiment_compound, tokenize_ws
-from ..operators import clean, dedup, multimodal, relational, similarity, textstats
+from ..operators import bpe, clean, dedup, multimodal, relational, similarity, textstats
 from ..sources.io import load_table
 
 # ---------------------------------------------------------------------------
@@ -1731,6 +1731,81 @@ SELECT o_orderpriority,
        'shop.example.com' AS host,
        TRUE AS url_ok, TRUE AS b64_ok, TRUE AS hex_ok, TRUE AS aes_ok
 FROM orders GROUP BY 1
+"""
+
+
+def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING (r4 flagship): the first 3 BPE merges
+    learned from the corpus, value-hash-certified against a fully
+    unrolled SQL replay of the training loop (word-frequency table →
+    weighted pair counts → deterministic argmax → delimiter-string
+    merge, ×3). The merge-apply uses replace() semantics chosen
+    precisely BECAUSE they are identical in both engines (see
+    operators/bpe.py docstring; canonical-greedy equivalence is pinned
+    separately in tests/test_bpe.py against a reference Python BPE).
+    Scale: training state is the |vocab|-row word table, not the
+    corpus — one corpus scan total, then per-merge aggregations on a
+    table thousands of times smaller; the per-step argmax is a 1-row
+    driver scalar, the same bounded pattern as k-means convergence."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.learn_bpe_merges(docs, n_merges=3)
+
+
+SQL_BPE_MERGE_TRAINING = """
+WITH wf AS (
+  SELECT w, count(*) AS wcount FROM (
+    SELECT replace(unnest(string_split_regex(trim(lower(text)), '\\s+')),
+                   '·', '') AS w
+    FROM documents
+  ) WHERE length(w) >= 2 GROUP BY 1
+), s1 AS (
+  SELECT '·' || array_to_string(string_split(w, ''), '·') || '·' AS s,
+         wcount
+  FROM wf
+), p1 AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(sum(wcount) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(list_zip(toks, toks[2:])) AS p, wcount
+    FROM (SELECT list_filter(string_split(s, '·'), x -> x <> '') AS toks,
+                 wcount FROM s1)
+  ) WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+), b1 AS (
+  SELECT a, b, pair_count FROM p1 ORDER BY pair_count DESC, a, b LIMIT 1
+), s2 AS (
+  SELECT replace(replace(replace(s1.s, m.pat, m.rep), m.pat, m.rep),
+                 m.pat, m.rep) AS s, s1.wcount
+  FROM s1, (SELECT '·' || a || '·' || b || '·' AS pat,
+                   '·' || a || b || '·' AS rep FROM b1) m
+), p2 AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(sum(wcount) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(list_zip(toks, toks[2:])) AS p, wcount
+    FROM (SELECT list_filter(string_split(s, '·'), x -> x <> '') AS toks,
+                 wcount FROM s2)
+  ) WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+), b2 AS (
+  SELECT a, b, pair_count FROM p2 ORDER BY pair_count DESC, a, b LIMIT 1
+), s3 AS (
+  SELECT replace(replace(replace(s2.s, m.pat, m.rep), m.pat, m.rep),
+                 m.pat, m.rep) AS s, s2.wcount
+  FROM s2, (SELECT '·' || a || '·' || b || '·' AS pat,
+                   '·' || a || b || '·' AS rep FROM b2) m
+), p3 AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(sum(wcount) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(list_zip(toks, toks[2:])) AS p, wcount
+    FROM (SELECT list_filter(string_split(s, '·'), x -> x <> '') AS toks,
+                 wcount FROM s3)
+  ) WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+), b3 AS (
+  SELECT a, b, pair_count FROM p3 ORDER BY pair_count DESC, a, b LIMIT 1
+)
+SELECT 1 AS step, a, b, a || b AS merged, pair_count FROM b1
+UNION ALL SELECT 2, a, b, a || b, pair_count FROM b2
+UNION ALL SELECT 3, a, b, a || b, pair_count FROM b3
 """
 
 
@@ -7770,6 +7845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xml_extract_orders": q_xml_extract_orders,
     "codec_roundtrip_suite": q_codec_roundtrip_suite,
     "data_card_by_source": q_data_card_by_source,
+    "bpe_merge_training": q_bpe_merge_training,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7891,6 +7967,7 @@ ORACLE: dict[str, str] = {
     "xml_extract_orders": SQL_XML_EXTRACT_ORDERS,
     "codec_roundtrip_suite": SQL_CODEC_ROUNDTRIP_SUITE,
     "data_card_by_source": SQL_DATA_CARD_BY_SOURCE,
+    "bpe_merge_training": SQL_BPE_MERGE_TRAINING,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
