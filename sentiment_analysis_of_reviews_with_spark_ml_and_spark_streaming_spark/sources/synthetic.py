@@ -49,6 +49,13 @@ _VOCAB = (
     "spark join filter scan shuffle batch stream state window "
     "vector token corpus dedup index bucket merge sort hash range"
 ).split()
+# tail vocabulary size: hashed word-ids beyond the 20 common heads.
+# A realistic (zipf-ish) vocabulary matters: with ONLY 20 words every
+# doc shares most shingles and MinHash banding degenerates into an
+# all-pairs candidate explosion (measured: OOM at 200k docs) — the
+# head/tail split keeps common-word structure for BPE/heavy-hitter
+# realism while giving near-dup ops honest selectivity.
+_TAIL_VOCAB = 5000
 
 _SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
@@ -61,7 +68,12 @@ def _doc_text(seed: int, content_id: int) -> str:
     words = []
     for w in range(n_words):
         hw = hashlib.md5(f"{seed}:{content_id}:{w}".encode()).digest()
-        words.append(_VOCAB[hw[0] % len(_VOCAB)])
+        if hw[2] < 96:  # ~37% head words (zipf-ish common mass)
+            words.append(_VOCAB[hw[0] % len(_VOCAB)])
+        else:
+            words.append(
+                f"w{int.from_bytes(hw[:2], 'big') % _TAIL_VOCAB}"
+            )
     return " ".join(words)
 
 
