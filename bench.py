@@ -123,6 +123,7 @@ HEADLINE = [
     "codec_roundtrip_suite",
     "data_card_by_source",
     "bpe_merge_training",
+    "bpe_tokenized_stats",
 ]
 
 

@@ -1809,6 +1809,65 @@ UNION ALL SELECT 3, a, b, a || b, pair_count FROM b3
 """
 
 
+def q_bpe_tokenized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE APPLY path certified (r4, companion to
+    q_bpe_merge_training): train 3 merges, tokenize the corpus with
+    them (operators/bpe.apply_bpe_merges — per-word replace replay,
+    zero shuffle), and report corpus compression: words, single-char
+    baseline tokens, post-merge tokens, fertility (tokens/word). The
+    oracle never tokenizes documents: it replays the word-frequency
+    state through the same 3 unrolled merge steps and takes the
+    wcount-weighted totals — equality holds because tokenization is a
+    pure per-word function, so corpus totals == Σ word_total × freq.
+    The learned merges cross the driver as a 3-row collect (bounded,
+    same as training's per-step argmax)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["a"], r["b"])
+        for r in bpe.learn_bpe_merges(docs, n_merges=3)
+        .orderBy("step")
+        .collect()
+    ]
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .withColumn("w", F.replace(F.col("w"), F.lit("·"), F.lit("")))
+        .filter(F.length("w") >= 2)
+    )
+    tok = bpe.apply_bpe_merges(words, merges, text_col="w")
+    return tok.agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("n_char_tokens"),
+        F.sum(F.size("bpe_tokens")).alias("n_bpe_tokens"),
+        F.round(
+            F.sum(F.size("bpe_tokens")) / F.count("*"), 6
+        ).alias("fertility"),
+    )
+
+
+SQL_BPE_TOKENIZED_STATS = (
+    SQL_BPE_MERGE_TRAINING.split("SELECT 1 AS step")[0]
+    + """, applied AS (
+  SELECT wcount,
+         len(list_filter(string_split(
+             replace(replace(replace(s3b.s, m.pat, m.rep), m.pat, m.rep),
+                     m.pat, m.rep), '·'), x -> x <> '')) AS n_tok,
+         length(replace(s3b.s, '·', '')) AS n_chars
+  FROM s3 s3b, (SELECT '·' || a || '·' || b || '·' AS pat,
+                       '·' || a || b || '·' AS rep FROM b3) m
+)
+SELECT CAST(sum(wcount) AS BIGINT) AS n_words,
+       CAST(sum(n_chars * wcount) AS BIGINT) AS n_char_tokens,
+       CAST(sum(n_tok * wcount) AS BIGINT) AS n_bpe_tokens,
+       round(sum(n_tok * wcount) * 1.0 / sum(wcount), 6) AS fertility
+FROM applied
+"""
+)
+
+
 def q_data_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-card generator (r4 capstone): the per-source summary a
     training-data release ships — composition of the profiling
@@ -7846,6 +7905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "codec_roundtrip_suite": q_codec_roundtrip_suite,
     "data_card_by_source": q_data_card_by_source,
     "bpe_merge_training": q_bpe_merge_training,
+    "bpe_tokenized_stats": q_bpe_tokenized_stats,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -7968,6 +8028,7 @@ ORACLE: dict[str, str] = {
     "codec_roundtrip_suite": SQL_CODEC_ROUNDTRIP_SUITE,
     "data_card_by_source": SQL_DATA_CARD_BY_SOURCE,
     "bpe_merge_training": SQL_BPE_MERGE_TRAINING,
+    "bpe_tokenized_stats": SQL_BPE_TOKENIZED_STATS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
