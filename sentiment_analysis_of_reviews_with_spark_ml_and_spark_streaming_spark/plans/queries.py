@@ -1618,13 +1618,20 @@ def q_xml_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns themselves and the oracle simply re-selects them. This is
     the falsifiable way to certify a parser the oracle engine doesn't
     have: any Spark-side parse defect (entity handling, attribute
-    quoting, double rendering) breaks the hash. One scan, zero shuffle
-    beyond the final aggregate-free projection; escape-sensitive values
-    excluded (o_orderstatus/o_orderpriority carry no XML metachars —
-    asserted by the junk-free filter so the fixture can't silently
-    acquire '&')."""
+    quoting, double rendering) breaks the hash. Escape-sensitive values
+    excluded (o_orderpriority carries no XML metachars — asserted by
+    the junk-free filter so the fixture can't silently acquire '&').
+    Cost discipline (measured at sf0.1): EVERY xpath_*/from_xml call
+    DOM-parses its input — ~10 µs/row/call — so the query parses each
+    row at most twice (one schema'd from_xml for the elements, one
+    xpath for the attribute; a 4-call variant ran 17 s) and certifies
+    on a deterministic 10% orderkey stripe. The production rule this
+    encodes: from_xml ONCE into a struct, never per-path xpath."""
     orders = _t(spark, sf_dir, "orders")
-    safe = orders.filter(~F.col("o_orderpriority").rlike("[<>&'\"]"))
+    safe = orders.filter(
+        (F.col("o_orderkey") % 10 == 0)
+        & ~F.col("o_orderpriority").rlike("[<>&'\"]")
+    )
     xml = F.concat(
         F.lit('<order id="'),
         F.col("o_orderkey").cast("string"),
@@ -1634,12 +1641,16 @@ def q_xml_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"),
         F.lit("</priority></order>"),
     )
-    parsed = safe.withColumn("x", xml).select(
-        F.expr("xpath_long(x, '/order/@id')").alias("id_back"),
-        F.expr("xpath_double(x, '/order/price/text()')").alias("price_back"),
-        F.expr(
-            "from_xml(x, 'price double, priority string').priority"
-        ).alias("priority_back"),
+    parsed = (
+        safe.withColumn("x", xml)
+        .withColumn(
+            "st", F.expr("from_xml(x, 'price double, priority string')")
+        )
+        .select(
+            F.expr("xpath_long(x, '/order/@id')").alias("id_back"),
+            F.col("st.price").alias("price_back"),
+            F.col("st.priority").alias("priority_back"),
+        )
     )
     return parsed.groupBy("priority_back").agg(
         F.count("*").alias("n_orders"),
@@ -1655,7 +1666,8 @@ SELECT o_orderpriority AS priority_back,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          AS sum_price
 FROM orders
-WHERE NOT regexp_matches(o_orderpriority, '[<>&''\"]')
+WHERE o_orderkey % 10 = 0
+  AND NOT regexp_matches(o_orderpriority, '[<>&''\"]')
 GROUP BY 1
 """
 
