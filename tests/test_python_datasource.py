@@ -141,3 +141,51 @@ def test_synthetic_source_feeds_dedup_at_scale(spark):
     assert two_plus <= 4000
     total = kept.agg(F.sum("dup_count")).collect()[0][0]
     assert total == 20_000
+
+
+def test_stream_source_feeds_near_dup_detector(spark, tmp_path):
+    """Ground-truth streaming dedup: the synthetic stream's planted
+    exact duplicates (doc i duplicates i-1 when i % 5 == 4) MUST all be
+    flagged by the stateful SimHash detector — identical text means
+    hamming 0, and the pigeonhole banding cannot miss distance-0 pairs
+    that arrive in different micro-batches or the same one."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.session import (
+        rocksdb_state,
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        stream_near_dup_pairs,
+    )
+
+    register_synthetic_source(spark)
+    with rocksdb_state(spark, unload_on_commit=True):
+        stream = (
+            spark.readStream.format("synthetic_docs")
+            .option("docs_per_batch", 40)
+            .option("max_docs", 200)
+            .load()
+        )
+        q = (
+            stream_near_dup_pairs(stream)
+            .writeStream.format("memory")
+            .queryName("syn_neardup")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    pairs = {
+        tuple(sorted((r["doc_id"], r["matched_doc_id"])))
+        for r in spark.sql("select * from syn_neardup").collect()
+    }
+    planted = {(i - 1, i) for i in range(200) if i % 5 == 4}
+    missed = planted - pairs
+    assert not missed, f"planted duplicates not detected: {sorted(missed)[:5]}"
+    # every planted pair is hamming 0
+    zero = {
+        tuple(sorted((r["doc_id"], r["matched_doc_id"])))
+        for r in spark.sql(
+            "select * from syn_neardup where hamming = 0"
+        ).collect()
+    }
+    assert planted <= zero
