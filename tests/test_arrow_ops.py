@@ -45,3 +45,47 @@ def test_arrow_normalize_zero_vector_total(spark):
     assert out[1][1] == 0.0 and out[1][0] == [0.0, 0.0, 0.0]
     assert abs(out[2][1] - 5.0) < 1e-9
     assert abs(out[2][0][0] - 0.6) < 1e-6
+
+
+def test_apply_in_arrow_centroids_match_native(spark):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.arrow_ops import (
+        label_centroids_arrow,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {
+        r["label"]: (r["n_vectors"], r["centroid"], r["mean_norm"])
+        for r in label_centroids_arrow(emb).collect()
+    }
+    # native twin: explode dims, average per (label, dim), reassemble
+    native = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("dim", "x")
+        )
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"), (F.count("*")).alias("n"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "m"))
+            ).alias("dims"),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.transform(F.col("dims"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+    want = {
+        r["label"]: (r["n_vectors"], r["centroid"]) for r in native.collect()
+    }
+    assert got.keys() == want.keys() and len(got) > 1
+    for k in got:
+        n_a, cent_a, mn = got[k]
+        n_b, cent_b = want[k]
+        assert n_a == n_b and mn > 0
+        assert len(cent_a) == len(cent_b)
+        assert all(abs(x - y) < 1e-9 for x, y in zip(cent_a, cent_b))
