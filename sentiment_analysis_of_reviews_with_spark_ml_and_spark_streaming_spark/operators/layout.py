@@ -12,7 +12,9 @@ tables — the storage-side levers that matter most at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_partitioned(
@@ -144,6 +146,83 @@ def upsert_into_partitioned(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    *,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_date: str,
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: apply an update batch to
+    a versioned dimension, closing changed rows and opening new ones.
+
+    ``current`` is the versioned dim (``key_cols`` + ``tracked_cols`` +
+    ``start_col``/``end_col``/``current_col``); ``updates`` carries one
+    row per key with the new ``tracked_cols`` values. Semantics:
+
+    - live row, no update (or update equal on every tracked col,
+      null-safely): passes through unchanged — no spurious versions;
+    - live row, update differs: the live row is CLOSED
+      (``end_col = effective_date``, ``current_col = false``) and a new
+      open version is inserted with the update's values;
+    - update for an unseen key: inserted as a brand-new open version;
+    - historical (non-current) rows: pass through untouched.
+
+    Scale: ONE full-outer join of the live slice against the update
+    batch on ``key_cols`` — the batch is usually tiny so Catalyst
+    broadcasts it and the live slice never shuffles; history rows are a
+    pass-through union with zero shuffle. This is the MERGE pattern
+    Delta/Iceberg's ``WHEN MATCHED/NOT MATCHED`` formalizes, kept
+    engine-native here (ROADMAP item 2 adds the table format on top).
+    Output schema: key_cols + tracked_cols + start/end/current.
+    """
+    out_cols = [*key_cols, *tracked_cols, start_col, end_col, current_col]
+    eff = F.lit(effective_date).cast("date")
+    upd = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
+    )
+    live = current.filter(F.col(current_col))
+    hist = current.filter(~F.col(current_col)).select(*out_cols)
+    cond = [F.col(k).eqNullSafe(F.col(f"_u_{k}")) for k in key_cols]
+    joined = live.join(upd, cond, "full_outer").cache()
+    has_live = F.col(key_cols[0]).isNotNull()
+    has_upd = F.col(f"_u_{key_cols[0]}").isNotNull()
+    changed = functools.reduce(
+        lambda a, b: a | b,
+        [~F.col(t).eqNullSafe(F.col(f"_u_{t}")) for t in tracked_cols],
+    )
+    unchanged_live = joined.filter(
+        has_live & (~has_upd | ~changed)
+    ).select(*out_cols)
+    closed = (
+        joined.filter(has_live & has_upd & changed)
+        .withColumn(end_col, eff.cast(joined.schema[end_col].dataType))
+        .withColumn(current_col, F.lit(False))
+        .select(*out_cols)
+    )
+    opened = (
+        joined.filter(has_upd & (~has_live | changed))
+        .select(
+            *[
+                F.coalesce(F.col(f"_u_{k}"), F.col(k)).alias(k)
+                for k in key_cols
+            ],
+            *[F.col(f"_u_{t}").alias(t) for t in tracked_cols],
+            eff.cast(joined.schema[start_col].dataType).alias(start_col),
+            F.lit(None).cast(joined.schema[end_col].dataType).alias(end_col),
+            F.lit(True).alias(current_col),
+        )
+    )
+    return hist.unionByName(unchanged_live).unionByName(closed).unionByName(
+        opened
+    )
 
 
 def write_sorted(

@@ -7735,6 +7735,200 @@ FROM orders GROUP BY 1
 """
 
 
+def q_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD maintenance on the customer dimension
+    (operators/layout.py:scd2_merge): the current snapshot (every
+    customer open since 1995-01-01) receives a deterministic update
+    batch — custkey % 7 == 0 rows move to segment 'SEG_<custkey % 3>'
+    (some of which equal the existing segment, exercising the
+    no-change path) and custkey % 13 == 0 rows insert brand-new keys.
+    Changed rows are closed at the effective date and reopened with the
+    new value; history is append-only. One full-outer join, update
+    batch broadcast — the Delta/Iceberg MERGE shape kept engine-native."""
+    from ..operators import layout
+
+    cust = _t(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    seg_updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")).alias(
+            "segment"
+        ),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("NEW").alias("segment"),
+    )
+    merged = layout.scd2_merge(
+        current,
+        seg_updates.unionByName(inserts),
+        key_cols=["c_custkey"],
+        tracked_cols=["segment"],
+        effective_date="1996-06-01",
+    )
+    return merged.select(
+        "c_custkey", "segment", "valid_from", "valid_to", "is_current"
+    )
+
+
+SQL_SCD2_CUSTOMER_DIM = """
+WITH upd AS (
+  SELECT c_custkey AS k, 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS seg
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000 AS k, 'NEW' AS seg
+  FROM customer WHERE c_custkey % 13 = 0
+),
+cur AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+SELECT c.k AS c_custkey, c.seg AS segment,
+       DATE '1995-01-01' AS valid_from,
+       DATE '1996-06-01' AS valid_to, FALSE AS is_current
+FROM cur c JOIN upd u ON c.k = u.k AND c.seg <> u.seg
+UNION ALL
+SELECT c.k, c.seg, DATE '1995-01-01', CAST(NULL AS DATE), TRUE
+FROM cur c LEFT JOIN upd u ON c.k = u.k
+WHERE u.k IS NULL OR u.seg = c.seg
+UNION ALL
+SELECT c.k, u.seg, DATE '1996-06-01', CAST(NULL AS DATE), TRUE
+FROM cur c JOIN upd u ON c.k = u.k AND c.seg <> u.seg
+UNION ALL
+SELECT u.k, u.seg, DATE '1996-06-01', CAST(NULL AS DATE), TRUE
+FROM upd u LEFT JOIN cur c ON c.k = u.k WHERE c.k IS NULL
+"""
+
+
+def q_regression_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native linear-regression aggregates (Spark 3.5 regr_* family,
+    identical in DuckDB): per order priority, the OLS fit of
+    o_totalprice against days-since-1992. All JVM-side algebraic
+    aggregates — one scan, one group-key shuffle, partial+final like
+    any sum; the closed-form fit replaces a driver-side sklearn loop
+    at 100 TB. Slope/r2/corr rounded to 6, intercept to 2 (its ~1e5
+    magnitude leaves 6-decimal cross-engine float agreement to chance)."""
+    orders = _t(spark, sf_dir, "orders")
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("double")
+    y = F.col("o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.regr_count(y, x).alias("n_orders"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.corr(y, x), 6).alias("price_day_corr"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_day"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_price"),
+    )
+
+
+SQL_REGRESSION_TREND_BY_PRIORITY = """
+SELECT o_orderpriority,
+       regr_count(o_totalprice,
+                  CAST(date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS DOUBLE))
+         AS n_orders,
+       round(regr_slope(o_totalprice,
+                        CAST(date_diff('day', DATE '1992-01-01',
+                                       CAST(o_orderdate AS DATE)) AS DOUBLE)),
+             6) AS slope,
+       round(regr_intercept(o_totalprice,
+                            CAST(date_diff('day', DATE '1992-01-01',
+                                           CAST(o_orderdate AS DATE)) AS DOUBLE)),
+             2) AS intercept,
+       round(regr_r2(o_totalprice,
+                     CAST(date_diff('day', DATE '1992-01-01',
+                                    CAST(o_orderdate AS DATE)) AS DOUBLE)),
+             6) AS r2,
+       round(corr(o_totalprice,
+                  CAST(date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS DOUBLE)),
+             6) AS price_day_corr,
+       round(regr_avgx(o_totalprice,
+                       CAST(date_diff('day', DATE '1992-01-01',
+                                      CAST(o_orderdate AS DATE)) AS DOUBLE)),
+             6) AS avg_day,
+       round(regr_avgy(o_totalprice,
+                       CAST(date_diff('day', DATE '1992-01-01',
+                                      CAST(o_orderdate AS DATE)) AS DOUBLE)),
+             4) AS avg_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance certified against a
+    full recompute in an independent engine: orders split into a
+    'base' era (< 1997) and a 'delta' batch (>= 1997), each aggregated
+    ONCE into mergeable state rows (count / decimal sum / min / max /
+    sum-of-squares, operators/relational.py:mergeable_rollup), then
+    folded with merge_rollups — the oracle aggregates the union
+    directly, so the hash match proves merge(rollup(A), rollup(B)) ==
+    rollup(A ∪ B) exactly. At 100 TB this is the pattern that turns a
+    daily full-table rescan into an O(|new partition|) fold."""
+    from ..operators import relational
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    base = relational.mergeable_rollup(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        ["o_orderpriority"],
+        "o_totalprice",
+    )
+    delta = relational.mergeable_rollup(
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        ["o_orderpriority"],
+        "o_totalprice",
+    )
+    merged = relational.rollup_stats(
+        relational.merge_rollups(base, delta, ["o_orderpriority"])
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("sum_v").cast("double"), 2).alias("sum_price"),
+        F.col("min_v").alias("min_price"),
+        F.col("max_v").alias("max_price"),
+        F.col("avg_v").alias("avg_price"),
+        # population stddev, not variance: var is ~2e10 here so its
+        # 6-decimal rounding sits inside cross-engine double-summation
+        # noise; sqrt contracts that noise by 1/(2*stddev) ~ 4e-11,
+        # making round(.,4) deterministic across engines
+        F.round(F.sqrt(F.col("var_v")), 4).alias("stddev_price"),
+    )
+
+
+SQL_INCREMENTAL_ROLLUP_MAINTENANCE = """
+WITH s AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(28,6))) AS sum_v,
+         min(o_totalprice) AS min_v,
+         max(o_totalprice) AS max_v,
+         -- width 19 forces DuckDB onto INT128 storage (width<=18 is
+         -- INT64 and the square overflows); result DECIMAL(38,12)
+         -- stays exact, matching Spark's capped decimal product
+         sum(CAST(o_totalprice AS DECIMAL(19,6))
+             * CAST(o_totalprice AS DECIMAL(19,6))) AS sum_sq
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n AS n_orders,
+       round(CAST(sum_v AS DOUBLE), 2) AS sum_price,
+       min_v AS min_price, max_v AS max_price,
+       round(CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_price,
+       round(sqrt(round(CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)), 6)), 4)
+         AS stddev_price
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7918,6 +8112,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_card_by_source": q_data_card_by_source,
     "bpe_merge_training": q_bpe_merge_training,
     "bpe_tokenized_stats": q_bpe_tokenized_stats,
+    "scd2_customer_dim": q_scd2_customer_dim,
+    "regression_trend_by_priority": q_regression_trend_by_priority,
+    "incremental_rollup_maintenance": q_incremental_rollup_maintenance,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -8041,6 +8238,9 @@ ORACLE: dict[str, str] = {
     "data_card_by_source": SQL_DATA_CARD_BY_SOURCE,
     "bpe_merge_training": SQL_BPE_MERGE_TRAINING,
     "bpe_tokenized_stats": SQL_BPE_TOKENIZED_STATS,
+    "scd2_customer_dim": SQL_SCD2_CUSTOMER_DIM,
+    "regression_trend_by_priority": SQL_REGRESSION_TREND_BY_PRIORITY,
+    "incremental_rollup_maintenance": SQL_INCREMENTAL_ROLLUP_MAINTENANCE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

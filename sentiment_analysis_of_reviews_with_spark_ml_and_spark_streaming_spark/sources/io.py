@@ -126,6 +126,31 @@ def read_jsonl(
     )
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar format Spark ships a vectorized,
+    predicate-pushdown-capable native reader for (no external jars).
+    Same scan contract as parquet: column pruning + min/max row-group
+    skipping reach the file reader, so a 2-column projection over a
+    wide ORC table reads 2 streams, not the row. Interop seam for
+    Hive-era warehouses whose data is already ORC."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink with the same partitioning surface as write_parquet;
+    zlib column compression by default (Spark's ORC default)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_rows, corrupt_rows) — corrupt rows kept for audit, never
     silently dropped."""

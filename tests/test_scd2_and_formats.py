@@ -1,0 +1,121 @@
+"""SCD2 dimension-merge semantics and ORC format roundtrip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+    layout,
+)
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources import (
+    io,
+)
+
+from .conftest import SF_DIR_SMOKE
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, v string, valid_from date, valid_to date, is_current boolean"
+    )
+
+
+def test_scd2_merge_all_paths(spark):
+    import datetime as dt
+
+    d = dt.date
+    current = _dim(
+        spark,
+        [
+            # live rows
+            (1, "a", d(1995, 1, 1), None, True),
+            (2, "b", d(1995, 1, 1), None, True),
+            (3, "c", d(1995, 1, 1), None, True),
+            # history row for key 1 (must pass through untouched)
+            (1, "old", d(1990, 1, 1), d(1995, 1, 1), False),
+        ],
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "a"),  # equal -> no new version
+            (2, "B2"),  # changed -> close + reopen
+            (9, "new"),  # unseen key -> insert
+        ],
+        "k int, v string",
+    )
+    out = layout.scd2_merge(
+        current,
+        updates,
+        key_cols=["k"],
+        tracked_cols=["v"],
+        effective_date="1996-06-01",
+    )
+    rows = {(r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, "old", d(1990, 1, 1), d(1995, 1, 1), False),  # history untouched
+        (1, "a", d(1995, 1, 1), None, True),  # no-change keeps version
+        (2, "b", d(1995, 1, 1), d(1996, 6, 1), False),  # closed
+        (2, "B2", d(1996, 6, 1), None, True),  # reopened
+        (3, "c", d(1995, 1, 1), None, True),  # untouched live
+        (9, "new", d(1996, 6, 1), None, True),  # insert
+    }
+
+
+def test_scd2_merge_null_tracked_value_is_a_change(spark):
+    import datetime as dt
+
+    d = dt.date
+    current = _dim(spark, [(1, None, d(1995, 1, 1), None, True)])
+    updates = spark.createDataFrame([(1, "x")], "k int, v string")
+    out = layout.scd2_merge(
+        current,
+        updates,
+        key_cols=["k"],
+        tracked_cols=["v"],
+        effective_date="1996-06-01",
+    )
+    rows = {(r.k, r.v, r.is_current) for r in out.collect()}
+    assert rows == {(1, None, False), (1, "x", True)}
+    # null -> null is NOT a change (null-safe equality)
+    updates_null = spark.createDataFrame(
+        [(1, None)], "k int, v string"
+    )
+    out2 = layout.scd2_merge(
+        current,
+        updates_null,
+        key_cols=["k"],
+        tracked_cols=["v"],
+        effective_date="1996-06-01",
+    )
+    assert out2.count() == 1
+    assert out2.filter(F.col("is_current")).count() == 1
+
+
+def test_orc_roundtrip_preserves_rows_and_schema(spark, tmp_path):
+    src = io.load_table(spark, SF_DIR_SMOKE, "nation")
+    path = str(tmp_path / "nation_orc")
+    io.write_orc(src, path)
+    back = io.read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_orc_partitioned_write_prunes_directories(spark, tmp_path):
+    src = io.load_table(spark, SF_DIR_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = str(tmp_path / "orders_orc")
+    io.write_orc(src, path, partition_by=["o_orderpriority"])
+    back = io.read_orc(spark, path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the predicate must land in PartitionFilters (directory pruning at
+    # planning time), not as a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "o_orderpriority" in pf
+    expected = src.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == expected
