@@ -7929,6 +7929,188 @@ FROM s
 """
 
 
+def q_mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type: median / MAD (median
+    absolute deviation) instead of mean / stddev, so the thresholds
+    themselves can't be dragged by the outliers they're hunting (the
+    failure mode of z-scores on heavy-tailed telemetry). Two bounded
+    aggregations — per-type median, then per-type MAD of residuals —
+    each broadcast back onto the scan; the fact table shuffles only on
+    the (tiny) type key. Median and MAD round to 6 BEFORE the 3×MAD
+    comparison so borderline rows classify identically across engines."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.groupBy("event_type")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), 0.5), 6
+            ).alias("mad")
+        )
+    )
+    flagged = with_med.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.first("med").alias("med_value"),
+        F.first("mad").alias("mad_value"),
+        F.count_if(
+            F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")
+        ).alias("n_outliers"),
+    )
+
+
+SQL_MAD_OUTLIERS_BY_TYPE = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type,
+         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n_events,
+       any_value(m.med) AS med_value, any_value(d.mad) AS mad_value,
+       CAST(count(*) FILTER (WHERE abs(e.value - m.med) > 3 * d.mad)
+            AS BIGINT) AS n_outliers
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_peak_concurrency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval sweep-line: treating each event as a 5-minute activity
+    interval [ts, ts+5m), the peak number of simultaneously-active
+    intervals per event type. The classic O(n log n) algorithm stays
+    fully relational: ±1 deltas at interval endpoints, running sum
+    ordered by time, max. The default RANGE window frame makes
+    same-timestamp rows peers (both engines), so ties need no explicit
+    tiebreak — every peer sees the post-tie total. One shuffle on the
+    bounded type key; no self-join, no interval cross-product."""
+    ev = _events(spark, sf_dir)
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    swept = starts.unionByName(ends).withColumn(
+        "running", F.sum("delta").over(w)
+    )
+    return swept.groupBy("event_type").agg(
+        F.max("running").cast("bigint").alias("peak_concurrent"),
+        (F.count("*") / 2).cast("bigint").alias("n_intervals"),
+    )
+
+
+SQL_PEAK_CONCURRENCY_BY_TYPE = """
+WITH deltas AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 5 MINUTE, -1 FROM events
+),
+swept AS (
+  SELECT event_type,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t) AS running
+  FROM deltas
+)
+SELECT event_type, CAST(max(running) AS BIGINT) AS peak_concurrent,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+FROM swept GROUP BY 1
+"""
+
+
+def q_skew_audit_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostics for a join key — the audit you run
+    BEFORE pointing a 100 TB fact⋈fact at a key: per-key cardinality
+    profile (distinct keys, max/avg rows per key, p99, hottest key,
+    max/avg skew ratio). Two aggregations, the second over the already-
+    reduced key-count relation; the hottest key uses the zero-padded
+    sort-string argmax so count ties break on the key identically in
+    both engines. Feeds the choice between plain shuffle join, salting,
+    and AQE skew splitting."""
+    orders = _t(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("c"))
+    sort_key = F.concat_ws(
+        "|",
+        F.format_string("%012d", F.col("c")),
+        F.format_string("%012d", F.col("o_custkey")),
+    )
+    return per_key.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_per_key"),
+        F.round(F.avg("c"), 6).alias("avg_per_key"),
+        F.round(F.percentile("c", 0.99), 4).alias("p99_per_key"),
+        F.max_by(F.col("o_custkey"), sort_key).alias("hottest_key"),
+        F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+    )
+
+
+SQL_SKEW_AUDIT_ORDERS_CUSTKEY = """
+WITH per_key AS (
+  SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1
+)
+SELECT sum(c) AS n_rows, count(*) AS n_keys, max(c) AS max_per_key,
+       round(avg(c), 6) AS avg_per_key,
+       round(quantile_cont(c, 0.99), 4) AS p99_per_key,
+       arg_max(o_custkey, printf('%012d', c) || '|' ||
+                          printf('%012d', o_custkey)) AS hottest_key,
+       round(max(c) / avg(c), 4) AS skew_ratio
+FROM per_key
+"""
+
+
+def q_table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum — the cheap way to compare a
+    100 TB table against its replica (post-migration, post-backfill,
+    cross-engine) without sorting or shuffling a single fact row: each
+    row hashes to a 60-bit integer (md5 prefix), and the SUM of row
+    hashes per status group is the fingerprint — commutative, so any
+    partitioning/order yields the same value, and a single changed row
+    changes it. Row rendering is pinned engine-portable: integers and
+    strings verbatim, the double through decimal(18,2), the timestamp
+    through an explicit UTC format. Sum carried in decimal(38,0) and
+    returned as a string (exactness beyond double's 2^53). Scan-only —
+    zero shuffle beyond the 3-group agg."""
+    orders = _t(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_hash).cast("string").alias("fingerprint"),
+    )
+
+
+SQL_TABLE_FINGERPRINT_ORDERS = """
+SELECT o_orderstatus, count(*) AS n_rows,
+       CAST(sum(CAST('0x' || substring(md5(
+         concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR), o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                   o_orderpriority)
+       ), 1, 15) AS BIGINT)) AS VARCHAR) AS fingerprint
+FROM orders GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8115,6 +8297,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_customer_dim": q_scd2_customer_dim,
     "regression_trend_by_priority": q_regression_trend_by_priority,
     "incremental_rollup_maintenance": q_incremental_rollup_maintenance,
+    "mad_outliers_by_type": q_mad_outliers_by_type,
+    "peak_concurrency_by_type": q_peak_concurrency_by_type,
+    "skew_audit_orders_custkey": q_skew_audit_orders_custkey,
+    "table_fingerprint_orders": q_table_fingerprint_orders,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -8241,6 +8427,10 @@ ORACLE: dict[str, str] = {
     "scd2_customer_dim": SQL_SCD2_CUSTOMER_DIM,
     "regression_trend_by_priority": SQL_REGRESSION_TREND_BY_PRIORITY,
     "incremental_rollup_maintenance": SQL_INCREMENTAL_ROLLUP_MAINTENANCE,
+    "mad_outliers_by_type": SQL_MAD_OUTLIERS_BY_TYPE,
+    "peak_concurrency_by_type": SQL_PEAK_CONCURRENCY_BY_TYPE,
+    "skew_audit_orders_custkey": SQL_SKEW_AUDIT_ORDERS_CUSTKEY,
+    "table_fingerprint_orders": SQL_TABLE_FINGERPRINT_ORDERS,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
