@@ -225,6 +225,61 @@ def scd2_merge(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style reconciliation of two table snapshots: one row per
+    changed key, tagged ``insert`` (key only in new), ``delete`` (key
+    only in old), or ``update`` (present in both, any compare col
+    differs null-safely). Unchanged keys produce NO output — on a
+    mostly-stable 100 TB table the result is proportional to the churn,
+    not the table. One full-outer join on the key columns (co-partition
+    both snapshots on the same key bucketing to elide even that
+    shuffle); compare columns never leave their scan until the join.
+    Output: key_cols + change_type. Pair with
+    ``q_table_fingerprint_orders``-style checksums to FIND which
+    partitions differ, then snapshot_diff only those."""
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    cond = [F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}")) for k in key_cols]
+    joined = o.join(n, cond, "full_outer")
+    has_old = F.col(f"_o_{key_cols[0]}").isNotNull()
+    has_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    differs = functools.reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+            for c in compare_cols
+        ],
+    )
+    change = (
+        F.when(~has_old, F.lit("insert"))
+        .when(~has_new, F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_n_{k}"), F.col(f"_o_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "change_type",
+        )
+    )
+
+
 def write_sorted(
     df: DataFrame, path: str, col: str, *, n_files: int = 16, mode: str = "overwrite"
 ) -> None:

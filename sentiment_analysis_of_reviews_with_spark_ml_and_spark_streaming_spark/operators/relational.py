@@ -296,6 +296,49 @@ def rollup_stats(rollup):
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: exactly
+    min(k, |group|) rows per group, inclusion probability ∝ weight —
+    the Efraimidis–Spirakis reservoir scheme (key = u^(1/w), keep the
+    k largest) made distributed and replayable.
+
+    No RNG: u derives from the first 8 md5 hex chars of ``id_col``
+    ((h + 0.5) / 2^32 — both the sum and the power-of-two division are
+    EXACT in double, so u is bit-identical in any engine). Ranking uses
+    the monotone-equivalent ln(u)/w (avoids cross-engine pow() ulp
+    drift), rounded to 9 with the id as tiebreak so ordering is total.
+    Plan: one scan + one row_number window per group — at 100 TB this
+    is a single shuffle on the group key, versus the driver-side
+    reservoir loop it replaces. Zero-weight rows are excluded (their
+    E-S key is -inf)."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(2**32))
+    es_key = F.round(
+        F.log(u) / F.col(weight_col).cast("double"), 9
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_es_key").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_key", es_key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_es_key", "_rn")
+    )
+
+
 def skew_safe_count_distinct(
     df: DataFrame,
     group_col: str,

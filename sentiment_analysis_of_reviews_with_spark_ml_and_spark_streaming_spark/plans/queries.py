@@ -8111,6 +8111,125 @@ FROM orders GROUP BY 1
 """
 
 
+def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement, distributed and
+    replayable (operators/relational.py:weighted_sample_per_group):
+    exactly 10 docs per source with inclusion probability ∝ token
+    count — the Efraimidis–Spirakis reservoir as one window over one
+    shuffle, no RNG (u from the doc_id's md5, exact in double both
+    engines; ranking via the monotone ln(u)/w to dodge pow() ulp
+    drift). This is the curriculum/mixture sampler's exact-quota
+    sibling: rate-based q_mixture_sample_docs hits a budget in
+    expectation, this hits it exactly."""
+    from ..operators.relational import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    with_w = docs.select(
+        "doc_id", "source", textstats.token_count_ws("text").alias("n_tokens")
+    )
+    kept = weighted_sample_per_group(
+        with_w,
+        group_col="source",
+        id_col="doc_id",
+        weight_col="n_tokens",
+        k=10,
+    )
+    return kept.select("doc_id", "source", "n_tokens")
+
+
+SQL_WEIGHTED_SAMPLE_PER_SOURCE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, n_tokens,
+         round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) + 0.5) / 4294967296.0)
+               / CAST(n_tokens AS DOUBLE), 9) AS es_key
+  FROM t WHERE n_tokens > 0
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY es_key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens
+FROM ranked WHERE rn <= 10
+"""
+
+
+def q_snapshot_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/layout.py:snapshot_diff): the
+    customer table diffed against a deterministically-mutated second
+    snapshot (custkey % 11 == 0 deleted, % 7 == 0 re-segmented —
+    updates that happen to equal the old value correctly produce NO
+    diff row — and % 13 == 0 re-inserted under new keys). Output is
+    one row per change_type with count and a key checksum, so the
+    oracle certifies the exact changed-key SETS, not just their sizes.
+    Churn-proportional output: unchanged keys never leave the join."""
+    from ..operators import layout
+
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    mutated = (
+        cust.filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 7 == 0,
+                F.concat(
+                    F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")
+                ),
+            )
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+        )
+    )
+    inserts = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("NEW").alias("segment"),
+    )
+    diff = layout.snapshot_diff(
+        old,
+        mutated.unionByName(inserts),
+        key_cols=["c_custkey"],
+        compare_cols=["segment"],
+    )
+    return diff.groupBy("change_type").agg(
+        F.count("*").alias("n_changes"),
+        F.sum("c_custkey").alias("key_checksum"),
+    )
+
+
+SQL_SNAPSHOT_DIFF_CUSTOMER = """
+WITH old AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+),
+new AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 7 = 0
+              THEN 'SEG_' || CAST(c_custkey % 3 AS VARCHAR)
+              ELSE c_mktsegment END AS seg
+  FROM customer WHERE c_custkey % 11 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'NEW' FROM customer WHERE c_custkey % 13 = 0
+),
+diff AS (
+  SELECT coalesce(n.k, o.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'insert'
+              WHEN n.k IS NULL THEN 'delete'
+              WHEN o.seg <> n.seg THEN 'update' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
+)
+SELECT change_type, count(*) AS n_changes, sum(k) AS key_checksum
+FROM diff WHERE change_type IS NOT NULL GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8301,6 +8420,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "peak_concurrency_by_type": q_peak_concurrency_by_type,
     "skew_audit_orders_custkey": q_skew_audit_orders_custkey,
     "table_fingerprint_orders": q_table_fingerprint_orders,
+    "weighted_sample_per_source": q_weighted_sample_per_source,
+    "snapshot_diff_customer": q_snapshot_diff_customer,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -8431,6 +8552,8 @@ ORACLE: dict[str, str] = {
     "peak_concurrency_by_type": SQL_PEAK_CONCURRENCY_BY_TYPE,
     "skew_audit_orders_custkey": SQL_SKEW_AUDIT_ORDERS_CUSTKEY,
     "table_fingerprint_orders": SQL_TABLE_FINGERPRINT_ORDERS,
+    "weighted_sample_per_source": SQL_WEIGHTED_SAMPLE_PER_SOURCE,
+    "snapshot_diff_customer": SQL_SNAPSHOT_DIFF_CUSTOMER,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

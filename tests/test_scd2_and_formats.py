@@ -91,6 +91,53 @@ def test_scd2_merge_null_tracked_value_is_a_change(spark):
     assert out2.filter(F.col("is_current")).count() == 1
 
 
+def test_snapshot_diff_tags_and_filters(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, None), (5, "e")], "k int, v string"
+    )
+    out = layout.snapshot_diff(
+        old, new, key_cols=["k"], compare_cols=["v"]
+    )
+    rows = {(r.k, r.change_type) for r in out.collect()}
+    # 1 unchanged and 4 (null==null) produce no rows
+    assert rows == {(2, "update"), (3, "delete"), (5, "insert")}
+
+
+def test_weighted_sample_exact_k_deterministic_and_weight_sensitive(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        weighted_sample_per_group,
+    )
+
+    rows = [("g", i, 1) for i in range(100)] + [("g", 999, 10**9)] + [
+        ("h", i, 1) for i in range(3)
+    ] + [("h", 50, 0)]
+    df = spark.createDataFrame(rows, "grp string, id int, w long")
+    kept = weighted_sample_per_group(
+        df, group_col="grp", id_col="id", weight_col="w", k=5
+    )
+    got = [(r.grp, r.id) for r in kept.collect()]
+    per_group = {}
+    for g, i in got:
+        per_group.setdefault(g, set()).add(i)
+    # exact k where the group is big enough, whole group otherwise
+    assert len(per_group["g"]) == 5
+    # zero-weight row excluded; only the 3 positive-weight rows remain
+    assert per_group["h"] == {0, 1, 2}
+    # the overwhelming weight is always selected (E-S key -> 0-)
+    assert 999 in per_group["g"]
+    # deterministic: a second run yields the identical set
+    again = {
+        (r.grp, r.id)
+        for r in weighted_sample_per_group(
+            df, group_col="grp", id_col="id", weight_col="w", k=5
+        ).collect()
+    }
+    assert again == set(got)
+
+
 def test_orc_roundtrip_preserves_rows_and_schema(spark, tmp_path):
     src = io.load_table(spark, SF_DIR_SMOKE, "nation")
     path = str(tmp_path / "nation_orc")
