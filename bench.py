@@ -124,6 +124,16 @@ HEADLINE = [
     "data_card_by_source",
     "bpe_merge_training",
     "bpe_tokenized_stats",
+    # round-4 second-continuation tier
+    "scd2_customer_dim",
+    "snapshot_diff_customer",
+    "incremental_rollup_maintenance",
+    "regression_trend_by_priority",
+    "weighted_sample_per_source",
+    "mad_outliers_by_type",
+    "peak_concurrency_by_type",
+    "skew_audit_orders_custkey",
+    "table_fingerprint_orders",
 ]
 
 
