@@ -191,7 +191,13 @@ def scd2_merge(
     live = current.filter(F.col(current_col))
     hist = current.filter(~F.col(current_col)).select(*out_cols)
     cond = [F.col(k).eqNullSafe(F.col(f"_u_{k}")) for k in key_cols]
-    joined = live.join(upd, cond, "full_outer").cache()
+    # deliberately NOT cached: the three output branches below share the
+    # join subtree and Catalyst dedups its shuffles (ReusedExchange), so
+    # each branch re-joins from the same shuffle files — bounded extra
+    # CPU, zero extra memory. Caching a 100 TB live slice would pin the
+    # whole dimension in executor storage (and leak across foreachBatch
+    # micro-batches in the streaming CDC sink).
+    joined = live.join(upd, cond, "full_outer")
     has_live = F.col(key_cols[0]).isNotNull()
     has_upd = F.col(f"_u_{key_cols[0]}").isNotNull()
     changed = functools.reduce(

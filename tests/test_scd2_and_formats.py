@@ -138,6 +138,83 @@ def test_weighted_sample_exact_k_deterministic_and_weight_sensitive(spark):
     assert again == set(got)
 
 
+def test_scd2_merge_replay_idempotent(spark):
+    """Applying the SAME update batch twice yields the same dim — the
+    property that makes the streaming foreachBatch sink safe under
+    at-least-once batch replay."""
+    import datetime as dt
+
+    d = dt.date
+    current = _dim(
+        spark,
+        [(1, "a", d(1995, 1, 1), None, True), (2, "b", d(1995, 1, 1), None, True)],
+    )
+    updates = spark.createDataFrame([(1, "a2"), (3, "c")], "k int, v string")
+    once = layout.scd2_merge(
+        current, updates, key_cols=["k"], tracked_cols=["v"],
+        effective_date="1996-06-01",
+    )
+    twice = layout.scd2_merge(
+        once, updates, key_cols=["k"], tracked_cols=["v"],
+        effective_date="1996-06-01",
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(once) == as_set(twice)
+
+
+def test_streaming_scd2_dimension_maintenance(spark, tmp_path):
+    """CDC stream → foreachBatch scd2_merge: two update files arrive as
+    separate micro-batches; the final versioned dim matches applying
+    the same batches with batch scd2_merge calls in order."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.cdc import (
+        scd2_sink,
+    )
+
+    import datetime as dt
+
+    d = dt.date
+    dim_path = str(tmp_path / "dim")
+    _dim(
+        spark,
+        [(1, "a", d(1995, 1, 1), None, True), (2, "b", d(1995, 1, 1), None, True)],
+    ).write.parquet(dim_path)
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    schema = "k int, v string, effective_date string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                scd2_sink(dim_path, key_cols=["k"], tracked_cols=["v"])
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    (src / "b0.json").write_text(
+        '{"k": 1, "v": "a2", "effective_date": "1996-06-01"}\n'
+    )
+    drain()
+    (src / "b1.json").write_text(
+        '{"k": 1, "v": "a3", "effective_date": "1997-01-01"}\n'
+        '{"k": 9, "v": "x", "effective_date": "1997-01-01"}\n'
+    )
+    drain()
+
+    got = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+    assert got == {
+        (1, "a", d(1995, 1, 1), d(1996, 6, 1), False),
+        (1, "a2", d(1996, 6, 1), d(1997, 1, 1), False),
+        (1, "a3", d(1997, 1, 1), None, True),
+        (2, "b", d(1995, 1, 1), None, True),
+        (9, "x", d(1997, 1, 1), None, True),
+    }
+
+
 def test_orc_roundtrip_preserves_rows_and_schema(spark, tmp_path):
     src = io.load_table(spark, SF_DIR_SMOKE, "nation")
     path = str(tmp_path / "nation_orc")
