@@ -134,6 +134,7 @@ HEADLINE = [
     "peak_concurrency_by_type",
     "skew_audit_orders_custkey",
     "table_fingerprint_orders",
+    "shard_shuffle_plan",
 ]
 
 

@@ -8230,6 +8230,55 @@ FROM diff WHERE change_type IS NOT NULL GROUP BY 1
 """
 
 
+def q_shard_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle → training shards: every doc
+    gets a pseudo-random 60-bit key (md5 of a fixed seed + doc_id),
+    shard = key mod 8, position = rank of the key within the shard.
+    This is how a 100 TB corpus becomes N shuffled training files
+    without any RNG state: the permutation is a pure function of
+    (seed, doc_id), so any re-run — or any subset re-export — lands
+    every doc in the same shard at the same position (resumable,
+    verifiable). Plan: one scan, one shuffle on the shard key, one
+    within-shard sort — exactly the write-partitioned-sorted layout
+    (layout.write_partitioned + sortWithinPartitions) the export step
+    uses. Epoch reshuffles = bump the seed string."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("epoch-1|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            h.alias("shuffle_key"),
+        )
+        .withColumn("shard", F.pmod(F.col("shuffle_key"), F.lit(8)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+SQL_SHARD_SHUFFLE_PLAN = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('epoch-1|' || CAST(doc_id AS VARCHAR)),
+                                1, 15) AS BIGINT) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, CAST(shuffle_key % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+                               ORDER BY shuffle_key, doc_id) AS INTEGER)
+         AS pos
+FROM keyed
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8422,6 +8471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_fingerprint_orders": q_table_fingerprint_orders,
     "weighted_sample_per_source": q_weighted_sample_per_source,
     "snapshot_diff_customer": q_snapshot_diff_customer,
+    "shard_shuffle_plan": q_shard_shuffle_plan,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -8554,6 +8604,7 @@ ORACLE: dict[str, str] = {
     "table_fingerprint_orders": SQL_TABLE_FINGERPRINT_ORDERS,
     "weighted_sample_per_source": SQL_WEIGHTED_SAMPLE_PER_SOURCE,
     "snapshot_diff_customer": SQL_SNAPSHOT_DIFF_CUSTOMER,
+    "shard_shuffle_plan": SQL_SHARD_SHUFFLE_PLAN,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
