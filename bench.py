@@ -135,6 +135,7 @@ HEADLINE = [
     "skew_audit_orders_custkey",
     "table_fingerprint_orders",
     "shard_shuffle_plan",
+    "kmeans_silhouette",
 ]
 
 

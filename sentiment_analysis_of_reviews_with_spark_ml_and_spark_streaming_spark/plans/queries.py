@@ -8279,6 +8279,107 @@ FROM keyed
 """
 
 
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality scoring for the k-means tier: simplified
+    silhouette per cluster (a = distance to own centroid, b = distance
+    to the nearest OTHER centroid, s = (b-a)/max(a,b)) — the O(n·k)
+    variant that scales where the classic O(n²) pairwise silhouette
+    cannot. Reuses the kmeans_fixed trained centroids (one broadcast of
+    k rows against the corpus, one row_number window); cluster
+    membership re-derives from the same rounded-d2 argmin the trainer
+    used, so assignment ties break identically. The DuckDB twin replays
+    training via the unrolled-CTE chain and the same a/b/rounding
+    ladder."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fixed(
+        emb, k=4, iterations=3, return_centroids=True
+    )
+    v = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "_e"
+        ),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("_e"),
+                F.col("centroid_vec"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        6,
+    )
+    pd = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", d2.alias("_d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("_d2", "centroid_id")
+    ranked = pd.withColumn("_rn", F.row_number().over(w))
+    own = ranked.filter(F.col("_rn") == 1).select(
+        "vec_id",
+        F.col("centroid_id").alias("cluster"),
+        F.round(F.sqrt("_d2"), 6).alias("a_dist"),
+    )
+    nearest_other = ranked.filter(F.col("_rn") == 2).select(
+        "vec_id", F.round(F.sqrt("_d2"), 6).alias("b_dist")
+    )
+    s = F.when(F.greatest("a_dist", "b_dist") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("b_dist") - F.col("a_dist"))
+            / F.greatest("a_dist", "b_dist"),
+            6,
+        )
+    )
+    return (
+        own.join(nearest_other, "vec_id")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg(s), 6).alias("avg_silhouette"),
+        )
+    )
+
+
+def _kmeans_silhouette_oracle_sql(k: int = 4, iterations: int = 3) -> str:
+    parts, _, final_cent = _kmeans_cte_parts(k, iterations)
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, len(v.e)),"
+        " j -> (v.e[j] - c.ce[j]) * (v.e[j] - c.ce[j]))), 6)"
+    )
+    parts += [
+        f"""pd AS (
+  SELECT v.vec_id, c.cid, {d2} AS d2
+  FROM v CROSS JOIN {final_cent} c
+)""",
+        """ranked AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM pd
+)""",
+        """ab AS (
+  SELECT f.vec_id, f.cid AS cluster,
+         round(sqrt(f.d2), 6) AS a_dist, round(sqrt(s.d2), 6) AS b_dist
+  FROM ranked f JOIN ranked s ON s.vec_id = f.vec_id AND s.rn = 2
+  WHERE f.rn = 1
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT cluster, count(*) AS n_points,
+       round(avg(CASE WHEN greatest(a_dist, b_dist) = 0 THEN 0.0
+                 ELSE round((b_dist - a_dist) / greatest(a_dist, b_dist), 6)
+                 END), 6) AS avg_silhouette
+FROM ab GROUP BY 1"""
+    )
+
+
+SQL_KMEANS_SILHOUETTE = _kmeans_silhouette_oracle_sql(4, 3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8472,6 +8573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_per_source": q_weighted_sample_per_source,
     "snapshot_diff_customer": q_snapshot_diff_customer,
     "shard_shuffle_plan": q_shard_shuffle_plan,
+    "kmeans_silhouette": q_kmeans_silhouette,
     # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -8605,6 +8707,7 @@ ORACLE: dict[str, str] = {
     "weighted_sample_per_source": SQL_WEIGHTED_SAMPLE_PER_SOURCE,
     "snapshot_diff_customer": SQL_SNAPSHOT_DIFF_CUSTOMER,
     "shard_shuffle_plan": SQL_SHARD_SHUFFLE_PLAN,
+    "kmeans_silhouette": SQL_KMEANS_SILHOUETTE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,
