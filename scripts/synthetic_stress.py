@@ -79,6 +79,85 @@ def run_ops(spark, n) -> dict[str, float]:
         ).groupBy("source").agg(F.sum("c"), F.count("*")).count()
 
     timed("data_card_rollup", card)
+
+    # --- data-management tier (broadcast-shaped: should be ~flat) ---
+    def scd2():
+        from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.layout import (
+            scd2_merge,
+        )
+
+        current = docs.select(
+            "doc_id",
+            F.col("source").alias("seg"),
+            F.lit("1995-01-01").cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        updates = docs.filter(F.col("doc_id") % 100 == 0).select(
+            "doc_id", F.lit("moved").alias("seg")
+        )
+        scd2_merge(
+            current,
+            updates,
+            key_cols=["doc_id"],
+            tracked_cols=["seg"],
+            effective_date="1996-06-01",
+        ).count()
+
+    timed("scd2_merge_1pct_updates", scd2)
+
+    def snap_diff():
+        from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.layout import (
+            snapshot_diff,
+        )
+
+        old = docs.select("doc_id", "source")
+        new = docs.filter(F.col("doc_id") % 97 != 0).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 100 == 0, F.lit("moved"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+        )
+        snapshot_diff(
+            old, new, key_cols=["doc_id"], compare_cols=["source"]
+        ).count()
+
+    timed("snapshot_diff_2pct_churn", snap_diff)
+
+    def wsample():
+        from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+            weighted_sample_per_group,
+        )
+
+        with_w = docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        )
+        weighted_sample_per_group(
+            with_w, group_col="source", id_col="doc_id", weight_col="w", k=100
+        ).count()
+
+    timed("weighted_sample_k100", wsample)
+
+    def shard():
+        from pyspark.sql import Window
+
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("e1|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        w = Window.partitionBy("shard").orderBy("k")
+        docs.select("doc_id", h.alias("k")).withColumn(
+            "shard", F.pmod(F.col("k"), F.lit(32)).cast("int")
+        ).withColumn("pos", F.row_number().over(w)).count()
+
+    timed("shard_shuffle_plan", shard)
     return out
 
 
