@@ -12,6 +12,10 @@ oracle-verified by the driver contract:
     → deterministic train/val/test    (md5-prefix buckets)
     → token-window chunks             (chunk_documents shape)
     → per-split packed-bin summary    (pack_sequences shape)
+    → deterministic shard shuffle     (shard_shuffle_plan shape): the
+      export is partitioned by (split, shard) and sorted by the seeded
+      md5 shuffle key, so training order is a pure function of
+      (seed, doc_id) — resumable and byte-stable across re-runs
 
     python examples/training_data_pipeline.py [sf_dir] [out_dir]
 
@@ -134,9 +138,29 @@ def main() -> None:
     )
     spark = get_spark(app_name="training-data-pipeline")
     kept, chunks, report = build_training_corpus(spark, sf_dir)
-    # split-partitioned write: training jobs read only their shard dir
-    kept.write.mode("overwrite").partitionBy("split").parquet(
-        os.path.join(out_dir, "documents")
+    # deterministic global shuffle → shards: seeded md5 key, shard =
+    # key mod 8, within-shard order = key order (epoch reshuffle =
+    # bump the seed). One shuffle + one within-partition sort.
+    shuffle_key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("epoch-1|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    kept = kept.withColumn("shuffle_key", shuffle_key).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(8)).cast("int")
+    )
+    # (split, shard)-partitioned, key-sorted write: training jobs read
+    # only their shard dirs, already in shuffled order
+    (
+        kept.repartition("split", "shard")
+        .sortWithinPartitions("shuffle_key")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(os.path.join(out_dir, "documents"))
     )
     chunks.write.mode("overwrite").partitionBy("split").parquet(
         os.path.join(out_dir, "chunks")
