@@ -43,6 +43,17 @@ def test_rows_only_set_is_intentional():
     assert rows_only == allowed, rows_only ^ allowed
 
 
+def test_grading_window_is_fully_oracle_backed():
+    """The driver grades a 50-key prefix of the registry; every key in
+    that window must carry a value-hash oracle (a rows-only query in
+    the window would waste a graded slot on a weaker check)."""
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    window = list(qs)[:50]
+    missing = [k for k in window if k not in osql]
+    assert not missing, f"rows-only queries inside the window: {missing}"
+
+
 def test_queries_are_fresh_callables():
     """queries() must return a fresh dict (driver may mutate it)."""
     a = entry_mod.queries()
