@@ -79,6 +79,9 @@ def test_plan_hygiene(spark, name):
             "semdedup_keep_set",
             "kmeans_clusters",
             "similarity_ivf_kmeans",
+            # same k-centroid broadcast assign step, reused for the
+            # a/b silhouette distances — broadcast side is k rows
+            "kmeans_silhouette",
         }, f"{name}: unexpected nested-loop join"
 
 
