@@ -1,4 +1,4 @@
-from . import cdc, stateful  # noqa: F401
+from . import cdc, monitor, stateful  # noqa: F401
 from .scoring import (  # noqa: F401
     read_socket_lines,
     score_stream,
