@@ -366,3 +366,100 @@ def test_fuzz_try_functions(spark, tmp_path_factory, rows):
         FROM t
         """,
     )
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzz_hex_hash_parse_and_fingerprint(spark, tmp_path_factory, ids):
+    """The 60-bit md5-prefix → integer convention (table fingerprints,
+    shard shuffle keys): Spark conv(·,16,10) and DuckDB '0x'-cast must
+    agree on every id, and so must the commutative decimal sum."""
+    path = str(tmp_path_factory.mktemp("fuzzhex") / "t.parquet")
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    sdf = spark.read.parquet(path).selectExpr(
+        "cast(conv(substring(md5(cast(id as string)), 1, 15), 16, 10) "
+        "as string) h",
+        "cast(sum(cast(conv(substring(md5(cast(id as string)), 1, 15), "
+        "16, 10) as decimal(38,0))) over () as string) fp",
+    )
+    _cmp(
+        sdf,
+        con,
+        """
+        SELECT CAST(CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS VARCHAR) AS h,
+               CAST(sum(CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15)
+                    AS BIGINT)) OVER () AS VARCHAR) AS fp
+        FROM t
+        """,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),   # id
+            st.integers(min_value=1, max_value=10**6),   # weight
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzz_weighted_sample_ranking_key(spark, tmp_path_factory, rows):
+    """The Efraimidis–Spirakis ranking convention (md5-derived uniform,
+    ln(u)/w rounded to 9): both engines must produce the identical
+    top-3 per corpus — i.e. the full ordering agrees wherever it
+    matters."""
+    path = str(tmp_path_factory.mktemp("fuzzes") / "t.parquet")
+    df = spark.createDataFrame(rows, "id long, w long")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    sdf = (
+        spark.read.parquet(path)
+        .selectExpr(
+            "id",
+            "round(ln((cast(conv(substring(md5(cast(id as string)), 1, 8), "
+            "16, 10) as double) + 0.5) / 4294967296.0) "
+            "/ cast(w as double), 9) es_key",
+        )
+        .selectExpr(
+            "id",
+            "row_number() over (order by es_key desc, id) rn",
+        )
+        .filter("rn <= 3")
+    )
+    _cmp(
+        sdf,
+        con,
+        """
+        WITH keyed AS (
+          SELECT id,
+                 round(ln((CAST('0x' || substring(md5(CAST(id AS VARCHAR)),
+                                        1, 8) AS BIGINT) + 0.5)
+                          / 4294967296.0) / CAST(w AS DOUBLE), 9) AS es_key
+          FROM t
+        )
+        SELECT id, rn FROM (
+          SELECT id,
+                 row_number() OVER (ORDER BY es_key DESC, id) AS rn
+          FROM keyed
+        ) WHERE rn <= 3
+        """,
+    )
