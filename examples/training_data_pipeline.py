@@ -141,23 +141,24 @@ def main() -> None:
     # deterministic global shuffle → shards: seeded md5 key, shard =
     # key mod 8, within-shard order = key order (epoch reshuffle =
     # bump the seed). One shuffle + one within-partition sort.
-    shuffle_key = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("epoch-1|"), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.textstats import (
+        md5_prefix_long,
+    )
+
+    shuffle_key = md5_prefix_long(
+        F.concat(F.lit("epoch-1|"), F.col("doc_id").cast("string"))
+    )
     kept = kept.withColumn("shuffle_key", shuffle_key).withColumn(
         "shard", F.pmod(F.col("shuffle_key"), F.lit(8)).cast("int")
     )
     # (split, shard)-partitioned, key-sorted write: training jobs read
-    # only their shard dirs, already in shuffled order
+    # only their shard dirs, already in shuffled order. The key itself
+    # is dropped after the sort — it is a pure function of doc_id, so
+    # persisting it would only bloat the published schema.
     (
         kept.repartition("split", "shard")
         .sortWithinPartitions("shuffle_key")
+        .drop("shuffle_key")
         .write.mode("overwrite")
         .partitionBy("split", "shard")
         .parquet(os.path.join(out_dir, "documents"))

@@ -143,15 +143,13 @@ def run_ops(spark, n) -> dict[str, float]:
     def shard():
         from pyspark.sql import Window
 
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("e1|"), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.textstats import (
+            md5_prefix_long,
+        )
+
+        h = md5_prefix_long(
+            F.concat(F.lit("e1|"), F.col("doc_id").cast("string"))
+        )
         w = Window.partitionBy("shard").orderBy("k")
         docs.select("doc_id", h.alias("k")).withColumn(
             "shard", F.pmod(F.col("k"), F.lit(32)).cast("int")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_ws
+from . import textstats
 
 
 def dedup_exact(
@@ -355,7 +356,7 @@ def minhash_portable_candidates(
     base = sh.select(F.col(id_col), F.explode("shingles").alias("_s")).select(
         F.col(id_col),
         (
-            F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10).cast("long") % p
+            textstats.md5_prefix_long("_s") % p
         ).alias("_h0"),
     )
     sig = base.groupBy(id_col).agg(
@@ -682,7 +683,7 @@ def simhash(
     # (doc, token) instance — the token dictionary is orders of
     # magnitude smaller than the instance table at corpus scale
     tok_dict = counted.select("_tok").distinct().withColumn(
-        "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
+        "_h", textstats.md5_prefix_long("_tok")
     )
     per_token = counted.join(F.broadcast(tok_dict), "_tok")
     votes = [

@@ -187,8 +187,10 @@ def scd2_merge(
     upd = updates.select(
         *[F.col(c).alias(f"_u_{c}") for c in key_cols],
         *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
+    ).withColumn("_u_present", F.lit(True))
+    live = current.filter(F.col(current_col)).withColumn(
+        "_l_present", F.lit(True)
     )
-    live = current.filter(F.col(current_col))
     hist = current.filter(~F.col(current_col)).select(*out_cols)
     cond = [F.col(k).eqNullSafe(F.col(f"_u_{k}")) for k in key_cols]
     # deliberately NOT cached: the three output branches below share the
@@ -198,8 +200,11 @@ def scd2_merge(
     # whole dimension in executor storage (and leak across foreachBatch
     # micro-batches in the streaming CDC sink).
     joined = live.join(upd, cond, "full_outer")
-    has_live = F.col(key_cols[0]).isNotNull()
-    has_upd = F.col(f"_u_{key_cols[0]}").isNotNull()
+    # presence via lit(True) markers, NOT key nullability: the join is
+    # eqNullSafe, so a null key component is a legal value and must not
+    # make a row vanish from every branch
+    has_live = F.col("_l_present").isNotNull()
+    has_upd = F.col("_u_present").isNotNull()
     changed = functools.reduce(
         lambda a, b: a | b,
         [~F.col(t).eqNullSafe(F.col(f"_u_{t}")) for t in tracked_cols],
@@ -252,15 +257,17 @@ def snapshot_diff(
     o = old.select(
         *[F.col(c).alias(f"_o_{c}") for c in key_cols],
         *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
-    )
+    ).withColumn("_o_present", F.lit(True))
     n = new.select(
         *[F.col(c).alias(f"_n_{c}") for c in key_cols],
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
-    )
+    ).withColumn("_n_present", F.lit(True))
     cond = [F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}")) for k in key_cols]
     joined = o.join(n, cond, "full_outer")
-    has_old = F.col(f"_o_{key_cols[0]}").isNotNull()
-    has_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    # presence markers, not key nullability: eqNullSafe makes null key
+    # components legal, so they must not misclassify a row's side
+    has_old = F.col("_o_present").isNotNull()
+    has_new = F.col("_n_present").isNotNull()
     differs = functools.reduce(
         lambda a, b: a | b,
         [

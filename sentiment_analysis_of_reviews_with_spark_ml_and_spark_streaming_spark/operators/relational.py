@@ -320,9 +320,9 @@ def weighted_sample_per_group(
     E-S key is -inf)."""
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("double")
+    from .textstats import md5_prefix_long
+
+    h = md5_prefix_long(F.col(id_col).cast("string"), nchars=8).cast("double")
     u = (h + F.lit(0.5)) / F.lit(float(2**32))
     es_key = F.round(
         F.log(u) / F.col(weight_col).cast("double"), 9

@@ -239,6 +239,18 @@ def rolling_fingerprint_sketch(
     )
 
 
+def md5_prefix_long(col: Column | str, *, nchars: int = 15) -> Column:
+    """The engine-portable hash-to-integer convention, in ONE place:
+    the first ``nchars`` hex chars of md5 parsed base-16 into a bigint
+    (nchars ≤ 15 → ≤ 60 bits, always inside int64). DuckDB twin:
+    ``CAST('0x' || substring(md5(x), 1, nchars) AS BIGINT)``. Used by
+    table fingerprints, shard shuffle keys, simhash token hashes, and
+    the Efraimidis–Spirakis sampler (8-char variant); any change to the
+    convention must land here and in the SQL twins together."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, nchars), 16, 10).cast("long")
+
+
 def fingerprint(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -63,15 +63,17 @@ def capture_progress(spark: SparkSession):
 
 def stop_all_streams(spark: SparkSession, *, timeout_s: int = 30) -> int:
     """Stop every active streaming query, swallowing per-query stop
-    races; returns how many were stopped. Call BEFORE ``spark.stop()``
-    — state-store teardown mid-commit otherwise dumps abort stack
-    traces into stderr during shutdown."""
+    races; returns how many actually TERMINATED (awaitTermination
+    returns False on timeout without raising — a query still tearing
+    down must not count as stopped, or the caller proceeds to
+    ``spark.stop()`` in exactly the mid-commit state this helper
+    exists to prevent). Call BEFORE ``spark.stop()``."""
     n = 0
     for q in spark.streams.active:
         try:
             q.stop()
-            q.awaitTermination(timeout_s)
-            n += 1
+            if q.awaitTermination(timeout_s):
+                n += 1
         except Exception:  # noqa: BLE001 - best-effort teardown
             pass
     return n

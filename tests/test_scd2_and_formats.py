@@ -215,6 +215,63 @@ def test_streaming_scd2_dimension_maintenance(spark, tmp_path):
     }
 
 
+def test_scd2_merge_null_key_component_not_dropped(spark):
+    """A null KEY component is a legal value under the eqNullSafe join
+    and must not make rows vanish (presence is tracked by markers, not
+    key nullability)."""
+    import datetime as dt
+
+    d = dt.date
+    current = _dim(spark, [(None, "a", d(1995, 1, 1), None, True)])
+    updates = spark.createDataFrame([(None, "b")], "k int, v string")
+    out = layout.scd2_merge(
+        current, updates, key_cols=["k"], tracked_cols=["v"],
+        effective_date="1996-06-01",
+    )
+    rows = {(r.k, r.v, r.is_current) for r in out.collect()}
+    assert rows == {(None, "a", False), (None, "b", True)}
+
+
+def test_snapshot_diff_null_key_classification(spark):
+    old = spark.createDataFrame([(None, "a"), (1, "x")], "k int, v string")
+    # null-keyed row unchanged; key 1 deleted
+    new = spark.createDataFrame([(None, "a")], "k int, v string")
+    out = layout.snapshot_diff(old, new, key_cols=["k"], compare_cols=["v"])
+    rows = {(r.k, r.change_type) for r in out.collect()}
+    assert rows == {(1, "delete")}  # NOT a phantom insert for the null key
+
+
+def test_scd2_sink_batch_with_duplicate_keys_last_wins(spark, tmp_path):
+    """A CDC micro-batch carrying several events for one key must
+    reduce last-wins before merging — not fan out duplicate current
+    rows."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.cdc import (
+        scd2_sink,
+    )
+
+    import datetime as dt
+
+    d = dt.date
+    dim_path = str(tmp_path / "dim")
+    _dim(spark, [(1, "a", d(1995, 1, 1), None, True)]).write.parquet(dim_path)
+    batch = spark.createDataFrame(
+        [
+            (1, "mid", "1996-01-01"),
+            (1, "final", "1996-06-01"),  # later effective date wins
+        ],
+        "k int, v string, effective_date string",
+    )
+    scd2_sink(dim_path, key_cols=["k"], tracked_cols=["v"])(batch, 0)
+    rows = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+    assert rows == {
+        (1, "a", d(1995, 1, 1), d(1996, 6, 1), False),
+        (1, "final", d(1996, 6, 1), None, True),
+    }
+    # exactly one current row per key survived
+    cur = [r for r in rows if r[4]]
+    assert len(cur) == 1
+
+
 def test_orc_roundtrip_preserves_rows_and_schema(spark, tmp_path):
     src = io.load_table(spark, SF_DIR_SMOKE, "nation")
     path = str(tmp_path / "nation_orc")
