@@ -351,6 +351,36 @@ def main() -> None:
         pass
     sys.stdout.flush()
     print(json.dumps(result))
+    # The full line above is ~6 KB at 100+ queries and the driver keeps
+    # only the last 2,000 chars of stdout — round 4's artifact clipped
+    # mid-dict and parsed as null. Persist the complete result to a
+    # committed file, then emit a compact (<500-byte) summary as the
+    # ABSOLUTE LAST stdout line so the driver's tail always holds one
+    # whole JSON object. scripts/compare_bench.py reads either form.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        local_path = None
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "n_ok": result["n_ok"],
+        "n_errors": result["n_errors"],
+        "sf": sf,
+        "slowest": slowest,
+        "full": "BENCH_LOCAL.json" if local_path else None,
+    }
+    line = json.dumps(summary)
+    assert len(line) < 500, f"summary line grew to {len(line)} bytes"
+    print(line)
     sys.stdout.flush()
 
 

@@ -152,12 +152,16 @@ def main() -> None:
         "shard", F.pmod(F.col("shuffle_key"), F.lit(8)).cast("int")
     )
     # (split, shard)-partitioned, key-sorted write: training jobs read
-    # only their shard dirs, already in shuffled order. The key itself
-    # is dropped after the sort — it is a pure function of doc_id, so
+    # only their shard dirs, already in shuffled order. The sort must
+    # lead with the partition columns: the dynamic-partition writer
+    # requires an ordering on (split, shard) and would otherwise insert
+    # its own non-stable SortExec AFTER shuffle_key is dropped,
+    # destroying the byte-stable within-file order. The key itself is
+    # dropped after the sort — it is a pure function of doc_id, so
     # persisting it would only bloat the published schema.
     (
         kept.repartition("split", "shard")
-        .sortWithinPartitions("shuffle_key")
+        .sortWithinPartitions("split", "shard", "shuffle_key")
         .drop("shuffle_key")
         .write.mode("overwrite")
         .partitionBy("split", "shard")

@@ -11,6 +11,7 @@ by more than 0.5s absolute — mirrors the round-3 SCALING.md audit.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
@@ -19,10 +20,34 @@ def load(path: str) -> dict:
     raw = json.load(open(path))
     if "queries" in raw:
         return raw
-    m = re.search(r'\{"metric".*\}', raw.get("tail", ""))
-    if not m:
+    # Driver wrapper: the tail holds the compact summary line (last, always
+    # whole) and possibly a clipped full line before it. Walk lines from the
+    # end and take the first parseable bench object.
+    found = None
+    for line in reversed(raw.get("tail", "").splitlines()):
+        if '"metric"' not in line:
+            continue
+        m = re.search(r'\{"metric".*\}', line)
+        if not m:
+            continue
+        try:
+            found = json.loads(m.group(0))
+            break
+        except json.JSONDecodeError:
+            continue
+    if found is None:
         raise SystemExit(f"{path}: no bench JSON line found")
-    return json.loads(m.group(0))
+    if "queries" not in found:
+        # compact summary — pull per-query timings from the committed
+        # full artifact written by bench.py next to the wrapper
+        full = os.path.join(os.path.dirname(os.path.abspath(path)),
+                            found.get("full") or "BENCH_LOCAL.json")
+        if os.path.exists(full):
+            detail = json.load(open(full))
+            detail.update({k: found[k] for k in ("value", "n_ok", "n_errors")})
+            return detail
+        found["queries"] = dict(found.get("slowest") or {})
+    return found
 
 
 def main() -> None:

@@ -57,11 +57,24 @@ def normalize_embeddings_arrow(
             n = len(lst)
             if n == 0:
                 continue
+            # raise, don't assert: `python -O` strips asserts and the
+            # reshape below would then silently misalign rows; a null
+            # list element has width 0 in the offsets diff, so reject
+            # it with a message that names the actual problem
+            if lst.null_count:
+                raise ValueError(
+                    f"{vec_col} contains {lst.null_count} null embedding(s); "
+                    "drop or impute them before normalize_embeddings_arrow"
+                )
             flat = lst.values.to_numpy(zero_copy_only=False)
             offsets = lst.offsets.to_numpy(zero_copy_only=False)
             widths = np.diff(offsets)
             d = int(widths[0]) if n else 0
-            assert (widths == d).all(), "ragged embedding column"
+            if not (widths == d).all():
+                raise ValueError(
+                    f"ragged {vec_col} column: widths "
+                    f"{sorted(set(widths.tolist()))[:5]}… (expected {d})"
+                )
             mat = flat[offsets[0] : offsets[-1]].reshape(n, d).astype(
                 "float64", copy=False
             )

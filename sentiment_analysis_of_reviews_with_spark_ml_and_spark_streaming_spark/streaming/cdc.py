@@ -64,12 +64,15 @@ def scd2_sink(
     prev = dim_path.rstrip("/") + "._scd2_prev"
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        # crash repair FIRST — it needs no batch data, and an empty
+        # replayed batch must still restore the set-aside dim so
+        # concurrent readers of dim_path never wait for a non-empty one
+        if not os.path.exists(dim_path) and os.path.exists(prev):
+            os.rename(prev, dim_path)  # crash between the two renames
         eff = batch_df.agg(F.max(effective_col)).first()[0]
         if eff is None:  # empty batch
             return
         spark = batch_df.sparkSession
-        if not os.path.exists(dim_path) and os.path.exists(prev):
-            os.rename(prev, dim_path)  # crash between the two renames
         # last-wins per key: latest effective date, then tracked values
         # as a deterministic tiebreak for same-timestamp events
         w = Window.partitionBy(*key_cols).orderBy(

@@ -410,9 +410,12 @@ def running_user_stats_tws(
                 if len(pdf):
                     mx = max(mx, float(pdf[value_col].max()))
             self._state.update((cnt, total, mx))
+            # key_col threads through to the OUTPUT column name too —
+            # hardcoding "user_id" would silently mislabel the key when
+            # called with a different grouping column
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
+                    key_col: [key[0]],
                     "n_events": [cnt],
                     "total_value": [total],
                     "max_value": [mx],
@@ -425,7 +428,7 @@ def running_user_stats_tws(
     return events.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_RunningStats(),
         outputStructType=(
-            "user_id long, n_events long, total_value double, "
+            f"{key_col} long, n_events long, total_value double, "
             "max_value double"
         ),
         outputMode="Update",

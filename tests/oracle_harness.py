@@ -52,6 +52,41 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def _numeric_kinds(rows: list[tuple], cols: list[str]) -> dict[str, str]:
+    """Per-column python-type kind ('decimal' | 'float') of the first
+    non-null cell. The driver's hasher does NOT coerce Decimal→float
+    (r4's `mixture_token_budget` red row proved it), so a column that
+    is DECIMAL on one engine and DOUBLE on the other is a driver
+    hash-mismatch even when the values are numerically equal."""
+    import decimal
+
+    kinds: dict[str, str] = {}
+    for i, c in enumerate(cols):
+        for r in rows:
+            v = r[i]
+            if v is None:
+                continue
+            if isinstance(v, decimal.Decimal):
+                kinds[c] = "decimal"
+            elif isinstance(v, float):
+                kinds[c] = "float"
+            break
+    return kinds
+
+
+def decimal_float_mismatches(
+    s_rows: list[tuple], s_cols: list[str], d_rows: list[tuple], d_cols: list[str]
+) -> list[str]:
+    """Columns where one engine yields Decimal and the other float."""
+    sk = _numeric_kinds(s_rows, s_cols)
+    dk = _numeric_kinds(d_rows, d_cols)
+    return sorted(
+        c
+        for c in set(sk) & set(dk)
+        if {sk[c], dk[c]} == {"decimal", "float"}
+    )
+
+
 def compare(spark, query_fn, sql: str, sf_dir: str) -> dict:
     sdf = query_fn(spark, sf_dir)
     s_cols = sdf.columns
@@ -78,4 +113,10 @@ def compare(spark, query_fn, sql: str, sf_dir: str) -> dict:
         if not result["value_match"]:
             diffs = [(a, b) for a, b in zip(ns, nd) if a != b]
             result["first_diffs"] = diffs[:3]
+        # Decimal-vs-float type divergence fails the driver's hasher
+        # even when coerced values agree — flag it, don't hide it.
+        dfm = decimal_float_mismatches(s_rows, s_cols, d_rows, d_cols)
+        if dfm:
+            result["decimal_float_mismatch"] = dfm
+            result["value_match"] = False
     return result

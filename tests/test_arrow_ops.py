@@ -89,3 +89,29 @@ def test_apply_in_arrow_centroids_match_native(spark):
         assert n_a == n_b and mn > 0
         assert len(cent_a) == len(cent_b)
         assert all(abs(x - y) < 1e-9 for x, y in zip(cent_a, cent_b))
+
+
+def test_arrow_normalize_rejects_null_embeddings(spark):
+    """A null list element must raise a named ValueError, not trip an
+    assert (stripped under -O) or silently misalign the reshape."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception) as exc_info:
+        normalize_embeddings_arrow(df).collect()
+    assert "null embedding" in str(exc_info.value)
+
+
+def test_arrow_normalize_rejects_ragged_embeddings(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)  # raggedness is checked per Arrow batch
+    with pytest.raises(Exception) as exc_info:
+        normalize_embeddings_arrow(df).collect()
+    assert "ragged" in str(exc_info.value)
