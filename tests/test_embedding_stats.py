@@ -79,3 +79,31 @@ def test_embedding_stats_trace_consistent_with_pca(spark, duck_cov):
         assert stats[label]["total_var"] == pytest.approx(
             float(np.trace(cov)), abs=1e-4
         )
+
+
+def test_pca_power_share_brackets_exact_eigenvalue(spark, duck_cov):
+    """The hash-portable power-iteration estimate must bracket the
+    exact top eigenvalue: Rayleigh quotients never exceed lambda1, and
+    after K=10 steps on this data the estimate stays within 15% (the
+    cross-engine EQUALITY is test_queries_oracle's job; this ties the
+    estimate to ground truth)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        QUERIES,
+    )
+
+    got = {
+        r["label"]: r
+        for r in QUERIES["embedding_pca_power_share"](
+            spark, SF_DIR_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(duck_cov)
+    for label, (n, cov) in duck_cov.items():
+        evals = np.linalg.eigvalsh(cov)
+        lam1 = evals[-1]
+        r = got[label]
+        assert r["n_vectors"] == n
+        # Rayleigh quotient is a lower bound (up to round-9 state quantization)
+        assert r["lambda1_est"] <= lam1 * (1 + 1e-6), (label, r["lambda1_est"], lam1)
+        assert r["lambda1_est"] >= 0.85 * lam1, (label, r["lambda1_est"], lam1)
+        assert r["trace"] == pytest.approx(float(evals.sum()), rel=1e-4)
