@@ -57,6 +57,46 @@ def score_stream(
     )
 
 
+def score_stream_multihead(
+    lines: DataFrame,
+    sentiment_model: PipelineModel,
+    quality_model: PipelineModel,
+    *,
+    text_col: str = "value",
+) -> DataFrame:
+    """Two scoring heads — sentiment AND quality — in ONE streaming
+    pass (r5 stretch: completes the LLM tier's train→deploy→stream
+    story the way score_stream does the reference's Yelp flow).
+
+    Both fitted pipelines chain onto the same cleaned frame, so the
+    source is scanned once and the incremental planner runs both
+    transform chains per micro-batch; no second stream, no second
+    state. Column hygiene: the sentiment head's generic ml output
+    columns (``prediction``/``probability``/``rawPrediction``) are
+    projected away before the quality head runs, so the two LR heads
+    never collide. The quality model must have been fit with
+    ``text_col='text'`` (ml.quality.train_quality_classifier default).
+
+    Works identically on batch frames (tests exercise batch + a real
+    memory-sink stream)."""
+    cleaned = lines.select(normalize_text(F.col(text_col)).alias("text"))
+    sent = sentiment_model.transform(cleaned).select(
+        "text",
+        F.when(F.col("prediction") == 1, "Positive")
+        .otherwise("Negative")
+        .alias("sentiment"),
+    )
+    scored = quality_model.transform(sent)
+    from ..ml.quality import _prob_pos
+
+    return scored.select(
+        "text",
+        "sentiment",
+        (F.col("prediction") == 1.0).alias("is_quality"),
+        F.round(_prob_pos(), 6).alias("q_probability"),
+    )
+
+
 def start_console_scoring(
     lines: DataFrame,
     model: PipelineModel,

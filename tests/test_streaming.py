@@ -152,3 +152,79 @@ def test_sessionize_stream(spark, tmp_path):
     _await_query(q)
     rows = spark.sql("select * from sessions").collect()
     assert sorted(r["n_events"] for r in rows) == [1, 2]
+
+
+def _train_tiny_quality_model(spark):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.quality import (
+        train_quality_classifier,
+    )
+
+    # the hashed-n-gram LR only knows the vocabulary it saw at fit
+    # time, so the training corpus must share tokens with the text the
+    # stream test scores ("great amazing wonderful food ...")
+    long_good = (
+        "this is a perfectly reasonable document with plenty of real "
+        "words in ordinary sentences that passes every heuristic " * 6
+    )
+    shared_good = ("great amazing wonderful food " * 10).strip()
+    junk = "### ### ### ... ... ... ### #"
+    docs = spark.createDataFrame(
+        [(long_good,)] * 15 + [(shared_good,)] * 15 + [(junk,)] * 30,
+        "text string",
+    )
+    model, _ = train_quality_classifier(docs, min_tokens=20)
+    return model
+
+
+def test_score_stream_multihead_end_to_end(spark, tmp_path):
+    """Sentiment + quality heads over ONE files-source stream, memory
+    sink: the LLM tier's train->deploy->stream capstone (r5)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.scoring import (
+        score_stream_multihead,
+    )
+
+    sent_model = _train_tiny_model(spark)
+    qual_model = _train_tiny_quality_model(spark)
+    src = tmp_path / "in_mh"
+    src.mkdir()
+    good = (
+        "great amazing wonderful food " * 10
+    ).strip()  # long + positive -> quality, Positive
+    (src / "b0.txt").write_text(
+        f"{good}\nterrible awful rude service...\n"
+    )
+    lines = (
+        spark.readStream.format("text").schema("value string").load(str(src))
+    )
+    scored = score_stream_multihead(lines, sent_model, qual_model)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("multihead_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mh"))
+        .start()
+    )
+    _await_query(q)
+    rows = {
+        r["text"]: r
+        for r in spark.sql("select * from multihead_stream").collect()
+    }
+    assert len(rows) == 2
+    long_row = next(r for t, r in rows.items() if len(t) > 100)
+    short_row = next(r for t, r in rows.items() if len(t) <= 100)
+    assert long_row["sentiment"] == "Positive"
+    assert short_row["sentiment"] == "Negative"
+    assert long_row["is_quality"] and not short_row["is_quality"]
+    assert 0.0 <= short_row["q_probability"] <= 1.0
+
+    # batch twin: identical plan shape on a bounded frame
+    batch = spark.createDataFrame(
+        [(good,), ("terrible awful rude service...",)], "value string"
+    )
+    brows = {
+        r["text"]: r
+        for r in score_stream_multihead(batch, sent_model, qual_model).collect()
+    }
+    assert {(r["sentiment"], r["is_quality"]) for r in brows.values()} == {
+        (r["sentiment"], r["is_quality"]) for r in rows.values()
+    }
