@@ -695,6 +695,54 @@ def ivf_topk_deterministic(
     )
 
 
+def _assign_to_centroids(
+    vectors: DataFrame,
+    cents: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment shared by index build and
+    incremental add: broadcast the (bounded, k-row) centroid table,
+    rank by rounded L2², ties to the lower centroid id. Returns
+    (id, vec, cluster, _d2) — _d2 is kept so maintenance jobs can
+    watch assignment drift."""
+    c = cents.select(
+        F.col("centroid_id").alias("_cid"), F.col("centroid_vec").alias("_ce")
+    )
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("_e"), F.col("_ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_d2").asc(), F.col("_cid").asc()
+    )
+    return (
+        v.crossJoin(F.broadcast(c))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_cid"),
+            F.round(dist2, dist_round).alias("_d2"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_cid").alias("cluster"),
+            F.col("_d2"),
+        )
+    )
+
+
 def ivf_index_write(
     corpus: DataFrame,
     path: str,
@@ -727,32 +775,9 @@ def ivf_index_write(
         vec_col=vec_col,
         return_centroids=True,
     )
-    c = cents.select(
-        F.col("centroid_id").alias("_cid"), F.col("centroid_vec").alias("_ce")
-    )
-    v = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
-    )
-    dist2 = F.aggregate(
-        F.zip_with(F.col("_e"), F.col("_ce"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("_cid").asc())
-    assigned = (
-        v.crossJoin(F.broadcast(c))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("_cid"),
-            F.round(dist2, dist_round).alias("_d2"),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("_cid").alias("cluster"))
-    )
+    assigned = _assign_to_centroids(
+        corpus, cents, id_col=id_col, vec_col=vec_col, dist_round=dist_round
+    ).select(id_col, vec_col, "cluster")
     if quantize:
         # SQ8 lists: 4x smaller at rest/in memory (the int8 codes are
         # what a RAM-resident inverted list would hold at 100 TB);
@@ -871,3 +896,93 @@ def ivf_index_probe(
             F.col("_sim").alias("cosine_sim"),
         )
     )
+
+
+def ivf_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+    quantized: bool = False,
+    bits_max: int = 127,
+) -> DataFrame:
+    """Incremental ingest into a persisted IVF index — the maintenance
+    half of the serving contract: new vectors are assigned to the
+    EXISTING centroids (no retrain, no touch of the resident lists)
+    and appended to their ``cluster=`` partitions, so the ingest cost
+    is O(|batch| · k) compare work plus an append-only write of
+    exactly the affected partitions. At 100 TB this is the difference
+    between a nightly full rebuild and a streaming-ingest index.
+
+    Quantized indexes encode the batch with the STORED per-dim scales
+    (never refit — refitting would silently re-scale new codes against
+    old ones); out-of-range values clamp to ±bits_max, the standard
+    SQ8 saturation behavior, and the returned report counts clamped
+    dims per cluster so a maintenance job can trigger a re-scale when
+    the corpus distribution drifts past the fitted range.
+
+    Returns a bounded per-cluster report (cluster, n_added,
+    mean_assign_dist2, n_clamped_dims) — mean assignment distance
+    rising over batches is the retrain signal."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = _assign_to_centroids(
+        new_vectors, cents, id_col=id_col, vec_col=vec_col,
+        dist_round=dist_round,
+    )
+    clamped = F.lit(0)
+    if quantized:
+        srows = sorted(
+            (r["dim"], r["absmax"])
+            for r in spark.read.parquet(f"{path}/scales").collect()
+        )
+        scale_arr = F.array(*[F.lit(m) for _d, m in srows])
+        raw = F.zip_with(
+            F.col(vec_col),
+            scale_arr,
+            lambda x, m: F.when(m == 0.0, F.lit(0)).otherwise(
+                F.floor(x.cast("double") * bits_max / m + F.lit(0.5)).cast(
+                    "int"
+                )
+            ),
+        )
+        codes = F.transform(
+            raw,
+            lambda cde: F.greatest(
+                F.lit(-bits_max), F.least(F.lit(bits_max), cde)
+            ),
+        )
+        clamped = F.size(
+            F.filter(raw, lambda cde: F.abs(cde) > F.lit(bits_max))
+        )
+        assigned = assigned.select(
+            F.col(id_col),
+            codes.alias("codes"),
+            "cluster",
+            "_d2",
+            clamped.alias("_n_clamped"),
+        )
+        out_cols = [id_col, "codes", "cluster"]
+    else:
+        assigned = assigned.withColumn("_n_clamped", F.lit(0))
+        out_cols = [id_col, vec_col, "cluster"]
+    # one pass: append the lists AND derive the report from the same
+    # assignment (cache the bounded batch so the two actions share it)
+    assigned = assigned.cache()
+    assigned.select(*out_cols).write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(f"{path}/lists")
+    report = (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_added"),
+            F.round(F.avg("_d2"), dist_round).alias("mean_assign_dist2"),
+            F.sum("_n_clamped").cast("long").alias("n_clamped_dims"),
+        )
+        .orderBy("cluster")
+    )
+    rows = report.collect()
+    assigned.unpersist()
+    return spark.createDataFrame(rows, report.schema)

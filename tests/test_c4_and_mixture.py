@@ -388,3 +388,125 @@ def test_ivf_index_quantized_probe_recall(spark, tmp_path):
     }
     recall = len(base & quant) / len(base)
     assert recall >= 0.9, f"SQ8 probe recall {recall}"
+
+
+def test_ivf_index_incremental_add_float(spark, tmp_path):
+    """Incremental ingest: new vectors assigned to the EXISTING
+    centroids and appended to their cluster= partitions. Probing the
+    grown index must equal an index written in one shot against the
+    SAME centroid table (decomposition property), and the report's
+    assignments must match what a fresh assign of the batch yields."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        similarity,
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.io import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    grown = str(tmp_path / "ivf_grown")
+    similarity.ivf_index_write(base, grown, k_clusters=4, iterations=3)
+    report = similarity.ivf_index_add(spark, grown, batch)
+    assert report.collect()  # at least one cluster got rows
+    n_base = base.count()
+    n_batch = batch.count()
+    assert sum(r["n_added"] for r in report.collect()) == n_batch
+    lists = spark.read.parquet(f"{grown}/lists")
+    assert lists.count() == n_base + n_batch
+
+    # one-shot twin sharing the grown index's centroids: assign the
+    # full corpus against them and compare probe results exactly
+    oneshot = str(tmp_path / "ivf_oneshot")
+    cents = spark.read.parquet(f"{grown}/centroids")
+    assigned = similarity._assign_to_centroids(emb, cents).select(
+        "vec_id", "embedding", "cluster"
+    )
+    assigned.write.partitionBy("cluster").parquet(f"{oneshot}/lists")
+    cents.write.parquet(f"{oneshot}/centroids")
+    p_grown = similarity.ivf_index_probe(spark, grown, queries, n_probe=2, k=5)
+    p_one = similarity.ivf_index_probe(spark, oneshot, queries, n_probe=2, k=5)
+    assert sorted(map(tuple, p_grown.collect())) == sorted(
+        map(tuple, p_one.collect())
+    )
+
+
+def test_ivf_index_incremental_add_quantized_uses_stored_scales(
+    spark, tmp_path
+):
+    """Quantized ingest must encode with the index's STORED scales, not
+    refit them — and out-of-range values saturate at ±127 with the
+    clamp surfaced in the report."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        similarity,
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.io import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    path = str(tmp_path / "ivf_q")
+    similarity.ivf_index_write(
+        base, path, k_clusters=4, iterations=2, quantize=True
+    )
+    # in-range batch: half-scale held-out vectors are provably inside
+    # the fitted range (a raw held-out vector can legitimately exceed
+    # base's absmax in some dim and clamp — that's the feature);
+    # codes must equal floor(x*127/stored_m + 0.5)
+    batch = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .limit(20)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: (x * 0.5).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    report = similarity.ivf_index_add(spark, path, batch, quantized=True)
+    assert sum(r["n_clamped_dims"] for r in report.collect()) == 0
+    stored = {
+        r["dim"]: r["absmax"]
+        for r in spark.read.parquet(f"{path}/scales").collect()
+    }
+    batch_rows = {r["vec_id"]: list(r["embedding"]) for r in batch.collect()}
+    lists = spark.read.parquet(f"{path}/lists")
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in lists.filter(
+            F.col("vec_id").isin(list(batch_rows))
+        ).collect()
+    }
+    import math
+
+    for vid, vec in batch_rows.items():
+        want = [
+            0
+            if stored[d] == 0
+            else int(math.floor(float(x) * 127 / stored[d] + 0.5))
+            for d, x in enumerate(vec)
+        ]
+        assert got[vid] == want, vid
+
+    # out-of-range batch: 3x the corpus max must clamp to ±127
+    big = batch.limit(2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * 10.0).cast("float")
+        ).alias("embedding"),
+    )
+    report2 = similarity.ivf_index_add(spark, path, big, quantized=True)
+    assert sum(r["n_clamped_dims"] for r in report2.collect()) > 0
+    clamped = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(f"{path}/lists")
+        .filter(F.col("vec_id") >= 1_000_000)
+        .collect()
+    }
+    assert clamped and all(
+        max(map(abs, codes)) <= 127 for codes in clamped.values()
+    )

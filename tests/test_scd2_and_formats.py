@@ -272,6 +272,36 @@ def test_scd2_sink_batch_with_duplicate_keys_last_wins(spark, tmp_path):
     assert len(cur) == 1
 
 
+def test_scd2_sink_empty_batch_still_repairs_crashed_commit(spark, tmp_path):
+    """Crash window: merged was renamed in-progress — dim is MISSING and
+    the ._scd2_prev set-aside exists. The repair must run even when the
+    next (replayed) batch is EMPTY, so concurrent dim readers never
+    wait for a non-empty batch (ADVICE r4)."""
+    import os
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.cdc import (
+        scd2_sink,
+    )
+
+    import datetime as dt
+
+    d = dt.date
+    dim_path = str(tmp_path / "dim")
+    prev = dim_path + "._scd2_prev"
+    _dim(spark, [(1, "a", d(1995, 1, 1), None, True)]).write.parquet(dim_path)
+    # simulate the crash between the two commit renames
+    os.rename(dim_path, prev)
+    assert not os.path.exists(dim_path)
+    empty = spark.createDataFrame(
+        [], "k int, v string, effective_date string"
+    )
+    scd2_sink(dim_path, key_cols=["k"], tracked_cols=["v"])(empty, 1)
+    # dim restored by the empty batch; contents intact
+    rows = {tuple(r) for r in spark.read.parquet(dim_path).collect()}
+    assert rows == {(1, "a", d(1995, 1, 1), None, True)}
+    assert not os.path.exists(prev)
+
+
 def test_orc_roundtrip_preserves_rows_and_schema(spark, tmp_path):
     src = io.load_table(spark, SF_DIR_SMOKE, "nation")
     path = str(tmp_path / "nation_orc")
