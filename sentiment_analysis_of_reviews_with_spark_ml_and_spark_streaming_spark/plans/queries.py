@@ -6847,13 +6847,18 @@ WITH s AS (
          (coalesce(try_cast(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 9 + 1)
            AS w
   FROM documents GROUP BY source
-), tot AS (SELECT sum(w) AS tw FROM s)
+), tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM s)
 SELECT source, n_docs, n_tokens,
        -- every ratio routed through DOUBLE explicitly: bare `* 1.0`
        -- is DECIMAL(2,1) in DuckDB and BIGINT/DECIMAL promotion keeps
        -- the result DECIMAL, which the driver's hasher renders as
        -- Decimal('0.129630') vs Spark's DOUBLE 0.12963 (r4 red row).
        -- Same convention as SQL_MIXTURE_SAMPLE_DOCS.
+       -- tw is CAST to BIGINT above because DuckDB sum(BIGINT) is
+       -- HUGEINT, and BIGINT // HUGEINT stays HUGEINT — so
+       -- target_tokens arrived as decimal128(38,0) at the driver's
+       -- Arrow fetch while Spark emits LONG (the r5 red row; the r5
+       -- fix double-routed only the float columns).
        round(CAST(w AS DOUBLE) / tw, 6) AS target_share,
        (100000 * w) // tw AS target_tokens,
        round(least(CAST(1.0 AS DOUBLE),
@@ -8268,7 +8273,9 @@ SQL_SKEW_AUDIT_ORDERS_CUSTKEY = """
 WITH per_key AS (
   SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1
 )
-SELECT sum(c) AS n_rows, count(*) AS n_keys, max(c) AS max_per_key,
+-- CAST: DuckDB sum(BIGINT) is HUGEINT = decimal128 at the driver's
+-- Arrow fetch; Spark emits LONG (r5 red row).
+SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys, max(c) AS max_per_key,
        round(avg(c), 6) AS avg_per_key,
        round(quantile_cont(c, 0.99), 4) AS p99_per_key,
        arg_max(o_custkey, printf('%012d', c) || '|' ||
@@ -8434,7 +8441,10 @@ diff AS (
               WHEN o.seg <> n.seg THEN 'update' END AS change_type
   FROM old o FULL OUTER JOIN new n ON o.k = n.k
 )
-SELECT change_type, count(*) AS n_changes, sum(k) AS key_checksum
+-- CAST: DuckDB sum(BIGINT) is HUGEINT = decimal128 at the driver's
+-- Arrow fetch; Spark emits LONG (r5 red row).
+SELECT change_type, count(*) AS n_changes,
+       CAST(sum(k) AS BIGINT) AS key_checksum
 FROM diff WHERE change_type IS NOT NULL GROUP BY 1
 """
 
@@ -8590,34 +8600,91 @@ SQL_KMEANS_SILHOUETTE = _kmeans_silhouette_oracle_sql(4, 3)
 # Registry order is a CONTRACT with the driver: it grades a 50-key prefix.
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
-# multi-green veterans rotate past it.  Round-5 window (positions 1-50):
-#   W-A. 4 re-seats — mixture_token_budget (the single r4 red row; its
-#        oracle is now routed through DOUBLE end-to-end, VERDICT r4 #1)
-#        plus the three rows VERDICT r4 #4 asked to hold green for a
-#        second consecutive round (first round with the hot-shingle cap
-#        / boilerplate stage active);
-#   W-B. 46 of the 55 never-driver-graded round-4 additions (VERDICT r4
-#        #2), flagship tier first: BPE training, SCD2/snapshot/CDC-adj,
-#        XML/codec, sampling/sharding/fingerprint, the 7 function-surface
-#        suites, the TPC-H completions, then the dedup/similarity/sketch
-#        and audit tiers.
-# Then the 9 r4 additions deferred to round 6, the r4-window veterans
-# (49 green rows in CORRECTNESS_r04), older veterans, rows-only last.
+# multi-green veterans rotate past it.  Round-6 window (positions 1-50):
+#   W-A. 3 re-seats — the r5 red rows (mixture_token_budget,
+#        snapshot_diff_customer, skew_audit_orders_custkey). Root cause for
+#        all three: a bare integer sum in the oracle — DuckDB sum(BIGINT)
+#        returns HUGEINT, which the driver's Arrow fetch renders as
+#        decimal128(38,0) while Spark emits LONG, so the value hash
+#        diverges even on equal values. Fixed with CAST(... AS BIGINT);
+#        scripts/oracle_type_sweep.py now certifies the whole registry
+#        Arrow-kind-clean.
+#   W-B. the 10 remaining never-driver-graded oracle-backed queries.
+#   W-C. stale-green rotation: all 32 rows last green in r02, then the 5
+#        oldest r03 rows.
+# Then veterans in prior relative order, rows-only last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-5 GRADING WINDOW (first 50 keys; policy: docs/QUERIES.md) ---
-    # W-A: re-seats — mixture_token_budget (r4 red; oracle now double-routed),
-    # dedup_ngram_jaccard / dedup_cluster_canonical (first graded round with the
-    # hot-shingle DF cap active), curation_funnel (first with the boilerplate stage).
+    # --- ROUND-6 GRADING WINDOW (first 50 keys; policy: docs/QUERIES.md) ---
+    # W-A: the 3 r5 red rows, re-seated with HUGEINT-proof oracles (DuckDB
+    #      sum(BIGINT) is HUGEINT = decimal128 at the driver's Arrow fetch;
+    #      every integer aggregate is now CAST to BIGINT — the full-registry
+    #      Arrow-type sweep in scripts/oracle_type_sweep.py certifies zero
+    #      remaining kind divergences).
     "mixture_token_budget": q_mixture_token_budget,
+    "snapshot_diff_customer": q_snapshot_diff_customer,
+    "skew_audit_orders_custkey": q_skew_audit_orders_custkey,
+    # W-B: the 10 never-driver-graded oracle-backed queries (the 9 r4
+    #      additions deferred from the r5 queue + the r5 addition
+    #      embedding_pca_power_share, the portable twin that retires the
+    #      permanently-ungradeable embedding_pca_by_label slot).
+    "observe_scan_metrics": q_observe_scan_metrics,
+    "variant_props_stats": q_variant_props_stats,
+    "lateral_top_orders": q_lateral_top_orders,
+    "recursive_month_series": q_recursive_month_series,
+    "session_window_native": q_session_window_native,
+    "data_card_by_source": q_data_card_by_source,
+    "redacted_documents": q_redacted_documents,
+    "modern_aggregates_by_type": q_modern_aggregates_by_type,
+    "argmax_aggregates_by_priority": q_argmax_aggregates_by_priority,
+    "embedding_pca_power_share": q_embedding_pca_power_share,
+    # W-C: stale-green rotation — every remaining row whose last driver
+    #      green is r02 (32 rows), then the 5 oldest r03 rows; multi-green
+    #      r4/r5 veterans rotate past the window.
+    "duplicate_spans": q_duplicate_spans,
+    "multimodal_meta": q_multimodal_meta,
+    "deterministic_split": q_deterministic_split,
+    "chunk_documents": q_chunk_documents,
+    "clean_normalize_docs": q_clean_normalize_docs,
+    "token_frequencies": q_token_frequencies,
+    "doc_token_counts": q_doc_token_counts,
+    "top_words_no_stopwords": q_top_words_no_stopwords,
+    "sentiment_docs": q_sentiment_docs,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "doc_fingerprint": q_doc_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "embedding_stats_by_label": q_embedding_stats_by_label,
+    "repetition_ratio": q_repetition_ratio,
+    "corpus_stats_by_source": q_corpus_stats_by_source,
+    "tfidf_native_top_terms": q_tfidf_native_top_terms,
+    "topk_part_type_tokens": q_topk_part_type_tokens,
+    "pricing_summary": q_pricing_summary,
+    "join_left_impute_flag": q_join_left_impute_flag,
+    "join_multi_hop": q_join_multi_hop,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "predicate_range": q_predicate_range,
+    "dropna_after_left_join": q_dropna_after_left_join,
+    "histogram_totalprice": q_histogram_totalprice,
+    "sort_limit_top_orders": q_sort_limit_top_orders,
+    "topk_per_group": q_topk_per_group,
+    "except_customers_without_orders": q_except_customers_without_orders,
+    "rollup_returnflag": q_rollup_returnflag,
+    "quantiles_price_by_priority": q_quantiles_price_by_priority,
+    "approx_distinct_parts": q_approx_distinct_parts,
+    "unigram_logprob_docs": q_unigram_logprob_docs,
+    "rank_family_orders": q_rank_family_orders,
+    "unpivot_part_measures": q_unpivot_part_measures,
+    "sentence_stats": q_sentence_stats,
+    "market_share_region": q_market_share_region,
+    # --- past the window: r5/r4-window veterans + younger rows, prior
+    # relative order preserved; rows-only (no portable oracle) last ---
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_cluster_canonical": q_dedup_cluster_canonical,
     "curation_funnel": q_curation_funnel,
-    # W-B: never driver-graded round-4 tier (46 of the 55 candidates;
-    # flagships from VERDICT r4 item 2 first).
     "bpe_merge_training": q_bpe_merge_training,
     "bpe_tokenized_stats": q_bpe_tokenized_stats,
     "scd2_customer_dim": q_scd2_customer_dim,
-    "snapshot_diff_customer": q_snapshot_diff_customer,
     "incremental_rollup_maintenance": q_incremental_rollup_maintenance,
     "xml_extract_orders": q_xml_extract_orders,
     "codec_roundtrip_suite": q_codec_roundtrip_suite,
@@ -8659,23 +8726,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regression_trend_by_priority": q_regression_trend_by_priority,
     "mad_outliers_by_type": q_mad_outliers_by_type,
     "peak_concurrency_by_type": q_peak_concurrency_by_type,
-    "skew_audit_orders_custkey": q_skew_audit_orders_custkey,
-    # --- past the window: the 9 r4 additions deferred to the round-6 queue ---
-    "observe_scan_metrics": q_observe_scan_metrics,
-    "variant_props_stats": q_variant_props_stats,
-    "lateral_top_orders": q_lateral_top_orders,
-    "recursive_month_series": q_recursive_month_series,
-    "session_window_native": q_session_window_native,
-    "data_card_by_source": q_data_card_by_source,
-    "redacted_documents": q_redacted_documents,
-    "modern_aggregates_by_type": q_modern_aggregates_by_type,
-    "argmax_aggregates_by_priority": q_argmax_aggregates_by_priority,
-    # r5 addition (mid-round, after position 50 per the rotation
-    # contract): oracle-backed power-iteration twin of the rows-only
-    # SVD query — queues for round 6 with the deferred tier above
-    "embedding_pca_power_share": q_embedding_pca_power_share,
-    # --- r4-window veterans (49 green in r4) + older multi-green veterans,
-    # prior relative order preserved ---
     "c4_line_filter_stats": q_c4_line_filter_stats,
     "semdedup_keep_set": q_semdedup_keep_set,
     "bigram_logprob_docs": q_bigram_logprob_docs,
@@ -8722,11 +8772,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "click_attribution_user": q_click_attribution_user,
     "embedding_centroids": q_embedding_centroids,
     "quality_filter_decision": q_quality_filter_decision,
-    "unigram_logprob_docs": q_unigram_logprob_docs,
-    "rank_family_orders": q_rank_family_orders,
-    "unpivot_part_measures": q_unpivot_part_measures,
-    "sentence_stats": q_sentence_stats,
-    "market_share_region": q_market_share_region,
     "returned_items_customers": q_returned_items_customers,
     "top_supplier_revenue": q_top_supplier_revenue,
     "important_parts_share": q_important_parts_share,
@@ -8752,46 +8797,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "pack_sequences": q_pack_sequences,
     "sentiment_vader_full": q_sentiment_vader_full,
-    "duplicate_spans": q_duplicate_spans,
-    "multimodal_meta": q_multimodal_meta,
-    "deterministic_split": q_deterministic_split,
-    "chunk_documents": q_chunk_documents,
-    "clean_normalize_docs": q_clean_normalize_docs,
-    "token_frequencies": q_token_frequencies,
-    "doc_token_counts": q_doc_token_counts,
-    "top_words_no_stopwords": q_top_words_no_stopwords,
-    "sentiment_docs": q_sentiment_docs,
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
-    "doc_fingerprint": q_doc_fingerprint,
-    "rolling_fingerprint": q_rolling_fingerprint,
-    "embedding_stats_by_label": q_embedding_stats_by_label,
-    "repetition_ratio": q_repetition_ratio,
-    "corpus_stats_by_source": q_corpus_stats_by_source,
-    "tfidf_native_top_terms": q_tfidf_native_top_terms,
-    "topk_part_type_tokens": q_topk_part_type_tokens,
-    "pricing_summary": q_pricing_summary,
-    "join_left_impute_flag": q_join_left_impute_flag,
-    "join_multi_hop": q_join_multi_hop,
-    "shipping_priority": q_shipping_priority,
-    "local_supplier_volume": q_local_supplier_volume,
-    "predicate_range": q_predicate_range,
-    "dropna_after_left_join": q_dropna_after_left_join,
-    "histogram_totalprice": q_histogram_totalprice,
-    "sort_limit_top_orders": q_sort_limit_top_orders,
-    "topk_per_group": q_topk_per_group,
-    "except_customers_without_orders": q_except_customers_without_orders,
-    "rollup_returnflag": q_rollup_returnflag,
-    "quantiles_price_by_priority": q_quantiles_price_by_priority,
-    "approx_distinct_parts": q_approx_distinct_parts,
-    # --- rows-only (no portable SQL oracle; recall/property/tolerance twins) ---
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ivf": q_similarity_ivf,
     "embedding_pca_by_label": q_embedding_pca_by_label,
-
 }
 
 ORACLE: dict[str, str] = {

@@ -53,11 +53,14 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 
 
 def _numeric_kinds(rows: list[tuple], cols: list[str]) -> dict[str, str]:
-    """Per-column python-type kind ('decimal' | 'float') of the first
-    non-null cell. The driver's hasher does NOT coerce Decimal→float
-    (r4's `mixture_token_budget` red row proved it), so a column that
-    is DECIMAL on one engine and DOUBLE on the other is a driver
-    hash-mismatch even when the values are numerically equal."""
+    """Per-column python-type kind ('decimal' | 'float' | 'int') of the
+    first non-null cell. The driver's hasher does NOT coerce across
+    python numeric types (r4's `mixture_token_budget` proved
+    Decimal-vs-float; r5's `snapshot_diff_customer` /
+    `skew_audit_orders_custkey` proved Decimal-vs-int: DuckDB
+    sum(BIGINT) is HUGEINT = decimal128 at the driver's Arrow fetch),
+    so ANY numeric-kind divergence is a driver hash-mismatch even when
+    the values are numerically equal."""
     import decimal
 
     kinds: dict[str, str] = {}
@@ -68,8 +71,12 @@ def _numeric_kinds(rows: list[tuple], cols: list[str]) -> dict[str, str]:
                 continue
             if isinstance(v, decimal.Decimal):
                 kinds[c] = "decimal"
+            elif isinstance(v, bool):
+                pass
             elif isinstance(v, float):
                 kinds[c] = "float"
+            elif isinstance(v, int):
+                kinds[c] = "int"
             break
     return kinds
 
@@ -77,14 +84,11 @@ def _numeric_kinds(rows: list[tuple], cols: list[str]) -> dict[str, str]:
 def decimal_float_mismatches(
     s_rows: list[tuple], s_cols: list[str], d_rows: list[tuple], d_cols: list[str]
 ) -> list[str]:
-    """Columns where one engine yields Decimal and the other float."""
+    """Columns whose numeric kind (int / float / Decimal) differs
+    between the engines — each is a driver hash mismatch."""
     sk = _numeric_kinds(s_rows, s_cols)
     dk = _numeric_kinds(d_rows, d_cols)
-    return sorted(
-        c
-        for c in set(sk) & set(dk)
-        if {sk[c], dk[c]} == {"decimal", "float"}
-    )
+    return sorted(c for c in set(sk) & set(dk) if sk[c] != dk[c])
 
 
 def compare(spark, query_fn, sql: str, sf_dir: str) -> dict:
@@ -93,9 +97,13 @@ def compare(spark, query_fn, sql: str, sf_dir: str) -> dict:
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_conn(sf_dir)
-    cur = con.execute(sql)
-    d_cols = [d[0] for d in cur.description]
-    d_rows = cur.fetchall()
+    # Fetch through Arrow, exactly like the driver: DuckDB HUGEINT
+    # (any bare integer sum) surfaces as decimal128(38,0)/Decimal here,
+    # where .fetchall() would hand back a plain Python int and hide the
+    # divergence the driver's hasher sees (the r5 red rows).
+    tbl = con.execute(sql).fetch_arrow_table()
+    d_cols = list(tbl.schema.names)
+    d_rows = [tuple(d.values()) for d in tbl.to_pylist()]
     con.close()
 
     result = {
