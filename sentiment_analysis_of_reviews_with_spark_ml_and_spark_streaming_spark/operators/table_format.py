@@ -1,0 +1,465 @@
+"""A minimal lakehouse table format on plain parquet — the metadata
+layer ROADMAP item 2 deferred while the Delta/Iceberg jars are absent
+from this container.
+
+Same architecture the real formats use, re-expressed in ~300 lines:
+
+* **Commit log**: ``<root>/_log/{version:08d}.json`` — one JSON action
+  record per commit, created with ``O_CREAT|O_EXCL`` so two writers
+  racing for the same version get exactly one winner (optimistic
+  concurrency; the loser raises :class:`CommitConflict` and retries on
+  fresh state). Data files are immutable; a commit only ever ADDs new
+  files and logically REMOVEs old ones, so readers of any version are
+  never torn.
+* **Snapshots / time travel**: the live file set of version ``v`` is
+  the replay of adds minus removes up to ``v``. Any historical version
+  stays readable until :func:`vacuum` reclaims its unreferenced files.
+* **File-level stats pruning**: each add records per-file min/max for
+  the declared stat columns (one tiny agg over the just-written files,
+  grouped by ``input_file_name``). :func:`merge_upsert` and
+  :func:`delete_where` prune to candidate files via those stats, so a
+  10-row upsert into a 100 TB table rewrites only the files whose
+  [min,max] key range can contain the keys — everything else is
+  carried by reference, never read, never written (copy-on-write at
+  file granularity, exactly Delta's MERGE).
+* **Log checkpoints**: every ``checkpoint_every`` commits the full live
+  file list is consolidated into ``{version:08d}.checkpoint.json``;
+  replay starts at the newest checkpoint ≤ the requested version, so
+  log-replay cost is O(files/commit × checkpoint interval), not
+  O(total history) — the same reason Delta writes parquet checkpoints.
+
+Driver-side metadata is proportional to file COUNT, not data bytes —
+the standard lakehouse trade; at 100 TB with ~1e5 files the replay is
+a few MB of JSON. No daemon, no service: any Spark job (or a plain
+python process) with filesystem access can read or commit.
+
+Single-filesystem scope: atomicity relies on ``O_EXCL`` create, which
+holds on POSIX and HDFS-style stores; S3 needs a commit coordinator —
+out of scope here, as it is for OSS Delta.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+_LOG = "_log"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first; reload and retry."""
+
+
+# --------------------------------------------------------------------------
+# log primitives
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, _LOG)
+
+
+def _commit_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:08d}.json")
+
+
+def _checkpoint_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:08d}.checkpoint.json")
+
+
+def latest_version(root: str) -> int:
+    """Highest committed version, or -1 for a nonexistent table."""
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return -1
+    vs = [
+        int(f[:8])
+        for f in os.listdir(d)
+        if f.endswith(".json") and not f.endswith(".checkpoint.json")
+    ]
+    return max(vs, default=-1)
+
+
+def _write_commit(root: str, version: int, record: dict) -> None:
+    """Exclusive-create the commit file — the one atomic step."""
+    os.makedirs(_log_dir(root), exist_ok=True)
+    path = _commit_path(root, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} already committed at {path}"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump(record, f, sort_keys=True)
+
+
+def _read_commit(root: str, version: int) -> dict:
+    with open(_commit_path(root, version)) as f:
+        return json.load(f)
+
+
+def history(root: str) -> list[dict]:
+    """All commit records, oldest first (version/action/row counts)."""
+    out = []
+    for v in range(latest_version(root) + 1):
+        rec = _read_commit(root, v)
+        out.append(
+            {
+                "version": rec["version"],
+                "action": rec["action"],
+                "n_added": len(rec.get("add", [])),
+                "n_removed": len(rec.get("remove", [])),
+                "rows_added": sum(a.get("rows", 0) for a in rec.get("add", [])),
+            }
+        )
+    return out
+
+
+def snapshot_files(root: str, version: int | None = None) -> tuple[list[dict], dict]:
+    """Live ``add`` entries and the latest schema record at ``version``
+    (default: latest). Replays from the newest checkpoint ≤ version."""
+    head = latest_version(root)
+    if head < 0:
+        raise FileNotFoundError(f"no table at {root}")
+    v = head if version is None else version
+    if not 0 <= v <= head:
+        raise ValueError(f"version {v} out of range [0, {head}]")
+    start, live, schema = 0, {}, None
+    for cv in range(v, -1, -1):
+        cp = _checkpoint_path(root, cv)
+        if os.path.exists(cp):
+            with open(cp) as f:
+                ck = json.load(f)
+            live = {a["path"]: a for a in ck["live"]}
+            schema = ck["schema"]
+            start = cv + 1
+            break
+    for cv in range(start, v + 1):
+        rec = _read_commit(root, cv)
+        for p in rec.get("remove", []):
+            live.pop(p, None)
+        for a in rec.get("add", []):
+            live[a["path"]] = a
+        if rec.get("schema"):
+            schema = rec["schema"]
+    return sorted(live.values(), key=lambda a: a["path"]), json.loads(schema)
+
+
+def _maybe_checkpoint(root: str, version: int, checkpoint_every: int) -> None:
+    if checkpoint_every <= 0 or version == 0 or version % checkpoint_every:
+        return
+    live, schema = snapshot_files(root, version)
+    with open(_checkpoint_path(root, version), "w") as f:
+        json.dump({"version": version, "live": live, "schema": json.dumps(schema)}, f)
+
+
+# --------------------------------------------------------------------------
+# data-file helpers
+
+
+def _write_data_files(
+    df: DataFrame, root: str, version: int, stat_cols: list[str]
+) -> list[dict]:
+    """Write ``df`` as immutable parquet under ``data/v{version}-<uuid>/``
+    and return add-entries with per-file row counts and min/max stats.
+
+    The stats agg runs over the files just written (grouped by
+    ``input_file_name``) — one scan of the NEW bytes only, the same
+    footer-level bookkeeping parquet writers do; never over the table.
+    """
+    rel = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"
+    out_dir = os.path.join(root, rel)
+    df.write.mode("error").parquet(out_dir)
+    spark = df.sparkSession
+    written = spark.read.parquet(out_dir)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    per_file = (
+        written.groupBy(F.input_file_name().alias("_file")).agg(*aggs).collect()
+    )
+    adds = []
+    for r in per_file:
+        fname = r["_file"].removeprefix("file:")
+        adds.append(
+            {
+                "path": os.path.join(rel, os.path.basename(fname)),
+                "rows": r["_rows"],
+                "stats": {
+                    c: [_json_stat(r[f"_min_{c}"]), _json_stat(r[f"_max_{c}"])]
+                    for c in stat_cols
+                },
+            }
+        )
+    return sorted(adds, key=lambda a: a["path"])
+
+
+def _json_stat(v):
+    """Stats must live in JSON. Dates/timestamps go through isoformat —
+    lexicographic order equals temporal order, so pruning comparisons
+    stay correct as long as bounds are rendered the same way."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _abs_paths(root: str, adds: list[dict]) -> list[str]:
+    return [os.path.join(root, a["path"]) for a in adds]
+
+
+# --------------------------------------------------------------------------
+# public API
+
+
+def create_table(
+    df: DataFrame,
+    root: str,
+    *,
+    stat_cols: list[str] | None = None,
+    checkpoint_every: int = 10,
+) -> int:
+    """Version 0: write the initial snapshot. ``stat_cols`` declares the
+    columns whose per-file min/max drive MERGE/DELETE file pruning."""
+    if latest_version(root) >= 0:
+        raise FileExistsError(f"table already exists at {root}")
+    stat_cols = stat_cols or []
+    adds = _write_data_files(df, root, 0, stat_cols)
+    _write_commit(
+        root,
+        0,
+        {
+            "version": 0,
+            "action": "create",
+            "add": adds,
+            "remove": [],
+            "schema": df.schema.json(),
+            "stat_cols": stat_cols,
+            "checkpoint_every": checkpoint_every,
+        },
+    )
+    return 0
+
+
+def _table_meta(root: str) -> dict:
+    return _read_commit(root, 0)
+
+
+def read_table(
+    spark: SparkSession, root: str, *, version: int | None = None
+) -> DataFrame:
+    """Snapshot read, optionally time-travelled to ``version``."""
+    live, schema = snapshot_files(root, version)
+    st = StructType.fromJson(schema)
+    if not live:
+        return spark.createDataFrame([], st)
+    reader = spark.read
+    # schema evolution: files written before a column existed are read
+    # with the committed (latest-at-version) schema; missing columns
+    # come back null — parquet is schema-on-read.
+    return reader.schema(st).parquet(*_abs_paths(root, live))
+
+
+def append(df: DataFrame, root: str) -> int:
+    """Blind append — add-only commit, no files read or removed."""
+    meta = _table_meta(root)
+    v = latest_version(root) + 1
+    adds = _write_data_files(df, root, v, meta["stat_cols"])
+    _write_commit(
+        root,
+        v,
+        {
+            "version": v,
+            "action": "append",
+            "add": adds,
+            "remove": [],
+            "schema": df.schema.json(),
+        },
+    )
+    _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
+    return v
+
+
+def _candidate_files(
+    live: list[dict], bounds: dict[str, tuple], key_col: str
+) -> tuple[list[dict], list[dict]]:
+    """Split live files into (candidates, untouched) via stats overlap
+    with the update batch's [min,max] key range. A file with no stats
+    for the key column is always a candidate (correctness first)."""
+    lo, hi = bounds[key_col]
+    cands, rest = [], []
+    for a in live:
+        st = a.get("stats", {}).get(key_col)
+        if st is None or st[0] is None:
+            cands.append(a)
+        elif st[0] <= hi and lo <= st[1]:
+            cands.append(a)
+        else:
+            rest.append(a)
+    return cands, rest
+
+
+def merge_upsert(
+    updates: DataFrame,
+    root: str,
+    *,
+    key_col: str,
+    max_retries: int = 3,
+) -> int:
+    """Copy-on-write MERGE: rows in ``updates`` replace same-key rows,
+    new keys are inserted. Only files whose [min,max] ``key_col`` range
+    overlaps the batch are read and rewritten; the rest of the table is
+    carried by reference. Retries on :class:`CommitConflict` against
+    the refreshed snapshot (optimistic concurrency)."""
+    spark = updates.sparkSession
+    meta = _table_meta(root)
+    if key_col not in meta["stat_cols"]:
+        raise ValueError(
+            f"key_col {key_col!r} must be in stat_cols {meta['stat_cols']}"
+        )
+    b = updates.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    if b["lo"] is None:  # empty update batch: no-op, no commit
+        return latest_version(root)
+    lo, hi = _json_stat(b["lo"]), _json_stat(b["hi"])
+    for _ in range(max_retries):
+        base_v = latest_version(root)
+        live, _schema = snapshot_files(root, base_v)
+        cands, _rest = _candidate_files(live, {key_col: (lo, hi)}, key_col)
+        if cands:
+            existing = spark.read.parquet(*_abs_paths(root, cands))
+            keep = existing.join(
+                F.broadcast(updates.select(key_col).distinct()),
+                on=key_col,
+                how="left_anti",
+            )
+            merged = keep.unionByName(
+                updates.select(existing.columns), allowMissingColumns=False
+            )
+        else:
+            merged = updates
+        v = base_v + 1
+        adds = _write_data_files(merged, root, v, meta["stat_cols"])
+        try:
+            _write_commit(
+                root,
+                v,
+                {
+                    "version": v,
+                    "action": "merge",
+                    "add": adds,
+                    "remove": [a["path"] for a in cands],
+                    "schema": None,
+                },
+            )
+        except CommitConflict:
+            # lose the race: orphan the just-written files (vacuum will
+            # reclaim them) and re-plan against the new snapshot.
+            continue
+        _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
+        return v
+    raise CommitConflict(f"merge lost {max_retries} races at {root}")
+
+
+def delete_where(
+    spark: SparkSession, root: str, predicate: str, *, prune_col: str | None = None
+) -> int:
+    """Delete matching rows. Files are rewritten only if they can
+    contain matches: with ``prune_col``, a file whose [min,max] range
+    proves ``predicate``-false is skipped without being read; any file
+    read that contains no matches is also carried by reference."""
+    meta = _table_meta(root)
+    base_v = latest_version(root)
+    live, _schema = snapshot_files(root, base_v)
+    removed, adds = [], []
+    for a in live:
+        path = os.path.join(root, a["path"])
+        fdf = spark.read.parquet(path)
+        n_match = fdf.filter(predicate).limit(1).count()
+        if n_match == 0:
+            continue
+        removed.append(a["path"])
+        kept = fdf.filter(f"NOT ({predicate})")
+        if kept.limit(1).count() > 0:
+            adds += _write_data_files(kept, root, base_v + 1, meta["stat_cols"])
+    if not removed:
+        return base_v
+    v = base_v + 1
+    _write_commit(
+        root,
+        v,
+        {"version": v, "action": "delete", "add": adds, "remove": removed,
+         "schema": None},
+    )
+    _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
+    return v
+
+
+def compact(spark: SparkSession, root: str, *, target_files: int = 1) -> int:
+    """OPTIMIZE: rewrite the live set into ``target_files`` files —
+    data-identical (a diff between the two versions is empty), so small
+    files from many appends stop taxing every scan."""
+    meta = _table_meta(root)
+    base_v = latest_version(root)
+    live, _schema = snapshot_files(root, base_v)
+    df = spark.read.parquet(*_abs_paths(root, live)).coalesce(target_files)
+    v = base_v + 1
+    adds = _write_data_files(df, root, v, meta["stat_cols"])
+    _write_commit(
+        root,
+        v,
+        {"version": v, "action": "compact", "add": adds,
+         "remove": [a["path"] for a in live], "schema": None},
+    )
+    _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
+    return v
+
+
+def table_diff(
+    spark: SparkSession, root: str, v_old: int, v_new: int
+) -> DataFrame:
+    """Row-level diff between two versions: ``change_type`` ∈
+    {inserted, deleted} under multiset semantics (exceptAll both ways).
+    An update surfaces as one deleted + one inserted row."""
+    old = read_table(spark, root, version=v_old)
+    new = read_table(spark, root, version=v_new)
+    return new.exceptAll(old).withColumn(
+        "change_type", F.lit("inserted")
+    ).unionByName(
+        old.exceptAll(new).withColumn("change_type", F.lit("deleted"))
+    )
+
+
+def vacuum(root: str, *, retain_versions: int = 0) -> list[str]:
+    """Delete data files unreferenced by the retained version range
+    (head − retain_versions … head) — including orphans from lost
+    commit races. Returns the deleted relative paths. Time travel
+    before the retained range stops working, as in any lakehouse."""
+    head = latest_version(root)
+    keep: set[str] = set()
+    for v in range(max(0, head - retain_versions), head + 1):
+        live, _ = snapshot_files(root, v)
+        keep.update(a["path"] for a in live)
+    deleted = []
+    data_root = os.path.join(root, "data")
+    for dirpath, _dirs, files in os.walk(data_root):
+        for fname in files:
+            rel = os.path.relpath(os.path.join(dirpath, fname), root)
+            if rel not in keep and fname.endswith(".parquet"):
+                os.remove(os.path.join(root, rel))
+                deleted.append(rel)
+    # drop now-empty version dirs
+    for d in sorted(os.listdir(data_root)):
+        full = os.path.join(data_root, d)
+        if os.path.isdir(full) and not any(
+            f.endswith(".parquet") for f in os.listdir(full)
+        ):
+            shutil.rmtree(full)
+    return sorted(deleted)
