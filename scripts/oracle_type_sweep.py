@@ -12,6 +12,13 @@ This sweep runs EVERY registered oracle at sf0.001 through
 fetch_arrow_table() and compares each column's Arrow type kind against
 the Spark query's schema kind. Exit non-zero on any divergence.
 
+It also reports (a) column-name divergences — a column present on only
+one side is a guaranteed driver red on its own — and (b) IEEE negative
+zero in any float column of the DuckDB result: Spark and DuckDB render
+-0.0 differently ('0.0' vs '-0.0'), so any oracle that can emit -0.0
+is at value-hash risk and should normalize with `+ 0.0` (see
+docs/QUERIES.md signed-zero convention).
+
 Run from anywhere: PYTHONPATH must include /root/repo.
 """
 
@@ -105,6 +112,8 @@ def main() -> int:
         )
 
     bad: dict[str, list] = {}
+    name_bad: dict[str, dict] = {}
+    negzero: dict[str, list] = {}
     errs: dict[str, str] = {}
     for i, k in enumerate(keys):
         try:
@@ -114,6 +123,11 @@ def main() -> int:
             dkinds = {
                 f.name: arrow_kind(f.type) for f in tbl.schema
             }
+            only_spark = sorted(set(skinds) - set(dkinds))
+            only_duck = sorted(set(dkinds) - set(skinds))
+            if only_spark or only_duck:
+                name_bad[k] = {"spark_only": only_spark,
+                               "duckdb_only": only_duck}
             diffs = [
                 {"col": c, "spark": skinds[c], "duckdb": dkinds[c]}
                 for c in skinds
@@ -121,15 +135,34 @@ def main() -> int:
             ]
             if diffs:
                 bad[k] = diffs
+            nz_cols = []
+            for f in tbl.schema:
+                if not pa.types.is_floating(f.type):
+                    continue
+                import numpy as np
+
+                for chunk in tbl.column(f.name).chunks:
+                    vals = np.asarray(
+                        chunk.to_numpy(zero_copy_only=False), dtype="float64"
+                    )
+                    # -0.0 == 0.0 but copysign distinguishes them
+                    mask = (vals == 0.0) & (np.copysign(1.0, vals) < 0)
+                    if bool(mask.any()):
+                        nz_cols.append(f.name)
+                        break
+            if nz_cols:
+                negzero[k] = nz_cols
         except Exception as e:  # noqa: BLE001
             errs[k] = f"{type(e).__name__}: {e}"[:300]
         if (i + 1) % 25 == 0:
             print(f"  …{i + 1}/{len(keys)}", file=sys.stderr)
 
-    print(json.dumps({"checked": len(keys), "divergent": bad, "errors": errs},
+    print(json.dumps({"checked": len(keys), "divergent": bad,
+                      "name_divergent": name_bad, "negative_zero": negzero,
+                      "errors": errs},
                      indent=1, sort_keys=True))
     spark.stop()
-    return 1 if (bad or errs) else 0
+    return 1 if (bad or name_bad or negzero or errs) else 0
 
 
 if __name__ == "__main__":

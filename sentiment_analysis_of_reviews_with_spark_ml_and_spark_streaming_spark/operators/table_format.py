@@ -196,6 +196,13 @@ def _write_data_files(
                 },
             }
         )
+    # empty partitions still produce part files; they carry no rows so
+    # the stats agg never sees them — drop them now instead of leaving
+    # instant orphans for vacuum.
+    referenced = {os.path.basename(a["path"]) for a in adds}
+    for fname in os.listdir(out_dir):
+        if fname.endswith(".parquet") and fname not in referenced:
+            os.remove(os.path.join(out_dir, fname))
     return sorted(adds, key=lambda a: a["path"])
 
 
@@ -266,22 +273,36 @@ def read_table(
     return reader.schema(st).parquet(*_abs_paths(root, live))
 
 
-def append(df: DataFrame, root: str) -> int:
-    """Blind append — add-only commit, no files read or removed."""
+def committed_batch_ids(root: str) -> set[int]:
+    """Streaming batch ids already recorded in the commit log — the
+    exactly-once ledger for :func:`streaming_sink` replays."""
+    out: set[int] = set()
+    for v in range(latest_version(root) + 1):
+        rec = _read_commit(root, v)
+        if "batch_id" in rec:
+            out.add(rec["batch_id"])
+    return out
+
+
+def append(df: DataFrame, root: str, *, batch_id: int | None = None) -> int:
+    """Blind append — add-only commit, no files read or removed.
+    ``batch_id`` makes streaming replays idempotent (see
+    :func:`merge_upsert`)."""
     meta = _table_meta(root)
+    if batch_id is not None and batch_id in committed_batch_ids(root):
+        return latest_version(root)
     v = latest_version(root) + 1
     adds = _write_data_files(df, root, v, meta["stat_cols"])
-    _write_commit(
-        root,
-        v,
-        {
-            "version": v,
-            "action": "append",
-            "add": adds,
-            "remove": [],
-            "schema": df.schema.json(),
-        },
-    )
+    rec = {
+        "version": v,
+        "action": "append",
+        "add": adds,
+        "remove": [],
+        "schema": df.schema.json(),
+    }
+    if batch_id is not None:
+        rec["batch_id"] = batch_id
+    _write_commit(root, v, rec)
     _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
     return v
 
@@ -311,17 +332,45 @@ def merge_upsert(
     *,
     key_col: str,
     max_retries: int = 3,
+    batch_id: int | None = None,
 ) -> int:
     """Copy-on-write MERGE: rows in ``updates`` replace same-key rows,
     new keys are inserted. Only files whose [min,max] ``key_col`` range
     overlaps the batch are read and rewritten; the rest of the table is
     carried by reference. Retries on :class:`CommitConflict` against
-    the refreshed snapshot (optimistic concurrency)."""
+    the refreshed snapshot (optimistic concurrency) — note a lost race
+    re-writes the merged output in full before re-planning; the loser's
+    first attempt becomes orphan files that :func:`vacuum` reclaims.
+
+    Delta MERGE semantics on duplicate source keys: if ``updates``
+    carries the same key twice the target row would be replaced by an
+    arbitrary pair of rows, so (like Delta) this raises ``ValueError``
+    instead of silently inserting both.
+
+    ``batch_id`` (used by :func:`streaming_sink`) is recorded in the
+    commit and makes replays idempotent: if any commit already carries
+    this batch_id the merge is a no-op returning the current version.
+    """
     spark = updates.sparkSession
     meta = _table_meta(root)
     if key_col not in meta["stat_cols"]:
         raise ValueError(
             f"key_col {key_col!r} must be in stat_cols {meta['stat_cols']}"
+        )
+    if batch_id is not None and batch_id in committed_batch_ids(root):
+        return latest_version(root)
+    dup = (
+        updates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter("_n > 1")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates batch has multiple rows for {key_col}="
+            f"{dup[0][key_col]!r}; MERGE requires unique source keys "
+            "(dedupe the batch first)"
         )
     b = updates.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
@@ -348,17 +397,16 @@ def merge_upsert(
         v = base_v + 1
         adds = _write_data_files(merged, root, v, meta["stat_cols"])
         try:
-            _write_commit(
-                root,
-                v,
-                {
-                    "version": v,
-                    "action": "merge",
-                    "add": adds,
-                    "remove": [a["path"] for a in cands],
-                    "schema": None,
-                },
-            )
+            rec = {
+                "version": v,
+                "action": "merge",
+                "add": adds,
+                "remove": [a["path"] for a in cands],
+                "schema": None,
+            }
+            if batch_id is not None:
+                rec["batch_id"] = batch_id
+            _write_commit(root, v, rec)
         except CommitConflict:
             # lose the race: orphan the just-written files (vacuum will
             # reclaim them) and re-plan against the new snapshot.
@@ -368,30 +416,141 @@ def merge_upsert(
     raise CommitConflict(f"merge lost {max_retries} races at {root}")
 
 
+_CMP_RE = r"(<=|>=|=|<|>)"
+
+
+def _pred_literal(tok: str):
+    tok = tok.strip()
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        try:
+            return float(tok)
+        except ValueError:
+            return None
+
+
+def _extract_bounds(predicate: str, col: str):
+    """Conservative [lo, hi] range ``col`` must satisfy for the
+    predicate to hold, or ``None`` when no sound range exists.
+
+    Handles the data-skipping subset real engines extract: top-level
+    conjunctions of ``col <op> literal`` / ``literal <op> col`` /
+    ``col BETWEEN a AND b`` / ``col IN (literals)``. Any disjunction or
+    negation disables pruning entirely (correctness first) — a file is
+    only ever skipped when its [min,max] cannot intersect the range."""
+    import re
+
+    up = f" {predicate.upper()} "
+    if " OR " in up or " NOT " in up or "NOT(" in up.replace(" ", ""):
+        return None
+    c = re.escape(col)
+    lo: object = None
+    hi: object = None
+
+    def tighten(op: str, lit):
+        nonlocal lo, hi
+        if lit is None:
+            return
+        if op in ("<", "<="):
+            hi = lit if hi is None else min(hi, lit)
+        elif op in (">", ">="):
+            lo = lit if lo is None else max(lo, lit)
+        elif op == "=":
+            lo = lit if lo is None else max(lo, lit)
+            hi = lit if hi is None else min(hi, lit)
+
+    lit_re = r"('[^']*'|\"[^\"]*\"|[-+]?[0-9]+(?:\.[0-9]+)?)"
+    for op, tok in re.findall(rf"\b{c}\s*{_CMP_RE}\s*{lit_re}", predicate):
+        tighten(op, _pred_literal(tok))
+    flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+    for tok, op in re.findall(rf"{lit_re}\s*{_CMP_RE}\s*\b{c}\b", predicate):
+        tighten(flip[op], _pred_literal(tok))
+    m = re.search(
+        rf"\b{c}\s+BETWEEN\s+{lit_re}\s+AND\s+{lit_re}",
+        predicate,
+        re.IGNORECASE,
+    )
+    if m:
+        tighten(">=", _pred_literal(m.group(1)))
+        tighten("<=", _pred_literal(m.group(2)))
+    m = re.search(rf"\b{c}\s+IN\s*\(([^()]*)\)", predicate, re.IGNORECASE)
+    if m:
+        lits = [_pred_literal(t) for t in m.group(1).split(",")]
+        if all(v is not None for v in lits) and lits:
+            tighten(">=", min(lits))
+            tighten("<=", max(lits))
+    if lo is None and hi is None:
+        return None
+    return (lo, hi)
+
+
 def delete_where(
     spark: SparkSession, root: str, predicate: str, *, prune_col: str | None = None
 ) -> int:
-    """Delete matching rows. Files are rewritten only if they can
-    contain matches: with ``prune_col``, a file whose [min,max] range
-    proves ``predicate``-false is skipped without being read; any file
-    read that contains no matches is also carried by reference."""
+    """Delete matching rows, copy-on-write at file granularity.
+
+    Three tiers of work avoidance, each sound:
+
+    1. **Stats pruning (no read)** — with ``prune_col``, the predicate's
+       implied [lo, hi] range on that column (see
+       :func:`_extract_bounds`) is intersected with each file's
+       committed [min,max]; a file that cannot overlap is carried by
+       reference without being opened.
+    2. **Match detection (one job)** — all surviving candidates are
+       scanned in a SINGLE Spark job tagged by ``input_file_name``; a
+       candidate with no matching row is also carried by reference.
+       (The prior implementation issued 1–2 sequential jobs per live
+       file — O(file-count) driver round-trips at 1e5-file scale.)
+    3. **Rewrite (one job)** — kept rows of all matched files are
+       rewritten together in one write.
+    """
     meta = _table_meta(root)
     base_v = latest_version(root)
     live, _schema = snapshot_files(root, base_v)
-    removed, adds = [], []
-    for a in live:
-        path = os.path.join(root, a["path"])
-        fdf = spark.read.parquet(path)
-        n_match = fdf.filter(predicate).limit(1).count()
-        if n_match == 0:
-            continue
-        removed.append(a["path"])
-        kept = fdf.filter(f"NOT ({predicate})")
-        if kept.limit(1).count() > 0:
-            adds += _write_data_files(kept, root, base_v + 1, meta["stat_cols"])
-    if not removed:
+    cands = live
+    if prune_col:
+        bounds = _extract_bounds(predicate, prune_col)
+        if bounds is not None:
+            lo, hi = bounds
+            pruned_cands = []
+            for a in live:
+                st = a.get("stats", {}).get(prune_col)
+                if st is None or st[0] is None:
+                    pruned_cands.append(a)
+                elif (hi is None or st[0] <= hi) and (lo is None or lo <= st[1]):
+                    pruned_cands.append(a)
+            cands = pruned_cands
+    if not cands:
         return base_v
+    tagged = spark.read.parquet(*_abs_paths(root, cands)).withColumn(
+        "_file", F.input_file_name()
+    )
+    def _norm(uri: str) -> str:
+        # input_file_name() yields file:///abs/path — strip scheme and
+        # collapse the leading slashes for comparison.
+        return "/" + uri.removeprefix("file:").lstrip("/")
+
+    matched_files = {
+        _norm(r["_file"])
+        for r in tagged.filter(predicate).select("_file").distinct().collect()
+    }
+    if not matched_files:
+        return base_v
+    abs_root = os.path.abspath(root)
+    removed = [
+        a["path"]
+        for a in cands
+        if _norm(os.path.join(abs_root, a["path"])) in matched_files
+    ]
     v = base_v + 1
+    kept = (
+        spark.read.parquet(*(os.path.join(root, p) for p in removed))
+        .filter(f"NOT ({predicate})")
+    )
+    adds = _write_data_files(kept, root, v, meta["stat_cols"])
     _write_commit(
         root,
         v,
@@ -437,24 +596,41 @@ def table_diff(
     )
 
 
-def vacuum(root: str, *, retain_versions: int = 0) -> list[str]:
+def vacuum(
+    root: str, *, retain_versions: int = 0, min_age_seconds: float = 0.0
+) -> list[str]:
     """Delete data files unreferenced by the retained version range
     (head − retain_versions … head) — including orphans from lost
     commit races. Returns the deleted relative paths. Time travel
-    before the retained range stops working, as in any lakehouse."""
+    before the retained range stops working, as in any lakehouse.
+
+    ``min_age_seconds`` is the concurrent-writer guard: a writer stages
+    its data files BEFORE winning the commit race (see
+    :func:`merge_upsert`), so an unreferenced file younger than the
+    window may belong to an in-flight commit and is skipped (mtime
+    check — the same contract as Delta's retention period). The default
+    0.0 is only safe when no writer is concurrently active; production
+    callers should pass a window larger than their longest commit."""
+    import time
+
     head = latest_version(root)
     keep: set[str] = set()
     for v in range(max(0, head - retain_versions), head + 1):
         live, _ = snapshot_files(root, v)
         keep.update(a["path"] for a in live)
     deleted = []
+    now = time.time()
     data_root = os.path.join(root, "data")
     for dirpath, _dirs, files in os.walk(data_root):
         for fname in files:
-            rel = os.path.relpath(os.path.join(dirpath, fname), root)
-            if rel not in keep and fname.endswith(".parquet"):
-                os.remove(os.path.join(root, rel))
-                deleted.append(rel)
+            full = os.path.join(dirpath, fname)
+            rel = os.path.relpath(full, root)
+            if rel in keep or not fname.endswith(".parquet"):
+                continue
+            if min_age_seconds > 0 and now - os.path.getmtime(full) < min_age_seconds:
+                continue
+            os.remove(full)
+            deleted.append(rel)
     # drop now-empty version dirs
     for d in sorted(os.listdir(data_root)):
         full = os.path.join(data_root, d)
@@ -463,3 +639,28 @@ def vacuum(root: str, *, retain_versions: int = 0) -> list[str]:
         ):
             shutil.rmtree(full)
     return sorted(deleted)
+
+
+def streaming_sink(root: str, *, key_col: str | None = None):
+    """``foreachBatch`` function writing a stream into the table with
+    exactly-once semantics: the micro-batch id is recorded in the
+    commit, so a crash between sink commit and Spark's checkpoint
+    advance — which makes Structured Streaming REPLAY the batch — hits
+    the :func:`committed_batch_ids` ledger and becomes a no-op instead
+    of a duplicate. ``key_col`` switches from append to
+    :func:`merge_upsert` (streaming CDC upsert; batch must be
+    key-unique — dedupe upstream, e.g. a last-per-key window).
+
+    Usage::
+
+        q = (df.writeStream.foreachBatch(streaming_sink(root))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if key_col is None:
+            append(batch_df, root, batch_id=batch_id)
+        else:
+            merge_upsert(batch_df, root, key_col=key_col, batch_id=batch_id)
+
+    return _sink
