@@ -357,12 +357,23 @@ def main() -> None:
     # committed file, then emit a compact (<500-byte) summary as the
     # ABSOLUTE LAST stdout line so the driver's tail always holds one
     # whole JSON object. scripts/compare_bench.py reads either form.
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
+    # Content-address the full artifact: BENCH_LOCAL.json is overwritten
+    # every run, so two rounds' driver wrappers both pointing at it made
+    # cross-round comparison silently self-compare (VERDICT r6 #3). The
+    # sha-named immutable copy plus the sha in the summary line lets
+    # compare_bench.py resolve each round's REAL per-query timings (or
+    # detect a stale pointer and fall back to the embedded tail).
+    import hashlib
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    local_path = os.path.join(here, "BENCH_LOCAL.json")
+    blob = json.dumps(result, indent=1)
+    full_sha = hashlib.sha256(blob.encode()).hexdigest()[:8]
     try:
         with open(local_path, "w") as fh:
-            json.dump(result, fh, indent=1)
+            fh.write(blob)
+        with open(os.path.join(here, f"BENCH_LOCAL-{full_sha}.json"), "w") as fh:
+            fh.write(blob)
     except OSError:
         local_path = None
     slowest = dict(
@@ -377,6 +388,7 @@ def main() -> None:
         "sf": sf,
         "slowest": slowest,
         "full": "BENCH_LOCAL.json" if local_path else None,
+        "full_sha": full_sha if local_path else None,
     }
     line = json.dumps(summary)
     assert len(line) < 500, f"summary line grew to {len(line)} bytes"

@@ -39,13 +39,64 @@ def load(path: str) -> dict:
         raise SystemExit(f"{path}: no bench JSON line found")
     if "queries" not in found:
         # compact summary — pull per-query timings from the committed
-        # full artifact written by bench.py next to the wrapper
-        full = os.path.join(os.path.dirname(os.path.abspath(path)),
-                            found.get("full") or "BENCH_LOCAL.json")
-        if os.path.exists(full):
-            detail = json.load(open(full))
+        # full artifact written by bench.py next to the wrapper. The
+        # mutable BENCH_LOCAL.json pointer belongs to the NEWEST run
+        # only, so it must be sha-verified: r5 and r6 wrappers both
+        # naming it made old-vs-new comparison silently self-compare.
+        base = os.path.dirname(os.path.abspath(path))
+        sha = found.get("full_sha")
+        candidates = []
+        if sha:
+            candidates.append(os.path.join(base, f"BENCH_LOCAL-{sha}.json"))
+        candidates.append(os.path.join(base, found.get("full") or "BENCH_LOCAL.json"))
+        import hashlib
+
+        for full in candidates:
+            if not os.path.exists(full):
+                continue
+            blob = open(full).read()
+            if sha and hashlib.sha256(blob.encode()).hexdigest()[:8] != sha:
+                continue  # stale pointer from a later run
+            detail = json.loads(blob)
+            if sha is None and abs(
+                sum(detail.get("queries", {}).values()) - found["value"]
+            ) > 0.05:
+                continue  # pre-sha wrapper + mismatched totals: stale
             detail.update({k: found[k] for k in ("value", "n_ok", "n_errors")})
+            detail["_full_path"] = full
+            detail["_summary"] = found
             return detail
+        # Pre-sha wrapper whose BENCH_LOCAL.json has since been
+        # overwritten: the round's snapshot commit that recorded this
+        # wrapper also committed the matching BENCH_LOCAL.json — recover
+        # it from git history.
+        import subprocess
+
+        try:
+            commit = subprocess.run(
+                ["git", "-C", base, "log", "--format=%H", "-n", "1", "--",
+                 os.path.basename(path)],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            if commit:
+                blob = subprocess.run(
+                    ["git", "-C", base, "show", f"{commit}:BENCH_LOCAL.json"],
+                    capture_output=True, text=True, check=True,
+                ).stdout
+                detail = json.loads(blob)
+                if abs(
+                    sum(detail.get("queries", {}).values()) - found["value"]
+                ) <= 0.05:
+                    detail.update(
+                        {k: found[k] for k in ("value", "n_ok", "n_errors")}
+                    )
+                    detail["_full_path"] = f"git:{commit[:10]}:BENCH_LOCAL.json"
+                    detail["_summary"] = found
+                    return detail
+        except (subprocess.CalledProcessError, OSError, json.JSONDecodeError):
+            pass
+        print(f"note: {path}: no sha-matching full artifact; "
+              "falling back to the embedded 'slowest' tail", file=sys.stderr)
         found["queries"] = dict(found.get("slowest") or {})
     return found
 
@@ -53,6 +104,21 @@ def load(path: str) -> dict:
 def main() -> None:
     old, new = load(sys.argv[1]), load(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    if (
+        sys.argv[1] != sys.argv[2]
+        and old.get("_full_path")
+        and old.get("_full_path") == new.get("_full_path")
+    ):
+        # Two different wrappers resolved to ONE full artifact (pre-r7
+        # wrappers carry no full_sha): the older one would self-compare.
+        # Degrade it to its own embedded tail instead of lying.
+        print(
+            f"warning: both artifacts resolve to {old['_full_path']}; "
+            "using the OLD artifact's embedded 'slowest' tail only",
+            file=sys.stderr,
+        )
+        old = dict(old["_summary"])
+        old["queries"] = dict(old.get("slowest") or {})
     oq, nq = old["queries"], new["queries"]
     common = sorted(set(oq) & set(nq))
     regressions = []

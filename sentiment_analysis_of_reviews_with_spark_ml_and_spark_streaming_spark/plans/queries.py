@@ -8593,6 +8593,108 @@ FROM ab GROUP BY 1"""
 SQL_KMEANS_SILHOUETTE = _kmeans_silhouette_oracle_sql(4, 3)
 
 
+def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse commit-log round-trip (operators/table_format.py):
+    build a 4-version customer table — create (BUILDING) → append
+    (AUTOMOBILE) → stats-pruned DELETE (c_custkey <= 150, prune_col
+    exercised) → copy-on-write MERGE (MACHINERY inserts + BUILDING %7
+    re-segmented to 'UP') — then TIME-TRAVEL to every version and emit
+    per-version count / key checksum / squared-key checksum / segment
+    cardinality. The oracle replays the exact version lineage as plain
+    SQL set algebra over the same parquet, so a wrong snapshot at ANY
+    version (torn commit, bad replay, over- or under-pruned file)
+    breaks a checksum. Bounded driver work: 4 scalar aggregate rows;
+    the staging table lives in a temp dir removed before return."""
+    import shutil
+    import tempfile
+
+    from ..operators import table_format as tfmt
+
+    root = tempfile.mkdtemp(prefix="lakehouse_tt_")
+    try:
+        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        tfmt.create_table(
+            cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .repartitionByRange(4, "c_custkey"),
+            root,
+            stat_cols=["c_custkey"],
+        )
+        tfmt.append(cust.filter(F.col("c_mktsegment") == "AUTOMOBILE"), root)
+        tfmt.delete_where(spark, root, "c_custkey <= 150", prune_col="c_custkey")
+        updates = cust.filter(
+            (F.col("c_mktsegment") == "MACHINERY")
+            | (
+                (F.col("c_mktsegment") == "BUILDING")
+                & (F.col("c_custkey") % 7 == 0)
+            )
+        ).select("c_custkey", F.lit("UP").alias("c_mktsegment"))
+        tfmt.merge_upsert(updates, root, key_col="c_custkey")
+        rows = []
+        for v in range(4):
+            r = (
+                tfmt.read_table(spark, root, version=v)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("c_custkey").alias("ks"),
+                    F.sum(F.col("c_custkey") * F.col("c_custkey")).alias("ksq"),
+                    F.countDistinct("c_mktsegment").alias("nseg"),
+                )
+                .collect()[0]
+            )
+            rows.append((v, r["n"], r["ks"], r["ksq"], r["nseg"]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version long, n_rows long, key_sum long, key_sq_sum long, "
+        "n_segments long",
+    )
+
+
+# CAST(... AS BIGINT): DuckDB sum(BIGINT) is HUGEINT (decimal128 at the
+# driver's Arrow fetch) and the literal version is INT32; Spark emits
+# LONG for both.
+SQL_LAKEHOUSE_TIME_TRAVEL = """
+WITH v0 AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+),
+v1 AS (
+  SELECT * FROM v0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_mktsegment = 'AUTOMOBILE'
+),
+v2 AS (SELECT * FROM v1 WHERE NOT (k <= 150)),
+u AS (
+  SELECT c_custkey AS k, 'UP' AS seg FROM customer
+  WHERE c_mktsegment = 'MACHINERY'
+     OR (c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0)
+),
+v3 AS (
+  SELECT * FROM v2 WHERE k NOT IN (SELECT k FROM u)
+  UNION ALL
+  SELECT * FROM u
+)
+SELECT CAST(v AS BIGINT) AS version,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(ks AS BIGINT) AS key_sum,
+       CAST(ksq AS BIGINT) AS key_sq_sum,
+       CAST(nseg AS BIGINT) AS n_segments
+FROM (
+  SELECT 0 AS v, count(*) AS n, sum(k) AS ks, sum(k * k) AS ksq,
+         count(DISTINCT seg) AS nseg FROM v0
+  UNION ALL
+  SELECT 1, count(*), sum(k), sum(k * k), count(DISTINCT seg) FROM v1
+  UNION ALL
+  SELECT 2, count(*), sum(k), sum(k * k), count(DISTINCT seg) FROM v2
+  UNION ALL
+  SELECT 3, count(*), sum(k), sum(k * k), count(DISTINCT seg) FROM v3
+)
+ORDER BY version
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8797,6 +8899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "pack_sequences": q_pack_sequences,
     "sentiment_vader_full": q_sentiment_vader_full,
+    "lakehouse_time_travel": q_lakehouse_time_travel,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -8974,4 +9077,45 @@ ORACLE: dict[str, str] = {
     "profile_orders": SQL_PROFILE_ORDERS,
     "resample_fill_events": SQL_RESAMPLE_FILL_EVENTS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "lakehouse_time_travel": SQL_LAKEHOUSE_TIME_TRAVEL,
 }
+
+# --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
+# r6 graded 50/50 green, so this rotation is pure freshness: re-seat the
+# oldest-green cohorts. Window composition:
+#   W-A (1): lakehouse_time_travel — NEW this round (the wired
+#        table-format metadata layer; VERDICT r6 next-step #2).
+#   W-B (2-26): the full r3-green cohort — the 25 oracle-backed rows
+#        whose newest driver green is round 3 (oldest in the registry).
+#   W-C (27-50): the 24 oldest r4-green rows in prior registry order;
+#        the remaining 22 r4 rows are the head of the r8 queue.
+# Veterans keep their prior relative order past the window; rows-only
+# queries stay past the window by contract.
+_R7_WINDOW = [
+    "lakehouse_time_travel",
+    # W-B: r3-green cohort (25), prior registry order
+    "returned_items_customers", "top_supplier_revenue",
+    "important_parts_share", "gopher_quality_rules", "sentence_chunks",
+    "hash_stratified_sample", "winsorized_value_stats",
+    "pii_redaction_stats", "repeated_ngram_fraction",
+    "tokenizer_compression_ratio", "quantile_binning_events",
+    "dedup_edit_distance", "heavy_hitter_tokens", "profile_orders",
+    "resample_fill_events", "funnel_conversion", "dedup_exact",
+    "dedup_pipeline_verified", "maximal_duplicate_spans",
+    "dedup_embedding_cosine", "similarity_cosine_topk",
+    "multimodal_byte_features", "contamination_check", "pack_sequences",
+    "sentiment_vader_full",
+    # W-C: oldest 24 r4-green rows, prior registry order
+    "c4_line_filter_stats", "semdedup_keep_set", "bigram_logprob_docs",
+    "kmeans_clusters", "similarity_ivf_kmeans", "sole_blocking_supplier",
+    "boilerplate_line_stats", "dedup_simhash", "pagerank_purchase_graph",
+    "ml_tfidf_features", "ml_train_f1", "pivot_event_type",
+    "moving_avg_user_value", "json_extract_props", "asof_last_purchase",
+    "range_join_click_context", "window_hourly_events",
+    "sessionize_events", "filter_isin_priority", "filter_not_in_brand",
+    "distinct_segments", "global_counts", "binarize_label",
+    "union_distinct_nationkeys",
+]
+assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
+_rest = {k: v for k, v in QUERIES.items() if k not in set(_R7_WINDOW)}
+QUERIES = {**{k: QUERIES[k] for k in _R7_WINDOW}, **_rest}
