@@ -581,6 +581,95 @@ def compact(spark: SparkSession, root: str, *, target_files: int = 1) -> int:
     return v
 
 
+def optimize_cluster(
+    spark: SparkSession, root: str, by: list[str], *, target_files: int = 8
+) -> int:
+    """CLUSTER BY / Z-ORDER rewrite: data-identical (a version diff is
+    empty), but the live set is rewritten range-partitioned + sorted on
+    the clustering key so per-file [min,max] stats become near-disjoint
+    — the layout move that turns :func:`merge_upsert` /
+    :func:`delete_where` stats pruning from "no file excluded" (keys
+    scattered, every file spans the full range) into "all but one file
+    excluded". One column sorts directly; two columns interleave into a
+    Morton Z-value (``layout.zorder_value``) so stats prune on EITHER
+    column. One shuffle (the range partitioner), one write."""
+    from . import layout
+
+    if not 1 <= len(by) <= 2:
+        raise ValueError("cluster by 1 column (sort) or 2 (Z-order)")
+    meta = _table_meta(root)
+    base_v = latest_version(root)
+    live, _schema = snapshot_files(root, base_v)
+    df = spark.read.parquet(*_abs_paths(root, live))
+    key = (
+        F.col(by[0])
+        if len(by) == 1
+        else layout.zorder_value(by[0], by[1])
+    )
+    clustered = (
+        df.withColumn("_ck", key)
+        .repartitionByRange(target_files, "_ck")
+        .sortWithinPartitions("_ck")
+        .drop("_ck")
+    )
+    v = base_v + 1
+    adds = _write_data_files(clustered, root, v, meta["stat_cols"])
+    _write_commit(
+        root,
+        v,
+        {"version": v, "action": "cluster", "add": adds,
+         "remove": [a["path"] for a in live], "schema": None},
+    )
+    _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
+    return v
+
+
+def table_changes(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Batch change-data-feed (Delta ``table_changes``): row-level
+    changes per commit over (``v_from``, ``v_to``], each tagged with
+    ``_commit_version`` and ``_change_type`` ∈ {inserted, deleted} —
+    an update is one deleted + one inserted row at the same version.
+    Churn-proportional, never a snapshot re-scan: files carried across
+    a commit cancel in the multiset difference — elementwise
+    ``(C+A) ∸ (C+R) = A ∸ R`` — so each version reads ONLY its own
+    added/removed files. Every data file is immutable parquet, so the
+    feed is deterministic and replayable from any version."""
+    head = latest_version(root)
+    if not 0 <= v_from < v_to <= head:
+        raise ValueError(
+            f"need 0 <= v_from < v_to <= head({head}), "
+            f"got ({v_from}, {v_to}]"
+        )
+    _live, schema = snapshot_files(root, v_to)
+    st = StructType.fromJson(schema)
+
+    def _side(paths: list[str]) -> DataFrame:
+        if not paths:
+            return spark.createDataFrame([], st)
+        return spark.read.schema(st).parquet(
+            *(os.path.join(root, p) for p in paths)
+        )
+
+    out = None
+    for v in range(v_from + 1, v_to + 1):
+        rec = _read_commit(root, v)
+        added = _side([a["path"] for a in rec.get("add", [])])
+        removed = _side(rec.get("remove", []))
+        d = (
+            added.exceptAll(removed)
+            .withColumn("_change_type", F.lit("inserted"))
+            .unionByName(
+                removed.exceptAll(added)
+                .withColumn("_change_type", F.lit("deleted"))
+            )
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def table_diff(
     spark: SparkSession, root: str, v_old: int, v_new: int
 ) -> DataFrame:

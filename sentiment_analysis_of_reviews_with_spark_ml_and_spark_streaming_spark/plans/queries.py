@@ -8695,6 +8695,95 @@ ORDER BY version
 """
 
 
+def q_lakehouse_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the lakehouse commit log
+    (operators/table_format.py:table_changes): the same 4-version
+    customer lineage as `lakehouse_time_travel`, read back as a
+    row-level CDF — per (commit_version, change_type) counts and key
+    checksums. Churn-proportional by construction: each commit's feed
+    reads only that commit's added/removed files (carried files cancel
+    in the multiset difference), never a snapshot re-scan. The oracle
+    derives every commit's inserted/deleted multiset from first
+    principles in SQL, so a feed that leaks carried rows, drops a
+    replaced key, or mis-tags a version breaks a checksum."""
+    import shutil
+    import tempfile
+
+    from ..operators import table_format as tfmt
+
+    root = tempfile.mkdtemp(prefix="lakehouse_cdf_")
+    try:
+        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        tfmt.create_table(
+            cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .repartitionByRange(4, "c_custkey"),
+            root,
+            stat_cols=["c_custkey"],
+        )
+        tfmt.append(cust.filter(F.col("c_mktsegment") == "AUTOMOBILE"), root)
+        tfmt.delete_where(spark, root, "c_custkey <= 150", prune_col="c_custkey")
+        updates = cust.filter(
+            (F.col("c_mktsegment") == "MACHINERY")
+            | (
+                (F.col("c_mktsegment") == "BUILDING")
+                & (F.col("c_custkey") % 7 == 0)
+            )
+        ).select("c_custkey", F.lit("UP").alias("c_mktsegment"))
+        tfmt.merge_upsert(updates, root, key_col="c_custkey")
+        rows = [
+            (r["_commit_version"], r["_change_type"], r["n"], r["ks"])
+            for r in (
+                tfmt.table_changes(spark, root, 0, 3)
+                .groupBy("_commit_version", "_change_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("c_custkey").alias("ks"),
+                )
+                .collect()
+            )
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "commit_version long, change_type string, n_rows long, key_sum long",
+    )
+
+
+# First-principles CDF replay. v2's delete emits ONLY deleted rows (the
+# kept rows of rewritten files cancel); v3's merge emits every update
+# row as inserted and the replaced old rows as deleted. CAST: DuckDB
+# sum(BIGINT) is HUGEINT.
+SQL_LAKEHOUSE_TABLE_CHANGES = """
+WITH v1_ins AS (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+),
+v1 AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+),
+v2_del AS (SELECT k FROM v1 WHERE k <= 150),
+v2 AS (SELECT * FROM v1 WHERE NOT (k <= 150)),
+u AS (
+  SELECT c_custkey AS k FROM customer
+  WHERE c_mktsegment = 'MACHINERY'
+     OR (c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0)
+),
+v3_del AS (SELECT k FROM v2 WHERE k IN (SELECT k FROM u)),
+feed AS (
+  SELECT 1 AS v, 'inserted' AS ct, k FROM v1_ins
+  UNION ALL SELECT 2, 'deleted', k FROM v2_del
+  UNION ALL SELECT 3, 'deleted', k FROM v3_del
+  UNION ALL SELECT 3, 'inserted', k FROM u
+)
+SELECT CAST(v AS BIGINT) AS commit_version,
+       ct AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM feed GROUP BY v, ct ORDER BY commit_version, change_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8900,6 +8989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "sentiment_vader_full": q_sentiment_vader_full,
     "lakehouse_time_travel": q_lakehouse_time_travel,
+    "lakehouse_table_changes": q_lakehouse_table_changes,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -9078,6 +9168,7 @@ ORACLE: dict[str, str] = {
     "resample_fill_events": SQL_RESAMPLE_FILL_EVENTS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "lakehouse_time_travel": SQL_LAKEHOUSE_TIME_TRAVEL,
+    "lakehouse_table_changes": SQL_LAKEHOUSE_TABLE_CHANGES,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

@@ -273,6 +273,79 @@ def test_schema_evolution_adds_null_column(spark, tmp_path):
     assert got[100] == "x" and got[0] is None
 
 
+def test_optimize_cluster_enables_pruning(spark, tmp_path):
+    """Keys scattered round-robin leave every file spanning the full
+    range (stats prune nothing); after CLUSTER BY the ranges are
+    near-disjoint and a narrow delete provably never opens the other
+    files (corruption proof), while the data is byte-for-byte
+    identical (empty diff)."""
+    root = str(tmp_path / "t")
+    # repartition(4) round-robins: every file spans ~the full key range
+    tf.create_table(_mk(spark, 0, 200).repartition(4), root, stat_cols=["k"])
+    live0, _ = tf.snapshot_files(root, 0)
+    overlapping = [
+        a for a in live0 if a["stats"]["k"][0] < 50 and a["stats"]["k"][1] > 150
+    ]
+    assert len(overlapping) == len(live0), "fixture: files must overlap"
+    v = tf.optimize_cluster(spark, root, ["k"], target_files=4)
+    assert tf.table_diff(spark, root, 0, v).count() == 0
+    live1, _ = tf.snapshot_files(root, v)
+    prunable = [a for a in live1 if a["stats"]["k"][0] > 20]
+    assert len(prunable) >= 2, [a["stats"]["k"] for a in live1]
+    for a in prunable:
+        with open(os.path.join(root, a["path"]), "wb") as f:
+            f.write(b"GARBAGE")
+    v2 = tf.delete_where(spark, root, "k <= 10", prune_col="k")
+    assert v2 == v + 1
+    carried = {a["path"] for a in tf.snapshot_files(root, v2)[0]}
+    assert all(a["path"] in carried for a in prunable)
+
+
+def test_optimize_cluster_zorder_two_cols(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(k=i, seg=chr(65 + i % 5), val=float(i % 37)) for i in range(300)]
+    )
+    tf.create_table(df.repartition(4), root, stat_cols=["k", "val"])
+    v = tf.optimize_cluster(spark, root, ["k", "val"], target_files=4)
+    assert tf.table_diff(spark, root, 0, v).count() == 0
+    live, _ = tf.snapshot_files(root, v)
+    # Z-order: at least the k-ranges shrink vs full-span round-robin
+    spans = [a["stats"]["k"][1] - a["stats"]["k"][0] for a in live]
+    assert min(spans) < 299, spans
+
+
+def test_table_changes_feed(spark, tmp_path):
+    """CDF over a create→append→merge→delete lineage: per-commit
+    inserted/deleted rows with version tags, churn-proportional (the
+    carried files cancel: (C+A) ∸ (C+R) = A ∸ R)."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 10), root, stat_cols=["k"])
+    tf.append(_mk(spark, 10, 13, seg="B"), root)                     # v1
+    tf.merge_upsert(
+        spark.createDataFrame([Row(k=5, seg="Z", val=0.0)]), root,
+        key_col="k",
+    )                                                                # v2
+    tf.delete_where(spark, root, "k >= 11", prune_col="k")           # v3
+    feed = tf.table_changes(spark, root, 0, 3)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in feed.collect()
+    )
+    assert got == sorted(
+        [(1, "inserted", 10), (1, "inserted", 11), (1, "inserted", 12),
+         (2, "deleted", 5), (2, "inserted", 5),
+         (3, "deleted", 11), (3, "deleted", 12)]
+    )
+    # replaying a sub-range is deterministic
+    sub = tf.table_changes(spark, root, 2, 3).collect()
+    assert {(r["_change_type"], r["k"]) for r in sub} == {
+        ("deleted", 11), ("deleted", 12)
+    }
+    with pytest.raises(ValueError):
+        tf.table_changes(spark, root, 3, 3)
+
+
 def test_streaming_sink_exactly_once_replay(spark, tmp_path):
     """foreachBatch sink: replaying a batch id (crash between table
     commit and stream checkpoint) is a no-op; distinct ids append."""
