@@ -6,3 +6,4 @@ from .io import (  # noqa: F401
     read_parquet_evolved,
     write_parquet,
 )
+from .lakehouse_stream import register_lakehouse_source  # noqa: F401

@@ -361,6 +361,69 @@ def test_streaming_sink_exactly_once_replay(spark, tmp_path):
     assert tf.committed_batch_ids(root) == {0, 1}
 
 
+def test_lakehouse_datasource_batch_and_stream(spark, tmp_path):
+    """spark.read / readStream format('lakehouse'): batch sees the live
+    snapshot with writer-stamped _commit_version; the stream replays
+    the log append-by-append (offset = version), raises on a
+    file-removing commit by default, and proceeds with
+    ignoreChanges=true."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.lakehouse_stream import (
+        register_lakehouse_source,
+    )
+
+    root = str(tmp_path / "t")
+    tf.create_table(
+        _mk(spark, 0, 10).repartitionByRange(2, "k"), root, stat_cols=["k"]
+    )
+    tf.append(_mk(spark, 10, 15, seg="B").coalesce(1), root)
+    register_lakehouse_source(spark)
+
+    batch = spark.read.format("lakehouse").option("path", root).load()
+    got = {(r["k"], r["_commit_version"]) for r in batch.collect()}
+    assert got == {(i, 0) for i in range(10)} | {(i, 1) for i in range(10, 15)}
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def _run(extra_opts=None):
+        reader = spark.readStream.format("lakehouse").option("path", root)
+        for k, v in (extra_opts or {}).items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    def _sunk():
+        return {
+            (r["k"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _run()
+    assert _sunk() == got
+    # new commit → restart from the SAME checkpoint emits only the delta
+    tf.append(_mk(spark, 15, 17, seg="C"), root)
+    _run()
+    assert _sunk() == got | {(15, 2), (16, 2)}
+    # a rewriting commit poisons an append-only stream...
+    tf.delete_where(spark, root, "k <= 1", prune_col="k")
+    with pytest.raises(Exception, match="ignoreChanges|removes files"):
+        _run()
+    # ...and ignoreChanges=true re-emits the rewritten file whole
+    _run({"ignoreChanges": "true"})
+    re_emitted = _sunk() - got - {(15, 2), (16, 2)}
+    assert re_emitted and all(v == 3 for _, v in re_emitted)
+    ks = {k for k, _ in re_emitted}
+    assert 0 not in ks and 1 not in ks  # deleted rows are gone
+    assert ks & {2, 3, 4}  # kept rows of the rewritten file re-emitted
+
+
 def test_streaming_sink_end_to_end_upsert(spark, tmp_path):
     """Real Structured Streaming leg: file source → availableNow →
     merge sink keyed on k; late rows overwrite earlier values and the
