@@ -136,6 +136,9 @@ HEADLINE = [
     "table_fingerprint_orders",
     "shard_shuffle_plan",
     "kmeans_silhouette",
+    # round-7 tier: the wired lakehouse metadata layer (commit-log
+    # bound, not scan bound — measures the version-lineage round-trip)
+    "lakehouse_time_travel",
 ]
 
 
