@@ -361,6 +361,83 @@ def test_streaming_sink_exactly_once_replay(spark, tmp_path):
     assert tf.committed_batch_ids(root) == {0, 1}
 
 
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check: a deterministic pseudo-random sequence of
+    append / merge_upsert / delete_where / compact / optimize_cluster
+    against a plain python dict model — after every commit, EVERY
+    version's snapshot must equal the model's history at that version.
+    This is the property the whole format rests on: commits are
+    linearizable and snapshots immutable."""
+    import hashlib
+
+    root = str(tmp_path / "t")
+    model: dict[int, tuple] = {i: ("A", float(i)) for i in range(0, 30, 2)}
+    history = [dict(model)]
+    tf.create_table(
+        spark.createDataFrame(
+            [Row(k=k, seg=s, val=v) for k, (s, v) in sorted(model.items())]
+        ).repartitionByRange(3, "k"),
+        root,
+        stat_cols=["k"],
+    )
+
+    def rnd(i: int, mod: int) -> int:
+        return hashlib.md5(f"tf:{i}".encode()).digest()[0] % mod
+
+    for step in range(12):
+        op = rnd(step, 4)
+        if op == 0:  # append fresh keys
+            lo = 100 + step * 10
+            rows = {k: ("B", float(k)) for k in range(lo, lo + 3)}
+            tf.append(
+                spark.createDataFrame(
+                    [Row(k=k, seg=s, val=v) for k, (s, v) in sorted(rows.items())]
+                ),
+                root,
+            )
+            model.update(rows)
+        elif op == 1:  # merge: update some existing + insert one new
+            keys = sorted(model)[: 2 + rnd(step, 3)]
+            newk = 500 + step
+            rows = {k: ("U", float(step)) for k in keys}
+            rows[newk] = ("N", float(step))
+            tf.merge_upsert(
+                spark.createDataFrame(
+                    [Row(k=k, seg=s, val=v) for k, (s, v) in sorted(rows.items())]
+                ),
+                root,
+                key_col="k",
+            )
+            model.update(rows)
+        elif op == 2 and len(model) > 1:  # range delete (prunable)
+            thr = sorted(model)[len(model) // 2 - 1]
+            committed = tf.delete_where(
+                spark, root, f"k <= {thr}", prune_col="k"
+            )
+            assert committed == len(history)  # thr ∈ model => must commit
+            model = {k: v for k, v in model.items() if k > thr}
+        else:  # layout ops: data-identical
+            if rnd(step, 2):
+                tf.compact(spark, root, target_files=2)
+            else:
+                tf.optimize_cluster(spark, root, ["k"], target_files=3)
+        history.append(dict(model))
+        assert tf.latest_version(root) == len(history) - 1
+        # full history sweep on two checkpoints (per-version re-reads
+        # are a job each; every step checks only the head)
+        versions = (
+            range(len(history))
+            if step in (5, 11)
+            else [len(history) - 1]
+        )
+        for v in versions:
+            got = {
+                r["k"]: (r["seg"], r["val"])
+                for r in tf.read_table(spark, root, version=v).collect()
+            }
+            assert got == history[v], f"step {step} version {v}"
+
+
 def test_lakehouse_datasource_batch_and_stream(spark, tmp_path):
     """spark.read / readStream format('lakehouse'): batch sees the live
     snapshot with writer-stamped _commit_version; the stream replays
