@@ -1,0 +1,276 @@
+"""Incremental materialized-view maintenance (IVM) over the lakehouse
+change-data-feed — the classic warehouse capstone (Delta Live Tables /
+Materialize / "self-maintainable views" in the Gupta–Mumick taxonomy)
+re-expressed on :mod:`.table_format`.
+
+A **rollup view** is a grouped aggregate (COUNT + SUMs — the
+self-maintainable family; AVG derives as sum/count) materialized as its
+own lakehouse table. A **refresh** never re-scans the source snapshot:
+it reads the churn-proportional change-data-feed
+(:func:`.table_format.table_changes`) for the source versions since the
+last refresh, folds it into per-group *signed deltas*
+(``inserted → +1``, ``deleted → −1``), and copy-on-write-merges those
+deltas into the view at file granularity — only view files whose
+[min,max] range on the leading group key overlaps the churned keys are
+read or rewritten; the rest of the view is carried by reference.
+
+Cost model at 100 TB: a refresh is O(churned rows) to build the delta
+(one map-side-combined shuffle on the group keys) plus O(touched view
+files) to merge — never O(source) and never O(view). The delta is
+broadcast into the anti-join, so the merge adds no extra shuffle.
+
+Exact NULL fidelity with a full recompute: per SUM column the view
+stores a hidden non-null count (``_nn_<col>``), so a group whose
+non-null inputs all departed reports SUM = NULL exactly as
+``groupBy().agg(F.sum(c))`` would, and groups whose row count reaches
+zero are deleted from the view. Floating-point SUM columns accumulate
+in a different order than a recompute — bitwise equality holds for
+integer columns; doubles match to ulp-level tolerance (documented,
+tested).
+
+The maintenance spec (source root, group keys, sum columns) is recorded
+in the view's version-0 commit; each refresh commit records the source
+version it folded in (``ivm.src_version``), so the view is replayable
+and refresh is idempotent under optimistic-concurrency retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from . import table_format as tfmt
+
+
+def _nn(c: str) -> str:
+    return f"_nn_{c}"
+
+
+def _sum(c: str) -> str:
+    return f"sum_{c}"
+
+
+def _rollup_frame(src: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
+    """Full-recompute shape of the view, hidden ``_nn_*`` included."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in sum_cols:
+        aggs.append(F.sum(c).alias(_sum(c)))
+        aggs.append(F.count(c).alias(_nn(c)))
+    return src.groupBy(*keys).agg(*aggs)
+
+
+def create_rollup(
+    spark: SparkSession,
+    src_root: str,
+    view_root: str,
+    *,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    checkpoint_every: int = 10,
+) -> int:
+    """Materialize ``SELECT keys, count(*), sum(c)... GROUP BY keys``
+    over the source table's current head as a lakehouse table at
+    ``view_root``, and record the IVM spec + source version in the
+    version-0 commit. One full source scan — the only one the view will
+    ever need; every later :func:`refresh_rollup` is churn-proportional.
+    """
+    sum_cols = sum_cols or []
+    src_v = tfmt.latest_version(src_root)
+    if src_v < 0:
+        raise FileNotFoundError(f"no source table at {src_root}")
+    view = _rollup_frame(tfmt.read_table(spark, src_root), keys, sum_cols)
+    return tfmt.create_table(
+        view,
+        view_root,
+        stat_cols=[keys[0]],
+        checkpoint_every=checkpoint_every,
+        extra={
+            "ivm": {
+                "src_root": src_root,
+                "src_version": src_v,
+                "keys": keys,
+                "sum_cols": sum_cols,
+            }
+        },
+    )
+
+
+def rollup_state(view_root: str) -> dict:
+    """The IVM spec plus the newest folded-in source version."""
+    spec = dict(tfmt._table_meta(view_root)["ivm"])
+    for v in range(tfmt.latest_version(view_root), -1, -1):
+        rec = tfmt._read_commit(view_root, v)
+        if "ivm" in rec:
+            spec["src_version"] = rec["ivm"]["src_version"]
+            break
+    return spec
+
+
+def read_rollup(spark: SparkSession, view_root: str) -> DataFrame:
+    """The view without its hidden ``_nn_*`` bookkeeping columns."""
+    df = tfmt.read_table(spark, view_root)
+    return df.select([c for c in df.columns if not c.startswith("_nn_")])
+
+
+def refresh_rollup(
+    spark: SparkSession, view_root: str, *, max_retries: int = 3
+) -> int:
+    """Fold all source commits since the last refresh into the view.
+
+    Reads ONLY the change-data-feed for ``(last, head]`` (carried files
+    cancel per commit — churn-proportional), aggregates it once into
+    per-group signed deltas, then rewrites only the view files whose
+    leading-key [min,max] overlaps the delta's key range. Groups whose
+    maintained row count reaches zero are deleted; SUM columns go back
+    to NULL when their non-null support departs. No-op (no new commit)
+    when the source hasn't advanced. Optimistic concurrency: a lost
+    commit race re-plans against the refreshed view snapshot, and a
+    racing refresh that already folded ``head`` turns this call into a
+    no-op rather than double-applying the delta.
+
+    Retention interaction: the fold reads the source's per-commit
+    added/removed files for ``(last, head]``, so
+    :func:`.table_format.vacuum` on the SOURCE must retain at least the
+    versions since the view's last refresh (refresh first, vacuum
+    second) — the same contract Delta's CDF has with its retention
+    period.
+    """
+    state = rollup_state(view_root)
+    src_root, keys, sum_cols = state["src_root"], state["keys"], state["sum_cols"]
+    head = tfmt.latest_version(src_root)
+    if head <= state["src_version"]:
+        return tfmt.latest_version(view_root)
+
+    changes = tfmt.table_changes(spark, src_root, state["src_version"], head)
+    sign = F.when(F.col("_change_type") == "deleted", F.lit(-1)).otherwise(F.lit(1))
+    aggs = [F.sum(sign).alias("_d_n")]
+    for c in sum_cols:
+        aggs.append(F.sum(sign * F.col(c)).alias(f"_d_sum_{c}"))
+        aggs.append(
+            F.sum(sign * F.col(c).isNotNull().cast("long")).alias(f"_d_nn_{c}")
+        )
+    delta = changes.groupBy(*keys).agg(*aggs)
+    # a group whose feed rows cancel exactly (an update that kept every
+    # maintained quantity identical, or churn confined to NULL inputs)
+    # is a no-op on the view; more importantly an empty feed (pure
+    # compact/cluster commits) must not rewrite anything.
+    delta = delta.filter(
+        " OR ".join(
+            ["_d_n <> 0"]
+            + [
+                f"coalesce(_d_sum_{c}, 0) <> 0 OR _d_nn_{c} <> 0"
+                for c in sum_cols
+            ]
+        )
+    )
+    delta = delta.localCheckpoint(eager=True)  # CDF replay is iterative; pin it
+    if delta.isEmpty():
+        # nothing changed group-wise; still record the fold so the next
+        # refresh doesn't replay these source versions.
+        return _commit_noop_fold(view_root, head)
+    k0 = keys[0]
+    b = delta.agg(
+        F.min(k0).alias("lo"),
+        F.max(k0).alias("hi"),
+        F.max(F.col(k0).isNull().cast("int")).alias("has_null"),
+    ).collect()[0]
+    # file [min,max] stats ignore NULLs, so a churned NULL-key group can
+    # live in ANY file — pruning is only sound when no delta key is NULL.
+    bounds = (
+        None
+        if b["lo"] is None or b["has_null"]
+        else (tfmt._json_stat(b["lo"]), tfmt._json_stat(b["hi"]))
+    )
+
+    meta = tfmt._table_meta(view_root)
+    for _ in range(max_retries):
+        if rollup_state(view_root)["src_version"] >= head:
+            return tfmt.latest_version(view_root)  # racing refresh won
+        base_v = tfmt.latest_version(view_root)
+        live, schema = tfmt.snapshot_files(view_root, base_v)
+        if bounds is not None:
+            cands, _rest = tfmt._candidate_files(live, {k0: bounds}, k0)
+        else:
+            cands = live
+        st = StructType.fromJson(schema)
+        if cands:
+            old = spark.read.schema(st).parquet(
+                *tfmt._abs_paths(view_root, cands)
+            )
+        else:
+            old = spark.createDataFrame([], st)
+        merged = _apply_delta(old, delta, keys, sum_cols, st)
+        v = base_v + 1
+        adds = tfmt._write_data_files(merged, view_root, v, meta["stat_cols"])
+        try:
+            tfmt._write_commit(
+                view_root,
+                v,
+                {
+                    "version": v,
+                    "action": "ivm_refresh",
+                    "add": adds,
+                    "remove": [a["path"] for a in cands],
+                    "schema": None,
+                    "ivm": {"src_version": head},
+                },
+            )
+        except tfmt.CommitConflict:
+            continue  # orphans reclaimed by vacuum; re-plan on new state
+        tfmt._maybe_checkpoint(view_root, v, meta.get("checkpoint_every", 10))
+        return v
+    raise tfmt.CommitConflict(f"refresh lost {max_retries} races at {view_root}")
+
+
+def _commit_noop_fold(view_root: str, src_head: int, *, max_retries: int = 3) -> int:
+    for _ in range(max_retries):
+        if rollup_state(view_root)["src_version"] >= src_head:
+            return tfmt.latest_version(view_root)  # racing refresh won
+        v = tfmt.latest_version(view_root) + 1
+        try:
+            tfmt._write_commit(
+                view_root,
+                v,
+                {
+                    "version": v,
+                    "action": "ivm_refresh",
+                    "add": [],
+                    "remove": [],
+                    "schema": None,
+                    "ivm": {"src_version": src_head},
+                },
+            )
+            return v
+        except tfmt.CommitConflict:
+            continue
+    raise tfmt.CommitConflict(f"noop fold lost {max_retries} races at {view_root}")
+
+
+def _apply_delta(old: DataFrame, delta, keys, sum_cols, st) -> DataFrame:
+    """Merge signed per-group deltas into the candidate slice of the
+    view: untouched groups pass through, touched groups are re-derived,
+    groups reaching n_rows == 0 disappear, brand-new groups appear.
+    Null-safe on the group keys (a NULL key is a real group)."""
+    cond = [old[k].eqNullSafe(delta[k]) for k in keys]
+    kept = old.join(F.broadcast(delta.select(*keys)), cond, "left_anti")
+    joined = delta.join(F.broadcast(old), cond, "left")
+    typed = {f.name: f.dataType for f in st.fields}
+
+    def z(col, name):  # typed zero-coalesce keeps the stored schema stable
+        return F.coalesce(col, F.lit(0).cast(typed[name]))
+
+    cols = [delta[k].alias(k) for k in keys]
+    new_n = z(old["n_rows"], "n_rows") + F.col("_d_n")
+    cols.append(new_n.cast(typed["n_rows"]).alias("n_rows"))
+    for c in sum_cols:
+        s, nn = _sum(c), _nn(c)
+        new_nn = z(old[nn], nn) + F.col(f"_d_nn_{c}")
+        raw = z(old[s], s) + z(F.col(f"_d_sum_{c}"), s)
+        cols.append(
+            F.when(new_nn > 0, raw).otherwise(F.lit(None))
+            .cast(typed[s])
+            .alias(s)
+        )
+        cols.append(new_nn.cast(typed[nn]).alias(nn))
+    updated = joined.select(*cols).filter(F.col("n_rows") > 0)
+    return kept.unionByName(updated).select([f.name for f in st.fields])

@@ -231,26 +231,31 @@ def create_table(
     *,
     stat_cols: list[str] | None = None,
     checkpoint_every: int = 10,
+    extra: dict | None = None,
 ) -> int:
     """Version 0: write the initial snapshot. ``stat_cols`` declares the
-    columns whose per-file min/max drive MERGE/DELETE file pruning."""
+    columns whose per-file min/max drive MERGE/DELETE file pruning.
+    ``extra`` merges app-level metadata into the commit record (e.g. the
+    IVM spec — see :mod:`.ivm`); it may not shadow core record keys."""
     if latest_version(root) >= 0:
         raise FileExistsError(f"table already exists at {root}")
     stat_cols = stat_cols or []
     adds = _write_data_files(df, root, 0, stat_cols)
-    _write_commit(
-        root,
-        0,
-        {
-            "version": 0,
-            "action": "create",
-            "add": adds,
-            "remove": [],
-            "schema": df.schema.json(),
-            "stat_cols": stat_cols,
-            "checkpoint_every": checkpoint_every,
-        },
-    )
+    record = {
+        "version": 0,
+        "action": "create",
+        "add": adds,
+        "remove": [],
+        "schema": df.schema.json(),
+        "stat_cols": stat_cols,
+        "checkpoint_every": checkpoint_every,
+    }
+    if extra:
+        clash = set(extra) & set(record)
+        if clash:
+            raise ValueError(f"extra metadata shadows core keys: {sorted(clash)}")
+        record.update(extra)
+    _write_commit(root, 0, record)
     return 0
 
 

@@ -1,0 +1,281 @@
+"""Incremental view maintenance (operators/ivm.py) behavior tests.
+
+The invariant under test everywhere: after any source lineage and any
+refresh schedule, ``read_rollup`` equals a full recompute
+(``groupBy().agg(count, sum)``) over the source's current snapshot —
+including NULL-sum fidelity (a group whose non-null inputs all departed
+reports SUM = NULL, exactly as a recompute would) and group deletion
+(n_rows reaching 0 removes the group). Refreshes must be
+churn-proportional: the pruning proof corrupts untouched view files on
+disk and the refresh still succeeds because it never opens them.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+    ivm,
+    table_format as tf,
+)
+
+
+def _mk(spark, lo, hi, seg="A", null_val_every=0):
+    rows = []
+    for i in range(lo, hi):
+        val = None if null_val_every and i % null_val_every == 0 else i * 2
+        rows.append(Row(k=i, g=i % 5, seg=seg, val=val))
+    return spark.createDataFrame(rows, "k long, g long, seg string, val long")
+
+
+def _recompute(spark, src_root, keys=("g",), sum_cols=("val",)):
+    src = tf.read_table(spark, src_root)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in sum_cols:
+        aggs.append(F.sum(c).alias(f"sum_{c}"))
+    return src.groupBy(*keys).agg(*aggs)
+
+
+def _assert_rollup_matches(spark, src_root, view_root, keys=("g",), sum_cols=("val",)):
+    def _key(t):  # None-tolerant total order
+        return tuple((v is None, v) for v in t)
+
+    got = sorted(
+        (tuple(r) for r in ivm.read_rollup(spark, view_root).collect()),
+        key=_key,
+    )
+    want = sorted(
+        (tuple(r) for r in _recompute(spark, src_root, keys, sum_cols).collect()),
+        key=_key,
+    )
+    assert got == want, f"view diverged from recompute:\n got {got}\nwant {want}"
+
+
+def test_create_refresh_lineage_equals_recompute(spark, tmp_path):
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    tf.create_table(_mk(spark, 0, 50), src, stat_cols=["k"])
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+    _assert_rollup_matches(spark, src, view)
+    assert "_nn_val" not in ivm.read_rollup(spark, view).columns
+
+    tf.append(_mk(spark, 50, 80, seg="B"), src)
+    ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view)
+
+    tf.delete_where(spark, src, "k < 20", prune_col="k")
+    ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view)
+
+    updates = spark.createDataFrame(
+        [Row(k=25, g=99, seg="Z", val=1000), Row(k=999, g=99, seg="Z", val=7)],
+        "k long, g long, seg string, val long",
+    )
+    tf.merge_upsert(updates, src, key_col="k")
+    ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view)
+    st = ivm.rollup_state(view)
+    assert st["src_version"] == tf.latest_version(src) == 3
+
+
+def test_multi_commit_fold_and_noop(spark, tmp_path):
+    """One refresh folds several source commits; a refresh with no
+    source progress commits nothing."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    tf.create_table(_mk(spark, 0, 30), src, stat_cols=["k"])
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+    tf.append(_mk(spark, 30, 40), src)
+    tf.delete_where(spark, src, "k < 5", prune_col="k")
+    tf.append(_mk(spark, 40, 45), src)
+    v = ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view)
+    assert ivm.refresh_rollup(spark, view) == v  # no-op, no new commit
+    assert tf.latest_version(view) == v
+
+
+def test_compact_only_churn_is_metadata_noop(spark, tmp_path):
+    """A source compaction rewrites files but changes no rows — the CDF
+    cancels, and the refresh records the fold WITHOUT rewriting any
+    view file (empty add/remove commit)."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    tf.create_table(_mk(spark, 0, 40).repartition(4), src, stat_cols=["k"])
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+    tf.compact(spark, src)
+    v = ivm.refresh_rollup(spark, view)
+    rec = tf._read_commit(view, v)
+    assert rec["add"] == [] and rec["remove"] == []
+    assert ivm.rollup_state(view)["src_version"] == tf.latest_version(src)
+    _assert_rollup_matches(spark, src, view)
+
+
+def test_group_deletion_and_null_sum_fidelity(spark, tmp_path):
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    # g=0 rows all have NULL val (k % 5 == 0 and null_val_every=5 align)
+    tf.create_table(_mk(spark, 0, 25, null_val_every=5), src, stat_cols=["k"])
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+    rows = {r["g"]: r for r in ivm.read_rollup(spark, view).collect()}
+    assert rows[0]["sum_val"] is None and rows[0]["n_rows"] == 5
+    # delete every g=1 row: the group must disappear from the view
+    tf.delete_where(spark, src, "k % 5 = 1")
+    ivm.refresh_rollup(spark, view)
+    rows = {r["g"]: r for r in ivm.read_rollup(spark, view).collect()}
+    assert 1 not in rows and set(rows) == {0, 2, 3, 4}
+    _assert_rollup_matches(spark, src, view)
+    # delete the non-null val rows of g=2 (keep none): group g=2 gone;
+    # then re-insert a NULL-val g=2 row: SUM must come back as NULL.
+    tf.delete_where(spark, src, "g = 2")
+    tf.append(
+        spark.createDataFrame(
+            [Row(k=1002, g=2, seg="N", val=None)],
+            "k long, g long, seg string, val long",
+        ),
+        src,
+    )
+    ivm.refresh_rollup(spark, view)
+    rows = {r["g"]: r for r in ivm.read_rollup(spark, view).collect()}
+    assert rows[2]["n_rows"] == 1 and rows[2]["sum_val"] is None
+    _assert_rollup_matches(spark, src, view)
+
+
+def test_refresh_never_reads_pruned_view_files(spark, tmp_path):
+    """Physical churn-proportionality proof: cluster the view on the
+    group key, corrupt the view files outside the churned key range,
+    refresh — it must succeed (never opens them) and carry them."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    rows = [Row(k=i, g=i // 100, seg="A", val=i) for i in range(1000)]
+    tf.create_table(
+        spark.createDataFrame(rows, "k long, g long, seg string, val long"),
+        src,
+        stat_cols=["k"],
+    )
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+    # cluster the view on g so per-file [min,max] ranges are disjoint
+    tf.optimize_cluster(spark, view, ["g"], target_files=5)
+    live, _ = tf.snapshot_files(view)
+    untouched = [
+        a for a in live
+        if a["stats"]["g"][0] is not None and a["stats"]["g"][1] < 8
+    ]
+    assert untouched, "clustering should give files with max g < 8"
+    before = {a["path"] for a in untouched}
+    for a in untouched:
+        with open(os.path.join(view, a["path"]), "wb") as f:
+            f.write(b"NOT A PARQUET FILE")
+    # churn confined to g in {8, 9}
+    tf.delete_where(spark, src, "k >= 850", prune_col="k")
+    v = ivm.refresh_rollup(spark, view)
+    live1, _ = tf.snapshot_files(view, v)
+    assert before <= {a["path"] for a in live1}  # carried by reference
+    rec = tf._read_commit(view, v)
+    assert before.isdisjoint(set(rec["remove"]))
+
+
+def test_composite_and_null_group_keys(spark, tmp_path):
+    """NULL is a real group under groupBy semantics; composite keys are
+    maintained null-safely and NULL-key churn disables pruning rather
+    than corrupting the view."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    rows = [
+        Row(k=i, g=(None if i % 7 == 0 else i % 3), seg=("X" if i % 2 else "Y"),
+            val=i)
+        for i in range(60)
+    ]
+    tf.create_table(
+        spark.createDataFrame(rows, "k long, g long, seg string, val long"),
+        src,
+        stat_cols=["k"],
+    )
+    ivm.create_rollup(spark, src, view, keys=["g", "seg"], sum_cols=["val"])
+    _assert_rollup_matches(spark, src, view, keys=("g", "seg"))
+    tf.delete_where(spark, src, "k % 7 = 0")  # all NULL-g rows + k=0 etc.
+    tf.append(
+        spark.createDataFrame(
+            [Row(k=1000 + i, g=None, seg="X", val=i) for i in range(5)],
+            "k long, g long, seg string, val long",
+        ),
+        src,
+    )
+    ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view, keys=("g", "seg"))
+
+
+def test_double_sums_match_to_tolerance(spark, tmp_path):
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    rows = [Row(k=i, g=i % 4, x=(i * 0.1) ** 2) for i in range(200)]
+    tf.create_table(
+        spark.createDataFrame(rows, "k long, g long, x double"), src,
+        stat_cols=["k"],
+    )
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["x"])
+    tf.delete_where(spark, src, "k BETWEEN 50 AND 120", prune_col="k")
+    tf.append(
+        spark.createDataFrame(
+            [Row(k=500 + i, g=i % 4, x=0.3 * i) for i in range(40)],
+            "k long, g long, x double",
+        ),
+        src,
+    )
+    ivm.refresh_rollup(spark, view)
+    got = {r["g"]: (r["n_rows"], r["sum_x"])
+           for r in ivm.read_rollup(spark, view).collect()}
+    want = {r["g"]: (r["n_rows"], r["sum_x"])
+            for r in _recompute(spark, src, ("g",), ("x",)).collect()}
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert got[g][1] == pytest.approx(want[g][1], rel=1e-12)
+
+
+def test_random_op_sequence_maintenance(spark, tmp_path):
+    """Model-based: random append/delete/merge/compact lineage with
+    refreshes interleaved at random points — the view must equal the
+    recompute at every refresh."""
+    rng = random.Random(71)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    next_k = 80
+    tf.create_table(_mk(spark, 0, next_k, null_val_every=9), src,
+                    stat_cols=["k"])
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+    for step in range(8):
+        op = rng.choice(["append", "delete", "merge", "compact"])
+        if op == "append":
+            n = rng.randrange(5, 30)
+            tf.append(
+                _mk(spark, next_k, next_k + n,
+                    null_val_every=rng.choice([0, 4])),
+                src,
+            )
+            next_k += n
+        elif op == "delete":
+            lo = rng.randrange(0, next_k)
+            tf.delete_where(
+                spark, src, f"k BETWEEN {lo} AND {lo + 25}", prune_col="k"
+            )
+        elif op == "merge":
+            ks = rng.sample(range(next_k + 40), 12)
+            tf.merge_upsert(
+                spark.createDataFrame(
+                    [Row(k=k, g=k % 6, seg="M",
+                         val=(None if k % 5 == 0 else k * 3)) for k in ks],
+                    "k long, g long, seg string, val long",
+                ),
+                src,
+                key_col="k",
+            )
+        else:
+            tf.compact(spark, src)
+        if rng.random() < 0.7 or step == 7:
+            ivm.refresh_rollup(spark, view)
+            _assert_rollup_matches(spark, src, view)
