@@ -139,6 +139,8 @@ HEADLINE = [
     # round-7 tier: the wired lakehouse metadata layer (commit-log
     # bound, not scan bound — measures the version-lineage round-trip)
     "lakehouse_time_travel",
+    # CDF-fold view maintenance: create + 3 churn-proportional refreshes
+    "lakehouse_incremental_rollup",
 ]
 
 

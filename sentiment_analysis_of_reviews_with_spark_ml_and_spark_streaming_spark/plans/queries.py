@@ -8784,6 +8784,112 @@ FROM feed GROUP BY v, ct ORDER BY commit_version, change_type
 """
 
 
+def q_lakehouse_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/ivm.py) over
+    a 4-version orders lineage: materialize `GROUP BY o_custkey % 50`
+    count + key-sum at v0 (URGENT/HIGH), then append (MEDIUM) →
+    stats-pruned DELETE (o_orderkey <= 2048) → copy-on-write MERGE
+    (5-LOW inserts + every third 2-HIGH key re-bucketed to 77), with a
+    churn-proportional `refresh_rollup` after each commit — the view is
+    NEVER recomputed from the source snapshot; every refresh folds only
+    the change-data-feed. The oracle computes the FINAL state's group-by
+    from first principles in SQL, so any drift accumulated across the
+    three incremental folds (mis-signed delta, lost group, wrong
+    deletion-to-zero, double-applied feed) breaks a checksum. Bounded
+    driver work: ≤51 group rows; staging tables live in a temp dir
+    removed before return."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import ivm
+    from ..operators import table_format as tfmt
+
+    base = tempfile.mkdtemp(prefix="lakehouse_ivm_")
+    src = os.path.join(base, "src")
+    view = os.path.join(base, "view")
+    try:
+        orders = _t(spark, sf_dir, "orders")
+        shaped = orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_custkey") % 50).cast("long").alias("bucket"),
+        )
+        tfmt.create_table(
+            shaped.filter(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            )
+            .select("o_orderkey", "bucket")
+            .repartitionByRange(4, "o_orderkey"),
+            src,
+            stat_cols=["o_orderkey"],
+        )
+        ivm.create_rollup(
+            spark, src, view, keys=["bucket"], sum_cols=["o_orderkey"]
+        )
+        tfmt.append(
+            shaped.filter(F.col("o_orderpriority") == "3-MEDIUM").select(
+                "o_orderkey", "bucket"
+            ),
+            src,
+        )
+        ivm.refresh_rollup(spark, view)
+        tfmt.delete_where(
+            spark, src, "o_orderkey <= 2048", prune_col="o_orderkey"
+        )
+        ivm.refresh_rollup(spark, view)
+        updates = shaped.filter(
+            (F.col("o_orderpriority") == "5-LOW")
+            | (
+                (F.col("o_orderpriority") == "2-HIGH")
+                & (F.col("o_orderkey") % 3 == 0)
+            )
+        ).select("o_orderkey", F.lit(77).cast("long").alias("bucket"))
+        tfmt.merge_upsert(updates, src, key_col="o_orderkey")
+        ivm.refresh_rollup(spark, view)
+        out = (
+            ivm.read_rollup(spark, view)
+            .select(
+                "bucket",
+                "n_rows",
+                F.col("sum_o_orderkey").alias("key_sum"),
+            )
+            .orderBy("bucket")
+            .collect()
+        )
+        rows = [(r["bucket"], r["n_rows"], r["key_sum"]) for r in out]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "bucket long, n_rows long, key_sum long"
+    )
+
+
+# The oracle replays the FINAL source state as SQL set algebra and
+# groups it directly — the engine must reach the same rollup purely by
+# folding per-commit change feeds. CAST: DuckDB sum(BIGINT) is HUGEINT.
+SQL_LAKEHOUSE_INCREMENTAL_ROLLUP = """
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_custkey % 50 AS bucket FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+),
+v2 AS (SELECT * FROM v1 WHERE NOT (k <= 2048)),
+u AS (
+  SELECT o_orderkey AS k, CAST(77 AS BIGINT) AS bucket FROM orders
+  WHERE o_orderpriority = '5-LOW'
+     OR (o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0)
+),
+v3 AS (
+  SELECT * FROM v2 WHERE k NOT IN (SELECT k FROM u)
+  UNION ALL SELECT * FROM u
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM v3 GROUP BY bucket ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8990,6 +9096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentiment_vader_full": q_sentiment_vader_full,
     "lakehouse_time_travel": q_lakehouse_time_travel,
     "lakehouse_table_changes": q_lakehouse_table_changes,
+    "lakehouse_incremental_rollup": q_lakehouse_incremental_rollup,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -9169,6 +9276,7 @@ ORACLE: dict[str, str] = {
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "lakehouse_time_travel": SQL_LAKEHOUSE_TIME_TRAVEL,
     "lakehouse_table_changes": SQL_LAKEHOUSE_TABLE_CHANGES,
+    "lakehouse_incremental_rollup": SQL_LAKEHOUSE_INCREMENTAL_ROLLUP,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
