@@ -50,12 +50,20 @@ def _sum(c: str) -> str:
     return f"sum_{c}"
 
 
-def _rollup_frame(src: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
+def _rollup_frame(
+    src: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
+) -> DataFrame:
     """Full-recompute shape of the view, hidden ``_nn_*`` included."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in sum_cols:
         aggs.append(F.sum(c).alias(_sum(c)))
         aggs.append(F.count(c).alias(_nn(c)))
+    for c in minmax_cols or []:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
     return src.groupBy(*keys).agg(*aggs)
 
 
@@ -66,19 +74,26 @@ def create_rollup(
     *,
     keys: list[str],
     sum_cols: list[str] | None = None,
+    minmax_cols: list[str] | None = None,
     checkpoint_every: int = 10,
 ) -> int:
-    """Materialize ``SELECT keys, count(*), sum(c)... GROUP BY keys``
-    over the source table's current head as a lakehouse table at
-    ``view_root``, and record the IVM spec + source version in the
-    version-0 commit. One full source scan — the only one the view will
-    ever need; every later :func:`refresh_rollup` is churn-proportional.
+    """Materialize ``SELECT keys, count(*), sum(c)…, min(c)/max(c)…
+    GROUP BY keys`` over the source table's current head as a lakehouse
+    table at ``view_root``, and record the IVM spec + source version in
+    the version-0 commit. One full source scan — the only one the view
+    will ever need; every later :func:`refresh_rollup` is
+    churn-proportional (``minmax_cols`` add a group-confined source
+    recompute only when a delete could displace a stored extremum — see
+    :func:`refresh_rollup`).
     """
     sum_cols = sum_cols or []
+    minmax_cols = minmax_cols or []
     src_v = tfmt.latest_version(src_root)
     if src_v < 0:
         raise FileNotFoundError(f"no source table at {src_root}")
-    view = _rollup_frame(tfmt.read_table(spark, src_root), keys, sum_cols)
+    view = _rollup_frame(
+        tfmt.read_table(spark, src_root), keys, sum_cols, minmax_cols
+    )
     return tfmt.create_table(
         view,
         view_root,
@@ -90,6 +105,7 @@ def create_rollup(
                 "src_version": src_v,
                 "keys": keys,
                 "sum_cols": sum_cols,
+                "minmax_cols": minmax_cols,
             }
         },
     )
@@ -98,6 +114,7 @@ def create_rollup(
 def rollup_state(view_root: str) -> dict:
     """The IVM spec plus the newest folded-in source version."""
     spec = dict(tfmt._table_meta(view_root)["ivm"])
+    spec.setdefault("minmax_cols", [])
     for v in range(tfmt.latest_version(view_root), -1, -1):
         rec = tfmt._read_commit(view_root, v)
         if "ivm" in rec:
@@ -128,6 +145,13 @@ def refresh_rollup(
     racing refresh that already folded ``head`` turns this call into a
     no-op rather than double-applying the delta.
 
+    MIN/MAX columns: inserts fold as ``least``/``greatest``; a delete
+    that touches or passes a stored extremum flags ONLY that group for
+    a source re-aggregation confined to the flagged keys (broadcast
+    semi-join at the folded snapshot version) — deletes strictly inside
+    the stored [min, max] stay incremental, and insert-only refreshes
+    never read the source at all.
+
     Retention interaction: the fold reads the source's per-commit
     added/removed files for ``(last, head]``, so
     :func:`.table_format.vacuum` on the SOURCE must retain at least the
@@ -137,18 +161,25 @@ def refresh_rollup(
     """
     state = rollup_state(view_root)
     src_root, keys, sum_cols = state["src_root"], state["keys"], state["sum_cols"]
+    minmax_cols = state["minmax_cols"]
     head = tfmt.latest_version(src_root)
     if head <= state["src_version"]:
         return tfmt.latest_version(view_root)
 
     changes = tfmt.table_changes(spark, src_root, state["src_version"], head)
-    sign = F.when(F.col("_change_type") == "deleted", F.lit(-1)).otherwise(F.lit(1))
+    deleted = F.col("_change_type") == "deleted"
+    sign = F.when(deleted, F.lit(-1)).otherwise(F.lit(1))
     aggs = [F.sum(sign).alias("_d_n")]
     for c in sum_cols:
         aggs.append(F.sum(sign * F.col(c)).alias(f"_d_sum_{c}"))
         aggs.append(
             F.sum(sign * F.col(c).isNotNull().cast("long")).alias(f"_d_nn_{c}")
         )
+    for c in minmax_cols:
+        aggs.append(F.min(F.when(~deleted, F.col(c))).alias(f"_d_ins_min_{c}"))
+        aggs.append(F.max(F.when(~deleted, F.col(c))).alias(f"_d_ins_max_{c}"))
+        aggs.append(F.min(F.when(deleted, F.col(c))).alias(f"_d_del_min_{c}"))
+        aggs.append(F.max(F.when(deleted, F.col(c))).alias(f"_d_del_max_{c}"))
     delta = changes.groupBy(*keys).agg(*aggs)
     # a group whose feed rows cancel exactly (an update that kept every
     # maintained quantity identical, or churn confined to NULL inputs)
@@ -160,6 +191,10 @@ def refresh_rollup(
             + [
                 f"coalesce(_d_sum_{c}, 0) <> 0 OR _d_nn_{c} <> 0"
                 for c in sum_cols
+            ]
+            + [
+                f"_d_ins_min_{c} IS NOT NULL OR _d_del_min_{c} IS NOT NULL"
+                for c in minmax_cols
             ]
         )
     )
@@ -199,7 +234,12 @@ def refresh_rollup(
             )
         else:
             old = spark.createDataFrame([], st)
-        merged = _apply_delta(old, delta, keys, sum_cols, st)
+        merged = _apply_delta(
+            old, delta, keys, sum_cols, minmax_cols, st,
+            lambda rec_keys: _recompute_groups(
+                spark, src_root, head, rec_keys, keys, sum_cols, minmax_cols
+            ),
+        )
         v = base_v + 1
         adds = tfmt._write_data_files(merged, view_root, v, meta["stat_cols"])
         try:
@@ -246,11 +286,60 @@ def _commit_noop_fold(view_root: str, src_head: int, *, max_retries: int = 3) ->
     raise tfmt.CommitConflict(f"noop fold lost {max_retries} races at {view_root}")
 
 
-def _apply_delta(old: DataFrame, delta, keys, sum_cols, st) -> DataFrame:
+def maintained_sink(src_root: str, view_roots: list[str], *, key_col: str | None = None):
+    """``foreachBatch`` function composing the exactly-once lakehouse
+    sink with downstream view maintenance — the bronze→silver medallion
+    hop in one micro-batch: each batch lands in the source table
+    (append, or CDC merge with ``key_col``), then every rollup view in
+    ``view_roots`` folds the resulting change feed forward. Crash-safe
+    at both layers: a replayed batch id is a no-op in the source commit
+    log (:func:`.table_format.committed_batch_ids`), and a refresh that
+    already folded the source head is a no-op by the ``src_version``
+    guard — so the pipeline is idempotent end-to-end under Structured
+    Streaming's at-least-once ``foreachBatch`` contract.
+
+    Usage::
+
+        q = (df.writeStream
+               .foreachBatch(maintained_sink(src, [view]))
+               .option("checkpointLocation", ckpt).start())
+    """
+    base = tfmt.streaming_sink(src_root, key_col=key_col)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        base(batch_df, batch_id)
+        for vr in view_roots:
+            refresh_rollup(batch_df.sparkSession, vr)
+
+    return _sink
+
+
+def _recompute_groups(
+    spark, src_root, src_version, rec_keys, keys, sum_cols, minmax_cols
+) -> DataFrame:
+    """Group-confined recompute for deletes that may displace a stored
+    MIN/MAX: re-aggregate ONLY the flagged groups from the source
+    snapshot AT THE FOLDED VERSION (snapshot isolation keeps this
+    correct under concurrent source writers). The flagged-key set is
+    churn-bounded and broadcast; on a source clustered by the group key
+    the semi-join's runtime filter prunes the scan further."""
+    src = tfmt.read_table(spark, src_root, version=src_version)
+    cond = [src[k].eqNullSafe(rec_keys[k]) for k in keys]
+    confined = src.join(F.broadcast(rec_keys), cond, "left_semi")
+    return _rollup_frame(confined, keys, sum_cols, minmax_cols)
+
+
+def _apply_delta(old: DataFrame, delta, keys, sum_cols, minmax_cols, st, recompute_fn) -> DataFrame:
     """Merge signed per-group deltas into the candidate slice of the
     view: untouched groups pass through, touched groups are re-derived,
     groups reaching n_rows == 0 disappear, brand-new groups appear.
-    Null-safe on the group keys (a NULL key is a real group)."""
+    Null-safe on the group keys (a NULL key is a real group).
+
+    MIN/MAX columns are not self-maintainable under deletes: inserts
+    fold as ``least/greatest``, but a delete at-or-beyond the stored
+    extremum flags the group for ``recompute_fn`` (group-confined source
+    re-aggregation); groups whose deletes stay strictly inside the
+    stored [min, max] fold incrementally like everything else."""
     cond = [old[k].eqNullSafe(delta[k]) for k in keys]
     kept = old.join(F.broadcast(delta.select(*keys)), cond, "left_anti")
     joined = delta.join(F.broadcast(old), cond, "left")
@@ -272,5 +361,40 @@ def _apply_delta(old: DataFrame, delta, keys, sum_cols, st) -> DataFrame:
             .alias(s)
         )
         cols.append(new_nn.cast(typed[nn]).alias(nn))
-    updated = joined.select(*cols).filter(F.col("n_rows") > 0)
+    unsafe = F.lit(False)
+    for c in minmax_cols:
+        mn, mx = f"min_{c}", f"max_{c}"
+        dmn, dmx = F.col(f"_d_del_min_{c}"), F.col(f"_d_del_max_{c}")
+        # a delete can only displace an extremum if it touches or passes
+        # it; a group the view has never seen (old extrema NULL) with
+        # deletes must have consumed same-fold inserts — recompute too.
+        unsafe = unsafe | (
+            dmn.isNotNull()
+            & (old[mn].isNull() | (dmn <= old[mn]) | (dmx >= old[mx]))
+        )
+        cols.append(
+            F.least(old[mn], F.col(f"_d_ins_min_{c}"))
+            .cast(typed[mn]).alias(mn)
+        )
+        cols.append(
+            F.greatest(old[mx], F.col(f"_d_ins_max_{c}"))
+            .cast(typed[mx]).alias(mx)
+        )
+    updated = joined.select(*cols, unsafe.alias("_unsafe")).filter(
+        F.col("n_rows") > 0
+    )
+    if minmax_cols:
+        updated = updated.localCheckpoint(eager=True)  # split reuses it
+        safe = updated.filter(~F.col("_unsafe")).drop("_unsafe")
+        rec_keys = updated.filter(F.col("_unsafe")).select(*keys)
+        if rec_keys.isEmpty():  # insert-only/interior churn: no recompute
+            updated = safe
+        else:
+            recomputed = recompute_fn(rec_keys).select(
+                *[F.col(f.name).cast(typed[f.name]).alias(f.name)
+                  for f in st.fields]
+            )
+            updated = safe.unionByName(recomputed)
+    else:
+        updated = updated.drop("_unsafe")
     return kept.unionByName(updated).select([f.name for f in st.fields])

@@ -8791,13 +8791,16 @@ def q_lakehouse_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     stats-pruned DELETE (o_orderkey <= 2048) → copy-on-write MERGE
     (5-LOW inserts + every third 2-HIGH key re-bucketed to 77), with a
     churn-proportional `refresh_rollup` after each commit — the view is
-    NEVER recomputed from the source snapshot; every refresh folds only
-    the change-data-feed. The oracle computes the FINAL state's group-by
-    from first principles in SQL, so any drift accumulated across the
-    three incremental folds (mis-signed delta, lost group, wrong
-    deletion-to-zero, double-applied feed) breaks a checksum. Bounded
-    driver work: ≤51 group rows; staging tables live in a temp dir
-    removed before return."""
+    NEVER fully recomputed; every refresh folds only the
+    change-data-feed (COUNT/SUM as signed deltas; MIN/MAX as
+    least/greatest folds, with the delete step displacing group minima
+    and thereby exercising the group-confined extremum-recompute
+    branch). The oracle computes the FINAL state's group-by from first
+    principles in SQL, so any drift accumulated across the three
+    incremental folds (mis-signed delta, lost group, wrong
+    deletion-to-zero, double-applied feed, stale extremum) breaks a
+    checksum. Bounded driver work: ≤51 group rows; staging tables live
+    in a temp dir removed before return."""
     import os
     import shutil
     import tempfile
@@ -8825,7 +8828,12 @@ def q_lakehouse_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             stat_cols=["o_orderkey"],
         )
         ivm.create_rollup(
-            spark, src, view, keys=["bucket"], sum_cols=["o_orderkey"]
+            spark,
+            src,
+            view,
+            keys=["bucket"],
+            sum_cols=["o_orderkey"],
+            minmax_cols=["o_orderkey"],
         )
         tfmt.append(
             shaped.filter(F.col("o_orderpriority") == "3-MEDIUM").select(
@@ -8853,15 +8861,21 @@ def q_lakehouse_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
                 "bucket",
                 "n_rows",
                 F.col("sum_o_orderkey").alias("key_sum"),
+                F.col("min_o_orderkey").alias("key_min"),
+                F.col("max_o_orderkey").alias("key_max"),
             )
             .orderBy("bucket")
             .collect()
         )
-        rows = [(r["bucket"], r["n_rows"], r["key_sum"]) for r in out]
+        rows = [
+            (r["bucket"], r["n_rows"], r["key_sum"], r["key_min"], r["key_max"])
+            for r in out
+        ]
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
-        rows, "bucket long, n_rows long, key_sum long"
+        rows,
+        "bucket long, n_rows long, key_sum long, key_min long, key_max long",
     )
 
 
@@ -8885,7 +8899,9 @@ v3 AS (
 )
 SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(k) AS BIGINT) AS key_sum
+       CAST(sum(k) AS BIGINT) AS key_sum,
+       CAST(min(k) AS BIGINT) AS key_min,
+       CAST(max(k) AS BIGINT) AS key_max
 FROM v3 GROUP BY bucket ORDER BY bucket
 """
 

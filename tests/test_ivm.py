@@ -33,15 +33,20 @@ def _mk(spark, lo, hi, seg="A", null_val_every=0):
     return spark.createDataFrame(rows, "k long, g long, seg string, val long")
 
 
-def _recompute(spark, src_root, keys=("g",), sum_cols=("val",)):
+def _recompute(spark, src_root, keys=("g",), sum_cols=("val",), minmax_cols=()):
     src = tf.read_table(spark, src_root)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in sum_cols:
         aggs.append(F.sum(c).alias(f"sum_{c}"))
+    for c in minmax_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
     return src.groupBy(*keys).agg(*aggs)
 
 
-def _assert_rollup_matches(spark, src_root, view_root, keys=("g",), sum_cols=("val",)):
+def _assert_rollup_matches(
+    spark, src_root, view_root, keys=("g",), sum_cols=("val",), minmax_cols=()
+):
     def _key(t):  # None-tolerant total order
         return tuple((v is None, v) for v in t)
 
@@ -50,7 +55,12 @@ def _assert_rollup_matches(spark, src_root, view_root, keys=("g",), sum_cols=("v
         key=_key,
     )
     want = sorted(
-        (tuple(r) for r in _recompute(spark, src_root, keys, sum_cols).collect()),
+        (
+            tuple(r)
+            for r in _recompute(
+                spark, src_root, keys, sum_cols, minmax_cols
+            ).collect()
+        ),
         key=_key,
     )
     assert got == want, f"view diverged from recompute:\n got {got}\nwant {want}"
@@ -235,6 +245,124 @@ def test_double_sums_match_to_tolerance(spark, tmp_path):
     for g in want:
         assert got[g][0] == want[g][0]
         assert got[g][1] == pytest.approx(want[g][1], rel=1e-12)
+
+
+def test_minmax_lineage_equals_recompute(spark, tmp_path):
+    """MIN/MAX maintenance through inserts (least/greatest fold),
+    extremum-displacing deletes (group-confined recompute), interior
+    deletes, and updates that migrate a group's extremum."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    kw = dict(keys=("g",), sum_cols=("val",), minmax_cols=("val",))
+    tf.create_table(_mk(spark, 0, 50, null_val_every=7), src, stat_cols=["k"])
+    ivm.create_rollup(
+        spark, src, view, keys=["g"], sum_cols=["val"], minmax_cols=["val"]
+    )
+    _assert_rollup_matches(spark, src, view, **kw)
+    # insert-only: folds without touching the source
+    tf.append(_mk(spark, 50, 70, seg="B"), src)
+    ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view, **kw)
+    # extremum-displacing delete: k=69 holds g=4's max val (138)
+    tf.delete_where(spark, src, "k = 69")
+    ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view, **kw)
+    # interior delete: k=32 (val 64) is strictly inside g=2's [4, 134]
+    tf.delete_where(spark, src, "k = 32")
+    ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view, **kw)
+    # update migrating an extremum via merge (delete+insert in the CDF)
+    tf.merge_upsert(
+        spark.createDataFrame(
+            [Row(k=68, g=3, seg="U", val=-5)],
+            "k long, g long, seg string, val long",
+        ),
+        src,
+        key_col="k",
+    )
+    ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view, **kw)
+    rows = {r["g"]: r for r in ivm.read_rollup(spark, view).collect()}
+    assert rows[3]["min_val"] == -5
+
+
+def test_minmax_insert_only_never_reads_source(spark, tmp_path):
+    """Physical proof that an insert-only refresh stays off the source
+    snapshot: corrupt every pre-existing source data file; the fold
+    (which reads only the new commit's added files) must succeed."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    tf.create_table(_mk(spark, 0, 30), src, stat_cols=["k"])
+    ivm.create_rollup(
+        spark, src, view, keys=["g"], sum_cols=["val"], minmax_cols=["val"]
+    )
+    live0, _ = tf.snapshot_files(src, 0)
+    tf.append(_mk(spark, 30, 45, seg="B"), src)
+    for a in live0:
+        with open(os.path.join(src, a["path"]), "wb") as f:
+            f.write(b"NOT A PARQUET FILE")
+    ivm.refresh_rollup(spark, view)  # must never open the corrupted files
+    got = {r["g"]: (r["n_rows"], r["min_val"], r["max_val"])
+           for r in ivm.read_rollup(spark, view).collect()}
+    # g=0 rows: k in {0,5,...,25} ∪ {30,35,40}; val = 2k → extrema [0, 80]
+    assert got[0] == (9, 0, 80)
+
+
+def test_minmax_interior_delete_skips_recompute(spark, tmp_path):
+    """A delete strictly inside every touched group's stored [min,max]
+    must NOT trigger the recompute branch — proven physically by
+    corrupting every source file the fold doesn't need (all but the
+    delete commit's own add/remove set)."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    tf.create_table(
+        _mk(spark, 0, 100).repartitionByRange(4, "k"), src, stat_cols=["k"]
+    )
+    ivm.create_rollup(
+        spark, src, view, keys=["g"], sum_cols=["val"], minmax_cols=["val"]
+    )
+    # k in [40, 60): interior of every g group (extrema live at k<5, k>=95)
+    tf.delete_where(spark, src, "k >= 40 AND k < 60", prune_col="k")
+    rec = tf._read_commit(src, 1)
+    needed = {a["path"] for a in rec["add"]} | set(rec["remove"])
+    live1, _ = tf.snapshot_files(src, 1)
+    for a in live1:
+        if a["path"] not in needed:
+            with open(os.path.join(src, a["path"]), "wb") as f:
+                f.write(b"NOT A PARQUET FILE")
+    ivm.refresh_rollup(spark, view)  # recompute would open corrupted files
+    got = {r["g"]: (r["min_val"], r["max_val"])
+           for r in ivm.read_rollup(spark, view).collect()}
+    assert got[0] == (0, 190) and got[4] == (8, 198)
+
+
+def test_maintained_sink_medallion_replay_idempotent(spark, tmp_path):
+    """bronze→silver in one foreachBatch: each batch lands in the source
+    table and the rollup view folds forward; a replayed batch id is a
+    no-op at BOTH layers (source ledger + src_version guard)."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    tf.create_table(_mk(spark, 0, 20), src, stat_cols=["k"])
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+    sink = ivm.maintained_sink(src, [view])
+    sink(_mk(spark, 20, 35, seg="B"), 0)
+    _assert_rollup_matches(spark, src, view)
+    src_head, view_head = tf.latest_version(src), tf.latest_version(view)
+    sink(_mk(spark, 20, 35, seg="B"), 0)  # crash-replay of batch 0
+    assert tf.latest_version(src) == src_head
+    assert tf.latest_version(view) == view_head
+    sink(_mk(spark, 35, 40, seg="C"), 1)
+    _assert_rollup_matches(spark, src, view)
+    # CDC flavor: merge on k, group migration g: k%5 -> fixed 42
+    cdc = ivm.maintained_sink(src, [view], key_col="k")
+    cdc(
+        spark.createDataFrame(
+            [Row(k=22, g=42, seg="U", val=7), Row(k=900, g=42, seg="U", val=8)],
+            "k long, g long, seg string, val long",
+        ),
+        2,
+    )
+    _assert_rollup_matches(spark, src, view)
 
 
 def test_random_op_sequence_maintenance(spark, tmp_path):
