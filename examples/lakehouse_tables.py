@@ -9,6 +9,7 @@ layer, end to end on plain parquet:
     → CLUSTER BY rewrite            v4   (data-identical; near-disjoint
                                           per-file ranges => pruning bites)
     → time travel + change feed          (any version; churn-proportional)
+    → incremental materialized view      (CDF-fold refresh, never a re-scan)
     → streaming: format("lakehouse") read / foreachBatch exactly-once sink
     → vacuum                             (age-guarded orphan reclaim)
 
@@ -54,6 +55,19 @@ def main() -> None:
     )
     v1 = tf.append(cust.filter("c_mktsegment = 'AUTOMOBILE'"), root)
     v2 = tf.delete_where(spark, root, "c_custkey <= 50", prune_col="c_custkey")
+    # materialize the rollup view here (at v2); the later refresh folds
+    # the merge + cluster commits from the change feed alone
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        ivm,
+    )
+
+    view_root = root + "_rollup"
+    shutil.rmtree(view_root, ignore_errors=True)
+    ivm.create_rollup(
+        spark, root, view_root,
+        keys=["c_mktsegment"], sum_cols=["c_acctbal"],
+        minmax_cols=["c_custkey"],
+    )
     updates = cust.filter("c_mktsegment = 'MACHINERY'").withColumn(
         "c_mktsegment", F.lit("UPSERTED")
     )
@@ -72,6 +86,17 @@ def main() -> None:
     feed.groupBy("_commit_version", "_change_type").count().orderBy(
         "_commit_version", "_change_type"
     ).show()
+
+    # incremental materialized view, created mid-lineage at v2: the
+    # refresh folds the merge + cluster commits' change feed only —
+    # never a source re-scan (the cluster commit's feed cancels empty)
+    vv = ivm.refresh_rollup(spark, view_root)
+    print(f"materialized rollup refreshed to view v{vv} "
+          f"(src v{ivm.rollup_state(view_root)['src_version']}):")
+    ivm.read_rollup(spark, view_root, with_avg=True).orderBy(
+        "c_mktsegment"
+    ).show()
+    shutil.rmtree(view_root, ignore_errors=True)
 
     register_lakehouse_source(spark)
     snap = spark.read.format("lakehouse").option("path", root).load()

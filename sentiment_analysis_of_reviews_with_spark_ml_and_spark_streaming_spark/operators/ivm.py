@@ -123,10 +123,63 @@ def rollup_state(view_root: str) -> dict:
     return spec
 
 
-def read_rollup(spark: SparkSession, view_root: str) -> DataFrame:
-    """The view without its hidden ``_nn_*`` bookkeeping columns."""
+def read_rollup(
+    spark: SparkSession, view_root: str, *, with_avg: bool = False
+) -> DataFrame:
+    """The view without its hidden ``_nn_*`` bookkeeping columns.
+
+    ``with_avg`` derives ``avg_<c> = sum_<c> / non-null-count`` per SUM
+    column — exactly Spark's ``avg`` semantics (NULLs excluded from the
+    denominator; NULL when no non-null input), at zero maintenance
+    cost because the non-null count is already stored."""
     df = tfmt.read_table(spark, view_root)
-    return df.select([c for c in df.columns if not c.startswith("_nn_")])
+    cols = [F.col(c) for c in df.columns if not c.startswith("_nn_")]
+    if with_avg:
+        for c in rollup_state(view_root)["sum_cols"]:
+            cols.append(
+                (F.col(_sum(c)) / F.col(_nn(c))).alias(f"avg_{c}")
+            )
+    return df.select(*cols)
+
+
+def create_distinct_rollup(
+    spark: SparkSession,
+    src_root: str,
+    aux_root: str,
+    *,
+    keys: list[str],
+    distinct_col: str,
+    checkpoint_every: int = 10,
+) -> int:
+    """Exact COUNT(DISTINCT ``distinct_col``) maintenance via the
+    classic support table: an auxiliary rollup grouped by
+    ``keys + [distinct_col]`` whose maintained row counts track each
+    value's multiplicity. The aux view refreshes with the ordinary
+    churn-proportional :func:`refresh_rollup`; distinct counts are a
+    cheap aggregate over the (already small) aux view —
+    :func:`read_distinct_counts`. Aux size is the number of live
+    (group, value) pairs: the standard space trade for exact
+    distinct-count maintainability under deletes (sketches can't
+    subtract)."""
+    return create_rollup(
+        spark,
+        src_root,
+        aux_root,
+        keys=[*keys, distinct_col],
+        checkpoint_every=checkpoint_every,
+    )
+
+
+def read_distinct_counts(spark: SparkSession, aux_root: str) -> DataFrame:
+    """``keys..., countd_<col>`` from a :func:`create_distinct_rollup`
+    view — NULL values excluded from the count (SQL COUNT(DISTINCT)
+    semantics), parent groups whose values are all NULL kept at 0."""
+    spec = rollup_state(aux_root)
+    parents, c = spec["keys"][:-1], spec["keys"][-1]
+    aux = tfmt.read_table(spark, aux_root)
+    return aux.groupBy(*parents).agg(
+        F.sum(F.col(c).isNotNull().cast("long")).alias(f"countd_{c}")
+    )
 
 
 def refresh_rollup(

@@ -365,6 +365,57 @@ def test_maintained_sink_medallion_replay_idempotent(spark, tmp_path):
     _assert_rollup_matches(spark, src, view)
 
 
+def test_avg_and_distinct_count_maintenance(spark, tmp_path):
+    """Derived AVG (sum over stored non-null count) and exact
+    COUNT(DISTINCT) via the support-table aux view both track a full
+    recompute through delete/merge churn."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    aux = str(tmp_path / "aux")
+    tf.create_table(_mk(spark, 0, 60, null_val_every=6), src, stat_cols=["k"])
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+    ivm.create_distinct_rollup(spark, src, aux, keys=["g"], distinct_col="seg")
+    tf.append(_mk(spark, 60, 80, seg="B", null_val_every=4), src)
+    tf.delete_where(spark, src, "k BETWEEN 10 AND 30", prune_col="k")
+    tf.merge_upsert(
+        spark.createDataFrame(
+            [Row(k=45, g=0, seg="C", val=None),
+             Row(k=500, g=0, seg="C", val=12)],
+            "k long, g long, seg string, val long",
+        ),
+        src,
+        key_col="k",
+    )
+    ivm.refresh_rollup(spark, view)
+    ivm.refresh_rollup(spark, aux)
+    source = tf.read_table(spark, src)
+    want_avg = {
+        r["g"]: r["a"]
+        for r in source.groupBy("g").agg(F.avg("val").alias("a")).collect()
+    }
+    got_avg = {
+        r["g"]: r["avg_val"]
+        for r in ivm.read_rollup(spark, view, with_avg=True).collect()
+    }
+    assert set(got_avg) == set(want_avg)
+    for g in want_avg:
+        if want_avg[g] is None:
+            assert got_avg[g] is None
+        else:
+            assert got_avg[g] == pytest.approx(want_avg[g], rel=1e-12)
+    want_d = {
+        r["g"]: r["d"]
+        for r in source.groupBy("g")
+        .agg(F.countDistinct("seg").alias("d"))
+        .collect()
+    }
+    got_d = {
+        r["g"]: r["countd_seg"]
+        for r in ivm.read_distinct_counts(spark, aux).collect()
+    }
+    assert got_d == want_d
+
+
 def test_random_op_sequence_maintenance(spark, tmp_path):
     """Model-based: random append/delete/merge/compact lineage with
     refreshes interleaved at random points — the view must equal the
