@@ -252,16 +252,17 @@ def refresh_rollup(
         )
     )
     delta = delta.localCheckpoint(eager=True)  # CDF replay is iterative; pin it
-    if delta.isEmpty():
-        # nothing changed group-wise; still record the fold so the next
-        # refresh doesn't replay these source versions.
-        return _commit_noop_fold(view_root, head)
     k0 = keys[0]
     b = delta.agg(
+        F.count(F.lit(1)).alias("n"),
         F.min(k0).alias("lo"),
         F.max(k0).alias("hi"),
         F.max(F.col(k0).isNull().cast("int")).alias("has_null"),
     ).collect()[0]
+    if b["n"] == 0:
+        # nothing changed group-wise; still record the fold so the next
+        # refresh doesn't replay these source versions.
+        return _commit_noop_fold(view_root, head)
     # file [min,max] stats ignore NULLs, so a churned NULL-key group can
     # live in ANY file — pruning is only sound when no delta key is NULL.
     bounds = (

@@ -289,13 +289,36 @@ def committed_batch_ids(root: str) -> set[int]:
     return out
 
 
+def _check_schema_widening(root: str, new) -> None:
+    """Schema evolution guard: an append may ADD columns (old files read
+    them back as NULL — parquet is schema-on-read) but may never drop or
+    retype an existing column; that would silently narrow the committed
+    schema and corrupt reads of every earlier file."""
+    _live, cur = snapshot_files(root)
+    cur_types = {f["name"]: f["type"] for f in cur["fields"]}
+    new_types = {f.name: f.dataType.jsonValue() for f in new.fields}
+    dropped = sorted(set(cur_types) - set(new_types))
+    retyped = sorted(
+        n for n, t in cur_types.items() if n in new_types and new_types[n] != t
+    )
+    if dropped or retyped:
+        raise ValueError(
+            f"append schema is not a widening of the table schema: "
+            f"dropped={dropped} retyped={retyped}; cast/select to match "
+            "(new columns may be added, existing ones never removed or "
+            "retyped)"
+        )
+
+
 def append(df: DataFrame, root: str, *, batch_id: int | None = None) -> int:
     """Blind append — add-only commit, no files read or removed.
     ``batch_id`` makes streaming replays idempotent (see
-    :func:`merge_upsert`)."""
+    :func:`merge_upsert`). The batch schema must be a widening of the
+    committed schema (see :func:`_check_schema_widening`)."""
     meta = _table_meta(root)
     if batch_id is not None and batch_id in committed_batch_ids(root):
         return latest_version(root)
+    _check_schema_widening(root, df.schema)
     v = latest_version(root) + 1
     adds = _write_data_files(df, root, v, meta["stat_cols"])
     rec = {

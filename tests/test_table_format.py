@@ -271,6 +271,18 @@ def test_schema_evolution_adds_null_column(spark, tmp_path):
     assert "extra" in df.columns
     got = {r["k"]: r["extra"] for r in df.collect()}
     assert got[100] == "x" and got[0] is None
+    # narrowing guard: dropping or retyping an existing column raises
+    # instead of silently rewriting the committed schema
+    with pytest.raises(ValueError, match="dropped=\\['val'\\]"):
+        tf.append(spark.createDataFrame([Row(k=1, seg="C", extra="y")]), root)
+    with pytest.raises(ValueError, match="retyped=\\['val'\\]"):
+        tf.append(
+            spark.createDataFrame(
+                [Row(k=1, seg="C", val="oops", extra="y")],
+                "k long, seg string, val string, extra string",
+            ),
+            root,
+        )
 
 
 def test_optimize_cluster_enables_pruning(spark, tmp_path):
