@@ -141,6 +141,8 @@ HEADLINE = [
     "lakehouse_time_travel",
     # CDF-fold view maintenance: create + 3 churn-proportional refreshes
     "lakehouse_incremental_rollup",
+    # star-schema IVM: fact CDF ⋈ pinned broadcast dim per refresh
+    "lakehouse_star_rollup",
 ]
 
 

@@ -67,6 +67,24 @@ def _rollup_frame(
     return src.groupBy(*keys).agg(*aggs)
 
 
+def _dim_frame(spark: SparkSession, spec: dict) -> DataFrame | None:
+    """The version-pinned broadcast dimension for star rollups."""
+    dim = spec.get("dim")
+    if not dim:
+        return None
+    return tfmt.read_table(spark, dim["root"], version=dim["version"])
+
+
+def _with_dim(spark: SparkSession, spec: dict, fact: DataFrame) -> DataFrame:
+    """Fact rows (or fact change-feed rows) enriched with the pinned
+    dimension — an inner broadcast equi-join, so fold cost stays
+    O(churn) and the join adds no shuffle."""
+    d = _dim_frame(spark, spec)
+    if d is None:
+        return fact
+    return fact.join(F.broadcast(d), on=spec["dim"]["join_key"], how="inner")
+
+
 def create_rollup(
     spark: SparkSession,
     src_root: str,
@@ -75,6 +93,8 @@ def create_rollup(
     keys: list[str],
     sum_cols: list[str] | None = None,
     minmax_cols: list[str] | None = None,
+    dim_root: str | None = None,
+    dim_join_key: str | None = None,
     checkpoint_every: int = 10,
 ) -> int:
     """Materialize ``SELECT keys, count(*), sum(c)…, min(c)/max(c)…
@@ -85,29 +105,49 @@ def create_rollup(
     churn-proportional (``minmax_cols`` add a group-confined source
     recompute only when a delete could displace a stored extremum — see
     :func:`refresh_rollup`).
+
+    **Star rollups**: with ``dim_root``/``dim_join_key`` the aggregate
+    runs over ``fact ⋈ dim`` (inner broadcast equi-join; keys and
+    measure columns may come from either side). The dimension is PINNED
+    at its current version: fact churn folds incrementally (the change
+    feed joins the same pinned dim, so insert/delete deltas stay
+    consistent), while a dim change makes :func:`refresh_rollup` raise
+    — slowly-changing dimensions need a view rebuild, the standard
+    star-schema IVM restriction (delta-join maintenance of BOTH sides
+    is the general Gupta–Mumick case, out of scope here).
     """
     sum_cols = sum_cols or []
     minmax_cols = minmax_cols or []
     src_v = tfmt.latest_version(src_root)
     if src_v < 0:
         raise FileNotFoundError(f"no source table at {src_root}")
+    spec = {
+        "src_root": src_root,
+        "src_version": src_v,
+        "keys": keys,
+        "sum_cols": sum_cols,
+        "minmax_cols": minmax_cols,
+    }
+    if dim_root is not None:
+        if dim_join_key is None:
+            raise ValueError("dim_root requires dim_join_key")
+        spec["dim"] = {
+            "root": dim_root,
+            "join_key": dim_join_key,
+            "version": tfmt.latest_version(dim_root),
+        }
     view = _rollup_frame(
-        tfmt.read_table(spark, src_root), keys, sum_cols, minmax_cols
+        _with_dim(spark, spec, tfmt.read_table(spark, src_root)),
+        keys,
+        sum_cols,
+        minmax_cols,
     )
     return tfmt.create_table(
         view,
         view_root,
         stat_cols=[keys[0]],
         checkpoint_every=checkpoint_every,
-        extra={
-            "ivm": {
-                "src_root": src_root,
-                "src_version": src_v,
-                "keys": keys,
-                "sum_cols": sum_cols,
-                "minmax_cols": minmax_cols,
-            }
-        },
+        extra={"ivm": spec},
     )
 
 
@@ -215,11 +255,20 @@ def refresh_rollup(
     state = rollup_state(view_root)
     src_root, keys, sum_cols = state["src_root"], state["keys"], state["sum_cols"]
     minmax_cols = state["minmax_cols"]
+    dim = state.get("dim")
+    if dim is not None and tfmt.latest_version(dim["root"]) != dim["version"]:
+        raise ValueError(
+            f"dimension {dim['root']} advanced past pinned version "
+            f"{dim['version']}; a changed dim invalidates every group — "
+            "rebuild the view (drop + create_rollup)"
+        )
     head = tfmt.latest_version(src_root)
     if head <= state["src_version"]:
         return tfmt.latest_version(view_root)
 
-    changes = tfmt.table_changes(spark, src_root, state["src_version"], head)
+    changes = _with_dim(
+        spark, state, tfmt.table_changes(spark, src_root, state["src_version"], head)
+    )
     deleted = F.col("_change_type") == "deleted"
     sign = F.when(deleted, F.lit(-1)).otherwise(F.lit(1))
     aggs = [F.sum(sign).alias("_d_n")]
@@ -291,7 +340,7 @@ def refresh_rollup(
         merged = _apply_delta(
             old, delta, keys, sum_cols, minmax_cols, st,
             lambda rec_keys: _recompute_groups(
-                spark, src_root, head, rec_keys, keys, sum_cols, minmax_cols
+                spark, state, head, rec_keys, keys, sum_cols, minmax_cols
             ),
         )
         v = base_v + 1
@@ -369,15 +418,18 @@ def maintained_sink(src_root: str, view_roots: list[str], *, key_col: str | None
 
 
 def _recompute_groups(
-    spark, src_root, src_version, rec_keys, keys, sum_cols, minmax_cols
+    spark, spec, src_version, rec_keys, keys, sum_cols, minmax_cols
 ) -> DataFrame:
     """Group-confined recompute for deletes that may displace a stored
     MIN/MAX: re-aggregate ONLY the flagged groups from the source
     snapshot AT THE FOLDED VERSION (snapshot isolation keeps this
     correct under concurrent source writers). The flagged-key set is
     churn-bounded and broadcast; on a source clustered by the group key
-    the semi-join's runtime filter prunes the scan further."""
-    src = tfmt.read_table(spark, src_root, version=src_version)
+    the semi-join's runtime filter prunes the scan further. Star
+    rollups re-join the same pinned dimension."""
+    src = _with_dim(
+        spark, spec, tfmt.read_table(spark, spec["src_root"], version=src_version)
+    )
     cond = [src[k].eqNullSafe(rec_keys[k]) for k in keys]
     confined = src.join(F.broadcast(rec_keys), cond, "left_semi")
     return _rollup_frame(confined, keys, sum_cols, minmax_cols)

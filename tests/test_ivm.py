@@ -365,6 +365,87 @@ def test_maintained_sink_medallion_replay_idempotent(spark, tmp_path):
     _assert_rollup_matches(spark, src, view)
 
 
+def test_star_rollup_fact_churn_folds_dim_change_raises(spark, tmp_path):
+    """Star-schema rollup (fact ⋈ pinned dim, grouped by a dim
+    attribute): fact churn folds incrementally — including an
+    extremum-displacing delete whose group-confined recompute re-joins
+    the dim — while a dim commit makes refresh raise."""
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    view = str(tmp_path / "view")
+    tf.create_table(
+        spark.createDataFrame(
+            [Row(k=i, fk=i % 4, val=i * 10) for i in range(40)],
+            "k long, fk long, val long",
+        ),
+        fact,
+        stat_cols=["k"],
+    )
+    tf.create_table(
+        spark.createDataFrame(
+            [Row(fk=i, dname=f"D{i % 2}") for i in range(3)],  # fk=3 unmatched
+            "fk long, dname string",
+        ),
+        dim,
+        stat_cols=["fk"],
+    )
+    ivm.create_rollup(
+        spark, fact, view,
+        keys=["dname"], sum_cols=["val"], minmax_cols=["val"],
+        dim_root=dim, dim_join_key="fk",
+    )
+
+    def want():
+        f = tf.read_table(spark, fact)
+        d = tf.read_table(spark, dim)
+        return {
+            r["dname"]: (r["n"], r["s"], r["mn"], r["mx"])
+            for r in f.join(d, "fk")
+            .groupBy("dname")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("val").alias("s"),
+                F.min("val").alias("mn"),
+                F.max("val").alias("mx"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            r["dname"]: (r["n_rows"], r["sum_val"], r["min_val"], r["max_val"])
+            for r in ivm.read_rollup(spark, view).collect()
+        }
+
+    assert got() == want()
+    # fact churn: inserts (some unmatched fk=7 rows must NOT count),
+    # then an extremum-displacing delete (k=38 holds D0's max 380)
+    tf.append(
+        spark.createDataFrame(
+            [Row(k=100 + i, fk=(7 if i % 3 == 0 else i % 3), val=1000 + i)
+             for i in range(9)],
+            "k long, fk long, val long",
+        ),
+        fact,
+    )
+    ivm.refresh_rollup(spark, view)
+    assert got() == want()
+    tf.delete_where(spark, fact, "k >= 100")  # drops every 1000+ extremum
+    ivm.refresh_rollup(spark, view)
+    assert got() == want()
+    # dim advance invalidates the pin
+    tf.append(
+        spark.createDataFrame([Row(fk=3, dname="D9")], "fk long, dname string"),
+        dim,
+    )
+    tf.append(
+        spark.createDataFrame([Row(k=999, fk=3, val=5)], "k long, fk long, val long"),
+        fact,
+    )
+    with pytest.raises(ValueError, match="pinned version"):
+        ivm.refresh_rollup(spark, view)
+
+
 def test_avg_and_distinct_count_maintenance(spark, tmp_path):
     """Derived AVG (sum over stored non-null count) and exact
     COUNT(DISTINCT) via the support-table aux view both track a full
