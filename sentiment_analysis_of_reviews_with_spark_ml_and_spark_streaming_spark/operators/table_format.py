@@ -589,6 +589,47 @@ def delete_where(
     return v
 
 
+def compact_small(
+    spark: SparkSession,
+    root: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Size-tiered OPTIMIZE: rewrite ONLY the live files smaller than
+    ``target_bytes // 2`` into ~``target_bytes`` outputs, carrying every
+    right-sized file by reference (never read, never written). This is
+    the operational companion to :func:`streaming_sink` — many
+    micro-batch appends each land a small file, and full :func:`compact`
+    would rewrite the whole table per invocation (O(table) churn for an
+    O(new-smalls) problem). Data-identical commit (a version diff is
+    empty); no-op (no commit) when fewer than ``min_files`` small files
+    exist. At 100 TB: cost ∝ accumulated small bytes, not table size."""
+    meta = _table_meta(root)
+    base_v = latest_version(root)
+    live, _schema = snapshot_files(root, base_v)
+    small = [
+        a
+        for a in live
+        if os.path.getsize(os.path.join(root, a["path"])) < target_bytes // 2
+    ]
+    if len(small) < min_files:
+        return base_v
+    total = sum(os.path.getsize(os.path.join(root, a["path"])) for a in small)
+    n_out = max(1, round(total / target_bytes))
+    df = spark.read.parquet(*_abs_paths(root, small)).coalesce(n_out)
+    v = base_v + 1
+    adds = _write_data_files(df, root, v, meta["stat_cols"])
+    _write_commit(
+        root,
+        v,
+        {"version": v, "action": "compact", "add": adds,
+         "remove": [a["path"] for a in small], "schema": None},
+    )
+    _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
+    return v
+
+
 def compact(spark: SparkSession, root: str, *, target_files: int = 1) -> int:
     """OPTIMIZE: rewrite the live set into ``target_files`` files —
     data-identical (a diff between the two versions is empty), so small
@@ -758,7 +799,13 @@ def vacuum(
     return sorted(deleted)
 
 
-def streaming_sink(root: str, *, key_col: str | None = None):
+def streaming_sink(
+    root: str,
+    *,
+    key_col: str | None = None,
+    compact_every: int = 0,
+    compact_target_bytes: int = 128 * 1024 * 1024,
+):
     """``foreachBatch`` function writing a stream into the table with
     exactly-once semantics: the micro-batch id is recorded in the
     commit, so a crash between sink commit and Spark's checkpoint
@@ -767,6 +814,12 @@ def streaming_sink(root: str, *, key_col: str | None = None):
     of a duplicate. ``key_col`` switches from append to
     :func:`merge_upsert` (streaming CDC upsert; batch must be
     key-unique — dedupe upstream, e.g. a last-per-key window).
+
+    ``compact_every=N`` runs :func:`compact_small` after every Nth
+    batch — micro-batch appends each land a small file, and unbounded
+    accumulation taxes every later scan. The compaction is data-identical
+    and safely replayable (it carries no batch id; re-running it is just
+    another no-op-or-merge), so exactly-once delivery is unaffected.
 
     Usage::
 
@@ -779,5 +832,9 @@ def streaming_sink(root: str, *, key_col: str | None = None):
             append(batch_df, root, batch_id=batch_id)
         else:
             merge_upsert(batch_df, root, key_col=key_col, batch_id=batch_id)
+        if compact_every > 0 and batch_id % compact_every == compact_every - 1:
+            compact_small(
+                batch_df.sparkSession, root, target_bytes=compact_target_bytes
+            )
 
     return _sink

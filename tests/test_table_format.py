@@ -247,6 +247,31 @@ def test_compact_is_data_identical(spark, tmp_path):
     assert tf.table_diff(spark, root, 0, v).count() == 0
 
 
+def test_compact_small_rewrites_only_small_files(spark, tmp_path):
+    """Size-tiered OPTIMIZE: right-sized files are carried by reference
+    (physically proven via mtime), the small-file tail merges into one
+    commit, and the result is data-identical. Below min_files: no-op."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 5000).coalesce(1), root, stat_cols=["k"])
+    big = tf.snapshot_files(root, 0)[0][0]
+    big_path = os.path.join(root, big["path"])
+    big_size = os.path.getsize(big_path)
+    for lo in range(5000, 5060, 20):  # three small appends
+        tf.append(_mk(spark, lo, lo + 20, seg="S").coalesce(1), root)
+    before_mtime = os.path.getmtime(big_path)
+    # threshold chosen so the initial file counts as right-sized
+    v = tf.compact_small(spark, root, target_bytes=big_size, min_files=2)
+    assert v == 4
+    live, _ = tf.snapshot_files(root, v)
+    assert big["path"] in {a["path"] for a in live}  # carried
+    assert os.path.getmtime(big_path) == before_mtime
+    assert len(live) == 2  # big + one merged small
+    assert tf.table_diff(spark, root, 3, 4).isEmpty()  # data-identical
+    assert _counts(spark, root) == (5060, sum(range(5060)))
+    # all files right-sized now: no-op, no commit
+    assert tf.compact_small(spark, root, target_bytes=big_size) == v
+
+
 def test_table_diff_change_types(spark, tmp_path):
     root = str(tmp_path / "t")
     tf.create_table(_mk(spark, 0, 10), root, stat_cols=["k"])
@@ -371,6 +396,22 @@ def test_streaming_sink_exactly_once_replay(spark, tmp_path):
     sink(_mk(spark, 15, 18), 1)
     assert _counts(spark, root) == (18, sum(range(18)))
     assert tf.committed_batch_ids(root) == {0, 1}
+
+
+def test_streaming_sink_auto_compacts(spark, tmp_path):
+    """compact_every folds the small-file tail into the stream: after
+    batch N-1 of each window the live file count drops while the data
+    and the batch-id ledger stay intact."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 10).coalesce(1), root, stat_cols=["k"])
+    sink = tf.streaming_sink(root, compact_every=3)
+    for b in range(6):
+        sink(_mk(spark, 10 + b * 5, 15 + b * 5, seg="S").coalesce(1), b)
+    live, _ = tf.snapshot_files(root)
+    # without compaction: 1 + 6 = 7 files; two compactions fold the tail
+    assert len(live) <= 2, [a["path"] for a in live]
+    assert _counts(spark, root) == (40, sum(range(40)))
+    assert tf.committed_batch_ids(root) == set(range(6))
 
 
 def test_model_based_random_op_sequences(spark, tmp_path):
