@@ -143,6 +143,8 @@ HEADLINE = [
     "lakehouse_incremental_rollup",
     # star-schema IVM: fact CDF ⋈ pinned broadcast dim per refresh
     "lakehouse_star_rollup",
+    # bloom-sidecar build (one job over new bytes) + pruned point lookup
+    "lakehouse_point_lookup",
 ]
 
 

@@ -1,0 +1,312 @@
+"""File-level bloom-filter index for the lakehouse table format —
+point-lookup data skipping on UNclustered keys.
+
+The min/max stats in :mod:`.table_format` prune merge/delete/lookup
+candidates only when the key is clustered (near-disjoint per-file
+ranges). A needle-in-100-TB point lookup on a scattered key — every
+file's [min,max] spans the whole domain — reads the entire table. The
+standard lakehouse answer (Delta's bloom filter index) is a per-file
+bloom filter sidecar: ~16 bits/row of index bytes turn "read all 1e5
+files" into "read the handful whose filter claims the key, each a
+guaranteed-or-false-positive hit".
+
+Design (all commits through the same optimistic-concurrency log):
+
+* **Build** — one Spark job over the UNindexed live files only:
+  ``xxhash64`` twice per row (JVM codegen, no Python in the scan),
+  then one ``applyInPandas`` per file group sets ``k`` bit positions
+  derived by Kirsch-Mitzenmacher double hashing ``(h1 + i*h2) mod m``
+  and writes the bitmap sidecar from the executor. Incremental by
+  construction: re-running after appends indexes only new files.
+* **Commit** — an ``index`` action re-ADDs the same data paths with a
+  ``bloom`` entry attached; snapshot replay replaces the live entry,
+  older versions time-travel untouched, and files rewritten later by
+  merge/delete simply lose the entry (unindexed ⇒ always read —
+  correctness first).
+* **Probe** — the membership test over candidate sidecars runs as a
+  Spark job too (``mapInPandas`` over the sidecar paths), so lookup
+  planning is O(files/executors), never a driver loop over 1e5
+  bitmaps. Sidecars are opened with plain ``open()`` — same
+  single-filesystem scope as the commit log itself (POSIX/NFS here;
+  an HDFS/S3 deployment would route through the Hadoop FS API).
+
+Sizing: ``bits_per_row=16`` and ``n_hashes=7`` give a false-positive
+rate of ~0.07 % — a 1 M-row / 128 MB file costs a 2 MB sidecar
+(~1.5 % of data bytes), and a single-key lookup on a 1e5-file table
+reads ~1 true file + ~70 false positives instead of 1e5 files.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from . import table_format as tfmt
+
+_IDX_DIR = os.path.join("index", "bloom")
+# second-hash salt: xxhash64(col, lit(_SALT)) is independent of
+# xxhash64(col) because the tuple arity differs.
+_SALT = -7
+
+
+def _sidecar_rel(data_rel: str, col: str) -> str:
+    return os.path.join(_IDX_DIR, f"{os.path.basename(data_rel)}.{col}.bloom")
+
+
+def _positions(h1: int, h2: int, k: int, m: int):
+    """Kirsch-Mitzenmacher: k probe positions from two base hashes.
+    Arithmetic in uint64 (wraparound is fine for hashing); m is a
+    power of two so ``& (m-1)`` is the mod."""
+    import numpy as np
+
+    u1 = np.uint64(h1 & 0xFFFFFFFFFFFFFFFF)
+    u2 = np.uint64(h2 & 0xFFFFFFFFFFFFFFFF)
+    i = np.arange(k, dtype=np.uint64)
+    return ((u1 + i * u2) & np.uint64(m - 1)).astype(np.int64)
+
+
+def create_bloom_index(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    *,
+    bits_per_row: int = 16,
+    n_hashes: int = 7,
+) -> int:
+    """Index every live file that does not yet carry a bloom for
+    ``col``. No-op (no commit) when all live files are indexed.
+    Returns the committed (or current) version."""
+    base_v = tfmt.latest_version(root)
+    live, schema = tfmt.snapshot_files(root, base_v)
+    todo = [a for a in live if col not in a.get("bloom", {})]
+    if not todo:
+        return base_v
+    st = StructType.fromJson(schema)
+    if col not in st.fieldNames():
+        raise ValueError(f"column {col!r} not in table schema")
+    abs_root = os.path.abspath(root)
+    os.makedirs(os.path.join(abs_root, _IDX_DIR), exist_ok=True)
+    k = n_hashes
+
+    hashed = (
+        spark.read.schema(st)
+        .parquet(*tfmt._abs_paths(root, todo))
+        .filter(F.col(col).isNotNull())
+        .select(
+            F.input_file_name().alias("_file"),
+            F.xxhash64(F.col(col)).alias("_h1"),
+            F.xxhash64(F.col(col), F.lit(_SALT)).alias("_h2"),
+        )
+    )
+
+    def _build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        fname = os.path.basename(pdf["_file"].iloc[0])
+        n = len(pdf)
+        m = 1 << max(10, math.ceil(math.log2(bits_per_row * n)))
+        bits = np.zeros(m >> 3, dtype=np.uint8)
+        h1 = pdf["_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
+        h2 = pdf["_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) & np.uint64(m - 1)
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)))
+        rel = os.path.join(_IDX_DIR, f"{fname}.{col}.bloom")
+        with open(os.path.join(abs_root, rel), "wb") as f:
+            f.write(bits.tobytes())
+        return pd.DataFrame({"file": [fname], "m": [m], "rows": [n]})
+
+    built = {
+        r["file"]: r["m"]
+        for r in hashed.groupBy("_file")
+        .applyInPandas(_build, "file string, m long, rows long")
+        .collect()
+    }
+    adds = []
+    for a in todo:
+        base = os.path.basename(a["path"])
+        entry = dict(a)
+        bloom = dict(entry.get("bloom", {}))
+        if base in built:
+            bloom[col] = {
+                "sidecar": _sidecar_rel(a["path"], col),
+                "m": built[base],
+                "k": k,
+            }
+        else:
+            # every row of this file is NULL in `col`: an all-zeros
+            # filter of minimal size is exact (no non-null key lives
+            # here), so the file is prunable too.
+            m = 1024
+            rel = _sidecar_rel(a["path"], col)
+            with open(os.path.join(abs_root, rel), "wb") as f:
+                f.write(bytes(m >> 3))
+            bloom[col] = {"sidecar": rel, "m": m, "k": k}
+        entry["bloom"] = bloom
+        adds.append(entry)
+    v = base_v + 1
+    tfmt._write_commit(
+        root,
+        v,
+        {"version": v, "action": "index", "add": adds, "remove": [],
+         "schema": None},
+    )
+    tfmt._maybe_checkpoint(
+        root, v, tfmt._table_meta(root).get("checkpoint_every", 10)
+    )
+    return v
+
+
+def _probe_hashes(spark: SparkSession, values, field) -> list[tuple[int, int]]:
+    """(h1, h2) per lookup value, computed BY SPARK on the table
+    column's exact type — the probe must hash bit-identically to the
+    build job, so reimplementing xxhash64 driver-side is a bug farm."""
+    vdf = spark.createDataFrame(
+        [(v,) for v in values], StructType([field])
+    ).select(
+        F.xxhash64(F.col(field.name)).alias("h1"),
+        F.xxhash64(F.col(field.name), F.lit(_SALT)).alias("h2"),
+    )
+    return [(r["h1"], r["h2"]) for r in vdf.collect()]
+
+
+def _lookup_plan(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    values: list,
+    *,
+    version: int | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """Split the snapshot's live files into (read, skipped) for a
+    ``col IN values`` lookup. Three sound tiers, mirroring
+    :func:`~.table_format.delete_where`:
+
+    1. min/max stats: a file whose committed range cannot contain any
+       value is skipped without touching its sidecar;
+    2. bloom probe: surviving INDEXED files pass only if some value has
+       all ``k`` bits set — evaluated in a distributed job over the
+       sidecar paths;
+    3. unindexed files are always read (correctness first).
+    """
+    live, schema = tfmt.snapshot_files(root, version)
+    st = StructType.fromJson(schema)
+    field = st[col]
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return [], live
+    jvals = [tfmt._json_stat(v) for v in vals]
+    lo, hi = min(jvals), max(jvals)
+
+    read: list[dict] = []
+    skipped: list[dict] = []
+    probe: list[dict] = []
+    for a in live:
+        stat = a.get("stats", {}).get(col)
+        if stat is not None and stat[0] is not None and (
+            stat[1] < lo or hi < stat[0]
+        ):
+            skipped.append(a)
+        elif col in a.get("bloom", {}):
+            probe.append(a)
+        else:
+            read.append(a)
+    if not probe:
+        return read, skipped
+
+    hashes = _probe_hashes(spark, vals, field)
+    abs_root = os.path.abspath(root)
+    pdf_in = spark.createDataFrame(
+        [(a["path"], a["bloom"][col]["sidecar"], a["bloom"][col]["m"],
+          a["bloom"][col]["k"]) for a in probe],
+        "path string, sidecar string, m long, k long",
+    )
+
+    def _test(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            hits = []
+            for path, sidecar, m, k in zip(
+                pdf["path"], pdf["sidecar"], pdf["m"], pdf["k"]
+            ):
+                with open(os.path.join(abs_root, sidecar), "rb") as f:
+                    bits = np.frombuffer(f.read(), dtype=np.uint8)
+                hit = False
+                for h1, h2 in hashes:
+                    pos = _positions(h1, h2, int(k), int(m))
+                    if bool(
+                        np.all(
+                            bits[pos >> 3]
+                            & np.left_shift(
+                                np.uint8(1), (pos & 7).astype(np.uint8)
+                            )
+                        )
+                    ):
+                        hit = True
+                        break
+                hits.append(hit)
+            yield pd.DataFrame({"path": pdf["path"], "hit": hits})
+
+    # small job: one row per candidate sidecar, fanned across executors
+    hit_paths = {
+        r["path"]
+        for r in pdf_in.repartition(max(1, min(32, len(probe))))
+        .mapInPandas(_test, "path string, hit boolean")
+        .filter("hit")
+        .collect()
+    }
+    for a in probe:
+        (read if a["path"] in hit_paths else skipped).append(a)
+    return read, skipped
+
+
+def bloom_lookup(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    values: list,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup ``col IN values`` reading only the files the plan
+    keeps (see :func:`_lookup_plan`). Exact: bloom filters have no
+    false negatives, and the final ``isin`` filter removes the false
+    positives' rows."""
+    read, _skipped = _lookup_plan(spark, root, col, values, version=version)
+    _live, schema = tfmt.snapshot_files(root, version)
+    st = StructType.fromJson(schema)
+    if not read:
+        return spark.createDataFrame([], st)
+    return (
+        spark.read.schema(st)
+        .parquet(*tfmt._abs_paths(root, read))
+        .filter(F.col(col).isin([v for v in values if v is not None]))
+    )
+
+
+def vacuum_orphan_sidecars(root: str) -> list[str]:
+    """Remove bloom sidecars whose data file no longer exists on disk
+    (companion to :func:`~.table_format.vacuum`, which deletes only
+    data files). Returns deleted relative paths."""
+    idx = os.path.join(root, _IDX_DIR)
+    if not os.path.isdir(idx):
+        return []
+    live_names = set()
+    data_root = os.path.join(root, "data")
+    for _dirpath, _dirs, files in os.walk(data_root):
+        live_names.update(files)
+    deleted = []
+    for fname in sorted(os.listdir(idx)):
+        # <data-basename>.<col>.bloom
+        data_base = fname.rsplit(".", 2)[0]
+        if data_base not in live_names:
+            os.remove(os.path.join(idx, fname))
+            deleted.append(os.path.join(_IDX_DIR, fname))
+    return deleted

@@ -9045,6 +9045,54 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_lakehouse_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-haystack point lookup through the bloom-filter index
+    (operators/bloom_index.py): the customer table is written ROUND
+    ROBIN scattered (every file's [min,max] custkey range spans the
+    whole domain, so the stats tier prunes nothing), a per-file bloom
+    sidecar index is built in one distributed job, and the lookup reads
+    only the files whose filter claims a probe key — one true file plus
+    ~0.07 % false positives instead of the full table. Exactness is
+    structural (no false negatives + a final isin filter), and the
+    oracle is the plain full-scan IN-list: any wrongly-skipped file
+    loses a row and breaks the hash. The staging table lives in a temp
+    dir removed before return."""
+    import shutil
+    import tempfile
+
+    from ..operators import bloom_index as bi, table_format as tfmt
+
+    root = tempfile.mkdtemp(prefix="lakehouse_bloom_")
+    keys = [3, 58, 149, 999983]  # last key absent at every SF
+    try:
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_nationkey"
+        )
+        tfmt.create_table(
+            cust.repartition(16), root, stat_cols=["c_custkey"]
+        )
+        bi.create_bloom_index(spark, root, "c_custkey")
+        rows = [
+            (r["c_custkey"], r["c_mktsegment"], r["c_nationkey"])
+            for r in bi.bloom_lookup(spark, root, "c_custkey", keys)
+            .orderBy("c_custkey")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string, c_nationkey long"
+    )
+
+
+SQL_LAKEHOUSE_POINT_LOOKUP = """
+SELECT c_custkey, c_mktsegment, c_nationkey
+FROM customer
+WHERE c_custkey IN (3, 58, 149, 999983)
+ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9253,6 +9301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lakehouse_table_changes": q_lakehouse_table_changes,
     "lakehouse_incremental_rollup": q_lakehouse_incremental_rollup,
     "lakehouse_star_rollup": q_lakehouse_star_rollup,
+    "lakehouse_point_lookup": q_lakehouse_point_lookup,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -9434,6 +9483,7 @@ ORACLE: dict[str, str] = {
     "lakehouse_table_changes": SQL_LAKEHOUSE_TABLE_CHANGES,
     "lakehouse_incremental_rollup": SQL_LAKEHOUSE_INCREMENTAL_ROLLUP,
     "lakehouse_star_rollup": SQL_LAKEHOUSE_STAR_ROLLUP,
+    "lakehouse_point_lookup": SQL_LAKEHOUSE_POINT_LOOKUP,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
