@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
+from . import bloom_index as bloom
 from . import table_format as tfmt
 
 
@@ -85,6 +86,45 @@ def _with_dim(spark: SparkSession, spec: dict, fact: DataFrame) -> DataFrame:
     return fact.join(F.broadcast(d), on=spec["dim"]["join_key"], how="inner")
 
 
+def _dim_churn_feed(
+    spark: SparkSession,
+    state: dict,
+    dim_head: int,
+    *,
+    max_pruned_keys: int = 100_000,
+) -> DataFrame:
+    """The ``F_old ⋈ ΔD`` summand of the star-rollup delta-join: the
+    fact snapshot at the LAST FOLDED fact version joined to the
+    dimension's signed change feed (``ΔD`` carries ``_change_type``,
+    so dim-departed rows subtract whole group contributions and
+    dim-arrived rows add them; an update is one of each).
+
+    Scale path: the churned join-key set is bounded by DIM churn (a
+    dimension is small by definition), so it is collected and the fact
+    snapshot is read through :func:`.bloom_index.bloom_lookup` —
+    committed min/max stats prune a fact clustered on the join key,
+    bloom sidecars prune a scattered one, unindexed files are read
+    (correctness first) — one job either way, never one per file. A
+    degenerate churn wider than ``max_pruned_keys`` falls back to a
+    full single-job fact scan against the broadcast feed."""
+    dim = state["dim"]
+    jk = dim["join_key"]
+    dd = tfmt.table_changes(spark, dim["root"], dim["version"], dim_head)
+    probe = dd.select(jk).distinct().limit(max_pruned_keys + 1).collect()
+    # NULL dim join keys can never match the inner equi-join
+    churned = [r[jk] for r in probe if r[jk] is not None]
+    if len(probe) > max_pruned_keys:
+        fact = tfmt.read_table(
+            spark, state["src_root"], version=state["src_version"]
+        )
+    else:
+        fact = bloom.bloom_lookup(
+            spark, state["src_root"], jk, churned,
+            version=state["src_version"],
+        )
+    return fact.join(F.broadcast(dd), on=jk, how="inner")
+
+
 def create_rollup(
     spark: SparkSession,
     src_root: str,
@@ -108,13 +148,12 @@ def create_rollup(
 
     **Star rollups**: with ``dim_root``/``dim_join_key`` the aggregate
     runs over ``fact ⋈ dim`` (inner broadcast equi-join; keys and
-    measure columns may come from either side). The dimension is PINNED
-    at its current version: fact churn folds incrementally (the change
-    feed joins the same pinned dim, so insert/delete deltas stay
-    consistent), while a dim change makes :func:`refresh_rollup` raise
-    — slowly-changing dimensions need a view rebuild, the standard
-    star-schema IVM restriction (delta-join maintenance of BOTH sides
-    is the general Gupta–Mumick case, out of scope here).
+    measure columns may come from either side). Both sides maintain
+    incrementally — the general Gupta–Mumick delta-join case: fact
+    churn folds against the dim's NEW version, and dim churn folds as
+    ``fact_old ⋈ Δdim`` with the fact scan confined to the churned
+    join keys through the table's stats/bloom pruning (see
+    :func:`refresh_rollup`).
     """
     sum_cols = sum_cols or []
     minmax_cols = minmax_cols or []
@@ -159,6 +198,9 @@ def rollup_state(view_root: str) -> dict:
         rec = tfmt._read_commit(view_root, v)
         if "ivm" in rec:
             spec["src_version"] = rec["ivm"]["src_version"]
+            if "dim" in spec and "dim_version" in rec["ivm"]:
+                spec["dim"] = {**spec["dim"],
+                               "version": rec["ivm"]["dim_version"]}
             break
     return spec
 
@@ -245,6 +287,22 @@ def refresh_rollup(
     the stored [min, max] stay incremental, and insert-only refreshes
     never read the source at all.
 
+    Star rollups fold BOTH sides (delta-join algebra): with
+    ``F_old``/``D_old`` the fact/dim at the last folded versions and
+    ``ΔF``/``ΔD`` their signed change feeds,
+
+        Δ(F ⋈ D) = ΔF ⋈ D_new  +  F_old ⋈ ΔD
+
+    (the cross term ``ΔF ⋈ ΔD`` is inside the first summand because it
+    joins the NEW dim). The second summand is the expensive one at
+    100 TB — it touches fact rows for the churned dim keys — so the
+    fact snapshot is read through :func:`.bloom_index.bloom_lookup`:
+    committed min/max stats prune a fact clustered on the join key,
+    the bloom sidecar index prunes a scattered one, and an unindexed
+    fact degrades to a full (still one-job) scan filtered by the
+    broadcast dim churn. Dim churn cost is therefore O(fact files
+    claiming the churned keys), never O(fact).
+
     Retention interaction: the fold reads the source's per-commit
     added/removed files for ``(last, head]``, so
     :func:`.table_format.vacuum` on the SOURCE must retain at least the
@@ -256,19 +314,31 @@ def refresh_rollup(
     src_root, keys, sum_cols = state["src_root"], state["keys"], state["sum_cols"]
     minmax_cols = state["minmax_cols"]
     dim = state.get("dim")
-    if dim is not None and tfmt.latest_version(dim["root"]) != dim["version"]:
-        raise ValueError(
-            f"dimension {dim['root']} advanced past pinned version "
-            f"{dim['version']}; a changed dim invalidates every group — "
-            "rebuild the view (drop + create_rollup)"
-        )
+    dim_head = tfmt.latest_version(dim["root"]) if dim else None
+    dim_advanced = dim is not None and dim_head > dim["version"]
     head = tfmt.latest_version(src_root)
-    if head <= state["src_version"]:
+    if head <= state["src_version"] and not dim_advanced:
         return tfmt.latest_version(view_root)
-
-    changes = _with_dim(
-        spark, state, tfmt.table_changes(spark, src_root, state["src_version"], head)
+    # all NEW-state reads (fact feed enrichment, extremum recompute)
+    # join the dim at ITS new head — the ΔF ⋈ D_new summand.
+    new_state = (
+        state if not dim else {**state, "dim": {**dim, "version": dim_head}}
     )
+
+    feeds = []
+    if head > state["src_version"]:
+        feeds.append(
+            _with_dim(
+                spark,
+                new_state,
+                tfmt.table_changes(spark, src_root, state["src_version"], head),
+            )
+        )
+    if dim_advanced:
+        feeds.append(_dim_churn_feed(spark, state, dim_head))
+    changes = feeds[0]
+    for extra in feeds[1:]:
+        changes = changes.unionByName(extra)
     deleted = F.col("_change_type") == "deleted"
     sign = F.when(deleted, F.lit(-1)).otherwise(F.lit(1))
     aggs = [F.sum(sign).alias("_d_n")]
@@ -308,10 +378,13 @@ def refresh_rollup(
         F.max(k0).alias("hi"),
         F.max(F.col(k0).isNull().cast("int")).alias("has_null"),
     ).collect()[0]
+    ivm_rec = {"src_version": head}
+    if dim is not None:
+        ivm_rec["dim_version"] = dim_head
     if b["n"] == 0:
         # nothing changed group-wise; still record the fold so the next
         # refresh doesn't replay these source versions.
-        return _commit_noop_fold(view_root, head)
+        return _commit_noop_fold(view_root, ivm_rec)
     # file [min,max] stats ignore NULLs, so a churned NULL-key group can
     # live in ANY file — pruning is only sound when no delta key is NULL.
     bounds = (
@@ -322,7 +395,7 @@ def refresh_rollup(
 
     meta = tfmt._table_meta(view_root)
     for _ in range(max_retries):
-        if rollup_state(view_root)["src_version"] >= head:
+        if _already_folded(view_root, ivm_rec):
             return tfmt.latest_version(view_root)  # racing refresh won
         base_v = tfmt.latest_version(view_root)
         live, schema = tfmt.snapshot_files(view_root, base_v)
@@ -340,7 +413,7 @@ def refresh_rollup(
         merged = _apply_delta(
             old, delta, keys, sum_cols, minmax_cols, st,
             lambda rec_keys: _recompute_groups(
-                spark, state, head, rec_keys, keys, sum_cols, minmax_cols
+                spark, new_state, head, rec_keys, keys, sum_cols, minmax_cols
             ),
         )
         v = base_v + 1
@@ -355,7 +428,7 @@ def refresh_rollup(
                     "add": adds,
                     "remove": [a["path"] for a in cands],
                     "schema": None,
-                    "ivm": {"src_version": head},
+                    "ivm": ivm_rec,
                 },
             )
         except tfmt.CommitConflict:
@@ -365,9 +438,21 @@ def refresh_rollup(
     raise tfmt.CommitConflict(f"refresh lost {max_retries} races at {view_root}")
 
 
-def _commit_noop_fold(view_root: str, src_head: int, *, max_retries: int = 3) -> int:
+def _already_folded(view_root: str, ivm_rec: dict) -> bool:
+    """True when a racing refresh has already folded everything this
+    refresh planned to fold (fact head AND, for star rollups, dim
+    head) — applying our delta on top would double-count it."""
+    st = rollup_state(view_root)
+    if st["src_version"] < ivm_rec["src_version"]:
+        return False
+    if "dim_version" in ivm_rec:
+        return st["dim"]["version"] >= ivm_rec["dim_version"]
+    return True
+
+
+def _commit_noop_fold(view_root: str, ivm_rec: dict, *, max_retries: int = 3) -> int:
     for _ in range(max_retries):
-        if rollup_state(view_root)["src_version"] >= src_head:
+        if _already_folded(view_root, ivm_rec):
             return tfmt.latest_version(view_root)  # racing refresh won
         v = tfmt.latest_version(view_root) + 1
         try:
@@ -380,7 +465,7 @@ def _commit_noop_fold(view_root: str, src_head: int, *, max_retries: int = 3) ->
                     "add": [],
                     "remove": [],
                     "schema": None,
-                    "ivm": {"src_version": src_head},
+                    "ivm": ivm_rec,
                 },
             )
             return v
@@ -426,7 +511,9 @@ def _recompute_groups(
     correct under concurrent source writers). The flagged-key set is
     churn-bounded and broadcast; on a source clustered by the group key
     the semi-join's runtime filter prunes the scan further. Star
-    rollups re-join the same pinned dimension."""
+    rollups re-join the dimension at the version being folded TO
+    (``spec`` carries the new dim pin), so the recomputed groups land
+    in the same final state as the incremental ones."""
     src = _with_dim(
         spark, spec, tfmt.read_table(spark, spec["src_root"], version=src_version)
     )

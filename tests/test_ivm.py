@@ -189,6 +189,60 @@ def test_refresh_never_reads_pruned_view_files(spark, tmp_path):
     assert before.isdisjoint(set(rec["remove"]))
 
 
+def test_dim_churn_never_reads_pruned_fact_files(spark, tmp_path):
+    """Physical proof for the ``F_old ⋈ ΔD`` scale claim: cluster the
+    FACT on the join key, corrupt every fact file whose [min,max] fk
+    range excludes the churned dim key, churn the dim at one key,
+    refresh — the fold must succeed (stats-pruned fact read through
+    bloom_lookup never opens the corrupted files)."""
+    fact = str(tmp_path / "fact")
+    dim = str(tmp_path / "dim")
+    view = str(tmp_path / "view")
+    tf.create_table(
+        spark.createDataFrame(
+            [Row(k=i, fk=i // 100, val=i) for i in range(1000)],
+            "k long, fk long, val long",
+        ),
+        fact,
+        stat_cols=["fk"],
+    )
+    tf.optimize_cluster(spark, fact, ["fk"], target_files=5)
+    tf.create_table(
+        spark.createDataFrame(
+            [Row(fk=i, dname=f"D{i}") for i in range(10)],
+            "fk long, dname string",
+        ),
+        dim,
+        stat_cols=["fk"],
+    )
+    ivm.create_rollup(
+        spark, fact, view, keys=["dname"], sum_cols=["val"],
+        dim_root=dim, dim_join_key="fk",
+    )
+    live, _ = tf.snapshot_files(fact)
+    pruned = [
+        a for a in live
+        if a["stats"]["fk"][0] is not None and a["stats"]["fk"][1] < 8
+    ]
+    assert pruned, "clustering should give fact files with max fk < 8"
+    for a in pruned:
+        with open(os.path.join(fact, a["path"]), "wb") as f:
+            f.write(b"NOT A PARQUET FILE")
+    # dim attribute update confined to fk=9: D9 → D9x
+    tf.delete_where(spark, dim, "fk = 9", prune_col="fk")
+    tf.append(
+        spark.createDataFrame([Row(fk=9, dname="D9x")], "fk long, dname string"),
+        dim,
+    )
+    ivm.refresh_rollup(spark, view)  # must never open the corrupted files
+    got = {
+        r["dname"]: (r["n_rows"], r["sum_val"])
+        for r in ivm.read_rollup(spark, view).collect()
+    }
+    assert "D9" not in got
+    assert got["D9x"] == (100, sum(range(900, 1000)))
+
+
 def test_composite_and_null_group_keys(spark, tmp_path):
     """NULL is a real group under groupBy semantics; composite keys are
     maintained null-safely and NULL-key churn disables pruning rather
@@ -365,11 +419,14 @@ def test_maintained_sink_medallion_replay_idempotent(spark, tmp_path):
     _assert_rollup_matches(spark, src, view)
 
 
-def test_star_rollup_fact_churn_folds_dim_change_raises(spark, tmp_path):
-    """Star-schema rollup (fact ⋈ pinned dim, grouped by a dim
-    attribute): fact churn folds incrementally — including an
-    extremum-displacing delete whose group-confined recompute re-joins
-    the dim — while a dim commit makes refresh raise."""
+def test_star_rollup_folds_both_sides(spark, tmp_path):
+    """Star-schema rollup (fact ⋈ dim, grouped by a dim attribute):
+    BOTH delta-join summands fold incrementally — fact churn against
+    the dim's new head (including an extremum-displacing delete whose
+    group-confined recompute re-joins the new dim), and dim churn as
+    ``F_old ⋈ ΔD`` (a dim insert that lights up previously-unmatched
+    fact rows, an attribute update that migrates whole groups, and a
+    dim delete that empties a group)."""
     fact = str(tmp_path / "fact")
     dim = str(tmp_path / "dim")
     view = str(tmp_path / "view")
@@ -433,7 +490,10 @@ def test_star_rollup_fact_churn_folds_dim_change_raises(spark, tmp_path):
     tf.delete_where(spark, fact, "k >= 100")  # drops every 1000+ extremum
     ivm.refresh_rollup(spark, view)
     assert got() == want()
-    # dim advance invalidates the pin
+    # both sides churn before ONE refresh: the dim insert (fk=3 — its
+    # ~13 pre-existing fact rows were unmatched until now) folds via
+    # F_old ⋈ ΔD, and the new fact row joins the NEW dim row via the
+    # ΔF ⋈ D_new summand (the cross term).
     tf.append(
         spark.createDataFrame([Row(fk=3, dname="D9")], "fk long, dname string"),
         dim,
@@ -442,8 +502,29 @@ def test_star_rollup_fact_churn_folds_dim_change_raises(spark, tmp_path):
         spark.createDataFrame([Row(k=999, fk=3, val=5)], "k long, fk long, val long"),
         fact,
     )
-    with pytest.raises(ValueError, match="pinned version"):
-        ivm.refresh_rollup(spark, view)
+    ivm.refresh_rollup(spark, view)
+    assert got() == want()
+    # dim attribute update (delete + insert at the same key): every
+    # fk=0 fact row migrates D0 → D7; D0's survivors shrink, and the
+    # departed rows held D0 extrema so the group recompute fires too.
+    tf.delete_where(spark, dim, "fk = 0", prune_col="fk")
+    tf.append(
+        spark.createDataFrame([Row(fk=0, dname="D7")], "fk long, dname string"),
+        dim,
+    )
+    ivm.refresh_rollup(spark, view)
+    assert got() == want()
+    # dim delete that empties a whole group: D9's only member departs.
+    tf.delete_where(spark, dim, "fk = 3", prune_col="fk")
+    ivm.refresh_rollup(spark, view)
+    assert got() == want()
+    assert "D9" not in got()
+    # dim-only churn with no fact commit still advances the fold pin:
+    # the next refresh is a pure no-op (no replay, no new data files).
+    st = ivm.rollup_state(view)
+    assert st["dim"]["version"] == tf.latest_version(dim)
+    v_before = tf.latest_version(view)
+    assert ivm.refresh_rollup(spark, view) == v_before
 
 
 def test_avg_and_distinct_count_maintenance(spark, tmp_path):
