@@ -141,10 +141,13 @@ HEADLINE = [
     "lakehouse_time_travel",
     # CDF-fold view maintenance: create + 3 churn-proportional refreshes
     "lakehouse_incremental_rollup",
-    # star-schema IVM: fact CDF ⋈ pinned broadcast dim per refresh
+    # star-schema IVM: delta-join fold (ΔF ⋈ D_new + F_old ⋈ ΔD)
     "lakehouse_star_rollup",
     # bloom-sidecar build (one job over new bytes) + pruned point lookup
     "lakehouse_point_lookup",
+    # merge-on-read deletion vectors: 2 DV deletes (no rewrite) + CDF
+    # exact-once diffs + compact apply-and-clear
+    "lakehouse_deletion_vectors",
 ]
 
 

@@ -284,10 +284,9 @@ def bloom_lookup(
     st = StructType.fromJson(schema)
     if not read:
         return spark.createDataFrame([], st)
-    return (
-        spark.read.schema(st)
-        .parquet(*tfmt._abs_paths(root, read))
-        .filter(F.col(col).isin([v for v in values if v is not None]))
+    # DV-aware read: a merge-on-read delete must not resurrect in lookups
+    return tfmt.read_files(spark, root, read, st).filter(
+        F.col(col).isin([v for v in values if v is not None])
     )
 
 

@@ -404,12 +404,7 @@ def refresh_rollup(
         else:
             cands = live
         st = StructType.fromJson(schema)
-        if cands:
-            old = spark.read.schema(st).parquet(
-                *tfmt._abs_paths(view_root, cands)
-            )
-        else:
-            old = spark.createDataFrame([], st)
+        old = tfmt.read_files(spark, view_root, cands, st)
         merged = _apply_delta(
             old, delta, keys, sum_cols, minmax_cols, st,
             lambda rec_keys: _recompute_groups(

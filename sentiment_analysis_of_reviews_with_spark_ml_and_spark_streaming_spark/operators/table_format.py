@@ -27,6 +27,17 @@ Same architecture the real formats use, re-expressed in ~300 lines:
   replay starts at the newest checkpoint ≤ the requested version, so
   log-replay cost is O(files/commit × checkpoint interval), not
   O(total history) — the same reason Delta writes parquet checkpoints.
+* **Deletion vectors (merge-on-read)**: ``delete_where(mode="mor")``
+  marks rows deleted WITHOUT rewriting their gigabyte data files — a
+  commit attaches a tiny parquet sidecar of ``(file, row position)``
+  pairs, and every reader anti-joins it back out (Delta DVs / Iceberg
+  v2 position deletes). At 100 TB this turns "delete 5 rows" from a
+  1 GB rewrite into a 1 KB sidecar write; the read-side anti-join cost
+  is reclaimed by the next :func:`compact`/:func:`optimize_cluster`,
+  which applies and clears the vectors. Sidecars are cumulative per
+  file (one sidecar read per file, never a chain) and row positions
+  are parquet row indices (``_metadata.row_index``), so a file's DV
+  survives unrelated commits untouched.
 
 Driver-side metadata is proportional to file COUNT, not data bytes —
 the standard lakehouse trade; at 100 TB with ~1e5 files the replay is
@@ -115,6 +126,7 @@ def history(root: str) -> list[dict]:
                 "n_added": len(rec.get("add", [])),
                 "n_removed": len(rec.get("remove", [])),
                 "rows_added": sum(a.get("rows", 0) for a in rec.get("add", [])),
+                "n_dv_files": len(rec.get("dv", {})),
             }
         )
     return out
@@ -145,6 +157,12 @@ def snapshot_files(root: str, version: int | None = None) -> tuple[list[dict], d
             live.pop(p, None)
         for a in rec.get("add", []):
             live[a["path"]] = a
+        for p, d in rec.get("dv", {}).items():
+            if p in live:  # merge-on-read: cumulative DV replaces prior
+                live[p] = {
+                    **live[p],
+                    "dv": {"sidecar": d["sidecar"], "rows": d["rows"]},
+                }
         if rec.get("schema"):
             schema = rec["schema"]
     return sorted(live.values(), key=lambda a: a["path"]), json.loads(schema)
@@ -222,6 +240,135 @@ def _abs_paths(root: str, adds: list[dict]) -> list[str]:
 
 
 # --------------------------------------------------------------------------
+# deletion vectors (merge-on-read)
+
+_DV_SCHEMA = "file string, pos long"
+
+
+def _file_base_col():
+    return F.element_at(
+        F.split(F.col("_metadata.file_path"), "/"), -1
+    ).alias("_file")
+
+
+def _row_pos_col():
+    return F.col("_metadata.row_index").alias("_pos")
+
+
+def _write_dv_sidecar(dv_df: DataFrame, root: str, version: int) -> str:
+    """Persist cumulative ``(file, pos)`` deletion pairs as ONE parquet
+    sidecar under ``data/`` (so vacuum's walk governs it like any data
+    file) and return its relative path. DV rows are churn-bounded —
+    mass deletes belong in copy-on-write mode — so one file suffices."""
+    rel_dir = f"data/v{version:08d}-dv-{uuid.uuid4().hex[:8]}"
+    out = os.path.join(root, rel_dir)
+    dv_df.coalesce(1).write.mode("error").parquet(out)
+    part = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    return os.path.join(rel_dir, part[0])
+
+
+def _dv_rows(spark: SparkSession, root: str, entries: list[dict]) -> DataFrame:
+    """The valid ``(file basename, pos)`` deletion pairs for these live
+    entries. A sidecar is shared by every file its commit touched, and
+    a LATER delete rewrites a file's cumulative rows into a NEW sidecar
+    — so a pair only counts when it came from the sidecar the entry
+    currently points at (join on both file and sidecar identity)."""
+    pairs = sorted(
+        {
+            (os.path.basename(e["path"]), e["dv"]["sidecar"])
+            for e in entries
+            if "dv" in e
+        }
+    )
+    if not pairs:
+        return spark.createDataFrame([], _DV_SCHEMA)
+    sidecars = sorted({s for _, s in pairs})
+    raw = (
+        spark.read.schema(_DV_SCHEMA)
+        .parquet(*(os.path.join(root, s) for s in sidecars))
+        .select(
+            "file",
+            "pos",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("_sc"),
+        )
+    )
+    lookup = spark.createDataFrame(
+        [(f, os.path.basename(s)) for f, s in pairs], "file string, _sc string"
+    )
+    return raw.join(F.broadcast(lookup), ["file", "_sc"], "inner").select(
+        "file", "pos"
+    )
+
+
+def _meta_schema(st: StructType) -> StructType:
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        st.fields
+        + [
+            StructField("_file", StringType(), True),
+            StructField("_pos", LongType(), True),
+        ]
+    )
+
+
+def read_files(
+    spark: SparkSession,
+    root: str,
+    entries: list[dict],
+    st: StructType,
+    *,
+    with_meta: bool = False,
+) -> DataFrame:
+    """Read a set of live add-entries as one DataFrame with each file's
+    deletion vector applied (merge-on-read) — the ONE read path every
+    table consumer goes through. Files without a DV keep the plain
+    vectorized parquet scan with zero overhead; DV'd files are read
+    with parquet row positions (``_metadata.row_index``) and the
+    churn-bounded sidecar pairs are anti-joined back out (broadcast
+    below 2M deleted rows, shuffle join beyond). ``with_meta`` keeps
+    ``_file`` (basename) and ``_pos`` columns for position-aware
+    callers (DV writes, change feeds)."""
+    base_cols = [F.col(f.name) for f in st.fields]
+
+    def _read(es: list[dict], need_meta: bool) -> DataFrame:
+        df = spark.read.schema(st).parquet(*_abs_paths(root, es))
+        if need_meta:
+            return df.select(*base_cols, _file_base_col(), _row_pos_col())
+        return df
+
+    plain = [e for e in entries if "dv" not in e]
+    dvd = [e for e in entries if "dv" in e]
+    parts = []
+    if plain:
+        parts.append(_read(plain, with_meta))
+    if dvd:
+        df = _read(dvd, True)
+        dv = _dv_rows(spark, root, dvd)
+        n_dv = sum(e["dv"]["rows"] for e in dvd)
+        if n_dv < 2_000_000:
+            dv = F.broadcast(dv)
+        df = df.join(
+            dv,
+            (F.col("_file") == F.col("file")) & (F.col("_pos") == F.col("pos")),
+            "left_anti",
+        )
+        if not with_meta:
+            df = df.drop("_file", "_pos")
+        parts.append(df)
+    if not parts:
+        return spark.createDataFrame(
+            [], _meta_schema(st) if with_meta else st
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
 # public API
 
 
@@ -269,13 +416,11 @@ def read_table(
     """Snapshot read, optionally time-travelled to ``version``."""
     live, schema = snapshot_files(root, version)
     st = StructType.fromJson(schema)
-    if not live:
-        return spark.createDataFrame([], st)
-    reader = spark.read
     # schema evolution: files written before a column existed are read
     # with the committed (latest-at-version) schema; missing columns
-    # come back null — parquet is schema-on-read.
-    return reader.schema(st).parquet(*_abs_paths(root, live))
+    # come back null — parquet is schema-on-read. Deletion vectors are
+    # applied inside read_files (merge-on-read).
+    return read_files(spark, root, live, st)
 
 
 def committed_batch_ids(root: str) -> set[int]:
@@ -411,7 +556,9 @@ def merge_upsert(
         live, _schema = snapshot_files(root, base_v)
         cands, _rest = _candidate_files(live, {key_col: (lo, hi)}, key_col)
         if cands:
-            existing = spark.read.parquet(*_abs_paths(root, cands))
+            existing = read_files(
+                spark, root, cands, StructType.fromJson(_schema)
+            )
             keep = existing.join(
                 F.broadcast(updates.select(key_col).distinct()),
                 on=key_col,
@@ -516,9 +663,21 @@ def _extract_bounds(predicate: str, col: str):
 
 
 def delete_where(
-    spark: SparkSession, root: str, predicate: str, *, prune_col: str | None = None
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    *,
+    prune_col: str | None = None,
+    mode: str = "cow",
 ) -> int:
-    """Delete matching rows, copy-on-write at file granularity.
+    """Delete matching rows. ``mode="cow"`` (default) is copy-on-write
+    at file granularity; ``mode="mor"`` is merge-on-read via deletion
+    vectors — matched row positions land in a tiny parquet sidecar and
+    the data files are NOT rewritten (Delta DVs / Iceberg v2 position
+    deletes: the right shape for point/small deletes at 100 TB, where
+    rewriting a 1 GB file to drop 5 rows is the wrong cost model; the
+    next compact/cluster rewrite applies and clears the vectors). A
+    file whose every row is deleted is removed outright in either mode.
 
     Three tiers of work avoidance, each sound:
 
@@ -528,16 +687,18 @@ def delete_where(
        committed [min,max]; a file that cannot overlap is carried by
        reference without being opened.
     2. **Match detection (one job)** — all surviving candidates are
-       scanned in a SINGLE Spark job tagged by ``input_file_name``; a
-       candidate with no matching row is also carried by reference.
-       (The prior implementation issued 1–2 sequential jobs per live
-       file — O(file-count) driver round-trips at 1e5-file scale.)
-    3. **Rewrite (one job)** — kept rows of all matched files are
-       rewritten together in one write.
+       scanned in a SINGLE Spark job tagged with parquet row positions;
+       a candidate with no matching row is also carried by reference.
+    3. **Write (one job)** — cow rewrites the kept rows of all matched
+       files together; mor writes one cumulative sidecar for all
+       partially-matched files.
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     meta = _table_meta(root)
     base_v = latest_version(root)
     live, _schema = snapshot_files(root, base_v)
+    st = StructType.fromJson(_schema)
     cands = live
     if prune_col:
         bounds = _extract_bounds(predicate, prune_col)
@@ -545,45 +706,76 @@ def delete_where(
             lo, hi = bounds
             pruned_cands = []
             for a in live:
-                st = a.get("stats", {}).get(prune_col)
-                if st is None or st[0] is None:
+                stat = a.get("stats", {}).get(prune_col)
+                if stat is None or stat[0] is None:
                     pruned_cands.append(a)
-                elif (hi is None or st[0] <= hi) and (lo is None or lo <= st[1]):
+                elif (hi is None or stat[0] <= hi) and (lo is None or lo <= stat[1]):
                     pruned_cands.append(a)
             cands = pruned_cands
     if not cands:
         return base_v
-    tagged = spark.read.parquet(*_abs_paths(root, cands)).withColumn(
-        "_file", F.input_file_name()
-    )
-    def _norm(uri: str) -> str:
-        # input_file_name() yields file:///abs/path — strip scheme and
-        # collapse the leading slashes for comparison.
-        return "/" + uri.removeprefix("file:").lstrip("/")
+    # one job over the candidates — DV-aware, so rows already deleted
+    # by an earlier merge-on-read commit can't match again.
+    tagged = read_files(spark, root, cands, st, with_meta=True)
+    matched = tagged.filter(predicate).select("_file", "_pos")
+    by_base = {os.path.basename(a["path"]): a for a in cands}
 
-    matched_files = {
-        _norm(r["_file"])
-        for r in tagged.filter(predicate).select("_file").distinct().collect()
+    if mode == "cow":
+        matched_bases = {
+            r["_file"] for r in matched.select("_file").distinct().collect()
+        }
+        if not matched_bases:
+            return base_v
+        hit = [by_base[b] for b in sorted(matched_bases)]
+        v = base_v + 1
+        kept = read_files(spark, root, hit, st).filter(f"NOT ({predicate})")
+        adds = _write_data_files(kept, root, v, meta["stat_cols"])
+        _write_commit(
+            root,
+            v,
+            {"version": v, "action": "delete", "add": adds,
+             "remove": [a["path"] for a in hit], "schema": None},
+        )
+        _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
+        return v
+
+    # --- merge-on-read ---
+    per_file = {
+        r["_file"]: r["_n"]
+        for r in matched.groupBy("_file")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
     }
-    if not matched_files:
+    if not per_file:
         return base_v
-    abs_root = os.path.abspath(root)
-    removed = [
-        a["path"]
-        for a in cands
-        if _norm(os.path.join(abs_root, a["path"])) in matched_files
-    ]
+    full, partial = [], []
+    for base, n_new in per_file.items():
+        a = by_base[base]
+        n_total = a.get("dv", {}).get("rows", 0) + n_new
+        (full if n_total == a["rows"] else partial).append(a)
     v = base_v + 1
-    kept = (
-        spark.read.parquet(*(os.path.join(root, p) for p in removed))
-        .filter(f"NOT ({predicate})")
-    )
-    adds = _write_data_files(kept, root, v, meta["stat_cols"])
+    dv_map: dict[str, dict] = {}
+    if partial:
+        partial_bases = [os.path.basename(a["path"]) for a in partial]
+        # cumulative sidecar: new matches + the files' prior DV rows
+        cum = matched.filter(F.col("_file").isin(partial_bases)).select(
+            F.col("_file").alias("file"), F.col("_pos").alias("pos")
+        )
+        prior = [a for a in partial if "dv" in a]
+        if prior:
+            cum = cum.unionByName(_dv_rows(spark, root, prior))
+        sidecar = _write_dv_sidecar(cum, root, v)
+        for a in partial:
+            base = os.path.basename(a["path"])
+            dv_map[a["path"]] = {
+                "sidecar": sidecar,
+                "rows": a.get("dv", {}).get("rows", 0) + per_file[base],
+            }
     _write_commit(
         root,
         v,
-        {"version": v, "action": "delete", "add": adds, "remove": removed,
-         "schema": None},
+        {"version": v, "action": "delete", "add": [],
+         "remove": [a["path"] for a in full], "dv": dv_map, "schema": None},
     )
     _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
     return v
@@ -617,7 +809,9 @@ def compact_small(
         return base_v
     total = sum(os.path.getsize(os.path.join(root, a["path"])) for a in small)
     n_out = max(1, round(total / target_bytes))
-    df = spark.read.parquet(*_abs_paths(root, small)).coalesce(n_out)
+    df = read_files(
+        spark, root, small, StructType.fromJson(_schema)
+    ).coalesce(n_out)
     v = base_v + 1
     adds = _write_data_files(df, root, v, meta["stat_cols"])
     _write_commit(
@@ -637,7 +831,9 @@ def compact(spark: SparkSession, root: str, *, target_files: int = 1) -> int:
     meta = _table_meta(root)
     base_v = latest_version(root)
     live, _schema = snapshot_files(root, base_v)
-    df = spark.read.parquet(*_abs_paths(root, live)).coalesce(target_files)
+    df = read_files(
+        spark, root, live, StructType.fromJson(_schema)
+    ).coalesce(target_files)
     v = base_v + 1
     adds = _write_data_files(df, root, v, meta["stat_cols"])
     _write_commit(
@@ -669,7 +865,7 @@ def optimize_cluster(
     meta = _table_meta(root)
     base_v = latest_version(root)
     live, _schema = snapshot_files(root, base_v)
-    df = spark.read.parquet(*_abs_paths(root, live))
+    df = read_files(spark, root, live, StructType.fromJson(_schema))
     key = (
         F.col(by[0])
         if len(by) == 1
@@ -704,7 +900,16 @@ def table_changes(
     a commit cancel in the multiset difference — elementwise
     ``(C+A) ∸ (C+R) = A ∸ R`` — so each version reads ONLY its own
     added/removed files. Every data file is immutable parquet, so the
-    feed is deterministic and replayable from any version."""
+    feed is deterministic and replayable from any version.
+
+    Deletion-vector commits (``delete_where(mode="mor")``) emit exactly
+    the NEWLY masked rows: the commit's cumulative sidecar minus the
+    file's prior sidecar gives the fresh positions, and the data file
+    is read once at those positions. A later REMOVE of a DV'd file
+    (compact, merge, cow delete) reads it through its pre-commit DV, so
+    rows already reported deleted are never reported twice — the feed
+    stays an exact multiset delta of the logical table at every
+    version."""
     head = latest_version(root)
     if not 0 <= v_from < v_to <= head:
         raise ValueError(
@@ -713,19 +918,25 @@ def table_changes(
         )
     _live, schema = snapshot_files(root, v_to)
     st = StructType.fromJson(schema)
+    base_cols = [F.col(f.name) for f in st.fields]
+    # rolling pre-commit state: removed paths and DV diffs need the
+    # entry (with its OLD deletion vector) as of the previous version.
+    pre = {a["path"]: a for a in snapshot_files(root, v_from)[0]}
 
-    def _side(paths: list[str]) -> DataFrame:
-        if not paths:
+    def _side(entries: list[dict]) -> DataFrame:
+        if not entries:
             return spark.createDataFrame([], st)
-        return spark.read.schema(st).parquet(
-            *(os.path.join(root, p) for p in paths)
-        )
+        return read_files(spark, root, entries, st)
 
     out = None
     for v in range(v_from + 1, v_to + 1):
         rec = _read_commit(root, v)
-        added = _side([a["path"] for a in rec.get("add", [])])
-        removed = _side(rec.get("remove", []))
+        added_entries = rec.get("add", [])
+        removed_entries = [
+            pre[p] for p in rec.get("remove", []) if p in pre
+        ]
+        added = _side(added_entries)
+        removed = _side(removed_entries)
         d = (
             added.exceptAll(removed)
             .withColumn("_change_type", F.lit("inserted"))
@@ -733,9 +944,53 @@ def table_changes(
                 removed.exceptAll(added)
                 .withColumn("_change_type", F.lit("deleted"))
             )
-            .withColumn("_commit_version", F.lit(v).cast("long"))
         )
+        dv_items = rec.get("dv", {})
+        if dv_items:
+            new_entries = [
+                {**pre[p], "dv": {"sidecar": d2["sidecar"], "rows": d2["rows"]}}
+                for p, d2 in dv_items.items()
+                if p in pre
+            ]
+            fresh = _dv_rows(spark, root, new_entries)
+            old_dvd = [pre[p] for p in dv_items if "dv" in pre.get(p, {})]
+            if old_dvd:
+                fresh = fresh.join(
+                    _dv_rows(spark, root, old_dvd), ["file", "pos"], "left_anti"
+                )
+            # read the affected files WITHOUT their (new) DV, positions on
+            bare = [
+                {k: val for k, val in pre[p].items() if k != "dv"}
+                for p in dv_items
+                if p in pre
+            ]
+            data = spark.read.schema(st).parquet(
+                *_abs_paths(root, bare)
+            ).select(*base_cols, _file_base_col(), _row_pos_col())
+            masked = (
+                data.join(
+                    F.broadcast(fresh),
+                    (F.col("_file") == F.col("file"))
+                    & (F.col("_pos") == F.col("pos")),
+                    "left_semi",
+                )
+                .drop("_file", "_pos")
+                .withColumn("_change_type", F.lit("deleted"))
+            )
+            d = d.unionByName(masked)
+        d = d.withColumn("_commit_version", F.lit(v).cast("long"))
         out = d if out is None else out.unionByName(d)
+        # roll the pre-state forward past this commit
+        for p in rec.get("remove", []):
+            pre.pop(p, None)
+        for a in added_entries:
+            pre[a["path"]] = a
+        for p, d2 in dv_items.items():
+            if p in pre:
+                pre[p] = {
+                    **pre[p],
+                    "dv": {"sidecar": d2["sidecar"], "rows": d2["rows"]},
+                }
     return out
 
 
@@ -776,6 +1031,7 @@ def vacuum(
     for v in range(max(0, head - retain_versions), head + 1):
         live, _ = snapshot_files(root, v)
         keep.update(a["path"] for a in live)
+        keep.update(a["dv"]["sidecar"] for a in live if "dv" in a)
     deleted = []
     now = time.time()
     data_root = os.path.join(root, "data")

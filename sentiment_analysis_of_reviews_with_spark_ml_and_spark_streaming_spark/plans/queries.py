@@ -9093,6 +9093,99 @@ ORDER BY c_custkey
 """
 
 
+def q_lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors
+    (operators/table_format.py:delete_where(mode="mor") — Delta DVs /
+    Iceberg v2 position deletes): a customer table takes a stats-pruned
+    range DV-delete (v1), a non-prunable modulo DV-delete whose sidecar
+    folds CUMULATIVELY onto the same files (v2), then a compact that
+    applies and clears every vector (v3) — no data file is rewritten
+    until the compact. Each version row carries the snapshot checksum
+    AND the change feed's deleted-row count for that commit, so the
+    oracle binds three properties at once: DV'd rows vanish from
+    snapshot reads (and time travel still sees them), the CDF reports
+    each masked row exactly once (cumulative sidecars must diff, not
+    replay), and the compact is logically invisible (n_deleted = 0,
+    identical checksums). Bounded driver work: 4 scalar rows; temp
+    staging dir removed before return."""
+    import shutil
+    import tempfile
+
+    from ..operators import table_format as tfmt
+
+    root = tempfile.mkdtemp(prefix="lakehouse_dv_")
+    try:
+        cust = _t(spark, sf_dir, "customer").select("c_custkey")
+        tfmt.create_table(
+            cust.repartitionByRange(6, "c_custkey"), root,
+            stat_cols=["c_custkey"],
+        )
+        tfmt.delete_where(
+            spark, root, "c_custkey <= 40", prune_col="c_custkey",
+            mode="mor",
+        )
+        tfmt.delete_where(
+            spark, root, "c_custkey % 7 = 0", prune_col="c_custkey",
+            mode="mor",
+        )
+        tfmt.compact(spark, root, target_files=2)
+        rows = []
+        for v in range(4):
+            r = (
+                tfmt.read_table(spark, root, version=v)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("c_custkey").alias("ks"),
+                    F.sum(F.col("c_custkey") * F.col("c_custkey")).alias(
+                        "ksq"
+                    ),
+                )
+                .collect()[0]
+            )
+            nd = (
+                0
+                if v == 0
+                else tfmt.table_changes(spark, root, v - 1, v)
+                .filter(F.col("_change_type") == "deleted")
+                .count()
+            )
+            rows.append((v, r["n"], r["ks"], r["ksq"], nd))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version long, n_rows long, key_sum long, key_sq_sum long, "
+        "n_deleted long",
+    )
+
+
+# CAST(... AS BIGINT) throughout: DuckDB sum(BIGINT)=HUGEINT (decimal128
+# at the driver's Arrow fetch) vs Spark LONG — the r6 lesson.
+SQL_LAKEHOUSE_DELETION_VECTORS = """
+WITH v0 AS (SELECT c_custkey AS k FROM customer),
+v1 AS (SELECT k FROM v0 WHERE NOT (k <= 40)),
+v2 AS (SELECT k FROM v1 WHERE NOT (k % 7 = 0))
+SELECT CAST(v AS BIGINT) AS version,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(ks AS BIGINT) AS key_sum,
+       CAST(ksq AS BIGINT) AS key_sq_sum,
+       CAST(nd AS BIGINT) AS n_deleted
+FROM (
+  SELECT 0 AS v, count(*) AS n, sum(k) AS ks, sum(k * k) AS ksq,
+         0 AS nd FROM v0
+  UNION ALL
+  SELECT 1, count(*), sum(k), sum(k * k),
+         (SELECT count(*) FROM v0 WHERE k <= 40) FROM v1
+  UNION ALL
+  SELECT 2, count(*), sum(k), sum(k * k),
+         (SELECT count(*) FROM v1 WHERE k % 7 = 0) FROM v2
+  UNION ALL
+  SELECT 3, count(*), sum(k), sum(k * k), 0 FROM v2
+)
+ORDER BY version
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9302,6 +9395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lakehouse_incremental_rollup": q_lakehouse_incremental_rollup,
     "lakehouse_star_rollup": q_lakehouse_star_rollup,
     "lakehouse_point_lookup": q_lakehouse_point_lookup,
+    "lakehouse_deletion_vectors": q_lakehouse_deletion_vectors,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -9484,6 +9578,7 @@ ORACLE: dict[str, str] = {
     "lakehouse_incremental_rollup": SQL_LAKEHOUSE_INCREMENTAL_ROLLUP,
     "lakehouse_star_rollup": SQL_LAKEHOUSE_STAR_ROLLUP,
     "lakehouse_point_lookup": SQL_LAKEHOUSE_POINT_LOOKUP,
+    "lakehouse_deletion_vectors": SQL_LAKEHOUSE_DELETION_VECTORS,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

@@ -43,9 +43,12 @@ _VERSION_COL = "_commit_version"
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, version: int):
+    def __init__(
+        self, path: str, version: int, dv_sidecar: str | None = None
+    ):
         self.path = path
         self.version = version
+        self.dv_sidecar = dv_sidecar  # abs path; rows masked on read
 
 
 def _table_schema(root: str) -> StructType:
@@ -56,10 +59,14 @@ def _table_schema(root: str) -> StructType:
     )
 
 
-def _read_file_batches(path: str, version: int, schema: StructType):
+def _read_file_batches(
+    path: str, version: int, schema: StructType, dv_sidecar: str | None = None
+):
     """Arrow-native file read: yield RecordBatches matching ``schema``
     (older files missing newer columns are null-backfilled — the same
-    schema-on-read rule as table_format.read_table)."""
+    schema-on-read rule as table_format.read_table). ``dv_sidecar``
+    masks merge-on-read deleted row positions (numpy boolean mask over
+    the file's row order — parquet reads preserve it)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -72,6 +79,17 @@ def _read_file_batches(path: str, version: int, schema: StructType):
         + [pa.field(_VERSION_COL, pa.int64())]
     )
     tbl = pq.read_table(path)
+    if dv_sidecar:
+        import numpy as np
+
+        import pyarrow.compute as pc
+
+        dvt = pq.read_table(dv_sidecar)
+        mine = dvt.filter(pc.equal(dvt.column("file"), os.path.basename(path)))
+        pos = mine.column("pos").to_numpy(zero_copy_only=False)
+        mask = np.ones(tbl.num_rows, dtype=bool)
+        mask[pos.astype(np.int64)] = False
+        tbl = tbl.filter(pa.array(mask))
     n = tbl.num_rows
     cols = []
     for field in target:
@@ -107,14 +125,22 @@ class LakehouseBatchReader(DataSourceReader):
             rel = a["path"]
             # data/v{version:08d}-{uuid}/part-... — writer-stamped
             ver = int(os.path.basename(os.path.dirname(rel))[1:9])
-            parts.append(_FilePartition(os.path.join(self.root, rel), ver))
+            dv = a.get("dv")
+            parts.append(
+                _FilePartition(
+                    os.path.join(self.root, rel),
+                    ver,
+                    os.path.join(self.root, dv["sidecar"]) if dv else None,
+                )
+            )
         return parts or [_FilePartition("", -1)]
 
     def read(self, partition):
         if not partition.path:
             return
         yield from _read_file_batches(
-            partition.path, partition.version, self.schema
+            partition.path, partition.version, self.schema,
+            getattr(partition, "dv_sidecar", None),
         )
 
 
@@ -137,11 +163,12 @@ class LakehouseStreamReader(DataSourceStreamReader):
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
             rec = tf._read_commit(self.root, v)
-            if rec.get("remove") and not self.ignore_changes:
+            if (rec.get("remove") or rec.get("dv")) and not self.ignore_changes:
                 raise ValueError(
-                    f"commit {v} ({rec['action']}) removes files; the "
-                    "stream is append-only — set ignoreChanges=true to "
-                    "re-emit rewritten files (downstream must dedupe)"
+                    f"commit {v} ({rec['action']}) removes or DV-deletes "
+                    "rows; the stream is append-only — set "
+                    "ignoreChanges=true to re-emit rewritten files and "
+                    "skip DV commits (downstream must dedupe)"
                 )
             for a in rec.get("add", []):
                 parts.append(

@@ -465,7 +465,8 @@ def test_model_based_random_op_sequences(spark, tmp_path):
         elif op == 2 and len(model) > 1:  # range delete (prunable)
             thr = sorted(model)[len(model) // 2 - 1]
             committed = tf.delete_where(
-                spark, root, f"k <= {thr}", prune_col="k"
+                spark, root, f"k <= {thr}", prune_col="k",
+                mode="mor" if rnd(step, 2) else "cow",
             )
             assert committed == len(history)  # thr ∈ model => must commit
             model = {k: v for k, v in model.items() if k > thr}
@@ -581,3 +582,182 @@ def test_streaming_sink_end_to_end_upsert(spark, tmp_path):
     assert rows[2] == "S" and rows[7] == "S" and rows[0] == "A"
     assert len(rows) == 6
     assert tf.committed_batch_ids(root)
+
+
+# --------------------------------------------------------------------------
+# deletion vectors (merge-on-read)
+
+
+def test_delete_mor_masks_without_rewriting(spark, tmp_path):
+    """mode="mor": matched rows disappear from every read path while
+    the DATA FILE SET is byte-identical — only a tiny sidecar and a
+    commit record are written. A second mor delete folds cumulatively
+    (one sidecar per file, never a chain), and compact applies+clears
+    the vectors with an empty version diff."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 100), root, stat_cols=["k"])
+    files_v0 = {a["path"] for a in tf.snapshot_files(root, 0)[0]}
+    v1 = tf.delete_where(spark, root, "k BETWEEN 10 AND 19", prune_col="k",
+                         mode="mor")
+    live1, _ = tf.snapshot_files(root, v1)
+    assert {a["path"] for a in live1} == files_v0  # no rewrite
+    assert any("dv" in a for a in live1)
+    assert tf.read_table(spark, root).count() == 90
+    assert tf.read_table(spark, root, version=0).count() == 100  # time travel
+    # cumulative: second delete overlaps the same files
+    v2 = tf.delete_where(spark, root, "k IN (5, 15, 25)", prune_col="k",
+                         mode="mor")
+    ks = {r["k"] for r in tf.read_table(spark, root).collect()}
+    assert ks == set(range(100)) - set(range(10, 20)) - {5, 25}
+    for a in tf.snapshot_files(root, v2)[0]:
+        if "dv" in a:  # exactly one live sidecar per file
+            assert a["dv"]["rows"] >= 1
+    # compact applies and clears every vector, data-identically
+    v3 = tf.compact(spark, root, target_files=2)
+    assert all("dv" not in a for a in tf.snapshot_files(root, v3)[0])
+    assert tf.table_diff(spark, root, v2, v3).count() == 0
+
+
+def test_delete_mor_prunes_and_drops_fully_deleted_files(spark, tmp_path):
+    """Stats pruning holds in mor mode (corrupted never-read proof) and
+    a file whose every row matches is REMOVED outright, not DV'd."""
+    root = str(tmp_path / "t")
+    tf.create_table(
+        spark.createDataFrame(
+            [Row(k=i, seg="A", val=float(i)) for i in range(1000)]
+        ).repartitionByRange(5, "k"),
+        root,
+        stat_cols=["k"],
+    )
+    live, _ = tf.snapshot_files(root)
+    pruned = [a for a in live if a["stats"]["k"][1] < 400]
+    assert pruned, "range partitioning should give files with max k < 400"
+    for a in pruned:
+        with open(os.path.join(root, a["path"]), "wb") as f:
+            f.write(b"NOT A PARQUET FILE")
+    hi_file = max(live, key=lambda a: a["stats"]["k"][0])
+    lo_bound = hi_file["stats"]["k"][0]
+    # delete the ENTIRE top file plus a sliver of its neighbor
+    v = tf.delete_where(spark, root, f"k >= {lo_bound - 2}", prune_col="k",
+                        mode="mor")
+    live2, _ = tf.snapshot_files(root, v)
+    assert hi_file["path"] not in {a["path"] for a in live2}  # dropped whole
+    neighbor = [a for a in live2 if "dv" in a]
+    assert len(neighbor) == 1 and neighbor[0]["dv"]["rows"] == 2
+    # verify the neighbor's DV-applied content (the corrupted pruned
+    # files can't be read back — that's the point of the proof)
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(tf.snapshot_files(root, v)[1])
+    ks = {r["k"] for r in tf.read_files(spark, root, neighbor, st).collect()}
+    assert max(ks) == lo_bound - 3  # the two sliver rows are masked
+    assert lo_bound - 2 not in ks and lo_bound - 1 not in ks
+
+
+def test_table_changes_dv_exact_once(spark, tmp_path):
+    """The change feed reports each DV-deleted row exactly once: the dv
+    commit emits only the NEWLY masked positions, and a later rewrite
+    (cow delete / compact) of a DV'd file never re-reports them."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 60), root, stat_cols=["k"])
+    v1 = tf.delete_where(spark, root, "k < 10", mode="mor")
+    v2 = tf.delete_where(spark, root, "k >= 50", mode="mor")
+    ch = tf.table_changes(spark, root, 0, v2)
+    dels = sorted(r["k"] for r in ch.filter("_change_type = 'deleted'").collect())
+    assert dels == list(range(10)) + list(range(50, 60))
+    assert ch.filter("_change_type = 'inserted'").count() == 0
+    # per-commit attribution
+    by_v = {
+        (r["_commit_version"], r["k"])
+        for r in ch.select("_commit_version", "k").collect()
+    }
+    assert all(v == v1 for v, k in by_v if k < 10)
+    assert all(v == v2 for v, k in by_v if k >= 50)
+    # a compact (removes DV'd files, adds applied rewrite) cancels exactly
+    v3 = tf.compact(spark, root, target_files=1)
+    post = tf.table_changes(spark, root, v2, v3)
+    assert post.count() == 0
+    # cow delete after mor: only the cow-matched rows surface
+    v4 = tf.delete_where(spark, root, "k = 20", mode="cow")
+    ch2 = tf.table_changes(spark, root, v3, v4)
+    assert [(r["k"], r["_change_type"]) for r in ch2.collect()] == [
+        (20, "deleted")
+    ]
+
+
+def test_vacuum_retains_live_dv_sidecars(spark, tmp_path):
+    """vacuum keeps the sidecars referenced by retained versions and
+    reclaims superseded ones; reads stay correct afterwards."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 50), root, stat_cols=["k"])
+    tf.delete_where(spark, root, "k < 5", mode="mor")
+    live_a, _ = tf.snapshot_files(root)
+    sidecar_a = next(a["dv"]["sidecar"] for a in live_a if "dv" in a)
+    tf.delete_where(spark, root, "k < 8", mode="mor")  # supersedes sidecar_a
+    removed = tf.vacuum(root, retain_versions=0)
+    assert sidecar_a in removed  # superseded sidecar reclaimed
+    live_b, _ = tf.snapshot_files(root)
+    sidecar_b = next(a["dv"]["sidecar"] for a in live_b if "dv" in a)
+    assert os.path.exists(os.path.join(root, sidecar_b))
+    assert {r["k"] for r in tf.read_table(spark, root).collect()} == set(
+        range(8, 50)
+    )
+
+
+def test_merge_upsert_respects_deletion_vectors(spark, tmp_path):
+    """MERGE into a DV'd file must not resurrect masked rows: the
+    candidate read applies the vector before the anti-join/union."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 20), root, stat_cols=["k"])
+    tf.delete_where(spark, root, "k IN (3, 4)", mode="mor")
+    tf.merge_upsert(
+        spark.createDataFrame([Row(k=4, seg="Z", val=9.9)]), root, key_col="k"
+    )
+    rows = {r["k"]: r["seg"] for r in tf.read_table(spark, root).collect()}
+    assert 3 not in rows          # stays deleted through the rewrite
+    assert rows[4] == "Z"         # re-inserted by the merge
+    assert len(rows) == 19
+
+
+def test_datasource_reads_and_guards_dv(spark, tmp_path):
+    """format("lakehouse") batch read masks DV rows worker-side (Arrow
+    numpy mask); the streaming reader treats a dv commit as a change
+    commit (raises without ignoreChanges, skips with it)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources import (
+        register_lakehouse_source,
+    )
+
+    register_lakehouse_source(spark)
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 40), root, stat_cols=["k"])
+    v1 = tf.delete_where(spark, root, "k < 15", mode="mor")
+    batch = spark.read.format("lakehouse").option("path", root).load()
+    assert sorted(r["k"] for r in batch.collect()) == list(range(15, 40))
+    # streaming: dv commit poisons an append-only stream
+    stream = (
+        spark.readStream.format("lakehouse").option("path", root).load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dv_guard")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="DV|ignoreChanges|removes"):
+        q.awaitTermination(120)
+        if q.exception():
+            raise q.exception()
+    # with ignoreChanges the dv commit is skipped and the stream lives
+    q2 = (
+        spark.readStream.format("lakehouse")
+        .option("path", root)
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("dv_ok")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    n = spark.sql("SELECT count(*) n FROM dv_ok").collect()[0]["n"]
+    assert n == 40  # v0 files re-emitted whole (downstream dedupes)
