@@ -669,6 +669,7 @@ def delete_where(
     *,
     prune_col: str | None = None,
     mode: str = "cow",
+    max_retries: int = 3,
 ) -> int:
     """Delete matching rows. ``mode="cow"`` (default) is copy-on-write
     at file granularity; ``mode="mor"`` is merge-on-read via deletion
@@ -692,10 +693,30 @@ def delete_where(
     3. **Write (one job)** — cow rewrites the kept rows of all matched
        files together; mor writes one cumulative sidecar for all
        partially-matched files.
+
+    Optimistic concurrency (same contract as :func:`merge_upsert`): a
+    lost commit race re-plans against the refreshed snapshot; the
+    loser's staged files become vacuum-reclaimable orphans.
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     meta = _table_meta(root)
+    for _ in range(max_retries):
+        try:
+            return _delete_attempt(spark, root, predicate, prune_col, mode, meta)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"delete lost {max_retries} races at {root}")
+
+
+def _delete_attempt(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    prune_col: str | None,
+    mode: str,
+    meta: dict,
+) -> int:
     base_v = latest_version(root)
     live, _schema = snapshot_files(root, base_v)
     st = StructType.fromJson(_schema)
@@ -1007,6 +1028,59 @@ def table_diff(
     ).unionByName(
         old.exceptAll(new).withColumn("change_type", F.lit("deleted"))
     )
+
+
+def restore_table(root: str, version: int) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION``: make the head snapshot
+    equal an earlier version by ROLLING FORWARD — a new commit
+    re-references the old files (and their deletion-vector state), so
+    history is preserved and a bad write is undone without rewriting
+    anything. Zero data I/O: the commit carries only metadata.
+
+    Change-feed exactness: only entries that DIFFER from the head's
+    (new files, or same path with different DV state) are re-added, and
+    every differing-or-dropped path is removed first — so
+    :func:`table_changes` across the restore commit reports exactly the
+    logical diff (undeleted rows come back as ``inserted``), not a
+    re-insert of the whole table.
+
+    Raises ``FileNotFoundError`` if :func:`vacuum` already reclaimed a
+    file the target version references (the standard lakehouse
+    restore/retention contract)."""
+    head = latest_version(root)
+    if not 0 <= version <= head:
+        raise ValueError(f"version {version} out of range [0, {head}]")
+    target_live, target_schema = snapshot_files(root, version)
+    missing = [
+        p
+        for a in target_live
+        for p in [a["path"]] + ([a["dv"]["sidecar"]] if "dv" in a else [])
+        if not os.path.exists(os.path.join(root, p))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {root} to v{version}: vacuum reclaimed "
+            f"{len(missing)} referenced file(s), e.g. {missing[:3]}"
+        )
+    head_live, _ = snapshot_files(root, head)
+    head_by_path = {a["path"]: a for a in head_live}
+    target_by_path = {a["path"]: a for a in target_live}
+    adds = [
+        a for a in target_live if head_by_path.get(a["path"]) != a
+    ]
+    removes = sorted(
+        set(head_by_path) - set(target_by_path)
+        | {a["path"] for a in adds if a["path"] in head_by_path}
+    )
+    v = head + 1
+    _write_commit(
+        root,
+        v,
+        {"version": v, "action": "restore", "add": adds, "remove": removes,
+         "schema": json.dumps(target_schema), "restore_of": version},
+    )
+    _maybe_checkpoint(root, v, _table_meta(root).get("checkpoint_every", 10))
+    return v
 
 
 def vacuum(

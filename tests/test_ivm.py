@@ -620,3 +620,27 @@ def test_random_op_sequence_maintenance(spark, tmp_path):
         if rng.random() < 0.7 or step == 7:
             ivm.refresh_rollup(spark, view)
             _assert_rollup_matches(spark, src, view)
+
+
+def test_rollup_folds_deletion_vector_churn(spark, tmp_path):
+    """Composition of the two lakehouse tiers: merge-on-read DV deletes
+    on the SOURCE flow through the change feed into the rollup exactly
+    like copy-on-write deletes — including a restore that resurrects
+    them (the view re-folds the restore commit's logical diff)."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    tf.create_table(_mk(spark, 0, 60, null_val_every=7), src, stat_cols=["k"])
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+    v_pre = tf.latest_version(src)
+    tf.delete_where(spark, src, "k BETWEEN 10 AND 24", prune_col="k",
+                    mode="mor")
+    ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view)
+    tf.delete_where(spark, src, "k % 9 = 0", mode="mor")  # cumulative
+    ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view)
+    # restore the source to the pre-delete snapshot: the CDF reports
+    # the masked rows as re-inserted and the view folds them back.
+    tf.restore_table(src, v_pre)
+    ivm.refresh_rollup(spark, view)
+    _assert_rollup_matches(spark, src, view)

@@ -761,3 +761,61 @@ def test_datasource_reads_and_guards_dv(spark, tmp_path):
     q2.awaitTermination(120)
     n = spark.sql("SELECT count(*) n FROM dv_ok").collect()[0]["n"]
     assert n == 40  # v0 files re-emitted whole (downstream dedupes)
+
+
+def test_restore_rolls_forward_with_exact_cdf(spark, tmp_path):
+    """RESTORE TO VERSION: head becomes the target snapshot (including
+    its DV state) via a metadata-only roll-forward commit; the change
+    feed across the restore reports exactly the logical diff; restore
+    past a vacuumed version raises."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 30), root, stat_cols=["k"])        # v0
+    tf.append(_mk(spark, 30, 40, seg="B"), root)                     # v1
+    tf.delete_where(spark, root, "k < 5", mode="mor")                # v2
+    tf.delete_where(spark, root, "k >= 35", mode="cow")              # v3
+    v4 = tf.restore_table(root, 1)
+    assert _counts(spark, root) == (40, sum(range(40)))              # == v1
+    # exact CDF: the restore re-inserts ONLY what v3 lacked vs v1
+    ch = tf.table_changes(spark, root, 3, v4)
+    ins = sorted(r["k"] for r in ch.filter("_change_type='inserted'").collect())
+    assert ins == list(range(5)) + list(range(35, 40))
+    assert ch.filter("_change_type='deleted'").count() == 0
+    # restore forward again to the deleted state: deletes re-emerge
+    v5 = tf.restore_table(root, 3)
+    assert _counts(spark, root) == (30, sum(range(5, 35)))
+    dels = sorted(
+        r["k"]
+        for r in tf.table_changes(spark, root, v4, v5)
+        .filter("_change_type='deleted'")
+        .collect()
+    )
+    assert dels == list(range(5)) + list(range(35, 40))
+    # vacuum head-only, then restoring to a reclaimed version raises
+    tf.vacuum(root, retain_versions=0)
+    with pytest.raises(FileNotFoundError, match="vacuum reclaimed"):
+        tf.restore_table(root, 1)
+
+
+def test_delete_where_retries_on_commit_race(spark, tmp_path):
+    """Optimistic concurrency: a competing commit landing between
+    delete_where's plan and its commit loses exactly one race, and the
+    retry re-plans on the fresh snapshot (both writes survive)."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 20), root, stat_cols=["k"])
+    real_write = tf._write_commit
+    raced = {"done": False}
+
+    def racing_write(r, v, rec):
+        if rec.get("action") == "delete" and not raced["done"]:
+            raced["done"] = True
+            real_write(r, v, {"version": v, "action": "append",
+                              "add": [], "remove": [], "schema": None})
+        real_write(r, v, rec)
+
+    tf._write_commit = racing_write
+    try:
+        v = tf.delete_where(spark, root, "k < 3", mode="mor")
+    finally:
+        tf._write_commit = real_write
+    assert v == 2  # v1 stolen by the racer, delete re-planned onto v2
+    assert _counts(spark, root) == (17, sum(range(3, 20)))
