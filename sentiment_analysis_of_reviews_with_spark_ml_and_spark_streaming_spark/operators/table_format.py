@@ -506,14 +506,27 @@ def merge_upsert(
     key_col: str,
     max_retries: int = 3,
     batch_id: int | None = None,
+    mode: str = "cow",
 ) -> int:
-    """Copy-on-write MERGE: rows in ``updates`` replace same-key rows,
-    new keys are inserted. Only files whose [min,max] ``key_col`` range
-    overlaps the batch are read and rewritten; the rest of the table is
-    carried by reference. Retries on :class:`CommitConflict` against
-    the refreshed snapshot (optimistic concurrency) — note a lost race
-    re-writes the merged output in full before re-planning; the loser's
-    first attempt becomes orphan files that :func:`vacuum` reclaims.
+    """MERGE: rows in ``updates`` replace same-key rows, new keys are
+    inserted. ``mode="cow"`` (default) is Delta's classic copy-on-write
+    — only files whose [min,max] ``key_col`` range overlaps the batch
+    are read and rewritten; the rest of the table is carried by
+    reference. ``mode="mor"`` is Delta's DV-enabled MERGE: displaced
+    rows are masked with deletion-vector sidecars and the update batch
+    lands as NEW files — write cost is O(batch) + a sidecar, with ZERO
+    rewrite of existing data files (a 10-row upsert into a 100 TB table
+    writes 10 rows, not the gigabyte files holding the old versions);
+    the read-side anti-join is reclaimed at the next compact. The
+    change feed is exact under both modes (old row versions surface as
+    ``deleted``, batch rows as ``inserted``).
+
+    Retries on :class:`CommitConflict` against the refreshed snapshot
+    (optimistic concurrency) — a cow loser re-writes the merged output
+    in full before re-planning; a mor loser re-writes only the batch
+    (O(batch), not O(candidate files) — the asymmetry that makes mor
+    the cheap retry too). Orphans from lost races are
+    :func:`vacuum`-reclaimed.
 
     Delta MERGE semantics on duplicate source keys: if ``updates``
     carries the same key twice the target row would be replaced by an
@@ -524,6 +537,8 @@ def merge_upsert(
     commit and makes replays idempotent: if any commit already carries
     this batch_id the merge is a no-op returning the current version.
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     spark = updates.sparkSession
     meta = _table_meta(root)
     if key_col not in meta["stat_cols"]:
@@ -554,33 +569,80 @@ def merge_upsert(
     for _ in range(max_retries):
         base_v = latest_version(root)
         live, _schema = snapshot_files(root, base_v)
+        st = StructType.fromJson(_schema)
         cands, _rest = _candidate_files(live, {key_col: (lo, hi)}, key_col)
-        if cands:
-            existing = read_files(
-                spark, root, cands, StructType.fromJson(_schema)
-            )
-            keep = existing.join(
-                F.broadcast(updates.select(key_col).distinct()),
-                on=key_col,
-                how="left_anti",
-            )
-            merged = keep.unionByName(
-                updates.select(existing.columns), allowMissingColumns=False
-            )
-        else:
-            merged = updates
         v = base_v + 1
-        adds = _write_data_files(merged, root, v, meta["stat_cols"])
+        rec = {"version": v, "action": "merge", "schema": None}
+        if batch_id is not None:
+            rec["batch_id"] = batch_id
+        if mode == "cow":
+            if cands:
+                existing = read_files(spark, root, cands, st)
+                keep = existing.join(
+                    F.broadcast(updates.select(key_col).distinct()),
+                    on=key_col,
+                    how="left_anti",
+                )
+                merged = keep.unionByName(
+                    updates.select(existing.columns),
+                    allowMissingColumns=False,
+                )
+            else:
+                merged = updates
+            rec["add"] = _write_data_files(merged, root, v, meta["stat_cols"])
+            rec["remove"] = [a["path"] for a in cands]
+        else:
+            mor_adds = _write_data_files(
+                updates.select([f.name for f in st.fields]),
+                root, v, meta["stat_cols"],
+            )
+            full, partial, dv_map = [], [], {}
+            if cands:
+                displaced = (
+                    read_files(spark, root, cands, st, with_meta=True)
+                    .join(
+                        F.broadcast(updates.select(key_col).distinct()),
+                        on=key_col,
+                        how="left_semi",
+                    )
+                    .select("_file", "_pos")
+                    .localCheckpoint(eager=True)  # counts + sidecar reuse
+                )
+                by_base = {os.path.basename(a["path"]): a for a in cands}
+                per_file = {
+                    r["_file"]: r["_n"]
+                    for r in displaced.groupBy("_file")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .collect()
+                }
+                for base, n_new in per_file.items():
+                    a = by_base[base]
+                    n_total = a.get("dv", {}).get("rows", 0) + n_new
+                    (full if n_total == a["rows"] else partial).append(a)
+                if partial:
+                    partial_bases = [
+                        os.path.basename(a["path"]) for a in partial
+                    ]
+                    cum = displaced.filter(
+                        F.col("_file").isin(partial_bases)
+                    ).select(
+                        F.col("_file").alias("file"), F.col("_pos").alias("pos")
+                    )
+                    prior = [a for a in partial if "dv" in a]
+                    if prior:
+                        cum = cum.unionByName(_dv_rows(spark, root, prior))
+                    sidecar = _write_dv_sidecar(cum, root, v)
+                    for a in partial:
+                        base = os.path.basename(a["path"])
+                        dv_map[a["path"]] = {
+                            "sidecar": sidecar,
+                            "rows": a.get("dv", {}).get("rows", 0)
+                            + per_file[base],
+                        }
+            rec["add"] = mor_adds
+            rec["remove"] = [a["path"] for a in full]
+            rec["dv"] = dv_map
         try:
-            rec = {
-                "version": v,
-                "action": "merge",
-                "add": adds,
-                "remove": [a["path"] for a in cands],
-                "schema": None,
-            }
-            if batch_id is not None:
-                rec["batch_id"] = batch_id
             _write_commit(root, v, rec)
         except CommitConflict:
             # lose the race: orphan the just-written files (vacuum will
@@ -1135,6 +1197,7 @@ def streaming_sink(
     key_col: str | None = None,
     compact_every: int = 0,
     compact_target_bytes: int = 128 * 1024 * 1024,
+    merge_mode: str = "cow",
 ):
     """``foreachBatch`` function writing a stream into the table with
     exactly-once semantics: the micro-batch id is recorded in the
@@ -1144,6 +1207,12 @@ def streaming_sink(
     of a duplicate. ``key_col`` switches from append to
     :func:`merge_upsert` (streaming CDC upsert; batch must be
     key-unique — dedupe upstream, e.g. a last-per-key window).
+
+    ``merge_mode="mor"`` makes each CDC upsert a deletion-vector merge
+    (O(batch) write, zero rewrite of existing files — the right sink
+    shape for high-frequency micro-batches against a huge table);
+    pair it with ``compact_every`` so accumulated vectors and small
+    files are both reclaimed on the same cadence.
 
     ``compact_every=N`` runs :func:`compact_small` after every Nth
     batch — micro-batch appends each land a small file, and unbounded
@@ -1161,7 +1230,8 @@ def streaming_sink(
         if key_col is None:
             append(batch_df, root, batch_id=batch_id)
         else:
-            merge_upsert(batch_df, root, key_col=key_col, batch_id=batch_id)
+            merge_upsert(batch_df, root, key_col=key_col, batch_id=batch_id,
+                         mode=merge_mode)
         if compact_every > 0 and batch_id % compact_every == compact_every - 1:
             compact_small(
                 batch_df.sparkSession, root, target_bytes=compact_target_bytes

@@ -460,6 +460,7 @@ def test_model_based_random_op_sequences(spark, tmp_path):
                 ),
                 root,
                 key_col="k",
+                mode="mor" if rnd(step, 2) else "cow",
             )
             model.update(rows)
         elif op == 2 and len(model) > 1:  # range delete (prunable)
@@ -819,3 +820,51 @@ def test_delete_where_retries_on_commit_race(spark, tmp_path):
         tf._write_commit = real_write
     assert v == 2  # v1 stolen by the racer, delete re-planned onto v2
     assert _counts(spark, root) == (17, sum(range(3, 20)))
+
+
+def test_merge_mor_masks_and_appends_without_rewriting(spark, tmp_path):
+    """DV-enabled MERGE: displaced rows are deletion-vector-masked and
+    the batch lands as NEW files — every pre-existing data file is
+    byte-identical afterwards (mtime proof), the change feed reports
+    old versions deleted + batch inserted, and a chained mor DELETE
+    folds cumulatively onto the merge's sidecar."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 100).repartitionByRange(4, "k"), root,
+                    stat_cols=["k"])
+    live0, _ = tf.snapshot_files(root, 0)
+    before = {
+        a["path"]: os.path.getmtime(os.path.join(root, a["path"]))
+        for a in live0
+    }
+    updates = spark.createDataFrame(
+        [Row(k=1, seg="Z", val=9.9), Row(k=3, seg="Z", val=8.8),
+         Row(k=200, seg="N", val=7.7)]
+    )
+    v1 = tf.merge_upsert(updates, root, key_col="k", mode="mor")
+    live1, _ = tf.snapshot_files(root, v1)
+    # every original file still live AND physically untouched
+    for p, mt in before.items():
+        assert p in {a["path"] for a in live1}
+        assert os.path.getmtime(os.path.join(root, p)) == mt
+    rows = {r["k"]: (r["seg"], r["val"])
+            for r in tf.read_table(spark, root).collect()}
+    assert rows[1] == ("Z", 9.9) and rows[3] == ("Z", 8.8)
+    assert rows[200] == ("N", 7.7) and rows[2] == ("A", 3.0)
+    assert len(rows) == 101
+    ch = tf.table_changes(spark, root, 0, v1)
+    dels = sorted((r["k"], r["seg"]) for r in
+                  ch.filter("_change_type='deleted'").collect())
+    ins = sorted((r["k"], r["seg"]) for r in
+                 ch.filter("_change_type='inserted'").collect())
+    assert dels == [(1, "A"), (3, "A")]
+    assert ins == [(1, "Z"), (3, "Z"), (200, "N")]
+    # chained mor delete folds onto the SAME file's cumulative sidecar
+    v2 = tf.delete_where(spark, root, "k IN (2, 3)", prune_col="k",
+                         mode="mor")
+    rows2 = {r["k"] for r in tf.read_table(spark, root).collect()}
+    assert 2 not in rows2 and 3 not in rows2 and len(rows2) == 99
+    dels2 = sorted((r["k"], r["seg"]) for r in
+                   tf.table_changes(spark, root, v1, v2)
+                   .filter("_change_type='deleted'").collect())
+    # the CURRENT versions die: original "A" for k=2, merge "Z" for k=3
+    assert dels2 == [(2, "A"), (3, "Z")]
