@@ -73,7 +73,14 @@ def main() -> None:
     )
     v3 = tf.merge_upsert(updates, root, key_col="c_custkey")
     v4 = tf.optimize_cluster(spark, root, ["c_custkey"], target_files=4)
-    print(f"versions committed: {v0}..{v4}")
+    # merge-on-read: mask rows via a deletion-vector sidecar (no data
+    # file rewritten), then RESTORE rolls the head back — metadata only
+    v5 = tf.delete_where(spark, root, "c_custkey % 3 = 0", mode="mor")
+    n_masked = tf.read_table(spark, root).count()
+    v6 = tf.restore_table(root, v4)
+    print(f"DV delete v{v5}: {n_masked} rows visible; "
+          f"restore v{v6}: {tf.read_table(spark, root).count()} rows")
+    print(f"versions committed: {v0}..{v6}")
     for h in tf.history(root):
         print("  ", h)
 
