@@ -572,7 +572,8 @@ def merge_upsert(
         st = StructType.fromJson(_schema)
         cands, _rest = _candidate_files(live, {key_col: (lo, hi)}, key_col)
         v = base_v + 1
-        rec = {"version": v, "action": "merge", "schema": None}
+        rec = {"version": v, "action": "merge", "schema": None,
+               "write_mode": mode}
         if batch_id is not None:
             rec["batch_id"] = batch_id
         if mode == "cow":
@@ -817,7 +818,8 @@ def _delete_attempt(
             root,
             v,
             {"version": v, "action": "delete", "add": adds,
-             "remove": [a["path"] for a in hit], "schema": None},
+             "remove": [a["path"] for a in hit], "schema": None,
+             "write_mode": "cow"},
         )
         _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
         return v
@@ -858,7 +860,8 @@ def _delete_attempt(
         root,
         v,
         {"version": v, "action": "delete", "add": [],
-         "remove": [a["path"] for a in full], "dv": dv_map, "schema": None},
+         "remove": [a["path"] for a in full], "dv": dv_map, "schema": None,
+         "write_mode": "mor"},
     )
     _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
     return v

@@ -868,3 +868,86 @@ def test_merge_mor_masks_and_appends_without_rewriting(spark, tmp_path):
                    .filter("_change_type='deleted'").collect())
     # the CURRENT versions die: original "A" for k=2, merge "Z" for k=3
     assert dels2 == [(2, "A"), (3, "Z")]
+
+
+def test_streaming_change_feed_exactness(spark, tmp_path):
+    """readChangeFeed=true: the streamed row-level feed over a
+    mor-mutation lineage (append, DV delete, DV merge, restore,
+    compact) equals the batch-exact table_changes multiset plus the
+    creation inserts; a copy-on-write commit and a compact-crossing
+    restore each poison the CDF stream with a pointed error."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources import (
+        register_lakehouse_source,
+    )
+
+    register_lakehouse_source(spark)
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 30), root, stat_cols=["k"])          # v0
+    tf.append(_mk(spark, 30, 40, seg="B"), root)                       # v1
+    tf.delete_where(spark, root, "k < 5", mode="mor")                  # v2
+    tf.merge_upsert(
+        spark.createDataFrame([Row(k=7, seg="U", val=1.0),
+                               Row(k=99, seg="U", val=2.0)]),
+        root, key_col="k", mode="mor",
+    )                                                                  # v3
+    v4 = tf.restore_table(root, 1)  # mor-only restore: un-deletes k<5
+    tf.compact(spark, root, target_files=2)                            # v5
+    head = tf.latest_version(root)
+
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["k"], r["seg"], r["_change_type"], r["_commit_version"])
+        for r in spark.sql("SELECT * FROM cdf_stream").collect()
+    )
+    want = sorted(
+        (r["k"], r["seg"], r["_change_type"], r["_commit_version"])
+        for r in tf.table_changes(spark, root, 0, head).collect()
+    ) + sorted(
+        (r["k"], r["seg"], "inserted", 0)
+        for r in tf.read_table(spark, root, version=0).collect()
+    )
+    assert got == sorted(want)
+    # the restore streamed exactly the un-deletes + merge retractions
+    at_restore = {g[:3] for g in got if g[3] == v4}
+    assert at_restore == (
+        # DV rows un-masked: the delete's k<5 AND the merge-displaced k=7
+        {(k, "A", "inserted") for k in range(5)} | {(7, "A", "inserted")}
+        | {(7, "U", "deleted"), (99, "U", "deleted")}  # merge batch out
+    )
+    # compact (v5) must contribute nothing
+    assert not [g for g in got if g[3] == 5]
+
+    def _run_cdf(name, starting):
+        q2 = (
+            spark.readStream.format("lakehouse")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", starting)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        if q2.exception():
+            raise q2.exception()
+
+    # cow commit breaks the stream contract with a pointed error
+    tf.delete_where(spark, root, "k = 10", mode="cow")
+    with pytest.raises(Exception, match="copy-on-write|mor"):
+        _run_cdf("cdf_cow", 6)
+    # a restore across the compact/cow rewrites is file-ambiguous too
+    tf.restore_table(root, 3)
+    with pytest.raises(Exception, match="across a rewrite"):
+        _run_cdf("cdf_xrewrite", 7)
