@@ -469,7 +469,13 @@ def _commit_noop_fold(view_root: str, ivm_rec: dict, *, max_retries: int = 3) ->
     raise tfmt.CommitConflict(f"noop fold lost {max_retries} races at {view_root}")
 
 
-def maintained_sink(src_root: str, view_roots: list[str], *, key_col: str | None = None):
+def maintained_sink(
+    src_root: str,
+    view_roots: list[str],
+    *,
+    key_col: str | None = None,
+    merge_mode: str = "cow",
+):
     """``foreachBatch`` function composing the exactly-once lakehouse
     sink with downstream view maintenance — the bronze→silver medallion
     hop in one micro-batch: each batch lands in the source table
@@ -487,7 +493,8 @@ def maintained_sink(src_root: str, view_roots: list[str], *, key_col: str | None
                .foreachBatch(maintained_sink(src, [view]))
                .option("checkpointLocation", ckpt).start())
     """
-    base = tfmt.streaming_sink(src_root, key_col=key_col)
+    base = tfmt.streaming_sink(src_root, key_col=key_col,
+                               merge_mode=merge_mode)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         base(batch_df, batch_id)

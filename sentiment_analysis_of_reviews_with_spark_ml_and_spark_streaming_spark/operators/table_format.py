@@ -96,9 +96,13 @@ def latest_version(root: str) -> int:
 
 
 def _write_commit(root: str, version: int, record: dict) -> None:
-    """Exclusive-create the commit file — the one atomic step."""
+    """Exclusive-create the commit file — the one atomic step. Stamps
+    the commit wall-clock (``ts``) for history and timestamp travel."""
+    import time
+
     os.makedirs(_log_dir(root), exist_ok=True)
     path = _commit_path(root, version)
+    record.setdefault("ts", time.time())
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -127,9 +131,30 @@ def history(root: str) -> list[dict]:
                 "n_removed": len(rec.get("remove", [])),
                 "rows_added": sum(a.get("rows", 0) for a in rec.get("add", [])),
                 "n_dv_files": len(rec.get("dv", {})),
+                "ts": rec.get("ts"),
             }
         )
     return out
+
+
+def version_at_timestamp(root: str, ts: float) -> int:
+    """The newest version whose commit wall-clock is ≤ ``ts`` (Delta's
+    ``TIMESTAMP AS OF``). Raises if the table didn't exist yet. Commits
+    written before timestamps existed sort as 0 (always included)."""
+    best, eff = -1, 0.0
+    for v in range(latest_version(root) + 1):
+        # running max makes the effective timeline monotone even under
+        # writer clock skew — the same adjustment Delta applies.
+        eff = max(eff, _read_commit(root, v).get("ts", 0.0))
+        if eff <= ts:
+            best = v
+        else:
+            break
+    if best < 0:
+        raise ValueError(
+            f"no commit at or before timestamp {ts} in {root}"
+        )
+    return best
 
 
 def snapshot_files(root: str, version: int | None = None) -> tuple[list[dict], dict]:
@@ -411,9 +436,18 @@ def _table_meta(root: str) -> dict:
 
 
 def read_table(
-    spark: SparkSession, root: str, *, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    *,
+    version: int | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
-    """Snapshot read, optionally time-travelled to ``version``."""
+    """Snapshot read, optionally time-travelled to ``version`` or to
+    the newest commit at ``timestamp`` (``TIMESTAMP AS OF``)."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(root, timestamp)
     live, schema = snapshot_files(root, version)
     st = StructType.fromJson(schema)
     # schema evolution: files written before a column existed are read

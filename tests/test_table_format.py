@@ -951,3 +951,40 @@ def test_streaming_change_feed_exactness(spark, tmp_path):
     tf.restore_table(root, 3)
     with pytest.raises(Exception, match="across a rewrite"):
         _run_cdf("cdf_xrewrite", 7)
+
+
+def test_timestamp_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: commits carry wall-clock stamps; reads resolve
+    the newest version at-or-before a timestamp, with a running-max
+    timeline that tolerates writer clock skew."""
+    import json as _json
+    import time
+
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 10), root, stat_cols=["k"])
+    t0 = time.time()
+    time.sleep(0.05)
+    tf.append(_mk(spark, 10, 20), root)
+    t1 = time.time()
+    time.sleep(0.05)
+    tf.delete_where(spark, root, "k < 5", mode="mor")
+    assert tf.version_at_timestamp(root, t0) == 0
+    assert tf.version_at_timestamp(root, t1) == 1
+    assert tf.read_table(spark, root, timestamp=t0).count() == 10
+    assert tf.read_table(spark, root, timestamp=t1).count() == 20
+    assert tf.read_table(spark, root, timestamp=time.time()).count() == 15
+    with pytest.raises(ValueError, match="no commit at or before"):
+        tf.version_at_timestamp(root, t0 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        tf.read_table(spark, root, version=1, timestamp=t1)
+    assert all(h["ts"] is not None for h in tf.history(root))
+    # clock skew: rewrite v1's stamp into the past — the running-max
+    # timeline keeps resolution monotone (v1 inherits v0's effective ts)
+    p = tf._commit_path(root, 1)
+    rec = _json.load(open(p))
+    rec["ts"] = rec["ts"] - 10_000
+    _json.dump(rec, open(p, "w"))
+    assert tf.version_at_timestamp(root, t1) == 1
+    # the skewed commit inherits its predecessor's effective stamp, so
+    # t0 (after v0's commit) now resolves PAST it — same rule as Delta
+    assert tf.version_at_timestamp(root, t0) == 1
