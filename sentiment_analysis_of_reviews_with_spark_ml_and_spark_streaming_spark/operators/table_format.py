@@ -515,11 +515,32 @@ def append(df: DataFrame, root: str, *, batch_id: int | None = None) -> int:
 
 
 def _candidate_files(
-    live: list[dict], bounds: dict[str, tuple], key_col: str
+    live: list[dict],
+    bounds: dict[str, tuple],
+    key_col: str,
+    values: list | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Split live files into (candidates, untouched) via stats overlap
-    with the update batch's [min,max] key range. A file with no stats
-    for the key column is always a candidate (correctness first)."""
+    with the update batch's [min,max] key range — or, when the exact
+    ``values`` are known (IN-list predicates, small MERGE batches),
+    per-value overlap: a sparse key set like {5, 999999} then prunes
+    every file strictly between the two keys, where the convex hull
+    would keep them all. A file with no stats for the key column is
+    always a candidate (correctness first)."""
+    if values is not None:
+        import bisect
+
+        vs = sorted(values)
+        cands, rest = [], []
+        for a in live:
+            st = a.get("stats", {}).get(key_col)
+            if st is None or st[0] is None:
+                cands.append(a)
+                continue
+            # any value within [min, max]? binary-search the sorted set
+            i = bisect.bisect_left(vs, st[0])
+            (cands if i < len(vs) and vs[i] <= st[1] else rest).append(a)
+        return cands, rest
     lo, hi = bounds[key_col]
     cands, rest = [], []
     for a in live:
@@ -600,11 +621,22 @@ def merge_upsert(
     if b["lo"] is None:  # empty update batch: no-op, no commit
         return latest_version(root)
     lo, hi = _json_stat(b["lo"]), _json_stat(b["hi"])
+    # exact batch keys (bounded collect): per-value stats overlap prunes
+    # sparse upserts far harder than the [lo, hi] hull — two keys at the
+    # domain's ends touch 2 files, not every file between them.
+    key_rows = updates.select(key_col).distinct().limit(10_001).collect()
+    key_vals = (
+        [_json_stat(r[key_col]) for r in key_rows if r[key_col] is not None]
+        if len(key_rows) <= 10_000
+        else None
+    )
     for _ in range(max_retries):
         base_v = latest_version(root)
         live, _schema = snapshot_files(root, base_v)
         st = StructType.fromJson(_schema)
-        cands, _rest = _candidate_files(live, {key_col: (lo, hi)}, key_col)
+        cands, _rest = _candidate_files(
+            live, {key_col: (lo, hi)}, key_col, values=key_vals
+        )
         v = base_v + 1
         rec = {"version": v, "action": "merge", "schema": None,
                "write_mode": mode}
@@ -759,6 +791,33 @@ def _extract_bounds(predicate: str, col: str):
     return (lo, hi)
 
 
+def _extract_in_values(predicate: str, col: str):
+    """The exact value set ``col`` must belong to for the predicate to
+    hold (``col IN (...)`` or ``col = lit`` conjuncts), or ``None``.
+    Sound under conjunction (the set over-approximates the true keys);
+    disjunction/negation disable it, like :func:`_extract_bounds`."""
+    import re
+
+    up = f" {predicate.upper()} "
+    if " OR " in up or " NOT " in up or "NOT(" in up.replace(" ", ""):
+        return None
+    c = re.escape(col)
+    m = re.search(rf"\b{c}\s+IN\s*\(([^()]*)\)", predicate, re.IGNORECASE)
+    if m:
+        lits = [_pred_literal(t) for t in m.group(1).split(",")]
+        if lits and all(v is not None for v in lits):
+            return lits
+    m = re.search(
+        rf"\b{c}\s*=\s*('[^']*'|\"[^\"]*\"|[-+]?[0-9]+(?:\.[0-9]+)?)",
+        predicate,
+    )
+    if m:
+        v = _pred_literal(m.group(1))
+        if v is not None:
+            return [v]
+    return None
+
+
 def delete_where(
     spark: SparkSession,
     root: str,
@@ -819,17 +878,27 @@ def _delete_attempt(
     st = StructType.fromJson(_schema)
     cands = live
     if prune_col:
-        bounds = _extract_bounds(predicate, prune_col)
-        if bounds is not None:
-            lo, hi = bounds
-            pruned_cands = []
-            for a in live:
-                stat = a.get("stats", {}).get(prune_col)
-                if stat is None or stat[0] is None:
-                    pruned_cands.append(a)
-                elif (hi is None or stat[0] <= hi) and (lo is None or lo <= stat[1]):
-                    pruned_cands.append(a)
-            cands = pruned_cands
+        in_vals = _extract_in_values(predicate, prune_col)
+        if in_vals is not None:
+            # exact value set: per-value overlap beats the convex hull
+            # for sparse keys (IN (5, 999999) skips everything between)
+            cands, _rest = _candidate_files(
+                live, {}, prune_col, values=[_json_stat(v) for v in in_vals]
+            )
+        else:
+            bounds = _extract_bounds(predicate, prune_col)
+            if bounds is not None:
+                lo, hi = bounds
+                pruned_cands = []
+                for a in live:
+                    stat = a.get("stats", {}).get(prune_col)
+                    if stat is None or stat[0] is None:
+                        pruned_cands.append(a)
+                    elif (hi is None or stat[0] <= hi) and (
+                        lo is None or lo <= stat[1]
+                    ):
+                        pruned_cands.append(a)
+                cands = pruned_cands
     if not cands:
         return base_v
     # one job over the candidates — DV-aware, so rows already deleted

@@ -988,3 +988,45 @@ def test_timestamp_travel(spark, tmp_path):
     # the skewed commit inherits its predecessor's effective stamp, so
     # t0 (after v0's commit) now resolves PAST it — same rule as Delta
     assert tf.version_at_timestamp(root, t0) == 1
+
+
+def test_sparse_key_value_pruning(spark, tmp_path):
+    """Per-value stats overlap: a two-key IN delete / MERGE at the
+    domain's ends must not open the files strictly between them —
+    proven physically by corrupting every interior file."""
+    root = str(tmp_path / "t")
+    tf.create_table(
+        spark.createDataFrame(
+            [Row(k=i, seg="A", val=float(i)) for i in range(1000)]
+        ).repartitionByRange(10, "k"),
+        root,
+        stat_cols=["k"],
+    )
+    live, _ = tf.snapshot_files(root)
+    lows = min(a["stats"]["k"][0] for a in live if a["stats"]["k"][0] is not None)
+    his = max(a["stats"]["k"][1] for a in live)
+    interior = [
+        a for a in live
+        if a["stats"]["k"][0] is not None
+        and a["stats"]["k"][0] > 5 and a["stats"]["k"][1] < 990
+    ]
+    assert len(interior) >= 6, "range layout should give interior files"
+    for a in interior:
+        with open(os.path.join(root, a["path"]), "wb") as f:
+            f.write(b"NOT A PARQUET FILE")
+    # hull [2, 995] spans everything; value set {2, 995} prunes interior
+    v = tf.delete_where(spark, root, "k IN (2, 995)", prune_col="k",
+                        mode="mor")
+    assert v == 1
+    # MERGE with two end keys likewise opens only the two end files
+    v2 = tf.merge_upsert(
+        spark.createDataFrame([Row(k=0, seg="Z", val=0.0),
+                               Row(k=999, seg="Z", val=9.0)]),
+        root, key_col="k", mode="mor",
+    )
+    assert v2 == 2
+    live2, _ = tf.snapshot_files(root)
+    assert {a["path"] for a in interior} <= {a["path"] for a in live2}
+    # equality predicate uses the same value path
+    v3 = tf.delete_where(spark, root, "k = 997", prune_col="k", mode="mor")
+    assert v3 == 3
