@@ -148,6 +148,8 @@ HEADLINE = [
     # merge-on-read deletion vectors: 2 DV deletes (no rewrite) + CDF
     # exact-once diffs + compact apply-and-clear
     "lakehouse_deletion_vectors",
+    # RESTORE roll-forward: metadata-only undo of a mor delete
+    "lakehouse_restore_lineage",
 ]
 
 

@@ -976,6 +976,7 @@ def compact_small(
     *,
     target_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    max_dv_fraction: float = 0.3,
 ) -> int:
     """Size-tiered OPTIMIZE: rewrite ONLY the live files smaller than
     ``target_bytes // 2`` into ~``target_bytes`` outputs, carrying every
@@ -985,16 +986,32 @@ def compact_small(
     would rewrite the whole table per invocation (O(table) churn for an
     O(new-smalls) problem). Data-identical commit (a version diff is
     empty); no-op (no commit) when fewer than ``min_files`` small files
-    exist. At 100 TB: cost ∝ accumulated small bytes, not table size."""
+    exist. At 100 TB: cost ∝ accumulated small bytes, not table size.
+
+    Deletion-vector debt: a file whose DV masks more than
+    ``max_dv_fraction`` of its rows is also rewritten regardless of
+    size — every read pays the anti-join for rows that are mostly dead
+    (Delta's tombstone-ratio OPTIMIZE heuristic); the rewrite applies
+    and clears the vector."""
     meta = _table_meta(root)
     base_v = latest_version(root)
     live, _schema = snapshot_files(root, base_v)
+    def _dv_debt(a):
+        return (
+            "dv" in a
+            and a.get("rows")
+            and a["dv"]["rows"] / a["rows"] > max_dv_fraction
+        )
+
     small = [
         a
         for a in live
         if os.path.getsize(os.path.join(root, a["path"])) < target_bytes // 2
+        or _dv_debt(a)
     ]
-    if len(small) < min_files:
+    # a single mostly-dead file is worth rewriting on its own; pure
+    # small-file accumulation still waits for min_files
+    if len(small) < min_files and not any(_dv_debt(a) for a in small):
         return base_v
     total = sum(os.path.getsize(os.path.join(root, a["path"])) for a in small)
     n_out = max(1, round(total / target_bytes))

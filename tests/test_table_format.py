@@ -1030,3 +1030,100 @@ def test_sparse_key_value_pruning(spark, tmp_path):
     # equality predicate uses the same value path
     v3 = tf.delete_where(spark, root, "k = 997", prune_col="k", mode="mor")
     assert v3 == 3
+
+
+def test_compact_small_rewrites_dv_debt(spark, tmp_path):
+    """A file whose deletion vector masks > max_dv_fraction of its rows
+    is rewritten by compact_small regardless of file size (even alone),
+    clearing the vector; lightly-masked files are carried."""
+    root = str(tmp_path / "t")
+    tf.create_table(
+        spark.createDataFrame(
+            [Row(k=i, seg="A", val=float(i)) for i in range(1000)]
+        ).repartitionByRange(2, "k"),
+        root,
+        stat_cols=["k"],
+    )
+    # mask ~80% of the low file, ~1 row of the high file
+    tf.delete_where(spark, root, "k < 400", prune_col="k", mode="mor")
+    tf.delete_where(spark, root, "k = 980", prune_col="k", mode="mor")
+    live, _ = tf.snapshot_files(root)
+    heavy = [a for a in live if "dv" in a and a["dv"]["rows"] > 100]
+    light = [a for a in live if "dv" in a and a["dv"]["rows"] <= 100]
+    assert heavy and light
+    # target_bytes=2: nothing qualifies as "small", only DV debt fires
+    v = tf.compact_small(spark, root, target_bytes=2, max_dv_fraction=0.3)
+    assert v == 3
+    live2 = {a["path"]: a for a in tf.snapshot_files(root, v)[0]}
+    assert heavy[0]["path"] not in live2          # rewritten, DV cleared
+    assert light[0]["path"] in live2              # carried, still masked
+    assert "dv" in live2[light[0]["path"]]
+    ks = {r["k"] for r in tf.read_table(spark, root).collect()}
+    assert ks == set(range(400, 1000)) - {980}
+
+
+def test_medallion_mor_cdc_roundtrip(spark, tmp_path):
+    """Capstone composition: a CDC stream lands in the table through
+    the exactly-once mor merge sink; the streaming change feed is then
+    consumed downstream and REPLAYED (apply deletes, then inserts, per
+    commit) — the reconstructed state must equal the table head. This
+    is the property that makes the CDF a real replication primitive:
+    bronze → silver → downstream copy, all incremental."""
+    import json as _json
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources import (
+        register_lakehouse_source,
+    )
+
+    register_lakehouse_source(spark)
+    root = str(tmp_path / "t")
+    src = tmp_path / "src"
+    src.mkdir()
+    tf.create_table(_mk(spark, 0, 20), root, stat_cols=["k"])
+    with open(src / "b0.json", "w") as f:
+        for k, seg in ((3, "U1"), (25, "N1"), (7, "U1")):
+            f.write(_json.dumps({"k": k, "seg": seg, "val": 0.5}) + "\n")
+    q = (
+        spark.readStream.schema("k long, seg string, val double")
+        .json(str(src))
+        .writeStream.foreachBatch(
+            tf.streaming_sink(root, key_col="k", merge_mode="mor")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    tf.delete_where(spark, root, "k IN (1, 25)", prune_col="k", mode="mor")
+
+    q2 = (
+        spark.readStream.format("lakehouse")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("medallion_cdf")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    # downstream replay: per commit, deletes retract then inserts apply
+    changes = sorted(
+        spark.sql("SELECT * FROM medallion_cdf").collect(),
+        key=lambda r: (r["_commit_version"], r["_change_type"] == "inserted"),
+    )
+    state: dict = {}
+    for r in changes:
+        key = (r["k"], r["seg"], r["val"])
+        if r["_change_type"] == "deleted":
+            state[key] -= 1
+            if not state[key]:
+                del state[key]
+        else:
+            state[key] = state.get(key, 0) + 1
+    want = {}
+    for r in tf.read_table(spark, root).collect():
+        key = (r["k"], r["seg"], r["val"])
+        want[key] = want.get(key, 0) + 1
+    assert state == want
+    assert (3, "U1", 0.5) in state and (25, "N1", 0.5) not in state
