@@ -404,14 +404,26 @@ def create_table(
     stat_cols: list[str] | None = None,
     checkpoint_every: int = 10,
     extra: dict | None = None,
+    checks: dict[str, str] | None = None,
 ) -> int:
     """Version 0: write the initial snapshot. ``stat_cols`` declares the
     columns whose per-file min/max drive MERGE/DELETE file pruning.
     ``extra`` merges app-level metadata into the commit record (e.g. the
-    IVM spec — see :mod:`.ivm`); it may not shadow core record keys."""
+    IVM spec — see :mod:`.ivm`); it may not shadow core record keys.
+
+    ``checks`` declares named SQL CHECK constraints (Delta's
+    ``ADD CONSTRAINT``): every write path that introduces rows (create,
+    append, MERGE batch) evaluates them in ONE aggregate job over the
+    new rows and rejects the whole commit on any violation
+    (:class:`CheckViolation` with per-constraint counts). SQL
+    three-valued semantics: a row violates only when the expression is
+    FALSE — NULL passes, as in standard CHECK."""
     if latest_version(root) >= 0:
         raise FileExistsError(f"table already exists at {root}")
     stat_cols = stat_cols or []
+    checks = checks or {}
+    if checks:
+        _enforce_checks(df, checks)
     adds = _write_data_files(df, root, 0, stat_cols)
     record = {
         "version": 0,
@@ -421,6 +433,7 @@ def create_table(
         "schema": df.schema.json(),
         "stat_cols": stat_cols,
         "checkpoint_every": checkpoint_every,
+        "checks": checks,
     }
     if extra:
         clash = set(extra) & set(record)
@@ -433,6 +446,36 @@ def create_table(
 
 def _table_meta(root: str) -> dict:
     return _read_commit(root, 0)
+
+
+class CheckViolation(ValueError):
+    """A write batch broke a declared CHECK constraint; nothing was
+    committed."""
+
+
+def _enforce_checks(df: DataFrame, checks: dict[str, str]) -> None:
+    """ONE aggregate job over the batch: per constraint, count rows
+    where the expression is FALSE (NULL passes — SQL CHECK semantics).
+    Raises :class:`CheckViolation` naming every violated constraint."""
+    aggs = [
+        F.count(F.when(F.expr(expr) == F.lit(False), 1)).alias(name)
+        for name, expr in checks.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: row[n] for n in checks if row[n]}
+    if bad:
+        raise CheckViolation(
+            "CHECK constraint(s) violated, commit rejected: "
+            + ", ".join(
+                f"{n} ({c} row(s), expr: {checks[n]!r})"
+                for n, c in sorted(bad.items())
+            )
+        )
+
+
+def table_checks(root: str) -> dict[str, str]:
+    """The table's declared CHECK constraints (name → SQL expr)."""
+    return dict(_table_meta(root).get("checks", {}))
 
 
 def read_table(
@@ -498,6 +541,8 @@ def append(df: DataFrame, root: str, *, batch_id: int | None = None) -> int:
     if batch_id is not None and batch_id in committed_batch_ids(root):
         return latest_version(root)
     _check_schema_widening(root, df.schema)
+    if meta.get("checks"):
+        _enforce_checks(df, meta["checks"])
     v = latest_version(root) + 1
     adds = _write_data_files(df, root, v, meta["stat_cols"])
     rec = {
@@ -615,6 +660,8 @@ def merge_upsert(
             f"{dup[0][key_col]!r}; MERGE requires unique source keys "
             "(dedupe the batch first)"
         )
+    if meta.get("checks"):
+        _enforce_checks(updates, meta["checks"])
     b = updates.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]

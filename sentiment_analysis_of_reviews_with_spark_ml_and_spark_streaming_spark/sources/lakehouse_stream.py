@@ -384,7 +384,20 @@ class LakehouseStreamReader(DataSourceStreamReader):
         self.cdf = (
             str(options.get("readchangefeed", "false")).lower() == "true"
         )
-        self.starting = int(options.get("startingversion", 0)) - 1
+        if "startingtimestamp" in options:
+            # Delta's startingTimestamp: emit every commit whose
+            # (skew-adjusted) wall-clock is at or after the timestamp.
+            ts = float(options["startingtimestamp"])
+            head = tf.latest_version(self.root)
+            start, eff = head, 0.0
+            for v in range(head + 1):
+                eff = max(eff, tf._read_commit(self.root, v).get("ts", 0.0))
+                if eff >= ts:
+                    start = v - 1
+                    break
+            self.starting = start
+        else:
+            self.starting = int(options.get("startingversion", 0)) - 1
 
     def initialOffset(self) -> dict:
         return {"version": self.starting}

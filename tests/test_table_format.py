@@ -1127,3 +1127,78 @@ def test_medallion_mor_cdc_roundtrip(spark, tmp_path):
         want[key] = want.get(key, 0) + 1
     assert state == want
     assert (3, "U1", 0.5) in state and (25, "N1", 0.5) not in state
+
+
+def test_check_constraints_guard_every_write_path(spark, tmp_path):
+    """Named CHECK constraints (Delta ADD CONSTRAINT): violations
+    reject create/append/MERGE commits atomically with per-constraint
+    counts; NULL expressions pass (SQL three-valued CHECK)."""
+    root = str(tmp_path / "t")
+    checks = {"val_nonneg": "val >= 0", "seg_known": "seg IN ('A', 'B')"}
+    with pytest.raises(tf.CheckViolation, match="val_nonneg"):
+        tf.create_table(
+            spark.createDataFrame([Row(k=1, seg="A", val=-1.0)]),
+            str(tmp_path / "bad"), checks=checks,
+        )
+    tf.create_table(_mk(spark, 0, 10), root, stat_cols=["k"], checks=checks)
+    assert tf.table_checks(root) == checks
+    # append: one batch with two violations names both constraints
+    with pytest.raises(tf.CheckViolation) as ei:
+        tf.append(
+            spark.createDataFrame(
+                [Row(k=20, seg="X", val=-2.0), Row(k=21, seg="A", val=1.0)]
+            ),
+            root,
+        )
+    assert "val_nonneg" in str(ei.value) and "seg_known" in str(ei.value)
+    assert tf.latest_version(root) == 0  # nothing committed
+    # NULL passes (unknown), valid rows commit
+    tf.append(
+        spark.createDataFrame(
+            [Row(k=22, seg=None, val=None)], "k long, seg string, val double"
+        ),
+        root,
+    )
+    # MERGE batch enforced too, in both modes
+    with pytest.raises(tf.CheckViolation):
+        tf.merge_upsert(
+            spark.createDataFrame([Row(k=1, seg="A", val=-9.0)]),
+            root, key_col="k", mode="mor",
+        )
+    tf.merge_upsert(
+        spark.createDataFrame([Row(k=1, seg="B", val=9.0)]),
+        root, key_col="k",
+    )
+    rows = {r["k"]: r["seg"] for r in tf.read_table(spark, root).collect()}
+    assert rows[1] == "B" and rows[22] is None and len(rows) == 11
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp seats the stream at the first commit at or
+    after the wall-clock point — earlier commits are not emitted."""
+    import time
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources import (
+        register_lakehouse_source,
+    )
+
+    register_lakehouse_source(spark)
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 10), root, stat_cols=["k"])
+    time.sleep(0.05)
+    mid = time.time()
+    time.sleep(0.05)
+    tf.append(_mk(spark, 10, 15, seg="B"), root)
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("path", root)
+        .option("startingTimestamp", str(mid))
+        .load()
+        .writeStream.format("memory")
+        .queryName("ts_seek")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ks = sorted(r["k"] for r in spark.sql("SELECT k FROM ts_seek").collect())
+    assert ks == list(range(10, 15))  # only the post-timestamp append
