@@ -471,11 +471,16 @@ def test_model_based_random_op_sequences(spark, tmp_path):
             )
             assert committed == len(history)  # thr ∈ model => must commit
             model = {k: v for k, v in model.items() if k > thr}
-        else:  # layout ops: data-identical
-            if rnd(step, 2):
+        else:  # layout ops (data-identical) or a RESTORE roll-forward
+            r3 = rnd(step, 3)
+            if r3 == 0:
                 tf.compact(spark, root, target_files=2)
-            else:
+            elif r3 == 1:
                 tf.optimize_cluster(spark, root, ["k"], target_files=3)
+            else:
+                target = rnd(step, len(history))
+                tf.restore_table(root, target)
+                model = dict(history[target])
         history.append(dict(model))
         assert tf.latest_version(root) == len(history) - 1
         # full history sweep on two checkpoints (per-version re-reads
