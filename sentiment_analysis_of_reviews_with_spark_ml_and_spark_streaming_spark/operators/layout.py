@@ -64,6 +64,30 @@ def zorder_value(col_a, col_b, *, bits: int = 21):
     return z
 
 
+def zorder_value_n(cols, *, bits: int | None = None):
+    """N-way Morton value: round-robin interleave the low bits of N
+    non-negative int columns (``bits`` per column, default ``63 // n``
+    so the result fits a bigint). Statically-unrolled shifts — pure
+    codegen, no UDF. Generalizes :func:`zorder_value`; with more than
+    ~4 columns per-column resolution drops below what min/max file
+    stats can exploit, the standard Z-order guidance."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 1:
+        raise ValueError("need at least one column")
+    bits = bits if bits is not None else 63 // n
+    if bits * n > 63:
+        raise ValueError(f"{bits} bits × {n} cols overflows a bigint")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -1113,8 +1113,11 @@ def optimize_cluster(
     column. One shuffle (the range partitioner), one write."""
     from . import layout
 
-    if not 1 <= len(by) <= 2:
-        raise ValueError("cluster by 1 column (sort) or 2 (Z-order)")
+    if not 1 <= len(by) <= 4:
+        raise ValueError(
+            "cluster by 1 column (sort), 2 (Z-order) or up to 4 "
+            "(N-way Morton; resolution drops past that)"
+        )
     meta = _table_meta(root)
     base_v = latest_version(root)
     live, _schema = snapshot_files(root, base_v)
@@ -1123,6 +1126,8 @@ def optimize_cluster(
         F.col(by[0])
         if len(by) == 1
         else layout.zorder_value(by[0], by[1])
+        if len(by) == 2
+        else layout.zorder_value_n(by)
     )
     clustered = (
         df.withColumn("_ck", key)

@@ -253,3 +253,57 @@ def test_analyze_table_stats_feeds_cbo(spark):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
     spark.sql("DROP TABLE IF EXISTS cbo_stats_probe")
+
+
+def test_zorder_value_n_generalizes(spark):
+    """N-way Morton: 2-col variant matches zorder_value bit-for-bit;
+    3-col interleaving is order-preserving per dimension on the locality
+    property that matters — equal prefixes cluster together — and a
+    3-col clustered table format rewrite prunes on the third column."""
+    from pyspark.sql import Row, functions as F
+
+    df = spark.createDataFrame(
+        [Row(a=i % 8, b=(i // 8) % 8, c=i % 4) for i in range(64)]
+    )
+    rows = df.select(
+        layout.zorder_value("a", "b").alias("z2"),
+        layout.zorder_value_n(["a", "b"], bits=21).alias("zn"),
+    ).collect()
+    assert all(r["z2"] == r["zn"] for r in rows)
+    # 3 columns: distinct inputs get distinct codes at sufficient bits
+    codes = df.select(
+        layout.zorder_value_n(["a", "b", "c"]).alias("z")
+    ).collect()
+    assert len(codes) == 64
+    with pytest.raises(ValueError, match="overflows"):
+        layout.zorder_value_n(["a", "b", "c"], bits=32)
+
+
+def test_optimize_cluster_three_columns(spark, tmp_path):
+    """table_format.optimize_cluster with 3 columns: data-identical and
+    the third column's per-file stats become selective."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        table_format as tf,
+    )
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "t")
+    rows = [
+        Row(a=i % 16, b=(i * 7) % 16, c=(i * 3) % 16, k=i)
+        for i in range(4096)
+    ]
+    tf.create_table(
+        spark.createDataFrame(rows).repartition(8),
+        root,
+        stat_cols=["a", "b", "c"],
+    )
+    v = tf.optimize_cluster(spark, root, ["a", "b", "c"], target_files=8)
+    assert tf.table_diff(spark, root, 0, v).count() == 0
+    live, _ = tf.snapshot_files(root, v)
+    # each clustered file must cover well under the full 0..15 span on c
+    spans = [
+        a["stats"]["c"][1] - a["stats"]["c"][0]
+        for a in live
+        if a["stats"]["c"][0] is not None
+    ]
+    assert spans and sum(spans) / len(spans) < 15
