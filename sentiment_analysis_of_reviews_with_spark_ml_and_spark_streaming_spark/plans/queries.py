@@ -9660,8 +9660,13 @@ ORACLE: dict[str, str] = {
 #        table-format metadata layer; VERDICT r6 next-step #2).
 #   W-B (2-26): the full r3-green cohort — the 25 oracle-backed rows
 #        whose newest driver green is round 3 (oldest in the registry).
-#   W-C (27-50): the 24 oldest r4-green rows in prior registry order;
-#        the remaining 22 r4 rows are the head of the r8 queue.
+#   W-C (27-48): the 22 oldest r4-green rows in prior registry order;
+#        the remaining 24 r4 rows are the head of the r8 queue.
+#   W-D (49-50): the round-7-continuation lakehouse additions
+#        (deletion vectors, RESTORE) — never-graded oracle-backed
+#        queries enter the window per policy; the two double-green
+#        veterans they displace (binarize_label,
+#        union_distinct_nationkeys — r1+r4 green) rotate past it.
 # Veterans keep their prior relative order past the window; rows-only
 # queries stay past the window by contract.
 _R7_WINDOW = [
@@ -9686,8 +9691,9 @@ _R7_WINDOW = [
     "moving_avg_user_value", "json_extract_props", "asof_last_purchase",
     "range_join_click_context", "window_hourly_events",
     "sessionize_events", "filter_isin_priority", "filter_not_in_brand",
-    "distinct_segments", "global_counts", "binarize_label",
-    "union_distinct_nationkeys",
+    "distinct_segments", "global_counts",
+    # W-D: round-7-continuation lakehouse additions
+    "lakehouse_deletion_vectors", "lakehouse_restore_lineage",
 ]
 assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
 _rest = {k: v for k, v in QUERIES.items() if k not in set(_R7_WINDOW)}
