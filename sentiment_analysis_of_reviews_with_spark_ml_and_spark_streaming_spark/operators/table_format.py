@@ -912,6 +912,35 @@ def delete_where(
     raise CommitConflict(f"delete lost {max_retries} races at {root}")
 
 
+def _prune_by_predicate(
+    live: list[dict], predicate: str, prune_col: str | None
+) -> list[dict]:
+    """Candidate files for a predicate via stats: exact value-set
+    overlap when the predicate pins an IN-list / equality on
+    ``prune_col`` (sparse keys skip everything between), else the
+    conservative [lo, hi] hull; no ``prune_col`` → every live file."""
+    if not prune_col:
+        return live
+    in_vals = _extract_in_values(predicate, prune_col)
+    if in_vals is not None:
+        cands, _rest = _candidate_files(
+            live, {}, prune_col, values=[_json_stat(v) for v in in_vals]
+        )
+        return cands
+    bounds = _extract_bounds(predicate, prune_col)
+    if bounds is None:
+        return live
+    lo, hi = bounds
+    out = []
+    for a in live:
+        stat = a.get("stats", {}).get(prune_col)
+        if stat is None or stat[0] is None:
+            out.append(a)
+        elif (hi is None or stat[0] <= hi) and (lo is None or lo <= stat[1]):
+            out.append(a)
+    return out
+
+
 def _delete_attempt(
     spark: SparkSession,
     root: str,
@@ -923,29 +952,7 @@ def _delete_attempt(
     base_v = latest_version(root)
     live, _schema = snapshot_files(root, base_v)
     st = StructType.fromJson(_schema)
-    cands = live
-    if prune_col:
-        in_vals = _extract_in_values(predicate, prune_col)
-        if in_vals is not None:
-            # exact value set: per-value overlap beats the convex hull
-            # for sparse keys (IN (5, 999999) skips everything between)
-            cands, _rest = _candidate_files(
-                live, {}, prune_col, values=[_json_stat(v) for v in in_vals]
-            )
-        else:
-            bounds = _extract_bounds(predicate, prune_col)
-            if bounds is not None:
-                lo, hi = bounds
-                pruned_cands = []
-                for a in live:
-                    stat = a.get("stats", {}).get(prune_col)
-                    if stat is None or stat[0] is None:
-                        pruned_cands.append(a)
-                    elif (hi is None or stat[0] <= hi) and (
-                        lo is None or lo <= stat[1]
-                    ):
-                        pruned_cands.append(a)
-                cands = pruned_cands
+    cands = _prune_by_predicate(live, predicate, prune_col)
     if not cands:
         return base_v
     # one job over the candidates — DV-aware, so rows already deleted
@@ -1010,6 +1017,141 @@ def _delete_attempt(
         root,
         v,
         {"version": v, "action": "delete", "add": [],
+         "remove": [a["path"] for a in full], "dv": dv_map, "schema": None,
+         "write_mode": "mor"},
+    )
+    _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
+    return v
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    assignments: dict[str, str],
+    *,
+    prune_col: str | None = None,
+    mode: str = "cow",
+    max_retries: int = 3,
+) -> int:
+    """Delta ``UPDATE table SET col = expr WHERE predicate``. Matched
+    rows get each assignment expression applied (exprs see the OLD row
+    — standard UPDATE semantics, so swaps like ``{"a": "b", "b": "a"}``
+    behave); unmatched rows pass through untouched.
+
+    ``mode="cow"`` rewrites only the files containing matches (stats
+    pruning + one match-detection job, like :func:`delete_where`).
+    ``mode="mor"`` masks the matched rows' positions with a
+    deletion-vector sidecar and lands the updated versions as NEW files
+    — O(matched rows) written, zero rewrite of existing files, exact
+    under the streaming change feed (the mor-update commit is adds +
+    DV diffs, both file-local). CHECK constraints are enforced on the
+    updated rows; no-op (no commit) when nothing matches."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    meta = _table_meta(root)
+    for _ in range(max_retries):
+        try:
+            return _update_attempt(
+                spark, root, predicate, assignments, prune_col, mode, meta
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"update lost {max_retries} races at {root}")
+
+
+def _update_attempt(
+    spark, root, predicate, assignments, prune_col, mode, meta
+) -> int:
+    base_v = latest_version(root)
+    live, _schema = snapshot_files(root, base_v)
+    st = StructType.fromJson(_schema)
+    names = set(st.fieldNames())
+    bad = sorted(set(assignments) - names)
+    if bad:
+        raise ValueError(f"assignment targets not in schema: {bad}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        # all exprs evaluate against the OLD row: single select
+        return df.select(
+            *[
+                F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in st.fields
+            ]
+        )
+
+    cands = _prune_by_predicate(live, predicate, prune_col)
+    if not cands:
+        return base_v
+    tagged = read_files(spark, root, cands, st, with_meta=True)
+    matched = tagged.filter(predicate)
+    by_base = {os.path.basename(a["path"]): a for a in cands}
+    v = base_v + 1
+
+    if mode == "cow":
+        matched_bases = {
+            r["_file"]
+            for r in matched.select("_file").distinct().collect()
+        }
+        if not matched_bases:
+            return base_v
+        hit = [by_base[b] for b in sorted(matched_bases)]
+        old = read_files(spark, root, hit, st)
+        updated_part = _apply(old.filter(predicate))
+        if meta.get("checks"):
+            _enforce_checks(updated_part, meta["checks"])
+        rewritten = old.filter(f"NOT ({predicate})").unionByName(updated_part)
+        adds = _write_data_files(rewritten, root, v, meta["stat_cols"])
+        _write_commit(
+            root,
+            v,
+            {"version": v, "action": "update", "add": adds,
+             "remove": [a["path"] for a in hit], "schema": None,
+             "write_mode": "cow"},
+        )
+        _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
+        return v
+
+    # --- merge-on-read: mask old versions, append new versions ---
+    matched = matched.localCheckpoint(eager=True)  # mask + rewrite reuse
+    per_file = {
+        r["_file"]: r["_n"]
+        for r in matched.groupBy("_file")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    if not per_file:
+        return base_v
+    updated = _apply(matched.drop("_file", "_pos"))
+    if meta.get("checks"):
+        _enforce_checks(updated, meta["checks"])
+    adds = _write_data_files(updated, root, v, meta["stat_cols"])
+    full, partial, dv_map = [], [], {}
+    for base, n_new in per_file.items():
+        a = by_base[base]
+        n_total = a.get("dv", {}).get("rows", 0) + n_new
+        (full if n_total == a["rows"] else partial).append(a)
+    if partial:
+        partial_bases = [os.path.basename(a["path"]) for a in partial]
+        cum = matched.filter(F.col("_file").isin(partial_bases)).select(
+            F.col("_file").alias("file"), F.col("_pos").alias("pos")
+        )
+        prior = [a for a in partial if "dv" in a]
+        if prior:
+            cum = cum.unionByName(_dv_rows(spark, root, prior))
+        sidecar = _write_dv_sidecar(cum, root, v)
+        for a in partial:
+            base = os.path.basename(a["path"])
+            dv_map[a["path"]] = {
+                "sidecar": sidecar,
+                "rows": a.get("dv", {}).get("rows", 0) + per_file[base],
+            }
+    _write_commit(
+        root,
+        v,
+        {"version": v, "action": "update", "add": adds,
          "remove": [a["path"] for a in full], "dv": dv_map, "schema": None,
          "write_mode": "mor"},
     )

@@ -257,7 +257,9 @@ def _range_has_rewrite(root: str, v_from: int, v_to: int) -> bool:
         act = r.get("action")
         if act in _NOOP_ACTIONS or act in ("restore", "ivm_refresh"):
             return True
-        if act in ("delete", "merge") and r.get("write_mode", "cow") != "mor":
+        if act in ("delete", "merge", "update") and r.get(
+            "write_mode", "cow"
+        ) != "mor":
             return True
     return False
 
@@ -292,7 +294,9 @@ def _cdf_partitions(root: str, v_from: int, v_to: int) -> list[_CdfPartition]:
         dv_items = rec.get("dv", {})
         if action in _NOOP_ACTIONS:
             pass  # zero logical change
-        elif action in ("delete", "merge") and rec.get("write_mode", "cow") != "mor":
+        elif action in ("delete", "merge", "update") and rec.get(
+            "write_mode", "cow"
+        ) != "mor":
             raise ValueError(
                 f"commit {v} is a copy-on-write {action}: surviving rows "
                 "were rewritten into new files, so an exact row-level "

@@ -1207,3 +1207,90 @@ def test_stream_starting_timestamp(spark, tmp_path):
     q.awaitTermination(120)
     ks = sorted(r["k"] for r in spark.sql("SELECT k FROM ts_seek").collect())
     assert ks == list(range(10, 15))  # only the post-timestamp append
+
+
+def test_update_where_both_modes(spark, tmp_path):
+    """UPDATE SET ... WHERE: expressions see the OLD row (swap works),
+    cow rewrites only matched files, mor masks + appends with ZERO
+    rewrite of existing files (mtime proof), CHECK constraints guard
+    the updated rows, and the change feed (batch AND streaming CDF for
+    mor) reports old versions deleted + new versions inserted."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources import (
+        register_lakehouse_source,
+    )
+
+    register_lakehouse_source(spark)
+    root = str(tmp_path / "t")
+    tf.create_table(
+        _mk(spark, 0, 100).repartitionByRange(4, "k"),
+        root,
+        stat_cols=["k"],
+        checks={"val_finite": "val < 1e6"},
+    )
+    live0, _ = tf.snapshot_files(root, 0)
+    mtimes = {
+        a["path"]: os.path.getmtime(os.path.join(root, a["path"]))
+        for a in live0
+    }
+    # cow: only the file(s) holding k<=5 rewritten
+    v1 = tf.update_where(
+        spark, root, "k <= 5", {"seg": "'LOW'", "val": "val * 10"},
+        prune_col="k", mode="cow",
+    )
+    live1, _ = tf.snapshot_files(root, v1)
+    carried = [p for p in mtimes if p in {a["path"] for a in live1}]
+    assert len(carried) == 3  # 3 of 4 range files untouched
+    rows = {r["k"]: (r["seg"], r["val"])
+            for r in tf.read_table(spark, root).collect()}
+    assert rows[5] == ("LOW", 75.0) and rows[6] == ("A", 9.0)
+    assert len(rows) == 100
+    # mor: swap-style update referencing the old row, zero rewrites
+    pre = {
+        a["path"]: os.path.getmtime(os.path.join(root, a["path"]))
+        for a in tf.snapshot_files(root, v1)[0]
+    }
+    v2 = tf.update_where(
+        spark, root, "k IN (50, 97)", {"val": "val + k"},
+        prune_col="k", mode="mor",
+    )
+    for p, mt in pre.items():
+        assert os.path.getmtime(os.path.join(root, p)) == mt
+        assert p in {a["path"] for a in tf.snapshot_files(root, v2)[0]}
+    rows = {r["k"]: r["val"] for r in tf.read_table(spark, root).collect()}
+    assert rows[50] == 75.0 + 50 and rows[97] == 145.5 + 97
+    assert len(rows) == 100
+    # batch CDF: exactly one delete + one insert per updated key
+    ch = tf.table_changes(spark, root, v1, v2)
+    assert sorted(
+        (r["k"], r["_change_type"], r["val"]) for r in ch.collect()
+    ) == [(50, "deleted", 75.0), (50, "inserted", 125.0),
+          (97, "deleted", 145.5), (97, "inserted", 242.5)]
+    # CHECK on updated rows rejects the whole commit
+    with pytest.raises(tf.CheckViolation, match="val_finite"):
+        tf.update_where(spark, root, "k = 1", {"val": "1e7"}, mode="mor")
+    assert tf.latest_version(root) == v2
+    # streaming CDF accepts the mor update, raises on the cow one
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v2)
+        .load()
+        .writeStream.format("memory")
+        .queryName("upd_cdf")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], r["_change_type"])
+        for r in spark.sql("SELECT * FROM upd_cdf").collect()
+    )
+    assert got == [(50, "deleted"), (50, "inserted"),
+                   (97, "deleted"), (97, "inserted")]
+    with pytest.raises(ValueError, match="copy-on-write update"):
+        from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.lakehouse_stream import (
+            _cdf_partitions,
+        )
+
+        _cdf_partitions(root, 0, v1)  # range includes the cow update
