@@ -150,6 +150,8 @@ HEADLINE = [
     "lakehouse_deletion_vectors",
     # RESTORE roll-forward: metadata-only undo of a mor delete
     "lakehouse_restore_lineage",
+    # UPDATE DML: cow rewrite + mor mask-and-append lineage
+    "lakehouse_update_dml",
 ]
 
 

@@ -9211,6 +9211,101 @@ def q_lakehouse_restore_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lakehouse_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE (operators/table_format.py:update_where)
+    in BOTH write modes: a stats-pruned copy-on-write range update
+    (balance bump) then a merge-on-read modulo update (deletion-vector
+    mask + appended new versions, no file rewritten) whose assignment
+    reads the OLD row. Per-version count / key checksum / balance
+    checksum bind the full lineage — wrong matched set, assignment
+    evaluated against the new row, resurrection of masked versions, or
+    a lost unmatched row all break a hash. Oracle: plain SQL CASE
+    projections. Bounded driver work: 3 scalar rows; temp staging dir
+    removed before return."""
+    import shutil
+    import tempfile
+
+    from ..operators import table_format as tfmt
+
+    root = tempfile.mkdtemp(prefix="lakehouse_upd_")
+    try:
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        tfmt.create_table(
+            cust.repartitionByRange(4, "c_custkey"), root,
+            stat_cols=["c_custkey"],
+        )
+        # arithmetic through DECIMAL: round(double*1.1) sits on
+        # representation boundaries that Spark (shortest-repr HALF_UP)
+        # and DuckDB (true-binary) round differently — the registry's
+        # decimal-routing convention (docs/QUERIES.md)
+        tfmt.update_where(
+            spark, root, "c_custkey <= 60",
+            {"c_acctbal":
+             "cast(round(cast(c_acctbal as decimal(18,2)) * 1.1, 2) "
+             "as double)"},
+            prune_col="c_custkey", mode="cow",
+        )
+        tfmt.update_where(
+            spark, root, "c_custkey % 9 = 0",
+            {"c_acctbal":
+             "cast(cast(c_acctbal as decimal(18,2)) + c_custkey "
+             "as double)"},
+            prune_col="c_custkey", mode="mor",
+        )
+        rows = []
+        for v in range(3):
+            r = (
+                tfmt.read_table(spark, root, version=v)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("c_custkey").alias("ks"),
+                    F.sum(
+                        F.round("c_acctbal", 2).cast("decimal(18,2)")
+                    ).cast("double").alias("bs"),
+                )
+                .collect()[0]
+            )
+            rows.append((v, r["n"], r["ks"], float(r["bs"])))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version long, n_rows long, key_sum long, bal_sum double"
+    )
+
+
+SQL_LAKEHOUSE_UPDATE_DML = """
+WITH v0 AS (SELECT c_custkey AS k, c_acctbal AS b FROM customer),
+v1 AS (
+  SELECT k, CASE WHEN k <= 60
+    THEN CAST(round(CAST(b AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)
+    ELSE b END AS b
+  FROM v0
+),
+v2 AS (
+  SELECT k, CASE WHEN k % 9 = 0
+    THEN CAST(CAST(b AS DECIMAL(18,2)) + k AS DOUBLE)
+    ELSE b END AS b
+  FROM v1
+)
+SELECT CAST(v AS BIGINT) AS version,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(ks AS BIGINT) AS key_sum,
+       CAST(bs AS DOUBLE) AS bal_sum
+FROM (
+  SELECT 0 AS v, count(*) AS n, sum(k) AS ks,
+         CAST(sum(CAST(round(b, 2) AS DECIMAL(18,2))) AS DOUBLE) AS bs
+  FROM v0
+  UNION ALL SELECT 1, count(*), sum(k),
+         CAST(sum(CAST(round(b, 2) AS DECIMAL(18,2))) AS DOUBLE) FROM v1
+  UNION ALL SELECT 2, count(*), sum(k),
+         CAST(sum(CAST(round(b, 2) AS DECIMAL(18,2))) AS DOUBLE) FROM v2
+)
+ORDER BY version
+"""
+
+
 SQL_LAKEHOUSE_RESTORE_LINEAGE = """
 WITH v0 AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0),
 v1 AS (SELECT c_custkey AS k FROM customer),
@@ -9467,6 +9562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lakehouse_point_lookup": q_lakehouse_point_lookup,
     "lakehouse_deletion_vectors": q_lakehouse_deletion_vectors,
     "lakehouse_restore_lineage": q_lakehouse_restore_lineage,
+    "lakehouse_update_dml": q_lakehouse_update_dml,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -9651,6 +9747,7 @@ ORACLE: dict[str, str] = {
     "lakehouse_point_lookup": SQL_LAKEHOUSE_POINT_LOOKUP,
     "lakehouse_deletion_vectors": SQL_LAKEHOUSE_DELETION_VECTORS,
     "lakehouse_restore_lineage": SQL_LAKEHOUSE_RESTORE_LINEAGE,
+    "lakehouse_update_dml": SQL_LAKEHOUSE_UPDATE_DML,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
