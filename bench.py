@@ -152,6 +152,13 @@ HEADLINE = [
     "lakehouse_restore_lineage",
     # UPDATE DML: cow rewrite + mor mask-and-append lineage
     "lakehouse_update_dml",
+    # round-7 continuation tier: portable sketches + bounded traversal
+    # CMS build is one 4096-key-domain shuffle over the full token stream
+    "countmin_token_counts",
+    # bounded BFS: frontier expansion over the co-purchase edge list
+    "graph_bfs_copurchase",
+    # RANGE-frame trailing-90d window over the full orders table
+    "rolling_revenue_90d",
 ]
 
 

@@ -145,3 +145,62 @@ def triangle_count(
                    ).otherwise(0.0).alias("global_clustering"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source node,
+    bounded at ``max_hops`` (nodes further away are absent).
+
+    Frontier expansion, the scalable shape for bounded traversals: per
+    hop, JOIN the current frontier (only the nodes discovered LAST
+    hop, not the whole visited set) to the edge list, anti-join away
+    already-visited nodes, union into the visited table. Each hop is
+    one equi-join shuffle carrying (node, int) state; the edge list is
+    hash-partitioned on ``src`` once and persisted so every hop's
+    probe reuses that layout. ``localCheckpoint`` truncates lineage
+    per hop (the iterative-DataFrame trap). Frontier size is bounded
+    by |V|, never |paths| — unlike naive path enumeration, which is
+    exponential in max_hops on dense graphs (that shape is reserved
+    for the small-SF recursive-CTE oracle).
+
+    Semantics match a recursive-CTE BFS with UNION-dedup and
+    ``min(dist)``: first-discovery hop == shortest path length, and a
+    source node is dist 0 even when also reachable via a cycle.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
+    e.count()  # materialize once; every hop probes this layout
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        reached = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(visited.select("node"), "node", "left_anti")
+        fresh = fresh.withColumn("dist", F.lit(hop)).localCheckpoint(
+            eager=True
+        )
+        if fresh.isEmpty():
+            break
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select("node")
+    e.unpersist()
+    return visited

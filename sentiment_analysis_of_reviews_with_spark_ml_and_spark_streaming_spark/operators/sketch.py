@@ -187,3 +187,184 @@ def theta_a_not_b(sketches, group_col: str, seg_a: str, seg_b: str):
             "a_not_b_estimate"
         ),
     )
+
+
+# --- Engine-portable Count-Min Sketch -------------------------------------
+#
+# The CMS answers point-frequency queries from depth x width counters
+# regardless of key cardinality: at 100 TB a token-frequency table over
+# a web corpus has ~1e9 distinct keys (a ruinous shuffle), while a
+# (4 x 65536) CMS is 2 MB of state built with ONE map-side-combined
+# shuffle whose key domain is depth*width, independent of cardinality.
+# Guarantee (deterministic): est(x) >= true(x) always; est(x) <=
+# true(x) + eps*N with probability 1-delta for width = e/eps, depth =
+# ln(1/delta) (Cormode & Muthukrishnan, J. Algorithms 2005).
+#
+# The hash family is the repo's portable convention (md5 prefix ->
+# bigint, see textstats.md5_prefix_long), so a DuckDB twin recomputes
+# the IDENTICAL counter table and estimates — the sketch itself is
+# value-hash oracle-checkable, not just its error bound.
+
+CMS_SALT = "cms"
+
+
+def _cms_bucket(value, row: int, width: int, seed: int):
+    """Bucket of ``value`` in CMS row ``row``: portable md5 hash of the
+    salted value, reduced mod width. DuckDB twin:
+    ``CAST('0x' || substr(md5('cms<seed>:<row>:' || v), 1, 15) AS BIGINT) % width``."""
+    from .textstats import md5_prefix_long
+
+    c = F.col(value) if isinstance(value, str) else value
+    salted = F.concat(F.lit(f"{CMS_SALT}{seed}:{row}:"), c)
+    return md5_prefix_long(salted) % width
+
+
+def countmin_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 11,
+) -> DataFrame:
+    """Build the CMS counter table: one row per (row_idx, bucket) with
+    the summed hit count. Plan: project depth bucket ids per input row
+    (codegen md5), explode to (row_idx, bucket), ONE groupBy whose key
+    domain is <= depth*width — partial aggregation collapses each
+    partition to <= depth*width rows before the shuffle, so shuffle
+    volume is O(partitions * depth * width), independent of input size
+    or key cardinality."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_idx"),
+                        _cms_bucket(value_col, j, width, seed).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row_idx", "rb.bucket")
+    return pairs.groupBy("row_idx", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 11,
+) -> DataFrame:
+    """Point estimates for ``probes[value_col]``: min over the depth
+    counters addressed by the probe's buckets. The sketch side is tiny
+    (<= depth*width rows) and broadcast; the probe side never
+    shuffles. Missing buckets count 0 (value never seen)."""
+    pb = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_idx"),
+                        _cms_bucket(value_col, j, width, seed).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(value_col, "rb.row_idx", "rb.bucket")
+    joined = pb.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
+    )
+
+
+# --- Engine-portable Bloom filter -----------------------------------------
+#
+# Set-membership from num_bits of state: k portable hash positions per
+# value; a probe is positive iff ALL k bits are set. No false
+# negatives ever (deterministic); false-positive rate ~ (1-e^{-kn/m})^k.
+# At 100 TB this is the semi-join reducer: ship a MB-scale bit set
+# instead of a billion-key IN-list (Spark's own runtime bloom join
+# does exactly this JVM-side — this variant trades its xxhash64 family
+# for the md5-portable one so the WHOLE filter, not just its contract,
+# replays in the SQL oracle).
+
+BLOOM_SALT = "bloom"
+
+
+def _bloom_bit(value, k: int, num_bits: int, seed: int):
+    from .textstats import md5_prefix_long
+
+    c = F.col(value) if isinstance(value, str) else value
+    salted = F.concat(F.lit(f"{BLOOM_SALT}{seed}:{k}:"), c.cast("string"))
+    return md5_prefix_long(salted) % num_bits
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    num_bits: int = 8192,
+    num_hashes: int = 5,
+    seed: int = 3,
+) -> DataFrame:
+    """The set bit positions (one row per distinct set bit, <= num_bits
+    rows): explode k positions per value, distinct. Partial-aggregate
+    collapses each partition to <= num_bits rows pre-shuffle."""
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_bit(value_col, k, num_bits, seed)
+                        for k in range(num_hashes)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    *,
+    num_bits: int = 8192,
+    num_hashes: int = 5,
+    seed: int = 3,
+) -> DataFrame:
+    """Membership test: probe is bloom-positive iff all num_hashes of
+    its bit positions are set. The bit set (<= num_bits rows) is
+    broadcast; probes never shuffle except the final per-probe count
+    (key domain = probes)."""
+    pb = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    _bloom_bit(value_col, k, num_bits, seed)
+                    for k in range(num_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hits = pb.join(F.broadcast(bits), "bit").groupBy(value_col).agg(
+        F.count("*").alias("_nbits")
+    )
+    return probes.select(value_col).distinct().join(
+        F.broadcast(hits), value_col, "left"
+    ).select(
+        F.col(value_col),
+        (F.coalesce(F.col("_nbits"), F.lit(0)) == num_hashes).alias(
+            "bloom_member"
+        ),
+    )

@@ -9356,6 +9356,310 @@ ORDER BY version
 
 
 # Registry order is a CONTRACT with the driver: it grades a 50-key prefix.
+# ---------------------------------------------------------------------------
+# Round-7 continuation tier: portable sketches, bounded graph traversal,
+# seasonal anomaly detection, time-range window frames.
+
+
+def q_countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point-frequency estimates (r7): the corpus
+    token stream folds into a (4 x 1024) counter table with ONE
+    map-side-combined shuffle whose key domain is 4096 regardless of
+    vocabulary size — the 100 TB answer to frequency queries over
+    ~1e9-key domains where exact groupBy(value) shuffles one row per
+    distinct key. The hash family is the repo's md5-portable
+    convention, so the DuckDB twin rebuilds the IDENTICAL counter
+    table: the estimates themselves are value-hash-checked, not just
+    the deterministic est >= exact guarantee. Probes are the exact
+    top-20 tokens; ``overcount`` (est - exact, always >= 0) makes the
+    CMS one-sided error visible in the hashed output."""
+    from ..operators import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize_ws("text")).alias("token"))
+    sk = sketch.countmin_build(toks, "token", depth=4, width=1024, seed=11)
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    probes = relational.top_k(
+        exact, [F.col("exact_cnt").desc(), F.col("token")], 20
+    )
+    est = sketch.countmin_estimate(
+        sk, probes.select("token"), "token", depth=4, width=1024, seed=11
+    )
+    return probes.join(F.broadcast(est), "token").select(
+        "token",
+        "exact_cnt",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+SQL_COUNTMIN_TOKEN_COUNTS = """
+WITH toks AS (
+  SELECT t.token AS token
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+), pairs AS (
+  SELECT r.row_idx,
+         CAST(concat('0x', substr(md5(concat('cms11:', CAST(r.row_idx AS VARCHAR), ':', token)), 1, 15)) AS BIGINT) % 1024 AS bucket
+  FROM toks, unnest([0, 1, 2, 3]) AS r(row_idx)
+), sk AS (
+  SELECT row_idx, bucket, count(*) AS cnt FROM pairs GROUP BY 1, 2
+), exact AS (
+  SELECT token, count(*) AS exact_cnt FROM toks GROUP BY 1
+), probes AS (
+  SELECT token, exact_cnt FROM exact ORDER BY exact_cnt DESC, token LIMIT 20
+), pb AS (
+  SELECT p.token, r.row_idx,
+         CAST(concat('0x', substr(md5(concat('cms11:', CAST(r.row_idx AS VARCHAR), ':', p.token)), 1, 15)) AS BIGINT) % 1024 AS bucket
+  FROM probes p, unnest([0, 1, 2, 3]) AS r(row_idx)
+), est AS (
+  SELECT token, min(coalesce(sk.cnt, 0)) AS cms_est
+  FROM pb LEFT JOIN sk USING (row_idx, bucket) GROUP BY 1
+)
+SELECT p.token, p.exact_cnt,
+       CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(e.cms_est - p.exact_cnt AS BIGINT) AS overcount
+FROM probes p JOIN est e USING (token)
+"""
+
+
+def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter membership audit (r7): the has-orders
+    customer key set folds into 4096 bits x 5 md5-portable hash
+    positions; every customer key probes the filter and the audit
+    reconciles bloom verdicts against exact membership. The
+    no-false-negatives guarantee is deterministic (n_false_negative
+    is hash-checked to be 0); the false-positive count is exact
+    because the DuckDB twin sets the identical bits. At 100 TB this
+    is the semi-join reducer: a KB-scale broadcast bit set in place
+    of a billion-key IN-list (the md5-portable twin of Spark's own
+    runtime bloom-filter join, which session.py already scopes)."""
+    from ..operators import sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    members = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    bits = sketch.bloom_build(
+        members, "custkey", num_bits=4096, num_hashes=5, seed=3
+    )
+    probes = customer.select(F.col("c_custkey").alias("custkey"))
+    probed = sketch.bloom_probe(
+        bits, probes, "custkey", num_bits=4096, num_hashes=5, seed=3
+    )
+    flags = probed.join(
+        members.withColumn("is_member", F.lit(True)), "custkey", "left"
+    ).select(
+        "custkey",
+        "bloom_member",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    return flags.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_true_members"),
+        F.sum(F.col("bloom_member").cast("long")).alias("n_bloom_positive"),
+        F.sum((F.col("bloom_member") & ~F.col("is_member")).cast("long")).alias(
+            "n_false_positive"
+        ),
+        F.sum((F.col("is_member") & ~F.col("bloom_member")).cast("long")).alias(
+            "n_false_negative"
+        ),
+    )
+
+
+SQL_BLOOM_MEMBERSHIP_AUDIT = """
+WITH members AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+), bits AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(concat('bloom3:', CAST(h.k AS VARCHAR), ':', CAST(custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS bit
+  FROM members, unnest([0, 1, 2, 3, 4]) AS h(k)
+), probes AS (
+  SELECT c_custkey AS custkey FROM customer
+), pb AS (
+  SELECT p.custkey,
+         CAST(concat('0x', substr(md5(concat('bloom3:', CAST(h.k AS VARCHAR), ':', CAST(p.custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS bit
+  FROM probes p, unnest([0, 1, 2, 3, 4]) AS h(k)
+), hits AS (
+  SELECT pb.custkey, count(*) AS nbits
+  FROM pb JOIN bits USING (bit) GROUP BY 1
+), flags AS (
+  SELECT p.custkey,
+         coalesce(h.nbits, 0) = 5 AS bloom_member,
+         m.custkey IS NOT NULL AS is_member
+  FROM probes p
+  LEFT JOIN hits h USING (custkey)
+  LEFT JOIN members m USING (custkey)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+       CAST(sum(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_positive,
+       CAST(sum(CASE WHEN bloom_member AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+       CAST(sum(CASE WHEN is_member AND NOT bloom_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+FROM flags
+"""
+
+
+def q_graph_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the co-purchase graph (r7):
+    seeds = all Brand#13 parts, edges = parts sharing an order
+    (basket capped at 20 items — the hot-key guard that keeps pair
+    generation from going quadratic on pathological carts), output =
+    min hop distance <= 3 per reachable part. The engine is frontier
+    expansion (operators/graph.py:bfs_distances — per hop one
+    equi-join against a src-partitioned edge list, state is (node,
+    int), lineage truncated per hop); the oracle is a recursive-CTE
+    path enumeration with UNION dedup + min(dist) — same answer,
+    exponentially different asymptotics, which is the point: the
+    frontier shape is the one that survives a 1000-executor graph."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    sizes = items.groupBy("basket").agg(F.count("*").alias("_n"))
+    items = items.join(
+        F.broadcast(sizes.filter(F.col("_n") <= 20).select("basket")), "basket"
+    )
+    a = items.select("basket", F.col("item").alias("src"))
+    b = items.select("basket", F.col("item").alias("dst"))
+    edges = (
+        a.join(b, "basket")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    seeds = part.filter(F.col("p_brand") == "Brand#13").select(
+        F.col("p_partkey").alias("node")
+    )
+    out = graph.bfs_distances(edges, seeds, max_hops=3)
+    return out.select(
+        F.col("node").alias("p_partkey"), F.col("dist").cast("long").alias("dist")
+    )
+
+
+SQL_GRAPH_BFS_COPURCHASE = """
+WITH RECURSIVE items0 AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), sizes AS (
+  SELECT basket, count(*) AS n FROM items0 GROUP BY 1
+), items AS (
+  SELECT i.basket, i.item FROM items0 i JOIN sizes s USING (basket)
+  WHERE s.n <= 20
+), edges AS (
+  SELECT DISTINCT a.item AS src, b.item AS dst
+  FROM items a JOIN items b USING (basket)
+  WHERE a.item <> b.item
+), seeds AS (
+  SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#13'
+), walk(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < 3
+)
+SELECT node AS p_partkey, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY 1
+"""
+
+
+def q_anomaly_seasonal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection (r7): hourly event counts scored
+    against their (event_type, hour-of-day) seasonal baseline —
+    the load-monitoring shape for streams with daily periodicity.
+    The z-score is computed from EXACT integer moments (sum and
+    sum-of-squares of hourly counts are exact BIGINTs, so mean and
+    population variance are bit-identical across engines — no
+    Welford summation-order noise, unlike stddev_samp over doubles);
+    flagged hours are |z| >= 2 within baselines of >= 3 observations
+    and positive variance. One groupBy to hourly counts (key domain
+    = types x hours), one window over the tiny per-type-hour
+    baseline: nothing here outgrows a 1000-executor shuffle."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type", F.hour("hour_ts"))
+    s = F.sum("cnt").over(w).cast("double")
+    sq = F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double")
+    n = F.count("*").over(w).cast("double")
+    mean = s / n
+    var = sq / n - mean * mean
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    scored = hourly.select(
+        "event_type",
+        "hour_ts",
+        "cnt",
+        n.alias("_n"),
+        var.alias("_var"),
+        F.round(z, 6).alias("z"),
+    )
+    return scored.filter(
+        (F.col("_n") >= 3) & (F.col("_var") > 0) & (F.abs(F.col("z")) >= 2.0)
+    ).select("event_type", "hour_ts", "cnt", "z")
+
+
+SQL_ANOMALY_SEASONAL_EVENTS = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, hour_ts, cnt,
+         CAST(count(*) OVER w AS DOUBLE) AS n,
+         CAST(sum(cnt) OVER w AS DOUBLE) AS s,
+         CAST(sum(cnt * cnt) OVER w AS DOUBLE) AS sq
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type, hour(hour_ts))
+), z AS (
+  SELECT event_type, hour_ts, cnt, n,
+         sq / n - (s / n) * (s / n) AS var,
+         round((CAST(cnt AS DOUBLE) - s / n) / sqrt(sq / n - (s / n) * (s / n)), 6) AS z
+  FROM scored
+)
+SELECT event_type, hour_ts, cnt, z
+FROM z
+WHERE n >= 3 AND var > 0 AND abs(z) >= 2.0
+"""
+
+
+def q_rolling_revenue_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (r7): per-customer trailing-90-day
+    revenue via RANGE BETWEEN 90 PRECEDING AND CURRENT ROW over an
+    epoch-day sort key — the value-based frame SQL:2011 defines and
+    ROWS frames cannot emulate when order dates gap or tie. The sum
+    routes through DECIMAL(18,2) (exact, order-independent) and casts
+    to double once at the edge, per the decimal-routing convention.
+    Scale shape: one shuffle partitioned by o_custkey; frames are
+    evaluated with a sliding two-pointer over each partition — no
+    per-row rescan."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(d.alias("d"))
+        .rangeBetween(-90, 0)
+    )
+    rev = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("orderdate"),
+        rev.cast("double").alias("rev_90d"),
+    )
+
+
+SQL_ROLLING_REVENUE_90D = """
+SELECT o_orderkey, o_custkey, o_orderdate AS orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rev_90d
+FROM orders
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -9563,6 +9867,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lakehouse_deletion_vectors": q_lakehouse_deletion_vectors,
     "lakehouse_restore_lineage": q_lakehouse_restore_lineage,
     "lakehouse_update_dml": q_lakehouse_update_dml,
+    "countmin_token_counts": q_countmin_token_counts,
+    "bloom_membership_audit": q_bloom_membership_audit,
+    "graph_bfs_copurchase": q_graph_bfs_copurchase,
+    "anomaly_seasonal_events": q_anomaly_seasonal_events,
+    "rolling_revenue_90d": q_rolling_revenue_90d,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -9748,6 +10057,11 @@ ORACLE: dict[str, str] = {
     "lakehouse_deletion_vectors": SQL_LAKEHOUSE_DELETION_VECTORS,
     "lakehouse_restore_lineage": SQL_LAKEHOUSE_RESTORE_LINEAGE,
     "lakehouse_update_dml": SQL_LAKEHOUSE_UPDATE_DML,
+    "countmin_token_counts": SQL_COUNTMIN_TOKEN_COUNTS,
+    "bloom_membership_audit": SQL_BLOOM_MEMBERSHIP_AUDIT,
+    "graph_bfs_copurchase": SQL_GRAPH_BFS_COPURCHASE,
+    "anomaly_seasonal_events": SQL_ANOMALY_SEASONAL_EVENTS,
+    "rolling_revenue_90d": SQL_ROLLING_REVENUE_90D,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

@@ -74,3 +74,44 @@ def test_triangle_count_closed_forms(spark):
     # triangle + pendant: 1 triangle; duplicate/reversed edges collapse
     r = tc([(0, 1), (1, 0), (1, 2), (2, 0), (2, 0), (2, 3)])
     assert (r["n_edges"], r["n_triangles"]) == (4, 1)
+
+
+# --- bounded multi-source BFS ---------------------------------------------
+
+
+def _bfs(spark, edges, sources, **kw):
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    return {
+        r["node"]: r["dist"] for r in bfs_distances(e, s, **kw).collect()
+    }
+
+
+def test_bfs_chain_distances(spark):
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1], max_hops=3)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond max_hops
+
+
+def test_bfs_multi_source_takes_min(spark):
+    got = _bfs(spark, [(1, 2), (2, 3), (5, 3)], [1, 5], max_hops=3)
+    assert got == {1: 0, 5: 0, 2: 1, 3: 1}
+
+
+def test_bfs_cycle_keeps_source_at_zero(spark):
+    got = _bfs(spark, [(1, 2), (2, 1)], [1], max_hops=3)
+    assert got == {1: 0, 2: 1}
+
+
+def test_bfs_early_exit_on_empty_frontier(spark):
+    # component exhausted at hop 1; hops 2..10 must not loop
+    got = _bfs(spark, [(1, 2)], [1], max_hops=10)
+    assert got == {1: 0, 2: 1}
+
+
+def test_bfs_directed_edges_not_symmetric(spark):
+    got = _bfs(spark, [(2, 1)], [1], max_hops=2)
+    assert got == {1: 0}

@@ -127,3 +127,101 @@ def test_theta_a_not_b_exact_on_planted_segments(spark):
     assert r["a_not_b_estimate"] == 60
     r2 = sketch.theta_a_not_b(sk, "segment", "b", "a").collect()[0]
     assert r2["a_not_b_estimate"] == 60  # |B\A| = users 100..159
+
+
+# --- portable Count-Min Sketch --------------------------------------------
+
+
+def test_countmin_estimates_upper_bound_and_tight_on_skew(spark):
+    df = _skewed(spark)
+    sk = sketch.countmin_build(df, "v", depth=4, width=256, seed=11)
+    exact = df.groupBy("v").agg(F.count("*").alias("exact"))
+    est = sketch.countmin_estimate(
+        sk, exact.select("v"), "v", depth=4, width=256, seed=11
+    )
+    joined = {
+        r["v"]: (r["exact"], r["cms_est"])
+        for r in exact.join(est, "v").collect()
+    }
+    n = 500
+    eps_n = (2.718281828 / 256) * n  # e/width * N, the CMS error bar
+    for v, (ex, e) in joined.items():
+        assert e >= ex, f"{v}: CMS underestimated ({e} < {ex})"
+        assert e <= ex + eps_n, f"{v}: overcount beyond eps*N ({e} vs {ex})"
+    # hot keys are far above any collision noise: estimates exact-ish
+    assert joined["hot"][1] - joined["hot"][0] <= 5
+
+
+def test_countmin_sketch_size_is_bounded_by_depth_width(spark):
+    df = _skewed(spark)
+    sk = sketch.countmin_build(df, "v", depth=4, width=32, seed=11)
+    assert sk.count() <= 4 * 32
+    # total mass per row equals N (each row hashes every input once)
+    per_row = {
+        r["row_idx"]: r["mass"]
+        for r in sk.groupBy("row_idx")
+        .agg(F.sum("cnt").alias("mass"))
+        .collect()
+    }
+    assert set(per_row) == {0, 1, 2, 3}
+    assert all(m == 500 for m in per_row.values())
+
+
+def test_countmin_never_seen_value_estimates_near_zero(spark):
+    df = _skewed(spark)
+    sk = sketch.countmin_build(df, "v", depth=4, width=1024, seed=11)
+    probes = spark.createDataFrame([("never-seen-xyz",)], "v string")
+    est = sketch.countmin_estimate(
+        sk, probes, "v", depth=4, width=1024, seed=11
+    )
+    # min over 4 rows of a sparse table: collisions in ALL 4 rows are
+    # needed to report mass; with 202 keys over 1024 buckets that is
+    # possible but the estimate must stay within the eps*N bar
+    assert est.collect()[0]["cms_est"] <= (2.718281828 / 1024) * 500
+
+
+# --- portable Bloom filter ------------------------------------------------
+
+
+def test_bloom_no_false_negatives_ever(spark):
+    members = spark.createDataFrame(
+        [(i,) for i in range(0, 400, 2)], "k long"
+    )
+    bits = sketch.bloom_build(members, "k", num_bits=2048, num_hashes=5)
+    probed = sketch.bloom_probe(
+        bits,
+        spark.createDataFrame([(i,) for i in range(400)], "k long"),
+        "k",
+        num_bits=2048,
+        num_hashes=5,
+    )
+    got = {r["k"]: r["bloom_member"] for r in probed.collect()}
+    for i in range(0, 400, 2):
+        assert got[i] is True, f"false negative on member {i}"
+
+
+def test_bloom_false_positive_rate_within_theory(spark):
+    import math
+
+    n, m, k = 200, 2048, 5
+    members = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    bits = sketch.bloom_build(members, "k", num_bits=m, num_hashes=k)
+    non_members = spark.createDataFrame(
+        [(i,) for i in range(10_000, 12_000)], "k long"
+    )
+    probed = sketch.bloom_probe(
+        bits, non_members, "k", num_bits=m, num_hashes=k
+    )
+    fp = probed.filter(F.col("bloom_member")).count()
+    rate = fp / 2000
+    theory = (1 - math.exp(-k * n / m)) ** k
+    # generous 4x margin over the asymptotic rate (small-m variance)
+    assert rate <= max(4 * theory, 0.02), (rate, theory)
+
+
+def test_bloom_bit_count_bounded(spark):
+    members = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    bits = sketch.bloom_build(members, "k", num_bits=512, num_hashes=5)
+    n_bits = bits.count()
+    assert n_bits <= min(512, 100 * 5)
+    assert n_bits > 100  # 500 draws over 512 slots: far more than 100 set
