@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -379,3 +379,116 @@ def skew_safe_count_distinct(
         .agg(F.countDistinct(distinct_col).alias("_partial"))
     )
     return stage1.groupBy(group_col).agg(F.sum("_partial").alias(out_col))
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    buckets: int = 64,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimize both axes) without a
+    single-partition window.
+
+    A point p is ON the frontier iff no other point q has
+    ``q.x <= p.x AND q.y <= p.y`` with at least one strict inequality.
+    On DISTINCT points sorted by (x asc, y asc), that reduces to
+    "y is strictly below the running min of y over all earlier points"
+    — but a global ordered window is one reducer, the classic skyline
+    scale trap.
+
+    Two-level plan that holds at 100 TB:
+      1. distinct (x, y) points, range-bucketed on x into ``buckets``
+         ntiles (one shuffle; distinct-agg combines map-side);
+      2. per-bucket min(y) → a ``buckets``-row table, running min over
+         bucket order computed on this TINY table (broadcast back);
+      3. within each bucket an ordered window over (x, y) seeds its
+         running min from the PRIOR buckets' prefix min — buckets are
+         processed in parallel, the only global pass is over the
+         bucket-summary table.
+    Dominance across buckets is exact because every point in an earlier
+    x-bucket has x <= any point in a later bucket (range bucketing),
+    so its y participates via the carried prefix min.
+
+    Returns the distinct frontier points (x_col, y_col).
+    """
+    pts = df.select(x_col, y_col).dropna().distinct()
+    # range-bucket on x: ntile over a sample would approximate; exact
+    # range bucketing via percentile boundaries is overkill here —
+    # hash-free range partitioning with repartitionByRange gives the
+    # same contiguity guarantee, and spark_partition_id is the bucket.
+    bucketed = (
+        pts.repartitionByRange(buckets, F.col(x_col), F.col(y_col))
+        .withColumn("_b", F.spark_partition_id())
+    )
+    per_bucket = bucketed.groupBy("_b").agg(F.min(y_col).alias("_bmin"))
+    wb = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = per_bucket.select(
+        "_b", F.min("_bmin").over(wb).alias("_prefix_min")
+    )
+    ww = (
+        Window.partitionBy("_b")
+        .orderBy(x_col, y_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(prefix), "_b")
+        .withColumn(
+            "_run_min",
+            F.least(
+                F.min(y_col).over(ww),
+                F.col("_prefix_min"),
+            ),
+        )
+        .filter(
+            F.col("_run_min").isNull() | (F.col(y_col) < F.col("_run_min"))
+        )
+        .select(x_col, y_col)
+    )
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    out_col: str = "rn",
+    buckets: int = 64,
+) -> DataFrame:
+    """Global 1-based row_number over a total order WITHOUT the
+    single-partition window trap.
+
+    ``row_number().over(Window.orderBy(...))`` collapses the whole
+    table into one reducer — the most common accidental scale killer
+    in ranking queries. The distributed classic instead:
+      1. range-partition on the order columns (contiguous ranges,
+         one shuffle — the same sort-shuffle a global orderBy does);
+      2. count rows per range bucket (tiny summary table);
+      3. exclusive prefix-sum the counts over bucket order (window on
+         a ``buckets``-row table) and broadcast the offsets back;
+      4. per-bucket row_number (parallel windows) + bucket offset.
+
+    ``order_cols`` must form a TOTAL order (include a unique
+    tie-break key): equal keys may straddle a range boundary, and
+    within-bucket row_number over ties is nondeterministic.
+    """
+    cols = [F.col(c) for c in order_cols]
+    bucketed = df.repartitionByRange(buckets, *cols).withColumn(
+        "_b", F.spark_partition_id()
+    )
+    counts = bucketed.groupBy("_b").agg(F.count("*").alias("_n"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_off")
+    )
+    ww = Window.partitionBy("_b").orderBy(*cols)
+    return (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            out_col, (F.row_number().over(ww) + F.col("_off")).cast("long")
+        )
+        .drop("_b", "_off")
+    )

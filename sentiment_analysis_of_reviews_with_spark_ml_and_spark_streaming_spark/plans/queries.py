@@ -9660,6 +9660,291 @@ FROM orders
 """
 
 
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (r7): the Pareto frontier of parts minimizing
+    (p_retailprice, p_size) — "no other part is both cheaper and
+    smaller". Engine path: operators/relational.pareto_frontier_2d,
+    the two-level distributed skyline (range-bucket → per-bucket min →
+    broadcast prefix min → parallel per-bucket windows) that avoids
+    the single-partition global-window trap. The oracle is the NOT
+    EXISTS dominance definition — a completely different computation
+    path, so agreement falsifies the bucketed prefix logic. Values are
+    raw column reads (no arithmetic), hash-exact by construction."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        relational.pareto_frontier_2d(p, "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_size")
+    )
+
+
+SQL_PARETO_FRONTIER_PARTS = """
+SELECT DISTINCT p_retailprice, p_size FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+ORDER BY p_retailprice, p_size
+"""
+
+
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily order revenue
+    (r7), alpha = 1/2, truncated at the trailing 30 observations —
+    the smoothing curve a revenue dashboard overlays on the raw
+    series. Bit-portable by integer-exact construction: daily revenue
+    becomes BIGINT cents, the weight for an observation d steps back
+    is the exact integer 2^(29-d), and numerator/denominator are
+    exact integer sums (order-independent — no float accumulation),
+    divided once in double and rounded. The 30-term window is
+    expressed as a forward SCATTER (each day explodes into 30
+    (target_rank, weighted value) rows) followed by a plain groupBy —
+    an equi-join shape, not a range join, so it scales as 30x the
+    daily-rollup row count (bounded by calendar days, not data
+    volume). Global day ranks come from
+    relational.distributed_row_number (range-bucketed prefix
+    offsets), not a single-partition window."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    ranked = relational.distributed_row_number(daily, ["day"], buckets=32)
+    scattered = (
+        ranked.select("rn", "cents")
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(29))))
+        .selectExpr(
+            "rn + d AS t",
+            "CAST(cents AS DECIMAL(20,0))"
+            " * CAST(shiftleft(CAST(1 AS BIGINT), 29 - d) AS DECIMAL(18,0))"
+            " AS wrev",
+            "shiftleft(CAST(1 AS BIGINT), 29 - d) AS w",
+        )
+    )
+    acc = scattered.groupBy("t").agg(
+        F.sum("wrev").alias("num"), F.sum("w").alias("den")
+    )
+    return (
+        ranked.join(acc, ranked["rn"] == acc["t"])
+        .selectExpr(
+            "day",
+            "n_orders",
+            "CAST(cents AS DOUBLE) / 100 AS rev",
+            "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100, 4)"
+            " AS ewma_rev",
+        )
+        .orderBy("day")
+    )
+
+
+SQL_EWMA_DAILY_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY day) AS rn FROM daily
+), offs AS (
+  SELECT unnest(range(0, 30)) AS d
+), scattered AS (
+  SELECT r.rn + o.d AS t,
+         CAST(r.cents AS HUGEINT) * (CAST(1 AS BIGINT) << (29 - o.d)) AS wrev,
+         (CAST(1 AS BIGINT) << (29 - o.d)) AS w
+  FROM ranked r CROSS JOIN offs o
+), acc AS (
+  SELECT t, sum(wrev) AS num, sum(w) AS den FROM scattered GROUP BY t
+)
+SELECT r.day, r.n_orders,
+       CAST(r.cents AS DOUBLE) / 100 AS rev,
+       round(CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) / 100, 4)
+         AS ewma_rev
+FROM ranked r JOIN acc a ON a.t = r.rn
+ORDER BY r.day
+"""
+
+
+def q_phrase_search_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (r7): find documents containing the
+    exact phrase "customer join" via a positional inverted index —
+    posexplode(split) emits (doc, token, position) postings, the two
+    query terms' postings are filtered FIRST (predicate pushdown
+    keeps only two tokens' rows ahead of the shuffle), and adjacency
+    is the equi-join (doc_id, pos_a + 1 = pos_b). This is the
+    phrase-AND shape of a search engine's positional index: cost is
+    proportional to the two terms' posting lists, never the corpus.
+    The oracle re-derives positions in DuckDB by zipping unnest with
+    a 1-based range — the adjacency predicate is base-invariant."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\W+")).alias(
+            "pos", "tok"
+        ),
+    )
+    left = toks.filter(F.col("tok") == "customer").select(
+        "doc_id", (F.col("pos") + 1).alias("nxt")
+    )
+    right = toks.filter(F.col("tok") == "join").select(
+        "doc_id", F.col("pos").alias("nxt")
+    )
+    return (
+        left.join(right, ["doc_id", "nxt"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_PHRASE_SEARCH_BIGRAM = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\W+') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS i
+  FROM toks
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+WHERE a.tok = 'customer' AND b.tok = 'join'
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+
+def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of customer spend (r7) — the
+    inequality measure a marketplace health dashboard tracks. Formula
+    G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x)) over spend sorted
+    ascending with global rank i. The rank comes from
+    relational.distributed_row_number (range-bucketed prefix offsets
+    — no single-partition window over |customers| rows), and both
+    moment sums are EXACT integer arithmetic (cents * rank in
+    DECIMAL(38,0) / HUGEINT), so the only float ops are the final
+    identical divisions. Tie-break (spend, custkey) makes ranks — and
+    therefore SUM(i*x_i) — deterministic across engines."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = relational.distributed_row_number(
+        spend, ["cents", "o_custkey"], buckets=64
+    )
+    return ranked.selectExpr(
+        "CAST(rn AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(20,0)) AS ixi",
+        "cents",
+    ).selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_customers",
+        "CAST(sum(cents) AS DOUBLE) / 100 AS total_spend",
+        "round((2 * CAST(sum(ixi) AS DOUBLE)"
+        "  - (count(*) + 1) * CAST(sum(cents) AS DOUBLE))"
+        " / (count(*) * CAST(sum(cents) AS DOUBLE)), 6) AS gini",
+    )
+
+
+SQL_CUSTOMER_SPEND_GINI = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS rn
+  FROM spend
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS DOUBLE) / 100 AS total_spend,
+       round((2 * CAST(sum(CAST(rn AS HUGEINT) * cents) AS DOUBLE)
+         - (count(*) + 1) * CAST(sum(cents) AS DOUBLE))
+        / (count(*) * CAST(sum(cents) AS DOUBLE)), 6) AS gini
+FROM ranked
+"""
+
+
+def q_spend_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / calibration table (r7): orders ranked globally by
+    (o_totalprice, o_orderkey) — via the distributed rank operator,
+    not a one-reducer NTILE window — bucketed into 10 equal-width
+    rank deciles with INTEGER floor division (decile 1 = cheapest),
+    then per decile: size, mean price, open-order rate, and lift vs
+    the overall open rate. The lift denominator is recovered from
+    window sums over the 10-row decile table (no second scan). The
+    classic model-calibration readout, here over a portable
+    deterministic score. All rates divide exact integer counts;
+    means route through decimal sums."""
+    o = _t(spark, sf_dir, "orders")
+    ranked = relational.distributed_row_number(
+        o.select(
+            "o_totalprice",
+            "o_orderkey",
+            (F.col("o_orderstatus") == "O").cast("long").alias("is_open"),
+        ),
+        ["o_totalprice", "o_orderkey"],
+        buckets=64,
+    )
+    tot = o.agg(F.count("*").alias("n_total"))
+    deciles = (
+        ranked.join(F.broadcast(tot))
+        .selectExpr(
+            "(rn - 1) * 10 div n_total + 1 AS decile",
+            "o_totalprice",
+            "is_open",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_sp"),
+            F.sum("is_open").alias("_open"),
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        deciles.withColumn("_tot_open", F.sum("_open").over(w))
+        .withColumn("_tot_n", F.sum("n_orders").over(w))
+        .selectExpr(
+            "decile",
+            "n_orders",
+            "round(CAST(_sp AS DOUBLE) / n_orders, 4) AS avg_price",
+            "round(CAST(_open AS DOUBLE) / n_orders, 6) AS open_rate",
+            "round((CAST(_open AS DOUBLE) / n_orders)"
+            " / (CAST(_tot_open AS DOUBLE) / _tot_n), 6) AS lift",
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_SPEND_DECILE_LIFT = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n_total
+  FROM orders
+), deciles AS (
+  SELECT (rn - 1) * 10 // n_total + 1 AS decile,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp,
+         sum(is_open) AS opn
+  FROM ranked GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_orders,
+       round(CAST(sp AS DOUBLE) / n_orders, 4) AS avg_price,
+       round(CAST(opn AS DOUBLE) / n_orders, 6) AS open_rate,
+       round((CAST(opn AS DOUBLE) / n_orders)
+        / (CAST(sum(opn) OVER () AS DOUBLE) / sum(n_orders) OVER ()), 6)
+         AS lift
+FROM deciles
+ORDER BY decile
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -9872,6 +10157,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_bfs_copurchase": q_graph_bfs_copurchase,
     "anomaly_seasonal_events": q_anomaly_seasonal_events,
     "rolling_revenue_90d": q_rolling_revenue_90d,
+    "pareto_frontier_parts": q_pareto_frontier_parts,
+    "ewma_daily_revenue": q_ewma_daily_revenue,
+    "phrase_search_bigram": q_phrase_search_bigram,
+    "customer_spend_gini": q_customer_spend_gini,
+    "spend_decile_lift": q_spend_decile_lift,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -10062,6 +10352,11 @@ ORACLE: dict[str, str] = {
     "graph_bfs_copurchase": SQL_GRAPH_BFS_COPURCHASE,
     "anomaly_seasonal_events": SQL_ANOMALY_SEASONAL_EVENTS,
     "rolling_revenue_90d": SQL_ROLLING_REVENUE_90D,
+    "pareto_frontier_parts": SQL_PARETO_FRONTIER_PARTS,
+    "ewma_daily_revenue": SQL_EWMA_DAILY_REVENUE,
+    "phrase_search_bigram": SQL_PHRASE_SEARCH_BIGRAM,
+    "customer_spend_gini": SQL_CUSTOMER_SPEND_GINI,
+    "spend_decile_lift": SQL_SPEND_DECILE_LIFT,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

@@ -227,3 +227,59 @@ def test_skew_safe_count_distinct_exact(spark):
         .collect()
     }
     assert got == want and ("hot", 1500) in got
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    """Bucketed prefix-offset rank == the one-reducer row_number, on
+    keys crafted to land unevenly across range buckets (including an
+    empty-bucket-prone skewed tail)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        distributed_row_number,
+    )
+
+    df = spark.range(3000).select(
+        F.when(F.col("id") < 2500, F.col("id") % 97)
+        .otherwise(F.lit(10_000) + F.col("id"))
+        .alias("k"),
+        F.col("id"),
+    )
+    got = {
+        (r["k"], r["id"], r["rn"])
+        for r in distributed_row_number(df, ["k", "id"], buckets=16).collect()
+    }
+    w = Window.orderBy("k", "id")
+    want = {
+        (r["k"], r["id"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Two-level bucketed skyline == the quadratic dominance scan, on
+    a seeded random point cloud with duplicate points and axis ties."""
+    import random
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(500)]
+    pts += pts[:25]  # duplicates must not self-dominate
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = sorted(tuple(r) for r in pareto_frontier_2d(df, "x", "y").collect())
+    uniq = set(pts)
+    want = sorted(
+        p
+        for p in uniq
+        if not any(
+            q != p and q[0] <= p[0] and q[1] <= p[1] for q in uniq
+        )
+    )
+    assert got == want
