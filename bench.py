@@ -159,6 +159,15 @@ HEADLINE = [
     "graph_bfs_copurchase",
     # RANGE-frame trailing-90d window over the full orders table
     "rolling_revenue_90d",
+    # round-7 second-continuation tier: distributed global-rank family
+    # (range-bucketed prefix offsets — no single-partition windows),
+    # the bucketed 2-D skyline, positional phrase search, and PQ/ADC
+    "pareto_frontier_parts",
+    "ewma_daily_revenue",
+    "phrase_search_bigram",
+    "customer_spend_gini",
+    "spend_decile_lift",
+    "similarity_pq_adc",
 ]
 
 

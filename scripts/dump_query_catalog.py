@@ -37,8 +37,18 @@ def main() -> None:
         "docs",
         "QUERIES.md",
     )
+    # Preserve the hand-written prose (queue policy, rotation history)
+    # that follows the generated table: everything from the first "## "
+    # heading onward survives regeneration.
+    prose = ""
+    if os.path.exists(out):
+        with open(out) as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            prose = old[idx:]
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + prose)
     print(f"wrote {out} ({len(QUERIES)} queries)")
 
 

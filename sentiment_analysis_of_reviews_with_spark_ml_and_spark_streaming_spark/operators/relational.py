@@ -418,9 +418,15 @@ def pareto_frontier_2d(
     # range bucketing via percentile boundaries is overkill here —
     # hash-free range partitioning with repartitionByRange gives the
     # same contiguity guarantee, and spark_partition_id is the bucket.
+    # localCheckpoint PINS one bucketing: repartitionByRange samples
+    # fresh boundaries on EVERY consumption, and this frame feeds two
+    # plans (per-bucket mins and the final window) — without the pin
+    # they can see different _b assignments and the prefix mins join
+    # against the wrong buckets.
     bucketed = (
         pts.repartitionByRange(buckets, F.col(x_col), F.col(y_col))
         .withColumn("_b", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     per_bucket = bucketed.groupBy("_b").agg(F.min(y_col).alias("_bmin"))
     wb = (
@@ -476,8 +482,16 @@ def distributed_row_number(
     within-bucket row_number over ties is nondeterministic.
     """
     cols = [F.col(c) for c in order_cols]
-    bucketed = df.repartitionByRange(buckets, *cols).withColumn(
-        "_b", F.spark_partition_id()
+    # localCheckpoint pins ONE set of sampled range boundaries: this
+    # frame is consumed by both the bucket-count aggregation and the
+    # final ranked join, and repartitionByRange re-samples (different
+    # boundaries, different _b) on each consumption without it — the
+    # offsets would then belong to a different bucketing than the
+    # per-bucket row_numbers.
+    bucketed = (
+        df.repartitionByRange(buckets, *cols)
+        .withColumn("_b", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = bucketed.groupBy("_b").agg(F.count("*").alias("_n"))
     wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)

@@ -986,3 +986,244 @@ def ivf_index_add(
     rows = report.collect()
     assigned.unpersist()
     return spark.createDataFrame(rows, report.schema)
+
+
+def _subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int
+) -> DataFrame:
+    """(id, vec) → (id, _s, _sv): m contiguous subvectors per row."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("_s"),
+                F.transform(
+                    F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim),
+                    lambda x: x.cast("double"),
+                ).alias("_sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.explode(slices).alias("_sl")
+    ).select(id_col, F.col("_sl._s").alias("_s"), F.col("_sl._sv").alias("_sv"))
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    k_codes: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_round: int = 9,
+    dist_round: int = 6,
+) -> DataFrame:
+    """Product-quantization codebooks (FAISS PQ): split each vector
+    into ``m`` contiguous subspaces and k-means each subspace into
+    ``k_codes`` centroids → (``_s``, ``_code``, ``_ce``).
+
+    All ``m`` subspaces train in ONE distributed plan per Lloyd round
+    (not m sequential k-means): the subvector frame is keyed by
+    subspace, the m×k centroid table broadcasts back EQUI-joined on
+    the subspace id, and the update is a single groupBy
+    (subspace, code, dim) — bounded m×k×(d/m) keys, map-side
+    combined. Determinism follows kmeans_fixed's recipe: seeds are
+    the k smallest ids' subvectors, every round's centroids and
+    assignment distances round before use, ties break on code id.
+    """
+    sub_dim = _first_dim(corpus, vec_col) // m
+    sv = _subvectors(corpus, id_col, vec_col, m, sub_dim)
+    wseed = Window.partitionBy("_s").orderBy(F.col(id_col))
+    cent = (
+        sv.withColumn("_rk", F.row_number().over(wseed))
+        .filter(F.col("_rk") <= k_codes)
+        .select(
+            "_s",
+            (F.col("_rk") - 1).alias("_code"),
+            F.transform(F.col("_sv"), lambda x: F.round(x, cent_round)).alias(
+                "_ce"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_sv"), F.col("_ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    wa = Window.partitionBy(id_col, "_s").orderBy(
+        F.col("_d2").asc(), F.col("_code").asc()
+    )
+    for _ in range(iterations):
+        assign = (
+            sv.join(F.broadcast(cent), "_s")
+            .select(
+                id_col, "_s", "_sv", "_code", F.round(d2, dist_round).alias("_d2")
+            )
+            .withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") == 1)
+        )
+        dims = (
+            assign.select("_s", "_code", F.posexplode("_sv").alias("_j", "_v"))
+            .groupBy("_s", "_code", "_j")
+            .agg(F.avg("_v").alias("_mv"))
+        )
+        new_cent = dims.groupBy("_s", "_code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_j", "_mv"))),
+                lambda s: F.round(s["_mv"], cent_round),
+            ).alias("_nce")
+        )
+        cent = (
+            cent.join(new_cent, ["_s", "_code"], "left")
+            .select(
+                "_s",
+                "_code",
+                F.coalesce("_nce", "_ce").alias("_ce"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    *,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+) -> DataFrame:
+    """Quantize every vector to its per-subspace nearest code →
+    (id, _s, _code): the m-byte PQ code in long form. One broadcast
+    equi-join on the subspace id — the corpus is scanned once."""
+    sub_dim = _first_dim(corpus, vec_col) // m
+    sv = _subvectors(corpus, id_col, vec_col, m, sub_dim)
+    d2 = F.aggregate(
+        F.zip_with(F.col("_sv"), F.col("_ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    wa = Window.partitionBy(id_col, "_s").orderBy(
+        F.col("_d2").asc(), F.col("_code").asc()
+    )
+    return (
+        sv.join(F.broadcast(codebooks), "_s")
+        .select(id_col, "_s", "_code", F.round(d2, dist_round).alias("_d2"))
+        .withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_s", "_code")
+    )
+
+
+def pq_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    m: int = 8,
+    k_codes: int = 16,
+    iterations: int = 3,
+    k: int = 10,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int = 6,
+    sim_round: int = 4,
+) -> DataFrame:
+    """PQ top-k via Asymmetric Distance Computation (FAISS
+    IndexPQ.search): the query stays un-quantized; its per-subspace
+    distance TABLE to all m×k codebook centroids is computed once
+    (m×k rows per query, broadcast-joined), and each corpus vector's
+    approximate distance is the SUM of m table lookups keyed by its
+    stored codes — no full-dimension arithmetic against the corpus at
+    query time, which is the whole point of PQ at 100 TB: the scan
+    touches m-byte codes, not d-float vectors, an (m/d)·(8/32)
+    memory-bandwidth reduction (16× here), and the lookup join is an
+    equi-join on (subspace, code).
+
+    ``refine > 0`` re-ranks the top ``refine`` ADC candidates with
+    exact cosine over the original vectors (the standard
+    IndexRefineFlat recipe) — accuracy of exact search on the short
+    list, cost of ADC on the corpus.
+
+    Returns (query_id, neighbor_id, rank, score) where score is the
+    rounded ADC distance² (refine=0) or exact cosine (refine>0).
+    """
+    books = pq_train(
+        corpus,
+        m=m,
+        k_codes=k_codes,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        dist_round=dist_round,
+    )
+    codes = pq_encode(
+        corpus, books, m=m, id_col=id_col, vec_col=vec_col,
+        dist_round=dist_round,
+    )
+    sub_dim = _first_dim(corpus, vec_col) // m
+    qsub = _subvectors(
+        queries.select(F.col(id_col).alias("_qid"), vec_col),
+        "_qid",
+        vec_col,
+        m,
+        sub_dim,
+    ).select("_qid", "_s", F.col("_sv").alias("_qsv"))
+    qd2 = F.aggregate(
+        F.zip_with(F.col("_qsv"), F.col("_ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    qtable = qsub.join(F.broadcast(books), "_s").select(
+        "_qid", "_s", "_code", F.round(qd2, dist_round).alias("_pd2")
+    )
+    adc = (
+        codes.join(qtable, ["_s", "_code"])
+        .filter(F.col("_qid") != F.col(id_col))
+        .groupBy("_qid", id_col)
+        .agg(F.round(F.sum("_pd2"), dist_round).alias("_adc2"))
+    )
+    wr = Window.partitionBy("_qid").orderBy(F.col("_adc2").asc(), F.col(id_col))
+    ranked = adc.withColumn("_rn", F.row_number().over(wr))
+    if refine <= 0:
+        return ranked.filter(F.col("_rn") <= k).select(
+            F.col("_qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_rn").cast("int").alias("rank"),
+            F.col("_adc2").alias("score"),
+        )
+    nv = corpus.select(
+        F.col(id_col).alias("_nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_ne"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("_qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qe"),
+    )
+    short = (
+        ranked.filter(F.col("_rn") <= refine)
+        .select("_qid", F.col(id_col).alias("_nid"))
+        .join(F.broadcast(qv), "_qid")
+        .join(nv, "_nid")
+    )
+    sim = F.round(
+        _dot(F.col("_qe"), F.col("_ne"))
+        / (_norm(F.col("_qe")) * _norm(F.col("_ne"))),
+        sim_round,
+    )
+    wf = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_nid"))
+    return (
+        short.select("_qid", "_nid", sim.alias("_sim"))
+        .withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_nid").alias("neighbor_id"),
+            F.col("_rn").cast("int").alias("rank"),
+            F.col("_sim").alias("score"),
+        )
+    )

@@ -9945,6 +9945,21 @@ ORDER BY decile
 """
 
 
+def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (r7; FAISS IndexPQ + refine recipe, operators/similarity.py):
+    m=8 subspace codebooks of 16 codes each, corpus stored as 8-byte
+    codes, queries ranked by summed distance-table lookups, top list
+    exactly re-ranked. Rows-only check (like the LSH/IVF tiers);
+    recall vs exact cosine and a numpy differential twin are
+    unit-tested in tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.pq_topk_adc(
+        emb, queries, m=8, k_codes=16, k=5, refine=25
+    )
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -10162,6 +10177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search_bigram": q_phrase_search_bigram,
     "customer_spend_gini": q_customer_spend_gini,
     "spend_decile_lift": q_spend_decile_lift,
+    "similarity_pq_adc": q_similarity_pq_adc,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,

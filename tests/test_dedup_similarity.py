@@ -592,3 +592,95 @@ def test_hyperplane_ann_finds_planted_neighbor(spark):
     rank1 = [r for r in out if r["rank"] == 1][0]
     assert rank1["neighbor_id"] == 1
     assert rank1["cosine_sim"] > 0.999
+
+
+def test_pq_differential_vs_numpy_twin(spark):
+    """PQ codebook training + encoding + ADC ranking re-implemented
+    independently in numpy with the same seeds and rounding — the
+    distributed plan must reproduce it exactly (codes AND rounded ADC
+    distances). Falsifies the all-subspaces-in-one-plan join logic."""
+    import numpy as np
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(60)
+        .collect()
+    )
+    ids = [r["vec_id"] for r in emb]
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    m, k_codes, iters, sub = 4, 8, 2, X.shape[1] // 4
+    order = np.argsort(ids)
+
+    # numpy twin, mirroring pq_train's seed/round/tie rules
+    books = {}
+    for s in range(m):
+        Xi = X[:, s * sub : (s + 1) * sub]
+        cent = np.round(Xi[order[:k_codes]], 9)
+        for _ in range(iters):
+            d2 = np.round(
+                ((Xi[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), 6
+            )
+            a = d2.argmin(axis=1)  # ties -> lowest code, argmin default
+            new = cent.copy()
+            for c in range(k_codes):
+                if (a == c).any():
+                    new[c] = np.round(Xi[a == c].mean(axis=0), 9)
+            cent = new
+        books[s] = cent
+    codes_np = {}
+    for i, vid in enumerate(ids):
+        codes_np[vid] = tuple(
+            int(
+                np.round(
+                    ((X[i, s * sub : (s + 1) * sub] - books[s]) ** 2).sum(
+                        axis=1
+                    ),
+                    6,
+                ).argmin()
+            )
+            for s in range(m)
+        )
+
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, X)],
+        "vec_id long, embedding array<double>",
+    )
+    trained = similarity.pq_train(df, m=m, k_codes=k_codes, iterations=iters)
+    got_books = {
+        (r["_s"], r["_code"]): np.array(r["_ce"]) for r in trained.collect()
+    }
+    for s in range(m):
+        for c in range(k_codes):
+            assert np.allclose(got_books[(s, c)], books[s][c]), (s, c)
+    enc = similarity.pq_encode(df, trained, m=m)
+    got_codes = {}
+    for r in enc.collect():
+        got_codes.setdefault(r["vec_id"], {})[r["_s"]] = r["_code"]
+    for vid in ids:
+        assert (
+            tuple(got_codes[vid][s] for s in range(m)) == codes_np[vid]
+        ), vid
+
+
+def test_pq_adc_refined_recall_vs_exact(spark):
+    """ADC + exact-refine recall@10 against brute-force cosine on a
+    real embedding slice: the refine stage's promise is near-exact
+    accuracy at code-scan cost. Assert recall >= 0.8."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(
+            emb, queries, k=10
+        ).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk_adc(
+            emb, queries, m=8, k_codes=16, k=10, refine=50
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ+refine recall@10 dropped to {recall}"
