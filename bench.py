@@ -168,6 +168,10 @@ HEADLINE = [
     "customer_spend_gini",
     "spend_decile_lift",
     "similarity_pq_adc",
+    # temporal AS OF join vs the SCD2 dim, kNN label vote, Markov matrix
+    "scd2_pointintime_join",
+    "knn_label_vote",
+    "markov_transitions_events",
 ]
 
 
