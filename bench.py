@@ -172,6 +172,8 @@ HEADLINE = [
     "scd2_pointintime_join",
     "knn_label_vote",
     "markov_transitions_events",
+    # char-level entropy quality signal (one (doc,char) shuffle)
+    "char_entropy_docs",
 ]
 
 

@@ -10188,6 +10188,60 @@ ORDER BY prev_type, next_type
 """
 
 
+def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (r7) — the cheap
+    compressibility proxy quality filters use to flag keyboard-mash
+    and template boilerplate (natural prose sits in a narrow entropy
+    band; repeated padding scores low, random noise high). Computed
+    from integer counts as H = ln(L) - (Σ c·ln c)/L so the inner sum
+    is EXACT decimal arithmetic over quantized logs (ln(c) cast to
+    DECIMAL(28,12) — the unigram-LM portability trick: a libm
+    last-ulp wobble cannot cross the 1e-12 quantization except with
+    vanishing probability), and the only float ops are the final
+    identical ln/divide/round. One (doc, char) shuffle; nothing
+    driver-side."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        F.sum(
+            F.log("c").cast("decimal(28,12)")
+            * F.col("c").cast("decimal(10,0)")
+        ).alias("_slc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+        F.round(
+            F.log(F.col("n_chars"))
+            - F.col("_slc").cast("double") / F.col("n_chars"),
+            4,
+        ).alias("char_entropy"),
+    ).orderBy("doc_id")
+
+
+SQL_CHAR_ENTROPY_DOCS = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         sum(CAST(ln(c) AS DECIMAL(28,12)) * CAST(c AS DECIMAL(10,0))) AS slc
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n_chars, n_distinct_chars,
+       round(ln(n_chars) - CAST(slc AS DOUBLE) / n_chars, 4) AS char_entropy
+FROM per_doc ORDER BY doc_id
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -10409,6 +10463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_pointintime_join": q_scd2_pointintime_join,
     "knn_label_vote": q_knn_label_vote,
     "markov_transitions_events": q_markov_transitions_events,
+    "char_entropy_docs": q_char_entropy_docs,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -10607,6 +10662,7 @@ ORACLE: dict[str, str] = {
     "scd2_pointintime_join": SQL_SCD2_POINTINTIME_JOIN,
     "knn_label_vote": SQL_KNN_LABEL_VOTE,
     "markov_transitions_events": SQL_MARKOV_TRANSITIONS_EVENTS,
+    "char_entropy_docs": SQL_CHAR_ENTROPY_DOCS,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
