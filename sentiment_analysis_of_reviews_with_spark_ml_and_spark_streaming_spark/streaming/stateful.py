@@ -434,3 +434,86 @@ def running_user_stats_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ewma_smooth_batch(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Batch twin of :func:`streaming_ewma`: the exact recursive EWMA
+    s_t = α·x_t + (1-α)·s_{t-1} folded per key in ``order_col`` order
+    via one grouped-map pass (an inherently sequential-per-key
+    recursion; keys fan out across executors, so parallelism is
+    per-key — the right shape, since EWMA state is per-series)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        s = None
+        out = []
+        for v in pdf[value_col].astype(float):
+            s = v if s is None else alpha * v + (1.0 - alpha) * s
+            out.append(s)
+        return pdf.assign(ewma=out)[[key_col, order_col, value_col, "ewma"]]
+
+    return df.select(key_col, order_col, value_col).groupBy(key_col).applyInPandas(
+        fold,
+        schema=f"{key_col} long, {order_col} long, {value_col} double, "
+        "ewma double",
+    )
+
+
+def streaming_ewma(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key exponential smoothing across micro-batches: O(1) state
+    (the last smoothed value) carries the ENTIRE history's recursion
+    s_t = α·x_t + (1-α)·s_{t-1} — the streaming form of
+    :func:`ewma_smooth_batch`, equal row-for-row to running the batch
+    fold over the concatenated stream (asserted in
+    tests/test_stateful_and_properties.py). Rows are folded in
+    ``order_col`` order within each batch; emits every row with its
+    smoothed value. The anomaly-baseline / sensor-smoothing shape:
+    unbounded history, constant state, no watermark needed."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        s = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            out = []
+            for v in pdf[value_col].astype(float):
+                s = float(v) if s is None else alpha * float(v) + (1.0 - alpha) * s
+                out.append(s)
+            if len(pdf):
+                yield pd.DataFrame(
+                    {
+                        key_col: pdf[key_col].astype("int64"),
+                        order_col: pdf[order_col].astype("int64"),
+                        value_col: pdf[value_col].astype(float),
+                        "ewma": out,
+                    }
+                )
+        if s is not None:
+            state.update((float(s),))
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, {order_col} long, "
+        f"{value_col} double, ewma double",
+        stateStructType="s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -246,3 +246,60 @@ def test_transform_with_state_matches_v1(spark, tmp_path):
         ).collect()
     }
     assert rows == {1: (3, 112.0, 100.0), 2: (1, 1.0, 1.0)}
+
+
+def test_streaming_ewma_equals_batch_fold(spark, tmp_path):
+    """Two micro-batches of per-user values smoothed with O(1) carried
+    state must equal the batch grouped-map fold over the concatenated
+    history — row for row, bit for bit (same float ops in the same
+    order on both paths)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        ewma_smooth_batch,
+        streaming_ewma,
+    )
+
+    b0 = [
+        {"user_id": 1, "event_id": 1, "value": 10.0},
+        {"user_id": 1, "event_id": 2, "value": 20.0},
+        {"user_id": 2, "event_id": 3, "value": 5.0},
+    ]
+    b1 = [
+        {"user_id": 1, "event_id": 4, "value": 2.5},
+        {"user_id": 2, "event_id": 5, "value": 7.25},
+        {"user_id": 3, "event_id": 6, "value": 1.0},
+    ]
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(e) for e in b0))
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q = (
+        streaming_ewma(stream, alpha=0.25)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewma_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in b1))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_id"]: (r["user_id"], r["value"], r["ewma"])
+        for r in spark.sql("select * from ewma_stream").collect()
+    }
+    batch = spark.createDataFrame(
+        b0 + b1, "user_id long, event_id long, value double"
+    )
+    want = {
+        r["event_id"]: (r["user_id"], r["value"], r["ewma"])
+        for r in ewma_smooth_batch(batch, alpha=0.25).collect()
+    }
+    assert got == want
+    # spot-check the recursion arithmetic itself
+    assert want[2] == (1, 20.0, 0.25 * 20.0 + 0.75 * 10.0)
