@@ -174,6 +174,8 @@ HEADLINE = [
     "markov_transitions_events",
     # char-level entropy quality signal (one (doc,char) shuffle)
     "char_entropy_docs",
+    # exact equi-depth histogram via the distributed rank operator
+    "equidepth_histogram_lineitem",
 ]
 
 

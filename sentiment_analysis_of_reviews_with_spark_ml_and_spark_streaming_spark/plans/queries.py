@@ -10242,6 +10242,56 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+def q_equidepth_histogram_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact equi-depth (equi-height) histogram of l_extendedprice in
+    20 buckets (r7) — the statistic a cost-based optimizer keeps per
+    column, where equal-ROW-COUNT buckets resolve skew that
+    equal-WIDTH buckets smear. Exactness needs a global rank over the
+    biggest fact table, which is precisely what
+    relational.distributed_row_number exists for (range-bucketed
+    prefix offsets; the one-reducer window would sort 6B rows on one
+    thread at SF-10k). Bucket assignment is INTEGER floor division of
+    the rank (no float boundary ambiguity); per-bucket lo/hi/count
+    are raw values and exact integers."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = relational.distributed_row_number(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], buckets=64
+    )
+    tot = li.agg(F.count("*").alias("n_total"))
+    return (
+        ranked.join(F.broadcast(tot))
+        .selectExpr(
+            "(rn - 1) * 20 div n_total + 1 AS bucket", "l_extendedprice"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_EQUIDEPTH_HISTOGRAM_LINEITEM = """
+WITH ranked AS (
+  SELECT l_extendedprice,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS rn,
+         count(*) OVER () AS n_total
+  FROM lineitem
+)
+SELECT CAST((rn - 1) * 20 // n_total + 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -10464,6 +10514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_vote": q_knn_label_vote,
     "markov_transitions_events": q_markov_transitions_events,
     "char_entropy_docs": q_char_entropy_docs,
+    "equidepth_histogram_lineitem": q_equidepth_histogram_lineitem,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -10663,6 +10714,7 @@ ORACLE: dict[str, str] = {
     "knn_label_vote": SQL_KNN_LABEL_VOTE,
     "markov_transitions_events": SQL_MARKOV_TRANSITIONS_EVENTS,
     "char_entropy_docs": SQL_CHAR_ENTROPY_DOCS,
+    "equidepth_histogram_lineitem": SQL_EQUIDEPTH_HISTOGRAM_LINEITEM,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

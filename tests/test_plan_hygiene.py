@@ -26,7 +26,13 @@ ARROW_PYTHON_OK = {
     "embedding_pca_by_label",
 }
 # exact brute-force baselines: cross join is deliberate and documented
-CROSS_JOIN_OK = {"dedup_embedding_cosine", "similarity_cosine_topk"}
+# (knn_label_vote scores against a bounded broadcast query set through
+# the same cosine_topk_bruteforce operator)
+CROSS_JOIN_OK = {
+    "dedup_embedding_cosine",
+    "similarity_cosine_topk",
+    "knn_label_vote",
+}
 # ML pipeline fitting triggers jobs at plan-build time; plans are the
 # pipeline's own — skip (covered by ml tests)
 SKIP = {
@@ -82,6 +88,11 @@ def test_plan_hygiene(spark, name):
             # same k-centroid broadcast assign step, reused for the
             # a/b silhouette distances — broadcast side is k rows
             "kmeans_silhouette",
+            # 1-row total-count aggregate crossJoined for the integer
+            # rank→bucket division — broadcast side is a single row by
+            # construction (same contract as the BM25/Q22 scalars)
+            "spend_decile_lift",
+            "equidepth_histogram_lineitem",
         }, f"{name}: unexpected nested-loop join"
 
 
