@@ -517,3 +517,73 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_weighted_reservoir(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    weight_col: str = "value",
+    k: int = 5,
+) -> DataFrame:
+    """Weighted sampling without replacement over an unbounded stream,
+    O(k) state per group: the Efraimidis–Spirakis scheme with the
+    repo's md5-derived deterministic keys (operators/relational.
+    weighted_sample_per_group). Because the E-S key is a PURE FUNCTION
+    of the row (no RNG, no arrival-order dependence), "keep the k
+    largest keys seen so far" commutes with any batch split — so the
+    stream's final reservoir equals the batch operator on the
+    concatenated history exactly (asserted in
+    tests/test_stateful_and_properties.py), a property a
+    random-number reservoir (Algorithm R) cannot offer.
+
+    The key computes NATIVELY (codegen md5/log) before the stateful
+    stage; Python only merges two k-bounded lists per (group, batch).
+    Emits the full current reservoir per group per batch (update
+    mode): (group, id, es_key, rank).
+    """
+    from ..operators.textstats import md5_prefix_long
+
+    h = md5_prefix_long(F.col(id_col).cast("string"), nchars=8).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(2**32))
+    es = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    keyed = (
+        events.filter(F.col(weight_col) > 0)
+        .select(F.col(group_col), F.col(id_col), es.alias("_es"))
+    )
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        if state.exists:
+            ids, keys = list(state.get[0]), list(state.get[1])
+        else:
+            ids, keys = [], []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf[id_col])
+            keys.extend(float(x) for x in pdf["_es"])
+        order = sorted(range(len(ids)), key=lambda i: (-keys[i], ids[i]))[:k]
+        ids = [ids[i] for i in order]
+        keys = [keys[i] for i in order]
+        state.update((ids, keys))
+        yield pd.DataFrame(
+            {
+                group_col: [g] * len(ids),
+                id_col: ids,
+                "es_key": keys,
+                "rank": list(range(1, len(ids) + 1)),
+            }
+        )
+
+    return keyed.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{group_col} string, {id_col} long, "
+        "es_key double, rank int",
+        stateStructType="ids array<long>, keys array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -303,3 +303,70 @@ def test_streaming_ewma_equals_batch_fold(spark, tmp_path):
     assert got == want
     # spot-check the recursion arithmetic itself
     assert want[2] == (1, 20.0, 0.25 * 20.0 + 0.75 * 10.0)
+
+
+def test_streaming_weighted_reservoir_equals_batch(spark, tmp_path):
+    """The deterministic E-S reservoir's defining property: because the
+    key is a pure row function, streaming top-k-by-key across any
+    batch split equals the batch operator on the full history."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        weighted_sample_per_group,
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        streaming_weighted_reservoir,
+    )
+
+    rows = [
+        {"event_type": t, "event_id": i, "value": float(1 + (i * 7) % 13)}
+        for i, t in enumerate(
+            ["view"] * 9 + ["click"] * 7 + ["purchase"] * 4, start=1
+        )
+    ]
+    src = tmp_path / "res_src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps(e) for e in rows[:8])
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_type string, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q = (
+        streaming_weighted_reservoir(stream, k=3)
+        .writeStream.format("memory")
+        .queryName("res_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "res_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(e) for e in rows[8:])
+    )
+    q.processAllAvailable()
+    q.stop()
+    # keep only each group's LAST emission (update mode re-emits)
+    import collections
+
+    latest: dict = collections.defaultdict(dict)
+    for r in spark.sql("select * from res_stream").collect():
+        latest[r["event_type"]][r["rank"]] = r["event_id"]
+    # re-emissions overwrite per rank; the final state is the last write
+    got = {
+        (t, rk): i for t, d in latest.items() for rk, i in d.items()
+    }
+    batch = spark.createDataFrame(
+        rows, "event_type string, event_id long, value double"
+    )
+    want_rows = weighted_sample_per_group(
+        batch,
+        group_col="event_type",
+        id_col="event_id",
+        weight_col="value",
+        k=3,
+    ).collect()
+    want_ids = {(r["event_type"], r["event_id"]) for r in want_rows}
+    got_ids = {(t, i) for (t, _), i in got.items()}
+    assert got_ids == want_ids
