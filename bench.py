@@ -176,6 +176,8 @@ HEADLINE = [
     "char_entropy_docs",
     # exact equi-depth histogram via the distributed rank operator
     "equidepth_histogram_lineitem",
+    # PPJoin-style lossless prefix-filtered Jaccard self-join
+    "dedup_prefix_filter",
 ]
 
 

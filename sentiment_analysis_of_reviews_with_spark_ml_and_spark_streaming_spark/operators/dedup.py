@@ -1220,3 +1220,94 @@ def incremental_near_dedup(
     fresh = new_docs.join(fresh_ids.select(id_col, "simhash"), id_col)
     delta = fresh.select(F.col(id_col), F.col("simhash"))
     return fresh, delta
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_frac: tuple[int, int] = (3, 5),
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (the
+    PPJoin/AllPairs family) — the third candidate-generation algorithm
+    in the dedup tier, alongside the inverted-index self-join
+    (:func:`ngram_jaccard_pairs`) and banded MinHash
+    (:func:`minhash_lsh_candidates`), and unlike MinHash it is
+    LOSSLESS: for Jaccard >= t, |A∩B| >= ceil(t·|A|), so if the
+    (|A| - ceil(t·|A|) + 1) globally-rarest shingles of A share
+    nothing with B's prefix, the pair provably cannot qualify.
+    Candidates therefore come from self-joining only each doc's
+    PREFIX (rarest-first by corpus document frequency), which prunes
+    the quadratic blow-up on hot boilerplate shingles by
+    construction — the same pathology :func:`ngram_jaccard_pairs`
+    needs its df cap for, handled here without dropping any true
+    pair.
+
+    ``threshold_frac`` is the threshold as an integer fraction p/q so
+    prefix lengths use EXACT integer ceil((p·sz + q - 1) div q) — no
+    float boundary wobble. Verification computes true Jaccard with
+    array_intersect over the candidate pairs only (codegen, bounded
+    by candidate count). One shuffle for df, one doc-keyed window for
+    the rarity ranking, one prefix self-join, one array verify.
+
+    Returns (id_a, id_b, jaccard) for pairs with J >= p/q.
+    """
+    p, q = threshold_frac
+    sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
+    inv = sh.select(
+        F.col(id_col).alias("_id"),
+        F.size("shingles").alias("_sz"),
+        F.explode("shingles").alias("_g"),
+    )
+    # corpus document frequency per shingle: vocabulary-sized, so the
+    # join carries NO broadcast hint (the TF-IDF rule)
+    dfreq = inv.groupBy("_g").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_g")
+    prefix = (
+        inv.join(dfreq, "_g")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            F.col("_rn")
+            <= F.col("_sz") - F.expr(f"(_sz * {p} + {q - 1}) div {q}") + 1
+        )
+        .select("_id", "_g")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_g")
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    sa = sh.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("_sha")
+    )
+    sb = sh.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("_shb")
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sha", "_shb")).alias("_inter"),
+            F.size("_sha").alias("_na"),
+            F.size("_shb").alias("_nb"),
+        )
+        .filter(
+            F.col("_inter") * q >= (F.col("_na") + F.col("_nb") - F.col("_inter")) * p
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+            6,
+        ).alias("jaccard"),
+    )

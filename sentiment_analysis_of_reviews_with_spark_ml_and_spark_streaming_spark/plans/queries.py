@@ -10292,6 +10292,51 @@ FROM ranked GROUP BY 1 ORDER BY 1
 """
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard self-join (r7; the
+    PPJoin/AllPairs family, operators/dedup.prefix_filter_pairs):
+    candidates come from self-joining only each doc's
+    (|d| - ceil(0.6·|d|) + 1) globally-RAREST trigram shingles —
+    provably lossless for J >= 3/5, and immune to the hot-boilerplate
+    quadratic blow-up without the df cap ngram_jaccard_pairs needs.
+    Thresholding is exact integer cross-multiplication (inter·5 >=
+    union·3) on BOTH engines, so boundary pairs cannot float-wobble.
+    The oracle is the UNFILTERED brute-force inverted-index join —
+    agreement proves the prefix pruning dropped no qualifying pair on
+    this corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(
+        docs, n=3, threshold_frac=(3, 5)
+    ).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_PREFIX_FILTER = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+), inv AS (
+  SELECT doc_id, len(shingles) AS sz, u.shingle
+  FROM sh, unnest(shingles) AS u(shingle)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(inter / (sz_a + sz_b - inter), 6) AS jaccard
+FROM pairs
+WHERE inter * 5 >= (sz_a + sz_b - inter) * 3
+ORDER BY id_a, id_b
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -10515,6 +10560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_transitions_events": q_markov_transitions_events,
     "char_entropy_docs": q_char_entropy_docs,
     "equidepth_histogram_lineitem": q_equidepth_histogram_lineitem,
+    "dedup_prefix_filter": q_dedup_prefix_filter,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -10715,6 +10761,7 @@ ORACLE: dict[str, str] = {
     "markov_transitions_events": SQL_MARKOV_TRANSITIONS_EVENTS,
     "char_entropy_docs": SQL_CHAR_ENTROPY_DOCS,
     "equidepth_histogram_lineitem": SQL_EQUIDEPTH_HISTOGRAM_LINEITEM,
+    "dedup_prefix_filter": SQL_DEDUP_PREFIX_FILTER,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

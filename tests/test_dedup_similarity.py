@@ -684,3 +684,36 @@ def test_pq_adc_refined_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"PQ+refine recall@10 dropped to {recall}"
+
+
+def test_prefix_filter_equals_uncapped_jaccard(spark):
+    """Prefix filtering is LOSSLESS for J >= t: on a corpus with
+    planted near-dups, hot boilerplate, and disjoint docs, the
+    PPJoin-style operator must return exactly the pairs the full
+    inverted-index join returns at the same threshold."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " lambda"),                      # near-dup of 1
+        (3, base.replace("delta", "DELTA")),        # near-dup of 1
+        (4, "totally different words entirely here now"),
+        (5, "common header line " + base),          # partial overlap
+        (6, "common header line unrelated tail content words"),
+        (7, base),                                  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.prefix_filter_pairs(
+            df, n=3, threshold_frac=(3, 5)
+        ).collect()
+    }
+    exact = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in exact
+        # integer cross-multiplied threshold, same as the operator
+        if r["jaccard"] >= 3 / 5
+    }
+    assert got == want
+    assert any(a == 1 and b == 7 for a, b, _ in got)  # exact dup found
