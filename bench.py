@@ -178,6 +178,8 @@ HEADLINE = [
     "equidepth_histogram_lineitem",
     # PPJoin-style lossless prefix-filtered Jaccard self-join
     "dedup_prefix_filter",
+    # SPFA-frontier Bellman-Ford over the weighted co-purchase graph
+    "graph_weighted_paths",
 ]
 
 

@@ -204,3 +204,76 @@ def bfs_distances(
         frontier = fresh.select("node")
     e.unpersist()
     return visited
+
+
+def bellman_ford_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths bounded at
+    ``max_hops`` edges: ``max_hops`` rounds of Bellman-Ford min-plus
+    relaxation over the edge list — the weighted sibling of
+    :func:`bfs_distances`, same scale shape (per round ONE equi-join
+    against the src-partitioned persisted edges plus one min-groupBy;
+    state is (node, weight); lineage truncated per round). A fixed
+    round count keeps the plan finite and oracle-replayable, and for
+    hop-bounded semantics it IS the algorithm, not an approximation:
+    after k rounds, dist(v) is exactly the minimum total weight over
+    paths of <= k edges. Integer weights keep min-plus exact (no
+    float summation-order concerns)."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).alias("w"),
+        )
+        .repartition("src")
+        .persist()
+    )
+    e.count()
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    # SPFA-style frontier: only nodes whose best-so-far IMPROVED last
+    # round can improve a neighbor this round (their previous value was
+    # already relaxed when it was first attained), so each round joins
+    # the edge list against the improved set, not the whole dist table
+    # — on settling graphs the frontier shrinks round over round.
+    frontier = dist
+    for _ in range(max_hops):
+        relaxed = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        prev = dist.select("node", F.col("dist").alias("_old"))
+        improved = (
+            relaxed.join(prev, "node", "left")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist()
+    return dist

@@ -10337,6 +10337,80 @@ ORDER BY id_a, id_b
 """
 
 
+def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest paths (r7): Bellman-Ford min-plus
+    relaxation (operators/graph.bellman_ford_bounded) from all
+    Brand#23 parts over the co-purchase graph, where an edge's
+    INTEGER weight is a popularity distance greatest(1, 6 - shared
+    baskets) — frequently co-bought parts are "closer". Three
+    relaxation rounds give the exact minimum total weight over paths
+    of <= 3 edges (hop-bounded semantics, so fixed rounds ARE the
+    algorithm). Integer min-plus keeps every candidate path sum
+    exact; the oracle is a recursive-CTE path enumeration with
+    min(total) — same answer, exponential asymptotics, the same
+    falsification contract as the BFS row."""
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    sizes = items.groupBy("basket").agg(F.count("*").alias("_n"))
+    items = items.join(
+        F.broadcast(sizes.filter(F.col("_n") <= 20).select("basket")), "basket"
+    )
+    a = items.select("basket", F.col("item").alias("src"))
+    b = items.select("basket", F.col("item").alias("dst"))
+    edges = (
+        a.join(b, "basket")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("_co"))
+        .select(
+            "src",
+            "dst",
+            F.greatest(F.lit(1), F.lit(6) - F.col("_co"))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    seeds = part.filter(F.col("p_brand") == "Brand#23").select(
+        F.col("p_partkey").alias("node")
+    )
+    out = graph.bellman_ford_bounded(edges, seeds, max_hops=3)
+    return out.select(
+        F.col("node").alias("p_partkey"),
+        F.col("dist").cast("long").alias("total_w"),
+    ).orderBy("p_partkey")
+
+
+SQL_GRAPH_WEIGHTED_PATHS = """
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), keep AS (
+  SELECT basket FROM items GROUP BY basket HAVING count(*) <= 20
+), it AS (
+  SELECT i.basket, i.item FROM items i JOIN keep k ON i.basket = k.basket
+), edges AS (
+  SELECT a.item AS src, b.item AS dst,
+         greatest(1, 6 - count(*)) AS w
+  FROM it a JOIN it b ON a.basket = b.basket AND a.item <> b.item
+  GROUP BY 1, 2
+), seeds AS (
+  SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#23'
+), walk AS (
+  SELECT node, CAST(0 AS BIGINT) AS total, 0 AS hops FROM seeds
+  UNION
+  SELECT e.dst, w.total + e.w, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < 3
+)
+SELECT node AS p_partkey, CAST(min(total) AS BIGINT) AS total_w
+FROM walk GROUP BY 1 ORDER BY 1
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -10561,6 +10635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy_docs": q_char_entropy_docs,
     "equidepth_histogram_lineitem": q_equidepth_histogram_lineitem,
     "dedup_prefix_filter": q_dedup_prefix_filter,
+    "graph_weighted_paths": q_graph_weighted_paths,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -10762,6 +10837,7 @@ ORACLE: dict[str, str] = {
     "char_entropy_docs": SQL_CHAR_ENTROPY_DOCS,
     "equidepth_histogram_lineitem": SQL_EQUIDEPTH_HISTOGRAM_LINEITEM,
     "dedup_prefix_filter": SQL_DEDUP_PREFIX_FILTER,
+    "graph_weighted_paths": SQL_GRAPH_WEIGHTED_PATHS,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

@@ -115,3 +115,35 @@ def test_bfs_early_exit_on_empty_frontier(spark):
 def test_bfs_directed_edges_not_symmetric(spark):
     got = _bfs(spark, [(2, 1)], [1], max_hops=2)
     assert got == {1: 0}
+
+
+def test_bellman_ford_prefers_lighter_multi_hop_path(spark):
+    """Weighted relaxation must pick a cheaper 2-hop path over a
+    heavier direct edge (the case hop-counting BFS gets wrong), carry
+    exact integer totals, and bound results at max_hops edges."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.graph import (
+        bellman_ford_bounded,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10),  # heavy direct
+            (1, 3, 1),
+            (3, 2, 2),   # 1->3->2 = 3 beats direct 10
+            (2, 4, 1),   # best to 4: 1->3->2->4 = 4 (3 hops)
+            (4, 5, 1),   # 5 in <=3 edges only via the heavy direct
+        ],                # route 1->2->4->5 = 12 (the 4-edge route
+        "src long, dst long, w long",  # costing 5 is out of budget)
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bellman_ford_bounded(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 3: 1, 2: 3, 4: 4, 5: 12}
+    # raising the budget lets the lighter 4-edge route to 5 win
+    got4 = {
+        r["node"]: r["dist"]
+        for r in bellman_ford_bounded(edges, seeds, max_hops=4).collect()
+    }
+    assert got4[5] == 5
