@@ -180,6 +180,9 @@ HEADLINE = [
     "dedup_prefix_filter",
     # SPFA-frontier Bellman-Ford over the weighted co-purchase graph
     "graph_weighted_paths",
+    # length-blocked levenshtein vocab scan + chi-square independence
+    "fuzzy_term_search",
+    "chisq_priority_vs_status",
 ]
 
 

@@ -10411,6 +10411,134 @@ FROM walk GROUP BY 1 ORDER BY 1
 """
 
 
+def q_fuzzy_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (typo-tolerant) term search (r7): all corpus vocabulary
+    terms within Levenshtein distance <= 2 of the misspelled query
+    'custmer', with document frequencies — the did-you-mean /
+    approximate-match primitive. The edit-distance scan runs on the
+    AGGREGATED vocabulary (one groupBy, |vocab| rows), never the
+    token stream, and a cheap LENGTH pre-filter (|len - len(q)| <= 2,
+    a provable Levenshtein lower bound) prunes most of the vocab
+    before the O(len²) distance kernel — the standard length-blocking
+    trick of fuzzy joins. Native levenshtein on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\W+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.distinct().groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    q = "custmer"
+    return (
+        vocab.filter(
+            (F.abs(F.length("tok") - len(q)) <= 2)
+            & (F.levenshtein(F.col("tok"), F.lit(q)) <= 2)
+        )
+        .select(
+            "tok",
+            F.levenshtein(F.col("tok"), F.lit(q)).cast("int").alias("dist"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("dist", "tok")
+    )
+
+
+SQL_FUZZY_TERM_SEARCH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, u.tok
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\W+')) AS tok
+        FROM documents) u(doc_id, tok)
+  WHERE u.tok <> ''
+), vocab AS (
+  SELECT tok, count(DISTINCT doc_id) AS n_docs FROM toks GROUP BY 1
+)
+SELECT tok, CAST(levenshtein(tok, 'custmer') AS INT) AS dist,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM vocab
+WHERE abs(length(tok) - 7) <= 2 AND levenshtein(tok, 'custmer') <= 2
+ORDER BY dist, tok
+"""
+
+
+def q_chisq_priority_vs_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (r7): is order priority
+    independent of order status? The contingency table is one
+    groupBy over exact integer counts; expected counts e = (row
+    total x col total) / n come from two window sums over the tiny
+    priorities x statuses cell table; each cell's (o - e)^2 / e term
+    quantizes to DECIMAL(28,12) before the exact decimal sum (the
+    log-sum portability trick applied to a statistic), so the
+    15-cell reduction is order-independent. Output: cells with
+    observed/expected plus the statistic and degrees of freedom —
+    the A/B-testing / drift-detection primitive, computed without a
+    single driver-side number."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("obs")
+    )
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("o_orderstatus")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_e = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        (
+            F.sum("obs").over(wr).cast("double")
+            * F.sum("obs").over(wc).cast("double")
+            / F.sum("obs").over(wall).cast("double")
+        ).alias("_e"),
+    )
+    terms = with_e.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        F.round(F.col("_e"), 4).alias("expected"),
+        (
+            (F.col("obs").cast("double") - F.col("_e"))
+            * (F.col("obs").cast("double") - F.col("_e"))
+            / F.col("_e")
+        )
+        .cast("decimal(28,12)")
+        .alias("_term"),
+    )
+    return terms.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        "expected",
+        F.round(F.sum("_term").over(wall).cast("double"), 6).alias("chi2"),
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+SQL_CHISQ_PRIORITY_VS_STATUS = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+), with_e AS (
+  SELECT o_orderpriority, o_orderstatus, obs,
+         CAST(sum(obs) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+           * CAST(sum(obs) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+           / CAST(sum(obs) OVER () AS DOUBLE) AS e
+  FROM cells
+), terms AS (
+  SELECT o_orderpriority, o_orderstatus, obs,
+         round(e, 4) AS expected,
+         CAST((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e
+              AS DECIMAL(28,12)) AS term
+  FROM with_e
+)
+SELECT o_orderpriority, o_orderstatus, obs, expected,
+       round(CAST(sum(term) OVER () AS DOUBLE), 6) AS chi2
+FROM terms
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -10636,6 +10764,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "equidepth_histogram_lineitem": q_equidepth_histogram_lineitem,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "graph_weighted_paths": q_graph_weighted_paths,
+    "fuzzy_term_search": q_fuzzy_term_search,
+    "chisq_priority_vs_status": q_chisq_priority_vs_status,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -10838,6 +10968,8 @@ ORACLE: dict[str, str] = {
     "equidepth_histogram_lineitem": SQL_EQUIDEPTH_HISTOGRAM_LINEITEM,
     "dedup_prefix_filter": SQL_DEDUP_PREFIX_FILTER,
     "graph_weighted_paths": SQL_GRAPH_WEIGHTED_PATHS,
+    "fuzzy_term_search": SQL_FUZZY_TERM_SEARCH,
+    "chisq_priority_vs_status": SQL_CHISQ_PRIORITY_VS_STATUS,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
