@@ -183,6 +183,9 @@ HEADLINE = [
     # length-blocked levenshtein vocab scan + chi-square independence
     "fuzzy_term_search",
     "chisq_priority_vs_status",
+    # governance + drift: k-anonymity classes, closed-form CUSUM
+    "k_anonymity_audit",
+    "cusum_drift_days",
 ]
 
 

@@ -10539,6 +10539,174 @@ ORDER BY o_orderpriority, o_orderstatus
 """
 
 
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (r7, data-governance tier): treat
+    (c_nationkey, c_mktsegment) as the quasi-identifier and report,
+    per k in (2, 5, 10), how many equivalence classes and how many
+    CUSTOMERS fall below k — the re-identification risk readout a
+    privacy review needs before releasing a dataset. One groupBy to
+    class sizes (bounded by the QI domain), then an explode over the
+    three thresholds of the TINY class table; integer counts only."""
+    cust = _t(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("_sz")
+    )
+    ks = classes.withColumn(
+        "k", F.explode(F.array(F.lit(2), F.lit(5), F.lit(10)))
+    )
+    return (
+        ks.groupBy("k")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum((F.col("_sz") < F.col("k")).cast("long")).alias(
+                "classes_below_k"
+            ),
+            F.sum(
+                F.when(F.col("_sz") < F.col("k"), F.col("_sz")).otherwise(0)
+            ).alias("customers_at_risk"),
+            F.min("_sz").alias("min_class_size"),
+        )
+        .orderBy("k")
+    )
+
+
+SQL_K_ANONYMITY_AUDIT = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+  FROM customer GROUP BY 1, 2
+), ks AS (
+  SELECT sz, unnest([2, 5, 10]) AS k FROM classes
+)
+SELECT CAST(k AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+         AS customers_at_risk,
+       min(sz) AS min_class_size
+FROM ks GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_cusum_drift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over daily revenue (r7): the classic
+    change-point statistic s_t = max(0, s_{t-1} + (x_t - mean)) —
+    but computed NON-recursively via its prefix closed form
+    s_t = S_t - min_{j<=t} S_j (running sum minus running min), so
+    the whole thing is two window aggregates, no iteration and no
+    Python. Everything stays INTEGER-exact by multiplying through by
+    n_days: D_t = n*cents_t - total_cents, S_t = sum D, all BIGINT
+    windows; the single division to dollars happens once at the
+    edge. Flagged days exceed 3 population standard deviations
+    (variance from exact integer moments). The day-level table is
+    bounded by the calendar, not data volume, so the unpartitioned
+    ordered window is a few-thousand-row pass (same boundedness
+    argument as the resample spine)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrun = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stats = daily.select(
+        "day",
+        "cents",
+        F.count("*").over(wall).alias("_n"),
+        F.sum("cents").over(wall).alias("_tot"),
+        # sum of squares routes through DECIMAL(38,0): cents² sums past
+        # BIGINT at full history (ANSI mode would throw)
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .over(wall)
+        .alias("_sq"),
+    )
+    d = (F.col("cents") * F.col("_n") - F.col("_tot")).alias("_d")
+    run = (
+        stats.select("day", "cents", "_n", "_tot", "_sq", d)
+        .select(
+            "day",
+            "cents",
+            "_n",
+            "_sq",
+            "_tot",
+            F.sum("_d").over(wrun).alias("_s"),
+        )
+        # second pass: running min needs the materialized _s column
+        # (window-over-window is illegal in one projection)
+        .select(
+            "day",
+            "cents",
+            "_n",
+            "_sq",
+            "_tot",
+            "_s",
+            F.least(F.min("_s").over(wrun), F.lit(0)).alias("_smin"),
+        )
+    )
+    mean = F.col("_tot").cast("double") / F.col("_n")
+    var = F.col("_sq").cast("double") / F.col("_n") - mean * mean
+    cusum_dollars = (
+        (F.col("_s") - F.col("_smin")).cast("double")
+        / F.col("_n")
+        / 100.0
+    )
+    sd_dollars = F.sqrt(var) / 100.0
+    return (
+        run.select(
+            "day",
+            (F.col("cents").cast("double") / 100).alias("rev"),
+            F.round(cusum_dollars, 4).alias("cusum"),
+            F.round(sd_dollars * 3, 4).alias("threshold"),
+            (cusum_dollars > sd_dollars * 3).alias("drift"),
+        )
+        .filter(F.col("drift"))
+        .select("day", "rev", "cusum", "threshold")
+        .orderBy("day")
+    )
+
+
+SQL_CUSUM_DRIFT_DAYS = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), stats AS (
+  SELECT day, cents,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(cents) OVER () AS BIGINT) AS tot,
+         CAST(sum(cents * cents) OVER () AS HUGEINT) AS sq
+  FROM daily
+), run1 AS (
+  SELECT day, cents, n, tot, sq,
+         sum(cents * n - tot) OVER (ORDER BY day ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM stats
+), run AS (
+  SELECT day, cents, n, tot, sq, s,
+         least(min(s) OVER (ORDER BY day ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS smin
+  FROM run1
+)
+SELECT day, CAST(cents AS DOUBLE) / 100 AS rev,
+       round(CAST(s - smin AS DOUBLE) / n / 100.0, 4) AS cusum,
+       round(sqrt(CAST(sq AS DOUBLE) / n
+                  - (CAST(tot AS DOUBLE) / n) * (CAST(tot AS DOUBLE) / n))
+             / 100.0 * 3, 4) AS threshold
+FROM run
+WHERE CAST(s - smin AS DOUBLE) / n / 100.0
+      > sqrt(CAST(sq AS DOUBLE) / n
+             - (CAST(tot AS DOUBLE) / n) * (CAST(tot AS DOUBLE) / n))
+        / 100.0 * 3
+ORDER BY day
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -10766,6 +10934,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_weighted_paths": q_graph_weighted_paths,
     "fuzzy_term_search": q_fuzzy_term_search,
     "chisq_priority_vs_status": q_chisq_priority_vs_status,
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "cusum_drift_days": q_cusum_drift_days,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -10970,6 +11140,8 @@ ORACLE: dict[str, str] = {
     "graph_weighted_paths": SQL_GRAPH_WEIGHTED_PATHS,
     "fuzzy_term_search": SQL_FUZZY_TERM_SEARCH,
     "chisq_priority_vs_status": SQL_CHISQ_PRIORITY_VS_STATUS,
+    "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
+    "cusum_drift_days": SQL_CUSUM_DRIFT_DAYS,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
