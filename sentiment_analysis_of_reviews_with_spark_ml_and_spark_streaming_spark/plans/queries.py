@@ -10707,6 +10707,363 @@ ORDER BY day
 """
 
 
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law fraud/consistency audit (r7): the first-significant-
+    digit distribution of order totals vs the Benford expectation
+    p(d) = log10(1 + 1/d), with each digit's chi-square contribution.
+    The digit is taken STRING-wise from exact integer cents (first char
+    of a BIGINT render, identical in both engines) — never from
+    floor(log10(x)) arithmetic, whose libm edge behavior at exact powers
+    of ten differs across platforms. One scan, one 9-row groupBy,
+    map-side partial; the share/expectation math runs on tiny exact
+    integer scalars at the edge."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    byd = (
+        o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.sum("n").over(wall).cast("double")
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    exp_n = tot * p
+    chi = (F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n
+    return (
+        byd.select(
+            "digit",
+            "n",
+            F.round(F.col("n") / tot, 6).alias("observed_share"),
+            F.round(p, 6).alias("benford_share"),
+            F.round(chi, 4).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_BENFORD_FIRST_DIGIT = """
+WITH byd AS (
+  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT digit, n,
+       round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS observed_share,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_share,
+       round((n - CAST(sum(n) OVER () AS DOUBLE)
+                  * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+             * (n - CAST(sum(n) OVER () AS DOUBLE)
+                    * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+             / (CAST(sum(n) OVER () AS DOUBLE)
+                * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 4)
+         AS chi2_contrib
+FROM byd ORDER BY digit
+"""
+
+
+def q_welch_t_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (r7, experimentation tier):
+    does mean event value differ between 'click' and 'purchase'?
+    The statistic and Welch-Satterthwaite degrees of freedom come
+    entirely from per-group exact moments — counts as BIGINT, Σv and
+    Σv² as DECIMAL (value quantized to 6 dp so summation order cannot
+    perturb the result) — gathered in ONE conditional-aggregation scan
+    with map-side partials; the closed-form double math happens once on
+    the 6-scalar row. No p-value (incomplete beta isn't portable SQL);
+    |t| vs a z-critical is the decision readout at these n."""
+    ev = _events(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,6)")
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "purchase"
+    agg = ev.filter(is_a | is_b).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(is_a, v)).alias("s1"),
+        F.sum(F.when(is_b, v)).alias("s2"),
+        F.sum(F.when(is_a, v * v)).alias("q1"),
+        F.sum(F.when(is_b, v * v)).alias("q2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    q1 = F.col("q1").cast("double")
+    q2 = F.col("q2").cast("double")
+    m1, m2 = s1 / n1, s2 / n2
+    var1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+    var2 = (q2 - s2 * s2 / n2) / (n2 - 1)
+    se1, se2 = var1 / n1, var2 / n2
+    t = (m1 - m2) / F.sqrt(se1 + se2)
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_purchase"),
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+        (F.abs(t) > 1.959964).alias("reject_95"),
+    )
+
+
+SQL_WELCH_T_TEST_EVENTS = """
+WITH agg AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         sum(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(18,6)) END) AS s1,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,6)) END) AS s2,
+         sum(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6)) END) AS q1,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6)) END) AS q2
+  FROM events WHERE event_type IN ('click', 'purchase')
+), d AS (
+  SELECT n1, n2,
+         CAST(n1 AS DOUBLE) AS dn1, CAST(n2 AS DOUBLE) AS dn2,
+         CAST(s1 AS DOUBLE) AS ds1, CAST(s2 AS DOUBLE) AS ds2,
+         CAST(q1 AS DOUBLE) AS dq1, CAST(q2 AS DOUBLE) AS dq2
+  FROM agg
+), m AS (
+  SELECT n1, n2, ds1 / dn1 AS m1, ds2 / dn2 AS m2,
+         (dq1 - ds1 * ds1 / dn1) / (dn1 - 1) / dn1 AS se1,
+         (dq2 - ds2 * ds2 / dn2) / (dn2 - 1) / dn2 AS se2,
+         dn1, dn2
+  FROM d
+)
+SELECT n1 AS n_click, n2 AS n_purchase,
+       round(m1 - m2, 6) AS mean_diff,
+       round((m1 - m2) / sqrt(se1 + se2), 4) AS t_stat,
+       round((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (dn1 - 1) + se2 * se2 / (dn2 - 1)), 2)
+         AS welch_df,
+       abs((m1 - m2) / sqrt(se1 + se2)) > 1.959964 AS reject_95
+FROM m
+"""
+
+
+def q_interval_merge_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval union per user (r7): each event opens a
+    30-minute activity interval; merge overlaps into maximal blocks and
+    report per-user block count + covered seconds — the classic
+    gaps-and-islands-over-RANGES shape (billing coverage, uptime
+    stitching). A block starts where the event's start exceeds the
+    running max of all PRIOR ends (one cumulative-max window), block
+    ids are a running sum of those flags, and coverage is Σ(max end −
+    min start) per block: ONE shuffle on user_id shared by both window
+    passes and the groupBy. All arithmetic in integer epoch
+    microseconds."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select(
+        "user_id", us.alias("s"), (us + 1_800_000_000).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("s")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = base.withColumn(
+        "new_block",
+        F.when(F.col("s") > F.max("e").over(prior), 1).otherwise(
+            F.when(F.max("e").over(prior).isNull(), 1).otherwise(0)
+        ),
+    )
+    blocks = flagged.withColumn(
+        "block_id",
+        F.sum("new_block").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        blocks.groupBy("user_id", "block_id")
+        .agg(F.min("s").alias("bs"), F.max("e").alias("be"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.expr("sum(be - bs) div 1000000").alias("covered_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_INTERVAL_MERGE_ACTIVITY = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,
+         epoch_us(ts::TIMESTAMP) + 1800000000 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1
+              WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_block
+  FROM base
+), blocks AS (
+  SELECT user_id, s, e,
+         sum(new_block) OVER (PARTITION BY user_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block_id
+  FROM flagged
+), agg AS (
+  SELECT user_id, block_id, min(s) AS bs, max(e) AS be
+  FROM blocks GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(be - bs) // 1000000 AS BIGINT) AS covered_sec
+FROM agg GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (r7, TWAP/telemetry shape):
+    each event's value holds until the user's next event; the last
+    observation carries no weight (no duration). Weights are integer
+    microsecond gaps from ONE lead() window; the weighted sum runs in
+    exact DECIMAL (value quantized to 6 dp × BIGINT gap), so per-group
+    summation order cannot perturb the hash; the single division to
+    double happens at the edge. One shuffle on user_id; single-event
+    users (zero span) are excluded."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        us.alias("s"),
+        (F.lead(us).over(w) - us).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_holds"),
+            F.sum(F.col("v") * F.col("dur")).alias("_wsum"),
+            F.sum("dur").alias("_span"),
+        )
+        .filter(F.col("_span") > 0)
+        .select(
+            "user_id",
+            "n_holds",
+            F.round(
+                F.col("_wsum").cast("double") / F.col("_span").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_TWAP_USER_VALUE = """
+WITH base AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+         lead(epoch_us(ts::TIMESTAMP)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts::TIMESTAMP) AS dur
+  FROM events
+), agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+         sum(v * dur) AS wsum, CAST(sum(dur) AS BIGINT) AS span
+  FROM base WHERE dur IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n_holds,
+       round(CAST(wsum AS DOUBLE) / CAST(span AS DOUBLE), 6) AS twap
+FROM agg WHERE span > 0 ORDER BY user_id
+"""
+
+
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of daily revenue (r7, time-series
+    diagnostics): r_k = Σ_{t>k} d_t·d_{t−k} / Σ_t d_t² with
+    d_t = n·x_t − Σx — the mean-centering multiplied through by n so
+    every deviation is an exact BIGINT (the cusum_drift_days playbook);
+    cross-products route through DECIMAL(38,0) because cents² sums past
+    BIGINT. The day table is calendar-bounded, so the single ordered
+    window (lags 1, 7, 30 in one pass) and the 1-row aggregate are
+    a few-thousand-row epilogue to the one real shuffle (groupBy day).
+    Output: one row per lag."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    word = Window.orderBy("day")
+    dev = daily.select(
+        "day",
+        (
+            F.col("cents") * F.count("*").over(wall)
+            - F.sum("cents").over(wall)
+        ).alias("d"),
+    )
+    lagged = dev.select(
+        "d",
+        F.lag("d", 1).over(word).alias("d1"),
+        F.lag("d", 7).over(word).alias("d7"),
+        F.lag("d", 30).over(word).alias("d30"),
+    )
+    # cast BEFORE the multiply: d ~ n·cents can reach ~1e12, so d² would
+    # overflow BIGINT long before a post-hoc decimal cast could save it
+    dd = lambda a, b: F.sum(  # noqa: E731 — exact decimal cross-moment
+        F.col(a).cast("decimal(38,0)") * F.col(b)
+    )
+    agg = lagged.agg(
+        dd("d", "d").alias("den"),
+        dd("d", "d1").alias("n1"),
+        dd("d", "d7").alias("n7"),
+        dd("d", "d30").alias("n30"),
+    )
+    acf = lambda c: F.round(  # noqa: E731
+        F.col(c).cast("double") / F.col("den").cast("double"), 6
+    )
+    return (
+        agg.select(
+            acf("n1").alias("acf1"),
+            acf("n7").alias("acf7"),
+            acf("n30").alias("acf30"),
+        )
+        .selectExpr("stack(3, 1, acf1, 7, acf7, 30, acf30) AS (lag, acf)")
+        .orderBy("lag")
+    )
+
+
+SQL_ACF_DAILY_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), dev AS (
+  SELECT day,
+         cents * CAST(count(*) OVER () AS BIGINT)
+           - CAST(sum(cents) OVER () AS BIGINT) AS d
+  FROM daily
+), lagged AS (
+  SELECT d,
+         lag(d, 1) OVER (ORDER BY day) AS d1,
+         lag(d, 7) OVER (ORDER BY day) AS d7,
+         lag(d, 30) OVER (ORDER BY day) AS d30
+  FROM dev
+), agg AS (
+  SELECT sum(CAST(d AS HUGEINT) * d) AS den,
+         sum(CAST(d AS HUGEINT) * d1) AS n1,
+         sum(CAST(d AS HUGEINT) * d7) AS n7,
+         sum(CAST(d AS HUGEINT) * d30) AS n30
+  FROM lagged
+)
+SELECT lag, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+FROM agg, LATERAL (VALUES (1, n1), (7, n7), (30, n30)) AS v(lag, num)
+ORDER BY lag
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -10936,6 +11293,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chisq_priority_vs_status": q_chisq_priority_vs_status,
     "k_anonymity_audit": q_k_anonymity_audit,
     "cusum_drift_days": q_cusum_drift_days,
+    "benford_first_digit": q_benford_first_digit,
+    "welch_t_test_events": q_welch_t_test_events,
+    "interval_merge_activity": q_interval_merge_activity,
+    "twap_user_value": q_twap_user_value,
+    "acf_daily_revenue": q_acf_daily_revenue,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -11142,6 +11504,11 @@ ORACLE: dict[str, str] = {
     "chisq_priority_vs_status": SQL_CHISQ_PRIORITY_VS_STATUS,
     "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
     "cusum_drift_days": SQL_CUSUM_DRIFT_DAYS,
+    "benford_first_digit": SQL_BENFORD_FIRST_DIGIT,
+    "welch_t_test_events": SQL_WELCH_T_TEST_EVENTS,
+    "interval_merge_activity": SQL_INTERVAL_MERGE_ACTIVITY,
+    "twap_user_value": SQL_TWAP_USER_VALUE,
+    "acf_daily_revenue": SQL_ACF_DAILY_REVENUE,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

@@ -39,6 +39,10 @@ def test_rows_only_set_is_intentional():
         # tolerance-tested against the exact oracle-backed twin in
         # tests/test_approx_quantiles.py
         "winsorized_value_stats_approx",
+        # r7: PQ/ADC ANN — subspace-codebook internals (seeded k-means
+        # per subspace) have no portable SQL replay; differential numpy
+        # twin + recall floor in tests/test_dedup_similarity.py
+        "similarity_pq_adc",
     }
     assert rows_only == allowed, rows_only ^ allowed
 
