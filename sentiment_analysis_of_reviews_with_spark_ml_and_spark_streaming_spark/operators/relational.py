@@ -506,3 +506,51 @@ def distributed_row_number(
         )
         .drop("_b", "_off")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    out_col: str = "prefix_sum",
+    buckets: int = 64,
+) -> DataFrame:
+    """Global INCLUSIVE running sum of ``value_col`` over a total order
+    WITHOUT the single-partition window trap — the prefix-sum sibling
+    of :func:`distributed_row_number` (same range-bucketed plan):
+
+      1. range-partition on the order columns (one sort shuffle);
+      2. per-bucket TOTAL of the value (tiny summary table);
+      3. exclusive prefix-sum of bucket totals over bucket order,
+         broadcast back;
+      4. per-bucket cumulative window + bucket offset, in parallel.
+
+    Exactness is the caller's contract: pass an integral or DECIMAL
+    ``value_col`` (double partial sums would re-associate across
+    buckets). ``order_cols`` must form a total order; ties straddling
+    a range boundary make within-bucket cumsum order nondeterministic.
+    The localCheckpoint pins one set of sampled range boundaries for
+    the same two-consumer reason as distributed_row_number.
+    """
+    cols = [F.col(c) for c in order_cols]
+    bucketed = (
+        df.repartitionByRange(buckets, *cols)
+        .withColumn("_b", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = bucketed.groupBy("_b").agg(F.sum(value_col).alias("_t"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_t").over(wb), F.lit(0)).alias("_off")
+    )
+    ww = (
+        Window.partitionBy("_b")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .withColumn(out_col, F.sum(value_col).over(ww) + F.col("_off"))
+        .drop("_b", "_off")
+    )

@@ -11064,6 +11064,203 @@ ORDER BY lag
 """
 
 
+def q_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney U statistic (r7,
+    experimentation tier — the rank-based sibling of
+    welch_t_test_events on the same two classes): how well does event
+    value rank purchases above clicks? AUC = (#neg<pos pairs +
+    ½·ties) / (P·N), computed WITHOUT a global rank window: group to
+    (value, pos, neg) counts, then the cumulative negative count comes
+    from operators/relational.distributed_prefix_sum — the
+    range-bucketed prefix-sum operator (one sort shuffle, parallel
+    per-bucket windows), so no single-reducer ORDER BY anywhere. The
+    doubled pair count 2U stays integer-exact in DECIMAL(38,0); the
+    one float op is the final division."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        distributed_prefix_sum,
+    )
+
+    ev = _events(spark, sf_dir)
+    g = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("pos"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("neg"),
+        )
+    )
+    ps = distributed_prefix_sum(g, ["value"], "neg", out_col="cumneg")
+    u2 = F.col("pos") * (
+        2 * (F.col("cumneg") - F.col("neg")) + F.col("neg")
+    )
+    agg = ps.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(u2.cast("decimal(38,0)")).alias("_u2"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            F.col("_u2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+SQL_AUC_VALUE_PURCHASE = """
+WITH g AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS neg
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+), ps AS (
+  SELECT pos, neg,
+         sum(neg) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cumneg
+  FROM g
+)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       round(CAST(sum(CAST(pos * (2 * (cumneg - neg) + neg) AS HUGEINT))
+                  AS DOUBLE)
+             / (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)),
+             6) AS auc
+FROM ps
+"""
+
+
+def q_km_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer repeat purchase (r7):
+    'durations' are day gaps between a customer's consecutive orders
+    (observed events); each customer's time from their LAST order to
+    the corpus horizon is right-censored. The product-limit estimator
+    S(t) = Π_{u≤t} (1 − d_u/n_u) runs as exp(Σ quantized ln) — each
+    factor's log cast to DECIMAL(28,12) (the unigram-LM portability
+    trick) so the cumulative reduction is exact; an absorbing zero
+    flag handles a d_u = n_u group (ln 0 is −∞). Heavy work is one
+    shuffle on custkey (the lead window); the duration-level table is
+    calendar-bounded, so its unpartitioned ordered windows are a
+    few-thousand-row epilogue. Output: the curve at event durations."""
+    o = _t(spark, sf_dir, "orders")
+    od = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    horizon = od.agg(F.max("d").alias("h"))
+    w = Window.partitionBy("ck").orderBy("d", "o_orderkey")
+    durs = (
+        od.select("ck", "d", F.lead("d").over(w).alias("nd"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.coalesce("nd", "h"), F.col("d")).alias("dur"),
+            F.col("nd").isNotNull().cast("int").alias("obs"),
+        )
+    )
+    byd = durs.groupBy("dur").agg(
+        F.sum("obs").cast("long").alias("d_events"),
+        F.count("*").alias("m"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    word = Window.orderBy("dur")
+    wrun = word.rowsBetween(Window.unboundedPreceding, 0)
+    risk = byd.select(
+        "dur",
+        "d_events",
+        (
+            F.sum("m").over(wall)
+            - F.coalesce(
+                F.sum("m").over(word.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    dead = (F.col("d_events") >= F.col("n_risk")).cast("int")
+    lnq = F.when(
+        (dead == 0) & (F.col("d_events") > 0),
+        F.log(
+            F.lit(1.0)
+            - F.col("d_events").cast("double") / F.col("n_risk").cast("double")
+        ).cast("decimal(28,12)"),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    curve = risk.select(
+        "dur",
+        "d_events",
+        "n_risk",
+        F.max(dead).over(wrun).alias("_z"),
+        F.sum(lnq).over(wrun).alias("_cl"),
+    )
+    return (
+        curve.filter(F.col("d_events") > 0)
+        .select(
+            "dur",
+            "n_risk",
+            "d_events",
+            F.when(F.col("_z") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("_cl").cast("double")), 6))
+            .alias("survival"),
+        )
+        .orderBy("dur")
+    )
+
+
+SQL_KM_REPEAT_PURCHASE = """
+WITH od AS (
+  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+), durs AS (
+  SELECT date_diff('day', d,
+             coalesce(lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey),
+                      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)))
+           AS dur,
+         CASE WHEN lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey)
+              IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM od
+), byd AS (
+  SELECT dur, CAST(sum(obs) AS BIGINT) AS d_events,
+         CAST(count(*) AS BIGINT) AS m
+  FROM durs GROUP BY 1
+), risk AS (
+  SELECT dur, d_events,
+         CAST(sum(m) OVER () AS BIGINT)
+           - CAST(coalesce(sum(m) OVER (ORDER BY dur ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM byd
+), curve AS (
+  SELECT dur, d_events, n_risk,
+         max(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS z,
+         sum(CASE WHEN d_events < n_risk AND d_events > 0
+                  THEN CAST(ln(1.0 - CAST(d_events AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE))
+                            AS DECIMAL(28,12))
+                  ELSE CAST(0 AS DECIMAL(28,12)) END)
+             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS cl
+  FROM risk
+)
+SELECT dur, n_risk, d_events,
+       CASE WHEN z = 1 THEN 0.0
+            ELSE round(exp(CAST(cl AS DOUBLE)), 6) END AS survival
+FROM curve WHERE d_events > 0 ORDER BY dur
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -11298,6 +11495,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_merge_activity": q_interval_merge_activity,
     "twap_user_value": q_twap_user_value,
     "acf_daily_revenue": q_acf_daily_revenue,
+    "auc_value_purchase": q_auc_value_purchase,
+    "km_repeat_purchase": q_km_repeat_purchase,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -11509,6 +11708,8 @@ ORACLE: dict[str, str] = {
     "interval_merge_activity": SQL_INTERVAL_MERGE_ACTIVITY,
     "twap_user_value": SQL_TWAP_USER_VALUE,
     "acf_daily_revenue": SQL_ACF_DAILY_REVENUE,
+    "auc_value_purchase": SQL_AUC_VALUE_PURCHASE,
+    "km_repeat_purchase": SQL_KM_REPEAT_PURCHASE,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

@@ -283,3 +283,35 @@ def test_pareto_frontier_matches_bruteforce(spark):
         )
     )
     assert got == want
+
+
+def test_distributed_prefix_sum_matches_global_window(spark):
+    """Range-bucketed prefix sum == the one-reducer cumulative window,
+    on the same uneven-bucket key shape; values are integers so both
+    reductions are exact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.range(3000).select(
+        F.when(F.col("id") < 2500, F.col("id") % 97)
+        .otherwise(F.lit(10_000) + F.col("id"))
+        .alias("k"),
+        F.col("id"),
+        (F.col("id") % 11 - 5).alias("v"),  # negatives exercise offsets
+    )
+    got = {
+        (r["k"], r["id"], r["ps"])
+        for r in distributed_prefix_sum(
+            df, ["k", "id"], "v", out_col="ps", buckets=16
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["k"], r["id"], r["ps"])
+        for r in df.withColumn("ps", F.sum("v").over(w)).collect()
+    }
+    assert got == want
