@@ -11261,6 +11261,197 @@ FROM curve WHERE d_events > 0 ORDER BY dur
 """
 
 
+# Φ⁻¹(1 − (i/10)·0.05/2) for BH rank i = 1..10 at α = 0.05, m = 10 —
+# standard-normal quantiles (public math constants), precomputed because
+# neither engine exposes a portable inverse normal CDF. BH on p-values
+# is monotone in |z|, so p_(i) ≤ (i/m)α  ⟺  |z|_(i) ≥ these.
+_BH_Z_CRIT = [
+    2.807034, 2.575829, 2.432379, 2.326348, 2.241403,
+    2.170090, 2.108358, 2.053749, 2.004654, 1.959964,
+]
+
+
+def q_pairwise_type_ztests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs mean-difference z-tests with Benjamini-Hochberg FDR
+    control (r7, experimentation tier capstone): every pair of the 5
+    event types gets a Welch z statistic from per-type exact moments
+    (ONE conditional-aggregation scan; the pair join is a 5-row
+    broadcast self-join), pairs are ranked by |z| descending, and BH
+    rejects ranks ≤ k* where k* is the largest rank whose |z| clears
+    its precomputed normal quantile (p ≤ (i/m)α restated in z space —
+    no erf needed, so fully engine-portable). The 10-row epilogue
+    windows are trivially bounded."""
+    ev = _events(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").cast("double").alias("n1"),
+        F.col("b.n").cast("double").alias("n2"),
+        F.col("a.s").cast("double").alias("s1"),
+        F.col("b.s").cast("double").alias("s2"),
+        F.col("a.q").cast("double").alias("q1"),
+        F.col("b.q").cast("double").alias("q2"),
+    )
+    m1, m2 = F.col("s1") / F.col("n1"), F.col("s2") / F.col("n2")
+    se1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    ) / F.col("n1")
+    se2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    ) / F.col("n2")
+    z = (m1 - m2) / F.sqrt(se1 + se2)
+    wr = Window.orderBy(
+        F.abs(F.col("z")).desc(), F.col("type_a"), F.col("type_b")
+    )
+    crit_arr = F.array(*[F.lit(c) for c in _BH_Z_CRIT])
+    ranked = pairs.select(
+        "type_a", "type_b", z.alias("z")
+    ).select(
+        "type_a",
+        "type_b",
+        "z",
+        F.row_number().over(wr).alias("bh_rank"),
+    ).withColumn("z_crit", F.element_at(crit_arr, F.col("bh_rank")))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    kstar = F.max(
+        F.when(F.abs(F.col("z")) >= F.col("z_crit"), F.col("bh_rank"))
+    ).over(wall)
+    return (
+        ranked.select(
+            "type_a",
+            "type_b",
+            F.round("z", 4).alias("z"),
+            "bh_rank",
+            "z_crit",
+            (F.col("bh_rank") <= F.coalesce(kstar, F.lit(0))).alias(
+                "significant"
+            ),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+SQL_PAIRWISE_TYPE_ZTESTS = """
+WITH m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(18,6))) AS s,
+         sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+           AS q
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(a.n AS DOUBLE) AS n1, CAST(b.n AS DOUBLE) AS n2,
+         CAST(a.s AS DOUBLE) AS s1, CAST(b.s AS DOUBLE) AS s2,
+         CAST(a.q AS DOUBLE) AS q1, CAST(b.q AS DOUBLE) AS q2
+  FROM m a JOIN m b ON a.event_type < b.event_type
+), zs AS (
+  SELECT type_a, type_b,
+         (s1 / n1 - s2 / n2)
+         / sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) AS z
+  FROM pairs
+), ranked AS (
+  SELECT type_a, type_b, z,
+         CAST(row_number() OVER (ORDER BY abs(z) DESC, type_a, type_b)
+              AS INT) AS bh_rank
+  FROM zs
+), crit AS (
+  SELECT type_a, type_b, z, bh_rank,
+         CAST(([2.807034, 2.575829, 2.432379, 2.326348, 2.241403,
+                2.170090, 2.108358, 2.053749, 2.004654,
+                1.959964])[bh_rank] AS DOUBLE) AS z_crit
+  FROM ranked
+)
+SELECT type_a, type_b, round(z, 4) AS z, bh_rank, z_crit,
+       bh_rank <= coalesce(
+           max(CASE WHEN abs(z) >= z_crit THEN bh_rank END) OVER (), 0)
+         AS significant
+FROM crit ORDER BY bh_rank
+"""
+
+
+def q_hhi_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation
+    (r7; pairs with customer_spend_gini to complete the concentration
+    tier): each nation's revenue HHI = Σᵢ shareᵢ² over its suppliers.
+    Computed as Σcᵢ²/T² with revenue in EXACT integer ten-thousandths
+    of a dollar (price×(1−disc) has scale 4, so ×10000 is integral),
+    squares cast to DECIMAL(38,0) BEFORE the multiply — summation
+    order can't perturb anything; the single double division happens
+    per 25-row nation. Plan: one groupBy (suppkey) on the fact, then
+    a broadcast supplier→nation join on the |supplier| aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        (F.sum(price * disc) * 10000).cast("long").alias("c")
+    )
+    tagged = per_supp.join(
+        F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    by_nation = tagged.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("c").alias("_t"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("_sq"),
+        F.max("c").alias("_mx"),
+    )
+    t = F.col("_t").cast("double")
+    return (
+        by_nation.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            F.round(F.col("_sq").cast("double") / (t * t), 6).alias("hhi"),
+            F.round(F.col("_mx").cast("double") / t, 6).alias("top_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_HHI_SUPPLIER_NATION = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(3,2))
+                     - CAST(l_discount AS DECIMAL(3,2)))) * 10000
+              AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+), by_nation AS (
+  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(c) AS BIGINT) AS t,
+         sum(CAST(c AS HUGEINT) * c) AS sq,
+         CAST(max(c) AS BIGINT) AS mx
+  FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT n_name, n_suppliers,
+       round(CAST(sq AS DOUBLE)
+             / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS hhi,
+       round(CAST(mx AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_share
+FROM by_nation JOIN nation ON s_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -11497,6 +11688,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf_daily_revenue": q_acf_daily_revenue,
     "auc_value_purchase": q_auc_value_purchase,
     "km_repeat_purchase": q_km_repeat_purchase,
+    "pairwise_type_ztests": q_pairwise_type_ztests,
+    "hhi_supplier_nation": q_hhi_supplier_nation,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -11710,6 +11903,8 @@ ORACLE: dict[str, str] = {
     "acf_daily_revenue": SQL_ACF_DAILY_REVENUE,
     "auc_value_purchase": SQL_AUC_VALUE_PURCHASE,
     "km_repeat_purchase": SQL_KM_REPEAT_PURCHASE,
+    "pairwise_type_ztests": SQL_PAIRWISE_TYPE_ZTESTS,
+    "hhi_supplier_nation": SQL_HHI_SUPPLIER_NATION,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

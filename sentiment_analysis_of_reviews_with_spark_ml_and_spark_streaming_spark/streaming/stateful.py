@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -585,5 +585,95 @@ def streaming_weighted_reservoir(
         "es_key double, rank int",
         stateStructType="ids array<long>, keys array<double>",
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cusum_batch(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    target: float = 0.0,
+    threshold: float = float("inf"),
+) -> DataFrame:
+    """Batch twin of :func:`streaming_cusum` via the NON-recursive
+    closed form: the one-sided CUSUM recursion
+    s_t = max(0, s_{t-1} + (x_t − target)) equals
+    S_t − min(0, min_{j≤t} S_j) for the running raw sum S (the
+    max-plus prefix identity also used by the cusum_drift_days
+    registry query) — so the batch path is two cumulative windows
+    sharing one shuffle on the key, fully native, no iteration.
+    stream==batch equality is asserted bit-for-bit on dyadic-exact
+    fixtures in tests/test_stateful_and_properties.py (the identity
+    is exact in exact arithmetic; IEEE doubles realize it exactly
+    when every deviation is exactly representable)."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    dev = F.col(value_col) - F.lit(target)
+    with_s = df.select(
+        key_col, order_col, value_col, F.sum(dev).over(wrun).alias("_S")
+    )
+    cusum = F.col("_S") - F.least(F.min("_S").over(wrun), F.lit(0.0))
+    return with_s.select(
+        key_col,
+        order_col,
+        value_col,
+        cusum.alias("cusum"),
+        (cusum > F.lit(threshold)).alias("drift"),
+    )
+
+
+def streaming_cusum(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    target: float = 0.0,
+    threshold: float = float("inf"),
+) -> DataFrame:
+    """Per-key one-sided CUSUM change detection across micro-batches:
+    O(1) carried state (the clamped cumulative deviation) runs the
+    classic recursion s_t = max(0, s_{t-1} + (x_t − target)) against a
+    FIXED reference level, emitting every row with its statistic and a
+    drift flag once s exceeds ``threshold`` — the production shape of
+    the batch cusum_drift_days query (there the reference mean comes
+    from the full history; here it is a trained baseline parameter,
+    as a monitor must decide before the data is complete). Equal
+    row-for-row to :func:`cusum_batch` over the concatenated stream."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        s = state.get[0] if state.exists else 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            out = []
+            for v in pdf[value_col].astype(float):
+                s = max(0.0, s + (float(v) - target))
+                out.append(s)
+            if len(pdf):
+                yield pd.DataFrame(
+                    {
+                        key_col: pdf[key_col].astype("int64"),
+                        order_col: pdf[order_col].astype("int64"),
+                        value_col: pdf[value_col].astype(float),
+                        "cusum": out,
+                        "drift": [x > threshold for x in out],
+                    }
+                )
+        state.update((float(s),))
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, {order_col} long, "
+        f"{value_col} double, cusum double, drift boolean",
+        stateStructType="s double",
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

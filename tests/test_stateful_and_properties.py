@@ -370,3 +370,61 @@ def test_streaming_weighted_reservoir_equals_batch(spark, tmp_path):
     want_ids = {(r["event_type"], r["event_id"]) for r in want_rows}
     got_ids = {(t, i) for (t, _), i in got.items()}
     assert got_ids == want_ids
+
+
+def test_streaming_cusum_equals_batch_closed_form(spark, tmp_path):
+    """The streaming recursion max(0, s + dev) with O(1) carried state
+    must equal the batch NON-recursive closed form S_t - min(0, min
+    prefix S) — a genuinely different algorithm — row for row. Values
+    are dyadic-exact so IEEE doubles realize the max-plus identity
+    exactly (no tolerance)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        cusum_batch,
+        streaming_cusum,
+    )
+
+    b0 = [
+        {"user_id": 1, "event_id": 1, "value": 2.0},
+        {"user_id": 1, "event_id": 2, "value": -5.5},
+        {"user_id": 1, "event_id": 3, "value": 3.25},
+        {"user_id": 2, "event_id": 4, "value": -1.0},
+    ]
+    b1 = [
+        {"user_id": 1, "event_id": 5, "value": 4.5},
+        {"user_id": 2, "event_id": 6, "value": 8.0},
+        {"user_id": 3, "event_id": 7, "value": -0.5},
+        {"user_id": 3, "event_id": 8, "value": 9.75},
+    ]
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(e) for e in b0))
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q = (
+        streaming_cusum(stream, target=1.0, threshold=5.0)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cusum_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in b1))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_id"]: (r["user_id"], r["cusum"], r["drift"])
+        for r in spark.sql("select * from cusum_stream").collect()
+    }
+    batch = spark.createDataFrame(
+        b0 + b1, "user_id long, event_id long, value double"
+    )
+    want = {
+        r["event_id"]: (r["user_id"], r["cusum"], r["drift"])
+        for r in cusum_batch(batch, target=1.0, threshold=5.0).collect()
+    }
+    assert got == want and any(v[2] for v in want.values())
