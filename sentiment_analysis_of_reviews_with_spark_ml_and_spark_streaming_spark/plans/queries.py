@@ -11452,6 +11452,251 @@ ORDER BY n_name
 """
 
 
+# SQL ntile(k) restated from a 1-based row_number — first (n mod k)
+# groups take one extra row, exactly the standard semantics — so both
+# engines run the SAME integer closed form and the quintile boundary
+# can never drift on ties (the rank input is already a total order).
+def _ntile_expr(rn: str, n: str, k: int) -> str:
+    return (
+        f"CASE WHEN {rn} <= ({n} % {k}) * ({n} DIV {k} + 1) "
+        f"THEN ({rn} - 1) DIV ({n} DIV {k} + 1) + 1 "
+        f"ELSE ({n} % {k}) + ({rn} - ({n} % {k}) * ({n} DIV {k} + 1) - 1) "
+        f"DIV ({n} DIV {k}) + 1 END"
+    )
+
+
+def _ntile_sql(rn: str, n: str, k: int) -> str:
+    return (
+        f"CASE WHEN {rn} <= ({n} % {k}) * ({n} // {k} + 1) "
+        f"THEN ({rn} - 1) // ({n} // {k} + 1) + 1 "
+        f"ELSE ({n} % {k}) + ({rn} - ({n} % {k}) * ({n} // {k} + 1) - 1) "
+        f"// ({n} // {k}) + 1 END"
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (r7, marketing-analytics tier):
+    quintile scores for Recency (days since last order), Frequency
+    (order count) and Monetary (lifetime cents), 5 = best, reported as
+    segment-level counts and revenue. Each dimension's rank comes from
+    operators/relational.distributed_row_number (range-bucketed — no
+    single-reducer ORDER BY even at a billion customers), and the
+    quintile is the shared integer ntile closed form above, applied to
+    the rank — so Spark and the oracle bucket IDENTICALLY on ties
+    (custkey tie-breaks make each order total). One groupBy builds the
+    |customer| aggregate; everything after is customer-bounded."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        distributed_row_number,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count("*").alias("freq"),
+        F.sum(cents).alias("mon"),
+    )
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    base = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey",
+        "freq",
+        "mon",
+        F.datediff("h", "last_d").alias("rec"),
+    )
+    # ascending-rank keys: most-recent / most-frequent / top-spender
+    # must land in the LAST quintile (score 5)
+    keyed = base.select(
+        "o_custkey",
+        "freq",
+        "mon",
+        "rec",
+        (-F.col("rec")).alias("_kr"),
+    )
+    r1 = distributed_row_number(keyed, ["_kr", "o_custkey"], out_col="_rnr")
+    r2 = distributed_row_number(r1, ["freq", "o_custkey"], out_col="_rnf")
+    r3 = distributed_row_number(r2, ["mon", "o_custkey"], out_col="_rnm")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = r3.withColumn("_n", F.count("*").over(wall)).selectExpr(
+        "o_custkey",
+        "mon",
+        f"CAST({_ntile_expr('_rnr', '_n', 5)} AS INT) AS r_score",
+        f"CAST({_ntile_expr('_rnf', '_n', 5)} AS INT) AS f_score",
+        f"CAST({_ntile_expr('_rnm', '_n', 5)} AS INT) AS m_score",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("mon").alias("total_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+SQL_RFM_SEGMENTS = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_d,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS mon
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT o_custkey, freq, mon,
+         date_diff('day', last_d,
+                   (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+           AS rec
+  FROM per_cust
+), ranked AS (
+  SELECT o_custkey, mon,
+         row_number() OVER (ORDER BY -rec, o_custkey) AS rnr,
+         row_number() OVER (ORDER BY freq, o_custkey) AS rnf,
+         row_number() OVER (ORDER BY mon, o_custkey) AS rnm,
+         count(*) OVER () AS n
+  FROM base
+), scored AS (
+  SELECT o_custkey, mon,
+         CAST({_ntile_sql('rnr', 'n', 5)} AS INT) AS r_score,
+         CAST({_ntile_sql('rnf', 'n', 5)} AS INT) AS f_score,
+         CAST({_ntile_sql('rnm', 'n', 5)} AS INT) AS m_score
+  FROM ranked
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(mon) AS BIGINT) AS total_cents
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus
+    (r7, NLP tier): candidate phrases are maximal stopword-free token
+    runs (gaps-and-islands over positions, the sessionize playbook);
+    each word scores degree/frequency where degree sums the lengths of
+    phrases it appears in; a phrase scores the sum of its words'
+    scores. Word ratios are DECIMAL(28,12)-quantized before the
+    per-phrase reduction (the unigram-LM portability trick) so
+    summation order can't move the hash. Shuffles: one (doc, token)
+    explode, one word-stats groupBy, one score join — all key-local;
+    top-15 plans TakeOrderedAndProject. Stoplist = the repo's pinned
+    EDA list (top_words_no_stopwords)."""
+    stop = sorted(set(textstats.LANG_MARKERS["en"]) | {"one", "s", "a"})
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias(
+            "pos", "tok"
+        ),
+    )
+    is_delim = (F.col("tok") == "") | F.col("tok").isin(stop)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    words = (
+        toks.withColumn("_d", is_delim.cast("int"))
+        .withColumn("pid", F.sum("_d").over(wrun))
+        .filter(F.col("_d") == 0)
+        .select("doc_id", "pid", "pos", "tok")
+    )
+    phrases = words.groupBy("doc_id", "pid").agg(
+        F.count("*").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstats = (
+        words.join(phrases.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .select(
+            "tok",
+            (
+                F.col("deg").cast("double") / F.col("freq").cast("double")
+            )
+            .cast("decimal(28,12)")
+            .alias("wscore"),
+        )
+    )
+    inst = (
+        words.join(wstats, "tok")
+        .groupBy("doc_id", "pid")
+        .agg(F.sum("wscore").alias("_ps"))
+        .join(phrases, ["doc_id", "pid"])
+    )
+    uniq = inst.groupBy("phrase").agg(
+        F.count("*").alias("mentions"),
+        F.max("plen").cast("long").alias("n_words"),
+        F.round(F.max("_ps").cast("double"), 4).alias("score"),
+    )
+    return relational.top_k(
+        uniq.select("phrase", "n_words", "mentions", "score"),
+        [F.col("score").desc(), F.col("phrase")],
+        15,
+    )
+
+
+def _rake_stop_sql() -> str:
+    from ..operators.textstats import LANG_MARKERS
+
+    stop = sorted(set(LANG_MARKERS["en"]) | {"one", "s", "a"})
+    return ", ".join(f"'{t}'" for t in stop)
+
+
+SQL_RAKE_KEYPHRASES = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+  FROM toks
+), flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok = '' OR tok IN ({_rake_stop_sql()})
+              THEN 1 ELSE 0 END AS d
+  FROM pos
+), islands AS (
+  SELECT doc_id, pos, tok, d,
+         sum(d) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pid
+  FROM flagged
+), words AS (
+  SELECT doc_id, pid, pos, tok FROM islands WHERE d = 0
+), phrases AS (
+  SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM words GROUP BY 1, 2
+), wstats AS (
+  SELECT w.tok,
+         CAST(CAST(sum(p.plen) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS DECIMAL(28,12)) AS wscore
+  FROM words w JOIN phrases p USING (doc_id, pid)
+  GROUP BY 1
+), inst AS (
+  SELECT w.doc_id, w.pid, sum(s.wscore) AS ps
+  FROM words w JOIN wstats s ON w.tok = s.tok
+  GROUP BY 1, 2
+), uniq AS (
+  SELECT p.phrase,
+         CAST(count(*) AS BIGINT) AS mentions,
+         CAST(max(p.plen) AS BIGINT) AS n_words,
+         round(CAST(max(i.ps) AS DOUBLE), 4) AS score
+  FROM inst i JOIN phrases p USING (doc_id, pid)
+  GROUP BY 1
+)
+SELECT phrase, n_words, mentions, score
+FROM uniq ORDER BY score DESC, phrase LIMIT 15
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -11690,6 +11935,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "km_repeat_purchase": q_km_repeat_purchase,
     "pairwise_type_ztests": q_pairwise_type_ztests,
     "hhi_supplier_nation": q_hhi_supplier_nation,
+    "rfm_segments": q_rfm_segments,
+    "rake_keyphrases": q_rake_keyphrases,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -11905,6 +12152,8 @@ ORACLE: dict[str, str] = {
     "km_repeat_purchase": SQL_KM_REPEAT_PURCHASE,
     "pairwise_type_ztests": SQL_PAIRWISE_TYPE_ZTESTS,
     "hhi_supplier_nation": SQL_HHI_SUPPLIER_NATION,
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "rake_keyphrases": SQL_RAKE_KEYPHRASES,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
