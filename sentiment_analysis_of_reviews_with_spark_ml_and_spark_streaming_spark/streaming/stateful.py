@@ -677,3 +677,99 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_merge_blocks_batch(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Batch twin of :func:`streaming_interval_merge`: merge
+    overlapping [start, end) intervals per key into maximal blocks —
+    the native gaps-and-islands-over-ranges plan (one cumulative-max
+    window flags block starts, a running sum numbers blocks, one
+    groupBy folds each block; all three share the key shuffle).
+    Returns (key, block_start, block_end)."""
+    w = Window.partitionBy(key_col).orderBy(start_col)
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = df.withColumn(
+        "_nb",
+        F.when(F.max(end_col).over(prior).isNull(), 1)
+        .when(F.col(start_col) > F.max(end_col).over(prior), 1)
+        .otherwise(0),
+    )
+    blocks = flagged.withColumn(
+        "_bid", F.sum("_nb").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        blocks.groupBy(key_col, "_bid")
+        .agg(
+            F.min(start_col).alias("block_start"),
+            F.max(end_col).alias("block_end"),
+        )
+        .drop("_bid")
+    )
+
+
+def streaming_interval_merge(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Merge overlapping intervals per key across micro-batches with
+    O(1) carried state (the one OPEN block): an arriving interval that
+    overlaps the open block extends it; one that starts past its end
+    CLOSES it (emitted) and opens a new block — the uptime-stitching /
+    activity-coverage monitor as a stream. Contract: interval starts
+    must arrive in non-decreasing order per key across batches (the
+    tracker shape; out-of-order starts would need a watermark buffer).
+    Emits CLOSED blocks only — each key's final block stays open in
+    state, so the emitted set equals :func:`interval_merge_blocks_batch`
+    over the concatenated history minus each key's last block
+    (asserted in tests/test_stateful_and_properties.py)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        bs, be = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(start_col)
+            closed_s, closed_e = [], []
+            for s, e in zip(
+                pdf[start_col].astype("int64"), pdf[end_col].astype("int64")
+            ):
+                s, e = int(s), int(e)
+                if bs is None:
+                    bs, be = s, e
+                elif s <= be:
+                    be = max(be, e)
+                else:
+                    closed_s.append(bs)
+                    closed_e.append(be)
+                    bs, be = s, e
+            if closed_s:
+                yield pd.DataFrame(
+                    {
+                        key_col: [k] * len(closed_s),
+                        "block_start": closed_s,
+                        "block_end": closed_e,
+                    }
+                )
+        if bs is not None:
+            state.update((int(bs), int(be)))
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, block_start long, "
+        "block_end long",
+        stateStructType="bs long, be long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

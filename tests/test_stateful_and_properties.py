@@ -428,3 +428,66 @@ def test_streaming_cusum_equals_batch_closed_form(spark, tmp_path):
         for r in cusum_batch(batch, target=1.0, threshold=5.0).collect()
     }
     assert got == want and any(v[2] for v in want.values())
+
+
+def test_streaming_interval_merge_equals_batch(spark, tmp_path):
+    """Closed blocks emitted by the O(1)-state streaming merge must
+    equal the native batch gaps-and-islands blocks minus each key's
+    final (still-open) block — across a micro-batch boundary that
+    splits one block in half (extension across batches) and one that
+    closes exactly at the boundary."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        interval_merge_blocks_batch,
+        streaming_interval_merge,
+    )
+
+    b0 = [
+        {"user_id": 1, "s": 0, "e": 10},
+        {"user_id": 1, "s": 5, "e": 12},   # extends
+        {"user_id": 2, "s": 0, "e": 3},
+        {"user_id": 2, "s": 50, "e": 60},  # closes block 1 of user 2
+    ]
+    b1 = [
+        {"user_id": 1, "s": 11, "e": 20},  # extends across the boundary
+        {"user_id": 1, "s": 40, "e": 45},  # closes [0,20]
+        {"user_id": 2, "s": 55, "e": 70},  # extends [50,60] across
+        {"user_id": 3, "s": 1, "e": 2},
+        {"user_id": 3, "s": 9, "e": 11},   # closes [1,2]
+    ]
+    src = tmp_path / "imerge_src"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(e) for e in b0))
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, s long, e long")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q = (
+        streaming_interval_merge(stream)
+        .writeStream.format("memory")
+        .queryName("imerge_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "imerge_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in b1))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["block_start"], r["block_end"])
+        for r in spark.sql("select * from imerge_stream").collect()
+    }
+    batch = spark.createDataFrame(b0 + b1, "user_id long, s long, e long")
+    blocks = [
+        (r["user_id"], r["block_start"], r["block_end"])
+        for r in interval_merge_blocks_batch(batch).collect()
+    ]
+    # drop each key's final block (still open in stream state)
+    last = {}
+    for u, bs, be in blocks:
+        if u not in last or bs > last[u][1]:
+            last[u] = (u, bs, be)
+    want = set(blocks) - set(last.values())
+    assert got == want == {(1, 0, 20), (2, 0, 3), (3, 1, 2)}
