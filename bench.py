@@ -186,6 +186,21 @@ HEADLINE = [
     # governance + drift: k-anonymity classes, closed-form CUSUM
     "k_anonymity_audit",
     "cusum_drift_days",
+    # round-7 fourth continuation: experimentation / time-series /
+    # marketing / NLP tiers (Benford, Welch t, Mann-Whitney AUC via
+    # the distributed prefix-sum, interval union, TWAP, lag-k ACF,
+    # Kaplan-Meier, BH pairwise z-tests, HHI, RFM quintiles, RAKE)
+    "benford_first_digit",
+    "welch_t_test_events",
+    "interval_merge_activity",
+    "twap_user_value",
+    "acf_daily_revenue",
+    "auc_value_purchase",
+    "km_repeat_purchase",
+    "pairwise_type_ztests",
+    "hhi_supplier_nation",
+    "rfm_segments",
+    "rake_keyphrases",
 ]
 
 
