@@ -201,6 +201,7 @@ HEADLINE = [
     "hhi_supplier_nation",
     "rfm_segments",
     "rake_keyphrases",
+    "image_header_roundtrip",
 ]
 
 

@@ -231,3 +231,56 @@ def resize_image_stub(
             )
 
     return df.mapInPandas(_resize, schema=schema)
+
+
+def png_signature_hex() -> str:
+    """The 8-byte PNG signature, hex-encoded (public format constant)."""
+    return "89504E470D0A1A0A"
+
+
+def is_png(payload: str) -> F.Column:
+    """Native PNG sniff: first 8 payload bytes == the PNG signature."""
+    return F.hex(F.expr(f"substring({payload}, 1, 8)")) == F.lit(
+        png_signature_hex()
+    )
+
+
+def png_dims(payload: str) -> tuple[F.Column, F.Column]:
+    """REAL (non-stub) PNG dimension extraction with ZERO Python: the
+    IHDR chunk is mandatory-first, so width/height are big-endian
+    uint32 at fixed byte offsets 17-20 / 21-24 (1-based) of any valid
+    PNG. Pure codegen — binary slice → hex → conv(16,10) — so at
+    100 TB the metadata pass over image payloads never leaves the JVM
+    (contrast decode_image_real, which needs Pillow for PIXELS; mere
+    dimensions never did)."""
+    w = F.conv(F.hex(F.expr(f"substring({payload}, 17, 4)")), 16, 10).cast(
+        "int"
+    )
+    h = F.conv(F.hex(F.expr(f"substring({payload}, 21, 4)")), 16, 10).cast(
+        "int"
+    )
+    return w, h
+
+
+def gif_dims(payload: str) -> tuple[F.Column, F.Column]:
+    """Native GIF logical-screen dimensions: little-endian uint16 at
+    byte offsets 7-8 / 9-10 — byte order flipped by slicing the two
+    bytes separately and hex-concatenating high-before-low. Zero
+    Python, same contract as :func:`png_dims`."""
+    w = F.conv(
+        F.concat(
+            F.hex(F.expr(f"substring({payload}, 8, 1)")),
+            F.hex(F.expr(f"substring({payload}, 7, 1)")),
+        ),
+        16,
+        10,
+    ).cast("int")
+    h = F.conv(
+        F.concat(
+            F.hex(F.expr(f"substring({payload}, 10, 1)")),
+            F.hex(F.expr(f"substring({payload}, 9, 1)")),
+        ),
+        16,
+        10,
+    ).cast("int")
+    return w, h

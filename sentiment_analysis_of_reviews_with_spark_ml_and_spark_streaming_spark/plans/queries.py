@@ -11697,6 +11697,139 @@ FROM uniq ORDER BY score DESC, phrase LIMIT 15
 """
 
 
+def q_image_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-metadata extraction with ZERO Python (r7, multimodal
+    tier upgrade): every doc synthesizes a VALID PNG or GIF header
+    (true signatures; PNG IHDR big-endian uint32 dims, GIF
+    logical-screen little-endian uint16 dims) as a binary payload with
+    native expressions, then operators/multimodal.png_dims / gif_dims
+    parse the dims BACK from the bytes — binary slice → hex →
+    conv(16,10), whole-stage codegen end to end. This is the
+    production shape for 100 TB image corpora: dimension/metadata
+    passes never leave the JVM (Pillow is only ever needed for pixel
+    DECODE, which stays the documented stub). The order-independent
+    payload checksum (60-bit md5 prefix sum over the hex rendering)
+    proves the constructed bytes, not just the parsed dims, match the
+    oracle's."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.multimodal import (
+        gif_dims,
+        is_png,
+        png_dims,
+        png_signature_hex,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(512))).cast("int")
+    h = (F.lit(1) + F.pmod(F.col("doc_id") * 7, F.lit(509))).cast("int")
+    whex8 = F.lpad(F.hex(w), 8, "0")
+    hhex8 = F.lpad(F.hex(h), 8, "0")
+    png_hex = F.concat(
+        F.lit(png_signature_hex()),
+        F.lit("0000000D"),
+        F.lit("49484452"),
+        whex8,
+        hhex8,
+        F.lit("0806000000"),
+    )
+    whex4 = F.lpad(F.hex(w), 4, "0")
+    hhex4 = F.lpad(F.hex(h), 4, "0")
+    gif_hex = F.concat(
+        F.lit("474946383961"),
+        F.substring(whex4, 3, 2),
+        F.substring(whex4, 1, 2),
+        F.substring(hhex4, 3, 2),
+        F.substring(hhex4, 1, 2),
+        F.lit("F70000"),
+    )
+    payloads = docs.select(
+        "doc_id",
+        F.unhex(
+            F.when(F.pmod("doc_id", F.lit(2)) == 0, png_hex).otherwise(
+                gif_hex
+            )
+        ).alias("payload"),
+    )
+    pw, ph = png_dims("payload")
+    gw, gh = gif_dims("payload")
+    parsed = payloads.select(
+        F.when(is_png("payload"), F.lit("png")).otherwise(F.lit("gif")).alias(
+            "fmt"
+        ),
+        F.when(is_png("payload"), pw).otherwise(gw).alias("w"),
+        F.when(is_png("payload"), ph).otherwise(gh).alias("h"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.conv(
+            F.substring(F.md5(F.upper(F.hex("payload"))), 1, 15), 16, 10
+        )
+        .cast("decimal(38,0)")
+        .alias("_ck"),
+    )
+    return (
+        parsed.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("w").cast("long").alias("sum_width"),
+            F.sum("h").cast("long").alias("sum_height"),
+            F.max("w").alias("max_width"),
+            F.sum("n_bytes").alias("total_bytes"),
+            # 60-bit prefixes overflow BIGINT in the thousands of rows;
+            # decimal(38,0) carry + string render (the table_fingerprint
+            # convention)
+            F.sum("_ck").cast("string").alias("payload_checksum"),
+        )
+        .orderBy("fmt")
+    )
+
+
+SQL_IMAGE_HEADER_ROUNDTRIP = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 512 AS INT) AS w,
+         CAST(1 + (doc_id * 7) % 509 AS INT) AS h
+  FROM documents
+), hexes AS (
+  SELECT doc_id, w, h,
+         lpad(upper(to_hex(w)), 8, '0') AS whex8,
+         lpad(upper(to_hex(h)), 8, '0') AS hhex8,
+         lpad(upper(to_hex(w)), 4, '0') AS whex4,
+         lpad(upper(to_hex(h)), 4, '0') AS hhex4
+  FROM dims
+), payloads AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+                   || whex8 || hhex8 || '0806000000'
+              ELSE '474946383961'
+                   || substring(whex4, 3, 2) || substring(whex4, 1, 2)
+                   || substring(hhex4, 3, 2) || substring(hhex4, 1, 2)
+                   || 'F70000'
+         END AS phex
+  FROM hexes
+), parsed AS (
+  SELECT CASE WHEN substring(phex, 1, 16) = '89504E470D0A1A0A'
+              THEN 'png' ELSE 'gif' END AS fmt,
+         CASE WHEN substring(phex, 1, 16) = '89504E470D0A1A0A'
+              THEN ('0x' || substring(phex, 33, 8))::BIGINT
+              ELSE ('0x' || substring(phex, 15, 2)
+                         || substring(phex, 13, 2))::BIGINT END AS w,
+         CASE WHEN substring(phex, 1, 16) = '89504E470D0A1A0A'
+              THEN ('0x' || substring(phex, 41, 8))::BIGINT
+              ELSE ('0x' || substring(phex, 19, 2)
+                         || substring(phex, 17, 2))::BIGINT END AS h,
+         CAST(length(phex) // 2 AS BIGINT) AS n_bytes,
+         ('0x' || substring(md5(phex), 1, 15))::BIGINT AS ck
+  FROM payloads
+)
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(w) AS BIGINT) AS sum_width,
+       CAST(sum(h) AS BIGINT) AS sum_height,
+       CAST(max(w) AS INT) AS max_width,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(ck) AS VARCHAR) AS payload_checksum
+FROM parsed GROUP BY 1 ORDER BY 1
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -11937,6 +12070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hhi_supplier_nation": q_hhi_supplier_nation,
     "rfm_segments": q_rfm_segments,
     "rake_keyphrases": q_rake_keyphrases,
+    "image_header_roundtrip": q_image_header_roundtrip,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -12154,6 +12288,7 @@ ORACLE: dict[str, str] = {
     "hhi_supplier_nation": SQL_HHI_SUPPLIER_NATION,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "rake_keyphrases": SQL_RAKE_KEYPHRASES,
+    "image_header_roundtrip": SQL_IMAGE_HEADER_ROUNDTRIP,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

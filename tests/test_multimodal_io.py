@@ -222,3 +222,43 @@ def test_csv_quarantine(spark, tmp_path):
     assert clean.count() == 2
     assert bad.count() == 0
     assert clean.filter(F.col("stars") == "5").count() == 1
+
+
+def test_native_header_parsers_on_real_bytes(spark):
+    """png_dims/gif_dims must read dimensions out of GENUINE file
+    bytes with zero Python workers: the canonical 1x1 transparent PNG
+    (public constant) and a 37x21 GIF89a header built to spec
+    (little-endian uint16 logical-screen size)."""
+    import base64
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.multimodal import (
+        gif_dims,
+        is_png,
+        png_dims,
+    )
+
+    png_1x1 = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4"
+        "2mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+    )
+    gif_37x21 = b"GIF89a" + (37).to_bytes(2, "little") + (21).to_bytes(
+        2, "little"
+    ) + b"\xf7\x00\x00"
+    df = spark.createDataFrame(
+        [(1, bytearray(png_1x1)), (2, bytearray(gif_37x21))],
+        "doc_id long, payload binary",
+    )
+    pw, ph = png_dims("payload")
+    gw, gh = gif_dims("payload")
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["doc_id"]: (r["is_png"], r["w"], r["h"])
+        for r in df.select(
+            "doc_id",
+            is_png("payload").alias("is_png"),
+            F.when(is_png("payload"), pw).otherwise(gw).alias("w"),
+            F.when(is_png("payload"), ph).otherwise(gh).alias("h"),
+        ).collect()
+    }
+    assert rows == {1: (True, 1, 1), 2: (False, 37, 21)}
