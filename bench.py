@@ -202,6 +202,8 @@ HEADLINE = [
     "rfm_segments",
     "rake_keyphrases",
     "image_header_roundtrip",
+    # grid-bucketed bounded-radius spatial NN join (3x3 cell probe)
+    "spatial_grid_nearest",
 ]
 
 

@@ -11830,6 +11830,128 @@ FROM parsed GROUP BY 1 ORDER BY 1
 """
 
 
+def q_spatial_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial nearest-neighbor join (r7, spatial tier):
+    every customer finds its nearest supplier within a bounded radius
+    — the geospatial join pattern (geohash/S2-cell style) expressed
+    relationally. Coordinates are DETERMINISTIC integers hashed from
+    the keys (md5-prefix mod 1,000,000 — planar, so distances are
+    exact BIGINT d² and the whole query is hash-portable; real lat/lon
+    would go through the same plan with a cos-scaled metric). The
+    scale design is the point: each side buckets into CELL×CELL grid
+    cells, suppliers EXPLODE into their 3×3 neighborhood (9 rows per
+    supplier — the small side fans out, never the fact side), and the
+    equi-join on cell id confines candidate pairs to adjacent cells —
+    at 100 TB this is an equi shuffle on cell keys instead of an
+    O(n·m) cross join. Search radius = CELL (a candidate farther away
+    may be missed by construction — the bounded-radius NN contract);
+    nearest = min (d², s_suppkey) via one per-customer min_by. The
+    oracle replays with the brute-force bounded-radius cross join —
+    agreement proves the 3×3 probe drops no in-radius candidate."""
+    CELL = 125_000  # grid pitch == search radius, ~8×8 cells over the plane
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        _md5_mod_expr("cust", "c_custkey", 1_000_000).alias("cx"),
+        _md5_mod_expr("custy", "c_custkey", 1_000_000).alias("cy"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _md5_mod_expr("supp", "s_suppkey", 1_000_000).alias("sx"),
+        _md5_mod_expr("suppy", "s_suppkey", 1_000_000).alias("sy"),
+    )
+    c_cell = cust.withColumn(
+        "cell",
+        F.expr(f"(cx div {CELL}) * 1000 + (cy div {CELL})"),
+    )
+    s_cells = supp.select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(-1, 1), dx ->
+                    transform(sequence(-1, 1), dy ->
+                      (sx div {CELL} + dx) * 1000 + (sy div {CELL} + dy))))"""
+            )
+        ).alias("cell"),
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    pairs = (
+        c_cell.join(s_cells, "cell")
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= CELL * CELL)
+    )
+    # argmin as ONE integer min: d2 ≤ CELL² (1.5625e10) and suppkey
+    # < 1e7, so d2·1e7 + suppkey fits BIGINT and orders exactly by
+    # (d2, suppkey) — portable where struct-min is not
+    nearest = pairs.groupBy("c_custkey", "c_nationkey").agg(
+        F.min(F.col("d2") * 10_000_000 + F.col("s_suppkey")).alias("_enc")
+    )
+    return (
+        nearest.select(
+            "c_nationkey", F.expr("_enc div 10000000").alias("_d2")
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.sum("_d2").alias("sum_d2"),
+            F.min("_d2").alias("min_d2"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def _md5_mod_expr(salt: str, key: str, mod: int):
+    """Deterministic planar coordinate: 60-bit md5 prefix of
+    'salt|key' mod ``mod`` — the same hex-parse convention as the
+    shard-shuffle keys, identical in both engines."""
+    return F.expr(
+        f"conv(substring(md5(concat('{salt}|', cast({key} as string))), 1, 15),"
+        f" 16, 10) % {mod}"
+    ).cast("long")
+
+
+def _md5_mod_sql(salt: str, key: str, mod: int) -> str:
+    return (
+        f"('0x' || substring(md5('{salt}|' || CAST({key} AS VARCHAR)),"
+        f" 1, 15))::BIGINT % {mod}"
+    )
+
+
+SQL_SPATIAL_GRID_NEAREST = f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         {_md5_mod_sql("cust", "c_custkey", 1_000_000)} AS cx,
+         {_md5_mod_sql("custy", "c_custkey", 1_000_000)} AS cy
+  FROM customer
+), supp AS (
+  SELECT s_suppkey,
+         {_md5_mod_sql("supp", "s_suppkey", 1_000_000)} AS sx,
+         {_md5_mod_sql("suppy", "s_suppkey", 1_000_000)} AS sy
+  FROM supplier
+), pairs AS (
+  SELECT c.c_custkey, c.c_nationkey, s.s_suppkey,
+         (c.cx - s.sx) * (c.cx - s.sx)
+           + (c.cy - s.sy) * (c.cy - s.sy) AS d2
+  FROM cust c, supp s
+  WHERE (c.cx - s.sx) * (c.cx - s.sx)
+          + (c.cy - s.sy) * (c.cy - s.sy)
+        <= CAST(125000 AS BIGINT) * 125000
+), nearest AS (
+  SELECT c_custkey, c_nationkey,
+         min(d2 * 10000000 + s_suppkey) // 10000000 AS d2
+  FROM pairs GROUP BY 1, 2
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(d2) AS BIGINT) AS sum_d2,
+       CAST(min(d2) AS BIGINT) AS min_d2
+FROM nearest GROUP BY 1 ORDER BY 1
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -12071,6 +12193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,
     "rake_keyphrases": q_rake_keyphrases,
     "image_header_roundtrip": q_image_header_roundtrip,
+    "spatial_grid_nearest": q_spatial_grid_nearest,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -12289,6 +12412,7 @@ ORACLE: dict[str, str] = {
     "rfm_segments": SQL_RFM_SEGMENTS,
     "rake_keyphrases": SQL_RAKE_KEYPHRASES,
     "image_header_roundtrip": SQL_IMAGE_HEADER_ROUNDTRIP,
+    "spatial_grid_nearest": SQL_SPATIAL_GRID_NEAREST,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
