@@ -466,3 +466,38 @@ def test_fuzz_weighted_sample_ranking_key(spark, tmp_path_factory, rows):
         ) WHERE rn <= 3
         """,
     )
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    k=st.integers(min_value=1, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_fuzz_ntile_closed_form_matches_native(spark, tmp_path_factory, n, k):
+    """The integer ntile closed form (plans/queries._ntile_expr, the
+    rfm_segments bucketing) must agree with DuckDB's NATIVE ntile(k)
+    on every (n, k) — including k > n, n % k == 0, and the
+    extra-row-to-first-groups boundary."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        _ntile_expr,
+    )
+
+    path = str(tmp_path_factory.mktemp("fuzzntile") / "t.parquet")
+    spark.range(1, n + 1).toDF("rn").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    sdf = (
+        spark.read.parquet(path)
+        .withColumn("n", F.lit(n).cast("long"))
+        .selectExpr("rn", f"CAST({_ntile_expr('rn', 'n', k)} AS INT) AS nt")
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    _cmp(
+        sdf,
+        con,
+        f"""
+        SELECT rn, CAST(ntile({k}) OVER (ORDER BY rn) AS INT) AS nt
+        FROM t
+        """,
+    )
