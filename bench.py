@@ -204,6 +204,8 @@ HEADLINE = [
     "image_header_roundtrip",
     # grid-bucketed bounded-radius spatial NN join (3x3 cell probe)
     "spatial_grid_nearest",
+    # per-doc TextRank power iteration (3 unrolled damped steps)
+    "textrank_sentences",
 ]
 
 

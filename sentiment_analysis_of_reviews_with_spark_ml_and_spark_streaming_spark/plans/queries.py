@@ -11952,6 +11952,163 @@ FROM nearest GROUP BY 1 ORDER BY 1
 """
 
 
+_TEXTRANK_ITERS = 3
+
+
+def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summarization (Mihalcea & Tarau 2004) —
+    each doc's most central sentence (r7, NLP tier): sentences are
+    nodes, edges weight token overlap, and 3 damped power iterations
+    s_i = 0.15 + 0.85·Σ_j (w_ij/deg_j)·s_j rank them (the pagerank
+    playbook: a FIXED iteration count is an unrolled CTE chain, so
+    the oracle replays the exact recurrence; the final comparison is
+    on round(·,6), which also serves as the argmax tie-breaker so a
+    sub-1e-6 cross-engine wobble cannot flip the winner — ties fall
+    to min sentence index). Sentence split/tokenization reuse the
+    sentence_stats + RAKE conventions (lookaround-free regexes,
+    positions zipped pre-filter so indices agree). All graphs are
+    PER-DOC (sentence counts are tiny), so the self-join explodes
+    nothing: one (doc, token) shuffle builds edges, and each
+    iteration is an equi-join on (doc, sentence)."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), "[.!?]+\\s+")).alias(
+            "sidx", "sent"
+        ),
+    ).filter(F.length("sent") > 0)
+    toks = (
+        sents.select(
+            "doc_id",
+            "sidx",
+            F.explode(F.split(F.lower("sent"), "[^a-z]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    e = (
+        toks.alias("a")
+        .join(toks.alias("b"), ["doc_id", "tok"])
+        .filter(F.col("a.sidx") != F.col("b.sidx"))
+        .groupBy(
+            "doc_id",
+            F.col("a.sidx").alias("si"),
+            F.col("b.sidx").alias("sj"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    wdeg = e.groupBy(
+        F.col("doc_id").alias("ddoc"), F.col("sj").alias("dj")
+    ).agg(F.sum("w").alias("deg"))
+    ew = e.join(
+        wdeg,
+        (F.col("doc_id") == F.col("ddoc")) & (F.col("sj") == F.col("dj")),
+    ).select("doc_id", "si", "sj", "w", "deg")
+    nodes = sents.select("doc_id", "sidx")
+    s = nodes.withColumn("s", F.lit(1.0))
+    for _ in range(_TEXTRANK_ITERS):
+        contrib = (
+            ew.join(
+                s.select(
+                    F.col("doc_id"),
+                    F.col("sidx").alias("sj"),
+                    F.col("s").alias("sj_s"),
+                ),
+                ["doc_id", "sj"],
+            )
+            .groupBy("doc_id", F.col("si").alias("sidx"))
+            .agg(
+                F.sum(
+                    F.col("w") * F.col("sj_s") / F.col("deg")
+                ).alias("c")
+            )
+        )
+        s = nodes.join(contrib, ["doc_id", "sidx"], "left").select(
+            "doc_id",
+            "sidx",
+            (F.lit(0.15) + F.lit(0.85) * F.coalesce("c", F.lit(0.0))).alias(
+                "s"
+            ),
+        )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.round("s", 6).desc(), F.col("sidx")
+    )
+    return (
+        s.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "doc_id",
+            F.col("sidx").alias("top_sentence"),
+            F.round("s", 6).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _textrank_oracle_sql(iterations: int = _TEXTRANK_ITERS) -> str:
+    """Unrolled damped power iteration over the per-doc sentence
+    graph — byte-identical recurrence to q_textrank_sentences."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""s{i} AS (
+  SELECT n.doc_id, n.sidx, 0.15 + 0.85 * coalesce(c.c, 0.0) AS s
+  FROM s0_nodes n LEFT JOIN (
+    SELECT ew.doc_id, ew.si AS sidx,
+           sum(ew.w * s{i-1}.s / ew.deg) AS c
+    FROM ew JOIN s{i-1}
+      ON ew.doc_id = s{i-1}.doc_id AND ew.sj = s{i-1}.sidx
+    GROUP BY 1, 2
+  ) c ON n.doc_id = c.doc_id AND n.sidx = c.sidx
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '[.!?]+\\s+')) AS sent,
+         unnest(range(len(string_split_regex(trim(text), '[.!?]+\\s+'))))
+           AS sidx
+  FROM documents
+), sents AS (
+  SELECT doc_id, sidx, sent FROM raw WHERE length(sent) > 0
+), toks AS (
+  SELECT DISTINCT doc_id, sidx, tok FROM (
+    SELECT doc_id, sidx,
+           unnest(string_split_regex(lower(sent), '[^a-z]+')) AS tok
+    FROM sents
+  ) WHERE tok <> ''
+), e AS (
+  SELECT a.doc_id, a.sidx AS si, b.sidx AS sj,
+         CAST(count(*) AS BIGINT) AS w
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.sidx <> b.sidx
+  GROUP BY 1, 2, 3
+), wdeg AS (
+  SELECT doc_id, sj AS dj, CAST(sum(w) AS BIGINT) AS deg
+  FROM e GROUP BY 1, 2
+), ew AS (
+  SELECT e.doc_id, e.si, e.sj, e.w, wdeg.deg
+  FROM e JOIN wdeg ON e.doc_id = wdeg.doc_id AND e.sj = wdeg.dj
+), s0_nodes AS (
+  SELECT doc_id, sidx FROM sents
+), s0 AS (
+  SELECT doc_id, sidx, 1.0 AS s FROM s0_nodes
+),
+{chain}
+SELECT doc_id, sidx AS top_sentence, round(s, 6) AS score
+FROM (
+  SELECT doc_id, sidx, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(s, 6) DESC, sidx) AS rk
+  FROM s{iterations}
+) WHERE rk = 1 ORDER BY doc_id
+"""
+
+
+SQL_TEXTRANK_SENTENCES = _textrank_oracle_sql()
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -12194,6 +12351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rake_keyphrases": q_rake_keyphrases,
     "image_header_roundtrip": q_image_header_roundtrip,
     "spatial_grid_nearest": q_spatial_grid_nearest,
+    "textrank_sentences": q_textrank_sentences,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -12413,6 +12571,7 @@ ORACLE: dict[str, str] = {
     "rake_keyphrases": SQL_RAKE_KEYPHRASES,
     "image_header_roundtrip": SQL_IMAGE_HEADER_ROUNDTRIP,
     "spatial_grid_nearest": SQL_SPATIAL_GRID_NEAREST,
+    "textrank_sentences": SQL_TEXTRANK_SENTENCES,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
