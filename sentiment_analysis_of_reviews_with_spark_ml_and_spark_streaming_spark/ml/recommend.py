@@ -1,0 +1,100 @@
+"""ALS collaborative filtering over the purchase graph.
+
+Matrix factorization is the one ml-tier capability class the engine
+lacked (classification, featurization, tuning, clustering and Word2Vec
+are covered elsewhere): customers x parts from orders ⋈ lineitem form
+the implicit-feedback matrix, `pyspark.ml.recommendation.ALS` factors
+it (the distributed blocked-ALS the platform ships — user/item factor
+blocks co-partitioned, no driver-side matrix), and top-k
+recommendations come from `recommendForAllUsers` (blocked cross
+products, executor-side top-k).
+
+Scale notes (100 TB): ALS shuffles (user, item, rating) triples into
+factor blocks once per sweep; rank and block count bound executor
+memory, never the raw matrix. Ratings use ln(1+purchases) — implicit
+confidence damping — computed from exact integer counts so the input
+matrix is engine-deterministic even though the factorization itself is
+seeded-iterative (hence rows-only + property tests, not a SQL oracle;
+the same contract as the MinHash/IVF families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_ratings(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """(user, item, rating) implicit-feedback triples: rating =
+    ln(1 + n_purchases) from exact integer counts. Ids cast to INT
+    (the ml ALS id domain); the purchase count groupBy is the only
+    shuffle."""
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user",
+            "item",
+            F.log(F.lit(1.0) + F.col("n")).cast("float").alias("rating"),
+        )
+    )
+
+
+def train_als(
+    ratings: DataFrame,
+    *,
+    rank: int = 8,
+    max_iter: int = 10,
+    reg: float = 0.02,
+    seed: int = 100,
+):
+    """Fit blocked ALS; coldStartStrategy=drop so scoring never emits
+    NaN for unseen ids (the documented ml contract)."""
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg,
+        seed=seed,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        nonnegative=True,
+    )
+    return als.fit(ratings)
+
+
+def recommend_items(model, k: int = 3) -> DataFrame:
+    """Top-k items per user, exploded to (user, item, rec_rank) —
+    executor-side blocked top-k, nothing collects to the driver."""
+    recs = model.recommendForAllUsers(k)
+    return recs.select(
+        "user",
+        F.posexplode("recommendations").alias("rec_rank", "rec"),
+    ).select(
+        "user",
+        F.col("rec.item").alias("item"),
+        (F.col("rec_rank") + 1).alias("rec_rank"),
+    )
+
+
+def reconstruction_rmse(model, ratings: DataFrame) -> float:
+    """Train-set RMSE of the factorization — the sanity floor the
+    property test pins (a rank-8 factorization of a sparse implicit
+    matrix must beat the trivial global-mean predictor)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    pred = model.transform(ratings)
+    return RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    ).evaluate(pred)

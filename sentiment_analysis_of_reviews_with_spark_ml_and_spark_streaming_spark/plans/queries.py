@@ -12109,6 +12109,27 @@ FROM (
 SQL_TEXTRANK_SENTENCES = _textrank_oracle_sql()
 
 
+def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS collaborative filtering (ml/recommend.py, r7): factor the
+    customer x part implicit-purchase matrix (blocked distributed ALS,
+    rank 8) and emit top-3 part recommendations per customer.
+    Rows-only by the seeded-iterative contract (same family as
+    MinHash/IVF): the input ratings are engine-deterministic exact
+    ln(1+count), but the factorization has no portable SQL replay;
+    evidence is tests/test_recommend.py (beats-global-mean RMSE floor,
+    exact-k in-vocabulary recs, seed determinism)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.recommend import (
+        build_ratings,
+        recommend_items,
+        train_als,
+    )
+
+    ratings = build_ratings(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    model = train_als(ratings, max_iter=5)
+    return recommend_items(model, 3).orderBy("user", "rec_rank")
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -12352,6 +12373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_header_roundtrip": q_image_header_roundtrip,
     "spatial_grid_nearest": q_spatial_grid_nearest,
     "textrank_sentences": q_textrank_sentences,
+    "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,

@@ -43,6 +43,10 @@ def test_rows_only_set_is_intentional():
         # per subspace) have no portable SQL replay; differential numpy
         # twin + recall floor in tests/test_dedup_similarity.py
         "similarity_pq_adc",
+        # r7: blocked ALS factorization — seeded-iterative, no SQL
+        # replay; RMSE-floor + determinism tests in
+        # tests/test_recommend.py
+        "als_recommendations",
     }
     assert rows_only == allowed, rows_only ^ allowed
 
