@@ -206,6 +206,8 @@ HEADLINE = [
     "spatial_grid_nearest",
     # per-doc TextRank power iteration (3 unrolled damped steps)
     "textrank_sentences",
+    # lead-lag daily cross-correlation (one groupBy-day shuffle)
+    "xcorr_click_purchase",
 ]
 
 

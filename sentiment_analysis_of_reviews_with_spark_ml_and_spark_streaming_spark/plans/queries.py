@@ -12109,6 +12109,121 @@ FROM (
 SQL_TEXTRANK_SENTENCES = _textrank_oracle_sql()
 
 
+def q_xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily click and purchase
+    volumes (r7; completes the time-series diagnostics tier with
+    acf_daily_revenue): r_k = Σ dc_t·dp_{t+k} / √(Σdc²)·√(Σdp²) at
+    lags −7, −1, 0, +1, +7 — positive-lag peaks mean clicks LEAD
+    purchases. Same exactness scheme as the ACF: daily counts are
+    integers, deviations multiply through by n_days (exact BIGINT),
+    cross-moments route through DECIMAL(38,0) with the cast BEFORE
+    the multiply; the only float ops are the final identical
+    sqrt/divide. One groupBy(day) shuffle; the day spine is
+    calendar-bounded so the ordered window is an epilogue."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("p"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    word = Window.orderBy("day")
+    dev = daily.select(
+        "day",
+        (
+            F.col("c") * F.count("*").over(wall) - F.sum("c").over(wall)
+        ).alias("dc"),
+        (
+            F.col("p") * F.count("*").over(wall) - F.sum("p").over(wall)
+        ).alias("dp"),
+    )
+    lagged = dev.select(
+        "dc",
+        "dp",
+        F.lag("dp", 7).over(word).alias("pm7"),
+        F.lag("dp", 1).over(word).alias("pm1"),
+        F.lead("dp", 1).over(word).alias("pp1"),
+        F.lead("dp", 7).over(word).alias("pp7"),
+    )
+    dd = lambda a, b: F.sum(  # noqa: E731 — exact decimal cross-moment
+        F.col(a).cast("decimal(38,0)") * F.col(b)
+    )
+    agg = lagged.agg(
+        dd("dc", "dc").alias("scc"),
+        dd("dp", "dp").alias("spp"),
+        dd("dc", "pm7").alias("nm7"),
+        dd("dc", "pm1").alias("nm1"),
+        dd("dc", "dp").alias("n0"),
+        dd("dc", "pp1").alias("np1"),
+        dd("dc", "pp7").alias("np7"),
+    )
+    den = F.sqrt(F.col("scc").cast("double")) * F.sqrt(
+        F.col("spp").cast("double")
+    )
+    xc = lambda c: F.round(F.col(c).cast("double") / den, 6)  # noqa: E731
+    return (
+        agg.select(
+            xc("nm7").alias("xm7"),
+            xc("nm1").alias("xm1"),
+            xc("n0").alias("x0"),
+            xc("np1").alias("xp1"),
+            xc("np7").alias("xp7"),
+        )
+        .selectExpr(
+            "stack(5, -7, xm7, -1, xm1, 0, x0, 1, xp1, 7, xp7)"
+            " AS (lag, xcorr)"
+        )
+        .orderBy("lag")
+    )
+
+
+SQL_XCORR_CLICK_PURCHASE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT day,
+         c * CAST(count(*) OVER () AS BIGINT)
+           - CAST(sum(c) OVER () AS BIGINT) AS dc,
+         p * CAST(count(*) OVER () AS BIGINT)
+           - CAST(sum(p) OVER () AS BIGINT) AS dp
+  FROM daily
+), lagged AS (
+  SELECT dc, dp,
+         lag(dp, 7) OVER (ORDER BY day) AS pm7,
+         lag(dp, 1) OVER (ORDER BY day) AS pm1,
+         lead(dp, 1) OVER (ORDER BY day) AS pp1,
+         lead(dp, 7) OVER (ORDER BY day) AS pp7
+  FROM dev
+), agg AS (
+  SELECT sum(CAST(dc AS HUGEINT) * dc) AS scc,
+         sum(CAST(dp AS HUGEINT) * dp) AS spp,
+         sum(CAST(dc AS HUGEINT) * pm7) AS nm7,
+         sum(CAST(dc AS HUGEINT) * pm1) AS nm1,
+         sum(CAST(dc AS HUGEINT) * dp) AS n0,
+         sum(CAST(dc AS HUGEINT) * pp1) AS np1,
+         sum(CAST(dc AS HUGEINT) * pp7) AS np7
+  FROM lagged
+)
+SELECT lag,
+       round(CAST(num AS DOUBLE)
+             / (sqrt(CAST(scc AS DOUBLE)) * sqrt(CAST(spp AS DOUBLE))), 6)
+         AS xcorr
+FROM agg, LATERAL (VALUES (-7, nm7), (-1, nm1), (0, n0),
+                          (1, np1), (7, np7)) AS v(lag, num)
+ORDER BY lag
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -12373,6 +12488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_header_roundtrip": q_image_header_roundtrip,
     "spatial_grid_nearest": q_spatial_grid_nearest,
     "textrank_sentences": q_textrank_sentences,
+    "xcorr_click_purchase": q_xcorr_click_purchase,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -12594,6 +12710,7 @@ ORACLE: dict[str, str] = {
     "image_header_roundtrip": SQL_IMAGE_HEADER_ROUNDTRIP,
     "spatial_grid_nearest": SQL_SPATIAL_GRID_NEAREST,
     "textrank_sentences": SQL_TEXTRANK_SENTENCES,
+    "xcorr_click_purchase": SQL_XCORR_CLICK_PURCHASE,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

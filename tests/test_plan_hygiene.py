@@ -42,6 +42,9 @@ SKIP = {
     "dedup_minhash_lsh",
     "similarity_ann_lsh",
     "similarity_ivf",
+    # r7: blocked ALS fits at plan-build time (covered by
+    # tests/test_recommend.py)
+    "als_recommendations",
 }
 
 
@@ -93,6 +96,14 @@ def test_plan_hygiene(spark, name):
             # construction (same contract as the BM25/Q22 scalars)
             "spend_decile_lift",
             "equidepth_histogram_lineitem",
+            # 1-row corpus-horizon aggregate crossJoined onto the
+            # per-customer gaps (Kaplan-Meier censoring date) — single
+            # row by construction
+            "km_repeat_purchase",
+            # non-equi (a < b) pair join over the per-EVENT-TYPE moment
+            # table — |types|² = 10 rows by construction, independent
+            # of corpus size (the BH multiple-testing pair grid)
+            "pairwise_type_ztests",
         }, f"{name}: unexpected nested-loop join"
 
 
