@@ -208,6 +208,9 @@ HEADLINE = [
     "textrank_sentences",
     # lead-lag daily cross-correlation (one groupBy-day shuffle)
     "xcorr_click_purchase",
+    # Mann-Kendall over the day-table pair grid; dow seasonal index
+    "mann_kendall_trend",
+    "seasonal_dow_index",
 ]
 
 

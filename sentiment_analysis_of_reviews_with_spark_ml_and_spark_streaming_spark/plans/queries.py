@@ -12224,6 +12224,168 @@ ORDER BY lag
 """
 
 
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test over daily revenue (r7,
+    the rank-based sibling of regression_trend_by_priority's OLS):
+    S = Σ_{i<j} sign(x_j − x_i) over day-ordered revenue, with the
+    tie-corrected variance Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    kept as an exact BIGINT; the continuity-corrected z = (S∓1)/√Var
+    is the only float op. The pair join is the DAY table squared —
+    calendar-bounded (≈2.4k rows → ~3M integer comparisons), the same
+    boundedness contract as theta_segment_overlap — never the fact
+    table. One groupBy(day) shuffle; integer cents make sign() exact."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_stat = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("b.cents") - F.col("a.cents")).cast("double")
+                ).cast("long")
+            ).alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.count("*").alias("_g"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    n_row = daily.agg(F.count("*").alias("n"))
+    joined = s_stat.crossJoin(F.broadcast(n_row)).crossJoin(
+        F.broadcast(ties)
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    )
+    z = F.when(F.col("s") > 0, F.col("s") - 1).otherwise(
+        F.when(F.col("s") < 0, F.col("s") + 1).otherwise(F.lit(0))
+    ).cast("double") / F.sqrt(var18.cast("double") / 18.0)
+    return joined.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        var18.cast("long").alias("var_s_x18"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.959964).alias("trend_95"),
+    )
+
+
+SQL_MANN_KENDALL_TREND = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.day < b.day
+), ties AS (
+  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY cents)
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+)
+SELECT n AS n_days, s AS s_stat,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_s_x18,
+       round(CAST(CASE WHEN s > 0 THEN s - 1
+                       WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)
+             / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                    / 18.0), 4) AS z_stat,
+       abs(CAST(CASE WHEN s > 0 THEN s - 1
+                     WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)
+           / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                  / 18.0)) > 1.959964 AS trend_95
+FROM s, ties, nn
+"""
+
+
+def q_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week seasonal index of revenue (r7):
+    index(dow) = mean daily revenue on that weekday / overall mean
+    daily revenue — the classical decomposition's seasonal factor,
+    plus each weekday's share of total revenue. Weekday comes from
+    PURE integer arithmetic — (epoch_day + 4) % 7, Monday = 0 — no
+    calendar dow() whose 0/1-origin differs across engines. All
+    moments are exact integer cents; two ratios at the edge."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    dowed = daily.select(
+        F.pmod(
+            F.datediff("day", F.lit("1970-01-01").cast("date")) + 4, F.lit(7)
+        )
+        .cast("int")
+        .alias("dow"),
+        "cents",
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per_dow = dowed.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        F.sum("cents").alias("_c"),
+    )
+    mean_dow = F.col("_c").cast("double") / F.col("n_days")
+    mean_all = F.sum("_c").over(wall).cast("double") / F.sum("n_days").over(
+        wall
+    )
+    return (
+        per_dow.select(
+            "dow",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round(mean_dow / mean_all, 6).alias("seasonal_index"),
+            F.round(
+                F.col("_c").cast("double")
+                / F.sum("_c").over(wall).cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("dow")
+    )
+
+
+SQL_SEASONAL_DOW_INDEX = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), dowed AS (
+  SELECT CAST((date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS INT)
+           AS dow,
+         cents
+  FROM daily
+), per_dow AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(cents) AS BIGINT) AS c
+  FROM dowed GROUP BY 1
+)
+SELECT dow, n_days,
+       round((CAST(c AS DOUBLE) / n_days)
+             / (CAST(sum(c) OVER () AS DOUBLE) / sum(n_days) OVER ()), 6)
+         AS seasonal_index,
+       round(CAST(c AS DOUBLE) / CAST(sum(c) OVER () AS DOUBLE), 6)
+         AS revenue_share
+FROM per_dow ORDER BY dow
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -12489,6 +12651,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_grid_nearest": q_spatial_grid_nearest,
     "textrank_sentences": q_textrank_sentences,
     "xcorr_click_purchase": q_xcorr_click_purchase,
+    "mann_kendall_trend": q_mann_kendall_trend,
+    "seasonal_dow_index": q_seasonal_dow_index,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -12711,6 +12875,8 @@ ORACLE: dict[str, str] = {
     "spatial_grid_nearest": SQL_SPATIAL_GRID_NEAREST,
     "textrank_sentences": SQL_TEXTRANK_SENTENCES,
     "xcorr_click_purchase": SQL_XCORR_CLICK_PURCHASE,
+    "mann_kendall_trend": SQL_MANN_KENDALL_TREND,
+    "seasonal_dow_index": SQL_SEASONAL_DOW_INDEX,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

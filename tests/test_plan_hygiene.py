@@ -104,6 +104,10 @@ def test_plan_hygiene(spark, name):
             # table — |types|² = 10 rows by construction, independent
             # of corpus size (the BH multiple-testing pair grid)
             "pairwise_type_ztests",
+            # non-equi (day < day) pair join over the DAY table —
+            # calendar-bounded squared (~3M integer comparisons), the
+            # Mann-Kendall S statistic; never the fact table
+            "mann_kendall_trend",
         }, f"{name}: unexpected nested-loop join"
 
 
