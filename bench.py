@@ -211,6 +211,8 @@ HEADLINE = [
     # Mann-Kendall over the day-table pair grid; dow seasonal index
     "mann_kendall_trend",
     "seasonal_dow_index",
+    # Shapley attribution: user-mask shuffle + constant coalition algebra
+    "shapley_channel_attribution",
 ]
 
 

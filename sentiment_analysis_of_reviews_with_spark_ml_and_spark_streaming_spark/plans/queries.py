@@ -12386,6 +12386,145 @@ FROM per_dow ORDER BY dow
 """
 
 
+def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution (r7): how much of the
+    conversion (purchase) count does each touch channel (click /
+    error / signup / view) deserve, game-theoretically? Each user's
+    pre-conversion exposure set becomes a 4-bit mask (bit_or
+    aggregate; events at-or-after the first purchase don't count),
+    the coalition value v(S) counts conversions among users whose
+    whole exposure set fits inside S (a 16x16 bitmask-containment
+    join on the TINY coalition table), and the Shapley value is the
+    exact weighted sum of marginal gains φ_i = Σ_{S∌i} w(|S|)
+    [v(S∪i) − v(S)] with the n=4 factorial weights as literals. All
+    counts are exact integers; only the final weight multiply is
+    float (identical literals both engines). One shuffle on user_id;
+    everything after the 16-row masks table is constant-sized.
+    Property: Σφ = v(full) − v(∅) (efficiency axiom) — checkable
+    from the output itself."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    fp = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    tagged = ev.select(
+        "user_id",
+        fp.alias("_fp"),
+        F.when(fp.isNull() | (F.col("ts") < fp), bit)
+        .otherwise(0)
+        .alias("bit"),
+    )
+    users = tagged.groupBy("user_id").agg(
+        F.bit_or("bit").alias("mask"),
+        F.max(F.col("_fp").isNotNull().cast("int")).alias("conv"),
+    )
+    masks = users.groupBy("mask").agg(F.sum("conv").alias("conv_n"))
+    coalitions = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        coalitions.join(
+            F.broadcast(masks),
+            (F.col("mask").bitwiseAND(F.col("s"))) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv_n"), F.lit(0)).alias("v"))
+    )
+    # w(|S|) = |S|!(4-|S|-1)!/4! for n=4: [6, 2, 2, 6]/24
+    wgt = F.element_at(
+        F.array(
+            F.lit(0.25), F.lit(1.0 / 12), F.lit(1.0 / 12), F.lit(0.25)
+        ),
+        F.bit_count("s").cast("int") + 1,
+    )
+    channels = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, cbit int",
+    )
+    marginals = (
+        channels.crossJoin(F.broadcast(v.withColumnRenamed("v", "v_s")))
+        .filter(F.col("s").bitwiseAND(F.col("cbit")) == 0)
+        .join(
+            F.broadcast(
+                v.select(
+                    F.col("s").alias("s2"), F.col("v").alias("v_si")
+                )
+            ),
+            F.col("s2") == F.col("s") + F.col("cbit"),
+        )
+        .select(
+            "channel",
+            (wgt * (F.col("v_si") - F.col("v_s")).cast("double")).alias(
+                "_phi"
+            ),
+        )
+    )
+    return (
+        marginals.groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(F.col("_phi").cast("decimal(28,12)")).cast("double"),
+                4,
+            ).alias("shapley_conversions")
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_SHAPLEY_CHANNEL_ATTRIBUTION = """
+WITH tagged AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER (PARTITION BY user_id) AS fp,
+         ts, event_type
+  FROM events
+), bits AS (
+  SELECT user_id, fp,
+         CASE WHEN fp IS NULL OR ts < fp THEN
+           CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END
+         ELSE 0 END AS bit
+  FROM tagged
+), users AS (
+  SELECT user_id, bit_or(bit) AS mask,
+         max(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS conv
+  FROM bits GROUP BY 1
+), masks AS (
+  SELECT mask, CAST(sum(conv) AS BIGINT) AS conv_n FROM users GROUP BY 1
+), coalitions AS (
+  SELECT CAST(unnest(range(16)) AS INT) AS s
+), v AS (
+  SELECT s, CAST(coalesce(sum(conv_n), 0) AS BIGINT) AS v
+  FROM coalitions LEFT JOIN masks ON (mask & s) = mask
+  GROUP BY s
+), channels AS (
+  SELECT unnest(['click','error','signup','view']) AS channel,
+         unnest([1, 2, 4, 8]) AS cbit
+), marginals AS (
+  SELECT c.channel,
+         -- 1/12 as correctly-rounded DOUBLE division (a truncated
+         -- decimal literal's nearest double could differ in the last
+         -- ulp from Spark's 1.0/12)
+         (CASE WHEN bit_count(vs.s) IN (0, 3) THEN 0.25
+               ELSE CAST(1 AS DOUBLE) / 12 END)
+           * CAST(vi.v - vs.v AS DOUBLE) AS phi
+  FROM channels c
+  JOIN v vs ON (vs.s & c.cbit) = 0
+  JOIN v vi ON vi.s = vs.s + c.cbit
+)
+SELECT channel,
+       round(CAST(sum(CAST(phi AS DECIMAL(28,12))) AS DOUBLE), 4)
+         AS shapley_conversions
+FROM marginals GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -12653,6 +12792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xcorr_click_purchase": q_xcorr_click_purchase,
     "mann_kendall_trend": q_mann_kendall_trend,
     "seasonal_dow_index": q_seasonal_dow_index,
+    "shapley_channel_attribution": q_shapley_channel_attribution,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -12877,6 +13017,7 @@ ORACLE: dict[str, str] = {
     "xcorr_click_purchase": SQL_XCORR_CLICK_PURCHASE,
     "mann_kendall_trend": SQL_MANN_KENDALL_TREND,
     "seasonal_dow_index": SQL_SEASONAL_DOW_INDEX,
+    "shapley_channel_attribution": SQL_SHAPLEY_CHANNEL_ATTRIBUTION,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

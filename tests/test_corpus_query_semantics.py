@@ -274,3 +274,57 @@ def test_resample_spine_is_dense_and_ffilled(spark):
         gaps = [r for r in rs if r["n_events"] == 0]
         for g in gaps:
             assert g["avg_value_ffill"] is not None
+
+
+def test_shapley_attribution_efficiency_axiom(spark):
+    """Shapley's efficiency axiom: the channel values must sum to
+    v(full) − v(∅) — total conversions minus conversions of users
+    with NO pre-purchase channel exposure — computed here by an
+    independent two-aggregate replay."""
+    out = {
+        r["channel"]: r["shapley_conversions"]
+        for r in Q.q_shapley_channel_attribution(
+            spark, SF_DIR_CORRECTNESS
+        ).collect()
+    }
+    assert set(out) == {"click", "error", "signup", "view"}
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.io import (
+        load_events,
+    )
+
+    ev = load_events(spark, SF_DIR_CORRECTNESS)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    fp = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    users = (
+        ev.select(
+            "user_id",
+            fp.alias("fp"),
+            F.when(fp.isNull() | (F.col("ts") < fp), bit)
+            .otherwise(0)
+            .alias("bit"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.bit_or("bit").alias("mask"),
+            F.max(F.col("fp").isNotNull().cast("int")).alias("conv"),
+        )
+    )
+    row = users.agg(
+        F.sum("conv").alias("v_full"),
+        F.sum(F.when(F.col("mask") == 0, F.col("conv")).otherwise(0)).alias(
+            "v_empty"
+        ),
+    ).collect()[0]
+    assert abs(sum(out.values()) - (row["v_full"] - row["v_empty"])) < 1e-6
