@@ -213,6 +213,8 @@ HEADLINE = [
     "seasonal_dow_index",
     # Shapley attribution: user-mask shuffle + constant coalition algebra
     "shapley_channel_attribution",
+    # Markov removal-effect attribution (12-step unrolled iteration)
+    "markov_removal_attribution",
 ]
 
 

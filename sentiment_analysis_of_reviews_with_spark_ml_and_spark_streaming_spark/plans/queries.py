@@ -12525,6 +12525,229 @@ FROM marginals GROUP BY 1 ORDER BY 1
 """
 
 
+_MARKOV_ITERS = 12
+
+
+def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (r7; the path-aware
+    complement to shapley_channel_attribution): model pre-purchase
+    journeys as a first-order chain over {start, click, view, signup,
+    error} with absorbing {conv, null}, then for each channel measure
+    how much conversion probability DISAPPEARS when every transition
+    into that channel is redirected to null. Absorption probabilities
+    come from a fixed 12-step value iteration x(s) ← Σ p(s,·)·x(·)
+    on the ≤7-row state table (unrolled in the oracle, the pagerank
+    playbook; each iterate is quantized to DECIMAL(28,12) so the
+    chain of float ops is bit-identical). The ONLY data-sized work is
+    the per-user journey window + one (src,dst) groupBy; the five
+    matrix variants (base + 4 removals) and the iteration live on a
+    constant-sized table. Output: per channel, base conversion
+    probability, with-removal probability, and removal effect."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    pre = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            fp.alias("_fp"),
+        )
+        .filter(F.col("_fp").isNull() | (F.col("ts") < F.col("_fp")))
+        .filter(F.col("event_type") != "purchase")
+    )
+    steps = pre.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.coalesce(
+            F.lead("event_type").over(wo),
+            F.when(F.col("_fp").isNotNull(), F.lit("conv")).otherwise(
+                F.lit("null")
+            ),
+        ).alias("dst"),
+        F.row_number().over(wo).alias("_rn"),
+    )
+    starts = steps.filter(F.col("_rn") == 1).select(
+        F.lit("start").alias("src"), F.col("src").alias("dst")
+    )
+    trans = (
+        steps.select("src", "dst")
+        .unionByName(starts)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    # five matrix variants on the tiny (src,dst,n) table: '' = base,
+    # else transitions INTO the removed channel redirect to null
+    variants = trans.withColumn(
+        "variant",
+        F.explode(
+            F.array(
+                F.lit(""),
+                F.lit("click"),
+                F.lit("view"),
+                F.lit("signup"),
+                F.lit("error"),
+            )
+        ),
+    ).select(
+        "variant",
+        "src",
+        F.when(F.col("dst") == F.col("variant"), F.lit("null"))
+        .otherwise(F.col("dst"))
+        .alias("dst"),
+        "n",
+    )
+    denom = Window.partitionBy("variant", "src")
+    probs = variants.groupBy("variant", "src", "dst").agg(
+        F.sum("n").alias("n")
+    ).select(
+        "variant",
+        "src",
+        "dst",
+        (F.col("n").cast("double") / F.sum("n").over(denom)).alias("p"),
+    )
+    # value iteration on the constant-sized table; x(conv)=1 absorbing
+    states = probs.select("variant", F.col("src").alias("state")).distinct()
+    x = states.withColumn("x", F.lit(0.0))
+    for _ in range(_MARKOV_ITERS):
+        nxt = (
+            probs.join(
+                x.select(
+                    "variant",
+                    F.col("state").alias("dst"),
+                    F.col("x").alias("xd"),
+                ),
+                ["variant", "dst"],
+                "left",
+            )
+            .select(
+                "variant",
+                "src",
+                (
+                    F.col("p")
+                    * F.when(F.col("dst") == "conv", F.lit(1.0)).otherwise(
+                        F.coalesce(F.col("xd"), F.lit(0.0))
+                    )
+                ).alias("_term"),
+            )
+            .groupBy("variant", "src")
+            .agg(F.sum("_term").alias("_s"))
+        )
+        x = states.join(
+            nxt.select(
+                "variant", F.col("src").alias("state"), "_s"
+            ),
+            ["variant", "state"],
+            "left",
+        ).select(
+            "variant",
+            "state",
+            F.coalesce("_s", F.lit(0.0))
+            .cast("decimal(28,12)")
+            .cast("double")
+            .alias("x"),
+        )
+    base = x.filter(
+        (F.col("variant") == "") & (F.col("state") == "start")
+    ).select(F.col("x").alias("p_base"))
+    removed = x.filter(
+        (F.col("variant") != "") & (F.col("state") == "start")
+    ).select(F.col("variant").alias("channel"), F.col("x").alias("p_removed"))
+    return (
+        removed.crossJoin(F.broadcast(base))
+        .select(
+            "channel",
+            F.round("p_base", 6).alias("p_base"),
+            F.round("p_removed", 6).alias("p_removed"),
+            F.round(
+                F.lit(1.0) - F.col("p_removed") / F.col("p_base"), 6
+            ).alias("removal_effect"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _markov_oracle_sql(iterations: int = _MARKOV_ITERS) -> str:
+    """Unrolled value iteration over the 5-variant transition table —
+    byte-identical recurrence to q_markov_removal_attribution
+    (per-step DECIMAL(28,12) quantization included)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""x{i} AS (
+  SELECT s.variant, s.state,
+         CAST(CAST(coalesce(t.sm, 0.0) AS DECIMAL(28,12)) AS DOUBLE) AS x
+  FROM states s LEFT JOIN (
+    SELECT p.variant, p.src AS state,
+           sum(p.p * CASE WHEN p.dst = 'conv' THEN 1.0
+                          ELSE coalesce(x{i-1}.x, 0.0) END) AS sm
+    FROM probs p LEFT JOIN x{i-1}
+      ON p.variant = x{i-1}.variant AND p.dst = x{i-1}.state
+    GROUP BY 1, 2
+  ) t ON s.variant = t.variant AND s.state = t.state
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pre AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER (PARTITION BY user_id) AS fp
+  FROM events
+), pre2 AS (
+  SELECT * FROM pre
+  WHERE (fp IS NULL OR ts < fp) AND event_type <> 'purchase'
+), steps AS (
+  SELECT user_id, event_type AS src,
+         coalesce(lead(event_type)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  CASE WHEN fp IS NOT NULL THEN 'conv' ELSE 'null' END)
+           AS dst,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM pre2
+), trans AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT src, dst FROM steps
+    UNION ALL
+    SELECT 'start' AS src, src AS dst FROM steps WHERE rn = 1
+  ) GROUP BY 1, 2
+), variants AS (
+  SELECT v.variant, t.src,
+         CASE WHEN t.dst = v.variant THEN 'null' ELSE t.dst END AS dst,
+         t.n
+  FROM trans t,
+       (SELECT unnest(['', 'click', 'view', 'signup', 'error'])
+          AS variant) v
+), probs AS (
+  SELECT variant, src, dst,
+         CAST(sum(n) AS DOUBLE)
+           / sum(sum(n)) OVER (PARTITION BY variant, src) AS p
+  FROM variants GROUP BY 1, 2, 3
+), states AS (
+  SELECT DISTINCT variant, src AS state FROM probs
+), x0 AS (
+  SELECT variant, state, CAST(0.0 AS DOUBLE) AS x FROM states
+),
+{chain}
+SELECT r.variant AS channel,
+       round(b.x, 6) AS p_base,
+       round(r.x, 6) AS p_removed,
+       round(1.0 - r.x / b.x, 6) AS removal_effect
+FROM x{iterations} r, x{iterations} b
+WHERE r.variant <> '' AND r.state = 'start'
+  AND b.variant = '' AND b.state = 'start'
+ORDER BY 1
+"""
+
+
+SQL_MARKOV_REMOVAL_ATTRIBUTION = _markov_oracle_sql()
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -12793,6 +13016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mann_kendall_trend": q_mann_kendall_trend,
     "seasonal_dow_index": q_seasonal_dow_index,
     "shapley_channel_attribution": q_shapley_channel_attribution,
+    "markov_removal_attribution": q_markov_removal_attribution,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -13018,6 +13242,7 @@ ORACLE: dict[str, str] = {
     "mann_kendall_trend": SQL_MANN_KENDALL_TREND,
     "seasonal_dow_index": SQL_SEASONAL_DOW_INDEX,
     "shapley_channel_attribution": SQL_SHAPLEY_CHANNEL_ATTRIBUTION,
+    "markov_removal_attribution": SQL_MARKOV_REMOVAL_ATTRIBUTION,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

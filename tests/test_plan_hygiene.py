@@ -113,6 +113,10 @@ def test_plan_hygiene(spark, name):
             # (the Shapley value is computed on the coalition table,
             # never the fact table)
             "shapley_channel_attribution",
+            # 1-row base-probability aggregate crossJoined onto the
+            # 4-row removal table (the Markov value iteration lives on
+            # the constant-sized transition matrix, never the facts)
+            "markov_removal_attribution",
         }, f"{name}: unexpected nested-loop join"
 
 
