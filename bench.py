@@ -215,6 +215,8 @@ HEADLINE = [
     "shapley_channel_attribution",
     # Markov removal-effect attribution (12-step unrolled iteration)
     "markov_removal_attribution",
+    # session path trigrams (reuses the sessionize shuffle)
+    "event_path_trigrams",
 ]
 
 
