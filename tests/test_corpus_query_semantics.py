@@ -328,3 +328,25 @@ def test_shapley_attribution_efficiency_axiom(spark):
         ),
     ).collect()[0]
     assert abs(sum(out.values()) - (row["v_full"] - row["v_empty"])) < 1e-6
+
+
+def test_marketing_report_example_composes(spark):
+    """examples/marketing_analytics.py: all eight readouts plan and
+    return rows at sf0.001 from one session (the example's contract —
+    lazily planned, nothing collected inside the builder)."""
+    from examples.marketing_analytics import build_marketing_report
+
+    report = build_marketing_report(spark, "/root/testdata/sf0.001")
+    assert set(report) == {
+        "funnel", "cohort", "rfm", "shapley", "markov_removal",
+        "paths", "ab_t_test", "ab_auc",
+    }
+    for name, df in report.items():
+        assert df.limit(1).count() >= 0, name
+    # note: the t-test (means) and AUC (ranks) legitimately CAN
+    # disagree in direction on skewed data — at sf0.001 they do
+    # (mean_diff < 0 with AUC slightly > 0.5), which is exactly why a
+    # growth team runs both; assert only well-formedness here
+    t = report["ab_t_test"].collect()[0]
+    auc = report["ab_auc"].collect()[0]["auc"]
+    assert t["welch_df"] > 1 and 0.0 <= auc <= 1.0
