@@ -501,3 +501,66 @@ def test_fuzz_ntile_closed_form_matches_native(spark, tmp_path_factory, n, k):
         FROM t
         """,
     )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.integers(min_value=-50, max_value=50), # start
+            st.integers(min_value=0, max_value=25),   # duration >= 0
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzz_interval_merge_blocks(spark, tmp_path_factory, rows):
+    """Gaps-and-islands over RANGES (the interval_merge_activity /
+    interval_merge_blocks_batch shape) is tie-safe for nonnegative
+    durations: among equal starts only the traversal-first row can
+    open a block and every peer lands in the same block regardless of
+    peer order, so both engines must produce identical merged blocks
+    on adversarial data (duplicate starts, zero-length and nested
+    intervals)."""
+    path = str(tmp_path_factory.mktemp("fuzzimerge") / "t.parquet")
+    df = spark.createDataFrame(
+        [(k, s, s + d) for k, s, d in rows], "k int, s long, e long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        interval_merge_blocks_batch,
+    )
+
+    sdf = interval_merge_blocks_batch(
+        spark.read.parquet(path), key_col="k", start_col="s", end_col="e"
+    ).select("k", "block_start", "block_end")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    _cmp(
+        sdf,
+        con,
+        """
+        WITH flagged AS (
+          SELECT k, s, e,
+                 CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          IS NULL THEN 1
+                      WHEN s > max(e) OVER (PARTITION BY k ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS nb
+          FROM t
+        ), blocks AS (
+          SELECT k, s, e,
+                 sum(nb) OVER (PARTITION BY k ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS bid
+          FROM flagged
+        )
+        SELECT k, min(s) AS block_start, max(e) AS block_end
+        FROM blocks GROUP BY k, bid
+        """,
+    )
