@@ -217,6 +217,8 @@ HEADLINE = [
     "markov_removal_attribution",
     # session path trigrams (reuses the sessionize shuffle)
     "event_path_trigrams",
+    # seeded-deterministic DP Laplace release (25-row epilogue)
+    "dp_noisy_counts",
 ]
 
 

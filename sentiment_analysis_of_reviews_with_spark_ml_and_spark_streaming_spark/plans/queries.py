@@ -12817,6 +12817,67 @@ GROUP BY 1 ORDER BY n DESC, path LIMIT 20
 """
 
 
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private released counts (r7, completes the
+    data-governance tier with k_anonymity_audit): order counts per
+    priority with Laplace(1/ε) noise, ε = 1 — but the noise is
+    SEEDED-DETERMINISTIC (inverse-CDF transform of an md5-uniform of
+    the group key + release tag), so the whole mechanism replays
+    exactly in the oracle. u ∈ (0,1) comes from the 60-bit md5-prefix
+    integer over 2^60 (both engines produce the identical double);
+    noise = −b·sign(u−½)·ln(1−2|u−½|). True counts never leave the
+    engine: only noisy values and the ε parameter are emitted — the
+    release shape of a DP count query. One map-side-combined groupBy;
+    25-row epilogue. (A production release would draw fresh
+    randomness per release; the seed here IS the release tag,
+    documented for replayability.)"""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority").agg(F.count("*").alias("_n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp-release-1|"), "o_orderpriority")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**60))
+    )
+    centered = u - F.lit(0.5)
+    eps = 1.0
+    noise = (
+        F.lit(-1.0 / eps)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        "o_orderpriority",
+        F.lit(eps).alias("epsilon"),
+        F.round(F.col("_n") + noise, 4).alias("noisy_count"),
+    ).orderBy("o_orderpriority")
+
+
+SQL_DP_NOISY_COUNTS = """
+WITH counts AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), noised AS (
+  SELECT o_orderpriority, n,
+         CAST(('0x' || substring(
+                 md5('dp-release-1|' || o_orderpriority), 1, 15))::BIGINT
+              AS DOUBLE) / 1152921504606846976.0 - 0.5 AS c
+  FROM counts
+)
+SELECT o_orderpriority,
+       CAST(1.0 AS DOUBLE) AS epsilon,
+       round(n + (-1.0) * sign(c) * ln(1.0 - 2.0 * abs(c)), 4)
+         AS noisy_count
+FROM noised ORDER BY o_orderpriority
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -13087,6 +13148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shapley_channel_attribution": q_shapley_channel_attribution,
     "markov_removal_attribution": q_markov_removal_attribution,
     "event_path_trigrams": q_event_path_trigrams,
+    "dp_noisy_counts": q_dp_noisy_counts,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -13314,6 +13376,7 @@ ORACLE: dict[str, str] = {
     "shapley_channel_attribution": SQL_SHAPLEY_CHANNEL_ATTRIBUTION,
     "markov_removal_attribution": SQL_MARKOV_REMOVAL_ATTRIBUTION,
     "event_path_trigrams": SQL_EVENT_PATH_TRIGRAMS,
+    "dp_noisy_counts": SQL_DP_NOISY_COUNTS,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
