@@ -219,6 +219,9 @@ HEADLINE = [
     "event_path_trigrams",
     # seeded-deterministic DP Laplace release (25-row epilogue)
     "dp_noisy_counts",
+    # latency quantiles (one conditional groupBy) + forecast backtest
+    "conversion_latency_quantiles",
+    "ewma_backtest_mape",
 ]
 
 

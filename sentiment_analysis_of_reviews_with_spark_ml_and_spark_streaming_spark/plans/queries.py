@@ -12878,6 +12878,158 @@ FROM noised ORDER BY o_orderpriority
 """
 
 
+def q_conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution (r7): for every user who
+    purchased, the seconds from their FIRST view to their FIRST
+    purchase after it; released as exact p25/p50/p75/p90 + mean.
+    One conditional-aggregation groupBy on user_id builds both
+    firsts (no join, no window); latencies are exact integer
+    seconds; `percentile` is the exact interpolated quantile on both
+    engines (the quantiles_price_by_priority convention) and the
+    mean routes through a DECIMAL sum."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("_v"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("_p"),
+    )
+    lat = per_user.filter(
+        F.col("_v").isNotNull()
+        & F.col("_p").isNotNull()
+        & (F.col("_p") >= F.col("_v"))
+    ).select(F.expr("(_p - _v) div 1000000").alias("sec"))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(sec, 0.25)").alias("p25"),
+        F.expr("percentile(sec, 0.5)").alias("p50"),
+        F.expr("percentile(sec, 0.75)").alias("p75"),
+        F.expr("percentile(sec, 0.9)").alias("p90"),
+        F.round(
+            F.sum(F.col("sec").cast("decimal(18,0)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("mean_sec"),
+    )
+
+
+SQL_CONVERSION_LATENCY_QUANTILES = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view'
+                  THEN epoch_us(ts::TIMESTAMP) END) AS v,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts::TIMESTAMP) END) AS p
+  FROM events GROUP BY 1
+), lat AS (
+  SELECT (p - v) // 1000000 AS sec
+  FROM per_user
+  WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(sec, 0.25) AS p25,
+       quantile_cont(sec, 0.5) AS p50,
+       quantile_cont(sec, 0.75) AS p75,
+       quantile_cont(sec, 0.9) AS p90,
+       round(CAST(sum(CAST(sec AS DECIMAL(18,0))) AS DOUBLE) / count(*), 4)
+         AS mean_sec
+FROM lat
+"""
+
+
+def q_ewma_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest (r7; the evaluation loop the
+    ewma_daily_revenue forecaster was missing): for each of the last
+    30 observed days, forecast revenue from the trailing-30 EWMA of
+    STRICTLY PRECEDING days (integer weights 2^(30−lag) — the exact
+    dyadic scheme of the ewma query, shifted one day so the target
+    never sees itself), then report MAPE and signed bias. The
+    scatter is the equi shape: each day fans out to its next 30
+    target dates (calendar-bounded ×30 explode, one groupBy — no
+    range join); numerators ride DECIMAL(38,0); per-day relative
+    errors are DECIMAL(28,12)-quantized before the mean so the
+    30-term reduction is order-exact."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    scattered = daily.select(
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(30))).alias("off"),
+        F.col("day").alias("src_day"),
+    ).select(
+        F.expr("date_add(src_day, off)").alias("day"),
+        (F.pow(F.lit(2.0), 30 - F.col("off")).cast("long")).alias("w"),
+        "cents",
+    )
+    fc = scattered.groupBy("day").agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("cents")).alias(
+            "_num"
+        ),
+        F.sum("w").alias("_den"),
+    )
+    wlast = Window.orderBy(F.col("day").desc())
+    tested = (
+        daily.join(fc, "day")
+        .withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") <= 30)
+    )
+    forecast = F.col("_num").cast("double") / F.col("_den").cast("double")
+    rel = (forecast - F.col("cents").cast("double")) / F.col(
+        "cents"
+    ).cast("double")
+    per_day = tested.select(
+        F.abs(rel).cast("decimal(28,12)").alias("_ape"),
+        rel.cast("decimal(28,12)").alias("_bias"),
+    )
+    return per_day.agg(
+        F.count("*").alias("n_days_tested"),
+        F.round(
+            F.sum("_ape").cast("double") / F.count("*"), 6
+        ).alias("mape"),
+        F.round(
+            F.sum("_bias").cast("double") / F.count("*"), 6
+        ).alias("mean_bias"),
+    )
+
+
+SQL_EWMA_BACKTEST_MAPE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), scattered AS (
+  SELECT day + CAST(off AS INT) AS day2,
+         CAST(pow(2.0, 30 - off) AS BIGINT) AS w,
+         cents
+  FROM daily, (SELECT unnest(range(1, 31)) AS off)
+), fc AS (
+  SELECT day2 AS day,
+         sum(CAST(w AS HUGEINT) * cents) AS num,
+         CAST(sum(w) AS BIGINT) AS den
+  FROM scattered GROUP BY 1
+), tested AS (
+  SELECT d.day, d.cents, f.num, f.den,
+         row_number() OVER (ORDER BY d.day DESC) AS rn
+  FROM daily d JOIN fc f ON d.day = f.day
+), per_day AS (
+  SELECT CAST(abs((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                   - CAST(cents AS DOUBLE)) / CAST(cents AS DOUBLE))
+              AS DECIMAL(28,12)) AS ape,
+         CAST((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+               - CAST(cents AS DOUBLE)) / CAST(cents AS DOUBLE)
+              AS DECIMAL(28,12)) AS bias
+  FROM tested WHERE rn <= 30
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days_tested,
+       round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape,
+       round(CAST(sum(bias) AS DOUBLE) / count(*), 6) AS mean_bias
+FROM per_day
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -13149,6 +13301,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_removal_attribution": q_markov_removal_attribution,
     "event_path_trigrams": q_event_path_trigrams,
     "dp_noisy_counts": q_dp_noisy_counts,
+    "conversion_latency_quantiles": q_conversion_latency_quantiles,
+    "ewma_backtest_mape": q_ewma_backtest_mape,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -13377,6 +13531,8 @@ ORACLE: dict[str, str] = {
     "markov_removal_attribution": SQL_MARKOV_REMOVAL_ATTRIBUTION,
     "event_path_trigrams": SQL_EVENT_PATH_TRIGRAMS,
     "dp_noisy_counts": SQL_DP_NOISY_COUNTS,
+    "conversion_latency_quantiles": SQL_CONVERSION_LATENCY_QUANTILES,
+    "ewma_backtest_mape": SQL_EWMA_BACKTEST_MAPE,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
