@@ -222,6 +222,8 @@ HEADLINE = [
     # latency quantiles (one conditional groupBy) + forecast backtest
     "conversion_latency_quantiles",
     "ewma_backtest_mape",
+    # classical attribution family (one window pass + groupBy)
+    "rule_attribution_models",
 ]
 
 

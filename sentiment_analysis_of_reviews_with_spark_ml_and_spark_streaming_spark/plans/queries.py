@@ -13030,6 +13030,96 @@ FROM per_day
 """
 
 
+def q_rule_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classical rule-based attribution family in ONE pass (r7;
+    with shapley_channel_attribution and markov_removal_attribution
+    this completes the attribution tier): per converting user, the
+    pre-purchase touch sequence splits one credit among channels
+    under four models — first touch, last touch, linear (1/n each),
+    and U-shaped position (40/20/40; 50/50 for 2 touches, 100% for
+    1). Each user's weights are exact rationals quantized to
+    DECIMAL(28,12) BEFORE the per-channel reduction, so credit sums
+    are order-exact; every model shares the same single window pass
+    + groupBy. Output: channel × model credited conversions."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    fp = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    touches = (
+        ev.select("user_id", "ts", "event_id", "event_type", fp.alias("_fp"))
+        .filter(
+            F.col("_fp").isNotNull()
+            & (F.col("ts") < F.col("_fp"))
+            & (F.col("event_type") != "purchase")
+        )
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = touches.select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.row_number().over(ws).alias("pos"),
+        F.count("*").over(w).alias("n"),
+    )
+    first_w = F.when(F.col("pos") == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    last_w = F.when(F.col("pos") == F.col("n"), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    linear_w = F.lit(1.0) / F.col("n").cast("double")
+    nd = F.col("n").cast("double")
+    position_w = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (nd - 2))
+    )
+    q12 = lambda c: F.sum(c.cast("decimal(28,12)"))  # noqa: E731
+    credited = seq.groupBy("channel").agg(
+        F.round(q12(first_w).cast("double"), 4).alias("first_touch"),
+        F.round(q12(last_w).cast("double"), 4).alias("last_touch"),
+        F.round(q12(linear_w).cast("double"), 4).alias("linear"),
+        F.round(q12(position_w).cast("double"), 4).alias("u_shaped"),
+    )
+    return credited.orderBy("channel")
+
+
+SQL_RULE_ATTRIBUTION_MODELS = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER (PARTITION BY user_id) AS fp
+  FROM events
+), touches AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM tagged
+  WHERE fp IS NOT NULL AND ts < fp AND event_type <> 'purchase'
+), seq AS (
+  SELECT user_id, event_type AS channel,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS pos,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM touches
+)
+SELECT channel,
+       round(CAST(sum(CAST(CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END
+                           AS DECIMAL(28,12))) AS DOUBLE), 4)
+         AS first_touch,
+       round(CAST(sum(CAST(CASE WHEN pos = n THEN 1.0 ELSE 0.0 END
+                           AS DECIMAL(28,12))) AS DOUBLE), 4)
+         AS last_touch,
+       round(CAST(sum(CAST(1.0 / CAST(n AS DOUBLE)
+                           AS DECIMAL(28,12))) AS DOUBLE), 4) AS linear,
+       round(CAST(sum(CAST(CASE WHEN n = 1 THEN 1.0
+                                WHEN n = 2 THEN 0.5
+                                WHEN pos = 1 THEN 0.4
+                                WHEN pos = n THEN 0.4
+                                ELSE 0.2 / (CAST(n AS DOUBLE) - 2) END
+                           AS DECIMAL(28,12))) AS DOUBLE), 4) AS u_shaped
+FROM seq GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -13303,6 +13393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_noisy_counts": q_dp_noisy_counts,
     "conversion_latency_quantiles": q_conversion_latency_quantiles,
     "ewma_backtest_mape": q_ewma_backtest_mape,
+    "rule_attribution_models": q_rule_attribution_models,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -13533,6 +13624,7 @@ ORACLE: dict[str, str] = {
     "dp_noisy_counts": SQL_DP_NOISY_COUNTS,
     "conversion_latency_quantiles": SQL_CONVERSION_LATENCY_QUANTILES,
     "ewma_backtest_mape": SQL_EWMA_BACKTEST_MAPE,
+    "rule_attribution_models": SQL_RULE_ATTRIBUTION_MODELS,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
