@@ -224,6 +224,9 @@ HEADLINE = [
     "ewma_backtest_mape",
     # classical attribution family (one window pass + groupBy)
     "rule_attribution_models",
+    # PSI drift (two scans + 10-row epilogue); CBO join-size audit
+    "psi_price_drift",
+    "join_size_audit",
 ]
 
 

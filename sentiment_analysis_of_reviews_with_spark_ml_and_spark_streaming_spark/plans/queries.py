@@ -13120,6 +13120,228 @@ FROM seq GROUP BY 1 ORDER BY 1
 """
 
 
+def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (r7; the ML-monitoring standard for
+    distribution drift, joining cusum/Mann-Kendall in the drift
+    tier): does the order-price distribution shift between the first
+    and second half of the order history? Decile edges come from the
+    REFERENCE period's exact interpolated percentiles (the
+    quantiles_price convention), both periods bucket against those
+    shared edges with integer comparisons, and
+    PSI = Σ (p_i − q_i)·ln(p_i/q_i) sums DECIMAL(28,12)-quantized
+    terms (zero-count buckets floored to 1e-6 share, the standard PSI
+    guard, identically on both engines). Two scans + one 10-row
+    epilogue; the split date is the exact median order date."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    split = o.agg(
+        F.expr("percentile(datediff(day, DATE'1970-01-01'), 0.5)").alias(
+            "_m"
+        )
+    ).select(F.floor("_m").cast("int").alias("_mday"))
+    tagged = o.crossJoin(F.broadcast(split)).select(
+        "cents",
+        (
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            <= F.col("_mday")
+        ).alias("is_ref"),
+    )
+    edges = (
+        tagged.filter("is_ref")
+        .agg(
+            *[
+                F.expr(f"percentile(cents, {i / 10})").alias(f"e{i}")
+                for i in range(1, 10)
+            ]
+        )
+    )
+    bucketed = tagged.crossJoin(F.broadcast(edges)).select(
+        "is_ref",
+        sum(
+            [
+                (F.col("cents").cast("double") > F.col(f"e{i}")).cast("int")
+                for i in range(1, 10)
+            ],
+            F.lit(0),
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("nr"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("nc"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = F.greatest(
+        F.col("nr").cast("double") / F.sum("nr").over(wall),
+        F.lit(1e-6),
+    )
+    q = F.greatest(
+        F.col("nc").cast("double") / F.sum("nc").over(wall),
+        F.lit(1e-6),
+    )
+    terms = counts.select(
+        "bucket",
+        "nr",
+        "nc",
+        ((p - q) * F.log(p / q)).cast("decimal(28,12)").alias("_t"),
+    )
+    return terms.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("nr").alias("n_ref"),
+        F.sum("nc").alias("n_cur"),
+        F.round(F.sum("_t").cast("double"), 6).alias("psi"),
+    )
+
+
+SQL_PSI_PRICE_DRIFT = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders
+), split AS (
+  SELECT CAST(floor(quantile_cont(
+             date_diff('day', DATE '1970-01-01', day), 0.5)) AS INT)
+           AS mday
+  FROM o
+), tagged AS (
+  SELECT cents,
+         date_diff('day', DATE '1970-01-01', day)
+           <= (SELECT mday FROM split) AS is_ref
+  FROM o
+), edges AS (
+  SELECT quantile_cont(cents, 0.1) AS e1, quantile_cont(cents, 0.2) AS e2,
+         quantile_cont(cents, 0.3) AS e3, quantile_cont(cents, 0.4) AS e4,
+         quantile_cont(cents, 0.5) AS e5, quantile_cont(cents, 0.6) AS e6,
+         quantile_cont(cents, 0.7) AS e7, quantile_cont(cents, 0.8) AS e8,
+         quantile_cont(cents, 0.9) AS e9
+  FROM tagged WHERE is_ref
+), bucketed AS (
+  SELECT is_ref,
+         (CASE WHEN CAST(cents AS DOUBLE) > e1 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(cents AS DOUBLE) > e2 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(cents AS DOUBLE) > e3 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(cents AS DOUBLE) > e4 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(cents AS DOUBLE) > e5 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(cents AS DOUBLE) > e6 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(cents AS DOUBLE) > e7 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(cents AS DOUBLE) > e8 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(cents AS DOUBLE) > e9 THEN 1 ELSE 0 END)
+           AS bucket
+  FROM tagged, edges
+), counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS nc
+  FROM bucketed GROUP BY 1
+), terms AS (
+  SELECT bucket, nr, nc,
+         CAST((greatest(CAST(nr AS DOUBLE) / sum(nr) OVER (), 1e-6)
+               - greatest(CAST(nc AS DOUBLE) / sum(nc) OVER (), 1e-6))
+              * ln(greatest(CAST(nr AS DOUBLE) / sum(nr) OVER (), 1e-6)
+                   / greatest(CAST(nc AS DOUBLE) / sum(nc) OVER (), 1e-6))
+              AS DECIMAL(28,12)) AS t
+  FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(nr) AS BIGINT) AS n_ref,
+       CAST(sum(nc) AS BIGINT) AS n_cur,
+       round(CAST(sum(t) AS DOUBLE), 6) AS psi
+FROM terms
+"""
+
+
+def q_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from key histograms (r7; the CBO
+    planning primitive, auditable because the estimator identity
+    |A ⋈_k B| = Σ_k n_A(k)·n_B(k) is EXACT for equi-joins): predict
+    the events ⋈ orders (user = customer) join size from two per-key
+    count tables — two map-side-combined groupBys + a join on the
+    (small) key-histogram tables, NEVER materializing the real join —
+    then run the real join once and assert-by-output that predicted
+    == actual. Also reports the blowup factor and the hottest key's
+    share of output rows (the skew readout that decides salting).
+    Products ride DECIMAL(38,0); everything integer-exact."""
+    ev = _events(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders")
+    he = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("ne")
+    )
+    ho = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("no")
+    )
+    per_key = he.join(ho, "k").select(
+        "k", (F.col("ne").cast("decimal(38,0)") * F.col("no")).alias("prod")
+    )
+    pred = per_key.agg(
+        F.sum("prod").cast("long").alias("predicted_rows"),
+        F.max("prod").cast("long").alias("_hot"),
+    )
+    actual = (
+        ev.select("user_id")
+        .join(o.select("o_custkey"), F.col("user_id") == F.col("o_custkey"))
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    n_left = ev.agg(F.count("*").alias("n_left"))
+    return (
+        pred.crossJoin(F.broadcast(actual))
+        .crossJoin(F.broadcast(n_left))
+        .select(
+            "n_left",
+            "predicted_rows",
+            "actual_rows",
+            (F.col("predicted_rows") == F.col("actual_rows")).alias(
+                "estimator_exact"
+            ),
+            F.round(
+                F.col("actual_rows").cast("double")
+                / F.col("n_left").cast("double"),
+                4,
+            ).alias("blowup_factor"),
+            F.round(
+                F.col("_hot").cast("double")
+                / F.col("actual_rows").cast("double"),
+                6,
+            ).alias("top_key_share"),
+        )
+    )
+
+
+SQL_JOIN_SIZE_AUDIT = """
+WITH he AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS ne
+  FROM events GROUP BY 1
+), ho AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS no
+  FROM orders GROUP BY 1
+), per_key AS (
+  SELECT he.k, CAST(ne AS HUGEINT) * no AS prod
+  FROM he JOIN ho ON he.k = ho.k
+), pred AS (
+  SELECT CAST(sum(prod) AS BIGINT) AS predicted_rows,
+         CAST(max(prod) AS BIGINT) AS hot
+  FROM per_key
+), actual AS (
+  SELECT CAST(count(*) AS BIGINT) AS actual_rows
+  FROM events JOIN orders ON user_id = o_custkey
+), nl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_left FROM events
+)
+SELECT n_left, predicted_rows, actual_rows,
+       predicted_rows = actual_rows AS estimator_exact,
+       round(CAST(actual_rows AS DOUBLE) / CAST(n_left AS DOUBLE), 4)
+         AS blowup_factor,
+       round(CAST(hot AS DOUBLE) / CAST(actual_rows AS DOUBLE), 6)
+         AS top_key_share
+FROM pred, actual, nl
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -13394,6 +13616,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversion_latency_quantiles": q_conversion_latency_quantiles,
     "ewma_backtest_mape": q_ewma_backtest_mape,
     "rule_attribution_models": q_rule_attribution_models,
+    "psi_price_drift": q_psi_price_drift,
+    "join_size_audit": q_join_size_audit,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -13625,6 +13849,8 @@ ORACLE: dict[str, str] = {
     "conversion_latency_quantiles": SQL_CONVERSION_LATENCY_QUANTILES,
     "ewma_backtest_mape": SQL_EWMA_BACKTEST_MAPE,
     "rule_attribution_models": SQL_RULE_ATTRIBUTION_MODELS,
+    "psi_price_drift": SQL_PSI_PRICE_DRIFT,
+    "join_size_audit": SQL_JOIN_SIZE_AUDIT,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

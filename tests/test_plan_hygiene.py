@@ -117,6 +117,12 @@ def test_plan_hygiene(spark, name):
             # 4-row removal table (the Markov value iteration lives on
             # the constant-sized transition matrix, never the facts)
             "markov_removal_attribution",
+            # 1-row split-date and 1-row decile-edge aggregates
+            # crossJoined onto the scan (the BM25/Q22 scalar contract)
+            "psi_price_drift",
+            # three 1-row aggregates (prediction, actual, left count)
+            # crossJoined into the single audit row
+            "join_size_audit",
         }, f"{name}: unexpected nested-loop join"
 
 
