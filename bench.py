@@ -227,6 +227,8 @@ HEADLINE = [
     # PSI drift (two scans + 10-row epilogue); CBO join-size audit
     "psi_price_drift",
     "join_size_audit",
+    # power-analysis readout (one conditional-moment scan)
+    "ab_sample_size",
 ]
 
 

@@ -13342,6 +13342,72 @@ FROM pred, actual, nl
 """
 
 
+def q_ab_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment design readout (r7; closes the experimentation
+    tier's loop: design → test → FDR → AUC): per event type, the
+    per-arm sample size needed to detect a 5% lift in mean value at
+    α = 0.05 (two-sided) and 80% power — n = 2σ²(z_{α/2}+z_β)²/δ²
+    with δ = 0.05·mean, z constants as literals (1.959964, 0.841621).
+    Variance comes from exact DECIMAL moments in ONE scan; the only
+    float math is the closed form on per-group scalars; output n is
+    CEILed to an integer so the release value is exact."""
+    ev = _events(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_obs"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_q"),
+    )
+    n = F.col("n_obs").cast("double")
+    s = F.col("_s").cast("double")
+    q = F.col("_q").cast("double")
+    mean = s / n
+    var = (q - s * s / n) / (n - 1)
+    delta = F.lit(0.05) * mean
+    zsum = F.lit(1.959964 + 0.841621)
+    need = F.ceil(
+        F.lit(2.0) * var * zsum * zsum / (delta * delta)
+    ).cast("long")
+    return m.select(
+        "event_type",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("sd_value"),
+        need.alias("n_per_arm_5pct_lift"),
+        (need * 2 <= F.col("n_obs")).alias("already_powered"),
+    ).orderBy("event_type")
+
+
+SQL_AB_SAMPLE_SIZE = """
+WITH m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+         sum(CAST(value AS DECIMAL(18,6))) AS s,
+         sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+           AS q
+  FROM events GROUP BY 1
+), d AS (
+  SELECT event_type, n_obs,
+         CAST(n_obs AS DOUBLE) AS n,
+         CAST(s AS DOUBLE) AS s, CAST(q AS DOUBLE) AS q
+  FROM m
+), f AS (
+  SELECT event_type, n_obs, s / n AS mean,
+         (q - s * s / n) / (n - 1) AS var, n
+  FROM d
+)
+SELECT event_type, n_obs,
+       round(mean, 6) AS mean_value,
+       round(sqrt(var), 6) AS sd_value,
+       CAST(ceil(2.0 * var * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 / ((0.05 * mean) * (0.05 * mean))) AS BIGINT)
+         AS n_per_arm_5pct_lift,
+       CAST(ceil(2.0 * var * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 / ((0.05 * mean) * (0.05 * mean))) AS BIGINT) * 2
+         <= n_obs AS already_powered
+FROM f ORDER BY event_type
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -13618,6 +13684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_attribution_models": q_rule_attribution_models,
     "psi_price_drift": q_psi_price_drift,
     "join_size_audit": q_join_size_audit,
+    "ab_sample_size": q_ab_sample_size,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -13851,6 +13918,7 @@ ORACLE: dict[str, str] = {
     "rule_attribution_models": SQL_RULE_ATTRIBUTION_MODELS,
     "psi_price_drift": SQL_PSI_PRICE_DRIFT,
     "join_size_audit": SQL_JOIN_SIZE_AUDIT,
+    "ab_sample_size": SQL_AB_SAMPLE_SIZE,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
