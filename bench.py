@@ -229,6 +229,9 @@ HEADLINE = [
     "join_size_audit",
     # power-analysis readout (one conditional-moment scan)
     "ab_sample_size",
+    # pipeline-integrity audits (fingerprint semi-join; exact flag)
+    "split_leakage_audit",
+    "simpson_paradox_audit",
 ]
 
 

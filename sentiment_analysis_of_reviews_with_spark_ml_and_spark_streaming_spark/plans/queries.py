@@ -13408,6 +13408,185 @@ FROM f ORDER BY event_type
 """
 
 
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval leakage audit (r7; the check every training-data
+    pipeline must run AFTER splitting — deduplication before splitting
+    does not prevent identical text landing on both sides if dedup was
+    fuzzy or disabled): assign the deterministic_split buckets, exact-
+    fingerprint each doc's NORMALIZED text (the doc_fingerprint
+    convention), and count distinct eval-side fingerprints that also
+    appear in train — plus the eval docs carrying them (the rows a
+    decontamination pass would drop). One md5 groupBy; the cross-split
+    check is a semi-join on 60-bit fingerprint keys, never text."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b < "f6", "train").when(b < "fb", "val").otherwise("test")
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    tagged = docs.select(split.alias("split"), fp.alias("fp"))
+    train_fps = (
+        tagged.filter(F.col("split") == "train").select("fp").distinct()
+    )
+    ev = tagged.filter(F.col("split") != "train")
+    leaked = ev.join(train_fps, "fp", "left_semi")
+    return (
+        ev.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+        .join(
+            leaked.groupBy("split").agg(
+                F.count("*").alias("n_leaked_docs"),
+                F.countDistinct("fp").alias("n_leaked_fps"),
+            ),
+            "split",
+            "left",
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_distinct",
+            F.coalesce("n_leaked_docs", F.lit(0)).alias("n_leaked_docs"),
+            F.coalesce("n_leaked_fps", F.lit(0)).alias("n_leaked_fps"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = """
+WITH tagged AS (
+  SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f6'
+              THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fb'
+              THEN 'val' ELSE 'test' END AS split,
+         ('0x' || substring(
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+             1, 15))::BIGINT AS fp
+  FROM documents
+), train_fps AS (
+  SELECT DISTINCT fp FROM tagged WHERE split = 'train'
+), ev AS (
+  SELECT * FROM tagged WHERE split <> 'train'
+), leaked AS (
+  SELECT ev.split, ev.fp FROM ev SEMI JOIN train_fps USING (fp)
+)
+SELECT e.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT e.fp) AS BIGINT) AS n_distinct,
+       CAST(coalesce(l.n_leaked_docs, 0) AS BIGINT) AS n_leaked_docs,
+       CAST(coalesce(l.n_leaked_fps, 0) AS BIGINT) AS n_leaked_fps
+FROM ev e LEFT JOIN (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_leaked_docs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_leaked_fps
+  FROM leaked GROUP BY 1
+) l ON e.split = l.split
+GROUP BY e.split, l.n_leaked_docs, l.n_leaked_fps
+ORDER BY e.split
+"""
+
+
+def q_simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit (r7): compare two cohorts' purchase
+    rates overall AND within every nation segment, flagging when the
+    pooled direction disagrees with the majority of segment
+    directions — the classic aggregation pitfall a metrics platform
+    should surface before anyone ships a pooled number. Cohorts are
+    the deterministic even/odd customer split; rates are exact
+    integer ratios compared by CROSS-MULTIPLICATION (a·d vs b·c in
+    DECIMAL — no float thresholds anywhere), so the flag itself is
+    integer-exact. One groupBy; the segment table is
+    |nations|-bounded."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        "c_nationkey",
+        (F.col("o_custkey") % 2 == 0).alias("is_a"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("done"),
+    )
+    seg = joined.groupBy("c_nationkey").agg(
+        F.sum(F.when(F.col("is_a"), F.col("done"))).alias("da"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("is_a"), F.col("done"))).alias("db"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("nb"),
+    )
+    # segment direction by cross-multiplication: da/na > db/nb ⟺
+    # da·nb > db·na (all exact)
+    a_wins = (
+        F.col("da").cast("decimal(38,0)") * F.col("nb")
+        > F.col("db").cast("decimal(38,0)") * F.col("na")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    agg = seg.select(
+        "*",
+        a_wins.cast("int").alias("seg_a_wins"),
+        F.sum("da").over(wall).alias("tda"),
+        F.sum("na").over(wall).alias("tna"),
+        F.sum("db").over(wall).alias("tdb"),
+        F.sum("nb").over(wall).alias("tnb"),
+    )
+    pooled_a_wins = (
+        F.col("tda").cast("decimal(38,0)") * F.col("tnb")
+        > F.col("tdb").cast("decimal(38,0)") * F.col("tna")
+    )
+    return agg.agg(
+        F.count("*").alias("n_segments"),
+        F.sum("seg_a_wins").cast("long").alias("segments_a_wins"),
+        F.max(pooled_a_wins.cast("int")).cast("boolean").alias(
+            "pooled_a_wins"
+        ),
+        (
+            (
+                F.sum("seg_a_wins") * 2 > F.count("*")
+            )  # majority of segments
+            != (F.max(pooled_a_wins.cast("int")) == 1)
+        ).alias("paradox_flag"),
+    )
+
+
+SQL_SIMPSON_PARADOX_AUDIT = """
+WITH joined AS (
+  SELECT c_nationkey,
+         o_custkey % 2 = 0 AS is_a,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS done
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT c_nationkey,
+         CAST(sum(CASE WHEN is_a THEN done END) AS BIGINT) AS da,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN NOT is_a THEN done END) AS BIGINT) AS db,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM joined GROUP BY 1
+), agg AS (
+  SELECT *,
+         CASE WHEN CAST(da AS HUGEINT) * nb > CAST(db AS HUGEINT) * na
+              THEN 1 ELSE 0 END AS seg_a_wins,
+         CAST(sum(da) OVER () AS BIGINT) AS tda,
+         CAST(sum(na) OVER () AS BIGINT) AS tna,
+         CAST(sum(db) OVER () AS BIGINT) AS tdb,
+         CAST(sum(nb) OVER () AS BIGINT) AS tnb
+  FROM seg
+)
+SELECT CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(seg_a_wins) AS BIGINT) AS segments_a_wins,
+       max(CASE WHEN CAST(tda AS HUGEINT) * tnb
+                     > CAST(tdb AS HUGEINT) * tna
+                THEN 1 ELSE 0 END) = 1 AS pooled_a_wins,
+       (sum(seg_a_wins) * 2 > count(*))
+         <> (max(CASE WHEN CAST(tda AS HUGEINT) * tnb
+                           > CAST(tdb AS HUGEINT) * tna
+                      THEN 1 ELSE 0 END) = 1) AS paradox_flag
+FROM agg
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -13685,6 +13864,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_price_drift": q_psi_price_drift,
     "join_size_audit": q_join_size_audit,
     "ab_sample_size": q_ab_sample_size,
+    "split_leakage_audit": q_split_leakage_audit,
+    "simpson_paradox_audit": q_simpson_paradox_audit,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -13919,6 +14100,8 @@ ORACLE: dict[str, str] = {
     "psi_price_drift": SQL_PSI_PRICE_DRIFT,
     "join_size_audit": SQL_JOIN_SIZE_AUDIT,
     "ab_sample_size": SQL_AB_SAMPLE_SIZE,
+    "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
+    "simpson_paradox_audit": SQL_SIMPSON_PARADOX_AUDIT,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
