@@ -232,6 +232,8 @@ HEADLINE = [
     # pipeline-integrity audits (fingerprint semi-join; exact flag)
     "split_leakage_audit",
     "simpson_paradox_audit",
+    # IR ranking evaluation over the BM25 postings shuffle
+    "search_eval_ndcg",
 ]
 
 

@@ -13587,6 +13587,171 @@ FROM agg
 """
 
 
+def q_search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR ranking evaluation (r7): NDCG@10 and MRR for the BM25
+    ranking (keyword_search_bm25's exact scoring, disjunctive
+    'spark'/'join'/'filter') against a deterministic graded relevance
+    label — a doc's tf of the TARGET term 'join' (so docs retrieved
+    only via the other terms score 0 and MRR is informative). Ranks
+    order by (rounded bm25 DESC, doc_id) — a total order, so a
+    sub-round float wobble cannot flip positions; DCG terms
+    rel/log2(i+1) are DECIMAL(28,12)-quantized before the 10-term
+    sums; the ideal ranking comes from the corpus-wide relevance
+    top-10 (rel DESC, doc_id). Both rankings are ≤10-row epilogues —
+    the heavy work is the same postings shuffle BM25 already does."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "join", "filter"]
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_ws(F.col("text"))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    postings = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(
+            sum(
+                [
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("term") == t, F.col("contrib"))
+                        ),
+                        F.lit(0.0),
+                    )
+                    for t in terms
+                ],
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("bm25"),
+        F.coalesce(
+            F.sum(F.when(F.col("term") == "join", F.col("tf"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rel"),
+    )
+    wr = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    ranked = (
+        per_doc.withColumn("i", F.row_number().over(wr))
+        .filter(F.col("i") <= 10)
+    )
+    dcg_term = (
+        F.col("rel").cast("double") / F.log2(F.col("i") + 1)
+    ).cast("decimal(28,12)")
+    dcg = ranked.agg(
+        F.sum(dcg_term).alias("_dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("i"))).alias("_first_rel"),
+        F.sum((F.col("rel") > 0).cast("long")).alias("n_relevant_at_10"),
+    )
+    wi = Window.orderBy(F.col("rel").desc(), F.col("doc_id"))
+    ideal = (
+        per_doc.withColumn("i", F.row_number().over(wi))
+        .filter(F.col("i") <= 10)
+        .agg(F.sum(dcg_term).alias("_idcg"))
+    )
+    return dcg.crossJoin(F.broadcast(ideal)).select(
+        "n_relevant_at_10",
+        F.round(
+            F.col("_dcg").cast("double") / F.col("_idcg").cast("double"),
+            6,
+        ).alias("ndcg_at_10"),
+        F.round(
+            F.lit(1.0) / F.col("_first_rel").cast("double"), 6
+        ).alias("mrr"),
+    )
+
+
+SQL_SEARCH_EVAL_NDCG = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), postings AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN ('spark', 'join', 'filter')
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM postings GROUP BY 1
+), scored AS (
+  SELECT p.doc_id, p.term, p.tf,
+         round(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)),
+               6) AS contrib
+  FROM postings p
+  JOIN dfreq f ON p.term = f.term
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+), per_doc AS (
+  SELECT doc_id,
+         round(coalesce(sum(CASE WHEN term = 'spark' THEN contrib END), 0)
+               + coalesce(sum(CASE WHEN term = 'join' THEN contrib END), 0)
+               + coalesce(sum(CASE WHEN term = 'filter' THEN contrib END),
+                          0), 4) AS bm25,
+         CAST(coalesce(sum(CASE WHEN term = 'join' THEN tf END), 0)
+              AS BIGINT) AS rel
+  FROM scored GROUP BY 1
+), ranked AS (
+  SELECT rel, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS i
+  FROM per_doc
+), dcg AS (
+  SELECT sum(CAST(CAST(rel AS DOUBLE) / log2(i + 1) AS DECIMAL(28,12)))
+           AS dcg,
+         min(CASE WHEN rel > 0 THEN i END) AS first_rel,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_relevant_at_10
+  FROM ranked WHERE i <= 10
+), ideal AS (
+  SELECT sum(CAST(CAST(rel AS DOUBLE) / log2(i + 1) AS DECIMAL(28,12)))
+           AS idcg
+  FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS i
+        FROM per_doc) WHERE i <= 10
+)
+SELECT n_relevant_at_10,
+       round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg_at_10,
+       round(1.0 / CAST(first_rel AS DOUBLE), 6) AS mrr
+FROM dcg, ideal
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -13866,6 +14031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_sample_size": q_ab_sample_size,
     "split_leakage_audit": q_split_leakage_audit,
     "simpson_paradox_audit": q_simpson_paradox_audit,
+    "search_eval_ndcg": q_search_eval_ndcg,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -14102,6 +14268,7 @@ ORACLE: dict[str, str] = {
     "ab_sample_size": SQL_AB_SAMPLE_SIZE,
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
     "simpson_paradox_audit": SQL_SIMPSON_PARADOX_AUDIT,
+    "search_eval_ndcg": SQL_SEARCH_EVAL_NDCG,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

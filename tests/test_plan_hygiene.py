@@ -123,6 +123,9 @@ def test_plan_hygiene(spark, name):
             # three 1-row aggregates (prediction, actual, left count)
             # crossJoined into the single audit row
             "join_size_audit",
+            # 1-row corpus-stats (N, avgdl) + 1-row IDCG aggregates
+            # crossJoined — the BM25/Q22 scalar contract
+            "search_eval_ndcg",
         }, f"{name}: unexpected nested-loop join"
 
 
