@@ -234,6 +234,8 @@ HEADLINE = [
     "simpson_paradox_audit",
     # IR ranking evaluation over the BM25 postings shuffle
     "search_eval_ndcg",
+    # per-label half-centroid cosine (one posexplode shuffle)
+    "embedding_centroid_drift",
 ]
 
 

@@ -13752,6 +13752,106 @@ FROM dcg, ideal
 """
 
 
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic drift per label (r7; the embedding-space sibling of
+    psi_price_drift's numeric drift): split each label's vectors into
+    two deterministic halves (vec_id parity — the reproducible A/B of
+    the corpus), compute both centroids, and report their cosine and
+    drift = 1 − cos. A healthy embedding pipeline shows near-1 cosine
+    between halves; a drop flags ingestion skew or an encoder change.
+    Centroid means and all dots/norms run through exact
+    DECIMAL(28,12) sums (the embedding_stats pattern) — the (label ×
+    dim × 2) centroid table is class-bounded, so the pairwise algebra
+    is an epilogue to the one posexplode shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ex = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("half"),
+        "label",
+        F.posexplode(v).alias("dim", "x"),
+    )
+    cent = ex.groupBy("label", "half", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    a = cent.filter(F.col("half")).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.filter(~F.col("half")).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    pairs = a.join(b, ["label", "dim"])
+    geo = pairs.groupBy("label").agg(
+        F.sum((F.col("ca") * F.col("cb")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("_dot"),
+        F.sum((F.col("ca") * F.col("ca")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("_na"),
+        F.sum((F.col("cb") * F.col("cb")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("_nb"),
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_even"),
+        F.sum((F.col("vec_id") % 2 != 0).cast("long")).alias("n_odd"),
+    )
+    cos = F.col("_dot") / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")))
+    return (
+        geo.join(counts, "label")
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            F.round(cos, 6).alias("halves_cosine"),
+            F.round(F.lit(1.0) - cos, 6).alias("drift"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_CENTROID_DRIFT = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT vec_id % 2 = 0 AS half, label, u.dim AS dim, u.x AS x FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x})) AS u
+    FROM e
+  )
+), cent AS (
+  SELECT label, half, dim,
+         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+  FROM ex GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT a.label, a.c AS ca, b.c AS cb
+  FROM (SELECT label, dim, c FROM cent WHERE half) a
+  JOIN (SELECT label, dim, c FROM cent WHERE NOT half) b
+    USING (label, dim)
+), geo AS (
+  SELECT label,
+         CAST(sum(CAST(ca * cb AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+         CAST(sum(CAST(ca * ca AS DECIMAL(28,12))) AS DOUBLE) AS na,
+         CAST(sum(CAST(cb * cb AS DECIMAL(28,12))) AS DOUBLE) AS nb
+  FROM pairs GROUP BY 1
+), counts AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_even,
+         CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_odd
+  FROM embeddings GROUP BY 1
+)
+SELECT g.label, n_even, n_odd,
+       round(dot / (sqrt(na) * sqrt(nb)), 6) AS halves_cosine,
+       round(1.0 - dot / (sqrt(na) * sqrt(nb)), 6) AS drift
+FROM geo g JOIN counts USING (label)
+ORDER BY g.label
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -14032,6 +14132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_audit": q_split_leakage_audit,
     "simpson_paradox_audit": q_simpson_paradox_audit,
     "search_eval_ndcg": q_search_eval_ndcg,
+    "embedding_centroid_drift": q_embedding_centroid_drift,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -14269,6 +14370,7 @@ ORACLE: dict[str, str] = {
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
     "simpson_paradox_audit": SQL_SIMPSON_PARADOX_AUDIT,
     "search_eval_ndcg": SQL_SEARCH_EVAL_NDCG,
+    "embedding_centroid_drift": SQL_EMBEDDING_CENTROID_DRIFT,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
