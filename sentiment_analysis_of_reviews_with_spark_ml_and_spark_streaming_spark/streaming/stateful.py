@@ -773,3 +773,105 @@ def streaming_interval_merge(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def psi_batch(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    edges: list[float],
+    ref_shares: list[float],
+) -> DataFrame:
+    """Batch twin of :func:`streaming_psi`: bucket values against the
+    FIXED reference edges, then PSI = Σ (q_i − p_i)·ln(q_i/p_i) with
+    the 1e-6 zero-share floor — one groupBy per key, bucket count
+    bounded by len(edges)+1. ``ref_shares`` is the reference
+    distribution the monitor was armed with (len(edges)+1 shares)."""
+    n_b = len(edges) + 1
+    bucket = sum(
+        [(F.col(value_col) > F.lit(e)).cast("int") for e in edges],
+        F.lit(0),
+    )
+    counts = (
+        df.select(key_col, bucket.alias("_b"))
+        .groupBy(key_col)
+        .pivot("_b", list(range(n_b)))
+        .count()
+        .na.fill(0)
+    )
+
+    def psi_expr():
+        total = sum(
+            [F.coalesce(F.col(f"{i}"), F.lit(0)) for i in range(n_b)],
+            F.lit(0),
+        ).cast("double")
+        terms = []
+        for i in range(n_b):
+            q = F.greatest(
+                F.coalesce(F.col(f"{i}"), F.lit(0)).cast("double") / total,
+                F.lit(1e-6),
+            )
+            p = F.lit(max(ref_shares[i], 1e-6))
+            terms.append(
+                ((q - p) * F.log(q / p)).cast("decimal(28,12)")
+            )
+        return sum(terms[1:], terms[0])
+
+    return counts.select(
+        key_col, F.round(psi_expr().cast("double"), 6).alias("psi")
+    )
+
+
+def streaming_psi(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    edges: list[float],
+    ref_shares: list[float],
+) -> DataFrame:
+    """Streaming PSI drift monitor: per key, O(len(edges)+1) carried
+    bucket counts accumulate across micro-batches against a FIXED
+    reference distribution (armed at deploy time — the production ML
+    monitoring shape: the reference never changes mid-release), and
+    each batch emits the key's lifetime PSI so far. Equal to
+    :func:`psi_batch` over the concatenated stream (asserted in
+    tests/test_stateful_and_properties.py): the counts are integers,
+    so the only float math is the final closed form on the same
+    integer state."""
+    import math
+
+    n_b = len(edges) + 1
+    ref = [max(s, 1e-6) for s in ref_shares]
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        counts = list(state.get[0]) if state.exists else [0] * n_b
+        for pdf in pdfs:
+            for v in pdf[value_col].astype(float):
+                b = 0
+                for e in edges:
+                    if v > e:
+                        b += 1
+                counts[b] += 1
+        state.update(([int(c) for c in counts],))
+        total = float(sum(counts))
+        psi = 0.0
+        if total > 0:
+            for i in range(n_b):
+                q = max(counts[i] / total, 1e-6)
+                psi += (q - ref[i]) * math.log(q / ref[i])
+        yield pd.DataFrame({key_col: [k], "psi": [round(psi, 6)]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, psi double",
+        stateStructType="counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -491,3 +491,66 @@ def test_streaming_interval_merge_equals_batch(spark, tmp_path):
             last[u] = (u, bs, be)
     want = set(blocks) - set(last.values())
     assert got == want == {(1, 0, 20), (2, 0, 3), (3, 1, 2)}
+
+
+def test_streaming_psi_equals_batch(spark, tmp_path):
+    """Lifetime PSI from O(buckets) carried counts across two
+    micro-batches must equal the batch closed form over the
+    concatenated stream at the released 6-dp rounding (identical
+    integer bucket counts on both paths; the fixture's shares sit far
+    from any rounding boundary)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        psi_batch,
+        streaming_psi,
+    )
+
+    edges = [10.0, 20.0, 30.0]
+    ref = [0.25, 0.25, 0.25, 0.25]
+    b0 = [
+        {"event_type": "a", "value": 5.0},
+        {"event_type": "a", "value": 15.0},
+        {"event_type": "a", "value": 25.0},
+        {"event_type": "b", "value": 35.0},
+    ]
+    b1 = [
+        {"event_type": "a", "value": 35.0},
+        {"event_type": "a", "value": 36.0},
+        {"event_type": "b", "value": 5.0},
+        {"event_type": "b", "value": 6.0},
+    ]
+    src = tmp_path / "psi_src"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(e) for e in b0))
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q = (
+        streaming_psi(stream, edges=edges, ref_shares=ref)
+        .writeStream.format("memory")
+        .queryName("psi_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "psi_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in b1))
+    q.processAllAvailable()
+    q.stop()
+    # update mode: take the LAST emitted psi per key
+    rows = spark.sql(
+        "select * from psi_stream"
+    ).collect()
+    got = {}
+    for r in rows:  # later rows overwrite (memory sink appends updates)
+        got[r["event_type"]] = r["psi"]
+    batch = spark.createDataFrame(
+        b0 + b1, "event_type string, value double"
+    )
+    want = {
+        r["event_type"]: r["psi"]
+        for r in psi_batch(batch, edges=edges, ref_shares=ref).collect()
+    }
+    assert got == want and set(want) == {"a", "b"} and want["a"] > 0
