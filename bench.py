@@ -236,6 +236,8 @@ HEADLINE = [
     "search_eval_ndcg",
     # per-label half-centroid cosine (one posexplode shuffle)
     "embedding_centroid_drift",
+    # Spearman via prefix-sum tie-averaged integer ranks
+    "spearman_freq_monetary",
 ]
 
 

@@ -13852,6 +13852,114 @@ ORDER BY g.label
 """
 
 
+def q_spearman_freq_monetary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer order frequency and
+    lifetime spend (r7; the rank-based sibling of the regr_* Pearson
+    surface — robust to the heavy spend tail). Tie handling is EXACT:
+    a tie group spanning ranks [p+1, p+c] gets average rank p+(c+1)/2,
+    carried as the INTEGER doubled rank r2 = 2p+c+1, where p (the
+    exclusive prefix count) comes from
+    operators/relational.distributed_prefix_sum over the per-value
+    count table — no one-reducer ORDER BY even at a billion
+    customers. ρ is then Pearson on the integer r2 pairs with the
+    multiply-through-by-n scheme (BIGINT deviations, DECIMAL(38,0)
+    cross-moments, cast before multiply); the only float ops are the
+    final identical sqrt/divide."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        distributed_prefix_sum,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("freq"), F.sum(cents).alias("mon")
+    )
+
+    def doubled_ranks(col: str, out: str):
+        counts = per_cust.groupBy(col).agg(F.count("*").alias("_c"))
+        ps = distributed_prefix_sum(counts, [col], "_c", out_col="_incl")
+        # exclusive prefix p = inclusive − own count; r2 = 2p + c + 1
+        return ps.select(
+            col,
+            (2 * (F.col("_incl") - F.col("_c")) + F.col("_c") + 1).alias(
+                out
+            ),
+        )
+
+    ranked = per_cust.join(doubled_ranks("freq", "r2f"), "freq").join(
+        doubled_ranks("mon", "r2m"), "mon"
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dev = ranked.select(
+        (
+            F.col("r2f") * F.count("*").over(wall)
+            - F.sum("r2f").over(wall)
+        ).alias("df_"),
+        (
+            F.col("r2m") * F.count("*").over(wall)
+            - F.sum("r2m").over(wall)
+        ).alias("dm_"),
+    )
+    dd = lambda a, b: F.sum(  # noqa: E731
+        F.col(a).cast("decimal(38,0)") * F.col(b)
+    )
+    agg = dev.agg(
+        F.count("*").alias("n_customers"),
+        dd("df_", "dm_").alias("_num"),
+        dd("df_", "df_").alias("_ff"),
+        dd("dm_", "dm_").alias("_mm"),
+    )
+    rho = F.col("_num").cast("double") / (
+        F.sqrt(F.col("_ff").cast("double"))
+        * F.sqrt(F.col("_mm").cast("double"))
+    )
+    return agg.select(
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )
+
+
+SQL_SPEARMAN_FREQ_MONETARY = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS mon
+  FROM orders GROUP BY 1
+), rf AS (
+  SELECT freq,
+         2 * (CAST(sum(c) OVER (ORDER BY freq ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) - c) + c + 1
+           AS r2f
+  FROM (SELECT freq, CAST(count(*) AS BIGINT) AS c
+        FROM per_cust GROUP BY 1)
+), rm AS (
+  SELECT mon,
+         2 * (CAST(sum(c) OVER (ORDER BY mon ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) - c) + c + 1
+           AS r2m
+  FROM (SELECT mon, CAST(count(*) AS BIGINT) AS c
+        FROM per_cust GROUP BY 1)
+), ranked AS (
+  SELECT r2f, r2m
+  FROM per_cust JOIN rf USING (freq) JOIN rm USING (mon)
+), dev AS (
+  SELECT r2f * CAST(count(*) OVER () AS BIGINT)
+           - CAST(sum(r2f) OVER () AS BIGINT) AS df_,
+         r2m * CAST(count(*) OVER () AS BIGINT)
+           - CAST(sum(r2m) OVER () AS BIGINT) AS dm_
+  FROM ranked
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(CAST(df_ AS HUGEINT) * dm_) AS DOUBLE)
+             / (sqrt(CAST(sum(CAST(df_ AS HUGEINT) * df_) AS DOUBLE))
+                * sqrt(CAST(sum(CAST(dm_ AS HUGEINT) * dm_) AS DOUBLE))),
+             6) AS spearman_rho
+FROM dev
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -14133,6 +14241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simpson_paradox_audit": q_simpson_paradox_audit,
     "search_eval_ndcg": q_search_eval_ndcg,
     "embedding_centroid_drift": q_embedding_centroid_drift,
+    "spearman_freq_monetary": q_spearman_freq_monetary,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -14371,6 +14480,7 @@ ORACLE: dict[str, str] = {
     "simpson_paradox_audit": SQL_SIMPSON_PARADOX_AUDIT,
     "search_eval_ndcg": SQL_SEARCH_EVAL_NDCG,
     "embedding_centroid_drift": SQL_EMBEDDING_CENTROID_DRIFT,
+    "spearman_freq_monetary": SQL_SPEARMAN_FREQ_MONETARY,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
