@@ -238,6 +238,8 @@ HEADLINE = [
     "embedding_centroid_drift",
     # Spearman via prefix-sum tie-averaged integer ranks
     "spearman_freq_monetary",
+    # Theil-Sen robust slope over the day-pair grid
+    "theil_sen_trend",
 ]
 
 

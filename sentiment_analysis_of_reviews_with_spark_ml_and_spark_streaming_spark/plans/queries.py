@@ -13960,6 +13960,80 @@ FROM dev
 """
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue (r7; the MAGNITUDE
+    companion to mann_kendall_trend's direction test — both share the
+    calendar-bounded day-pair join, so outliers that wreck OLS slopes
+    move neither): slope = median over all day pairs of
+    Δcents/Δdays (each an exact rational evaluated identically as a
+    double), intercept = median(y − m·x). The pair table is the DAY
+    table squared (~3M rows at sf0.1 — theta_segment_overlap's
+    boundedness contract), and both medians are exact interpolated
+    percentiles over identical double multisets. Output in
+    dollars/day."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    ).select(
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("x"),
+        "cents",
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope")
+    )
+    m = slopes.agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("_m"),
+    )
+    resid = daily.crossJoin(F.broadcast(m)).select(
+        "n_pairs",
+        "_m",
+        (F.col("cents").cast("double") - F.col("_m") * F.col("x")).alias(
+            "_r"
+        ),
+    )
+    return resid.groupBy("n_pairs", "_m").agg(
+        F.expr("percentile(_r, 0.5)").alias("_b")
+    ).select(
+        "n_pairs",
+        F.round(F.col("_m") / 100.0, 4).alias("slope_dollars_per_day"),
+        F.round(F.col("_b") / 100.0, 4).alias("intercept_dollars"),
+    )
+
+
+SQL_THEIL_SEN_TREND = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS x,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), slopes AS (
+  SELECT CAST(b.cents - a.cents AS DOUBLE)
+           / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.x < b.x
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(slope, 0.5) AS m
+  FROM slopes
+), resid AS (
+  SELECT n_pairs, m,
+         CAST(cents AS DOUBLE) - m * x AS r
+  FROM daily, m
+)
+SELECT n_pairs,
+       round(m / 100.0, 4) AS slope_dollars_per_day,
+       round(quantile_cont(r, 0.5) / 100.0, 4) AS intercept_dollars
+FROM resid GROUP BY n_pairs, m
+"""
+
+
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering (ml/recommend.py, r7): factor the
     customer x part implicit-purchase matrix (blocked distributed ALS,
@@ -14242,6 +14316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_eval_ndcg": q_search_eval_ndcg,
     "embedding_centroid_drift": q_embedding_centroid_drift,
     "spearman_freq_monetary": q_spearman_freq_monetary,
+    "theil_sen_trend": q_theil_sen_trend,
     "als_recommendations": q_als_recommendations,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -14481,6 +14556,7 @@ ORACLE: dict[str, str] = {
     "search_eval_ndcg": SQL_SEARCH_EVAL_NDCG,
     "embedding_centroid_drift": SQL_EMBEDDING_CENTROID_DRIFT,
     "spearman_freq_monetary": SQL_SPEARMAN_FREQ_MONETARY,
+    "theil_sen_trend": SQL_THEIL_SEN_TREND,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

@@ -108,6 +108,9 @@ def test_plan_hygiene(spark, name):
             # calendar-bounded squared (~3M integer comparisons), the
             # Mann-Kendall S statistic; never the fact table
             "mann_kendall_trend",
+            # same day-pair join (Theil-Sen slopes) + 1-row median
+            # crossJoined back for the intercept residuals
+            "theil_sen_trend",
             # constant-sized coalition algebra: 16-mask containment
             # join and 4x16 channel grid — independent of corpus size
             # (the Shapley value is computed on the coalition table,
