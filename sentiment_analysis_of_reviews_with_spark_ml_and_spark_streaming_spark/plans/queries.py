@@ -14055,6 +14055,405 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_als(ratings, max_iter=5)
     return recommend_items(model, 3).orderBy("user", "rec_rank")
 
+def q_ks_test_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test: does the `value`
+    distribution differ between click and purchase events? (r7 sixth
+    push; the distribution-level sibling of welch_t_test_events'
+    mean test and psi_price_drift's binned divergence — KS is
+    bin-free and exact.) D = max_x |F1(x) - F2(x)| evaluated at every
+    distinct value via two runs of
+    operators/relational.distributed_prefix_sum over the per-value
+    count table — no one-reducer ORDER BY; the comparison is
+    integer-exact (D's numerator is max |n2*cum1 - n1*cum2| in
+    DECIMAL(38,0)) with a single double divide at the end.
+    ks_lambda = D*sqrt(n1*n2/(n1+n2)) is the asymptotic test scale
+    (lambda > 1.36 rejects at alpha=0.05)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    per_val = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("c2"),
+    )
+    ps = relational.distributed_prefix_sum(
+        per_val, ["value"], "c1", out_col="k1"
+    )
+    ps = relational.distributed_prefix_sum(ps, ["value"], "c2", out_col="k2")
+    tot = ps.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    dmax = (
+        ps.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            F.abs(
+                F.col("n2").cast("decimal(38,0)") * F.col("k1")
+                - F.col("n1").cast("decimal(38,0)") * F.col("k2")
+            ).alias("_d"),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("_d").alias("dmax"))
+    )
+    d_expr = F.col("dmax").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2")
+    )
+    lam = d_expr * F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / (F.col("n1").cast("double") + F.col("n2"))
+    )
+    return dmax.select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_purchase"),
+        F.round(d_expr, 6).alias("ks_d"),
+        F.round(lam, 6).alias("ks_lambda"),
+    )
+
+
+SQL_KS_TEST_CLICK_PURCHASE = """
+WITH pv AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+), cum AS (
+  SELECT CAST(sum(c1) OVER w AS BIGINT) AS k1,
+         CAST(sum(c2) OVER w AS BIGINT) AS k2
+  FROM pv
+  WINDOW w AS (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM pv
+), dm AS (
+  SELECT n1, n2,
+         max(abs(CAST(n2 AS HUGEINT) * k1 - CAST(n1 AS HUGEINT) * k2))
+           AS dmax
+  FROM cum, tot GROUP BY n1, n2
+)
+SELECT n1 AS n_click, n2 AS n_purchase,
+       round(CAST(dmax AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
+       round(CAST(dmax AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+             * sqrt(CAST(n1 AS DOUBLE) * n2
+                    / (CAST(n1 AS DOUBLE) + n2)), 6) AS ks_lambda
+FROM dm
+"""
+
+
+def q_mutual_info_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + Cramér's V between order priority and
+    order status (r7 sixth push) — the feature-association readout a
+    training pipeline runs before one-hot-encoding two categoricals
+    (near-zero MI ⇒ the pair carries independent signal; high V ⇒
+    one is redundant). All probabilities come from exact BIGINT
+    contingency counts (joint cells are a ≤15-row broadcast table);
+    MI in nats and the chi²-based V apply identical double ln /
+    divide ops on both engines, one round at the end. Companion to
+    chisq_priority_vs_status (which emits the chi² statistic; V
+    normalizes it to [0,1])."""
+    o = _t(spark, sf_dir, "orders")
+    joint = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cxy")
+    )
+    margx = joint.groupBy("o_orderpriority").agg(F.sum("cxy").alias("cx"))
+    margy = joint.groupBy("o_orderstatus").agg(F.sum("cxy").alias("cy"))
+    tot = joint.agg(F.sum("cxy").alias("n"))
+    j = (
+        joint.join(F.broadcast(margx), "o_orderpriority")
+        .join(F.broadcast(margy), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e", F.col("cx").cast("double") * F.col("cy") / F.col("n")
+        )
+    )
+    mi_term = (F.col("cxy").cast("double") / F.col("n")) * F.log(
+        F.col("n").cast("double")
+        * F.col("cxy")
+        / (F.col("cx").cast("double") * F.col("cy"))
+    )
+    chi_term = (
+        (F.col("cxy").cast("double") - F.col("e"))
+        * (F.col("cxy").cast("double") - F.col("e"))
+        / F.col("e")
+    )
+    agg = j.groupBy("n").agg(
+        F.sum(mi_term).alias("_mi"),
+        F.sum(chi_term).alias("_chi2"),
+        F.countDistinct("o_orderpriority").alias("_r"),
+        F.countDistinct("o_orderstatus").alias("_c"),
+    )
+    v = F.sqrt(
+        F.col("_chi2")
+        / (F.col("n").cast("double") * (F.least("_r", "_c") - F.lit(1)))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("_mi", 6).alias("mi_nats"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+SQL_MUTUAL_INFO_PRIORITY_STATUS = """
+WITH joint AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS cxy
+  FROM orders GROUP BY 1, 2
+), mx AS (
+  SELECT o_orderpriority, CAST(sum(cxy) AS BIGINT) AS cx
+  FROM joint GROUP BY 1
+), my AS (
+  SELECT o_orderstatus, CAST(sum(cxy) AS BIGINT) AS cy
+  FROM joint GROUP BY 1
+), tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM joint),
+j AS (
+  SELECT cxy, cx, cy, n,
+         CAST(cx AS DOUBLE) * cy / n AS e
+  FROM joint JOIN mx USING (o_orderpriority)
+             JOIN my USING (o_orderstatus), tot
+), agg AS (
+  SELECT n,
+         sum((CAST(cxy AS DOUBLE) / n)
+             * ln(CAST(n AS DOUBLE) * cxy
+                  / (CAST(cx AS DOUBLE) * cy))) AS mi,
+         sum((CAST(cxy AS DOUBLE) - e) * (CAST(cxy AS DOUBLE) - e) / e)
+           AS chi2
+  FROM j GROUP BY n
+), dims AS (
+  SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c
+  FROM joint
+)
+SELECT n AS n_orders, round(mi, 6) AS mi_nats,
+       round(sqrt(chi2 / (CAST(n AS DOUBLE) * (least(r, c) - 1))), 6)
+         AS cramers_v
+FROM agg, dims
+"""
+
+
+def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding audit (r7 sixth push): the
+    leakage-free categorical feature a tabular training pipeline
+    derives — each order's market segment is encoded as the mean
+    o_totalprice of the OTHER orders in that segment,
+    loo_i = (seg_sum − own_i) / (seg_cnt − 1), so a row never sees
+    its own target (the split_leakage_audit sibling, applied to
+    feature construction). The query emits the per
+    (segment, priority) audit rollup of the encoding; because the
+    denominator is constant within a segment the group mean is the
+    exact rational (g_cnt·seg_sum − g_own_sum) /
+    ((seg_cnt−1)·g_cnt) — BIGINT cents and DECIMAL(38,0) cross
+    terms, one double divide. Segment stats are a 5-row broadcast;
+    the plan is two map-side-combinable aggregations, no extra
+    shuffle of the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    fact = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select("c_mktsegment", "o_orderpriority", cents.alias("cents"))
+    seg = fact.groupBy("c_mktsegment").agg(
+        F.count("*").alias("seg_cnt"), F.sum("cents").alias("seg_sum")
+    )
+    grp = fact.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count("*").alias("g_cnt"), F.sum("cents").alias("g_own")
+    )
+    j = grp.join(F.broadcast(seg), "c_mktsegment").filter(
+        F.col("seg_cnt") > 1
+    )
+    num = (
+        F.col("g_cnt").cast("decimal(38,0)") * F.col("seg_sum")
+        - F.col("g_own")
+    )
+    den = (F.col("seg_cnt") - 1).cast("decimal(38,0)") * F.col("g_cnt")
+    return j.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        F.col("g_cnt").cast("long").alias("n_orders"),
+        F.round(
+            num.cast("double") / den.cast("double") / 100, 4
+        ).alias("avg_loo_dollars"),
+    )
+
+
+SQL_TARGET_ENCODING_OOF = """
+WITH fact AS (
+  SELECT c_mktsegment, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), seg AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS seg_cnt,
+         CAST(sum(cents) AS BIGINT) AS seg_sum
+  FROM fact GROUP BY 1
+), grp AS (
+  SELECT c_mktsegment, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS g_cnt,
+         CAST(sum(cents) AS BIGINT) AS g_own
+  FROM fact GROUP BY 1, 2
+)
+SELECT g.c_mktsegment, g.o_orderpriority, g.g_cnt AS n_orders,
+       round(CAST(CAST(g.g_cnt AS HUGEINT) * s.seg_sum - g.g_own
+                  AS DOUBLE)
+             / CAST(CAST(s.seg_cnt - 1 AS HUGEINT) * g.g_cnt AS DOUBLE)
+             / 100, 4) AS avg_loo_dollars
+FROM grp g JOIN seg s USING (c_mktsegment)
+WHERE s.seg_cnt > 1
+"""
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (r7 sixth push):
+    for each anchor vector (first 10), the top-3 most-cosine-similar
+    embeddings carrying a DIFFERENT label — the near-miss negatives
+    that make a contrastive or triplet loss learn boundaries instead
+    of trivia. Exact brute force here (the oracle shape, like
+    similarity_cosine_topk); the scale path blocks candidates through
+    ann_lsh/ivf first and applies the label-mismatch filter to the
+    candidate set. Anchors are broadcast; ties break on neighbor id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neg_label") != F.col("_ql")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neg_label",
+        similarity.cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sim"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("_sim", 4).alias("cosine_sim"),
+        )
+    )
+
+
+SQL_HARD_NEGATIVE_MINING = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         label AS ql
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+         label AS neg_label
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, neg_label,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM q, c WHERE neg_label != ql
+)
+SELECT query_id, neighbor_id, neg_label, CAST(rank AS INT) AS rank,
+       round(sim, 4) AS cosine_sim
+FROM (SELECT query_id, neighbor_id, neg_label, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+def q_holt_linear_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing of daily
+    revenue (alpha=0.5, beta=0.3) with a 7-day-ahead forecast (r7
+    sixth push) — the trend-aware upgrade of ewma_daily_revenue (EWMA
+    lags a trending series by design; Holt carries an explicit trend
+    state). The recursion l_t = α·y_t + (1−α)(l+b),
+    b_t = β(l_t−l) + (1−β)b is inherently sequential, so the daily
+    rollup (calendar-bounded: ~2.4k rows regardless of data volume —
+    the boundedness contract of ewma/theil_sen) is folded with a
+    single higher-order `aggregate` over the day-sorted struct
+    array; the heavy lifting (the fact-table rollup to days) stays
+    fully distributed. The DuckDB oracle replays the identical
+    double ops via a recursive CTE — same op order ⇒ bit-equal."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("a")
+    )
+    # l' appears inside b' spelled out in full on BOTH engines so the
+    # double op sequence is identical (no CSE contract needed).
+    folded = arr.selectExpr(
+        "size(a) AS n_days",
+        """
+        aggregate(
+          slice(a, 3, size(a) - 2),
+          named_struct(
+            'l', CAST(a[1].cents AS DOUBLE),
+            'b', CAST(a[1].cents AS DOUBLE) - CAST(a[0].cents AS DOUBLE)),
+          (acc, x) -> named_struct(
+            'l', 0.5 * CAST(x.cents AS DOUBLE) + 0.5 * (acc.l + acc.b),
+            'b', 0.3 * ((0.5 * CAST(x.cents AS DOUBLE)
+                         + 0.5 * (acc.l + acc.b)) - acc.l)
+                 + 0.7 * acc.b),
+          acc -> acc) AS s
+        """,
+    )
+    return folded.selectExpr(
+        "CAST(n_days AS BIGINT) AS n_days",
+        "round(s.l / 100, 4) AS level_dollars",
+        "round(s.b / 100, 4) AS trend_dollars_per_day",
+        "round((s.l + 7 * s.b) / 100, 4) AS forecast_7d_dollars",
+    )
+
+
+SQL_HOLT_LINEAR_REVENUE = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY day) AS rn,
+         CAST(cents AS DOUBLE) AS y
+  FROM daily
+), rec AS (
+  SELECT CAST(2 AS BIGINT) AS t,
+         (SELECT y FROM ranked WHERE rn = 2) AS l,
+         (SELECT y FROM ranked WHERE rn = 2)
+           - (SELECT y FROM ranked WHERE rn = 1) AS b
+  UNION ALL
+  SELECT rec.t + 1,
+         0.5 * r.y + 0.5 * (rec.l + rec.b),
+         0.3 * ((0.5 * r.y + 0.5 * (rec.l + rec.b)) - rec.l)
+           + 0.7 * rec.b
+  FROM rec JOIN ranked r ON r.rn = rec.t + 1
+)
+SELECT (SELECT CAST(max(rn) AS BIGINT) FROM ranked) AS n_days,
+       round(l / 100, 4) AS level_dollars,
+       round(b / 100, 4) AS trend_dollars_per_day,
+       round((l + 7 * b) / 100, 4) AS forecast_7d_dollars
+FROM rec WHERE t = (SELECT max(rn) FROM ranked)
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -14318,6 +14717,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spearman_freq_monetary": q_spearman_freq_monetary,
     "theil_sen_trend": q_theil_sen_trend,
     "als_recommendations": q_als_recommendations,
+    "ks_test_click_purchase": q_ks_test_click_purchase,
+    "mutual_info_priority_status": q_mutual_info_priority_status,
+    "target_encoding_oof": q_target_encoding_oof,
+    "hard_negative_mining": q_hard_negative_mining,
+    "holt_linear_revenue": q_holt_linear_revenue,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -14557,6 +14961,11 @@ ORACLE: dict[str, str] = {
     "embedding_centroid_drift": SQL_EMBEDDING_CENTROID_DRIFT,
     "spearman_freq_monetary": SQL_SPEARMAN_FREQ_MONETARY,
     "theil_sen_trend": SQL_THEIL_SEN_TREND,
+    "ks_test_click_purchase": SQL_KS_TEST_CLICK_PURCHASE,
+    "mutual_info_priority_status": SQL_MUTUAL_INFO_PRIORITY_STATUS,
+    "target_encoding_oof": SQL_TARGET_ENCODING_OOF,
+    "hard_negative_mining": SQL_HARD_NEGATIVE_MINING,
+    "holt_linear_revenue": SQL_HOLT_LINEAR_REVENUE,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
