@@ -14454,6 +14454,328 @@ FROM rec WHERE t = (SELECT max(rn) FROM ranked)
 """
 
 
+# One-way ANOVA: the F statistic's double math is generated ONCE from
+# this shared template and embedded verbatim in both the Spark
+# selectExpr and the DuckDB oracle — identical expression text ⇒
+# identical op order ⇒ bit-equal doubles (the welch_t_test convention,
+# extended from 2 groups to k). Group moments are exact: BIGINT counts,
+# DECIMAL(18,6)-quantized Σv and Σv² (summation order cannot perturb).
+_ANOVA_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _anova_moment_exprs() -> list[str]:
+    out = []
+    for i, t in enumerate(_ANOVA_TYPES, 1):
+        v = "CAST(value AS DECIMAL(18,6))"
+        out += [
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n{i}",
+            f"sum(CASE WHEN event_type = '{t}' THEN {v} END) AS s{i}",
+            f"sum(CASE WHEN event_type = '{t}' THEN {v} * {v} END) AS q{i}",
+        ]
+    return out
+
+
+def _anova_final_exprs() -> list[str]:
+    k = len(_ANOVA_TYPES)
+    b = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+        for i in range(1, k + 1)
+    )
+    s = "CAST(" + " + ".join(f"s{i}" for i in range(1, k + 1)) + " AS DOUBLE)"
+    n = "CAST(" + " + ".join(f"n{i}" for i in range(1, k + 1)) + " AS DOUBLE)"
+    q = "CAST(" + " + ".join(f"q{i}" for i in range(1, k + 1)) + " AS DOUBLE)"
+    ssb = f"(({b}) - {s} * {s} / {n})"
+    ssw = f"({q} - ({b}))"
+    f_stat = f"(({ssb} / {k - 1}) / ({ssw} / ({n} - {k})))"
+    eta = f"({ssb} / ({ssb} + {ssw}))"
+    return [
+        "CAST(" + " + ".join(f"n{i}" for i in range(1, k + 1))
+        + " AS BIGINT) AS n_events",
+        f"CAST({k} AS INT) AS k_groups",
+        f"round({f_stat}, 4) AS f_stat",
+        f"round({eta}, 6) AS eta_sq",
+        # F(4, inf) 95% critical value 2.3719
+        f"{f_stat} > 2.3719 AS reject_95",
+    ]
+
+
+def q_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean event value differ across the five
+    event types? (r7 sixth push; the k-group generalization of
+    welch_t_test_events — pairwise_type_ztests answers WHICH pairs
+    differ, this answers WHETHER anything differs, the gate a
+    pipeline checks before paying for the pairwise sweep.) One
+    conditional-aggregation scan gathers 15 exact moments (BIGINT n,
+    DECIMAL(18,6)-quantized Σv, Σv² per type — map-side combinable,
+    single reduce to one row); F and η² are closed-form doubles
+    generated from a template shared verbatim with the oracle."""
+    ev = _events(spark, sf_dir)
+    moments = ev.agg(*[F.expr(e) for e in _anova_moment_exprs()])
+    return moments.selectExpr(*_anova_final_exprs())
+
+
+SQL_ANOVA_VALUE_BY_TYPE = f"""
+WITH moments AS (
+  SELECT {", ".join(_anova_moment_exprs())}
+  FROM events
+)
+SELECT {", ".join(_anova_final_exprs())}
+FROM moments
+"""
+
+
+def q_kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment audit (r7
+    sixth push): every document gets fold = md5-prefix(doc_id) mod 5
+    (the fuzz-certified 60-bit hex-parse convention of
+    table_fingerprint/shard_shuffle — seedless, engine-portable,
+    stable under re-partitioning, so fold membership is reproducible
+    across runs AND engines, which is what makes CV results
+    comparable between pipeline versions). The audit is the check a
+    training pipeline runs before trusting the folds: per (fold,
+    language) counts and the fold's share within its language —
+    near-1/5 shares certify the hash isn't confounded with the
+    stratum."""
+    d = _t(spark, sf_dir, "documents")
+    folded = d.selectExpr(
+        "lang",
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 5 AS fold",
+    )
+    counts = folded.groupBy("lang", "fold").agg(
+        F.count("*").alias("n_docs")
+    )
+    ltot = counts.groupBy("lang").agg(F.sum("n_docs").alias("lt"))
+    return (
+        counts.join(F.broadcast(ltot), "lang")
+        .select(
+            "lang",
+            F.col("fold").cast("int").alias("fold"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("lt").cast("double"),
+                6,
+            ).alias("share_in_lang"),
+        )
+    )
+
+
+SQL_KFOLD_ASSIGNMENT_BALANCE = """
+WITH folded AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 5 AS fold
+  FROM documents
+), counts AS (
+  SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+  FROM folded GROUP BY 1, 2
+), ltot AS (
+  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lt FROM counts GROUP BY 1
+)
+SELECT c.lang, CAST(c.fold AS INT) AS fold, c.n_docs,
+       round(CAST(c.n_docs AS DOUBLE) / CAST(l.lt AS DOUBLE), 6)
+         AS share_in_lang
+FROM counts c JOIN ltot l USING (lang)
+"""
+
+
+def q_label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Min-label propagation over the co-purchase graph, 2 bounded
+    rounds (r7 sixth push): every part starts labeled with its own
+    id; each round a node takes the min label over itself and its
+    neighbors. Bounded-round LPA is the cheap community sketch a
+    pipeline runs BEFORE deciding whether full connected components
+    is worth it (it converges to CC as rounds → ∞;
+    dedup_cluster_canonical's pointer-doubling operator is the
+    full-convergence path, reaching diameter D in log₂D rounds vs
+    LPA's D). Each round is ONE groupBy-min over the (self ∪
+    neighbor) edge union — two key-partitioned shuffles total, no
+    driver iteration. Edges reuse graph_bfs_copurchase's basket-cap
+    contract (≤20 items) and additionally require co-purchase
+    support ≥ 2 (the pair appears in ≥2 distinct orders) — the raw
+    co-purchase graph has diameter ≈2 and collapses to one
+    community, so the support filter is what makes the structure
+    non-degenerate (504 communities at sf0.01, 16.6k at sf0.1).
+    Output: the 10 largest 2-round communities."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    sizes = items.groupBy("basket").agg(F.count("*").alias("_n"))
+    items = items.join(
+        F.broadcast(sizes.filter(F.col("_n") <= 20).select("basket")),
+        "basket",
+    )
+    a = items.select("basket", F.col("item").alias("src"))
+    b = items.select("basket", F.col("item").alias("dst"))
+    edges = (
+        a.join(b, "basket")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("_sup"))
+        .filter(F.col("_sup") >= 2)
+        .select("src", "dst")
+    )
+    nodes = items.select(F.col("item").alias("node")).distinct()
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(2):
+        candidates = lab.select("node", "lab").unionAll(
+            edges.join(
+                lab.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "lab")
+        )
+        lab = candidates.groupBy("node").agg(F.min("lab").alias("lab"))
+    return (
+        lab.groupBy("lab")
+        .agg(F.count("*").alias("community_size"))
+        .orderBy(F.desc("community_size"), "lab")
+        .limit(10)
+        .select(
+            F.col("lab").cast("long").alias("community"),
+            F.col("community_size").cast("long").alias("community_size"),
+        )
+    )
+
+
+SQL_LABEL_PROPAGATION_COMMUNITIES = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), ok AS (
+  SELECT basket FROM items GROUP BY 1 HAVING count(*) <= 20
+), it AS (
+  SELECT i.basket, i.item FROM items i JOIN ok USING (basket)
+), edges AS (
+  SELECT a.item AS src, b.item AS dst
+  FROM it a JOIN it b USING (basket)
+  WHERE a.item != b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), nodes AS (SELECT DISTINCT item AS node FROM it),
+l1 AS (
+  SELECT node, min(lab) AS lab FROM (
+    SELECT node, node AS lab FROM nodes
+    UNION ALL
+    SELECT e.src AS node, e.dst AS lab FROM edges e
+  ) GROUP BY node
+), l2 AS (
+  SELECT node, min(lab) AS lab FROM (
+    SELECT node, lab FROM l1
+    UNION ALL
+    SELECT e.src AS node, l.lab
+    FROM edges e JOIN l1 l ON l.node = e.dst
+  ) GROUP BY node
+)
+SELECT CAST(lab AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS community_size
+FROM l2 GROUP BY lab
+ORDER BY community_size DESC, community LIMIT 10
+"""
+
+
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same
+    repeat-purchase durations as km_repeat_purchase (r7 sixth push):
+    H(t) = Σ_{u≤t} d_u/n_u — the additive sibling of KM's product
+    limit (H ≈ −ln S; preferred when hazards are the modeling
+    target, e.g. churn-rate-over-tenure). Same distributed shape as
+    KM: one custkey shuffle for the lead window, then
+    calendar-bounded epilogue windows; each hazard increment is
+    quantized to DECIMAL(28,12) (the unigram-LM trick) so the
+    cumulative sum is exact and order-independent."""
+    o = _t(spark, sf_dir, "orders")
+    od = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    horizon = od.agg(F.max("d").alias("h"))
+    w = Window.partitionBy("ck").orderBy("d", "o_orderkey")
+    durs = (
+        od.select("ck", "d", F.lead("d").over(w).alias("nd"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.coalesce("nd", "h"), F.col("d")).alias("dur"),
+            F.col("nd").isNotNull().cast("int").alias("obs"),
+        )
+    )
+    byd = durs.groupBy("dur").agg(
+        F.sum("obs").cast("long").alias("d_events"),
+        F.count("*").alias("m"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    word = Window.orderBy("dur")
+    wrun = word.rowsBetween(Window.unboundedPreceding, 0)
+    risk = byd.select(
+        "dur",
+        "d_events",
+        (
+            F.sum("m").over(wall)
+            - F.coalesce(
+                F.sum("m").over(
+                    word.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    inc = (
+        F.col("d_events").cast("double") / F.col("n_risk").cast("double")
+    ).cast("decimal(28,12)")
+    curve = risk.select(
+        "dur", "d_events", "n_risk", F.sum(inc).over(wrun).alias("_h")
+    )
+    return (
+        curve.filter(F.col("d_events") > 0)
+        .select(
+            "dur",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            "d_events",
+            F.round(F.col("_h").cast("double"), 6).alias("cum_hazard"),
+        )
+        .orderBy("dur")
+    )
+
+
+SQL_NELSON_AALEN_HAZARD = """
+WITH od AS (
+  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+), durs AS (
+  SELECT date_diff('day', d,
+             coalesce(lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey),
+                      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)))
+           AS dur,
+         CASE WHEN lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey)
+              IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM od
+), byd AS (
+  SELECT dur, CAST(sum(obs) AS BIGINT) AS d_events,
+         CAST(count(*) AS BIGINT) AS m
+  FROM durs GROUP BY 1
+), risk AS (
+  SELECT dur, d_events,
+         CAST(sum(m) OVER () AS BIGINT)
+           - CAST(coalesce(sum(m) OVER (ORDER BY dur ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM byd
+), curve AS (
+  SELECT dur, d_events, n_risk,
+         sum(CAST(CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                  AS DECIMAL(28,12)))
+             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS h
+  FROM risk
+)
+SELECT dur, n_risk, d_events,
+       round(CAST(h AS DOUBLE), 6) AS cum_hazard
+FROM curve WHERE d_events > 0 ORDER BY dur
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -14722,6 +15044,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "target_encoding_oof": q_target_encoding_oof,
     "hard_negative_mining": q_hard_negative_mining,
     "holt_linear_revenue": q_holt_linear_revenue,
+    "anova_value_by_type": q_anova_value_by_type,
+    "kfold_assignment_balance": q_kfold_assignment_balance,
+    "label_propagation_communities": q_label_propagation_communities,
+    "nelson_aalen_hazard": q_nelson_aalen_hazard,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -14966,6 +15292,10 @@ ORACLE: dict[str, str] = {
     "target_encoding_oof": SQL_TARGET_ENCODING_OOF,
     "hard_negative_mining": SQL_HARD_NEGATIVE_MINING,
     "holt_linear_revenue": SQL_HOLT_LINEAR_REVENUE,
+    "anova_value_by_type": SQL_ANOVA_VALUE_BY_TYPE,
+    "kfold_assignment_balance": SQL_KFOLD_ASSIGNMENT_BALANCE,
+    "label_propagation_communities": SQL_LABEL_PROPAGATION_COMMUNITIES,
+    "nelson_aalen_hazard": SQL_NELSON_AALEN_HAZARD,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
