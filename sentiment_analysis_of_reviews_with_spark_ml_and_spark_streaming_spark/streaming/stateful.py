@@ -519,6 +519,112 @@ def streaming_ewma(
     )
 
 
+def holt_smooth_batch(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Batch twin of :func:`streaming_holt`: Holt's linear-trend
+    double exponential smoothing l_t = α·x_t + (1-α)(l+b),
+    b_t = β(l_t-l) + (1-β)b folded per key in ``order_col`` order
+    (init: l = first value, b = 0). The trend-aware sibling of
+    :func:`ewma_smooth_batch` — same grouped-map shape, two floats
+    of state instead of one. The registry's calendar-bounded
+    single-series form is plans/queries.q_holt_linear_revenue; this
+    is the per-key (millions of series) form."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        lv = bv = None
+        levels, trends = [], []
+        for v in pdf[value_col].astype(float):
+            if lv is None:
+                lv, bv = float(v), 0.0
+            else:
+                nl = alpha * float(v) + (1.0 - alpha) * (lv + bv)
+                bv = beta * (nl - lv) + (1.0 - beta) * bv
+                lv = nl
+            levels.append(lv)
+            trends.append(bv)
+        return pdf.assign(level=levels, trend=trends)[
+            [key_col, order_col, value_col, "level", "trend"]
+        ]
+
+    return (
+        df.select(key_col, order_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(
+            fold,
+            schema=f"{key_col} long, {order_col} long, "
+            f"{value_col} double, level double, trend double",
+        )
+    )
+
+
+def streaming_holt(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-key Holt linear-trend smoothing across micro-batches: O(1)
+    state (level, trend — two doubles) carries the entire history's
+    recursion; equal row-for-row to :func:`holt_smooth_batch` over
+    the concatenated stream (asserted in
+    tests/test_stateful_and_properties.py). The trend-aware upgrade
+    of :func:`streaming_ewma` for drifting series — EWMA's baseline
+    lags a trending signal by design; Holt's explicit trend state
+    doesn't. Unbounded history, constant state, no watermark."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        lv, bv = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            levels, trends = [], []
+            for v in pdf[value_col].astype(float):
+                if lv is None:
+                    lv, bv = float(v), 0.0
+                else:
+                    nl = alpha * float(v) + (1.0 - alpha) * (lv + bv)
+                    bv = beta * (nl - lv) + (1.0 - beta) * bv
+                    lv = nl
+                levels.append(lv)
+                trends.append(bv)
+            if len(pdf):
+                yield pd.DataFrame(
+                    {
+                        key_col: pdf[key_col].astype("int64"),
+                        order_col: pdf[order_col].astype("int64"),
+                        value_col: pdf[value_col].astype(float),
+                        "level": levels,
+                        "trend": trends,
+                    }
+                )
+        if lv is not None:
+            state.update((float(lv), float(bv)))
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, {order_col} long, "
+        f"{value_col} double, level double, trend double",
+        stateStructType="l double, b double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_weighted_reservoir(
     events: DataFrame,
     *,

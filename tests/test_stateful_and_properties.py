@@ -305,6 +305,71 @@ def test_streaming_ewma_equals_batch_fold(spark, tmp_path):
     assert want[2] == (1, 20.0, 0.25 * 20.0 + 0.75 * 10.0)
 
 
+def test_streaming_holt_equals_batch_fold(spark, tmp_path):
+    """Holt's two-float state (level, trend) carried across micro-batch
+    boundaries must reproduce the batch grouped-map fold over the
+    concatenated history — row for row, bit for bit."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        holt_smooth_batch,
+        streaming_holt,
+    )
+
+    b0 = [
+        {"user_id": 1, "event_id": 1, "value": 10.0},
+        {"user_id": 1, "event_id": 2, "value": 20.0},
+        {"user_id": 2, "event_id": 3, "value": 5.0},
+    ]
+    b1 = [
+        {"user_id": 1, "event_id": 4, "value": 30.0},
+        {"user_id": 2, "event_id": 5, "value": 7.25},
+        {"user_id": 3, "event_id": 6, "value": 1.0},
+    ]
+    src = tmp_path / "holt_src"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(json.dumps(e) for e in b0))
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id long, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q = (
+        streaming_holt(stream, alpha=0.5, beta=0.3)
+        .writeStream.format("memory")
+        .queryName("holt_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "holt_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    (src / "b1.json").write_text("\n".join(json.dumps(e) for e in b1))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_id"]: (r["user_id"], r["value"], r["level"], r["trend"])
+        for r in spark.sql("select * from holt_stream").collect()
+    }
+    batch = spark.createDataFrame(
+        b0 + b1, "user_id long, event_id long, value double"
+    )
+    want = {
+        r["event_id"]: (r["user_id"], r["value"], r["level"], r["trend"])
+        for r in holt_smooth_batch(batch, alpha=0.5, beta=0.3).collect()
+    }
+    assert got == want
+    # spot-check the recursion: user 1, second point
+    # l1=10, b1=0 → l2 = .5*20 + .5*10 = 15; b2 = .3*5 + .7*0 = 1.5
+    assert want[2] == (1, 20.0, 15.0, 0.3 * 5.0)
+    # third point crossed the micro-batch boundary with carried state:
+    # l3 = .5*30 + .5*(15+1.5) = 23.25; b3 = .3*8.25 + .7*1.5
+    assert want[4] == (
+        1,
+        30.0,
+        0.5 * 30.0 + 0.5 * (15.0 + 1.5),
+        0.3 * (0.5 * 30.0 + 0.5 * 16.5 - 15.0) + 0.7 * 1.5,
+    )
+
+
 def test_streaming_weighted_reservoir_equals_batch(spark, tmp_path):
     """The deterministic E-S reservoir's defining property: because the
     key is a pure row function, streaming top-k-by-key across any
