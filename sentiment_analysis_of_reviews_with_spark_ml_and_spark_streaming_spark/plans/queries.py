@@ -14776,6 +14776,276 @@ FROM curve WHERE d_events > 0 ORDER BY dur
 """
 
 
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily revenue and daily order count
+    (r7 sixth push) — completes the correlation family: Pearson
+    (regression_trend/regr_*), Spearman (spearman_freq_monetary),
+    and now the concordance-based tau, whose pair counts are also
+    the building blocks of Mann-Kendall's S. Entirely integer-exact:
+    concordant/discordant/tied pair counts over the calendar-bounded
+    day-pair join (the theil_sen boundedness contract, ~3M pairs at
+    sf0.1), one double divide at the end;
+    tau_b = (C−D)/√(n₀−Tx)√(n₀−Ty) handles ties in either margin."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("x"),
+        F.count("*").alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.when((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0), 1)
+        .otherwise(0)
+        .alias("c"),
+        F.when((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0), 1)
+        .otherwise(0)
+        .alias("d"),
+        F.when(dx == 0, 1).otherwise(0).alias("tx"),
+        F.when(dy == 0, 1).otherwise(0).alias("ty"),
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum("c").alias("cc"),
+        F.sum("d").alias("dd"),
+        F.sum("tx").alias("txx"),
+        F.sum("ty").alias("tyy"),
+    )
+    tau = (F.col("cc") - F.col("dd")).cast("double") / (
+        F.sqrt((F.col("n0") - F.col("txx")).cast("double"))
+        * F.sqrt((F.col("n0") - F.col("tyy")).cast("double"))
+    )
+    return agg.select(
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("cc").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+SQL_KENDALL_TAU_DAILY = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT CASE WHEN (b.x - a.x > 0 AND b.y - a.y > 0)
+                OR (b.x - a.x < 0 AND b.y - a.y < 0)
+              THEN 1 ELSE 0 END AS c,
+         CASE WHEN (b.x - a.x > 0 AND b.y - a.y < 0)
+                OR (b.x - a.x < 0 AND b.y - a.y > 0)
+              THEN 1 ELSE 0 END AS d,
+         CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+         CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+  FROM daily a JOIN daily b ON a.day < b.day
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(c) AS BIGINT) AS cc, CAST(sum(d) AS BIGINT) AS dd,
+         CAST(sum(tx) AS BIGINT) AS txx, CAST(sum(ty) AS BIGINT) AS tyy
+  FROM pairs
+)
+SELECT n0 AS n_pairs, cc AS concordant, dd AS discordant,
+       round(CAST(cc - dd AS DOUBLE)
+             / (sqrt(CAST(n0 - txx AS DOUBLE))
+                * sqrt(CAST(n0 - tyy AS DOUBLE))), 6) AS tau_b
+FROM agg
+"""
+
+
+def q_woe_iv_price_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning + information value (r7 sixth
+    push): deciles of order price scored against the URGENT-priority
+    flag — the credit-scoring-style encoding a feature pipeline uses
+    to turn a numeric into a monotonic risk feature, and IV is the
+    keep/drop gate (IV < 0.02 ⇒ the feature is useless). Deciles
+    come from operators/relational.distributed_row_number + the
+    shared fuzz-certified integer ntile closed form (identical
+    bucketing on ties in both engines); WoE/IV are identical double
+    ln ops over exact BIGINT bin counts. IV is repeated per row
+    (bounded 10-row epilogue window)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        distributed_row_number,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g"),
+    )
+    ranked = distributed_row_number(base, ["cents", "o_orderkey"], out_col="_rn")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    binned = ranked.withColumn("_n", F.count("*").over(wall)).selectExpr(
+        "g", f"CAST({_ntile_expr('_rn', '_n', 10)} AS INT) AS decile"
+    )
+    bins = binned.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("g").alias("ng")
+    )
+    tot = bins.agg(
+        F.sum("ng").alias("gt"), F.sum(F.col("n") - F.col("ng")).alias("bt")
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    woe = F.log(
+        (F.col("ng").cast("double") / F.col("gt"))
+        / ((F.col("n") - F.col("ng")).cast("double") / F.col("bt"))
+    )
+    iv_term = (
+        F.col("ng").cast("double") / F.col("gt")
+        - (F.col("n") - F.col("ng")).cast("double") / F.col("bt")
+    ) * woe
+    scored = j.select(
+        "decile",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("ng").cast("long").alias("n_urgent"),
+        F.round(woe, 6).alias("woe"),
+        iv_term.alias("_iv"),
+    )
+    return scored.select(
+        "decile",
+        "n_orders",
+        "n_urgent",
+        "woe",
+        F.round(F.sum("_iv").over(wall), 6).alias("iv_total"),
+    ).orderBy("decile")
+
+
+SQL_WOE_IV_PRICE_URGENT = f"""
+WITH base AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+  FROM orders
+), ranked AS (
+  SELECT g, row_number() OVER (ORDER BY cents, o_orderkey) AS _rn,
+         count(*) OVER () AS _n
+  FROM base
+), binned AS (
+  SELECT g, CAST({_ntile_sql('_rn', '_n', 10)} AS INT) AS decile
+  FROM ranked
+), bins AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(g) AS BIGINT) AS ng
+  FROM binned GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS gt,
+         CAST(sum(n - ng) AS BIGINT) AS bt
+  FROM bins
+), scored AS (
+  SELECT decile, n, ng,
+         ln((CAST(ng AS DOUBLE) / gt)
+            / (CAST(n - ng AS DOUBLE) / bt)) AS woe,
+         (CAST(ng AS DOUBLE) / gt - CAST(n - ng AS DOUBLE) / bt)
+           * ln((CAST(ng AS DOUBLE) / gt)
+                / (CAST(n - ng AS DOUBLE) / bt)) AS iv_term
+  FROM bins, tot
+)
+SELECT decile, n AS n_orders, ng AS n_urgent, round(woe, 6) AS woe,
+       round(sum(iv_term) OVER (), 6) AS iv_total
+FROM scored ORDER BY decile
+"""
+
+
+def q_changepoint_split_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single-changepoint detection over daily revenue (r7
+    sixth push; binary segmentation's first split — the offline
+    counterpart of the streaming_cusum drift monitor, which flags
+    THAT a shift happened; this finds WHERE). For every candidate
+    split k the between-segment explained sum of squares
+    S_k²/k + (T−S_k)²/(n−k) − T²/n is evaluated from an exact
+    integer prefix sum (operators/relational.distributed_prefix_sum
+    over day order — no one-reducer window), each candidate scored
+    in parallel, top-1 by gain. The scan is O(days) after the
+    fact-table rollup, and the argmax is a TakeOrdered(1)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    ps = relational.distributed_prefix_sum(
+        daily, ["day"], "cents", out_col="s"
+    )
+    tot = ps.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("t")
+    )
+    ranked = relational.distributed_row_number(ps, ["day"], out_col="k")
+    cand = ranked.crossJoin(F.broadcast(tot)).filter(F.col("k") < F.col("n"))
+    sd = F.col("s").cast("double")
+    td = F.col("t").cast("double")
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    gain = (
+        sd * sd / kd
+        + (td - sd) * (td - sd) / (nd - kd)
+        - td * td / nd
+    )
+    scored = cand.select(
+        "day",
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(sd / kd / 100, 4).alias("mean_before_dollars"),
+        F.round((td - sd) / (nd - kd) / 100, 4).alias("mean_after_dollars"),
+        (gain / 10000).alias("_gain"),
+    )
+    return (
+        scored.orderBy(F.desc("_gain"), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            "k",
+            "n_days",
+            "mean_before_dollars",
+            "mean_after_dollars",
+            F.round("_gain", 4).alias("gain_dollars_sq"),
+        )
+    )
+
+
+SQL_CHANGEPOINT_SPLIT_DAY = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), ps AS (
+  SELECT day,
+         CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+  FROM daily
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS t
+  FROM daily
+), scored AS (
+  SELECT day, k, n,
+         round(CAST(s AS DOUBLE) / CAST(k AS DOUBLE) / 100, 4)
+           AS mean_before_dollars,
+         round((CAST(t AS DOUBLE) - CAST(s AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) / 100, 4)
+           AS mean_after_dollars,
+         (CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE)
+          + (CAST(t AS DOUBLE) - CAST(s AS DOUBLE))
+            * (CAST(t AS DOUBLE) - CAST(s AS DOUBLE))
+            / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+          - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+           / 10000 AS g
+  FROM ps, tot WHERE k < n
+)
+SELECT day AS split_day, k, n AS n_days, mean_before_dollars,
+       mean_after_dollars, round(g, 4) AS gain_dollars_sq
+FROM scored ORDER BY g DESC, day LIMIT 1
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -15048,6 +15318,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kfold_assignment_balance": q_kfold_assignment_balance,
     "label_propagation_communities": q_label_propagation_communities,
     "nelson_aalen_hazard": q_nelson_aalen_hazard,
+    "kendall_tau_daily": q_kendall_tau_daily,
+    "woe_iv_price_urgent": q_woe_iv_price_urgent,
+    "changepoint_split_day": q_changepoint_split_day,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -15296,6 +15569,9 @@ ORACLE: dict[str, str] = {
     "kfold_assignment_balance": SQL_KFOLD_ASSIGNMENT_BALANCE,
     "label_propagation_communities": SQL_LABEL_PROPAGATION_COMMUNITIES,
     "nelson_aalen_hazard": SQL_NELSON_AALEN_HAZARD,
+    "kendall_tau_daily": SQL_KENDALL_TAU_DAILY,
+    "woe_iv_price_urgent": SQL_WOE_IV_PRICE_URGENT,
+    "changepoint_split_day": SQL_CHANGEPOINT_SPLIT_DAY,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
