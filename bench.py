@@ -240,6 +240,34 @@ HEADLINE = [
     "spearman_freq_monetary",
     # Theil-Sen robust slope over the day-pair grid
     "theil_sen_trend",
+    # exact KS over two prefix-sum passes of the per-value count table
+    "ks_test_click_purchase",
+    # MI + Cramér's V from a <=15-cell broadcast contingency table
+    "mutual_info_priority_status",
+    # leave-one-out target encoding (two map-side-combinable aggs)
+    "target_encoding_oof",
+    # brute-force different-label cosine top-3 (broadcast anchors)
+    "hard_negative_mining",
+    # Holt fold over the calendar-bounded daily array
+    "holt_linear_revenue",
+    # one-scan 15-moment conditional aggregation ANOVA
+    "anova_value_by_type",
+    # md5-mod-5 fold audit (one groupBy + broadcast)
+    "kfold_assignment_balance",
+    # 2-round min-label propagation (two key-partitioned shuffles)
+    "label_propagation_communities",
+    # cumulative-hazard sibling of the KM shuffle
+    "nelson_aalen_hazard",
+    # integer-exact concordance counts over the day-pair grid
+    "kendall_tau_daily",
+    # WoE/IV deciles via distributed rank + ntile closed form
+    "woe_iv_price_urgent",
+    # prefix-sum changepoint scan, TakeOrdered(1) argmax
+    "changepoint_split_day",
+    # top-1000-vocab broadcast left join over the token stream
+    "oov_rate_by_source",
+    # 64x Poisson-weight scatter + one groupBy (distributed bootstrap)
+    "poisson_bootstrap_ci",
 ]
 
 

@@ -15046,6 +15046,179 @@ FROM scored ORDER BY g DESC, day LIMIT 1
 """
 
 
+def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-1000
+    vocabulary (r7 sixth push) — the tokenizer-coverage readout a
+    training pipeline checks before committing to a vocab size: a
+    source with a high OOV share will fragment into byte-level
+    tokens (cf. tokenizer_compression_ratio / token_count_bpe, which
+    measure the same risk from the BPE side). Vocabulary = top-1000
+    tokens by global frequency (count desc, token asc — the
+    deterministic tie-break matters at the rank-1000 boundary),
+    broadcast to a left join against the exploded token stream; the
+    rate is exact integer occurrence counts, one double divide."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokenize_ws("text")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    vocab = relational.top_k(
+        counts, [F.col("cnt").desc(), F.col("token")], 1000
+    ).select("token", F.lit(1).alias("_iv"))
+    j = toks.join(F.broadcast(vocab), "token", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+SQL_OOV_RATE_BY_SOURCE = """
+WITH toks AS (
+  SELECT source, t.token AS token
+  FROM documents,
+       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+    ORDER BY cnt DESC, token LIMIT 1000
+  )
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM toks LEFT JOIN vocab v USING (token)
+GROUP BY source
+"""
+
+
+# Poisson(1) inverse CDF cutoffs (cumulative probabilities for k =
+# 0..6; u above the last cutoff maps to 7). Shared verbatim between
+# the Spark expression and the oracle so the CASE ladder compares the
+# identical double literals in both engines.
+_POISSON1_CDF = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+]
+
+
+def _poisson1_case(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"CASE {arms} ELSE 7 END"
+
+
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap 95% CI for the mean purchase
+    value (r7 sixth push) — the distributed bootstrap: instead of
+    resampling n rows with replacement (which needs global
+    coordination), each row contributes an independent Poisson(1)
+    weight per replicate, so the whole procedure is one scatter +
+    one groupBy (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012). Randomness is
+    seeded-deterministic (the dp_noisy_counts convention: md5-prefix
+    uniform over 2^60 of replicate|event_id, inverse-CDF'd through
+    the shared Poisson(1) ladder), so the mechanism replays exactly
+    in the oracle. B=64 replicates (a documented bounded fan-out —
+    64x the purchase rows through one shuffle); replicate means are
+    exact-rational (DECIMAL Σw·v over BIGINT Σw), the CI is the
+    exact interpolated 2.5/97.5 percentile over the 64 doubles."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    v = F.col("value").cast("decimal(18,6)")
+    base = ev.select(F.col("event_id").alias("eid"), v.alias("v"))
+    scattered = base.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(63)))
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit("boot"), F.col("b"), F.col("eid"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**60)),
+    ).withColumn("w", F.expr(_poisson1_case("u")))
+    reps = scattered.groupBy("b").agg(
+        F.sum(F.col("w").cast("decimal(18,6)") * F.col("v")).alias("sv"),
+        F.sum("w").alias("sw"),
+    )
+    means = reps.select(
+        (F.col("sv").cast("double") / F.col("sw").cast("double")).alias("m")
+    )
+    ci = means.agg(
+        F.expr("percentile(m, 0.025)").alias("_lo"),
+        F.expr("percentile(m, 0.975)").alias("_hi"),
+    )
+    point = base.agg(
+        F.count("*").alias("n_events"),
+        (F.sum("v").cast("double") / F.count("*")).alias("_mean"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("_mean", 6).alias("mean_value"),
+        F.round("_lo", 6).alias("ci_lo"),
+        F.round("_hi", 6).alias("ci_hi"),
+    )
+
+
+SQL_POISSON_BOOTSTRAP_CI = f"""
+WITH base AS (
+  SELECT event_id AS eid, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE event_type = 'purchase'
+), scattered AS (
+  SELECT eid, v, b.b,
+         CAST(('0x' || substring(
+                 md5(concat_ws('|', 'boot', b.b, eid)), 1, 15))::BIGINT
+              AS DOUBLE) / 1152921504606846976.0 AS u
+  FROM base, (SELECT unnest(range(0, 64)) AS b) b
+), weighted AS (
+  SELECT b, v, {_poisson1_case('u')} AS w FROM scattered
+), reps AS (
+  SELECT b, sum(CAST(w AS DECIMAL(18,6)) * v) AS sv,
+         CAST(sum(w) AS BIGINT) AS sw
+  FROM weighted GROUP BY b
+), means AS (
+  SELECT CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM reps
+), ci AS (
+  SELECT quantile_cont(m, 0.025) AS lo, quantile_cont(m, 0.975) AS hi
+  FROM means
+), point AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(v) AS DOUBLE) / count(*) AS mean
+  FROM base
+)
+SELECT n_events, round(mean, 6) AS mean_value,
+       round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+FROM point, ci
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -15321,6 +15494,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kendall_tau_daily": q_kendall_tau_daily,
     "woe_iv_price_urgent": q_woe_iv_price_urgent,
     "changepoint_split_day": q_changepoint_split_day,
+    "oov_rate_by_source": q_oov_rate_by_source,
+    "poisson_bootstrap_ci": q_poisson_bootstrap_ci,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -15572,6 +15747,8 @@ ORACLE: dict[str, str] = {
     "kendall_tau_daily": SQL_KENDALL_TAU_DAILY,
     "woe_iv_price_urgent": SQL_WOE_IV_PRICE_URGENT,
     "changepoint_split_day": SQL_CHANGEPOINT_SPLIT_DAY,
+    "oov_rate_by_source": SQL_OOV_RATE_BY_SOURCE,
+    "poisson_bootstrap_ci": SQL_POISSON_BOOTSTRAP_CI,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
