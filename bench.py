@@ -268,6 +268,8 @@ HEADLINE = [
     "oov_rate_by_source",
     # 64x Poisson-weight scatter + one groupBy (distributed bootstrap)
     "poisson_bootstrap_ci",
+    # one prefix sum + broadcast 1001-edge grid (no per-source window)
+    "quantile_normalize_chars",
 ]
 
 

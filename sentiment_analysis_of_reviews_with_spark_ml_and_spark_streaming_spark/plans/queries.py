@@ -15219,6 +15219,138 @@ FROM point, ci
 """
 
 
+# Quantile-normalization grid: 1001 exact interpolated pooled
+# quantiles (p = 0, 0.001, …, 1). Literals are generated from ONE
+# Python list and embedded verbatim in both engines, so the grid
+# edges are the identical doubles on both sides.
+_QN_GRID = ", ".join(repr(i / 1000) for i in range(1001))
+
+
+def q_quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources (r7
+    sixth push) — the cross-source feature alignment an ML
+    preprocessing pipeline applies when per-source distributions
+    differ but downstream code assumes one scale (the batch-effect
+    correction of microarray fame, applied to corpus stats): each
+    document's n_chars is replaced by the POOLED distribution's
+    value at the document's tie-averaged within-source percentile.
+    Scale shape: work happens at the distinct (source, value)
+    granularity; within-source percentiles come from ONE global
+    distributed_prefix_sum over (source, value) minus a broadcast
+    per-source offset (no per-source window partition — source
+    cardinality is tiny, so partitionBy(source) would be a 5-reducer
+    skew trap at 100 TB); the pooled quantile function is a
+    1001-edge exact-percentile grid broadcast as an array, and the
+    per-group lookup is pure arithmetic + element_at (no range
+    join). Audit output per source: after normalization the
+    per-source means collapse onto the pooled scale."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    counts = d.groupBy("source", "v").agg(F.count("*").alias("c"))
+    gp = relational.distributed_prefix_sum(
+        counts, ["source", "v"], "c", out_col="incl"
+    )
+    stot = counts.groupBy("source").agg(F.sum("c").alias("ns"))
+    wsrc = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = stot.select(
+        "source",
+        "ns",
+        F.coalesce(F.sum("ns").over(wsrc), F.lit(0)).alias("off"),
+    )
+    ranked = gp.join(F.broadcast(offs), "source").withColumn(
+        "r2",
+        2 * (F.col("incl") - F.col("off") - F.col("c")) + F.col("c") + 1,
+    )
+    edges = d.agg(
+        F.expr(
+            f"percentile(CAST(v AS DOUBLE), array({_QN_GRID}))"
+        ).alias("e")
+    )
+    # x = p*1000 on the grid; interpolate between floor/ceil edges
+    p = (F.col("r2") - 1).cast("double") / (2 * F.col("ns")).cast("double")
+    scored = (
+        ranked.crossJoin(F.broadcast(edges))
+        .withColumn("x", p * 1000)
+        .withColumn("lo", F.floor("x").cast("int"))
+        .withColumn(
+            "norm",
+            F.element_at("e", F.col("lo") + 1)
+            + (F.col("x") - F.col("lo"))
+            * (
+                F.element_at("e", F.least(F.col("lo") + 2, F.lit(1001)))
+                - F.element_at("e", F.col("lo") + 1)
+            ),
+        )
+    )
+    # DECIMAL-quantized weighted mean so the reduction is exact
+    nq = F.col("norm").cast("decimal(18,6)")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum(F.col("c").cast("decimal(18,6)") * F.col("v")).alias("_sv"),
+            F.sum(F.col("c").cast("decimal(18,6)") * nq).alias("_sn"),
+            F.min("norm").alias("_mn"),
+            F.max("norm").alias("_mx"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("_sv").cast("double") / F.col("n_docs").cast("double"),
+                4,
+            ).alias("mean_chars"),
+            F.round(
+                F.col("_sn").cast("double") / F.col("n_docs").cast("double"),
+                4,
+            ).alias("mean_norm"),
+            F.round("_mn", 4).alias("min_norm"),
+            F.round("_mx", 4).alias("max_norm"),
+        )
+    )
+
+
+SQL_QUANTILE_NORMALIZE_CHARS = f"""
+WITH d AS (
+  SELECT source, n_chars AS v FROM documents
+), counts AS (
+  SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
+), ranked AS (
+  SELECT source, v, c,
+         2 * CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + c + 1 AS r2,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ns
+  FROM counts
+), edges AS (
+  SELECT quantile_cont(CAST(v AS DOUBLE), [{_QN_GRID}]) AS e FROM d
+), scored AS (
+  SELECT source, v, c,
+         CAST(r2 - 1 AS DOUBLE) / CAST(2 * ns AS DOUBLE) * 1000 AS x
+  FROM ranked
+), interp AS (
+  SELECT source, v, c,
+         e[CAST(floor(x) AS INT) + 1]
+           + (x - CAST(floor(x) AS INT))
+             * (e[least(CAST(floor(x) AS INT) + 2, 1001)]
+                - e[CAST(floor(x) AS INT) + 1]) AS norm
+  FROM scored, edges
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(c AS DECIMAL(18,6)) * v) AS DOUBLE)
+             / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 4) AS mean_chars,
+       round(CAST(sum(CAST(c AS DECIMAL(18,6))
+                      * CAST(norm AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 4) AS mean_norm,
+       round(min(norm), 4) AS min_norm,
+       round(max(norm), 4) AS max_norm
+FROM interp GROUP BY source
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -15496,6 +15628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changepoint_split_day": q_changepoint_split_day,
     "oov_rate_by_source": q_oov_rate_by_source,
     "poisson_bootstrap_ci": q_poisson_bootstrap_ci,
+    "quantile_normalize_chars": q_quantile_normalize_chars,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -15749,6 +15882,7 @@ ORACLE: dict[str, str] = {
     "changepoint_split_day": SQL_CHANGEPOINT_SPLIT_DAY,
     "oov_rate_by_source": SQL_OOV_RATE_BY_SOURCE,
     "poisson_bootstrap_ci": SQL_POISSON_BOOTSTRAP_CI,
+    "quantile_normalize_chars": SQL_QUANTILE_NORMALIZE_CHARS,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
