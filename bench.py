@@ -270,6 +270,10 @@ HEADLINE = [
     "poisson_bootstrap_ci",
     # one prefix sum + broadcast 1001-edge grid (no per-source window)
     "quantile_normalize_chars",
+    # OLS over the bounded top-1000 ln-ln spectrum
+    "zipf_slope_tokens",
+    # fold-split token counts + one broadcast of the two LM scalars
+    "heldout_perplexity_fold",
 ]
 
 

@@ -15351,6 +15351,162 @@ FROM interp GROUP BY source
 """
 
 
+def q_zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency spectrum (r7 sixth
+    push): OLS slope of ln(freq) on ln(rank) across the top-1000
+    tokens — the corpus-health diagnostic (natural language sits
+    near slope −1; templated/boilerplate corpora flatten, junk
+    steepens; cf. the Gopher/C4 gates which test rows, this tests
+    the aggregate). Ranks are deterministic (count desc, token asc);
+    the regression runs on the BOUNDED 1000-row spectrum with every
+    ln term quantized to DECIMAL(28,12) before the sums (the
+    chi-square/KM quantization trick) so the reduction is exact and
+    order-independent; one double divide pair at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize_ws("text")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = relational.top_k(
+        counts, [F.col("cnt").desc(), F.col("token")], 1000
+    )
+    w = Window.orderBy(F.desc("cnt"), "token")
+    q = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    ranked = top.select(
+        q(F.log(F.row_number().over(w).cast("double"))).alias("x"),
+        q(F.log(F.col("cnt").cast("double"))).alias("y"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept, 4).alias("zipf_intercept"),
+    )
+
+
+SQL_ZIPF_SLOPE_TOKENS = """
+WITH toks AS (
+  SELECT t.token AS token
+  FROM documents,
+       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+), top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+  ORDER BY cnt DESC, token LIMIT 1000
+), ranked AS (
+  SELECT CAST(ln(CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                      AS DOUBLE)) AS DECIMAL(28,12)) AS x,
+         CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,12)) AS y
+  FROM top
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM ranked
+)
+SELECT n AS n_ranks,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+         AS zipf_intercept
+FROM agg
+"""
+
+
+def q_heldout_perplexity_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram perplexity (r7 sixth push): an add-one
+    unigram LM is trained on CV folds 1-4 and evaluated on fold 0
+    (the deterministic md5-mod-5 folds of kfold_assignment_balance)
+    — the train/eval composition of unigram_logprob_docs, and the
+    quantity an LM data pipeline tracks per corpus snapshot (rising
+    held-out perplexity = the new crawl diverges from the old
+    distribution). p(tok) = (c_train+1)/(T+V+1) with one shared OOV
+    class; eval works at the distinct-token granularity
+    (n_eval(tok) · DECIMAL(28,12)-quantized ln p — exact,
+    order-independent reduction); OOV mass joins through one
+    broadcast of the two scalars."""
+    docs = _t(spark, sf_dir, "documents")
+    fold = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 5"
+    )
+    toks = docs.select(
+        fold.alias("fold"), F.explode(tokenize_ws("text")).alias("token")
+    )
+    train = toks.filter(F.col("fold") != 0).groupBy("token").agg(
+        F.count("*").alias("ct")
+    )
+    ev = toks.filter(F.col("fold") == 0).groupBy("token").agg(
+        F.count("*").alias("ce")
+    )
+    scal = train.agg(
+        F.sum("ct").alias("t_total"), F.count("*").alias("v")
+    )
+    j = ev.join(train, "token", "left").crossJoin(F.broadcast(scal))
+    lnp = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / (F.col("t_total") + F.col("v") + 1).cast("double")
+    ).cast("decimal(28,12)")
+    agg = j.agg(
+        F.sum("ce").alias("n_eval"),
+        F.max("v").alias("vocab"),
+        F.sum(F.col("ce").cast("decimal(18,0)") * lnp).alias("sll"),
+    )
+    ppl = F.exp(
+        -(F.col("sll").cast("double")) / F.col("n_eval").cast("double")
+    )
+    return agg.select(
+        F.col("n_eval").cast("long").alias("n_eval_tokens"),
+        F.col("vocab").cast("long").alias("train_vocab"),
+        F.round(ppl, 4).alias("heldout_ppl"),
+    )
+
+
+SQL_HELDOUT_PERPLEXITY_FOLD = """
+WITH toks AS (
+  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT AS BIGINT) % 5 AS fold,
+         t.token AS token
+  FROM documents,
+       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+), train AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS ct
+  FROM toks WHERE fold != 0 GROUP BY 1
+), ev AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS ce
+  FROM toks WHERE fold = 0 GROUP BY 1
+), scal AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS t_total,
+         CAST(count(*) AS BIGINT) AS v
+  FROM train
+), j AS (
+  SELECT e.ce,
+         CAST(ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)
+                 / CAST(s.t_total + s.v + 1 AS DOUBLE))
+              AS DECIMAL(28,12)) AS lnp,
+         s.v
+  FROM ev e LEFT JOIN train t USING (token), scal s
+)
+SELECT CAST(sum(ce) AS BIGINT) AS n_eval_tokens,
+       CAST(max(v) AS BIGINT) AS train_vocab,
+       round(exp(-(CAST(sum(CAST(ce AS DECIMAL(18,0)) * lnp) AS DOUBLE))
+                 / CAST(CAST(sum(ce) AS BIGINT) AS DOUBLE)), 4)
+         AS heldout_ppl
+FROM j
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -15629,6 +15785,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_rate_by_source": q_oov_rate_by_source,
     "poisson_bootstrap_ci": q_poisson_bootstrap_ci,
     "quantile_normalize_chars": q_quantile_normalize_chars,
+    "zipf_slope_tokens": q_zipf_slope_tokens,
+    "heldout_perplexity_fold": q_heldout_perplexity_fold,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -15883,6 +16041,8 @@ ORACLE: dict[str, str] = {
     "oov_rate_by_source": SQL_OOV_RATE_BY_SOURCE,
     "poisson_bootstrap_ci": SQL_POISSON_BOOTSTRAP_CI,
     "quantile_normalize_chars": SQL_QUANTILE_NORMALIZE_CHARS,
+    "zipf_slope_tokens": SQL_ZIPF_SLOPE_TOKENS,
+    "heldout_perplexity_fold": SQL_HELDOUT_PERPLEXITY_FOLD,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
