@@ -274,6 +274,10 @@ HEADLINE = [
     "zipf_slope_tokens",
     # fold-split token counts + one broadcast of the two LM scalars
     "heldout_perplexity_fold",
+    # bounded x6 horizon fan-out of the per-customer rollup
+    "ltv_cohort_curve",
+    # bounded x5 position explode equi-join (sequential patterns)
+    "followed_by_pairs",
 ]
 
 

@@ -15507,6 +15507,150 @@ FROM j
 """
 
 
+def q_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value cohort curves (r7 sixth push): for
+    each acquisition cohort (month of first order) and horizon
+    h ∈ {0,1,2,3,6,12} months, the average CUMULATIVE revenue per
+    cohort customer within h months of acquisition — the revenue
+    sibling of cohort_retention (which counts activity; this
+    accumulates value — the payback-period readout). Months are pure
+    integer arithmetic (y·12+m — no interval/date-trunc origin
+    conventions); revenue is BIGINT cents; the horizon fan-out is a
+    bounded ×6 explode of the per-(customer, month-offset) rollup,
+    never of the fact table. The rounded average is computed in
+    EXACT integer arithmetic — half-up(rev·100/n) as
+    (200·rev + n) div (2n), then /10⁴ — because rev/(100n) is a
+    terminating decimal whenever n is 2^a·5^b, which lands the
+    quotient exactly on the .00005 rounding boundary where Spark's
+    BigDecimal round and DuckDB's double round diverge (observed
+    live at sf0.001, cohort n=8)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    ym = (
+        F.year(F.to_date("o_orderdate")) * 12
+        + F.month(F.to_date("o_orderdate"))
+    )
+    base = o.select(
+        F.col("o_custkey").alias("ck"), ym.alias("ym"), cents.alias("cents")
+    )
+    first = base.groupBy("ck").agg(F.min("ym").alias("m0"))
+    per_off = (
+        base.join(first, "ck")
+        .groupBy("ck", "m0", (F.col("ym") - F.col("m0")).alias("dh"))
+        .agg(F.sum("cents").alias("c"))
+    )
+    cohort_sizes = first.groupBy("m0").agg(
+        F.count("*").alias("n_customers")
+    )
+    horizons = spark.range(1).select(
+        F.explode(F.array(*[F.lit(h) for h in (0, 1, 2, 3, 6, 12)])).alias(
+            "h"
+        )
+    )
+    scattered = per_off.crossJoin(F.broadcast(horizons)).filter(
+        F.col("dh") <= F.col("h")
+    )
+    agg = scattered.groupBy("m0", "h").agg(F.sum("c").alias("rev"))
+    return (
+        agg.join(F.broadcast(cohort_sizes), "m0")
+        .selectExpr(
+            "CAST(m0 AS BIGINT) AS cohort_month",
+            "CAST(h AS INT) AS horizon_months",
+            "CAST(n_customers AS BIGINT) AS n_customers",
+            "CAST((CAST(rev AS DECIMAL(38,0)) * 200 + n_customers)"
+            " DIV (CAST(2 AS DECIMAL(38,0)) * n_customers) AS DOUBLE)"
+            " / 10000 AS avg_ltv_dollars",
+        )
+    )
+
+
+SQL_LTV_COHORT_CURVE = """
+WITH base AS (
+  SELECT o_custkey AS ck,
+         year(CAST(o_orderdate AS DATE)) * 12
+           + month(CAST(o_orderdate AS DATE)) AS ym,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders
+), first AS (
+  SELECT ck, CAST(min(ym) AS BIGINT) AS m0 FROM base GROUP BY 1
+), per_off AS (
+  SELECT b.ck, f.m0, b.ym - f.m0 AS dh,
+         CAST(sum(b.cents) AS BIGINT) AS c
+  FROM base b JOIN first f USING (ck)
+  GROUP BY 1, 2, 3
+), sizes AS (
+  SELECT m0, CAST(count(*) AS BIGINT) AS n_customers
+  FROM first GROUP BY 1
+), horizons AS (
+  SELECT unnest([0, 1, 2, 3, 6, 12]) AS h
+), agg AS (
+  SELECT m0, h, CAST(sum(c) AS BIGINT) AS rev
+  FROM per_off, horizons WHERE dh <= h
+  GROUP BY 1, 2
+)
+SELECT a.m0 AS cohort_month, CAST(a.h AS INT) AS horizon_months,
+       s.n_customers,
+       CAST((CAST(a.rev AS HUGEINT) * 200 + s.n_customers)
+            // (2 * CAST(s.n_customers AS HUGEINT)) AS DOUBLE)
+         / 10000 AS avg_ltv_dollars
+FROM agg a JOIN sizes s USING (m0)
+"""
+
+
+def q_followed_by_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-allowed sequential patterns (r7 sixth push): counts of
+    "event type A followed by type B within the user's next 5
+    events" — the PrefixSpan-style generalization of
+    event_path_trigrams (which requires adjacency; real funnels have
+    noise events between the steps). Per-user positions come from
+    one user-partitioned window (high-cardinality key — no skew trap
+    at scale); the gap window is a bounded ×5 explode equi-joined on
+    (user, position) — an equi shuffle, never a range join or a
+    per-user quadratic blow-up."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id",
+        F.col("event_type").alias("t"),
+        F.row_number().over(w).alias("p"),
+    )
+    probes = pos.withColumn(
+        "d", F.explode(F.sequence(F.lit(1), F.lit(5)))
+    ).select(
+        "user_id", F.col("t").alias("type_a"), (F.col("p") + F.col("d")).alias("pb")
+    )
+    b = pos.select(
+        "user_id", F.col("t").alias("type_b"), F.col("p").alias("pb")
+    )
+    return (
+        probes.join(b, ["user_id", "pb"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+        )
+    )
+
+
+SQL_FOLLOWED_BY_PAIRS = """
+WITH pos AS (
+  SELECT user_id, event_type AS t,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS p
+  FROM events
+), probes AS (
+  SELECT user_id, t AS type_a, p + d.d AS pb
+  FROM pos, (SELECT unnest(range(1, 6)) AS d) d
+)
+SELECT a.type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM probes a JOIN pos b ON a.user_id = b.user_id AND a.pb = b.p
+GROUP BY 1, 2
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -15787,6 +15931,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_normalize_chars": q_quantile_normalize_chars,
     "zipf_slope_tokens": q_zipf_slope_tokens,
     "heldout_perplexity_fold": q_heldout_perplexity_fold,
+    "ltv_cohort_curve": q_ltv_cohort_curve,
+    "followed_by_pairs": q_followed_by_pairs,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -16043,6 +16189,8 @@ ORACLE: dict[str, str] = {
     "quantile_normalize_chars": SQL_QUANTILE_NORMALIZE_CHARS,
     "zipf_slope_tokens": SQL_ZIPF_SLOPE_TOKENS,
     "heldout_perplexity_fold": SQL_HELDOUT_PERPLEXITY_FOLD,
+    "ltv_cohort_curve": SQL_LTV_COHORT_CURVE,
+    "followed_by_pairs": SQL_FOLLOWED_BY_PAIRS,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
