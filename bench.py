@@ -278,6 +278,12 @@ HEADLINE = [
     "ltv_cohort_curve",
     # bounded x5 position explode equi-join (sequential patterns)
     "followed_by_pairs",
+    # revenue prefix sum + integer threshold cross-multiplication
+    "abc_classification_parts",
+    # KM shuffle + DECIMAL(38,18) Greenwood running variance
+    "km_greenwood_ci",
+    # broadcast anchors x part table, anti-join, hash-order top-5
+    "negative_sampling_recs",
 ]
 
 

@@ -15651,6 +15651,325 @@ GROUP BY 1, 2
 """
 
 
+def q_abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification (r7 sixth push): parts ranked by
+    revenue, class A = the head covering 80% of cumulative revenue,
+    B = to 95%, C = the tail — the Pareto workhorse of supply-chain
+    prioritization (the classifier form of important_parts_share /
+    pareto_frontier). The cumulative revenue comes from
+    operators/relational.distributed_prefix_sum over (−revenue,
+    partkey) order — no one-reducer window over the part universe —
+    and the 80/95 thresholds are EXACT integer cross-multiplications
+    (cum·10 ≤ T·8, cum·20 ≤ T·19), so no float boundary exists; the
+    released revenue share uses the terminating-rational half-up
+    convention (DESIGN.md §3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev"))
+    keyed = per_part.withColumn("negrev", -F.col("rev"))
+    ps = relational.distributed_prefix_sum(
+        keyed, ["negrev", "l_partkey"], "rev", out_col="cum"
+    )
+    tot = ps.agg(F.sum("rev").alias("t"))
+    classed = ps.crossJoin(F.broadcast(tot)).withColumn(
+        "abc",
+        F.when(
+            F.col("cum").cast("decimal(38,0)") * 10 <= F.col("t").cast("decimal(38,0)") * 8,
+            "A",
+        )
+        .when(
+            F.col("cum").cast("decimal(38,0)") * 20 <= F.col("t").cast("decimal(38,0)") * 19,
+            "B",
+        )
+        .otherwise("C"),
+    )
+    agg = classed.groupBy("abc").agg(
+        F.count("*").alias("n_parts"), F.sum("rev").alias("crev"), F.max("t").alias("t")
+    )
+    return agg.selectExpr(
+        "abc",
+        "CAST(n_parts AS BIGINT) AS n_parts",
+        "CAST(crev AS DOUBLE) / 100 AS revenue_dollars",
+        "CAST((CAST(crev AS DECIMAL(38,0)) * 2000000 + t)"
+        " DIV (CAST(2 AS DECIMAL(38,0)) * t) AS DOUBLE)"
+        " / 1000000 AS rev_share",
+    ).orderBy("abc")
+
+
+SQL_ABC_CLASSIFICATION_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+), ps AS (
+  SELECT l_partkey, rev,
+         CAST(sum(rev) OVER (ORDER BY -rev, l_partkey ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM per_part
+), tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM per_part),
+classed AS (
+  SELECT CASE WHEN CAST(cum AS HUGEINT) * 10 <= CAST(t AS HUGEINT) * 8
+              THEN 'A'
+              WHEN CAST(cum AS HUGEINT) * 20 <= CAST(t AS HUGEINT) * 19
+              THEN 'B' ELSE 'C' END AS abc,
+         rev, t
+  FROM ps, tot
+)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) / 100 AS revenue_dollars,
+       CAST((CAST(CAST(sum(rev) AS BIGINT) AS HUGEINT) * 2000000 + max(t))
+            // (2 * CAST(max(t) AS HUGEINT)) AS DOUBLE)
+         / 1000000 AS rev_share
+FROM classed GROUP BY abc ORDER BY abc
+"""
+
+
+def q_km_greenwood_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve with Greenwood 95% confidence bands (r7
+    sixth push) — the statistical completion of km_repeat_purchase:
+    var(S(t)) = S² Σ_{u≤t} d_u/(n_u(n_u−d_u)), the standard error a
+    churn model reports alongside the point curve. Same distributed
+    shape as KM (one custkey shuffle, calendar-bounded epilogue);
+    the Greenwood increments quantize to DECIMAL(38,18) (terms reach
+    1/n² — the (28,12) quantum of the ln-reduction would zero them
+    at n ~ 10⁶), so the running variance sum is exact; bands clamp
+    to [0,1]."""
+    o = _t(spark, sf_dir, "orders")
+    od = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    )
+    horizon = od.agg(F.max("d").alias("h"))
+    w = Window.partitionBy("ck").orderBy("d", "o_orderkey")
+    durs = (
+        od.select("ck", "d", F.lead("d").over(w).alias("nd"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.coalesce("nd", "h"), F.col("d")).alias("dur"),
+            F.col("nd").isNotNull().cast("int").alias("obs"),
+        )
+    )
+    byd = durs.groupBy("dur").agg(
+        F.sum("obs").cast("long").alias("d_events"),
+        F.count("*").alias("m"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    word = Window.orderBy("dur")
+    wrun = word.rowsBetween(Window.unboundedPreceding, 0)
+    risk = byd.select(
+        "dur",
+        "d_events",
+        (
+            F.sum("m").over(wall)
+            - F.coalesce(
+                F.sum("m").over(
+                    word.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    dead = (F.col("d_events") >= F.col("n_risk")).cast("int")
+    lnq = F.when(
+        (dead == 0) & (F.col("d_events") > 0),
+        F.log(
+            F.lit(1.0)
+            - F.col("d_events").cast("double")
+            / F.col("n_risk").cast("double")
+        ).cast("decimal(28,12)"),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    gw = F.when(
+        (dead == 0) & (F.col("d_events") > 0),
+        (
+            F.col("d_events").cast("double")
+            / (
+                F.col("n_risk").cast("double")
+                * (F.col("n_risk") - F.col("d_events")).cast("double")
+            )
+        ).cast("decimal(38,18)"),
+    ).otherwise(F.lit(0).cast("decimal(38,18)"))
+    curve = risk.select(
+        "dur",
+        "d_events",
+        "n_risk",
+        F.max(dead).over(wrun).alias("_z"),
+        F.sum(lnq).over(wrun).alias("_cl"),
+        F.sum(gw).over(wrun).alias("_gv"),
+    )
+    s = F.when(F.col("_z") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("_cl").cast("double"))
+    )
+    se = s * F.sqrt(F.col("_gv").cast("double"))
+    return (
+        curve.filter(F.col("d_events") > 0)
+        .select(
+            "dur",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            "d_events",
+            F.round(s, 6).alias("survival"),
+            F.round(se, 6).alias("greenwood_se"),
+            F.round(F.greatest(s - 1.959964 * se, F.lit(0.0)), 6).alias(
+                "ci_lo"
+            ),
+            F.round(F.least(s + 1.959964 * se, F.lit(1.0)), 6).alias(
+                "ci_hi"
+            ),
+        )
+        .orderBy("dur")
+    )
+
+
+SQL_KM_GREENWOOD_CI = """
+WITH od AS (
+  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+), durs AS (
+  SELECT date_diff('day', d,
+             coalesce(lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey),
+                      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)))
+           AS dur,
+         CASE WHEN lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey)
+              IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM od
+), byd AS (
+  SELECT dur, CAST(sum(obs) AS BIGINT) AS d_events,
+         CAST(count(*) AS BIGINT) AS m
+  FROM durs GROUP BY 1
+), risk AS (
+  SELECT dur, d_events,
+         CAST(sum(m) OVER () AS BIGINT)
+           - CAST(coalesce(sum(m) OVER (ORDER BY dur ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM byd
+), curve AS (
+  SELECT dur, d_events, n_risk,
+         max(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS z,
+         sum(CASE WHEN d_events < n_risk AND d_events > 0
+                  THEN CAST(ln(1.0 - CAST(d_events AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE))
+                            AS DECIMAL(28,12))
+                  ELSE CAST(0 AS DECIMAL(28,12)) END)
+             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS cl,
+         sum(CASE WHEN d_events < n_risk AND d_events > 0
+                  THEN CAST(CAST(d_events AS DOUBLE)
+                            / (CAST(n_risk AS DOUBLE)
+                               * CAST(n_risk - d_events AS DOUBLE))
+                            AS DECIMAL(38,18))
+                  ELSE CAST(0 AS DECIMAL(38,18)) END)
+             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS gv
+  FROM risk
+)
+SELECT dur, n_risk, d_events,
+       round(CASE WHEN z = 1 THEN 0.0
+                  ELSE exp(CAST(cl AS DOUBLE)) END, 6) AS survival,
+       round((CASE WHEN z = 1 THEN 0.0
+                   ELSE exp(CAST(cl AS DOUBLE)) END)
+             * sqrt(CAST(gv AS DOUBLE)), 6) AS greenwood_se,
+       round(greatest((CASE WHEN z = 1 THEN 0.0
+                            ELSE exp(CAST(cl AS DOUBLE)) END)
+                      - 1.959964
+                        * (CASE WHEN z = 1 THEN 0.0
+                                ELSE exp(CAST(cl AS DOUBLE)) END)
+                        * sqrt(CAST(gv AS DOUBLE)), 0.0), 6) AS ci_lo,
+       round(least((CASE WHEN z = 1 THEN 0.0
+                         ELSE exp(CAST(cl AS DOUBLE)) END)
+                   + 1.959964
+                     * (CASE WHEN z = 1 THEN 0.0
+                             ELSE exp(CAST(cl AS DOUBLE)) END)
+                     * sqrt(CAST(gv AS DOUBLE)), 1.0), 6) AS ci_hi
+FROM curve WHERE d_events > 0 ORDER BY dur
+"""
+
+
+def q_negative_sampling_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training (r7
+    sixth push): for each of the first 20 customers, 5 parts the
+    customer has NEVER purchased, drawn by seeded md5-uniform order
+    — the negatives an implicit-feedback trainer (the ALS tier)
+    pairs against observed positives; determinism (the dp/bootstrap
+    hash convention) makes the training set reproducible across
+    runs AND engines. Anchor set is broadcast over the part table
+    (linear in parts, like hard_negative_mining); positives are
+    removed with one anti-join; top-5 per user by hash order via
+    window rank."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    users = (
+        o.select(F.col("o_custkey").alias("ck"))
+        .distinct()
+        .orderBy("ck")
+        .limit(20)
+    )
+    cand = part.select(F.col("p_partkey").alias("pk")).crossJoin(
+        F.broadcast(users)
+    )
+    pos = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    neg = cand.join(pos, ["ck", "pk"], "left_anti")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("negsamp"), "ck", "pk")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("decimal(20,0)")
+    )
+    w = Window.partitionBy("ck").orderBy(u.asc(), F.col("pk"))
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("ck").cast("long").alias("custkey"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("pk").cast("long").alias("neg_partkey"),
+        )
+    )
+
+
+SQL_NEGATIVE_SAMPLING_RECS = """
+WITH users AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders ORDER BY ck LIMIT 20
+), cand AS (
+  SELECT u.ck, p.p_partkey AS pk FROM part p, users u
+), pos AS (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), neg AS (
+  SELECT c.ck, c.pk FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.ck = c.ck AND p.pk = c.pk)
+), ranked AS (
+  SELECT ck, pk,
+         row_number() OVER (
+           PARTITION BY ck
+           ORDER BY CAST(('0x' || substring(
+                     md5(concat_ws('|', 'negsamp', ck, pk)), 1, 15))
+                     ::BIGINT AS BIGINT), pk) AS rank
+  FROM neg
+)
+SELECT ck AS custkey, CAST(rank AS INT) AS rank, pk AS neg_partkey
+FROM ranked WHERE rank <= 5
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -15933,6 +16252,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heldout_perplexity_fold": q_heldout_perplexity_fold,
     "ltv_cohort_curve": q_ltv_cohort_curve,
     "followed_by_pairs": q_followed_by_pairs,
+    "abc_classification_parts": q_abc_classification_parts,
+    "km_greenwood_ci": q_km_greenwood_ci,
+    "negative_sampling_recs": q_negative_sampling_recs,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -16191,6 +16513,9 @@ ORACLE: dict[str, str] = {
     "heldout_perplexity_fold": SQL_HELDOUT_PERPLEXITY_FOLD,
     "ltv_cohort_curve": SQL_LTV_COHORT_CURVE,
     "followed_by_pairs": SQL_FOLLOWED_BY_PAIRS,
+    "abc_classification_parts": SQL_ABC_CLASSIFICATION_PARTS,
+    "km_greenwood_ci": SQL_KM_GREENWOOD_CI,
+    "negative_sampling_recs": SQL_NEGATIVE_SAMPLING_RECS,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
