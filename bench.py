@@ -284,6 +284,10 @@ HEADLINE = [
     "km_greenwood_ci",
     # broadcast anchors x part table, anti-join, hash-order top-5
     "negative_sampling_recs",
+    # one conditional-moment scan after a broadcast dim join
+    "diff_in_diff_revenue",
+    # md5-mod-2 arms, 1-df chi-square (integer-exact)
+    "srm_check_split",
 ]
 
 

@@ -15970,6 +15970,164 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate (r7 sixth push): the causal
+    workhorse for before/after × treated/control designs —
+    DiD = (T_post − T_pre) − (C_post − C_pre) of mean order value,
+    with treatment = BUILDING-segment customers and the 1995-01-01
+    cutoff as the 'intervention' (the fixture roles of FIXTURES.md;
+    the estimator shape is the deliverable). One
+    conditional-aggregation scan gathers the four groups' exact
+    (BIGINT n, BIGINT cents) moments after a broadcast segment join;
+    each released mean uses the terminating-rational half-up
+    convention (DESIGN.md §3) and the DiD is arithmetic on those
+    exact released doubles (multiples of 1e-4 — no boundary)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    fact = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("t"),
+        (F.to_date("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("post"),
+        cents.alias("cents"),
+    )
+
+    def grp(t: int, post: int, name: str) -> list:
+        cond = (F.col("t") == t) & (F.col("post") == post)
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{name}"),
+            F.sum(F.when(cond, F.col("cents"))).alias(f"s_{name}"),
+        ]
+
+    agg = fact.agg(
+        *grp(1, 0, "tpre"),
+        *grp(1, 1, "tpost"),
+        *grp(0, 0, "cpre"),
+        *grp(0, 1, "cpost"),
+    )
+
+    def mean(name: str) -> str:
+        # half-up(s*100/n) / 10^4 dollars — exact integer rounding
+        return (
+            f"CAST((CAST(s_{name} AS DECIMAL(38,0)) * 200 + n_{name})"
+            f" DIV (CAST(2 AS DECIMAL(38,0)) * n_{name}) AS DOUBLE)"
+            f" / 10000"
+        )
+
+    return agg.selectExpr(
+        "CAST(n_tpre + n_tpost AS BIGINT) AS n_treated",
+        "CAST(n_cpre + n_cpost AS BIGINT) AS n_control",
+        f"{mean('tpre')} AS mean_t_pre",
+        f"{mean('tpost')} AS mean_t_post",
+        f"{mean('cpre')} AS mean_c_pre",
+        f"{mean('cpost')} AS mean_c_post",
+        f"round(({mean('tpost')} - {mean('tpre')})"
+        f" - ({mean('cpost')} - {mean('cpre')}), 4) AS did_dollars",
+    )
+
+
+def _did_mean_sql(name: str) -> str:
+    return (
+        f"CAST((CAST(s_{name} AS HUGEINT) * 200 + n_{name})"
+        f" // (2 * CAST(n_{name} AS HUGEINT)) AS DOUBLE) / 10000"
+    )
+
+
+SQL_DIFF_IN_DIFF_REVENUE = f"""
+WITH fact AS (
+  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+         CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+              THEN 1 ELSE 0 END AS post,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), agg AS (
+  SELECT
+    CAST(sum(CASE WHEN t = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_tpre,
+    CAST(sum(CASE WHEN t = 1 AND post = 0 THEN cents END) AS BIGINT)
+      AS s_tpre,
+    CAST(sum(CASE WHEN t = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_tpost,
+    CAST(sum(CASE WHEN t = 1 AND post = 1 THEN cents END) AS BIGINT)
+      AS s_tpost,
+    CAST(sum(CASE WHEN t = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_cpre,
+    CAST(sum(CASE WHEN t = 0 AND post = 0 THEN cents END) AS BIGINT)
+      AS s_cpre,
+    CAST(sum(CASE WHEN t = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_cpost,
+    CAST(sum(CASE WHEN t = 0 AND post = 1 THEN cents END) AS BIGINT)
+      AS s_cpost
+  FROM fact
+)
+SELECT n_tpre + n_tpost AS n_treated,
+       n_cpre + n_cpost AS n_control,
+       {_did_mean_sql('tpre')} AS mean_t_pre,
+       {_did_mean_sql('tpost')} AS mean_t_post,
+       {_did_mean_sql('cpre')} AS mean_c_pre,
+       {_did_mean_sql('cpost')} AS mean_c_post,
+       round(({_did_mean_sql('tpost')} - {_did_mean_sql('tpre')})
+             - ({_did_mean_sql('cpost')} - {_did_mean_sql('cpre')}), 4)
+         AS did_dollars
+FROM agg
+"""
+
+
+def q_srm_check_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (r7 sixth push): the first thing
+    an experimentation platform tests before reading ANY metric — do
+    the deterministic 50/50 arms actually hold their ratio? Arms are
+    md5(o_orderkey) mod 2 (the fuzz-certified hex-parse convention);
+    the test is the 1-df chi-square (nA−nB)²/(nA+nB) vs 3.841
+    (α=0.05). Integer-exact to the last divide; a true SRM here
+    would mean the hash convention itself broke, which is the
+    point — it doubles as a live invariant on the split primitive."""
+    o = _t(spark, sf_dir, "orders")
+    arm = F.expr(
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT) % 2"
+    )
+    agg = o.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    chi = (
+        ((F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb")))
+        .cast("double")
+        / (F.col("na") + F.col("nb")).cast("double")
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_arm_a"),
+        F.col("nb").cast("long").alias("n_arm_b"),
+        F.round(chi, 6).alias("srm_chi2"),
+        (chi > 3.841).alias("srm_detected"),
+    )
+
+
+SQL_SRM_CHECK_SPLIT = """
+WITH arms AS (
+  SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              ::BIGINT AS BIGINT) % 2 AS arm
+  FROM orders
+), agg AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM arms
+)
+SELECT na AS n_arm_a, nb AS n_arm_b,
+       round(CAST((na - nb) * (na - nb) AS DOUBLE)
+             / CAST(na + nb AS DOUBLE), 6) AS srm_chi2,
+       CAST((na - nb) * (na - nb) AS DOUBLE)
+         / CAST(na + nb AS DOUBLE) > 3.841 AS srm_detected
+FROM agg
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -16255,6 +16413,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "abc_classification_parts": q_abc_classification_parts,
     "km_greenwood_ci": q_km_greenwood_ci,
     "negative_sampling_recs": q_negative_sampling_recs,
+    "diff_in_diff_revenue": q_diff_in_diff_revenue,
+    "srm_check_split": q_srm_check_split,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -16516,6 +16676,8 @@ ORACLE: dict[str, str] = {
     "abc_classification_parts": SQL_ABC_CLASSIFICATION_PARTS,
     "km_greenwood_ci": SQL_KM_GREENWOOD_CI,
     "negative_sampling_recs": SQL_NEGATIVE_SAMPLING_RECS,
+    "diff_in_diff_revenue": SQL_DIFF_IN_DIFF_REVENUE,
+    "srm_check_split": SQL_SRM_CHECK_SPLIT,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
