@@ -288,6 +288,8 @@ HEADLINE = [
     "diff_in_diff_revenue",
     # md5-mod-2 arms, 1-df chi-square (integer-exact)
     "srm_check_split",
+    # integer R/S blocks over the calendar-bounded daily series
+    "hurst_exponent_revenue",
 ]
 
 

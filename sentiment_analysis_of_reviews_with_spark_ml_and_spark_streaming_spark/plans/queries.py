@@ -16128,6 +16128,146 @@ FROM agg
 """
 
 
+def q_hurst_exponent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue via rescaled-range (R/S)
+    analysis (r7 sixth push) — the long-memory diagnostic that tells
+    a forecasting pipeline whether the series is mean-reverting
+    (H<0.5), random-walk (≈0.5) or trending/persistent (>0.5), i.e.
+    whether the EWMA/Holt family is even appropriate. For block
+    sizes s ∈ {16,32,64,128} the series splits into full blocks; the
+    within-block range-over-sigma is computed ENTIRELY from the
+    integer D_t = s·y_t − S_block (multiply-through-by-s: cumulative
+    deviations, their range R′ = s·R and ΣD² = s²·Σ(y−m)² are all
+    exact BIGINT/DECIMAL, so rs = R′·√s/√(ΣD²) is one identical
+    double expression), ln(rs) quantizes to DECIMAL(28,12), and H is
+    the OLS slope of mean-ln(R/S) on ln(s) over the 4-point grid.
+    Calendar-bounded epilogue; the fact-table rollup is the only
+    full-data pass."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("y")
+    )
+    ranked = relational.distributed_row_number(daily, ["day"], out_col="rn")
+    sizes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in (16, 32, 64, 128)])).alias(
+            "s"
+        )
+    )
+    blocked = ranked.crossJoin(F.broadcast(sizes)).select(
+        "s", "rn", "y", F.expr("(rn - 1) DIV s").alias("blk")
+    )
+    wblk = Window.partitionBy("s", "blk")
+    full = (
+        blocked.withColumn("_n", F.count("*").over(wblk))
+        .filter(F.col("_n") == F.col("s"))
+        # NB: named "sb", not "S" — Spark's default case-insensitive
+        # resolution would silently REPLACE the block-size column "s"
+        # (live bug caught by the sf0.01 oracle run: D blew up to
+        # S·(y−1) ~ 1e18 and the decimal sum overflowed).
+        .withColumn("sb", F.sum("y").over(wblk))
+        .withColumn(
+            "D",
+            F.col("s").cast("decimal(38,0)") * F.col("y") - F.col("sb"),
+        )
+    )
+    wrun = Window.partitionBy("s", "blk").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prefixed = full.withColumn("P", F.sum("D").over(wrun))
+    per_blk = prefixed.groupBy("s", "blk").agg(
+        (F.max("P") - F.min("P")).alias("rprime"),
+        F.sum(F.col("D") * F.col("D")).alias("dd"),
+    )
+    rs = (
+        F.col("rprime").cast("double")
+        * F.sqrt(F.col("s").cast("double"))
+        / F.sqrt(F.col("dd").cast("double"))
+    )
+    per_s = per_blk.filter(F.col("dd") > 0).select(
+        "s", F.log(rs).cast("decimal(28,12)").alias("lr")
+    ).groupBy("s").agg(
+        F.count("*").alias("nb"), F.sum("lr").alias("slr")
+    )
+    pts = per_s.select(
+        F.log(F.col("s").cast("double")).cast("decimal(28,12)").alias("x"),
+        (
+            F.col("slr").cast("double") / F.col("nb").cast("double")
+        ).cast("decimal(28,12)").alias("yv"),
+    )
+    agg = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("yv")).alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    return agg.select(
+        F.col("n").cast("int").alias("n_scales"),
+        F.round(slope, 4).alias("hurst_exponent"),
+    )
+
+
+SQL_HURST_EXPONENT_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn, y
+  FROM daily
+), blocked AS (
+  SELECT s.s, rn, y, (rn - 1) // s.s AS blk
+  FROM ranked, (SELECT unnest([16, 32, 64, 128]) AS s) s
+), full_blocks AS (
+  SELECT s, rn, y, blk,
+         CAST(count(*) OVER (PARTITION BY s, blk) AS BIGINT) AS n,
+         CAST(sum(y) OVER (PARTITION BY s, blk) AS BIGINT) AS sb
+  FROM blocked
+), devs AS (
+  SELECT s, rn, blk, CAST(s AS HUGEINT) * y - sb AS d
+  FROM full_blocks WHERE n = s
+), prefixed AS (
+  SELECT s, blk, d,
+         sum(d) OVER (PARTITION BY s, blk ORDER BY rn ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM devs
+), per_blk AS (
+  SELECT s, blk, max(p) - min(p) AS rprime, sum(d * d) AS dd
+  FROM prefixed GROUP BY 1, 2
+), per_s AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS nb,
+         sum(CAST(ln(CAST(rprime AS DOUBLE) * sqrt(CAST(s AS DOUBLE))
+                     / sqrt(CAST(dd AS DOUBLE))) AS DECIMAL(28,12)))
+           AS slr
+  FROM per_blk WHERE dd > 0 GROUP BY s
+), pts AS (
+  SELECT CAST(ln(CAST(s AS DOUBLE)) AS DECIMAL(28,12)) AS x,
+         CAST(CAST(slr AS DOUBLE) / CAST(nb AS DOUBLE)
+              AS DECIMAL(28,12)) AS yv
+  FROM per_s
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(yv) AS sy,
+         sum(x * x) AS sxx, sum(x * yv) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS INT) AS n_scales,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS hurst_exponent
+FROM agg
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -16415,6 +16555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "negative_sampling_recs": q_negative_sampling_recs,
     "diff_in_diff_revenue": q_diff_in_diff_revenue,
     "srm_check_split": q_srm_check_split,
+    "hurst_exponent_revenue": q_hurst_exponent_revenue,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -16678,6 +16819,7 @@ ORACLE: dict[str, str] = {
     "negative_sampling_recs": SQL_NEGATIVE_SAMPLING_RECS,
     "diff_in_diff_revenue": SQL_DIFF_IN_DIFF_REVENUE,
     "srm_check_split": SQL_SRM_CHECK_SPLIT,
+    "hurst_exponent_revenue": SQL_HURST_EXPONENT_REVENUE,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
