@@ -32,6 +32,11 @@ CROSS_JOIN_OK = {
     "dedup_embedding_cosine",
     "similarity_cosine_topk",
     "knn_label_vote",
+    # r7 sixth push: bounded broadcast anchor sets (10 query vectors /
+    # 20 customers) scanned against the corpus — the knn/cosine_topk
+    # contract; the broadcast side is fixed-size by construction
+    "hard_negative_mining",
+    "negative_sampling_recs",
 }
 # ML pipeline fitting triggers jobs at plan-build time; plans are the
 # pipeline's own — skip (covered by ml tests)
@@ -129,6 +134,39 @@ def test_plan_hygiene(spark, name):
             # 1-row corpus-stats (N, avgdl) + 1-row IDCG aggregates
             # crossJoined — the BM25/Q22 scalar contract
             "search_eval_ndcg",
+            # --- r7 sixth push, all the BM25/Q22 1-row-scalar
+            # contract unless noted ---
+            # 1-row (n1, n2) totals crossJoined onto the per-value
+            # cumulative table for the KS max
+            "ks_test_click_purchase",
+            # 1-row n total onto the <=15-cell contingency broadcast
+            "mutual_info_priority_status",
+            # 1-row (G, B) totals onto the 10-row decile table
+            "woe_iv_price_urgent",
+            # 1-row (n, T) totals onto the candidate-split scan
+            "changepoint_split_day",
+            # 1-row revenue total onto the classed part table
+            "abc_classification_parts",
+            # 1-row point estimate x 1-row CI (both single aggregates)
+            "poisson_bootstrap_ci",
+            # 1-row (T, V) LM scalars onto the eval token table
+            "heldout_perplexity_fold",
+            # 1-row 1001-edge quantile-grid array onto the
+            # (source, value) group table — one broadcast row holding
+            # a bounded array by construction
+            "quantile_normalize_chars",
+            # 1-row corpus-horizon aggregate (the km_repeat_purchase
+            # censoring-date contract)
+            "km_greenwood_ci",
+            "nelson_aalen_hazard",
+            # calendar-bounded day-pair join (the mann_kendall /
+            # theil_sen contract): DAY table squared, never the facts
+            "kendall_tau_daily",
+            # 6-row horizon grid broadcast onto the per-customer
+            # month-offset rollup
+            "ltv_cohort_curve",
+            # 4-row block-size grid broadcast onto the daily rollup
+            "hurst_exponent_revenue",
         }, f"{name}: unexpected nested-loop join"
 
 
