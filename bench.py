@@ -290,6 +290,12 @@ HEADLINE = [
     "srm_check_split",
     # integer R/S blocks over the calendar-bounded daily series
     "hurst_exponent_revenue",
+    # one exact-moment scan per source (Kish ESS)
+    "effective_sample_size",
+    # sessionize shuffle reused; entry-row window
+    "bounce_rate_sessions",
+    # per-(type, hour) counts + 1-row span scalar
+    "fano_burstiness_types",
 ]
 
 

@@ -16268,6 +16268,211 @@ FROM agg
 """
 
 
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of length-weighted document sampling
+    (r7 sixth push): when a training mixture samples documents
+    proportionally to length (the token-budget weighting of
+    mixture_token_budget), the Kish ESS = (Σw)²/Σw² says how many
+    EFFECTIVE documents the weighted draw is worth — a source whose
+    length distribution is dominated by a few huge documents has
+    ess_ratio ≪ 1 and will under-diversify the mixture. One exact
+    scan: Σw and Σw² accumulate as BIGINT/DECIMAL(38,0) (w = n_chars
+    is already an integer), a single double divide pair at the end;
+    the ratio ESS/n uses identical double ops."""
+    d = _t(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sw"),
+        F.sum(
+            F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")
+        ).alias("sww"),
+    )
+    ess = (
+        F.col("sw").cast("double") * F.col("sw").cast("double")
+    ) / F.col("sww").cast("double")
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(ess, 2).alias("ess"),
+        F.round(ess / F.col("n_docs").cast("double"), 6).alias(
+            "ess_ratio"
+        ),
+    )
+
+
+SQL_EFFECTIVE_SAMPLE_SIZE = """
+WITH agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sw,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS sww
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs,
+       round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+             / CAST(sww AS DOUBLE), 2) AS ess,
+       round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+             / CAST(sww AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS ess_ratio
+FROM agg
+"""
+
+
+def q_bounce_rate_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate by entry event type (r7 sixth push): the
+    share of 30-min-gap sessions that end after a single event,
+    keyed by what the session STARTED with — the landing-page
+    diagnostic of web analytics (a high-bounce entry type is a bad
+    front door). Reuses sessionize_events' gaps-and-islands shape
+    verbatim (one user_id shuffle; every window shares the
+    partitioning); the entry event is the row_number()=1 row under
+    the deterministic (ts, event_id) order; the rate is exact
+    integer counts with one double divide."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(ts_us - F.lag(ts_us).over(w) > 1_800_000_000, 1).otherwise(
+            0
+        ),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    per_sess = (
+        sessions.withColumn("rn", F.row_number().over(ws))
+        .withColumn(
+            "n_events",
+            F.count("*").over(
+                Window.partitionBy("user_id", "session_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("event_type").alias("entry_type"), "n_events")
+    )
+    agg = per_sess.groupBy("entry_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+            "n_bounce"
+        ),
+    )
+    return agg.select(
+        "entry_type",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_bounce").cast("long").alias("n_bounce"),
+        F.round(
+            F.col("n_bounce").cast("double")
+            / F.col("n_sessions").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+SQL_BOUNCE_RATE_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - epoch_us(lag(ts::TIMESTAMP) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts,
+             event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_id
+  FROM flagged
+), per_sess AS (
+  SELECT event_type AS entry_type, n_events
+  FROM (
+    SELECT event_type,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY user_id, session_id)
+                AS BIGINT) AS n_events
+    FROM sessions
+  ) WHERE rn = 1
+)
+SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce,
+       round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS bounce_rate
+FROM per_sess GROUP BY entry_type
+"""
+
+
+def q_fano_burstiness_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (burstiness index) of hourly event counts per type
+    (r7 sixth push): var/mean of counts per hour — 1 for a Poisson
+    process, > 1 for bursty traffic (flash crowds, bots), < 1 for
+    regularized traffic. The hour grid is CLOSED over the observed
+    min..max epoch-hour range (zero hours count — the standard bias
+    a naive groupBy silently commits), but zero hours are never
+    materialized: n_hours comes from a 1-row min/max scalar and the
+    zero contribution to both Σc and Σc² is zero, so
+    fano = (n·Σc² − (Σc)²)/(n·Σc) is integer-exact from the observed
+    rows alone, one double divide."""
+    ev = _events(spark, sf_dir)
+    hour = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+    )
+    per_hour = ev.select(
+        "event_type", hour.alias("h")
+    ).groupBy("event_type", "h").agg(F.count("*").alias("c"))
+    span = ev.select(hour.alias("h")).agg(
+        (F.max("h") - F.min("h") + 1).alias("n_hours")
+    )
+    agg = per_hour.groupBy("event_type").agg(
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("scc"),
+    ).crossJoin(F.broadcast(span))
+    fano = (
+        F.col("n_hours").cast("decimal(38,0)") * F.col("scc")
+        - F.col("sc").cast("decimal(38,0)") * F.col("sc")
+    ).cast("double") / (
+        F.col("n_hours").cast("decimal(38,0)") * F.col("sc")
+    ).cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("sc").cast("long").alias("n_events"),
+        F.round(fano, 4).alias("fano_factor"),
+    )
+
+
+SQL_FANO_BURSTINESS_TYPES = """
+WITH per_hour AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts::TIMESTAMP) / 3600000000) AS BIGINT)
+           AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT CAST(max(h) - min(h) + 1 AS BIGINT) AS n_hours
+  FROM (SELECT CAST(floor(epoch_us(ts::TIMESTAMP) / 3600000000)
+               AS BIGINT) AS h FROM events)
+), agg AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS sc,
+         sum(CAST(c AS HUGEINT) * c) AS scc
+  FROM per_hour GROUP BY 1
+)
+SELECT event_type, n_hours, sc AS n_events,
+       round(CAST(CAST(n_hours AS HUGEINT) * scc
+                  - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+             / CAST(CAST(n_hours AS HUGEINT) * sc AS DOUBLE), 4)
+         AS fano_factor
+FROM agg, span
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -16556,6 +16761,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diff_in_diff_revenue": q_diff_in_diff_revenue,
     "srm_check_split": q_srm_check_split,
     "hurst_exponent_revenue": q_hurst_exponent_revenue,
+    "effective_sample_size": q_effective_sample_size,
+    "bounce_rate_sessions": q_bounce_rate_sessions,
+    "fano_burstiness_types": q_fano_burstiness_types,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -16820,6 +17028,9 @@ ORACLE: dict[str, str] = {
     "diff_in_diff_revenue": SQL_DIFF_IN_DIFF_REVENUE,
     "srm_check_split": SQL_SRM_CHECK_SPLIT,
     "hurst_exponent_revenue": SQL_HURST_EXPONENT_REVENUE,
+    "effective_sample_size": SQL_EFFECTIVE_SAMPLE_SIZE,
+    "bounce_rate_sessions": SQL_BOUNCE_RATE_SESSIONS,
+    "fano_burstiness_types": SQL_FANO_BURSTINESS_TYPES,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---

@@ -167,6 +167,8 @@ def test_plan_hygiene(spark, name):
             "ltv_cohort_curve",
             # 4-row block-size grid broadcast onto the daily rollup
             "hurst_exponent_revenue",
+            # 1-row hour-span scalar onto the per-type moment table
+            "fano_burstiness_types",
         }, f"{name}: unexpected nested-loop join"
 
 
