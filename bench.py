@@ -296,6 +296,8 @@ HEADLINE = [
     "bounce_rate_sessions",
     # per-(type, hour) counts + 1-row span scalar
     "fano_burstiness_types",
+    # three contingency tables from one exploded scan
+    "mi_feature_ranking",
 ]
 
 

@@ -16473,6 +16473,104 @@ FROM agg, span
 """
 
 
+def q_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking (r7 sixth push): MI between
+    the URGENT-priority label and each of three candidate categorical
+    features (market segment, order status, order month) — the
+    filter-method feature selection a tabular pipeline runs before
+    training (mutual_info_priority_status measures ONE pair; this
+    ranks a feature set). All three contingency tables come from ONE
+    fact scan: the features explode as (name, value) structs, so the
+    plan is a single groupBy over (feature, value, label) plus
+    broadcast marginals — no per-feature rescan. Exact BIGINT counts,
+    identical double ln ops, one round."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("segment").alias("feature"),
+                    F.col("c_mktsegment").alias("value"),
+                ),
+                F.struct(
+                    F.lit("status").alias("feature"),
+                    F.col("o_orderstatus").alias("value"),
+                ),
+                F.struct(
+                    F.lit("month").alias("feature"),
+                    F.month(F.to_date("o_orderdate"))
+                    .cast("string")
+                    .alias("value"),
+                ),
+            )
+        ).alias("fv"),
+    ).select("g", F.col("fv.feature").alias("f"), F.col("fv.value").alias("v"))
+    joint = base.groupBy("f", "v", "g").agg(F.count("*").alias("cvg"))
+    margv = joint.groupBy("f", "v").agg(F.sum("cvg").alias("cv"))
+    margg = joint.groupBy("f", "g").agg(F.sum("cvg").alias("cg"))
+    tot = joint.groupBy("f").agg(F.sum("cvg").alias("n"))
+    j = (
+        joint.join(F.broadcast(margv), ["f", "v"])
+        .join(F.broadcast(margg), ["f", "g"])
+        .join(F.broadcast(tot), "f")
+    )
+    mi_term = (F.col("cvg").cast("double") / F.col("n")) * F.log(
+        F.col("n").cast("double")
+        * F.col("cvg")
+        / (F.col("cv").cast("double") * F.col("cg"))
+    )
+    return (
+        j.groupBy("f")
+        .agg(
+            F.countDistinct("v").alias("n_values"),
+            F.sum(mi_term).alias("_mi"),
+        )
+        .select(
+            F.col("f").alias("feature"),
+            F.col("n_values").cast("long").alias("n_values"),
+            F.round("_mi", 6).alias("mi_nats"),
+        )
+        .orderBy(F.desc("mi_nats"), "feature")
+    )
+
+
+SQL_MI_FEATURE_RANKING = """
+WITH base AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+         fv.f, fv.v
+  FROM orders JOIN customer ON o_custkey = c_custkey,
+       unnest([
+         {'f': 'segment', 'v': c_mktsegment},
+         {'f': 'status', 'v': o_orderstatus},
+         {'f': 'month',
+          'v': CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR)}
+       ]) AS t(fv)
+), joint AS (
+  SELECT f, v, g, CAST(count(*) AS BIGINT) AS cvg
+  FROM base GROUP BY 1, 2, 3
+), margv AS (
+  SELECT f, v, CAST(sum(cvg) AS BIGINT) AS cv FROM joint GROUP BY 1, 2
+), margg AS (
+  SELECT f, g, CAST(sum(cvg) AS BIGINT) AS cg FROM joint GROUP BY 1, 2
+), tot AS (
+  SELECT f, CAST(sum(cvg) AS BIGINT) AS n FROM joint GROUP BY 1
+)
+SELECT j.f AS feature,
+       CAST(count(DISTINCT j.v) AS BIGINT) AS n_values,
+       round(sum((CAST(j.cvg AS DOUBLE) / t.n)
+                 * ln(CAST(t.n AS DOUBLE) * j.cvg
+                      / (CAST(mv.cv AS DOUBLE) * mg.cg))), 6) AS mi_nats
+FROM joint j
+JOIN margv mv USING (f, v) JOIN margg mg USING (f, g) JOIN tot t USING (f)
+GROUP BY j.f ORDER BY mi_nats DESC, feature
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -16764,6 +16862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "effective_sample_size": q_effective_sample_size,
     "bounce_rate_sessions": q_bounce_rate_sessions,
     "fano_burstiness_types": q_fano_burstiness_types,
+    "mi_feature_ranking": q_mi_feature_ranking,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -17031,6 +17130,7 @@ ORACLE: dict[str, str] = {
     "effective_sample_size": SQL_EFFECTIVE_SAMPLE_SIZE,
     "bounce_rate_sessions": SQL_BOUNCE_RATE_SESSIONS,
     "fano_burstiness_types": SQL_FANO_BURSTINESS_TYPES,
+    "mi_feature_ranking": SQL_MI_FEATURE_RANKING,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
