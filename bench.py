@@ -298,6 +298,8 @@ HEADLINE = [
     "fano_burstiness_types",
     # three contingency tables from one exploded scan
     "mi_feature_ranking",
+    # integer + welch-quantized moments, one divide
+    "seasonality_strength_dow",
 ]
 
 

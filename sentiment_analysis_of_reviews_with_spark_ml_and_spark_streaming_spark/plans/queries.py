@@ -16571,6 +16571,100 @@ GROUP BY j.f ORDER BY mi_nats DESC, feature
 """
 
 
+def q_seasonality_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength of daily revenue (r7 sixth push): the STL
+    diagnostic F_s = max(0, 1 − Var(residual)/Var(series)) with the
+    day-of-week means as the seasonal component — the scalar that
+    tells a forecasting pipeline whether seasonal_dow_index's factors
+    are worth modeling (F_s ≈ 0: noise; ≈ 1: the weekday pattern IS
+    the series). Weekday is the (epoch_day+4) % 7 integer convention;
+    Var(series) comes from exact integer cents moments; residuals
+    y_d − mean(y|dow) are quantized to DECIMAL(28,6) (the welch
+    convention) so their moment sums are exact; the final expression
+    is one identical double divide."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("y")
+    )
+    dowed = daily.select(
+        F.pmod(
+            F.datediff("day", F.lit("1970-01-01").cast("date")) + 4,
+            F.lit(7),
+        )
+        .cast("int")
+        .alias("dow"),
+        "y",
+    )
+    per_dow = dowed.groupBy("dow").agg(
+        F.count("*").alias("nd"), F.sum("y").alias("sd")
+    )
+    r = (
+        F.col("y").cast("double")
+        - F.col("sd").cast("double") / F.col("nd").cast("double")
+    ).cast("decimal(28,6)")
+    agg = dowed.join(F.broadcast(per_dow), "dow").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(r).alias("sr"),
+        F.sum(r * r).alias("srr"),
+    )
+    var_resid = (
+        F.col("n").cast("double") * F.col("srr").cast("double")
+        - F.col("sr").cast("double") * F.col("sr").cast("double")
+    )
+    var_series = (
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    fs = F.greatest(F.lit(0.0), F.lit(1.0) - var_resid / var_series)
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(fs, 6).alias("seasonality_strength"),
+    )
+
+
+SQL_SEASONALITY_STRENGTH_DOW = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y
+  FROM orders GROUP BY 1
+), dowed AS (
+  SELECT CAST((date_diff('day', DATE '1970-01-01', day) + 4) % 7
+              AS INT) AS dow, y
+  FROM daily
+), per_dow AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(y) AS BIGINT) AS sd
+  FROM dowed GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d.y) AS BIGINT) AS sy,
+         sum(CAST(d.y AS HUGEINT) * d.y) AS syy,
+         sum(CAST(CAST(d.y AS DOUBLE)
+                  - CAST(p.sd AS DOUBLE) / CAST(p.nd AS DOUBLE)
+                  AS DECIMAL(28,6))) AS sr,
+         sum(CAST(CAST(d.y AS DOUBLE)
+                  - CAST(p.sd AS DOUBLE) / CAST(p.nd AS DOUBLE)
+                  AS DECIMAL(28,6))
+             * CAST(CAST(d.y AS DOUBLE)
+                    - CAST(p.sd AS DOUBLE) / CAST(p.nd AS DOUBLE)
+                    AS DECIMAL(28,6))) AS srr
+  FROM dowed d JOIN per_dow p USING (dow)
+)
+SELECT n AS n_days,
+       round(greatest(0.0,
+             1.0 - (CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                    - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS seasonality_strength
+FROM agg
+"""
+
+
 # Rotation policy (docs/QUERIES.md): never-driver-graded oracle-backed
 # queries and queries whose semantics changed this round enter the window;
 # multi-green veterans rotate past it.  Round-6 window (positions 1-50):
@@ -16863,6 +16957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bounce_rate_sessions": q_bounce_rate_sessions,
     "fano_burstiness_types": q_fano_burstiness_types,
     "mi_feature_ranking": q_mi_feature_ranking,
+    "seasonality_strength_dow": q_seasonality_strength_dow,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -17131,6 +17226,7 @@ ORACLE: dict[str, str] = {
     "bounce_rate_sessions": SQL_BOUNCE_RATE_SESSIONS,
     "fano_burstiness_types": SQL_FANO_BURSTINESS_TYPES,
     "mi_feature_ranking": SQL_MI_FEATURE_RANKING,
+    "seasonality_strength_dow": SQL_SEASONALITY_STRENGTH_DOW,
 }
 
 # --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
