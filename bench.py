@@ -536,7 +536,11 @@ def main() -> None:
     try:
         with open(local_path, "w") as fh:
             fh.write(blob)
-        with open(os.path.join(here, f"BENCH_LOCAL-{full_sha}.json"), "w") as fh:
+        # sha-named immutable copies live in bench_archive/ (r7 verdict:
+        # 18 of them had accumulated in the repo root)
+        archive = os.path.join(here, "bench_archive")
+        os.makedirs(archive, exist_ok=True)
+        with open(os.path.join(archive, f"BENCH_LOCAL-{full_sha}.json"), "w") as fh:
             fh.write(blob)
     except OSError:
         local_path = None

@@ -47,6 +47,11 @@ def load(path: str) -> dict:
         sha = found.get("full_sha")
         candidates = []
         if sha:
+            # sha-named snapshots moved to bench_archive/ in r8; check
+            # both homes so pre-r8 wrappers still resolve
+            candidates.append(
+                os.path.join(base, "bench_archive", f"BENCH_LOCAL-{sha}.json")
+            )
             candidates.append(os.path.join(base, f"BENCH_LOCAL-{sha}.json"))
         candidates.append(os.path.join(base, found.get("full") or "BENCH_LOCAL.json"))
         import hashlib

@@ -29,7 +29,17 @@ def main() -> None:
     for name in sorted(QUERIES):
         fn = QUERIES[name]
         doc = (fn.__doc__ or "").strip().splitlines()
-        summary = doc[0].strip() if doc else ""
+        # first full sentence of the first paragraph (not the first
+        # physical line — docstrings wrap at ~72 cols mid-sentence)
+        para: list[str] = []
+        for ln in doc:
+            if not ln.strip():
+                break
+            para.append(ln.strip())
+        flat = " ".join(para)
+        dot = flat.find(". ")
+        summary = flat[: dot + 1] if dot != -1 else flat
+        summary = summary.replace("|", "\\|")
         check = "oracle" if name in ORACLE else "rows-only"
         lines.append(f"| `{name}` | {check} | {summary} |")
     out = os.path.join(

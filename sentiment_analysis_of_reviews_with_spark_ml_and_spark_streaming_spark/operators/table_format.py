@@ -532,11 +532,25 @@ def _check_schema_widening(root: str, new) -> None:
         )
 
 
-def append(df: DataFrame, root: str, *, batch_id: int | None = None) -> int:
+def append(
+    df: DataFrame,
+    root: str,
+    *,
+    batch_id: int | None = None,
+    max_retries: int = 3,
+) -> int:
     """Blind append — add-only commit, no files read or removed.
     ``batch_id`` makes streaming replays idempotent (see
     :func:`merge_upsert`). The batch schema must be a widening of the
-    committed schema (see :func:`_check_schema_widening`)."""
+    committed schema (see :func:`_check_schema_widening`).
+
+    Optimistic concurrency, but cheaper than MERGE's: an append has no
+    read-set, so a lost commit race reuses the already-staged data
+    files verbatim and re-stamps only the commit record at the next
+    version — an O(1) retry, no data rewrite. (The staged directory's
+    ``v{N}`` prefix records the version the files were staged under,
+    not necessarily the one that committed them; snapshot resolution
+    reads only the log.)"""
     meta = _table_meta(root)
     if batch_id is not None and batch_id in committed_batch_ids(root):
         return latest_version(root)
@@ -545,16 +559,26 @@ def append(df: DataFrame, root: str, *, batch_id: int | None = None) -> int:
         _enforce_checks(df, meta["checks"])
     v = latest_version(root) + 1
     adds = _write_data_files(df, root, v, meta["stat_cols"])
-    rec = {
-        "version": v,
-        "action": "append",
-        "add": adds,
-        "remove": [],
-        "schema": df.schema.json(),
-    }
-    if batch_id is not None:
-        rec["batch_id"] = batch_id
-    _write_commit(root, v, rec)
+    for attempt in range(max_retries + 1):
+        rec = {
+            "version": v,
+            "action": "append",
+            "add": adds,
+            "remove": [],
+            "schema": df.schema.json(),
+        }
+        if batch_id is not None:
+            rec["batch_id"] = batch_id
+        try:
+            _write_commit(root, v, rec)
+            break
+        except CommitConflict:
+            if attempt == max_retries:
+                raise
+            if batch_id is not None and batch_id in committed_batch_ids(root):
+                return latest_version(root)  # replay raced us in
+            _check_schema_widening(root, df.schema)  # may have widened
+            v = latest_version(root) + 1
     _maybe_checkpoint(root, v, meta.get("checkpoint_every", 10))
     return v
 

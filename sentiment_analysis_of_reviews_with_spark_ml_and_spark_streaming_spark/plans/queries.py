@@ -17229,48 +17229,55 @@ ORACLE: dict[str, str] = {
     "seasonality_strength_dow": SQL_SEASONALITY_STRENGTH_DOW,
 }
 
-# --- ROUND-7 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
-# r6 graded 50/50 green, so this rotation is pure freshness: re-seat the
-# oldest-green cohorts. Window composition:
-#   W-A (1): lakehouse_time_travel — NEW this round (the wired
-#        table-format metadata layer; VERDICT r6 next-step #2).
-#   W-B (2-26): the full r3-green cohort — the 25 oracle-backed rows
-#        whose newest driver green is round 3 (oldest in the registry).
-#   W-C (27-48): the 22 oldest r4-green rows in prior registry order;
-#        the remaining 24 r4 rows are the head of the r8 queue.
-#   W-D (49-50): the round-7-continuation lakehouse additions
-#        (deletion vectors, RESTORE) — never-graded oracle-backed
-#        queries enter the window per policy; the two double-green
-#        veterans they displace (binarize_label,
-#        union_distinct_nationkeys — r1+r4 green) rotate past it.
-# Veterans keep their prior relative order past the window; rows-only
-# queries stay past the window by contract.
-_R7_WINDOW = [
-    "lakehouse_time_travel",
-    # W-B: r3-green cohort (25), prior registry order
-    "returned_items_customers", "top_supplier_revenue",
-    "important_parts_share", "gopher_quality_rules", "sentence_chunks",
-    "hash_stratified_sample", "winsorized_value_stats",
-    "pii_redaction_stats", "repeated_ngram_fraction",
-    "tokenizer_compression_ratio", "quantile_binning_events",
-    "dedup_edit_distance", "heavy_hitter_tokens", "profile_orders",
-    "resample_fill_events", "funnel_conversion", "dedup_exact",
-    "dedup_pipeline_verified", "maximal_duplicate_spans",
-    "dedup_embedding_cosine", "similarity_cosine_topk",
-    "multimodal_byte_features", "contamination_check", "pack_sequences",
-    "sentiment_vader_full",
-    # W-C: oldest 24 r4-green rows, prior registry order
-    "c4_line_filter_stats", "semdedup_keep_set", "bigram_logprob_docs",
-    "kmeans_clusters", "similarity_ivf_kmeans", "sole_blocking_supplier",
-    "boilerplate_line_stats", "dedup_simhash", "pagerank_purchase_graph",
-    "ml_tfidf_features", "ml_train_f1", "pivot_event_type",
-    "moving_avg_user_value", "json_extract_props", "asof_last_purchase",
-    "range_join_click_context", "window_hourly_events",
-    "sessionize_events", "filter_isin_priority", "filter_not_in_brand",
-    "distinct_segments", "global_counts",
-    # W-D: round-7-continuation lakehouse additions
-    "lakehouse_deletion_vectors", "lakehouse_restore_lineage",
+# --- ROUND-8 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
+# VERDICT r7 next-step #1: 89 oracle-backed queries (the whole r7
+# statistics/lakehouse/rank/sketch expansion) have never been
+# driver-graded. This window is drawn 50/50 from that never-graded set,
+# heaviest-evidence-first per the verdict's own ordering:
+#   W-A (1-5):  lakehouse DML / IVM set (update, CDF, point lookup,
+#               incremental + star rollup).
+#   W-B (6-9):  distributed global-rank family (Gini, decile lift,
+#               equi-depth histogram, 2-D skyline).
+#   W-C (10-11): portable sketches (Count-Min, Bloom).
+#   W-D (12-13): graph (bounded BFS, Bellman-Ford weighted paths).
+#   W-E (14):   dedup_prefix_filter (lossless AllPairs).
+#   W-F (15-50): statistics/experimentation tier in prior registry
+#               order (36 keys).
+# The remaining 39 never-graded keys + the 24-query r4-stale cohort
+# form the r9 queue (63 candidates for 50 slots). Veterans keep their
+# prior relative order past the window; rows-only queries stay past the
+# window by contract.
+_R8_WINDOW = [
+    # W-A: lakehouse DML / IVM
+    "lakehouse_update_dml", "lakehouse_table_changes",
+    "lakehouse_point_lookup", "lakehouse_incremental_rollup",
+    "lakehouse_star_rollup",
+    # W-B: rank family
+    "customer_spend_gini", "spend_decile_lift",
+    "equidepth_histogram_lineitem", "pareto_frontier_parts",
+    # W-C: portable sketches
+    "countmin_token_counts", "bloom_membership_audit",
+    # W-D: graph
+    "graph_bfs_copurchase", "graph_weighted_paths",
+    # W-E: lossless AllPairs prefix filter
+    "dedup_prefix_filter",
+    # W-F: statistics/experimentation tier, prior registry order
+    "anomaly_seasonal_events", "rolling_revenue_90d",
+    "ewma_daily_revenue", "phrase_search_bigram",
+    "scd2_pointintime_join", "knn_label_vote",
+    "markov_transitions_events", "char_entropy_docs",
+    "fuzzy_term_search", "chisq_priority_vs_status",
+    "k_anonymity_audit", "cusum_drift_days", "benford_first_digit",
+    "welch_t_test_events", "interval_merge_activity", "twap_user_value",
+    "acf_daily_revenue", "auc_value_purchase", "km_repeat_purchase",
+    "pairwise_type_ztests", "hhi_supplier_nation", "rfm_segments",
+    "rake_keyphrases", "image_header_roundtrip", "spatial_grid_nearest",
+    "textrank_sentences", "xcorr_click_purchase", "mann_kendall_trend",
+    "seasonal_dow_index", "shapley_channel_attribution",
+    "markov_removal_attribution", "event_path_trigrams",
+    "dp_noisy_counts", "conversion_latency_quantiles",
+    "ewma_backtest_mape", "rule_attribution_models",
 ]
-assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
-_rest = {k: v for k, v in QUERIES.items() if k not in set(_R7_WINDOW)}
-QUERIES = {**{k: QUERIES[k] for k in _R7_WINDOW}, **_rest}
+assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
+_rest = {k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)}
+QUERIES = {**{k: QUERIES[k] for k in _R8_WINDOW}, **_rest}
