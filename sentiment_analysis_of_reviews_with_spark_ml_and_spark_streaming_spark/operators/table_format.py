@@ -1518,17 +1518,37 @@ def vacuum(
             rel = os.path.relpath(full, root)
             if rel in keep or not fname.endswith(".parquet"):
                 continue
-            if min_age_seconds > 0 and now - os.path.getmtime(full) < min_age_seconds:
-                continue
-            os.remove(full)
+            try:
+                if (
+                    min_age_seconds > 0
+                    and now - os.path.getmtime(full) < min_age_seconds
+                ):
+                    continue
+                os.remove(full)
+            except OSError:
+                continue  # raced another vacuum / an in-flight rename
             deleted.append(rel)
-    # drop now-empty version dirs
+    # Drop now-empty version dirs. The empty-dir sweep must honor the
+    # SAME age guard as the file loop: a concurrent writer creates its
+    # staging dir before any .parquet lands in it (Spark parks task
+    # output under _temporary/ first), so a young dir with no top-level
+    # parquet may be an in-flight commit — rmtree'ing it kills the
+    # writer mid-write (caught by the multi-writer interleaving test).
     for d in sorted(os.listdir(data_root)):
         full = os.path.join(data_root, d)
-        if os.path.isdir(full) and not any(
-            f.endswith(".parquet") for f in os.listdir(full)
-        ):
+        if not os.path.isdir(full):
+            continue
+        try:
+            if (
+                min_age_seconds > 0
+                and now - os.path.getmtime(full) < min_age_seconds
+            ):
+                continue
+            if any(files for _p, _sub, files in os.walk(full)):
+                continue  # something still inside (incl. _temporary/)
             shutil.rmtree(full)
+        except OSError:
+            continue
     return sorted(deleted)
 
 
