@@ -9306,6 +9306,98 @@ ORDER BY version
 """
 
 
+def q_lakehouse_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) view maintenance (operators/ivm.py:
+    create_distinct_rollup / read_distinct_counts) — the classic
+    support-table construction: an auxiliary rollup grouped by
+    (bucket, priority) whose maintained row counts track each value's
+    multiplicity, so distinct counts stay EXACT under deletes (the case
+    subtraction-free sketches like HLL cannot handle). Lineage mirrors
+    lakehouse_incremental_rollup: create (URGENT/HIGH) → append
+    (MEDIUM) → stats-pruned range DELETE (drives low-key (group, value)
+    supports to zero — the groups must drop, not linger at 0) →
+    re-bucketing MERGE into bucket 77, with a churn-proportional aux
+    refresh after every commit; the view is never recomputed from the
+    source. Oracle: COUNT(DISTINCT) over the replayed final state —
+    any support-count drift (lost zero-crossing, double-fold, stale
+    pair) shifts a distinct count and breaks the hash. Bounded driver
+    work: ≤26 group rows; temp staging removed before return."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import ivm
+    from ..operators import table_format as tfmt
+
+    base = tempfile.mkdtemp(prefix="lakehouse_dcount_")
+    src = os.path.join(base, "src")
+    aux = os.path.join(base, "aux")
+    try:
+        orders = _t(spark, sf_dir, "orders")
+        shaped = orders.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("prio"),
+            (F.col("o_custkey") % 25).cast("long").alias("bucket"),
+        )
+        tfmt.create_table(
+            shaped.filter(F.col("prio").isin("1-URGENT", "2-HIGH"))
+            .repartitionByRange(4, "o_orderkey"),
+            src,
+            stat_cols=["o_orderkey"],
+        )
+        ivm.create_distinct_rollup(
+            spark, src, aux, keys=["bucket"], distinct_col="prio"
+        )
+        tfmt.append(shaped.filter(F.col("prio") == "3-MEDIUM"), src)
+        ivm.refresh_rollup(spark, aux)
+        tfmt.delete_where(
+            spark, src, "o_orderkey <= 2048", prune_col="o_orderkey"
+        )
+        ivm.refresh_rollup(spark, aux)
+        updates = shaped.filter(
+            (F.col("prio") == "5-LOW")
+            | ((F.col("prio") == "2-HIGH") & (F.col("o_orderkey") % 3 == 0))
+        ).select(
+            "o_orderkey", "prio", F.lit(77).cast("long").alias("bucket")
+        )
+        tfmt.merge_upsert(updates, src, key_col="o_orderkey")
+        ivm.refresh_rollup(spark, aux)
+        rows = [
+            (r["bucket"], r["countd_prio"])
+            for r in ivm.read_distinct_counts(spark, aux)
+            .orderBy("bucket")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "bucket long, n_prio long")
+
+
+# Same final-state replay as the incremental rollup's oracle; the
+# engine must reach COUNT(DISTINCT) purely by folding support counts.
+SQL_LAKEHOUSE_DISTINCT_ROLLUP = """
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         o_custkey % 25 AS bucket FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+),
+v2 AS (SELECT * FROM v1 WHERE NOT (k <= 2048)),
+u AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(77 AS BIGINT) AS bucket FROM orders
+  WHERE o_orderpriority = '5-LOW'
+     OR (o_orderpriority = '2-HIGH' AND o_orderkey % 3 = 0)
+),
+v3 AS (
+  SELECT * FROM v2 WHERE k NOT IN (SELECT k FROM u)
+  UNION ALL SELECT * FROM u
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(DISTINCT prio) AS BIGINT) AS n_prio
+FROM v3 GROUP BY bucket ORDER BY bucket
+"""
+
+
 SQL_LAKEHOUSE_RESTORE_LINEAGE = """
 WITH v0 AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0),
 v1 AS (SELECT c_custkey AS k FROM customer),
@@ -16872,6 +16964,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lakehouse_deletion_vectors": q_lakehouse_deletion_vectors,
     "lakehouse_restore_lineage": q_lakehouse_restore_lineage,
     "lakehouse_update_dml": q_lakehouse_update_dml,
+    "lakehouse_distinct_rollup": q_lakehouse_distinct_rollup,
     "countmin_token_counts": q_countmin_token_counts,
     "bloom_membership_audit": q_bloom_membership_audit,
     "graph_bfs_copurchase": q_graph_bfs_copurchase,
@@ -17143,6 +17236,7 @@ ORACLE: dict[str, str] = {
     "lakehouse_deletion_vectors": SQL_LAKEHOUSE_DELETION_VECTORS,
     "lakehouse_restore_lineage": SQL_LAKEHOUSE_RESTORE_LINEAGE,
     "lakehouse_update_dml": SQL_LAKEHOUSE_UPDATE_DML,
+    "lakehouse_distinct_rollup": SQL_LAKEHOUSE_DISTINCT_ROLLUP,
     "countmin_token_counts": SQL_COUNTMIN_TOKEN_COUNTS,
     "bloom_membership_audit": SQL_BLOOM_MEMBERSHIP_AUDIT,
     "graph_bfs_copurchase": SQL_GRAPH_BFS_COPURCHASE,
