@@ -300,6 +300,12 @@ HEADLINE = [
     "mi_feature_ranking",
     # integer + welch-quantized moments, one divide
     "seasonality_strength_dow",
+    # r8: the grading-window keys that weren't yet benched + the
+    # round's one registry addition (COUNT(DISTINCT) maintenance)
+    "lakehouse_table_changes",
+    "bloom_membership_audit",
+    "anomaly_seasonal_events",
+    "lakehouse_distinct_rollup",
 ]
 
 
