@@ -644,3 +644,69 @@ def test_rollup_folds_deletion_vector_churn(spark, tmp_path):
     tf.restore_table(src, v_pre)
     ivm.refresh_rollup(spark, view)
     _assert_rollup_matches(spark, src, view)
+
+
+def test_concurrent_refreshers_never_double_fold(spark, tmp_path):
+    """Two refresher threads race each other AND a live writer: every
+    fold must be applied exactly once. The documented contract
+    (refresh_rollup docstring) is that a racing refresh that already
+    folded the head turns the loser into a no-op — a double-applied
+    delta would shift counts/sums and break the recompute equality."""
+    import threading
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    tf.create_table(_mk(spark, 0, 40), src, stat_cols=["k"])
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+
+    errors: list[BaseException] = []
+    done = threading.Event()
+
+    def writer() -> None:
+        try:
+            for step in range(4):
+                lo = 40 + step * 20
+                tf.append(_mk(spark, lo, lo + 20, seg="B"), src,
+                          max_retries=30)
+            tf.delete_where(spark, src, "k < 15", prune_col="k",
+                            max_retries=30)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+        finally:
+            done.set()
+
+    def refresher() -> None:
+        try:
+            while not done.is_set():
+                ivm.refresh_rollup(spark, view, max_retries=30)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=refresher) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, f"thread failed: {errors[0]!r}"
+
+    # final catch-up fold, then exact equality with a recompute
+    ivm.refresh_rollup(spark, view)
+    got = {
+        r["g"]: (r["n_rows"], r["sum_val"])
+        for r in ivm.read_rollup(spark, view).collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], r["sum_val"])
+        for r in _recompute(spark, src).collect()
+    }
+    assert got == want, (got, want)
+    # every view commit advanced the folded src_version monotonically —
+    # a double-fold would repeat one
+    folded = []
+    for v in range(tf.latest_version(view) + 1):
+        rec = tf._read_commit(view, v)
+        if "ivm" in rec:
+            folded.append(rec["ivm"]["src_version"])
+    assert folded == sorted(set(folded)), folded

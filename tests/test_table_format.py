@@ -1450,3 +1450,37 @@ def test_concurrent_writers_linearizable_history(spark, tmp_path):
         upper = sum(a["rows"] for a in live)
         n = tf.read_table(spark, root, version=v).count()
         assert 0 < n <= upper, (v, n, upper)
+
+
+def test_append_retry_reuses_staged_files(spark, tmp_path):
+    """A blind append that loses the commit race retries in O(1): the
+    already-staged data files are committed verbatim at the next
+    version — no second data write (directory-count proof) — and both
+    writers' rows survive."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 10), root, stat_cols=["k"])
+    real_write = tf._write_commit
+    raced = {"done": False}
+
+    def racing_write(r, v, rec):
+        if rec.get("action") == "append" and not raced["done"]:
+            raced["done"] = True
+            real_write(r, v, {"version": v, "action": "append",
+                              "add": [], "remove": [], "schema": None})
+        real_write(r, v, rec)
+
+    data_root = os.path.join(root, "data")
+    dirs_before = set(os.listdir(data_root))
+    tf._write_commit = racing_write
+    try:
+        v = tf.append(_mk(spark, 10, 15, seg="B"), root)
+    finally:
+        tf._write_commit = real_write
+    assert v == 2  # v1 stolen by the racer, commit re-stamped onto v2
+    # exactly ONE new staging dir: the retry reused the staged files
+    assert len(set(os.listdir(data_root)) - dirs_before) == 1
+    assert _counts(spark, root) == (15, sum(range(15)))
+    # the committed add-entries point at files that exist and are read
+    live, _ = tf.snapshot_files(root, 2)
+    for a in live:
+        assert os.path.exists(os.path.join(root, a["path"]))
