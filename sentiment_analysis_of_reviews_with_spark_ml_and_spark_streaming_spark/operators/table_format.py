@@ -205,19 +205,100 @@ def _maybe_checkpoint(root: str, version: int, checkpoint_every: int) -> None:
 # data-file helpers
 
 
+def _footer_adds(
+    out_dir: str, rel: str, stat_cols: list[str]
+) -> list[dict] | None:
+    """Per-file (rows, min/max) add-entries read straight from the
+    parquet FOOTERS just written — zero Spark jobs (~2 ms vs ~250 ms +
+    a job for the read-back agg; commit latency is the lakehouse DML
+    queries' dominant cost). Sound only where footer stats are exact
+    and match Spark's agg semantics bit-for-bit, so the gate admits
+    integer / boolean / date stat columns ONLY and returns ``None``
+    (caller falls back to the Spark agg) for anything else:
+
+    - floats: parquet stats EXCLUDE NaN while Spark's min/max order it
+      largest — footer bounds would unsoundly prune NaN-holding files;
+    - strings: parquet may truncate long min/max and this pyarrow has
+      no ``is_*_value_exact`` flags to detect it;
+    - timestamps: footer values are UTC-normalized, Spark's agg renders
+      in the session zone — the rendered bounds could disagree.
+
+    Empty part files (committed by empty partitions) are removed here,
+    mirroring the agg path's cleanup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    adds: list[dict] = []
+    for fname in sorted(os.listdir(out_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        full = os.path.join(out_dir, fname)
+        try:
+            md = pq.ParquetFile(full).metadata
+        except Exception:  # noqa: BLE001 - unreadable footer: use the agg
+            return None
+        if md.num_rows == 0:
+            os.remove(full)
+            continue
+        schema = md.schema.to_arrow_schema()
+        stats: dict[str, list] = {}
+        for c in stat_cols:
+            idx = schema.get_field_index(c)
+            if idx < 0:
+                return None
+            t = schema.field(idx).type
+            if not (
+                pa.types.is_integer(t)
+                or pa.types.is_boolean(t)
+                or pa.types.is_date(t)
+            ):
+                return None
+            mins: list = []
+            maxs: list = []
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                st = grp.column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                elif (
+                    st is None
+                    or not st.has_null_count
+                    or st.null_count != grp.num_rows
+                ):
+                    return None  # stats absent but values present
+            # no min/max in any row group ⇒ the column is all-NULL in
+            # this file — exactly what the Spark agg would record
+            stats[c] = (
+                [_json_stat(min(mins)), _json_stat(max(maxs))]
+                if mins
+                else [None, None]
+            )
+        adds.append(
+            {"path": os.path.join(rel, fname), "rows": md.num_rows,
+             "stats": stats}
+        )
+    return adds
+
+
 def _write_data_files(
     df: DataFrame, root: str, version: int, stat_cols: list[str]
 ) -> list[dict]:
     """Write ``df`` as immutable parquet under ``data/v{version}-<uuid>/``
     and return add-entries with per-file row counts and min/max stats.
 
-    The stats agg runs over the files just written (grouped by
-    ``input_file_name``) — one scan of the NEW bytes only, the same
+    Stats come from the just-written parquet FOOTERS when every stat
+    column passes :func:`_footer_adds`' exactness gate (no Spark job);
+    otherwise the stats agg runs over the files just written (grouped
+    by ``input_file_name``) — one scan of the NEW bytes only, the same
     footer-level bookkeeping parquet writers do; never over the table.
     """
     rel = f"data/v{version:08d}-{uuid.uuid4().hex[:8]}"
     out_dir = os.path.join(root, rel)
     df.write.mode("error").parquet(out_dir)
+    fast = _footer_adds(out_dir, rel, stat_cols)
+    if fast is not None:
+        return sorted(fast, key=lambda a: a["path"])
     spark = df.sparkSession
     written = spark.read.parquet(out_dir)
     aggs = [F.count(F.lit(1)).alias("_rows")]

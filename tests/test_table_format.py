@@ -1484,3 +1484,83 @@ def test_append_retry_reuses_staged_files(spark, tmp_path):
     live, _ = tf.snapshot_files(root, 2)
     for a in live:
         assert os.path.exists(os.path.join(root, a["path"]))
+
+
+def test_footer_stats_equal_spark_agg(spark, tmp_path):
+    """The footer fast path must be indistinguishable from the Spark
+    read-back agg: identical add-entries (rows + min/max, including an
+    all-NULL stat column) for gate-admitted types, and a clean fallback
+    to the agg for excluded ones (float: NaN exclusion; string:
+    truncation; timestamp: zone rendering)."""
+    import datetime
+
+    rows = [
+        Row(k=i, flag=bool(i % 2),
+            d=datetime.date(2020, 1, 1 + i % 20),
+            only_null=None,
+            f=float("nan") if i == 7 else i * 1.5,
+            s="x" * 200 + chr(65 + i % 3))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k long, flag boolean, d date, only_null long, f double, s string",
+    ).repartition(3)
+
+    def both(stat_cols):
+        out = str(tmp_path / f"d_{'_'.join(stat_cols)}")
+        df.write.parquet(out)
+        fast = tf._footer_adds(out, "rel", stat_cols)
+        import pyspark.sql.functions as F
+
+        written = spark.read.parquet(out)
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        slow = sorted(
+            (
+                {
+                    "path": os.path.join(
+                        "rel",
+                        os.path.basename(r["_file"].removeprefix("file:")),
+                    ),
+                    "rows": r["_rows"],
+                    "stats": {
+                        c: [tf._json_stat(r[f"_min_{c}"]),
+                            tf._json_stat(r[f"_max_{c}"])]
+                        for c in stat_cols
+                    },
+                }
+                for r in written.groupBy(
+                    F.input_file_name().alias("_file")
+                ).agg(*aggs).collect()
+            ),
+            key=lambda a: a["path"],
+        )
+        return (sorted(fast, key=lambda a: a["path"])
+                if fast is not None else None), slow
+
+    fast, slow = both(["k", "flag", "d", "only_null"])
+    assert fast == slow
+    for bad in (["f"], ["s"], ["k", "f"]):
+        fast, _slow = both(bad)
+        assert fast is None, f"gate must reject {bad}"
+
+    # end-to-end: a table whose stat col uses the footer path still
+    # prunes correctly (physical proof borrowed from the delete tests)
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 100).repartitionByRange(4, "k"), root,
+                    stat_cols=["k"])
+    live, _ = tf.snapshot_files(root, 0)
+    assert all(a["stats"]["k"][0] is not None for a in live)
+    hi_files = [a for a in live if a["stats"]["k"][0] > 30]
+    assert hi_files
+    for a in hi_files:  # garbage the files the stats say can't match
+        with open(os.path.join(root, a["path"]), "wb") as fh:
+            fh.write(b"garbage")
+    # the delete must prune on the footer-derived stats: opening any
+    # garbaged file would throw a parquet footer error
+    tf.delete_where(spark, root, "k < 10", prune_col="k")
+    after, _ = tf.snapshot_files(root, 1)
+    kept = {a["path"] for a in after}
+    assert all(a["path"] in kept for a in hi_files)  # carried by reference
