@@ -142,7 +142,29 @@ def main() -> None:
         print(f"REGRESSION {k}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
     if not regressions:
         print(f"no regressions beyond {threshold}x (+0.5s absolute)")
-    sys.exit(1 if regressions or new.get("errors") else 0)
+    # streaming legs: throughput is better-is-higher, so the regression
+    # direction flips (new < old/threshold). Informational only for the
+    # exit code unless throughput halves — streaming numbers on a
+    # shared host swing ±20% (r7's "drops" were all contention).
+    so, sn = old.get("streaming") or {}, new.get("streaming") or {}
+    stream_reg = []
+    for k in sorted(set(so) & set(sn)):
+        a, b = so[k], sn[k]
+        if not (isinstance(a, dict) and isinstance(b, dict)):
+            continue
+        ra, rb = a.get("rows_per_sec"), b.get("rows_per_sec")
+        if not ra or rb is None:
+            continue
+        print(
+            f"stream {k}: {ra:,.0f} -> {rb:,.0f} rows/s ({rb / ra:.2f}x), "
+            f"trigger {a.get('trigger_ms_avg', '?')} -> "
+            f"{b.get('trigger_ms_avg', '?')} ms avg"
+        )
+        if rb < ra / 2:
+            stream_reg.append(k)
+    for k in stream_reg:
+        print(f"STREAM REGRESSION {k}: throughput halved")
+    sys.exit(1 if regressions or stream_reg or new.get("errors") else 0)
 
 
 if __name__ == "__main__":
