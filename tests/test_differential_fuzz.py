@@ -18,8 +18,10 @@ from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+# 8 examples keeps the suite fast; deep hunts opt in with
+# FUZZ_MAX_EXAMPLES=100+ (used for the per-round extended fuzz pass)
 _SETTINGS = dict(
-    max_examples=8,
+    max_examples=int(os.environ.get("FUZZ_MAX_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
