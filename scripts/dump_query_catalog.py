@@ -37,8 +37,18 @@ def main() -> None:
                 break
             para.append(ln.strip())
         flat = " ".join(para)
-        dot = flat.find(". ")
-        summary = flat[: dot + 1] if dot != -1 else flat
+        # first sentence end that is NOT an abbreviation (e.g./i.e./…)
+        import re
+
+        end = None
+        for m in re.finditer(r"[.!?] ", flat):
+            head = flat[: m.start()].rsplit(None, 1)
+            last = head[-1].lower() if head else ""
+            if last in ("e.g", "i.e", "vs", "etc", "cf", "al", "resp"):
+                continue
+            end = m.start() + 1
+            break
+        summary = flat[:end] if end else flat
         summary = summary.replace("|", "\\|")
         check = "oracle" if name in ORACLE else "rows-only"
         lines.append(f"| `{name}` | {check} | {summary} |")

@@ -241,12 +241,23 @@ def _footer_adds(
             os.remove(full)
             continue
         schema = md.schema.to_arrow_schema()
+        # row-group column indices address parquet LEAVES (nested
+        # structs flatten to dotted paths), NOT arrow's top-level
+        # fields — resolve the stat col by its leaf path, which for a
+        # top-level primitive equals the bare name. A mismatch here
+        # (e.g. indexing leaf "meta.b" with arrow field index 1) would
+        # commit another column's bounds as the stat col's and prune
+        # unsoundly.
+        leaf_idx = {
+            md.schema.column(i).path: i for i in range(md.num_columns)
+        }
         stats: dict[str, list] = {}
         for c in stat_cols:
-            idx = schema.get_field_index(c)
-            if idx < 0:
+            idx = leaf_idx.get(c)
+            fi = schema.get_field_index(c)
+            if idx is None or fi < 0:
                 return None
-            t = schema.field(idx).type
+            t = schema.field(fi).type
             if not (
                 pa.types.is_integer(t)
                 or pa.types.is_boolean(t)
@@ -1609,24 +1620,33 @@ def vacuum(
             except OSError:
                 continue  # raced another vacuum / an in-flight rename
             deleted.append(rel)
-    # Drop now-empty version dirs. The empty-dir sweep must honor the
-    # SAME age guard as the file loop: a concurrent writer creates its
-    # staging dir before any .parquet lands in it (Spark parks task
-    # output under _temporary/ first), so a young dir with no top-level
-    # parquet may be an in-flight commit — rmtree'ing it kills the
-    # writer mid-write (caught by the multi-writer interleaving test).
+    # Drop version dirs that hold no parquet anywhere — Spark's
+    # _SUCCESS/.crc markers don't count, or fully-vacuumed dirs would
+    # leak forever. The sweep honors the SAME age guard as the file
+    # loop: a concurrent writer creates its staging dir before any
+    # .parquet lands in it (Spark parks task output under _temporary/
+    # first), so a young parquet-free dir may be an in-flight commit —
+    # rmtree'ing it kills the writer mid-write (caught by the
+    # multi-writer interleaving test). Note the file loop above updates
+    # the dir's mtime when it removes files, so under a guard a
+    # just-emptied dir is reclaimed by a LATER vacuum once it has been
+    # quiet for the window — eventual cleanup, never a racy one.
     for d in sorted(os.listdir(data_root)):
         full = os.path.join(data_root, d)
         if not os.path.isdir(full):
             continue
         try:
+            if any(
+                f.endswith(".parquet")
+                for _p, _sub, files in os.walk(full)
+                for f in files
+            ):
+                continue  # still referenced or in-flight data
             if (
                 min_age_seconds > 0
                 and now - os.path.getmtime(full) < min_age_seconds
             ):
-                continue
-            if any(files for _p, _sub, files in os.walk(full)):
-                continue  # something still inside (incl. _temporary/)
+                continue  # may belong to an in-flight commit
             shutil.rmtree(full)
         except OSError:
             continue

@@ -1564,3 +1564,50 @@ def test_footer_stats_equal_spark_agg(spark, tmp_path):
     after, _ = tf.snapshot_files(root, 1)
     kept = {a["path"] for a in after}
     assert all(a["path"] in kept for a in hi_files)  # carried by reference
+
+
+def test_footer_stats_nested_schema_resolves_leaf(spark, tmp_path):
+    """Parquet row-group column indices address LEAVES, not arrow's
+    top-level fields: with a struct column ahead of the stat column the
+    two numberings diverge, and the footer path must still commit the
+    stat column's true bounds (r8 review finding — the naive field
+    index would silently record the struct's second leaf as k's
+    stats and prune unsoundly)."""
+    df = spark.createDataFrame(
+        [Row(meta=Row(a=900 + i, b=-5 - i), k=i) for i in range(50)],
+        "meta struct<a:int,b:int>, k long",
+    ).coalesce(1)
+    out = str(tmp_path / "d")
+    df.write.parquet(out)
+    adds = tf._footer_adds(out, "rel", ["k"])
+    assert adds is not None and len(adds) == 1
+    assert adds[0]["stats"]["k"] == [0, 49]  # NOT meta.a's/meta.b's range
+    # end-to-end: the committed table prunes correctly on k
+    root = str(tmp_path / "t")
+    tf.create_table(df.repartitionByRange(2, "k"), root, stat_cols=["k"])
+    live, _ = tf.snapshot_files(root, 0)
+    los = sorted(a["stats"]["k"][0] for a in live)
+    assert los[0] == 0 and all(lo < 50 for lo in los)
+    tf.delete_where(spark, root, "k < 5", prune_col="k")
+    got = sorted(r["k"] for r in tf.read_table(spark, root).collect())
+    assert got == list(range(5, 50))
+
+
+def test_vacuum_removes_marker_only_dirs(spark, tmp_path):
+    """A fully-vacuumed version dir holds only Spark's _SUCCESS/.crc
+    markers; the empty-dir sweep must reclaim it (markers don't count
+    as content), while the age guard still defers dirs that were
+    touched inside the window."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 20), root, stat_cols=["k"])
+    tf.compact(spark, root, target_files=1)
+    data_root = os.path.join(root, "data")
+    assert len(os.listdir(data_root)) == 2
+    deleted = tf.vacuum(root, retain_versions=0)
+    assert deleted  # v0's files were reclaimed...
+    dirs = os.listdir(data_root)
+    assert len(dirs) == 1, dirs  # ...and its marker-only dir dropped
+    # guarded vacuum defers young marker-only dirs instead of racing
+    tf.compact(spark, root, target_files=2)
+    assert tf.vacuum(root, retain_versions=0, min_age_seconds=3600) == []
+    assert len(os.listdir(data_root)) == 2  # young dir deferred, not dropped
