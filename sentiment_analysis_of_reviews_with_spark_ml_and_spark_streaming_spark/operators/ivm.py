@@ -381,10 +381,19 @@ def refresh_rollup(
     ivm_rec = {"src_version": head}
     if dim is not None:
         ivm_rec["dim_version"] = dim_head
+    # the versions this plan folds FROM — if a racing refresh moves the
+    # view past this point, the pinned delta overlaps what it applied
+    # and replaying it would double-count (see _plan_stale).
+    planned = (
+        state["src_version"],
+        dim["version"] if dim else None,
+    )
     if b["n"] == 0:
         # nothing changed group-wise; still record the fold so the next
         # refresh doesn't replay these source versions.
-        return _commit_noop_fold(view_root, ivm_rec)
+        return _commit_noop_fold(
+            spark, view_root, ivm_rec, planned, max_retries=max_retries
+        )
     # file [min,max] stats ignore NULLs, so a churned NULL-key group can
     # live in ANY file — pruning is only sound when no delta key is NULL.
     bounds = (
@@ -397,6 +406,13 @@ def refresh_rollup(
     for _ in range(max_retries):
         if _already_folded(view_root, ivm_rec):
             return tfmt.latest_version(view_root)  # racing refresh won
+        if _plan_stale(view_root, planned):
+            # a racing refresh folded a DIFFERENT (smaller) prefix: our
+            # delta starts at the OLD folded version, so applying it on
+            # the racer's snapshot would re-add the overlap. Rebuild the
+            # whole plan from the view's new state — bounded, because
+            # every such race means the racer made monotone progress.
+            return refresh_rollup(spark, view_root, max_retries=max_retries)
         base_v = tfmt.latest_version(view_root)
         live, schema = tfmt.snapshot_files(view_root, base_v)
         if bounds is not None:
@@ -445,10 +461,32 @@ def _already_folded(view_root: str, ivm_rec: dict) -> bool:
     return True
 
 
-def _commit_noop_fold(view_root: str, ivm_rec: dict, *, max_retries: int = 3) -> int:
+def _plan_stale(view_root: str, planned: tuple) -> bool:
+    """True when the view's folded state has MOVED since this plan's
+    delta was built (a racing refresh folded a partial prefix): the
+    delta's base no longer equals the view's folded version, so
+    applying it would double-count the overlap — the caller must
+    rebuild from fresh state, not retry."""
+    st = rollup_state(view_root)
+    if st["src_version"] != planned[0]:
+        return True
+    return planned[1] is not None and st["dim"]["version"] != planned[1]
+
+
+def _commit_noop_fold(
+    spark, view_root: str, ivm_rec: dict, planned: tuple, *,
+    max_retries: int = 3,
+) -> int:
+    """Record a fold that changed no groups. The staleness check
+    matters even here: "delta over (S, H] is empty" does NOT imply the
+    sub-range (S', H] is empty for S < S' — if a racer folded (S, S']
+    first, marking H folded would silently skip the compensating
+    (S', H] feed, so rebuild instead."""
     for _ in range(max_retries):
         if _already_folded(view_root, ivm_rec):
             return tfmt.latest_version(view_root)  # racing refresh won
+        if _plan_stale(view_root, planned):
+            return refresh_rollup(spark, view_root, max_retries=max_retries)
         v = tfmt.latest_version(view_root) + 1
         try:
             tfmt._write_commit(
@@ -537,7 +575,13 @@ def _apply_delta(old: DataFrame, delta, keys, sum_cols, minmax_cols, st, recompu
     stored [min, max] fold incrementally like everything else."""
     cond = [old[k].eqNullSafe(delta[k]) for k in keys]
     kept = old.join(F.broadcast(delta.select(*keys)), cond, "left_anti")
-    joined = delta.join(F.broadcast(old), cond, "left")
+    # NO broadcast hint on `old` here: delta is the preserved side, and
+    # a broadcast-hash join cannot build on the preserved side — hinting
+    # old forces the whole candidate view slice (the FULL view when key
+    # pruning is disabled, e.g. a NULL-key delta) through the driver.
+    # Unhinted, AQE broadcasts old only when it is actually small and
+    # shuffles otherwise — churn-proportional at every view size.
+    joined = delta.join(old, cond, "left")
     typed = {f.name: f.dataType for f in st.fields}
 
     def z(col, name):  # typed zero-coalesce keeps the stored schema stable

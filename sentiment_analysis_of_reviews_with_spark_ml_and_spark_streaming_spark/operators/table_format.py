@@ -96,21 +96,31 @@ def latest_version(root: str) -> int:
 
 
 def _write_commit(root: str, version: int, record: dict) -> None:
-    """Exclusive-create the commit file — the one atomic step. Stamps
-    the commit wall-clock (``ts``) for history and timestamp travel."""
+    """Atomically publish the commit file. Content is fully written to
+    a private temp file first, then ``os.link``ed onto the final name —
+    link is the one atomic step (it fails with ``FileExistsError`` for
+    the race loser, same exclusivity as O_EXCL), and unlike
+    create-then-write it never exposes a torn/empty commit to a
+    concurrent reader's ``json.load``. Stamps the commit wall-clock
+    (``ts``) for history and timestamp travel."""
     import time
 
     os.makedirs(_log_dir(root), exist_ok=True)
     path = _commit_path(root, version)
     record.setdefault("ts", time.time())
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
         raise CommitConflict(
             f"version {version} already committed at {path}"
         ) from None
-    with os.fdopen(fd, "w") as f:
-        json.dump(record, f, sort_keys=True)
+    finally:
+        os.unlink(tmp)
 
 
 def _read_commit(root: str, version: int) -> dict:
@@ -197,8 +207,51 @@ def _maybe_checkpoint(root: str, version: int, checkpoint_every: int) -> None:
     if checkpoint_every <= 0 or version == 0 or version % checkpoint_every:
         return
     live, schema = snapshot_files(root, version)
-    with open(_checkpoint_path(root, version), "w") as f:
-        json.dump({"version": version, "live": live, "schema": json.dumps(schema)}, f)
+    # consolidated exactly-once ledger: batch ids of every commit ≤
+    # version, so committed_batch_ids replays only the log SUFFIX —
+    # without this, every streaming micro-batch re-reads the whole
+    # history and per-batch latency grows linearly forever. Computed
+    # BEFORE the checkpoint file is created, or the scan would find
+    # its own empty file. Published via temp+rename so a concurrent
+    # reader never json.loads a torn checkpoint.
+    batch_ids = sorted(_batch_ids_through(root, version))
+    path = _checkpoint_path(root, version)
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "live": live,
+                "schema": json.dumps(schema),
+                "batch_ids": batch_ids,
+            },
+            f,
+        )
+    os.replace(tmp, path)
+
+
+def _batch_ids_through(root: str, version: int) -> set[int]:
+    """All streaming batch ids committed at or before ``version``,
+    reading from the newest consolidated checkpoint ≤ version and then
+    only the commit suffix (pre-consolidation checkpoints lack the key
+    and fall through to older checkpoints / version 0)."""
+    out: set[int] = set()
+    start = 0
+    for cv in range(version, -1, -1):
+        cp = _checkpoint_path(root, cv)
+        if not os.path.exists(cp):
+            continue
+        with open(cp) as f:
+            ck = json.load(f)
+        if "batch_ids" in ck:
+            out.update(ck["batch_ids"])
+            start = cv + 1
+            break
+    for v in range(start, version + 1):
+        rec = _read_commit(root, v)
+        if "batch_id" in rec:
+            out.add(rec["batch_id"])
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -594,13 +647,10 @@ def read_table(
 
 def committed_batch_ids(root: str) -> set[int]:
     """Streaming batch ids already recorded in the commit log — the
-    exactly-once ledger for :func:`streaming_sink` replays."""
-    out: set[int] = set()
-    for v in range(latest_version(root) + 1):
-        rec = _read_commit(root, v)
-        if "batch_id" in rec:
-            out.add(rec["batch_id"])
-    return out
+    exactly-once ledger for :func:`streaming_sink` replays. Reads the
+    newest consolidated checkpoint plus the commit suffix, so the
+    per-micro-batch cost is O(checkpoint_every), not O(history)."""
+    return _batch_ids_through(root, latest_version(root))
 
 
 def _check_schema_widening(root: str, new) -> None:
@@ -763,8 +813,13 @@ def merge_upsert(
         )
     if batch_id is not None and batch_id in committed_batch_ids(root):
         return latest_version(root)
+    # NULL keys are excluded from the uniqueness check: a NULL source
+    # key never equi-matches a target row (SQL join semantics), so any
+    # number of NULL-key rows are plain inserts, as in Delta's
+    # whenNotMatched.
     dup = (
-        updates.groupBy(key_col)
+        updates.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter("_n > 1")
         .limit(1)
@@ -779,10 +834,15 @@ def merge_upsert(
     if meta.get("checks"):
         _enforce_checks(updates, meta["checks"])
     b = updates.agg(
-        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        F.count(F.lit(1)).alias("n"),
+        F.min(key_col).alias("lo"),
+        F.max(key_col).alias("hi"),
     ).collect()[0]
-    if b["lo"] is None:  # empty update batch: no-op, no commit
+    if b["n"] == 0:  # truly empty update batch: no-op, no commit
         return latest_version(root)
+    # lo/hi None with n > 0 means every key is NULL: nothing can
+    # equi-match, the whole batch is inserts (candidates prune to zero
+    # via the empty exact-key set below).
     lo, hi = _json_stat(b["lo"]), _json_stat(b["hi"])
     # exact batch keys (bounded collect): per-value stats overlap prunes
     # sparse upserts far harder than the [lo, hi] hull — two keys at the
@@ -899,6 +959,27 @@ def _pred_literal(tok: str):
             return None
 
 
+def _mask_strings(predicate: str) -> tuple[str, list[str]]:
+    """Replace every quoted literal with an indexed placeholder
+    (``\\x00<i>\\x00``) so the bound-extraction regexes can never match
+    comparator text INSIDE a string (e.g. ``note = 'id > 100'`` must
+    not tighten ``id``'s bounds). Returns the masked predicate and the
+    literal table; ``_pred_literal`` resolves placeholders back."""
+    import re
+
+    lits: list[str] = []
+
+    def repl(m):
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    return re.sub(r"'[^']*'|\"[^\"]*\"", repl, predicate), lits
+
+
+# quoted literals are masked to \x00<i>\x00 before regex scanning
+_MASKED_LIT_RE = r"(\x00[0-9]+\x00|[-+]?[0-9]+(?:\.[0-9]+)?)"
+
+
 def _extract_bounds(predicate: str, col: str):
     """Conservative [lo, hi] range ``col`` must satisfy for the
     predicate to hold, or ``None`` when no sound range exists.
@@ -907,15 +988,24 @@ def _extract_bounds(predicate: str, col: str):
     conjunctions of ``col <op> literal`` / ``literal <op> col`` /
     ``col BETWEEN a AND b`` / ``col IN (literals)``. Any disjunction or
     negation disables pruning entirely (correctness first) — a file is
-    only ever skipped when its [min,max] cannot intersect the range."""
+    only ever skipped when its [min,max] cannot intersect the range.
+    String literals are masked before scanning so comparator-looking
+    text inside them can never produce unsound bounds."""
     import re
 
+    predicate, str_lits = _mask_strings(predicate)
     up = f" {predicate.upper()} "
     if " OR " in up or " NOT " in up or "NOT(" in up.replace(" ", ""):
         return None
     c = re.escape(col)
     lo: object = None
     hi: object = None
+
+    def lit_of(tok: str):
+        tok = tok.strip()
+        if tok.startswith("\x00"):
+            return _pred_literal(str_lits[int(tok.strip("\x00"))])
+        return _pred_literal(tok)
 
     def tighten(op: str, lit):
         nonlocal lo, hi
@@ -929,23 +1019,23 @@ def _extract_bounds(predicate: str, col: str):
             lo = lit if lo is None else max(lo, lit)
             hi = lit if hi is None else min(hi, lit)
 
-    lit_re = r"('[^']*'|\"[^\"]*\"|[-+]?[0-9]+(?:\.[0-9]+)?)"
+    lit_re = _MASKED_LIT_RE
     for op, tok in re.findall(rf"\b{c}\s*{_CMP_RE}\s*{lit_re}", predicate):
-        tighten(op, _pred_literal(tok))
+        tighten(op, lit_of(tok))
     flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
     for tok, op in re.findall(rf"{lit_re}\s*{_CMP_RE}\s*\b{c}\b", predicate):
-        tighten(flip[op], _pred_literal(tok))
+        tighten(flip[op], lit_of(tok))
     m = re.search(
         rf"\b{c}\s+BETWEEN\s+{lit_re}\s+AND\s+{lit_re}",
         predicate,
         re.IGNORECASE,
     )
     if m:
-        tighten(">=", _pred_literal(m.group(1)))
-        tighten("<=", _pred_literal(m.group(2)))
+        tighten(">=", lit_of(m.group(1)))
+        tighten("<=", lit_of(m.group(2)))
     m = re.search(rf"\b{c}\s+IN\s*\(([^()]*)\)", predicate, re.IGNORECASE)
     if m:
-        lits = [_pred_literal(t) for t in m.group(1).split(",")]
+        lits = [lit_of(t) for t in m.group(1).split(",")]
         if all(v is not None for v in lits) and lits:
             tighten(">=", min(lits))
             tighten("<=", max(lits))
@@ -958,24 +1048,31 @@ def _extract_in_values(predicate: str, col: str):
     """The exact value set ``col`` must belong to for the predicate to
     hold (``col IN (...)`` or ``col = lit`` conjuncts), or ``None``.
     Sound under conjunction (the set over-approximates the true keys);
-    disjunction/negation disable it, like :func:`_extract_bounds`."""
+    disjunction/negation disable it, like :func:`_extract_bounds`.
+    String literals are masked first, so ``IN``/``=`` text inside a
+    quoted value can never fabricate a key set."""
     import re
 
+    predicate, str_lits = _mask_strings(predicate)
     up = f" {predicate.upper()} "
     if " OR " in up or " NOT " in up or "NOT(" in up.replace(" ", ""):
         return None
+
+    def lit_of(tok: str):
+        tok = tok.strip()
+        if tok.startswith("\x00"):
+            return _pred_literal(str_lits[int(tok.strip("\x00"))])
+        return _pred_literal(tok)
+
     c = re.escape(col)
     m = re.search(rf"\b{c}\s+IN\s*\(([^()]*)\)", predicate, re.IGNORECASE)
     if m:
-        lits = [_pred_literal(t) for t in m.group(1).split(",")]
+        lits = [lit_of(t) for t in m.group(1).split(",")]
         if lits and all(v is not None for v in lits):
             return lits
-    m = re.search(
-        rf"\b{c}\s*=\s*('[^']*'|\"[^\"]*\"|[-+]?[0-9]+(?:\.[0-9]+)?)",
-        predicate,
-    )
+    m = re.search(rf"\b{c}\s*=\s*{_MASKED_LIT_RE}", predicate)
     if m:
-        v = _pred_literal(m.group(1))
+        v = lit_of(m.group(1))
         if v is not None:
             return [v]
     return None
@@ -1075,6 +1172,10 @@ def _delete_attempt(
     # by an earlier merge-on-read commit can't match again.
     tagged = read_files(spark, root, cands, st, with_meta=True)
     matched = tagged.filter(predicate).select("_file", "_pos")
+    if mode == "mor":
+        # pin once: the per-file counts job AND the sidecar write both
+        # consume `matched` (same pattern as merge/update mor paths)
+        matched = matched.localCheckpoint(eager=True)
     by_base = {os.path.basename(a["path"]): a for a in cands}
 
     if mode == "cow":
@@ -1085,7 +1186,12 @@ def _delete_attempt(
             return base_v
         hit = [by_base[b] for b in sorted(matched_bases)]
         v = base_v + 1
-        kept = read_files(spark, root, hit, st).filter(f"NOT ({predicate})")
+        # NOT(pred) alone would also drop rows where pred is NULL
+        # (three-valued logic) — only TRUE rows are deleted, so keep
+        # everything that is not definitely matched.
+        kept = read_files(spark, root, hit, st).filter(
+            f"NOT coalesce(({predicate}), false)"
+        )
         adds = _write_data_files(kept, root, v, meta["stat_cols"])
         _write_commit(
             root,
@@ -1218,7 +1324,11 @@ def _update_attempt(
         updated_part = _apply(old.filter(predicate))
         if meta.get("checks"):
             _enforce_checks(updated_part, meta["checks"])
-        rewritten = old.filter(f"NOT ({predicate})").unionByName(updated_part)
+        # coalesce: a NULL predicate row is UNMATCHED (kept as-is), not
+        # silently dropped by NOT(NULL) three-valued logic
+        rewritten = old.filter(
+            f"NOT coalesce(({predicate}), false)"
+        ).unionByName(updated_part)
         adds = _write_data_files(rewritten, root, v, meta["stat_cols"])
         _write_commit(
             root,
@@ -1297,7 +1407,25 @@ def compact_small(
     ``max_dv_fraction`` of its rows is also rewritten regardless of
     size — every read pays the anti-join for rows that are mostly dead
     (Delta's tombstone-ratio OPTIMIZE heuristic); the rewrite applies
-    and clears the vector."""
+    and clears the vector.
+
+    Optimistic concurrency like every other writer: a lost commit race
+    re-plans against the refreshed snapshot instead of propagating —
+    essential for :func:`streaming_sink`'s ``compact_every``, where an
+    exception would kill the streaming query over a benign race."""
+    for _ in range(3):
+        try:
+            return _compact_small_attempt(
+                spark, root, target_bytes, min_files, max_dv_fraction
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"compact_small lost 3 races at {root}")
+
+
+def _compact_small_attempt(
+    spark, root, target_bytes, min_files, max_dv_fraction
+) -> int:
     meta = _table_meta(root)
     base_v = latest_version(root)
     live, _schema = snapshot_files(root, base_v)
@@ -1338,7 +1466,19 @@ def compact_small(
 def compact(spark: SparkSession, root: str, *, target_files: int = 1) -> int:
     """OPTIMIZE: rewrite the live set into ``target_files`` files —
     data-identical (a diff between the two versions is empty), so small
-    files from many appends stop taxing every scan."""
+    files from many appends stop taxing every scan. Lost commit races
+    re-plan against the refreshed snapshot (a racing delete may have
+    removed an input file — committing the stale rewrite would
+    resurrect its rows, so the retry rebuilds from scratch)."""
+    for _ in range(3):
+        try:
+            return _compact_attempt(spark, root, target_files)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"compact lost 3 races at {root}")
+
+
+def _compact_attempt(spark, root, target_files) -> int:
     meta = _table_meta(root)
     base_v = latest_version(root)
     live, _schema = snapshot_files(root, base_v)
@@ -1368,14 +1508,25 @@ def optimize_cluster(
     scattered, every file spans the full range) into "all but one file
     excluded". One column sorts directly; two columns interleave into a
     Morton Z-value (``layout.zorder_value``) so stats prune on EITHER
-    column. One shuffle (the range partitioner), one write."""
-    from . import layout
-
+    column. One shuffle (the range partitioner), one write. Lost commit
+    races re-plan against the refreshed snapshot (same rationale as
+    :func:`compact`)."""
     if not 1 <= len(by) <= 4:
         raise ValueError(
             "cluster by 1 column (sort), 2 (Z-order) or up to 4 "
             "(N-way Morton; resolution drops past that)"
         )
+    for _ in range(3):
+        try:
+            return _optimize_cluster_attempt(spark, root, by, target_files)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"optimize_cluster lost 3 races at {root}")
+
+
+def _optimize_cluster_attempt(spark, root, by, target_files) -> int:
+    from . import layout
+
     meta = _table_meta(root)
     base_v = latest_version(root)
     live, _schema = snapshot_files(root, base_v)
@@ -1541,7 +1692,18 @@ def restore_table(root: str, version: int) -> int:
 
     Raises ``FileNotFoundError`` if :func:`vacuum` already reclaimed a
     file the target version references (the standard lakehouse
-    restore/retention contract)."""
+    restore/retention contract). A lost commit race re-plans the diff
+    against the new head (restore wins — the table still ends at the
+    target version's state)."""
+    for _ in range(3):
+        try:
+            return _restore_attempt(root, version)
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"restore lost 3 races at {root}")
+
+
+def _restore_attempt(root: str, version: int) -> int:
     head = latest_version(root)
     if not 0 <= version <= head:
         raise ValueError(f"version {version} out of range [0, {head}]")

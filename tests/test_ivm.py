@@ -710,3 +710,64 @@ def test_concurrent_refreshers_never_double_fold(spark, tmp_path):
         if "ivm" in rec:
             folded.append(rec["ivm"]["src_version"])
     assert folded == sorted(set(folded)), folded
+
+
+def test_racing_partial_fold_never_double_applies(spark, tmp_path):
+    """The stale-plan hazard: refresh A plans the delta for (0, 2];
+    racer B (which started earlier) folds only (0, 1] and commits
+    first. A's pinned delta OVERLAPS what B applied — a naive retry
+    would re-add (0, 1] and corrupt every count/sum. A must detect the
+    moved fold base and rebuild from fresh state (_plan_stale)."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    tf.create_table(_mk(spark, 0, 20), src, stat_cols=["k"])
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+    tf.append(_mk(spark, 20, 30, seg="B"), src)  # src v1
+    tf.append(_mk(spark, 30, 40, seg="C"), src)  # src v2
+
+    real_write = tf._write_commit
+    real_latest = tf.latest_version
+    state = {"raced": False}
+
+    def racing(r, v, rec):
+        if (rec.get("action") == "ivm_refresh" and r == view
+                and not state["raced"]):
+            state["raced"] = True
+            # racer B: planned when the src head was still v1, so its
+            # refresh folds only (0, 1] — pin latest_version for src
+            tf._write_commit = real_write
+
+            def pinned(root_):
+                return 1 if root_ == src else real_latest(root_)
+
+            tf.latest_version = pinned
+            try:
+                ivm.refresh_rollup(spark, view)
+            finally:
+                tf.latest_version = real_latest
+            tf._write_commit = racing
+        real_write(r, v, rec)
+
+    tf._write_commit = racing
+    try:
+        ivm.refresh_rollup(spark, view)
+    finally:
+        tf._write_commit = real_write
+
+    got = {
+        r["g"]: (r["n_rows"], r["sum_val"])
+        for r in ivm.read_rollup(spark, view).collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], r["sum_val"])
+        for r in _recompute(spark, src).collect()
+    }
+    assert got == want, (got, want)
+    # the folded src_version chain must be STRICTLY monotone
+    folded = []
+    for v in range(tf.latest_version(view) + 1):
+        rec = tf._read_commit(view, v)
+        if "ivm" in rec:
+            folded.append(rec["ivm"]["src_version"])
+    assert folded == sorted(set(folded)), folded
+    assert folded[-1] == 2

@@ -1611,3 +1611,157 @@ def test_vacuum_removes_marker_only_dirs(spark, tmp_path):
     tf.compact(spark, root, target_files=2)
     assert tf.vacuum(root, retain_versions=0, min_age_seconds=3600) == []
     assert len(os.listdir(data_root)) == 2  # young dir deferred, not dropped
+
+
+def test_cow_delete_update_keep_null_predicate_rows(spark, tmp_path):
+    """Three-valued logic: a row where the predicate evaluates to NULL
+    is UNMATCHED — cow DELETE must keep it (NOT(NULL) would drop it)
+    and cow UPDATE must pass it through unmodified; mor agrees."""
+    for mode in ("cow", "mor"):
+        root = str(tmp_path / f"t_{mode}")
+        df = spark.createDataFrame(
+            [Row(k=1, score=10.0), Row(k=2, score=None), Row(k=3, score=2.0)],
+            "k long, score double",
+        ).coalesce(1)
+        tf.create_table(df, root, stat_cols=["k"])
+        tf.delete_where(spark, root, "score > 5", mode=mode)
+        got = sorted(
+            (r["k"], r["score"])
+            for r in tf.read_table(spark, root).collect()
+        )
+        assert got == [(2, None), (3, 2.0)], (mode, got)
+        tf.update_where(
+            spark, root, "score > 1", {"score": "score + 100"}, mode=mode
+        )
+        got = sorted(
+            (r["k"], r["score"])
+            for r in tf.read_table(spark, root).collect()
+        )
+        assert got == [(2, None), (3, 102.0)], (mode, got)
+
+
+def test_merge_upsert_null_keys_are_inserts(spark, tmp_path):
+    """NULL source keys never equi-match (SQL join semantics): an
+    all-NULL-key batch must INSERT its rows (not silently no-op), two
+    NULL-key rows are not 'duplicate keys', and existing NULL-key
+    target rows survive a merge untouched."""
+    root = str(tmp_path / "t")
+    tf.create_table(
+        spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=None, v="oldnull")], "k long, v string"
+        ),
+        root,
+        stat_cols=["k"],
+    )
+    for mode in ("cow", "mor"):
+        tf.merge_upsert(
+            spark.createDataFrame(
+                [Row(k=None, v=f"null_{mode}_1"),
+                 Row(k=None, v=f"null_{mode}_2")],
+                "k long, v string",
+            ),
+            root,
+            key_col="k",
+            mode=mode,
+        )
+    got = sorted(r["v"] for r in tf.read_table(spark, root).collect())
+    assert got == ["a", "null_cow_1", "null_cow_2", "null_mor_1",
+                   "null_mor_2", "oldnull"]
+    # mixed batch: the keyed row upserts, the NULL row inserts
+    tf.merge_upsert(
+        spark.createDataFrame(
+            [Row(k=1, v="A2"), Row(k=None, v="null_mix")],
+            "k long, v string",
+        ),
+        root,
+        key_col="k",
+    )
+    got = sorted(r["v"] for r in tf.read_table(spark, root).collect())
+    assert got == ["A2", "null_cow_1", "null_cow_2", "null_mix",
+                   "null_mor_1", "null_mor_2", "oldnull"]
+
+
+def test_pruning_ignores_comparators_inside_string_literals(spark, tmp_path):
+    """`note = 'id > 100'` must not tighten id's bounds: the quoted
+    text is data, not a predicate. Before the fix the extractor matched
+    inside the literal, pruned the file, and the DELETE missed rows."""
+    assert tf._extract_bounds("note = 'k > 100' AND k > 3", "k") == (3, None)
+    assert tf._extract_in_values("note = 'k IN (9)' AND k = 4", "k") == [4]
+    # string-valued bounds still extract (masking preserves literals)
+    assert tf._extract_bounds("s >= 'b' AND s <= 'd'", "s") == ("b", "d")
+    root = str(tmp_path / "t")
+    tf.create_table(
+        spark.createDataFrame(
+            [Row(k=i, note="k > 100") for i in range(20)], "k long, note string"
+        ).repartitionByRange(3, "k"),
+        root,
+        stat_cols=["k"],
+    )
+    tf.delete_where(
+        spark, root, "note = 'k > 100' AND k > 3", prune_col="k"
+    )
+    got = sorted(r["k"] for r in tf.read_table(spark, root).collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_layout_ops_retry_on_commit_race(spark, tmp_path):
+    """compact / compact_small / optimize_cluster / restore_table all
+    re-plan on a lost commit race instead of propagating — a benign
+    race must not kill a streaming query's compact_every hook."""
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 30).repartition(3), root, stat_cols=["k"])
+    real_write = tf._write_commit
+
+    def race_once(action):
+        state = {"done": False}
+
+        def racing(r, v, rec):
+            if rec.get("action") == action and not state["done"]:
+                state["done"] = True
+                real_write(r, v, {"version": v, "action": "append",
+                                  "add": [], "remove": [], "schema": None})
+            real_write(r, v, rec)
+
+        return racing
+
+    tf._write_commit = race_once("compact")
+    try:
+        tf.compact(spark, root, target_files=2)
+    finally:
+        tf._write_commit = real_write
+    assert _counts(spark, root) == (30, sum(range(30)))
+    tf._write_commit = race_once("cluster")
+    try:
+        tf.optimize_cluster(spark, root, ["k"], target_files=2)
+    finally:
+        tf._write_commit = real_write
+    assert _counts(spark, root) == (30, sum(range(30)))
+    tf._write_commit = race_once("restore")
+    try:
+        tf.restore_table(root, 0)
+    finally:
+        tf._write_commit = real_write
+    assert _counts(spark, root) == (30, sum(range(30)))
+
+
+def test_batch_id_ledger_uses_checkpoint_suffix(spark, tmp_path):
+    """committed_batch_ids consolidates into checkpoints: after a
+    checkpointed history, the ledger is reconstructed from the newest
+    checkpoint + suffix (and survives commit files BEFORE the
+    checkpoint being logically superseded)."""
+    root = str(tmp_path / "t")
+    tf.create_table(
+        _mk(spark, 0, 5), root, stat_cols=["k"], checkpoint_every=4
+    )
+    for b in range(11, 18):  # versions 1..7; checkpoint at v4
+        tf.append(_mk(spark, 10 * b, 10 * b + 2), root, batch_id=b)
+    assert os.path.exists(tf._checkpoint_path(root, 4))
+    import json as _json
+
+    ck = _json.load(open(tf._checkpoint_path(root, 4)))
+    assert ck["batch_ids"] == [11, 12, 13, 14]
+    assert tf.committed_batch_ids(root) == set(range(11, 18))
+    # replay of a pre-checkpoint batch id is still a no-op
+    head = tf.latest_version(root)
+    assert tf.append(_mk(spark, 900, 950), root, batch_id=12) == head
+    assert tf.latest_version(root) == head
