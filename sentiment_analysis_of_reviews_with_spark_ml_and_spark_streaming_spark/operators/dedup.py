@@ -59,8 +59,15 @@ def shingle(
     toks = tokenize_ws(F.col(text_col))
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     pattern = F.lit("(?=(" + " ".join(["\\S+"] * n) + "))\\S+ ?")
-    ngrams = F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
-        F.regexp_extract_all(norm, pattern, 1)
+    # empty/whitespace-only text maps to ZERO shingles so the size
+    # filter actually drops it — split('') yields [''], and without
+    # this branch every empty doc carried the single shingle "" and
+    # all empty docs paired with each other at jaccard 1.0 (an
+    # O(n_empty²) blowup in the inverted-index and minhash band joins).
+    ngrams = (
+        F.when(norm == "", F.array().cast("array<string>"))
+        .when(F.size(toks) < n, F.array(F.array_join(toks, " ")))
+        .otherwise(F.regexp_extract_all(norm, pattern, 1))
     )
     return df.select(
         F.col(id_col), F.array_distinct(ngrams).alias("shingles")
@@ -704,6 +711,45 @@ def simhash(
     return voted.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+# the token hash is 60-bit (md5_prefix_long: 15 hex chars), so
+# fingerprint bits 60-63 are CONSTANT ZERO — banding must partition
+# the 60 informative bits, not 64/bands-wide slices (the old 16-bit
+# band 3 carried only 12 informative bits: ~16x the false band
+# collisions of the other bands). The slice widths below partition
+# [0, 60) contiguously, so the pigeonhole recall guarantee (hamming
+# ≤ bands-1 ⇒ ≥1 exact band) is preserved for ANY band count, and
+# the final exact-hamming filter makes results identical either way.
+SIMHASH_INFORMATIVE_BITS = 60
+
+
+def _simhash_bands(
+    fps: DataFrame, id_col: str, bands: int, fp_col: str = "simhash"
+) -> DataFrame:
+    """(id, fp, band, key): explode a fingerprint frame into its band
+    keys — the ONE banding implementation shared by the batch pair
+    generators and the incremental path (a banding fix must not be
+    applied in four places)."""
+    total = SIMHASH_INFORMATIVE_BITS
+    cuts = [b * total // bands for b in range(bands + 1)]
+    return fps.select(
+        id_col,
+        fp_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(fp_col), cuts[b])
+                        .bitwiseAND(F.lit((1 << (cuts[b + 1] - cuts[b])) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, fp_col, "bk.band", "bk.key")
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     *,
@@ -727,25 +773,7 @@ def simhash_near_dup_pairs(
             f"guarantee for bands={bands}: require max_hamming <= bands-1"
         )
     fps = simhash(df, id_col=id_col, text_col=text_col)
-    band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
-    banded = fps.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "simhash", "bk.band", "bk.key")
+    banded = _simhash_bands(fps, id_col, bands)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key"
     )
@@ -1063,12 +1091,18 @@ def semdedup(
     withn = emb.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )
-    assign = withn.crossJoin(F.broadcast(seeds)).select(
+    # hoist the seed norms onto the (tiny, broadcast) seeds frame too —
+    # inline, the O(dim) HOF norm would re-evaluate n×k times in the
+    # assignment cross join. Same float sequence, bit-identical result.
+    seeds_n = seeds.select(
+        "_seed_id", "_seed_vec", _norm(F.col("_seed_vec")).alias("_snrm")
+    )
+    assign = withn.crossJoin(F.broadcast(seeds_n)).select(
         F.col(id_col),
         F.col("_seed_id"),
         F.round(
             _dot(F.col(vec_col), F.col("_seed_vec"))
-            / (F.col("_nrm") * _norm(F.col("_seed_vec"))),
+            / (F.col("_nrm") * F.col("_snrm")),
             assign_round,
         ).alias("_cos"),
     )
@@ -1133,8 +1167,10 @@ def incremental_near_dedup(
     batch-internal near-dups (lower-id survivor, same banded join +
     exact hamming verify as :func:`simhash_near_dup_pairs`), then drop
     batch docs within ``max_hamming`` of any STORED signature — the
-    store never re-fingerprints, and both joins block on 16-bit band
-    keys, so the shuffle carries (id, 8-byte signature) pairs, never
+    store never re-fingerprints, and both joins block on band keys
+    partitioning the 60 informative fingerprint bits (see
+    :func:`_simhash_bands`), so the shuffle carries (id, 8-byte
+    signature) pairs, never
     document payloads. Bands are derived from the stored signature on
     the fly (a projection), so the store schema stays minimal.
 
@@ -1154,29 +1190,9 @@ def incremental_near_dedup(
             f"guarantee for bands={bands}: require max_hamming <= bands-1"
         )
     fps = simhash(new_docs, id_col=id_col, text_col=text_col)
-    band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
 
     def banded(df: DataFrame, id_name: str, fp_name: str) -> DataFrame:
-        return df.select(
-            F.col(id_name),
-            F.col(fp_name),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright(F.col(fp_name), b * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(
-            F.col(id_name), F.col(fp_name), F.col("bk.band"), F.col("bk.key")
-        )
+        return _simhash_bands(df, id_name, bands, fp_col=fp_name)
 
     b = banded(fps, id_col, "simhash")
     # batch-internal: drop any id with a lower-id near-dup in the batch

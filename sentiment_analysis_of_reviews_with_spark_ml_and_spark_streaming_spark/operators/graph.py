@@ -37,9 +37,15 @@ def pagerank(
     """
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
+    # pin the node set: every iteration's rank rebuild references it,
+    # and unpinned it would re-run the full edge union + distinct
+    # shuffle per round (ranks is checkpointed, nodes was its lineage)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_nodes = nodes.count()
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     adj = e.join(out_deg, "src").repartition("src").persist()

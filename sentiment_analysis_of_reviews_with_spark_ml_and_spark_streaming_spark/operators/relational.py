@@ -65,9 +65,14 @@ def histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame:
     (Scalable_EDA_Final.py:140,146) — which collects bounds on the
     driver and leaves Catalyst — with min/max agg + floor-bucketing +
     hash aggregate. Top bucket is closed (max value included), matching
-    RDD.histogram semantics.
+    RDD.histogram semantics — including NULL handling: RDD.histogram
+    never sees NULLs (flatMap drops them), so they are filtered before
+    bucketing here too. Without the filter a NULL row produced a
+    spurious bucket=NULL output row — or, in the degenerate hi==lo
+    branch, was silently counted into bucket 0.
     """
     c = F.col(col).cast("double")
+    df = df.filter(c.isNotNull())
     bounds = df.agg(
         F.min(c).alias("lo"), F.max(c).alias("hi")
     )
@@ -141,13 +146,6 @@ def asof_join(
     )
     from pyspark.sql import Window
 
-    # right rows sort before left rows at equal ts → inclusive match
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_ts"), F.col("_is_left"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    unioned = lt.unionByName(rt)
     # Carry ONE struct keyed on the row's presence (ts is never null on
     # a right row), not per-column last(ignorenulls): per-column carry
     # would skip a matched row's genuinely-NULL value in favor of an
@@ -160,6 +158,16 @@ def asof_join(
             *[F.col(f"_r_{c}").alias(c) for c in value_cols],
         ),
     )
+    # right rows sort before left rows at equal ts → inclusive match;
+    # pack is the final tiebreak so two right rows sharing (key, ts)
+    # resolve to ONE deterministic winner (field-wise greatest struct)
+    # instead of whichever the shuffle ordered last.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_is_left"), pack)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = lt.unionByName(rt)
     filled = unioned.select(
         "*", F.last(pack, ignorenulls=True).over(w).alias("_m")
     )
@@ -184,7 +192,16 @@ def salted_join(
     For the case where one join key dominates (e.g. one user wrote 1%
     of all reviews). AQE's skew-join split usually handles this; this
     operator is the explicit fallback for deterministic plans.
+
+    Only ``inner`` and ``left`` (fact-preserving) joins are accepted:
+    the dim side is EXPLODED across all salts, so a right/full outer
+    join would emit every unmatched dim row ``salt_buckets`` times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "salted_join supports inner/left only: the exploded dim "
+            f"side would duplicate unmatched dim rows under {how!r}"
+        )
     salted_fact = fact.withColumn(
         "_salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
     )

@@ -45,7 +45,13 @@ def misra_gries_candidates(
     the single groupBy shuffles ≤ k × num_partitions rows total.
     Weights are MG lower bounds, NOT exact counts — follow with
     ``heavy_hitters`` for the exact-recount contract.
+
+    NULLs are excluded by contract (filtered explicitly, not left to
+    pandas' dropna default): a sketch keyed on NULL cannot survive the
+    groupBy merge deterministically, so callers needing the NULL mass
+    should count it separately with one ``count_if(col IS NULL)``.
     """
+    df = df.filter(F.col(col).isNotNull())
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
@@ -346,7 +352,13 @@ def bloom_probe(
     its bit positions are set. The bit set (<= num_bits rows) is
     broadcast; probes never shuffle except the final per-probe count
     (key domain = probes)."""
-    pb = probes.select(
+    # dedupe probe VALUES before exploding: a value probed twice would
+    # otherwise join 2×num_hashes bit rows and fail the == num_hashes
+    # membership test — a false negative, violating the bloom contract.
+    # (Deduping (value, bit) pairs instead would break the other way:
+    # two hash functions colliding on one bit is legal and must still
+    # count as num_hashes joined rows.)
+    pb = probes.select(value_col).distinct().select(
         F.col(value_col),
         F.explode(
             F.array(

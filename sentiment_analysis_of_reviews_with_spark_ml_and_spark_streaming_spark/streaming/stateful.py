@@ -213,25 +213,12 @@ def stream_near_dup_pairs(
             )
 
     fps = docs.select(id_col, text_col).mapInPandas(fingerprint, schema=fp_schema)
-    band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
-    banded = fps.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # shared banding: partitions the 60 INFORMATIVE fingerprint bits
+    # (the 60-bit token hash leaves bits 60-63 constant) — see
+    # operators/dedup._simhash_bands; identical keys to the batch twin.
+    from ..operators.dedup import _simhash_bands
+
+    banded = _simhash_bands(fps, id_col, bands)
 
     out_schema = (
         f"{id_col} long, matched_doc_id long, hamming int, band int"

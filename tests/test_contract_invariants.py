@@ -84,3 +84,19 @@ def test_observe_query_rerunnable_no_session_registration(spark):
     a = QUERIES["observe_scan_metrics"](spark, SF_DIR_CORRECTNESS).collect()
     b = QUERIES["observe_scan_metrics"](spark, SF_DIR_CORRECTNESS).collect()
     assert a == b and a[0]["n_rows"] > 0
+
+
+def test_salted_join_rejects_outer(spark):
+    """The dim side is exploded across all salts, so right/full joins
+    would duplicate unmatched dim rows salt_buckets times — rejected."""
+    import pytest
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        salted_join,
+    )
+
+    fact = spark.createDataFrame([(1, "f")], "k long, a string")
+    dim = spark.createDataFrame([(1, "d"), (2, "e")], "k long, b string")
+    with pytest.raises(ValueError, match="inner/left only"):
+        salted_join(fact, dim, "k", how="right")
+    got = salted_join(fact, dim, "k", salt_buckets=4).collect()
+    assert len(got) == 1

@@ -717,3 +717,35 @@ def test_prefix_filter_equals_uncapped_jaccard(spark):
     }
     assert got == want
     assert any(a == 1 and b == 7 for a, b, _ in got)  # exact dup found
+
+
+def test_empty_docs_never_pair(spark):
+    """Empty/whitespace-only docs yield ZERO shingles and drop out of
+    every pair generator — previously they all shared the single ''
+    shingle and paired mutually at jaccard 1.0 (an O(n_empty²) blowup
+    at corpus scale)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n"), (4, "real text here ok")],
+        "doc_id long, text string",
+    )
+    assert dedup.shingle(df).count() == 1  # only the real doc survives
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.1).count() == 0
+    assert dedup.prefix_filter_pairs(df).count() == 0
+
+
+def test_simhash_bands_partition_informative_bits(spark):
+    """Band slices must cover exactly the 60 informative bits (the
+    token hash is 60-bit, so bits 60-63 are constant zero): 4 bands ×
+    15 bits, and a hamming-1 pair still collides on ≥3 bands."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    fps = dedup.simhash(df)
+    b = dedup._simhash_bands(fps, "doc_id", 4)
+    rows = b.filter(F.col("doc_id") == 1).orderBy("band").collect()
+    assert [r["band"] for r in rows] == [0, 1, 2, 3]
+    assert all(0 <= r["key"] < (1 << 15) for r in rows)
+    # identical docs share every band key
+    other = {r["band"]: r["key"] for r in b.filter("doc_id = 2").collect()}
+    assert {r["band"]: r["key"] for r in rows} == other

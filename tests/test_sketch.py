@@ -225,3 +225,32 @@ def test_bloom_bit_count_bounded(spark):
     n_bits = bits.count()
     assert n_bits <= min(512, 100 * 5)
     assert n_bits > 100  # 500 draws over 512 slots: far more than 100 set
+
+
+def test_bloom_duplicate_probes_no_false_negative(spark):
+    """A value probed more than once must still test positive: the hit
+    count compares against num_hashes per VALUE, so duplicate probe
+    rows (2x the bit joins) previously flipped members to false."""
+    members = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    bits = sketch.bloom_build(members, "v", num_bits=1024, num_hashes=5)
+    probes = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("z",), ("z",)], "v string"
+    )
+    got = {
+        r["v"]: r["bloom_member"]
+        for r in sketch.bloom_probe(
+            bits, probes, "v", num_bits=1024, num_hashes=5
+        ).collect()
+    }
+    assert got["a"] is True  # was False before the dedup fix
+    assert len(got) == 2  # one verdict per distinct value
+
+
+def test_misra_gries_excludes_nulls_by_contract(spark):
+    """NULLs are filtered before sketching (documented contract) — a
+    mostly-NULL column must not crash or smuggle a NULL candidate."""
+    df = spark.createDataFrame(
+        [(None,)] * 40 + [("x",)] * 5 + [("y",)] * 2, "v string"
+    )
+    got = {r["v"] for r in sketch.misra_gries_candidates(df, "v", k=4).collect()}
+    assert None not in got and "x" in got
