@@ -1101,8 +1101,10 @@ def semdedup(
         F.col(id_col),
         F.col("_seed_id"),
         F.round(
-            _dot(F.col(vec_col), F.col("_seed_vec"))
-            / (F.col("_nrm") * F.col("_snrm")),
+            F.try_divide(
+                _dot(F.col(vec_col), F.col("_seed_vec")),
+                F.col("_nrm") * F.col("_snrm"),
+            ),
             assign_round,
         ).alias("_cos"),
     )
@@ -1131,7 +1133,10 @@ def semdedup(
         a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb")))
         .filter(
             F.round(
-                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                F.try_divide(
+                    _dot(F.col("_va"), F.col("_vb")),
+                    F.col("_na") * F.col("_nb"),
+                ),
                 sim_round,
             )
             >= threshold

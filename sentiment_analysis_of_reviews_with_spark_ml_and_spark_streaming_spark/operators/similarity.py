@@ -40,7 +40,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL when either vector has zero norm —
+    Spark 4's ANSI mode (on in this project's sessions) raises
+    DIVIDE_BY_ZERO on a plain double division, so one all-zero
+    embedding would otherwise abort the whole job. NULL ranks last
+    under the descending top-k windows and fails ``>= threshold``
+    filters, which is the right semantics for an undefined angle."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk_bruteforce(
@@ -108,7 +114,8 @@ def cosine_topk_pandas(
     sets this beats the per-pair ``zip_with`` expression path —
     measured ~same at 64-dim/10 queries, and the gap grows with both.
     Output matches ``cosine_topk_bruteforce`` (same rounding, same
-    tie-break).
+    tie-break) — except zero-norm vectors, where the expression path
+    yields NULL similarity (try_divide) and this path yields 0.0.
     """
     import numpy as np
     import pandas as pd
@@ -124,9 +131,15 @@ def cosine_topk_pandas(
             "sets — raise max_queries explicitly if the driver has the "
             "memory for it"
         )
+    if not q_rows:  # empty query set: empty result, same schema
+        return corpus.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, rank int, cosine_sim double",
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Qn = np.nan_to_num(Q / np.linalg.norm(Q, axis=1, keepdims=True))
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, Qn))
 
@@ -140,29 +153,43 @@ def cosine_topk_pandas(
 
     def score_partition(batches):
         ids, qn = bq.value
-        best_ids: list[np.ndarray] = []
-        best_sims: list[np.ndarray] = []
+        # Running per-query top-(k+1) buffers, folded per Arrow batch —
+        # NOT an accumulation of every (batch × n_q) block: buffering
+        # the whole partition's similarity matrix (the old code) costs
+        # 8·rows·n_q bytes and OOMs a 1M-row partition at 10k queries.
+        # k+1 so excluding a query's own corpus row still leaves k.
+        kk = k + 1
+        run_sims = None  # (≤kk, n_q)
+        run_ids = None
         for pdf in batches:
+            if not len(pdf):
+                continue
             C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Cn = np.nan_to_num(C / np.linalg.norm(C, axis=1, keepdims=True))
             S = Cn @ qn.T  # (batch, n_q)
-            best_ids.append(pdf[id_col].to_numpy(dtype=np.int64))
-            best_sims.append(S)
-        if not best_ids:
+            cid = np.broadcast_to(
+                pdf[id_col].to_numpy(dtype=np.int64)[:, None], S.shape
+            )
+            if run_sims is not None:
+                S = np.vstack([run_sims, S])
+                cid = np.vstack([run_ids, cid])
+            if S.shape[0] > kk:
+                # per-column order by (-sim, neighbor_id), keep kk rows
+                order = np.lexsort((cid, -S), axis=0)[:kk]
+                S = np.take_along_axis(S, order, axis=0)
+                cid = np.take_along_axis(cid, order, axis=0)
+            run_sims = np.ascontiguousarray(S)
+            run_ids = np.ascontiguousarray(cid)
+        if run_sims is None:
             return
-        cid = np.concatenate(best_ids)
-        sims = np.vstack(best_sims)  # (n_rows, n_q)
         rows = []
         for qi, qid in enumerate(ids):
-            col = sims[:, qi]
-            mask = cid != qid
-            c_idx = np.nonzero(mask)[0]
-            if not len(c_idx):
-                continue
-            # partition-local top-k (order by -sim, then neighbor id)
-            order = np.lexsort((cid[c_idx], -col[c_idx]))[:k]
+            col, nid = run_sims[:, qi], run_ids[:, qi]
+            c_idx = np.nonzero(nid != qid)[0]
+            order = np.lexsort((nid[c_idx], -col[c_idx]))[:k]
             for j in c_idx[order]:
-                rows.append((int(qid), int(cid[j]), float(col[j])))
+                rows.append((int(qid), int(nid[j]), float(col[j])))
         yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "_sim"])
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
@@ -356,6 +383,20 @@ def ann_hyperplane_deterministic(
     )
 
 
+def _pq_sub_dim(df: DataFrame, vec_col: str, m: int) -> int:
+    """dim // m with a divisibility guard: the trailing dim % m
+    dimensions would otherwise be SILENTLY dropped from codebook
+    training, codes and ADC distances (FAISS rejects d % M != 0 for
+    the same reason)."""
+    dim = _first_dim(df, vec_col)
+    if dim % m:
+        raise ValueError(
+            f"embedding dim {dim} is not divisible by m={m} subspaces; "
+            "pick m dividing the dim or pad the vectors"
+        )
+    return dim // m
+
+
 def _first_dim(df: DataFrame, vec_col: str) -> int:
     """Vector width from one row (bounded driver lookup)."""
     row = df.select(F.size(vec_col).alias("n")).limit(1).collect()
@@ -463,14 +504,26 @@ def ivf_topk(
         centroids, "centroid int, cvec array<double>"
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    # rank centroids per query, keep n_probe nearest
+    # rank centroids per query by EUCLIDEAN distance — the metric
+    # KMeans partitioned the corpus with. Ranking by dot product here
+    # (the old code) systematically probed high-norm centroids instead
+    # of near ones, returning wrong lists for any unnormalized corpus.
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("_qv"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
     qc = q.crossJoin(F.broadcast(cent_df)).select(
         "query_id",
         "_qv",
         "centroid",
-        _dot(F.col("_qv"), F.col("cvec")).alias("_cd"),
+        l2.alias("_cd"),
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_cd").desc(), F.col("centroid"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cd").asc(), F.col("centroid"))
     probes = qc.withColumn("_r", F.row_number().over(wq)).filter(
         F.col("_r") <= n_probe_centroids
     ).select("query_id", "_qv", "centroid")
@@ -684,8 +737,10 @@ def ivf_topk_deterministic(
         "_qid",
         "_nid",
         F.round(
-            _dot(F.col("_qe"), F.col("_ne"))
-            / (_norm(F.col("_qe")) * _norm(F.col("_ne"))),
+            F.try_divide(
+                _dot(F.col("_qe"), F.col("_ne")),
+                _norm(F.col("_qe")) * _norm(F.col("_ne")),
+            ),
             sim_round,
         ).alias("_sim"),
     )
@@ -887,8 +942,10 @@ def ivf_index_probe(
         "_qid",
         "_nid",
         F.round(
-            _dot(F.col("_qe"), F.col("_ne"))
-            / (_norm(F.col("_qe")) * _norm(F.col("_ne"))),
+            F.try_divide(
+                _dot(F.col("_qe"), F.col("_ne")),
+                _norm(F.col("_qe")) * _norm(F.col("_ne")),
+            ),
             sim_round,
         ).alias("_sim"),
     )
@@ -1040,7 +1097,7 @@ def pq_train(
     the k smallest ids' subvectors, every round's centroids and
     assignment distances round before use, ties break on code id.
     """
-    sub_dim = _first_dim(corpus, vec_col) // m
+    sub_dim = _pq_sub_dim(corpus, vec_col, m)
     sv = _subvectors(corpus, id_col, vec_col, m, sub_dim)
     wseed = Window.partitionBy("_s").orderBy(F.col(id_col))
     cent = (
@@ -1107,7 +1164,7 @@ def pq_encode(
     """Quantize every vector to its per-subspace nearest code →
     (id, _s, _code): the m-byte PQ code in long form. One broadcast
     equi-join on the subspace id — the corpus is scanned once."""
-    sub_dim = _first_dim(corpus, vec_col) // m
+    sub_dim = _pq_sub_dim(corpus, vec_col, m)
     sv = _subvectors(corpus, id_col, vec_col, m, sub_dim)
     d2 = F.aggregate(
         F.zip_with(F.col("_sv"), F.col("_ce"), lambda x, y: (x - y) * (x - y)),
@@ -1172,7 +1229,7 @@ def pq_topk_adc(
         corpus, books, m=m, id_col=id_col, vec_col=vec_col,
         dist_round=dist_round,
     )
-    sub_dim = _first_dim(corpus, vec_col) // m
+    sub_dim = _pq_sub_dim(corpus, vec_col, m)
     qsub = _subvectors(
         queries.select(F.col(id_col).alias("_qid"), vec_col),
         "_qid",
@@ -1218,8 +1275,10 @@ def pq_topk_adc(
         .join(nv, "_nid")
     )
     sim = F.round(
-        _dot(F.col("_qe"), F.col("_ne"))
-        / (_norm(F.col("_qe")) * _norm(F.col("_ne"))),
+        F.try_divide(
+            _dot(F.col("_qe"), F.col("_ne")),
+            _norm(F.col("_qe")) * _norm(F.col("_ne")),
+        ),
         sim_round,
     )
     wf = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), F.col("_nid"))

@@ -56,9 +56,24 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     either direction can't silently break every events consumer (the
     round-2 regression; see tests/test_events_vintage.py).
     """
+    try:
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:  # noqa: BLE001 - unset returns no default on Spark 4
+        prev = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events")
     ts_type = ev.schema["ts"].dataType
+    if not isinstance(ts_type, T.LongType):
+        # µs vintage: the legacy conf played no part in this read —
+        # restore it so ONE load_events call doesn't permanently change
+        # how every later parquet read in the session decodes
+        # TIMESTAMP(NANOS) columns (they should fail fast, not surface
+        # as surprise longs). The NANOS vintage must keep it set: the
+        # returned (lazy) frame reads through the conf at execution.
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     if isinstance(ts_type, T.LongType):
         ts_col = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
     elif isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
@@ -158,7 +173,12 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         return df, df.limit(0)
     # Spark refuses to filter on only the corrupt-record column of a
     # lazy CSV relation; caching materializes it first (documented
-    # limitation of columnNameOfCorruptRecord)
+    # limitation of columnNameOfCorruptRecord). The cached blocks are
+    # reclaimed by Spark's ContextCleaner once the returned frames are
+    # garbage-collected (and evicted LRU under memory pressure before
+    # that), so repeated ingests don't accumulate pinned storage;
+    # long-lived callers that keep references should unpersist via
+    # spark.catalog.clearCache() between batches.
     df = df.cache()
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())

@@ -416,6 +416,14 @@ class LakehouseStreamReader(DataSourceStreamReader):
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
             rec = tf._read_commit(self.root, v)
+            if rec.get("action") in _NOOP_ACTIONS:
+                # data-identical layout rewrites (OPTIMIZE/CLUSTER):
+                # skip transparently, exactly like Delta's
+                # dataChange=false handling — raising here would kill
+                # every running stream at the first maintenance
+                # compaction, and ignoreChanges would re-emit the whole
+                # rewritten table as duplicates.
+                continue
             if (rec.get("remove") or rec.get("dv")) and not self.ignore_changes:
                 raise ValueError(
                     f"commit {v} ({rec['action']}) removes or DV-deletes "

@@ -30,12 +30,18 @@ def running_user_stats(
     (state never expires here; production would use a TTL timeout).
     """
 
+    # thread key_col + its real type through the output schema — the
+    # old hardcoded "user_id long" silently mislabeled any other key
+    # column and crashed Arrow conversion for non-long keys (the v2
+    # twin running_user_stats_tws already did this correctly).
+    key_type = events.schema[key_col].dataType.simpleString()
+
     def update(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
+        (key_val,) = key
         if state.exists:
             cnt, total, mx = state.get
         else:
@@ -48,7 +54,7 @@ def running_user_stats(
         state.update((cnt, total, mx))
         yield pd.DataFrame(
             {
-                "user_id": [user_id],
+                key_col: [key_val],
                 "n_events": [cnt],
                 "total_value": [total],
                 "max_value": [mx],
@@ -57,7 +63,10 @@ def running_user_stats(
 
     return events.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_events long, total_value double, max_value double",
+        outputStructType=(
+            f"{key_col} {key_type}, n_events long, "
+            "total_value double, max_value double"
+        ),
         stateStructType="cnt long, total double, mx double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -749,3 +749,70 @@ def test_simhash_bands_partition_informative_bits(spark):
     # identical docs share every band key
     other = {r["band"]: r["key"] for r in b.filter("doc_id = 2").collect()}
     assert {r["band"]: r["key"] for r in rows} == other
+
+
+def test_cosine_zero_norm_is_null_not_error(spark):
+    """ANSI mode raises DIVIDE_BY_ZERO on double division: one all-zero
+    embedding must yield NULL similarity (ranked last / filtered out),
+    not abort the job."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = similarity.cosine_topk_bruteforce(corpus, queries, k=2).collect()
+    ids = [r["neighbor_id"] for r in got]
+    assert ids[0] == 3  # the real neighbor ranks first
+    # the zero vector either ranks last with NULL sim or is present
+    null_rows = [r for r in got if r["neighbor_id"] == 2]
+    assert all(r["cosine_sim"] is None for r in null_rows)
+
+
+def test_ivf_topk_probes_euclidean_nearest_centroids(spark):
+    """The probe step must rank centroids by the SAME metric KMeans
+    partitioned with (L2). A far high-norm centroid must not shadow
+    the query's true cell (the old dot-product ranking did exactly
+    that for unnormalized corpora)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(0, 1), rnd.uniform(0, 1)]) for i in range(40)]
+    rows += [(100 + i, [50.0 + rnd.uniform(0, 1), 50.0 + rnd.uniform(0, 1)])
+             for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1, rows[1][1])], "vec_id long, embedding array<double>"
+    )
+    got = similarity.ivf_topk(
+        corpus, queries, k=5, n_probe_centroids=1, n_centroids=2
+    ).collect()
+    assert got, "probe must hit the query's own cell"
+    # with dot-product ranking the probe went to the [50,50] cluster
+    assert all(r["neighbor_id"] < 100 for r in got)
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    """dim % m != 0 must raise (FAISS semantics), not silently drop
+    the trailing dimensions from training/codes/ADC."""
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(10)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(corpus, m=8)
+
+
+def test_cosine_topk_pandas_empty_queries(spark):
+    """Zero queries → empty frame with the output schema, not a numpy
+    AxisError on the driver."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    empty_q = corpus.filter("vec_id < 0")
+    out = similarity.cosine_topk_pandas(corpus, empty_q, k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank", "cosine_sim"}

@@ -619,3 +619,39 @@ def test_streaming_psi_equals_batch(spark, tmp_path):
         for r in psi_batch(batch, edges=edges, ref_shares=ref).collect()
     }
     assert got == want and set(want) == {"a", "b"} and want["a"] > 0
+
+
+def test_running_stats_custom_key_col(spark, tmp_path):
+    """running_user_stats must label its key column by key_col (and
+    carry its real type) — the old hardcoded 'user_id long' mislabeled
+    other keys and crashed Arrow on string keys."""
+    import pandas as pd  # noqa: F401
+
+    src = tmp_path / "src"
+    src.mkdir()
+    import json as _json
+
+    with open(src / "b.json", "w") as f:
+        for t, v in [("click", 1.0), ("click", 3.0), ("buy", 2.0)]:
+            f.write(_json.dumps({"event_type": t, "value": v}) + "\n")
+    stream = spark.readStream.schema("event_type string, value double").json(
+        str(src)
+    )
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    q = (
+        running_user_stats(stream, key_col="event_type", value_col="value")
+        .writeStream.format("memory")
+        .queryName("rs_key")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM rs_key").collect()
+    }
+    assert got == {"click": (2, 4.0), "buy": (1, 2.0)}

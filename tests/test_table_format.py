@@ -1765,3 +1765,38 @@ def test_batch_id_ledger_uses_checkpoint_suffix(spark, tmp_path):
     head = tf.latest_version(root)
     assert tf.append(_mk(spark, 900, 950), root, batch_id=12) == head
     assert tf.latest_version(root) == head
+
+
+def test_append_only_stream_skips_compaction(spark, tmp_path):
+    """A data-identical OPTIMIZE (compact/cluster) commit must pass
+    through an append-only lakehouse stream transparently — Delta's
+    dataChange=false semantics. Previously the stream raised on the
+    compact commit, and ignoreChanges would have re-emitted the whole
+    rewritten table as duplicates."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources.lakehouse_stream import (
+        register_lakehouse_source,
+    )
+
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 10).repartition(2), root, stat_cols=["k"])
+    register_lakehouse_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def _run():
+        q = (
+            spark.readStream.format("lakehouse").option("path", root).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    assert spark.read.parquet(out).count() == 10
+    tf.compact(spark, root, target_files=1)  # maintenance rewrite
+    tf.append(_mk(spark, 10, 12, seg="B"), root)
+    _run()  # must not raise, must emit ONLY the new append
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(12)), got
