@@ -103,17 +103,25 @@ def score_sentiment(
 
         lexicon = FULL_LEXICON
     lex = lexicon
+    # NULL text coalesces to '' so BOTH paths score it 0.0 — without
+    # this the map-literal path returned NULL (aggregate over a null
+    # token array) while the join path returned 0.0 (explode_outer +
+    # coalesce), and the lexicon SIZE silently flipped the semantics.
+    safe_text = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        F.lit(""),
+    )
     if len(lex) <= MAP_LITERAL_LEXICON_LIMIT:
         return df.select(
             F.col(id_col),
-            sentiment_compound(tokenize_ws(text_col), lex).alias("compound"),
+            sentiment_compound(tokenize_ws(safe_text), lex).alias("compound"),
         )
     spark = df.sparkSession
     lex_df = spark.createDataFrame(
         list(lex.items()), "word string, valence double"
     )
     with_tokens = df.select(
-        F.col(id_col), tokenize_ws(text_col).alias("tokens")
+        F.col(id_col), tokenize_ws(safe_text).alias("tokens")
     )
     return sentiment_score_lexicon_join(
         with_tokens, lex_df, id_col=id_col, tokens_col="tokens"
@@ -207,7 +215,10 @@ def vader_score(
         sorted(lex.items()), "word string, valence double"
     )
 
-    text = F.col(text_col)
+    # NULL text → '' so the doc still emits a (compound 0.0) row:
+    # posexplode of a null token array emits NOTHING and the doc would
+    # silently vanish from the output (and from inner joins on it).
+    text = F.coalesce(F.col(text_col), F.lit(""))
     n_ex = F.length(text) - F.length(F.regexp_replace(text, "!", ""))
     n_qm = F.length(text) - F.length(F.regexp_replace(text, "\\?", ""))
     emph = F.least(n_ex, F.lit(4)) * F.lit(EP_UNIT) + (

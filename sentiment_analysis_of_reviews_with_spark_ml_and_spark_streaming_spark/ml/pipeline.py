@@ -126,9 +126,26 @@ def inspect_weights(fitted: PipelineModel, top_n: int = 5) -> DataFrame:
     )
     if cv_model is None:
         raise ValueError("pipeline has no CountVectorizerModel stage")
-    coeffs = [float(w) for w in clf.coefficients.toArray()]
+    if hasattr(clf, "coefficients"):
+        coeffs = [float(w) for w in clf.coefficients.toArray()]
+    elif hasattr(clf, "theta"):
+        # NaiveBayes has no linear coefficients; per-term importance is
+        # the class-1 minus class-0 log-likelihood row of theta (same
+        # most-negative-first semantics: negative = class-0 evidence)
+        th = clf.theta.toArray()
+        coeffs = [float(th[1][j] - th[0][j]) for j in range(th.shape[1])]
+    else:
+        raise TypeError(
+            f"final stage {type(clf).__name__} exposes neither "
+            "coefficients nor theta — cannot derive term weights"
+        )
     vocab = list(cv_model.vocabulary)
     spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "no active SparkSession — inspect_weights must run inside "
+            "the session that fitted the pipeline"
+        )
     rows = list(zip(vocab, coeffs))
     df = spark.createDataFrame(rows, "word string, weight double")
     return df.orderBy(F.col("weight"), F.col("word")).limit(top_n)

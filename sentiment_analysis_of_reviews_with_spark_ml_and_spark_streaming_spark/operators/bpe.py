@@ -93,6 +93,12 @@ def learn_bpe_merges(
         _spaced(F.col("w")).alias("s"), "wcount"
     )
     merges: list[tuple] = []
+    # The previous iteration's cache is released only AFTER the current
+    # pair-count collect has materialized the new state from it —
+    # unpersisting before the derived state is ever computed (the old
+    # code) made every iteration replay the whole merge chain from the
+    # raw word table: O(n_merges²) recomputation.
+    cached_prev: DataFrame | None = None
     for step in range(1, n_merges + 1):
         state = state.persist()
         best_rows = (
@@ -101,6 +107,9 @@ def learn_bpe_merges(
             .limit(1)
             .collect()
         )
+        if cached_prev is not None:
+            cached_prev.unpersist()
+        cached_prev = state
         if not best_rows:
             break
         best = best_rows[0]
@@ -111,8 +120,9 @@ def learn_bpe_merges(
         for _ in range(replace_passes):
             s = F.replace(s, pat, rep)
         nxt = state.select(s.alias("s"), "wcount")
-        state.unpersist()
         state = nxt
+    if cached_prev is not None:
+        cached_prev.unpersist()
     return spark.createDataFrame(
         merges, "step int, a string, b string, merged string, pair_count long"
     )
@@ -131,6 +141,10 @@ def apply_bpe_merges(
     word_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
     def tokenize_word(w):
+        # strip the SEP delimiter from input words exactly like the
+        # training path (word_freq_table) — otherwise a word containing
+        # the delimiter tokenizes differently at train vs apply time
+        w = F.replace(w, F.lit(SEP), F.lit(""))
         s = F.concat(F.lit(SEP), F.array_join(F.split(w, ""), SEP), F.lit(SEP))
         for a, b in merges:
             for _ in range(replace_passes):

@@ -103,11 +103,15 @@ def web_text_clean(col: Column | str) -> Column:
     return squeeze_spaces(mask_pii(strip_urls(strip_html_tags(col))))
 
 
-def quarantine_bad_stars(df: DataFrame, col: str = "stars", hi: float = 5.0) -> DataFrame:
-    """Drop mis-parsed rows where stars > hi or non-numeric
-    (Scalable_EDA_Final.py:322,365; junk label 2017 at
-    Scalable_Project_ML_Model_Analysis.py:171)."""
+def quarantine_bad_stars(
+    df: DataFrame, col: str = "stars", hi: float = 5.0, lo: float = 1.0
+) -> DataFrame:
+    """Drop mis-parsed rows where stars fall outside [lo, hi] or are
+    non-numeric (Scalable_EDA_Final.py:322,365; junk label 2017 at
+    Scalable_Project_ML_Model_Analysis.py:171). ``lo`` defaults to the
+    Yelp 1-star floor; pass ``lo=0.0`` for scales with legitimate 0 or
+    half-star ratings."""
     # try_cast: ANSI mode (Spark 4 default) makes plain cast throw on
     # junk like 'abc' — exactly the rows this operator quarantines
     c = F.col(col).try_cast("double")
-    return df.filter(c.isNotNull() & (c <= hi) & (c >= 1.0))
+    return df.filter(c.isNotNull() & (c <= hi) & (c >= lo))

@@ -152,7 +152,16 @@ def upsert_into_partitioned(
     from pyspark.sql import Window, functions as F
 
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    existing = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    # NULL-safe membership: isin([None, ...]) evaluates to NULL for the
+    # stored null-partition rows, silently EXCLUDING them from
+    # `existing` — dynamic overwrite would then rewrite
+    # __HIVE_DEFAULT_PARTITION__ with only the update rows, deleting
+    # every pre-existing null-partition row the batch didn't supersede.
+    non_null = [t for t in touched if t is not None]
+    member = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(t is None for t in touched):
+        member = member | F.col(partition_col).isNull()
+    existing = spark.read.parquet(path).filter(member)
     tagged = existing.withColumn("_src", F.lit(0)).unionByName(
         updates.withColumn("_src", F.lit(1))
     )
@@ -374,8 +383,21 @@ def compact_small_files(
     tmp = path.rstrip("/") + "._compact_tmp"
     df = spark.read.parquet(path)
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    # sibling-rename swap, not rmtree-then-rename: a crash between
+    # rmtree(path) and rename(tmp, path) would leave the dataset GONE
+    # (surviving only under an undiscoverable tmp name). Renames are
+    # atomic per step, so the dataset path is never absent for longer
+    # than the instant between the two renames, and a crash leaves
+    # either the old or the new data under a discoverable name.
+    old = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: old data restored
+        raise
+    shutil.rmtree(old)
     out_files = [
         f
         for f in os.listdir(path)

@@ -128,8 +128,11 @@ def lang_marker_hits(text: Column, lang: str) -> Column:
 def lang_id(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax over per-language marker hits.
 
-    Returns (id_col, lang_guess, marker_hits). Ties and zero-hit docs
-    resolve to 'und'. Pure expression tree — one pass, no shuffle.
+    Returns (id_col, lang_guess, marker_hits). Zero-hit docs resolve to
+    'und'; ties among positive-hit languages resolve DETERMINISTICALLY
+    to the alphabetically last tied language (array_max compares the
+    (hits, lang) struct field-wise — the SQL oracle twin mirrors the
+    same rule). Pure expression tree — one pass, no shuffle.
     """
     scores = F.array(
         *[
@@ -173,11 +176,15 @@ def quality_score(
         (squeezed_len - (n_tokens - 1)).cast("double") / n_tokens,
     ).otherwise(0.0)
     # simple bounded score: long enough, low punct, some stopwords,
-    # word lengths in a natural band
+    # word lengths in a natural band. The stopword signal saturates at
+    # a 10% stopword share — natural English prose sits well above it,
+    # keyword-stuffed/gibberish text near zero. (It was computed but
+    # accidentally omitted from the score until r8.)
     length_ok = F.least(n_tokens.cast("double") / 20.0, F.lit(1.0))
     punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5.0)
     wordlen_ok = F.when((mean_len >= 2.0) & (mean_len <= 12.0), 1.0).otherwise(0.5)
-    quality = (length_ok + punct_ok + wordlen_ok) / 3.0
+    stop_ok = F.least(stop_ratio * 10.0, F.lit(1.0))
+    quality = (length_ok + punct_ok + wordlen_ok + stop_ok) / 4.0
     return df.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars_obs"),

@@ -3201,7 +3201,8 @@ SELECT doc_id, n_chars AS n_chars_obs, n_tokens,
        round((least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
               + greatest(0.0, 1.0 - punct_ratio * 5.0)
               + CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0
-                     THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+                     THEN 1.0 ELSE 0.5 END
+              + least(stopword_ratio * 10.0, 1.0)) / 4.0, 6) AS quality
 FROM derived
 """
 

@@ -307,3 +307,29 @@ def test_optimize_cluster_three_columns(spark, tmp_path):
         if a["stats"]["c"][0] is not None
     ]
     assert spans and sum(spans) / len(spans) < 15
+
+
+def test_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """An update batch touching the NULL partition must not delete the
+    pre-existing null-partition rows it didn't supersede: isin([None])
+    evaluates to NULL and previously excluded them from the rewrite."""
+    from pyspark.sql import Row
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.layout import (
+        upsert_into_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [Row(k=1, p="a", v=1), Row(k=2, p=None, v=1), Row(k=3, p=None, v=1)],
+        "k long, p string, v int",
+    )
+    base.write.partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [Row(k=2, p=None, v=2)], "k long, p string, v int"
+    )
+    upsert_into_partitioned(
+        spark, updates, path, key_cols=["k"], partition_col="p",
+        version_col="v",
+    )
+    got = {(r["k"], r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a", 1), (2, None, 2), (3, None, 1)}, got

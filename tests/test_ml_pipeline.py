@@ -170,3 +170,19 @@ def test_quality_weak_label_matches_integer_rule(spark):
     assert got[2] == 0.0  # under the 40-token floor
     assert got[3] == 1.0
     assert got[4] == 0.0
+
+
+def test_inspect_weights_naive_bayes(spark):
+    """NaiveBayes has no .coefficients; inspect_weights must derive
+    term importance from theta instead of raising AttributeError."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.pipeline import (
+        inspect_weights,
+        train_and_evaluate,
+    )
+
+    rows = [("terrible awful bad", 0), ("great good wonderful", 1)] * 12
+    df = spark.createDataFrame(rows, "text string, label int")
+    fitted, _f1 = train_and_evaluate(df, "nb")
+    out = inspect_weights(fitted, top_n=3).collect()
+    assert len(out) == 3
+    assert all(isinstance(r["weight"], float) for r in out)

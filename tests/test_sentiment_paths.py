@@ -66,3 +66,26 @@ def test_vader_formula(spark, docs):
     df = spark.createDataFrame([(1, "great")], "doc_id long, text string")
     out = score_sentiment(df).collect()[0]["compound"]
     assert math.isclose(out, 3.1 / math.sqrt(3.1**2 + 15), rel_tol=1e-9)
+
+
+def test_null_text_scores_zero_not_dropped(spark):
+    """NULL text must neither vanish from vader_score's output
+    (posexplode of a null array emits no rows) nor flip between NULL
+    and 0.0 across score_sentiment's two lexicon paths."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.functions.text import (
+        score_sentiment,
+        vader_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good great"), (2, None)], "doc_id long, text string"
+    )
+    v = {r["doc_id"]: r["compound"] for r in vader_score(df).collect()}
+    assert set(v) == {1, 2}, "null-text doc must not vanish"
+    assert v[2] == 0.0
+    small = {"good": 1.9, "great": 3.1}
+    s_map = {r["doc_id"]: r["compound"]
+             for r in score_sentiment(df, small).collect()}
+    s_join = {r["doc_id"]: r["compound"]
+              for r in score_sentiment(df).collect()}
+    assert s_map[2] == 0.0 and s_join[2] == 0.0
