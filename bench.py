@@ -318,7 +318,12 @@ def _progress_metrics(query, settle_seconds: float) -> dict:
     _t.sleep(settle_seconds)
     progress = [p for p in query.recentProgress if p is not None]
     query.stop()
-    query.awaitTermination(30)
+    try:
+        query.awaitTermination(30)
+    except Exception as exc:  # noqa: BLE001 - a dead stream is ONE leg's
+        # error, not a reason to discard the other legs' metrics
+        return {"err": f"{type(exc).__name__}: {exc}"[:200],
+                "rows_per_sec": 0.0, "n_triggers": 0}
     rows = [p for p in progress[1:] if p["numInputRows"] > 0]
     if not rows:
         return {"rows_per_sec": 0.0, "trigger_ms_avg": 0.0, "n_triggers": 0}
@@ -477,10 +482,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
         t0 = time.perf_counter()
         try:
-            rows = fn(spark, sf_dir).collect()
+            # the registry lookup lives INSIDE the try: a renamed key
+            # must cost one error entry, not the entire artifact
+            rows = QUERIES[name](spark, sf_dir).collect()
             assert rows is not None
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 - record and keep going

@@ -37,6 +37,19 @@ def per_group_pca(
     """
 
     def pca(pdf: pd.DataFrame) -> pd.DataFrame:
+        # a NULL group key arrives as NaN (int() would throw and abort
+        # the whole job) and NULL vectors break np.stack — drop both,
+        # mirroring SQL aggregate semantics for NULL groups/inputs
+        pdf = pdf[pdf[group_col].notna() & pdf[vec_col].notna()]
+        if not len(pdf):
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "n_vectors": pd.Series([], dtype="int64"),
+                    "explained_var_ratio": pd.Series([], dtype="float64"),
+                    "top_component": pd.Series([], dtype="object"),
+                }
+            )
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         Xc = X - X.mean(axis=0, keepdims=True)
         # economy SVD: components = rows of Vt

@@ -47,6 +47,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph: empty ranks, not ZeroDivisionError
+        return nodes.select(
+            F.col("node"), F.lit(0.0).alias("rank")
+        )
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     adj = e.join(out_deg, "src").repartition("src").persist()
     adj.count()  # materialize once; every iteration reuses this layout
@@ -95,6 +99,9 @@ def triangle_count(
     global_clustering) with clustering = 3·triangles / wedges,
     wedges = Σ deg·(deg−1)/2 (integer-exact).
     """
+    # pin the two shared frames once: und feeds deg / keyed / n_edges
+    # and deg feeds du / dv / stats — unpinned, the distinct-edge
+    # shuffle and the degree agg would re-execute per consumer
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -102,12 +109,14 @@ def triangle_count(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("_du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("_dv"))

@@ -48,7 +48,6 @@ def top_k_per_group(
     """Per-group top-k via row_number window (single shuffle on the
     group keys). Order columns must produce a total order for
     determinism (tie-break on a unique key)."""
-    from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (
@@ -90,7 +89,21 @@ def histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame:
         .cast("int")
         .alias("bucket")
     )
-    return bucketed.groupBy("bucket").agg(F.count("*").alias("count")).orderBy("bucket")
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("count"))
+    # emit EVERY bucket, zero-filled — RDD.histogram returns one count
+    # per bin; omitting empty bins (the old behavior) broke positional
+    # consumers and misread gap-heavy distributions
+    all_buckets = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("bucket")
+    )
+    return (
+        all_buckets.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("count"),
+        )
+        .orderBy("bucket")
+    )
 
 
 def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -136,7 +149,11 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
         F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
     )
-    rt = right.select(
+    # NULL-ts right rows can never satisfy right.ts <= left.ts (ASOF
+    # semantics; DuckDB agrees) — unfiltered they sort nulls-first and
+    # become a spurious fallback match for left rows preceding every
+    # real right row.
+    rt = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(ts_col).alias("_ts"),
         F.lit(0).alias("_is_left"),
@@ -144,7 +161,6 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         F.col(ts_col).alias("_r_ts"),
     )
-    from pyspark.sql import Window
 
     # Carry ONE struct keyed on the row's presence (ts is never null on
     # a right row), not per-column last(ignorenulls): per-column carry
@@ -261,12 +277,14 @@ def mergeable_rollup(df, keys: list[str], value_col: str):
     access to base data — which is what makes incremental materialized-
     view maintenance possible: aggregate each new partition/batch once,
     then fold it into the stored rollup with :func:`merge_rollups`.
-    Derived stats (avg, variance) come from the state at read time.
+    Derived stats (avg, variance) come from the state at read time —
+    from the NON-NULL count ``nn`` (SQL AVG/VAR semantics), not the row
+    count ``n``: with NULL values present, sum/row-count would
+    understate the mean and inflate the variance.
     Decimal sums keep the merge bit-exact regardless of merge order."""
-    from pyspark.sql import functions as F
-
     return df.groupBy(*keys).agg(
         F.count("*").alias("n"),
+        F.count(value_col).alias("nn"),
         F.sum(F.col(value_col).cast("decimal(28,6)")).alias("sum_v"),
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
@@ -284,11 +302,10 @@ def merge_rollups(base, delta, keys: list[str]):
     max/sum-of-squares), so ``merge(rollup(A), rollup(B)) ==
     rollup(A ∪ B)`` exactly — asserted by the recompute-equivalence
     test. Decimal sums make the equality independent of merge order."""
-    from pyspark.sql import functions as F
-
     both = base.unionByName(delta)
     return both.groupBy(*keys).agg(
         F.sum("n").alias("n"),
+        F.sum("nn").alias("nn"),
         F.sum("sum_v").alias("sum_v"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
@@ -298,17 +315,18 @@ def merge_rollups(base, delta, keys: list[str]):
 
 def rollup_stats(rollup):
     """Read-time derived statistics from mergeable state: avg and
-    population variance via sum/sum_sq/n (decimal → double at the
-    end, one deterministic division)."""
-    from pyspark.sql import functions as F
-
-    n = F.col("n").cast("double")
+    population variance via sum/sum_sq over the NON-NULL count
+    (SQL AVG/VAR_POP semantics; decimal → double at the end, one
+    deterministic division). try_divide: an all-NULL group yields NULL
+    stats, exactly as SQL AVG would, instead of an ANSI error."""
+    nn = F.col("nn").cast("double")
     s = F.col("sum_v").cast("double")
     sq = F.col("sum_sq").cast("double")
+    mean = F.try_divide(s, nn)
     return rollup.withColumns(
         {
-            "avg_v": F.round(s / n, 6),
-            "var_v": F.round(sq / n - (s / n) * (s / n), 6),
+            "avg_v": F.round(mean, 6),
+            "var_v": F.round(F.try_divide(sq, nn) - mean * mean, 6),
         }
     )
 
@@ -335,7 +353,6 @@ def weighted_sample_per_group(
     is a single shuffle on the group key, versus the driver-side
     reservoir loop it replaces. Zero-weight rows are excluded (their
     E-S key is -inf)."""
-    from pyspark.sql import Window
 
     from .textstats import md5_prefix_long
 

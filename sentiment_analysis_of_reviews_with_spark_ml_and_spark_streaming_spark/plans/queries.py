@@ -458,12 +458,18 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_HISTOGRAM_TOTALPRICE = """
-WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
-SELECT CAST(CASE WHEN hi = lo THEN 0
-            ELSE least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9)
-            END AS INT) AS bucket,
-       count(*) AS count
-FROM orders, b GROUP BY 1 ORDER BY 1
+WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+c AS (
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9)
+              END AS INT) AS bucket,
+         count(*) AS count
+  FROM orders, b GROUP BY 1
+)
+SELECT g.bucket, CAST(coalesce(c.count, 0) AS BIGINT) AS count
+FROM (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bucket) g
+LEFT JOIN c ON g.bucket = c.bucket
+ORDER BY g.bucket
 """
 
 

@@ -100,3 +100,75 @@ def test_salted_join_rejects_outer(spark):
         salted_join(fact, dim, "k", how="right")
     got = salted_join(fact, dim, "k", salt_buckets=4).collect()
     assert len(got) == 1
+
+
+def test_histogram_zero_fills_empty_buckets(spark):
+    """RDD.histogram parity: one count per bin, gaps zero-filled."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (0.1,), (9.9,), (10.0,), (None,)], "v double"
+    )
+    got = [(r["bucket"], r["count"]) for r in histogram(df, "v", 10).collect()]
+    assert got == [(0, 2)] + [(b, 0) for b in range(1, 9)] + [(9, 2)], got
+
+
+def test_asof_join_ignores_null_ts_right_rows(spark):
+    """A right row with NULL ts must never match (ASOF semantics)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([(1, 1, "L")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, None, 9.0), (1, 5, 7.0)], "k long, ts long, value double"
+    )
+    out = asof_join(left, right, on="k", ts_col="ts", value_cols=["value"]).collect()
+    assert len(out) == 1
+    assert out[0]["right_value"] is None and out[0]["matched_ts"] is None
+
+
+def test_rollup_stats_null_values_match_sql_avg(spark):
+    """avg/var derive from the NON-NULL count: a (10.0, NULL) group
+    must report avg 10.0 / var 0.0 like SQL AVG/VAR_POP, not 5.0/25.0."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        mergeable_rollup,
+        rollup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, None), (2, None)], "g long, v double"
+    )
+    got = {
+        r["g"]: (r["n"], r["avg_v"], r["var_v"])
+        for r in rollup_stats(mergeable_rollup(df, ["g"], "v")).collect()
+    }
+    assert got[1] == (2, 10.0, 0.0)
+    assert got[2][0] == 1 and got[2][1] is None  # all-NULL group: NULL stats
+
+
+def test_pagerank_empty_graph(spark):
+    """Empty edge list returns an empty frame, not ZeroDivisionError."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.graph import (
+        pagerank,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+
+
+def test_per_group_pca_skips_null_groups(spark):
+    """NULL group keys / NULL vectors are dropped, not a job-aborting
+    ValueError inside applyInPandas."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.embeddings_stats import (
+        per_group_pca,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [2.0, 1.0]), (None, [3.0, 3.0]), (1, None)],
+        "label long, embedding array<double>",
+    )
+    got = {r["label"] for r in per_group_pca(df).collect()}
+    assert got == {0}
