@@ -98,3 +98,102 @@ def reconstruction_rmse(model, ratings: DataFrame) -> float:
     return RegressionEvaluator(
         metricName="rmse", labelCol="rating", predictionCol="prediction"
     ).evaluate(pred)
+
+
+def build_ratings_portable(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Engine-portable (user, item, rating) triples: identical join +
+    count as :func:`build_ratings`, but the rating stays DOUBLE and
+    rounds to 6 decimals — ``ln`` is not correctly rounded in either
+    engine's libm, and the float32 cast the ml path uses has no DuckDB
+    twin, so the portable variant pins the value both engines agree
+    on bit-for-bit after rounding."""
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("user"),
+            F.col("l_partkey").cast("long").alias("item"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user",
+            "item",
+            F.round(F.log(F.lit(1.0) + F.col("n")), 6).alias("rating"),
+        )
+    )
+
+
+def als_rank1_fixed(
+    ratings: DataFrame, *, iterations: int = 2, factor_round: int = 9
+) -> DataFrame:
+    """Fixed-iteration rank-1 ALS, DataFrame-native and
+    oracle-reproducible → ('user'|'item', id, factor).
+
+    The deterministic certificate twin of the seeded ml.ALS flagship
+    (the same promotion kmeans_fixed gave ml.KMeans): at rank 1 each
+    alternating half-step has the CLOSED FORM
+    ``u_i = Σ_j r_ij·v_j / Σ_j v_j²`` over the user's observed items
+    (and symmetrically for items), so a fixed iteration count turns the
+    factorization into a finite declarative plan a SQL oracle replays
+    as unrolled CTEs. Determinism across engines: item factors
+    initialize to 1.0 (no RNG); every numerator/denominator sum passes
+    through DECIMAL(28,12) (partial-aggregation-order independent);
+    each half-step's factors round to ``factor_round`` before the next
+    step consumes them. All factors stay strictly positive (ratings are
+    ln(1+n) > 0 and v₀ = 1), so the divides can never hit zero.
+
+    Scale shape per half-step: ONE equi-join of the ratings triples
+    against the bounded factor side + one map-side-combined groupBy —
+    exactly the data motion of a blocked ALS sweep at rank 1. Nothing
+    driver-side except the loop counter.
+    """
+    dec = "decimal(28,12)"
+    v = ratings.select("item").distinct().select(
+        "item", F.lit(1.0).alias("f")
+    )
+    u = None
+    for _ in range(iterations):
+        u = (
+            ratings.join(v, "item")
+            .groupBy("user")
+            .agg(
+                F.round(
+                    F.sum((F.col("rating") * F.col("f")).cast(dec)).cast(
+                        "double"
+                    )
+                    / F.sum((F.col("f") * F.col("f")).cast(dec)).cast(
+                        "double"
+                    ),
+                    factor_round,
+                ).alias("f")
+            )
+        )
+        v = (
+            ratings.join(u, "user")
+            .groupBy("item")
+            .agg(
+                F.round(
+                    F.sum((F.col("rating") * F.col("f")).cast(dec)).cast(
+                        "double"
+                    )
+                    / F.sum((F.col("f") * F.col("f")).cast(dec)).cast(
+                        "double"
+                    ),
+                    factor_round,
+                ).alias("f")
+            )
+        )
+    return u.select(
+        F.lit("user").alias("role"),
+        F.col("user").alias("id"),
+        F.round("f", 6).alias("factor"),
+    ).unionByName(
+        v.select(
+            F.lit("item").alias("role"),
+            F.col("item").alias("id"),
+            F.round("f", 6).alias("factor"),
+        )
+    )

@@ -730,6 +730,17 @@ def _simhash_bands(
     generators and the incremental path (a banding fix must not be
     applied in four places)."""
     total = SIMHASH_INFORMATIVE_BITS
+    if bands < 1 or bands > total:
+        # bands > informative bits produces zero-width slices
+        # (cuts[b+1] == cuts[b]) whose key is constantly 0 — that band
+        # would equi-join the ENTIRE corpus against itself. Callers
+        # only validated max_hamming <= bands-1, which doesn't catch it.
+        raise ValueError(
+            f"bands must be in [1, {total}] (the fingerprint's "
+            f"informative bit count); got {bands} — any band count "
+            "above the bit width yields zero-width all-zero band keys "
+            "that cross-join the whole corpus"
+        )
     cuts = [b * total // bands for b in range(bands + 1)]
     return fps.select(
         id_col,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
 def join_dim(
@@ -69,6 +70,13 @@ def histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame:
     bucketing here too. Without the filter a NULL row produced a
     spurious bucket=NULL output row — or, in the degenerate hi==lo
     branch, was silently counted into bucket 0.
+
+    Empty-input contract (deliberate deviation): an empty or all-NULL
+    input returns ``buckets`` zero-count rows, NOT an empty frame —
+    the bounds agg always yields one row, and zero-filling every bin is
+    what positional consumers (and the SQL oracle twin) rely on.
+    ``RDD.histogram`` instead RAISES on empty input; callers that need
+    that behavior must pre-check emptiness themselves.
     """
     c = F.col(col).cast("double")
     df = df.filter(c.isNotNull())
@@ -175,12 +183,28 @@ def asof_join(
         ),
     )
     # right rows sort before left rows at equal ts → inclusive match;
-    # pack is the final tiebreak so two right rows sharing (key, ts)
-    # resolve to ONE deterministic winner (field-wise greatest struct)
-    # instead of whichever the shuffle ordered last.
+    # the tiebreak struct makes two right rows sharing (key, ts)
+    # resolve to ONE deterministic winner (field-wise greatest)
+    # instead of whichever the shuffle ordered last. It mirrors pack
+    # but swaps every non-orderable value column (MapType — maps have
+    # no ordering in Spark and would fail analysis in an ORDER BY) for
+    # its canonical sorted-entries array, which IS orderable and
+    # identifies the map's content exactly.
+    def _orderable(c: str):
+        if isinstance(right.schema[c].dataType, MapType):
+            return F.array_sort(F.map_entries(F.col(f"_r_{c}"))).alias(c)
+        return F.col(f"_r_{c}").alias(c)
+
+    tiebreak = F.when(
+        F.col("_is_left") == 0,
+        F.struct(
+            F.col("_r_ts").alias("_ts"),
+            *[_orderable(c) for c in value_cols],
+        ),
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts"), F.col("_is_left"), pack)
+        .orderBy(F.col("_ts"), F.col("_is_left"), tiebreak)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = lt.unionByName(rt)

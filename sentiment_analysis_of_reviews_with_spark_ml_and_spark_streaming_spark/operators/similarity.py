@@ -113,9 +113,13 @@ def cosine_topk_pandas(
     ≤ k·partitions rows per query. For wide embeddings / large query
     sets this beats the per-pair ``zip_with`` expression path —
     measured ~same at 64-dim/10 queries, and the gap grows with both.
-    Output matches ``cosine_topk_bruteforce`` (same rounding, same
-    tie-break) — except zero-norm vectors, where the expression path
-    yields NULL similarity (try_divide) and this path yields 0.0.
+    Output matches ``cosine_topk_bruteforce`` exactly, INCLUDING
+    zero-norm vectors: any pair touching a zero-norm vector scores
+    -inf inside the partition-local buffers (so it can never rank
+    ahead of a real — even negative — similarity) and surfaces as NULL
+    in the result, which sorts last under the descending final window —
+    the same undefined-angle semantics the expression path gets from
+    ``try_divide``.
     """
     import numpy as np
     import pandas as pd
@@ -138,10 +142,16 @@ def cosine_topk_pandas(
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(Q, axis=1, keepdims=True)
     with np.errstate(invalid="ignore", divide="ignore"):
-        Qn = np.nan_to_num(Q / np.linalg.norm(Q, axis=1, keepdims=True))
+        Qn = np.nan_to_num(Q / q_norm)
+    # columns of zero-norm queries are masked to -inf in every
+    # similarity block: the angle is undefined, so every candidate of
+    # such a query ranks as NULL (tie-broken on neighbor id), matching
+    # the expression path's try_divide NULLs.
+    q_zero = (q_norm.ravel() == 0.0)
     sc = corpus.sparkSession.sparkContext
-    bq = sc.broadcast((q_ids, Qn))
+    bq = sc.broadcast((q_ids, Qn, q_zero))
 
     out_schema = T.StructType(
         [
@@ -152,7 +162,7 @@ def cosine_topk_pandas(
     )
 
     def score_partition(batches):
-        ids, qn = bq.value
+        ids, qn, qz = bq.value
         # Running per-query top-(k+1) buffers, folded per Arrow batch —
         # NOT an accumulation of every (batch × n_q) block: buffering
         # the whole partition's similarity matrix (the old code) costs
@@ -165,9 +175,15 @@ def cosine_topk_pandas(
             if not len(pdf):
                 continue
             C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_norm = np.linalg.norm(C, axis=1, keepdims=True)
             with np.errstate(invalid="ignore", divide="ignore"):
-                Cn = np.nan_to_num(C / np.linalg.norm(C, axis=1, keepdims=True))
+                Cn = np.nan_to_num(C / c_norm)
             S = Cn @ qn.T  # (batch, n_q)
+            # undefined angles (either side zero-norm) → -inf: can
+            # never outrank a real similarity, surfaces as NULL below.
+            S[c_norm.ravel() == 0.0, :] = -np.inf
+            if qz.any():
+                S[:, qz] = -np.inf
             cid = np.broadcast_to(
                 pdf[id_col].to_numpy(dtype=np.int64)[:, None], S.shape
             )
@@ -189,8 +205,17 @@ def cosine_topk_pandas(
             c_idx = np.nonzero(nid != qid)[0]
             order = np.lexsort((nid[c_idx], -col[c_idx]))[:k]
             for j in c_idx[order]:
-                rows.append((int(qid), int(nid[j]), float(col[j])))
-        yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "_sim"])
+                s = float(col[j])
+                # -inf marks an undefined angle → emit NULL (object
+                # column: pandas NaN would cross Arrow as NaN, which
+                # Spark sorts FIRST under desc — None crosses as null,
+                # which sorts last, matching try_divide).
+                rows.append(
+                    (int(qid), int(nid[j]), None if s == -np.inf else s)
+                )
+        out = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "_sim"])
+        out["_sim"] = out["_sim"].astype(object)
+        yield out
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         score_partition, schema=out_schema

@@ -949,7 +949,15 @@ _CMP_RE = r"(<=|>=|=|<|>)"
 def _pred_literal(tok: str):
     tok = tok.strip()
     if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
-        return tok[1:-1]
+        inner = tok[1:-1]
+        # Escaped quotes ('' / \' / \") change the literal's VALUE; a
+        # naive strip would compare the wrong string against file
+        # min/max stats and could unsoundly prune a matching file.
+        # Pruning is an optimization — returning None (no bound) is
+        # always sound, so bail instead of attempting unescape.
+        if "'" in inner or '"' in inner or "\\" in inner:
+            return None
+        return inner
     try:
         return int(tok)
     except ValueError:
@@ -964,7 +972,14 @@ def _mask_strings(predicate: str) -> tuple[str, list[str]]:
     (``\\x00<i>\\x00``) so the bound-extraction regexes can never match
     comparator text INSIDE a string (e.g. ``note = 'id > 100'`` must
     not tighten ``id``'s bounds). Returns the masked predicate and the
-    literal table; ``_pred_literal`` resolves placeholders back."""
+    literal table; ``_pred_literal`` resolves placeholders back.
+
+    SQL-escaped quotes are consumed as part of ONE literal: ``''`` /
+    ``\\'`` inside single quotes (and ``\"\"`` / ``\\\"`` inside double
+    quotes) no longer terminate the match, so ``note = 'it''s'`` masks
+    as a single placeholder instead of two literals with live predicate
+    text between them — which previously let comparator text inside the
+    "gap" derive unsound stats-pruning bounds."""
     import re
 
     lits: list[str] = []
@@ -973,7 +988,14 @@ def _mask_strings(predicate: str) -> tuple[str, list[str]]:
         lits.append(m.group(0))
         return f"\x00{len(lits) - 1}\x00"
 
-    return re.sub(r"'[^']*'|\"[^\"]*\"", repl, predicate), lits
+    return (
+        re.sub(
+            r"'(?:[^'\\]|''|\\.)*'|\"(?:[^\"\\]|\"\"|\\.)*\"",
+            repl,
+            predicate,
+        ),
+        lits,
+    )
 
 
 # quoted literals are masked to \x00<i>\x00 before regex scanning

@@ -7118,6 +7118,222 @@ FROM (
 SQL_SIMILARITY_IVF_KMEANS = _ivf_kmeans_oracle_sql(4, 3, 2, 5)
 
 
+def q_similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PQ code assignments (r9) — the certificate twin
+    the r8 verdict asked for: `similarity_pq_adc` (the production
+    FAISS-PQ flagship) is rows-only by the seeded-iterative contract,
+    so this query exposes the SAME pq_train → pq_encode path
+    (operators/similarity.py) with the deterministic recipe kmeans
+    certification uses — seeds are the k smallest ids' subvectors,
+    centroids round to 9 and distances to 6 each Lloyd round, ties
+    break on code id — and the DuckDB twin replays codebook training
+    AND encoding exactly: every vector's m-byte PQ code is value-hash
+    checked. m=4 subspaces × k=4 codes × 2 iterations over the 64-dim
+    embeddings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=4, k_codes=4, iterations=2)
+    codes = similarity.pq_encode(emb, books, m=4)
+    return codes.select(
+        "vec_id",
+        F.col("_s").cast("int").alias("subspace"),
+        F.col("_code").cast("int").alias("code"),
+    )
+
+
+def _pq_cte_parts(
+    m: int = 4,
+    sub_dim: int = 16,
+    k_codes: int = 4,
+    iterations: int = 2,
+) -> tuple[list[str], str, str]:
+    """Unrolled per-subspace Lloyd rounds — the PQ generalization of
+    _kmeans_cte_parts: one extra `s` (subspace) key threads every CTE,
+    mirroring pq_train's single-plan-all-subspaces shape. Returns
+    (cte_parts, final_assign_cte, final_centroid_cte) so the ADC
+    oracle can reuse the codebook chain."""
+    d2 = (
+        "round(list_sum(list_transform(generate_series(1, len(sv.svec)),"
+        " j -> (sv.svec[j] - c.ce[j]) * (sv.svec[j] - c.ce[j]))), 6)"
+    )
+
+    def assign(i: int, prev: str) -> str:
+        return f"""a{i} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT sv.vec_id, sv.s, c.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.s
+             ORDER BY {d2} ASC, c.code ASC) AS rn
+    FROM sv JOIN {prev} c USING (s)
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""sv AS (
+  SELECT v.vec_id, sub.s,
+         v.e[sub.s * {sub_dim} + 1 : sub.s * {sub_dim} + {sub_dim}] AS svec
+  FROM v CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS s) sub
+)""",
+        f"""c0 AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+         list_transform(svec, x -> round(x, 9)) AS ce
+  FROM sv
+  QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= {k_codes}
+)""",
+        """u AS (
+  SELECT vec_id, s, j, svec[j] AS val
+  FROM (SELECT vec_id, s, svec,
+               unnest(generate_series(1, len(svec))) AS j FROM sv)
+)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(assign(i, f"c{i-1}"))
+        parts.append(
+            f"""m{i} AS (
+  SELECT a.s, a.code, u.j, round(avg(u.val), 9) AS mv
+  FROM a{i} a JOIN u ON u.vec_id = a.vec_id AND u.s = a.s
+  GROUP BY 1, 2, 3
+)"""
+        )
+        parts.append(
+            f"""n{i} AS (SELECT s, code, list(mv ORDER BY j) AS ce FROM m{i} GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT c.s, c.code, coalesce(n.ce, c.ce) AS ce
+  FROM c{i-1} c LEFT JOIN n{i} n USING (s, code)
+)"""
+        )
+    parts.append(assign(iterations + 1, f"c{iterations}"))
+    return parts, f"a{iterations + 1}", f"c{iterations}"
+
+
+def _pq_codes_oracle_sql() -> str:
+    parts, final_assign, _ = _pq_cte_parts()
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, CAST(s AS INT) AS subspace, CAST(code AS INT) AS code
+FROM {final_assign}"""
+    )
+
+
+SQL_SIMILARITY_PQ_CODES = _pq_codes_oracle_sql()
+
+
+def q_similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k via Asymmetric Distance Computation over the
+    deterministic codebooks (r9) — certifies the ADC half of the
+    `similarity_pq_adc` flagship: the query's per-subspace distance
+    TABLE to all m×k centroids, the (subspace, code) lookup equi-join
+    against the stored codes, and the m-term distance sum are ALL
+    replayed by the DuckDB twin (same codebook chain as
+    similarity_pq_codes, so one green certifies train+encode+ADC
+    end-to-end). At 100 TB the scan touches m-byte codes, not d-float
+    vectors; the lookup join is an equi-join on bounded (s, code)
+    keys."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk_adc(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        m=4,
+        k_codes=4,
+        iterations=2,
+        k=5,
+        refine=0,
+    )
+
+
+def _pq_adc_oracle_sql(k: int = 5) -> str:
+    parts, final_assign, final_cent = _pq_cte_parts()
+    pd2 = (
+        "round(list_sum(list_transform(generate_series(1, len(q.qsv)),"
+        " j -> (q.qsv[j] - c.ce[j]) * (q.qsv[j] - c.ce[j]))), 6)"
+    )
+    parts += [
+        "q AS (SELECT vec_id AS qid, s, svec AS qsv FROM sv WHERE vec_id < 5)",
+        f"""qt AS (
+  SELECT q.qid, q.s, c.code, {pd2} AS pd2
+  FROM q JOIN {final_cent} c USING (s)
+)""",
+        f"""adc AS (
+  SELECT qt.qid AS query_id, a.vec_id AS neighbor_id,
+         round(sum(qt.pd2), 6) AS adc2
+  FROM {final_assign} a JOIN qt ON a.s = qt.s AND a.code = qt.code
+  WHERE a.vec_id != qt.qid
+  GROUP BY 1, 2
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, adc2 AS score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc2 ASC, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {k}"""
+    )
+
+
+SQL_SIMILARITY_PQ_ADC_TOPK = _pq_adc_oracle_sql()
+
+
+def q_als_rank1_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration rank-1 ALS factors (r9) — the certificate twin
+    of the `als_recommendations` flagship (ml/recommend.als_rank1_fixed):
+    at rank 1 each alternating half-step is the closed form
+    u_i = Σ r_ij·v_j / Σ v_j², so 2 unrolled iterations over the exact
+    engine-deterministic ln(1+count) ratings become a finite plan the
+    DuckDB twin replays — every numerator/denominator sum passes
+    through DECIMAL(28,12), factors round to 9 between steps and 6 at
+    the surface. Certifies the alternating-update semantics and the
+    ratings build shared with the blocked ml.ALS path."""
+    from ..ml.recommend import als_rank1_fixed, build_ratings_portable
+
+    ratings = build_ratings_portable(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    return als_rank1_fixed(ratings, iterations=2)
+
+
+def _als_rank1_oracle_sql(iterations: int = 2) -> str:
+    num = "CAST(sum(CAST(r.rt * p.f AS DECIMAL(28,12))) AS DOUBLE)"
+    den = "CAST(sum(CAST(p.f * p.f AS DECIMAL(28,12))) AS DOUBLE)"
+
+    def half(out: str, key: str, join_key: str, prev: str) -> str:
+        return f"""{out} AS (
+  SELECT r.{key} AS {key}, round({num} / {den}, 9) AS f
+  FROM r JOIN {prev} p USING ({join_key})
+  GROUP BY r.{key}
+)"""
+
+    parts = [
+        """r AS (
+  SELECT CAST(o_custkey AS BIGINT) AS u, CAST(l_partkey AS BIGINT) AS i,
+         round(ln(1 + count(*)), 6) AS rt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)""",
+        "v0 AS (SELECT DISTINCT i, 1.0 AS f FROM r)",
+    ]
+    for it in range(1, iterations + 1):
+        parts.append(half(f"u{it}", "u", "i", f"v{it-1}"))
+        parts.append(half(f"v{it}", "i", "u", f"u{it}"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT 'user' AS role, u AS id, round(f, 6) AS factor FROM u{iterations}
+UNION ALL
+SELECT 'item' AS role, i AS id, round(f, 6) AS factor FROM v{iterations}"""
+    )
+
+
+SQL_ALS_RANK1_FACTORS = _als_rank1_oracle_sql()
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel as ONE query, RefinedWeb stage
     ordering: exact dedup (min-id canonical per md5 of text) →
@@ -16897,6 +17113,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob_docs": q_bigram_logprob_docs,
     "kmeans_clusters": q_kmeans_clusters,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
+    "similarity_pq_codes": q_similarity_pq_codes,
+    "similarity_pq_adc_topk": q_similarity_pq_adc_topk,
+    "als_rank1_factors": q_als_rank1_factors,
     "sole_blocking_supplier": q_sole_blocking_supplier,
     "boilerplate_line_stats": q_boilerplate_line_stats,
     "dedup_simhash": q_dedup_simhash,
@@ -17135,6 +17354,9 @@ ORACLE: dict[str, str] = {
     "mixture_token_budget": SQL_MIXTURE_TOKEN_BUDGET,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "similarity_ivf_kmeans": SQL_SIMILARITY_IVF_KMEANS,
+    "similarity_pq_codes": SQL_SIMILARITY_PQ_CODES,
+    "similarity_pq_adc_topk": SQL_SIMILARITY_PQ_ADC_TOPK,
+    "als_rank1_factors": SQL_ALS_RANK1_FACTORS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_portable": SQL_DEDUP_MINHASH_PORTABLE,
     "redacted_documents": SQL_REDACTED_DOCUMENTS,

@@ -816,3 +816,86 @@ def test_cosine_topk_pandas_empty_queries(spark):
     out = similarity.cosine_topk_pandas(corpus, empty_q, k=3)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "neighbor_id", "rank", "cosine_sim"}
+
+
+def test_cosine_topk_pandas_zero_norm_matches_expression_path(spark):
+    """r9 ADVICE fix: the pandas path scored zero-norm vectors 0.0,
+    which ranked AHEAD of genuinely negative similarities — the two
+    'identical output' paths disagreed on corpora containing zero
+    vectors. Zero-norm pairs must now surface as NULL and rank last,
+    exactly like the expression path's try_divide."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),      # zero-norm: undefined angle
+            (3, [-1.0, 0.0]),     # negative similarity to the query
+            (4, [0.9, 0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (9, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    brute = similarity.cosine_topk_bruteforce(corpus, queries, k=4).collect()
+    pand = similarity.cosine_topk_pandas(corpus, queries, k=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    b = {key(r): (r["neighbor_id"], r["cosine_sim"]) for r in brute}
+    p = {key(r): (r["neighbor_id"], r["cosine_sim"]) for r in pand}
+    assert b == p
+    # the negative-similarity neighbor outranks the zero-norm one
+    q1 = sorted(
+        [r for r in pand if r["query_id"] == 1], key=lambda r: r["rank"]
+    )
+    assert [r["neighbor_id"] for r in q1] == [4, 3, 2]
+    assert q1[-1]["cosine_sim"] is None
+    # the zero-norm QUERY gets only NULL sims, tie-broken on id
+    q9 = sorted(
+        [r for r in pand if r["query_id"] == 9], key=lambda r: r["rank"]
+    )
+    assert [r["neighbor_id"] for r in q9] == [1, 2, 3, 4]
+    assert all(r["cosine_sim"] is None for r in q9)
+
+
+def test_simhash_bands_rejects_zero_width_bands(spark):
+    """r9 ADVICE fix: bands > 60 informative bits produced zero-width
+    slices whose key is constantly 0 — that band cross-joined the
+    whole corpus. Must raise up front now."""
+    import pytest as _pytest
+
+    fps = spark.createDataFrame(
+        [(1, 7), (2, 9)], "doc_id long, simhash long"
+    )
+    with _pytest.raises(ValueError, match="bands"):
+        dedup._simhash_bands(fps, "doc_id", bands=61).collect()
+    with _pytest.raises(ValueError, match="bands"):
+        dedup._simhash_bands(fps, "doc_id", bands=0).collect()
+    # the full legal range still yields ≥1-bit keys
+    out = dedup._simhash_bands(fps, "doc_id", bands=60)
+    assert out.count() == 120
+
+
+def test_asof_join_map_valued_columns_are_orderable(spark):
+    """r9 ADVICE fix: the deterministic-tiebreak ORDER BY used the raw
+    pack struct, so a MapType value column failed analysis (maps are
+    unorderable in Spark). The tiebreak now canonicalizes maps to
+    sorted entry arrays; ties on (key, ts) still resolve to ONE
+    deterministic winner."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 10)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, {"x": 1}), ("a", 5, {"x": 2}), ("a", 99, {"x": 9})],
+        "k string, ts long, props map<string,int>",
+    )
+    rows = asof_join(
+        left, right, on="k", value_cols=["props"]
+    ).collect()
+    assert len(rows) == 1
+    # greatest sorted-entries array wins the (a, 5) tie deterministically
+    assert rows[0]["right_props"] == {"x": 2}
+    assert rows[0]["matched_ts"] == 5

@@ -1800,3 +1800,27 @@ def test_append_only_stream_skips_compaction(spark, tmp_path):
     _run()  # must not raise, must emit ONLY the new append
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     assert got == list(range(12)), got
+
+
+def test_mask_strings_consumes_escaped_quotes():
+    """r9 ADVICE fix: `note = 'it''s'` masked as TWO literals with live
+    predicate text between them, so comparator text inside the "gap"
+    could derive unsound stats-pruning bounds. Escaped quotes ('' and
+    backslash) must be consumed as part of ONE literal, and escaped
+    literals must never produce a (possibly wrong) bound value."""
+    masked, lits = tf._mask_strings("note = 'it''s' AND k > 3")
+    assert lits == ["'it''s'"]
+    assert "'" not in masked
+    masked2, lits2 = tf._mask_strings(r"note = 'a\'b > 9' AND k < 7")
+    assert lits2 == [r"'a\'b > 9'"]
+    assert ">" not in masked2.split("AND")[0]
+    # bound extraction stays sound around escaped literals
+    assert tf._extract_bounds("note = 'it''s k > 100' AND k > 3", "k") == (
+        3,
+        None,
+    )
+    # an escaped literal compared against a stat column yields NO bound
+    # (pruning disabled) rather than a wrongly-unescaped string bound
+    assert tf._extract_bounds("s >= 'it''s'", "s") is None
+    # plain string bounds still extract
+    assert tf._extract_bounds("s >= 'b' AND s <= 'd'", "s") == ("b", "d")
