@@ -306,6 +306,10 @@ HEADLINE = [
     "bloom_membership_audit",
     "anomaly_seasonal_events",
     "lakehouse_distinct_rollup",
+    # r9: flagship certificate twins (deterministic PQ + rank-1 ALS)
+    "similarity_pq_codes",
+    "similarity_pq_adc_topk",
+    "als_rank1_factors",
 ]
 
 
@@ -455,6 +459,60 @@ def streaming_bench(spark) -> dict:
     return out
 
 
+# Contention sentinel (r8 verdict "what's wrong" #1): this host's wall
+# clocks swing up to ~1.7x with background load even at load-avg ~0, and
+# two rounds running stamped their artifact from a contended afternoon —
+# every cross-round compare then flagged phantom regressions that the
+# idle archives disproved. The floors below are the r8 IDLE run's
+# timings (bench_archive/BENCH_LOCAL-3ad74a6f.json) for three cheap,
+# pure-relational queries the per-round diffs essentially never touch.
+# Before the timed sweep, each sentinel runs twice (min taken); if the
+# median ratio vs. its idle floor exceeds SENTINEL_MAX, the run is
+# CONTENDED: bench waits and retries up to 3 times, then proceeds but
+# stamps `contended: true` into both the full artifact and the summary
+# line — so a contended stamp is self-identifying and compare_bench
+# consumers know to adjudicate against the round's idle archive.
+SENTINEL_FLOOR = {
+    "doc_fingerprint": 0.235,
+    "dedup_exact": 0.257,
+    "skew_audit_orders_custkey": 0.304,
+}
+SENTINEL_MAX = 1.3
+
+
+def _contention_sentinel(spark, sf_dir: str, sf: float) -> dict:
+    if abs(sf - 0.1) > 1e-9:
+        # floors were measured at sf0.1; at any other SF the ratio is
+        # meaningless — report that instead of a bogus verdict
+        return {"ratio": None, "contended": None,
+                "note": f"no idle floor recorded for sf={sf}"}
+    best_ratio, best_per, attempts = None, None, 0
+    for attempt in range(1, 4):
+        attempts = attempt
+        per: dict[str, float] = {}
+        for name, floor in SENTINEL_FLOOR.items():
+            t_best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).collect()
+                t_best = min(t_best, time.perf_counter() - t0)
+            per[name] = round(t_best, 3)
+        ratios = sorted(per[n] / SENTINEL_FLOOR[n] for n in per)
+        ratio = ratios[len(ratios) // 2]
+        if best_ratio is None or ratio < best_ratio:
+            best_ratio, best_per = ratio, per
+        if ratio <= SENTINEL_MAX:
+            break
+        time.sleep(60)
+    return {
+        "ratio": round(best_ratio, 2),
+        "per_query": best_per,
+        "attempts": attempts,
+        "contended": best_ratio > SENTINEL_MAX,
+        "floor_source": "bench_archive/BENCH_LOCAL-3ad74a6f.json",
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -474,6 +532,13 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
         "l_orderkey"
     ).limit(1).collect()
+
+    try:
+        sentinel = _contention_sentinel(spark, sf_dir, sf)
+    except Exception as exc:  # noqa: BLE001 - the sentinel must never
+        # cost the artifact; an unmeasurable sentinel is reported as such
+        sentinel = {"ratio": None, "contended": None,
+                    "err": f"{type(exc).__name__}: {exc}"[:200]}
 
     # Per-query fault isolation: one broken query must cost ONE number,
     # not the whole artifact (round 2 lost all 28 measurements to a
@@ -508,6 +573,7 @@ def main() -> None:
         "queries": timings,
         "streaming": streaming,
         "sf": sf,
+        "contention": sentinel,
     }
     if errors:
         result["errors"] = errors
@@ -567,6 +633,8 @@ def main() -> None:
         "n_errors": result["n_errors"],
         "sf": sf,
         "slowest": slowest,
+        "cont": sentinel.get("ratio"),
+        "contended": sentinel.get("contended"),
         "full": "BENCH_LOCAL.json" if local_path else None,
         "full_sha": full_sha if local_path else None,
     }

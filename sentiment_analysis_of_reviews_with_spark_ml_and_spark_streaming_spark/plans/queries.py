@@ -17552,55 +17552,49 @@ ORACLE: dict[str, str] = {
     "seasonality_strength_dow": SQL_SEASONALITY_STRENGTH_DOW,
 }
 
-# --- ROUND-8 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
-# VERDICT r7 next-step #1: 89 oracle-backed queries (the whole r7
-# statistics/lakehouse/rank/sketch expansion) have never been
-# driver-graded. This window is drawn 50/50 from that never-graded set,
-# heaviest-evidence-first per the verdict's own ordering:
-#   W-A (1-5):  lakehouse DML / IVM set (update, CDF, point lookup,
-#               incremental + star rollup).
-#   W-B (6-9):  distributed global-rank family (Gini, decile lift,
-#               equi-depth histogram, 2-D skyline).
-#   W-C (10-11): portable sketches (Count-Min, Bloom).
-#   W-D (12-13): graph (bounded BFS, Bellman-Ford weighted paths).
-#   W-E (14):   dedup_prefix_filter (lossless AllPairs).
-#   W-F (15-50): statistics/experimentation tier in prior registry
-#               order (36 keys).
-# The remaining 39 never-graded keys + the 24-query r4-stale cohort
-# form the r9 queue (63 candidates for 50 slots). Veterans keep their
-# prior relative order past the window; rows-only queries stay past the
-# window by contract.
-_R8_WINDOW = [
-    # W-A: lakehouse DML / IVM
-    "lakehouse_update_dml", "lakehouse_table_changes",
-    "lakehouse_point_lookup", "lakehouse_incremental_rollup",
-    "lakehouse_star_rollup",
-    # W-B: rank family
-    "customer_spend_gini", "spend_decile_lift",
-    "equidepth_histogram_lineitem", "pareto_frontier_parts",
-    # W-C: portable sketches
-    "countmin_token_counts", "bloom_membership_audit",
-    # W-D: graph
-    "graph_bfs_copurchase", "graph_weighted_paths",
-    # W-E: lossless AllPairs prefix filter
-    "dedup_prefix_filter",
-    # W-F: statistics/experimentation tier, prior registry order
-    "anomaly_seasonal_events", "rolling_revenue_90d",
-    "ewma_daily_revenue", "phrase_search_bigram",
-    "scd2_pointintime_join", "knn_label_vote",
-    "markov_transitions_events", "char_entropy_docs",
-    "fuzzy_term_search", "chisq_priority_vs_status",
-    "k_anonymity_audit", "cusum_drift_days", "benford_first_digit",
-    "welch_t_test_events", "interval_merge_activity", "twap_user_value",
-    "acf_daily_revenue", "auc_value_purchase", "km_repeat_purchase",
-    "pairwise_type_ztests", "hhi_supplier_nation", "rfm_segments",
-    "rake_keyphrases", "image_header_roundtrip", "spatial_grid_nearest",
-    "textrank_sentences", "xcorr_click_purchase", "mann_kendall_trend",
-    "seasonal_dow_index", "shapley_channel_attribution",
-    "markov_removal_attribution", "event_path_trigrams",
-    "dp_noisy_counts", "conversion_latency_quantiles",
-    "ewma_backtest_mape", "rule_attribution_models",
+# --- ROUND-9 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
+# VERDICT r8 next-steps #1-2: drain the certification backlog and seat
+# the new flagship certificate twins. The window is the r9 queue
+# documented in docs/QUERIES.md plus this round's three new
+# oracle-backed certificates:
+#   W-A (1-40):  every never-driver-graded oracle-backed key, prior
+#                registry order (lakehouse_distinct_rollup, then
+#                psi_price_drift ... seasonality_strength_dow) — after
+#                this window the never-graded count is ZERO.
+#   W-B (41-43): the r9 certificate twins for the rows-only flagships
+#                (similarity_pq_codes, similarity_pq_adc_topk,
+#                als_rank1_factors) — first driver contact for the
+#                PQ and ALS families.
+#   W-C (44-50): the 7 oldest r4-stale keys in prior registry order
+#                (binarize_label ... zscore_value_by_type); the
+#                remaining 17 r4-stale keys roll to r10.
+# Veterans keep their prior relative order past the window; rows-only
+# queries stay past the window by contract.
+_R9_WINDOW = [
+    # W-A: never-graded backlog (40)
+    "lakehouse_distinct_rollup", "psi_price_drift", "join_size_audit",
+    "ab_sample_size", "split_leakage_audit", "simpson_paradox_audit",
+    "search_eval_ndcg", "embedding_centroid_drift",
+    "spearman_freq_monetary", "theil_sen_trend", "ks_test_click_purchase",
+    "mutual_info_priority_status", "target_encoding_oof",
+    "hard_negative_mining", "holt_linear_revenue", "anova_value_by_type",
+    "kfold_assignment_balance", "label_propagation_communities",
+    "nelson_aalen_hazard", "kendall_tau_daily", "woe_iv_price_urgent",
+    "changepoint_split_day", "oov_rate_by_source", "poisson_bootstrap_ci",
+    "quantile_normalize_chars", "zipf_slope_tokens",
+    "heldout_perplexity_fold", "ltv_cohort_curve", "followed_by_pairs",
+    "abc_classification_parts", "km_greenwood_ci",
+    "negative_sampling_recs", "diff_in_diff_revenue", "srm_check_split",
+    "hurst_exponent_revenue", "effective_sample_size",
+    "bounce_rate_sessions", "fano_burstiness_types", "mi_feature_ranking",
+    "seasonality_strength_dow",
+    # W-B: r9 flagship certificate twins (3)
+    "similarity_pq_codes", "similarity_pq_adc_topk", "als_rank1_factors",
+    # W-C: oldest r4-stale cohort (7)
+    "binarize_label", "union_distinct_nationkeys", "agg_stats_extended",
+    "cube_status_priority", "orders_by_month", "ngram_top_bigrams",
+    "zscore_value_by_type",
 ]
-assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
-_rest = {k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)}
-QUERIES = {**{k: QUERIES[k] for k in _R8_WINDOW}, **_rest}
+assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+_rest = {k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)}
+QUERIES = {**{k: QUERIES[k] for k in _R9_WINDOW}, **_rest}
