@@ -15,7 +15,39 @@ from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans
 )
 
 
+def _newest_greens() -> dict[str, str]:
+    """query -> newest driver certificate (e.g. 'r8'), read from the
+    committed CORRECTNESS_r{N}.json artifacts so the catalog shows
+    certification state without anyone replaying the JSON by hand.
+    Only fully-green rows count (every *_match field true)."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for k, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            checks = [x for key, x in v.items() if key.endswith("_match")]
+            if checks and all(checks) and not v.get("err"):
+                newest[k] = max(newest.get(k, 0), rnd)
+    return {k: f"r{n}" for k, n in newest.items()}
+
+
 def main() -> None:
+    greens = _newest_greens()
+    window = list(QUERIES)[:50]
+    n_green = sum(1 for k in QUERIES if k in greens)
     lines = [
         "# QUERIES — driver-contract catalog",
         "",
@@ -23,8 +55,13 @@ def main() -> None:
         "(value-hash checked at sf0.01), the rest rows-only with unit-test "
         "coverage (see PARITY.md).",
         "",
-        "| query | check | summary |",
-        "|---|---|---|",
+        f"`green` = newest fully-green driver certificate "
+        f"(CORRECTNESS_r{{N}}.json); {n_green} queries hold one. "
+        "`window` marks the 50 keys seated for THIS round's grading "
+        "(dict order controls what the driver grades).",
+        "",
+        "| query | check | green | summary |",
+        "|---|---|---|---|",
     ]
     for name in sorted(QUERIES):
         fn = QUERIES[name]
@@ -51,7 +88,10 @@ def main() -> None:
         summary = flat[:end] if end else flat
         summary = summary.replace("|", "\\|")
         check = "oracle" if name in ORACLE else "rows-only"
-        lines.append(f"| `{name}` | {check} | {summary} |")
+        green = greens.get(name, "—")
+        if name in window:
+            green = f"{green}, window" if green != "—" else "window"
+        lines.append(f"| `{name}` | {check} | {green} | {summary} |")
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
