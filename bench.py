@@ -503,7 +503,8 @@ def _contention_sentinel(spark, sf_dir: str, sf: float) -> dict:
             best_ratio, best_per = ratio, per
         if ratio <= SENTINEL_MAX:
             break
-        time.sleep(60)
+        if attempt < 3:  # no retry follows the last attempt
+            time.sleep(60)
     return {
         "ratio": round(best_ratio, 2),
         "per_query": best_per,

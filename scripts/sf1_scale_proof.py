@@ -139,8 +139,14 @@ def main() -> None:
     ctl = build_dir(spark, "/tmp/sfx_ctl", 1)
     print(f"building target ({mult}x) ...", flush=True)
     big = build_dir(spark, "/tmp/sfx_big", mult)
-    print("warm-up (untimed):", flush=True)
+    # BOTH legs get an identical untimed warm-up pass: JIT/codegen and
+    # page-cache first-touch are fixed costs, and warming only the
+    # control (the first cut) systematically inflates the ratio — a
+    # scale-flat query could be falsely named a scaling regression.
+    print("warm-up 1x (untimed):", flush=True)
     run_all(spark, ctl)
+    print(f"warm-up {mult}x (untimed):", flush=True)
+    run_all(spark, big)
     print("1x (sf0.1-equivalent):", flush=True)
     r1 = run_all(spark, ctl)
     print(f"{mult}x (sf1-equivalent):", flush=True)

@@ -150,6 +150,11 @@ def als_rank1_fixed(
     exactly the data motion of a blocked ALS sweep at rank 1. Nothing
     driver-side except the loop counter.
     """
+    if iterations < 1:
+        raise ValueError(
+            f"iterations must be >= 1 (got {iterations}): the user-side "
+            "factors only exist after the first alternating half-step"
+        )
     dec = "decimal(28,12)"
     v = ratings.select("item").distinct().select(
         "item", F.lit(1.0).alias("f")

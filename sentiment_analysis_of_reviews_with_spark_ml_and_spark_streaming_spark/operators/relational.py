@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import MapType
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 
 def join_dim(
@@ -186,20 +186,51 @@ def asof_join(
     # the tiebreak struct makes two right rows sharing (key, ts)
     # resolve to ONE deterministic winner (field-wise greatest)
     # instead of whichever the shuffle ordered last. It mirrors pack
-    # but swaps every non-orderable value column (MapType — maps have
-    # no ordering in Spark and would fail analysis in an ORDER BY) for
-    # its canonical sorted-entries array, which IS orderable and
-    # identifies the map's content exactly.
-    def _orderable(c: str):
-        if isinstance(right.schema[c].dataType, MapType):
-            return F.array_sort(F.map_entries(F.col(f"_r_{c}"))).alias(c)
-        return F.col(f"_r_{c}").alias(c)
+    # but recursively canonicalizes every map — at any nesting depth
+    # (top-level, inside arrays, inside struct fields) — to its sorted
+    # entries array: maps have no ordering in Spark and would fail
+    # analysis in an ORDER BY, while the sorted-entries form IS
+    # orderable and identifies the map's content exactly.
+    def _canon(col: Column, dt) -> Column:
+        if isinstance(dt, MapType):
+            return F.array_sort(
+                F.transform(
+                    F.map_entries(col),
+                    lambda e: F.struct(
+                        _canon(e["key"], dt.keyType).alias("key"),
+                        _canon(e["value"], dt.valueType).alias("value"),
+                    ),
+                )
+            )
+        if isinstance(dt, ArrayType) and _has_map(dt.elementType):
+            return F.transform(col, lambda x: _canon(x, dt.elementType))
+        if isinstance(dt, StructType) and any(
+            _has_map(f.dataType) for f in dt.fields
+        ):
+            return F.struct(
+                *[_canon(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
+            )
+        return col
+
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
 
     tiebreak = F.when(
         F.col("_is_left") == 0,
         F.struct(
             F.col("_r_ts").alias("_ts"),
-            *[_orderable(c) for c in value_cols],
+            *[
+                _canon(
+                    F.col(f"_r_{c}"), right.schema[c].dataType
+                ).alias(c)
+                for c in value_cols
+            ],
         ),
     )
     w = (

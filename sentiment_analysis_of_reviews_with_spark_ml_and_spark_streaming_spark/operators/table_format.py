@@ -950,12 +950,15 @@ def _pred_literal(tok: str):
     tok = tok.strip()
     if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
         inner = tok[1:-1]
-        # Escaped quotes ('' / \' / \") change the literal's VALUE; a
-        # naive strip would compare the wrong string against file
-        # min/max stats and could unsoundly prune a matching file.
-        # Pruning is an optimization — returning None (no bound) is
-        # always sound, so bail instead of attempting unescape.
-        if "'" in inner or '"' in inner or "\\" in inner:
+        # Escaped quotes ('' / \' inside '...', "" / \" inside "...")
+        # change the literal's VALUE; a naive strip would compare the
+        # wrong string against file min/max stats and could unsoundly
+        # prune a matching file. Pruning is an optimization — returning
+        # None (no bound) is always sound, so bail instead of
+        # attempting unescape. Only the literal's OWN quote char or a
+        # backslash can be an escape: the opposite quote style is plain
+        # data (`'say "hi"'` strips exactly), so it keeps its bound.
+        if tok[0] in inner or "\\" in inner:
             return None
         return inner
     try:

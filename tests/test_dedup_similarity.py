@@ -899,3 +899,43 @@ def test_asof_join_map_valued_columns_are_orderable(spark):
     # greatest sorted-entries array wins the (a, 5) tie deterministically
     assert rows[0]["right_props"] == {"x": 2}
     assert rows[0]["matched_ts"] == 5
+
+
+def test_asof_join_nested_map_values_are_orderable(spark):
+    """r9 review pass: the map canonicalization must recurse — maps
+    nested inside arrays, struct fields, or other maps' values failed
+    analysis exactly like the top-level case the first fix covered."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.relational import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([("a", 10)], "k string, ts long")
+    right = spark.createDataFrame(
+        [
+            ("a", 5, [{"x": 1}], {"m": {"y": 1}}),
+            ("a", 5, [{"x": 2}], {"m": {"y": 2}}),
+        ],
+        "k string, ts long, arr array<map<string,int>>, "
+        "nested map<string,map<string,int>>",
+    )
+    rows = asof_join(
+        left, right, on="k", value_cols=["arr", "nested"]
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["right_arr"] == [{"x": 2}]
+    assert rows[0]["right_nested"] == {"m": {"y": 2}}
+
+
+def test_als_rank1_fixed_rejects_zero_iterations(spark):
+    """r9 review pass: iterations=0 must fail with a pointed
+    ValueError, not an AttributeError on the never-assigned user
+    frame."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.ml.recommend import (
+        als_rank1_fixed,
+    )
+
+    r = spark.createDataFrame(
+        [(1, 10, 0.7)], "user long, item long, rating double"
+    )
+    with pytest.raises(ValueError, match="iterations"):
+        als_rank1_fixed(r, iterations=0)

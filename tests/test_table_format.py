@@ -1948,3 +1948,14 @@ def test_live_cdf_reader_across_concurrent_mixed_writers(spark, tmp_path):
         if r["_commit_version"] >= cow_v
     ]
     assert after == []  # nothing from the poisoned version leaked
+
+
+def test_pred_literal_opposite_quote_is_plain_data():
+    """r9 review pass: only the literal's OWN quote char (or a
+    backslash) can be an escape — `'say "hi"'` strips exactly and must
+    keep its pruning bound; escaped same-style quotes still bail."""
+    assert tf._pred_literal("'say \"hi\"'") == 'say "hi"'
+    assert tf._pred_literal('"it\'s"') == "it's"
+    assert tf._pred_literal("'it''s'") is None
+    assert tf._pred_literal(r"'a\'b'") is None
+    assert tf._extract_bounds("s >= 'say \"hi\"'", "s") == ('say "hi"', None)
