@@ -51,6 +51,24 @@ def _sum(c: str) -> str:
     return f"sum_{c}"
 
 
+def _widen(col, dt):
+    """Integral SUM measures route through DECIMAL(38,0): a LONG sum
+    of a key-sized column overflows signed 64 bits at 100 TB volumes
+    (ANSI mode aborts the refresh) — found by the r9 sf1 scale-proof's
+    key-offset replication. Floats keep IEEE semantics; decimals
+    already widen to precision 38 under Spark's sum."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return col.cast("decimal(38,0)")
+    return col
+
+
 def _rollup_frame(
     src: DataFrame,
     keys: list[str],
@@ -60,7 +78,9 @@ def _rollup_frame(
     """Full-recompute shape of the view, hidden ``_nn_*`` included."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in sum_cols:
-        aggs.append(F.sum(c).alias(_sum(c)))
+        aggs.append(
+            F.sum(_widen(F.col(c), src.schema[c].dataType)).alias(_sum(c))
+        )
         aggs.append(F.count(c).alias(_nn(c)))
     for c in minmax_cols or []:
         aggs.append(F.min(c).alias(f"min_{c}"))
@@ -217,10 +237,19 @@ def read_rollup(
     df = tfmt.read_table(spark, view_root)
     cols = [F.col(c) for c in df.columns if not c.startswith("_nn_")]
     if with_avg:
+        from pyspark.sql.types import DecimalType
+
         for c in rollup_state(view_root)["sum_cols"]:
-            cols.append(
-                (F.col(_sum(c)) / F.col(_nn(c))).alias(f"avg_{c}")
-            )
+            num = F.col(_sum(c))
+            dt = df.schema[_sum(c)].dataType
+            # integral sources store their sum as DECIMAL(38,0) (the
+            # overflow widening) — Spark's avg over an integral column
+            # returns DOUBLE, so divide in doubles (decimal division
+            # would truncate at the decimal result scale), numerator
+            # exact-integer → double first
+            if isinstance(dt, DecimalType) and dt.scale == 0:
+                num = num.cast("double")
+            cols.append((num / F.col(_nn(c))).alias(f"avg_{c}"))
     return df.select(*cols)
 
 
@@ -343,7 +372,11 @@ def refresh_rollup(
     sign = F.when(deleted, F.lit(-1)).otherwise(F.lit(1))
     aggs = [F.sum(sign).alias("_d_n")]
     for c in sum_cols:
-        aggs.append(F.sum(sign * F.col(c)).alias(f"_d_sum_{c}"))
+        aggs.append(
+            F.sum(
+                sign * _widen(F.col(c), changes.schema[c].dataType)
+            ).alias(f"_d_sum_{c}")
+        )
         aggs.append(
             F.sum(sign * F.col(c).isNotNull().cast("long")).alias(f"_d_nn_{c}")
         )

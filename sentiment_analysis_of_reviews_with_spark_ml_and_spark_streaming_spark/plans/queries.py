@@ -8640,7 +8640,11 @@ def q_snapshot_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return diff.groupBy("change_type").agg(
         F.count("*").alias("n_changes"),
-        F.sum("c_custkey").alias("key_checksum"),
+        # DECIMAL checksum: sum(k) overflows long at 100 TB key
+        # domains (r9 sf1 scale-proof finding)
+        F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias(
+            "key_checksum"
+        ),
     )
 
 
@@ -8667,7 +8671,7 @@ diff AS (
 -- CAST: DuckDB sum(BIGINT) is HUGEINT = decimal128 at the driver's
 -- Arrow fetch; Spark emits LONG (r5 red row).
 SELECT change_type, count(*) AS n_changes,
-       CAST(sum(k) AS BIGINT) AS key_checksum
+       CAST(sum(k) AS DECIMAL(38,0)) AS key_checksum
 FROM diff WHERE change_type IS NOT NULL GROUP BY 1
 """
 
@@ -8858,8 +8862,15 @@ def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tfmt.read_table(spark, root, version=v)
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum("c_custkey").alias("ks"),
-                    F.sum(F.col("c_custkey") * F.col("c_custkey")).alias("ksq"),
+                    F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias("ks"),
+                    # key and key-square checksums route through DECIMAL:
+                    # at 100 TB key domains k*k (and even sum(k))
+                    # overflows a signed 64-bit long — found by the r9
+                    # sf1 scale-proof's 10x key-offset replication
+                    F.sum(
+                        F.col("c_custkey").cast("decimal(19,0)")
+                        * F.col("c_custkey").cast("decimal(19,0)")
+                    ).alias("ksq"),
                     F.countDistinct("c_mktsegment").alias("nseg"),
                 )
                 .collect()[0]
@@ -8869,8 +8880,8 @@ def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows,
-        "version long, n_rows long, key_sum long, key_sq_sum long, "
-        "n_segments long",
+        "version long, n_rows long, key_sum decimal(38,0), "
+        "key_sq_sum decimal(38,0), n_segments long",
     )
 
 
@@ -8901,8 +8912,8 @@ v3 AS (
 )
 SELECT CAST(v AS BIGINT) AS version,
        CAST(n AS BIGINT) AS n_rows,
-       CAST(ks AS BIGINT) AS key_sum,
-       CAST(ksq AS BIGINT) AS key_sq_sum,
+       CAST(ks AS DECIMAL(38,0)) AS key_sum,
+       CAST(ksq AS DECIMAL(38,0)) AS key_sq_sum,
        CAST(nseg AS BIGINT) AS n_segments
 FROM (
   SELECT 0 AS v, count(*) AS n, sum(k) AS ks, sum(k * k) AS ksq,
@@ -8960,7 +8971,9 @@ def q_lakehouse_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("_commit_version", "_change_type")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum("c_custkey").alias("ks"),
+                    # DECIMAL checksum: sum(k) overflows long at 100 TB
+                    # key domains (r9 sf1 scale-proof finding)
+                    F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias("ks"),
                 )
                 .collect()
             )
@@ -8969,7 +8982,8 @@ def q_lakehouse_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         sorted(rows),
-        "commit_version long, change_type string, n_rows long, key_sum long",
+        "commit_version long, change_type string, n_rows long, "
+        "key_sum decimal(38,0)",
     )
 
 
@@ -9002,7 +9016,7 @@ feed AS (
 SELECT CAST(v AS BIGINT) AS commit_version,
        ct AS change_type,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(k) AS BIGINT) AS key_sum
+       CAST(sum(k) AS DECIMAL(38,0)) AS key_sum
 FROM feed GROUP BY v, ct ORDER BY commit_version, change_type
 """
 
@@ -9098,7 +9112,8 @@ def q_lakehouse_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows,
-        "bucket long, n_rows long, key_sum long, key_min long, key_max long",
+        "bucket long, n_rows long, key_sum decimal(38,0), "
+        "key_min long, key_max long",
     )
 
 
@@ -9122,7 +9137,7 @@ v3 AS (
 )
 SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(k) AS BIGINT) AS key_sum,
+       CAST(sum(k) AS DECIMAL(38,0)) AS key_sum,
        CAST(min(k) AS BIGINT) AS key_min,
        CAST(max(k) AS BIGINT) AS key_max
 FROM v3 GROUP BY bucket ORDER BY bucket
@@ -9234,7 +9249,7 @@ def q_lakehouse_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         rows,
-        "c_mktsegment string, n_rows long, key_sum long, "
+        "c_mktsegment string, n_rows long, key_sum decimal(38,0), "
         "key_min long, key_max long",
     )
 
@@ -9260,7 +9275,7 @@ f3 AS (
 )
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(k) AS BIGINT) AS key_sum,
+       CAST(sum(k) AS DECIMAL(38,0)) AS key_sum,
        CAST(min(k) AS BIGINT) AS key_min,
        CAST(max(k) AS BIGINT) AS key_max
 FROM f3 JOIN customer ON f3.ck = customer.c_custkey
@@ -9358,10 +9373,13 @@ def q_lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tfmt.read_table(spark, root, version=v)
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum("c_custkey").alias("ks"),
-                    F.sum(F.col("c_custkey") * F.col("c_custkey")).alias(
-                        "ksq"
-                    ),
+                    F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias("ks"),
+                    # DECIMAL checksums: k*k overflows long at 100 TB
+                    # key domains (r9 sf1 scale-proof finding)
+                    F.sum(
+                        F.col("c_custkey").cast("decimal(19,0)")
+                        * F.col("c_custkey").cast("decimal(19,0)")
+                    ).alias("ksq"),
                 )
                 .collect()[0]
             )
@@ -9377,8 +9395,8 @@ def q_lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows,
-        "version long, n_rows long, key_sum long, key_sq_sum long, "
-        "n_deleted long",
+        "version long, n_rows long, key_sum decimal(38,0), "
+        "key_sq_sum decimal(38,0), n_deleted long",
     )
 
 
@@ -9419,10 +9437,13 @@ def q_lakehouse_restore_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tfmt.read_table(spark, root, version=v)
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum("c_custkey").alias("ks"),
-                    F.sum(F.col("c_custkey") * F.col("c_custkey")).alias(
-                        "ksq"
-                    ),
+                    F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias("ks"),
+                    # DECIMAL checksums: k*k overflows long at 100 TB
+                    # key domains (r9 sf1 scale-proof finding)
+                    F.sum(
+                        F.col("c_custkey").cast("decimal(19,0)")
+                        * F.col("c_custkey").cast("decimal(19,0)")
+                    ).alias("ksq"),
                 )
                 .collect()[0]
             )
@@ -9430,7 +9451,9 @@ def q_lakehouse_restore_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
-        rows, "version long, n_rows long, key_sum long, key_sq_sum long"
+        rows,
+        "version long, n_rows long, key_sum decimal(38,0), "
+        "key_sq_sum decimal(38,0)",
     )
 
 
@@ -9483,7 +9506,9 @@ def q_lakehouse_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tfmt.read_table(spark, root, version=v)
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum("c_custkey").alias("ks"),
+                    # DECIMAL checksum: sum(k) overflows long at 100 TB
+                    # key domains (r9 sf1 scale-proof finding)
+                    F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias("ks"),
                     F.sum(
                         F.round("c_acctbal", 2).cast("decimal(18,2)")
                     ).cast("double").alias("bs"),
@@ -9494,7 +9519,8 @@ def q_lakehouse_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
-        rows, "version long, n_rows long, key_sum long, bal_sum double"
+        rows,
+        "version long, n_rows long, key_sum decimal(38,0), bal_sum double",
     )
 
 
@@ -9514,7 +9540,7 @@ v2 AS (
 )
 SELECT CAST(v AS BIGINT) AS version,
        CAST(n AS BIGINT) AS n_rows,
-       CAST(ks AS BIGINT) AS key_sum,
+       CAST(ks AS DECIMAL(38,0)) AS key_sum,
        CAST(bs AS DOUBLE) AS bal_sum
 FROM (
   SELECT 0 AS v, count(*) AS n, sum(k) AS ks,
@@ -9627,8 +9653,8 @@ v1 AS (SELECT c_custkey AS k FROM customer),
 v2 AS (SELECT k FROM v1 WHERE NOT (k % 5 = 0))
 SELECT CAST(v AS BIGINT) AS version,
        CAST(n AS BIGINT) AS n_rows,
-       CAST(ks AS BIGINT) AS key_sum,
-       CAST(ksq AS BIGINT) AS key_sq_sum
+       CAST(ks AS DECIMAL(38,0)) AS key_sum,
+       CAST(ksq AS DECIMAL(38,0)) AS key_sq_sum
 FROM (
   SELECT 0 AS v, count(*) AS n, sum(k) AS ks, sum(k * k) AS ksq FROM v0
   UNION ALL SELECT 1, count(*), sum(k), sum(k * k) FROM v1
@@ -9647,8 +9673,8 @@ v1 AS (SELECT k FROM v0 WHERE NOT (k <= 40)),
 v2 AS (SELECT k FROM v1 WHERE NOT (k % 7 = 0))
 SELECT CAST(v AS BIGINT) AS version,
        CAST(n AS BIGINT) AS n_rows,
-       CAST(ks AS BIGINT) AS key_sum,
-       CAST(ksq AS BIGINT) AS key_sq_sum,
+       CAST(ks AS DECIMAL(38,0)) AS key_sum,
+       CAST(ksq AS DECIMAL(38,0)) AS key_sq_sum,
        CAST(nd AS BIGINT) AS n_deleted
 FROM (
   SELECT 0 AS v, count(*) AS n, sum(k) AS ks, sum(k * k) AS ksq,

@@ -771,3 +771,43 @@ def test_racing_partial_fold_never_double_applies(spark, tmp_path):
             folded.append(rec["ivm"]["src_version"])
     assert folded == sorted(set(folded)), folded
     assert folded[-1] == 2
+
+
+def test_rollup_sum_survives_long_overflow_volumes(spark, tmp_path):
+    """r9 sf1 scale-proof finding: integral SUM measures must route
+    through DECIMAL(38,0) — a LONG sum of key-sized values overflows
+    signed 64 bits at 100 TB volumes and ANSI mode aborts the refresh.
+    Four rows near Long.MAX/2 overflow a long sum; the widened rollup
+    must create, refresh through churn, and stay exact."""
+    from decimal import Decimal
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    big = 4_000_000_000_000_000_000  # ~0.43 * Long.MAX
+    rows = [Row(k=i, g=i % 2, val=big) for i in range(4)]
+    tf.create_table(
+        spark.createDataFrame(rows, "k long, g long, val long"),
+        src,
+        stat_cols=["k"],
+    )
+    ivm.create_rollup(spark, src, view, keys=["g"], sum_cols=["val"])
+    got = {
+        r["g"]: r["sum_val"]
+        for r in ivm.read_rollup(spark, view).collect()
+    }
+    assert got == {0: Decimal(2 * big), 1: Decimal(2 * big)}
+    # churn: the delta fold must widen too (sign * val in long would
+    # still be fine, but the SUM of deltas must not overflow)
+    tf.append(
+        spark.createDataFrame(
+            [Row(k=10 + i, g=0, val=big) for i in range(3)],
+            "k long, g long, val long",
+        ),
+        src,
+    )
+    ivm.refresh_rollup(spark, view)
+    got = {
+        r["g"]: r["sum_val"]
+        for r in ivm.read_rollup(spark, view).collect()
+    }
+    assert got == {0: Decimal(5 * big), 1: Decimal(2 * big)}
