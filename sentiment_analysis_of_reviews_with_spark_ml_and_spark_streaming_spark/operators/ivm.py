@@ -51,12 +51,7 @@ def _sum(c: str) -> str:
     return f"sum_{c}"
 
 
-def _widen(col, dt):
-    """Integral SUM measures route through DECIMAL(38,0): a LONG sum
-    of a key-sized column overflows signed 64 bits at 100 TB volumes
-    (ANSI mode aborts the refresh) — found by the r9 sf1 scale-proof's
-    key-offset replication. Floats keep IEEE semantics; decimals
-    already widen to precision 38 under Spark's sum."""
+def _is_integral(dt) -> bool:
     from pyspark.sql.types import (
         ByteType,
         IntegerType,
@@ -64,7 +59,16 @@ def _widen(col, dt):
         ShortType,
     )
 
-    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+    return isinstance(dt, (ByteType, ShortType, IntegerType, LongType))
+
+
+def _widen(col, dt):
+    """Integral SUM measures route through DECIMAL(38,0): a LONG sum
+    of a key-sized column overflows signed 64 bits at 100 TB volumes
+    (ANSI mode aborts the refresh) — found by the r9 sf1 scale-proof's
+    key-offset replication. Floats keep IEEE semantics; decimals
+    already widen to precision 38 under Spark's sum."""
+    if _is_integral(dt):
         return col.cast("decimal(38,0)")
     return col
 
@@ -195,12 +199,16 @@ def create_rollup(
             "join_key": dim_join_key,
             "version": tfmt.latest_version(dim_root),
         }
-    view = _rollup_frame(
-        _with_dim(spark, spec, tfmt.read_table(spark, src_root)),
-        keys,
-        sum_cols,
-        minmax_cols,
-    )
+    shaped = _with_dim(spark, spec, tfmt.read_table(spark, src_root))
+    # record WHICH measures got the integral→DECIMAL(38,0) overflow
+    # widening: read_rollup's derived avg must cast those back to
+    # DOUBLE (Spark's avg-over-integral type) but must NOT touch a
+    # natively-decimal(p,0) measure, whose avg stays exact decimal —
+    # the stored sum type alone can't tell the two apart.
+    spec["widened_cols"] = [
+        c for c in sum_cols if _is_integral(shaped.schema[c].dataType)
+    ]
+    view = _rollup_frame(shaped, keys, sum_cols, minmax_cols)
     return tfmt.create_table(
         view,
         view_root,
@@ -237,17 +245,17 @@ def read_rollup(
     df = tfmt.read_table(spark, view_root)
     cols = [F.col(c) for c in df.columns if not c.startswith("_nn_")]
     if with_avg:
-        from pyspark.sql.types import DecimalType
-
-        for c in rollup_state(view_root)["sum_cols"]:
+        state = rollup_state(view_root)
+        # only the measures the SPEC recorded as overflow-widened cast
+        # back to double (Spark's avg-over-integral type; decimal
+        # division would truncate at the result scale) — a natively
+        # decimal(p,0) measure keeps its exact decimal avg, which the
+        # stored sum type alone could not distinguish. Views created
+        # before the widening recorded no list → empty default.
+        widened = set(state.get("widened_cols", []))
+        for c in state["sum_cols"]:
             num = F.col(_sum(c))
-            dt = df.schema[_sum(c)].dataType
-            # integral sources store their sum as DECIMAL(38,0) (the
-            # overflow widening) — Spark's avg over an integral column
-            # returns DOUBLE, so divide in doubles (decimal division
-            # would truncate at the decimal result scale), numerator
-            # exact-integer → double first
-            if isinstance(dt, DecimalType) and dt.scale == 0:
+            if c in widened:
                 num = num.cast("double")
             cols.append((num / F.col(_nn(c))).alias(f"avg_{c}"))
     return df.select(*cols)

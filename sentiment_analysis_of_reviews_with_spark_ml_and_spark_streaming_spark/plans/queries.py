@@ -59,6 +59,23 @@ def _dsum(col, scale: int = 2):
     return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
 
 
+def _key_sum(col):
+    """Key/id checksum: Σ k in DECIMAL — a LONG sum of key-sized values
+    overflows signed 64 bits at 100 TB key domains and ANSI mode aborts
+    the job (found by the r9 sf1 scale-proof). Result type
+    decimal(38,0); twins CAST(sum(k) AS DECIMAL(38,0))."""
+    return F.sum(F.col(col).cast("decimal(28,0)"))
+
+
+def _key_sq_sum(col):
+    """Key-square checksum: Σ k² with the MULTIPLY widened first — k*k
+    itself overflows long before any sum does. decimal(19,0)² caps at
+    decimal(38,0); twins use sum(CAST(k AS HUGEINT) * k) then CAST to
+    DECIMAL(38,0)."""
+    c = F.col(col).cast("decimal(19,0)")
+    return F.sum(c * c)
+
+
 def _sql_str(s: str) -> str:
     return s.replace("'", "''")
 
@@ -1660,7 +1677,7 @@ def q_xml_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.groupBy("priority_back").agg(
         F.count("*").alias("n_orders"),
-        F.sum("id_back").alias("sum_ids"),
+        _key_sum("id_back").alias("sum_ids"),
         _dsum("price_back").alias("sum_price"),
     )
 
@@ -1668,7 +1685,7 @@ def q_xml_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_XML_EXTRACT_ORDERS = """
 SELECT o_orderpriority AS priority_back,
        count(*) AS n_orders,
-       CAST(sum(o_orderkey) AS BIGINT) AS sum_ids,
+       CAST(sum(o_orderkey) AS DECIMAL(38,0)) AS sum_ids,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          AS sum_price
 FROM orders
@@ -1733,7 +1750,7 @@ def q_codec_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return checked.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.sum("id_back").alias("sum_ids"),
+        _key_sum("id_back").alias("sum_ids"),
         F.min("host").alias("host"),
         F.bool_and("url_ok").alias("url_ok"),
         F.bool_and("b64_ok").alias("b64_ok"),
@@ -1745,7 +1762,7 @@ def q_codec_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CODEC_ROUNDTRIP_SUITE = """
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       CAST(sum(o_orderkey) AS BIGINT) AS sum_ids,
+       CAST(sum(o_orderkey) AS DECIMAL(38,0)) AS sum_ids,
        'shop.example.com' AS host,
        TRUE AS url_ok, TRUE AS b64_ok, TRUE AS hex_ok, TRUE AS aes_ok
 FROM orders GROUP BY 1
@@ -6936,7 +6953,9 @@ def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("_keep").alias("n_kept"),
-            F.sum(F.col("_keep") * F.col("doc_id")).alias("kept_id_checksum"),
+            F.sum(
+                (F.col("_keep") * F.col("doc_id")).cast("decimal(28,0)")
+            ).alias("kept_id_checksum"),
             F.sum(F.col("_keep") * F.col("_nt")).alias("n_tokens_kept"),
         )
     )
@@ -6968,7 +6987,7 @@ rates AS (
 )
 SELECT source, count(*) AS n_docs,
        CAST(sum(keep) AS BIGINT) AS n_kept,
-       CAST(sum(keep * doc_id) AS BIGINT) AS kept_id_checksum,
+       CAST(sum(keep * doc_id) AS DECIMAL(38,0)) AS kept_id_checksum,
        CAST(sum(keep * nt) AS BIGINT) AS n_tokens_kept
 FROM k GROUP BY 1
 """
@@ -8640,11 +8659,7 @@ def q_snapshot_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return diff.groupBy("change_type").agg(
         F.count("*").alias("n_changes"),
-        # DECIMAL checksum: sum(k) overflows long at 100 TB key
-        # domains (r9 sf1 scale-proof finding)
-        F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias(
-            "key_checksum"
-        ),
+        _key_sum("c_custkey").alias("key_checksum"),
     )
 
 
@@ -8668,8 +8683,8 @@ diff AS (
               WHEN o.seg <> n.seg THEN 'update' END AS change_type
   FROM old o FULL OUTER JOIN new n ON o.k = n.k
 )
--- CAST: DuckDB sum(BIGINT) is HUGEINT = decimal128 at the driver's
--- Arrow fetch; Spark emits LONG (r5 red row).
+-- key checksum is DECIMAL(38,0) on BOTH sides (_key_sum on the Spark
+-- side): key-domain sums overflow signed 64 bits at 100 TB.
 SELECT change_type, count(*) AS n_changes,
        CAST(sum(k) AS DECIMAL(38,0)) AS key_checksum
 FROM diff WHERE change_type IS NOT NULL GROUP BY 1
@@ -8862,15 +8877,8 @@ def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tfmt.read_table(spark, root, version=v)
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias("ks"),
-                    # key and key-square checksums route through DECIMAL:
-                    # at 100 TB key domains k*k (and even sum(k))
-                    # overflows a signed 64-bit long — found by the r9
-                    # sf1 scale-proof's 10x key-offset replication
-                    F.sum(
-                        F.col("c_custkey").cast("decimal(19,0)")
-                        * F.col("c_custkey").cast("decimal(19,0)")
-                    ).alias("ksq"),
+                    _key_sum("c_custkey").alias("ks"),
+                    _key_sq_sum("c_custkey").alias("ksq"),
                     F.countDistinct("c_mktsegment").alias("nseg"),
                 )
                 .collect()[0]
@@ -8885,9 +8893,10 @@ def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# CAST(... AS BIGINT): DuckDB sum(BIGINT) is HUGEINT (decimal128 at the
-# driver's Arrow fetch) and the literal version is INT32; Spark emits
-# LONG for both.
+# Key checksums are DECIMAL(38,0) on BOTH sides (_key_sum/_key_sq_sum
+# on the Spark side): a BIGINT k*k or a key-domain sum overflows signed
+# 64 bits at 100 TB — and the driver's hasher does not coerce numeric
+# kinds, so the twin's CASTs must track the Spark output types exactly.
 SQL_LAKEHOUSE_TIME_TRAVEL = """
 WITH v0 AS (
   SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
@@ -8916,14 +8925,14 @@ SELECT CAST(v AS BIGINT) AS version,
        CAST(ksq AS DECIMAL(38,0)) AS key_sq_sum,
        CAST(nseg AS BIGINT) AS n_segments
 FROM (
-  SELECT 0 AS v, count(*) AS n, sum(k) AS ks, sum(k * k) AS ksq,
+  SELECT 0 AS v, count(*) AS n, sum(k) AS ks, sum(CAST(k AS HUGEINT) * k) AS ksq,
          count(DISTINCT seg) AS nseg FROM v0
   UNION ALL
-  SELECT 1, count(*), sum(k), sum(k * k), count(DISTINCT seg) FROM v1
+  SELECT 1, count(*), sum(k), sum(CAST(k AS HUGEINT) * k), count(DISTINCT seg) FROM v1
   UNION ALL
-  SELECT 2, count(*), sum(k), sum(k * k), count(DISTINCT seg) FROM v2
+  SELECT 2, count(*), sum(k), sum(CAST(k AS HUGEINT) * k), count(DISTINCT seg) FROM v2
   UNION ALL
-  SELECT 3, count(*), sum(k), sum(k * k), count(DISTINCT seg) FROM v3
+  SELECT 3, count(*), sum(k), sum(CAST(k AS HUGEINT) * k), count(DISTINCT seg) FROM v3
 )
 ORDER BY version
 """
@@ -8971,9 +8980,7 @@ def q_lakehouse_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("_commit_version", "_change_type")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    # DECIMAL checksum: sum(k) overflows long at 100 TB
-                    # key domains (r9 sf1 scale-proof finding)
-                    F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias("ks"),
+                    _key_sum("c_custkey").alias("ks"),
                 )
                 .collect()
             )
@@ -9373,13 +9380,8 @@ def q_lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tfmt.read_table(spark, root, version=v)
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias("ks"),
-                    # DECIMAL checksums: k*k overflows long at 100 TB
-                    # key domains (r9 sf1 scale-proof finding)
-                    F.sum(
-                        F.col("c_custkey").cast("decimal(19,0)")
-                        * F.col("c_custkey").cast("decimal(19,0)")
-                    ).alias("ksq"),
+                    _key_sum("c_custkey").alias("ks"),
+                    _key_sq_sum("c_custkey").alias("ksq"),
                 )
                 .collect()[0]
             )
@@ -9437,13 +9439,8 @@ def q_lakehouse_restore_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tfmt.read_table(spark, root, version=v)
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias("ks"),
-                    # DECIMAL checksums: k*k overflows long at 100 TB
-                    # key domains (r9 sf1 scale-proof finding)
-                    F.sum(
-                        F.col("c_custkey").cast("decimal(19,0)")
-                        * F.col("c_custkey").cast("decimal(19,0)")
-                    ).alias("ksq"),
+                    _key_sum("c_custkey").alias("ks"),
+                    _key_sq_sum("c_custkey").alias("ksq"),
                 )
                 .collect()[0]
             )
@@ -9506,9 +9503,7 @@ def q_lakehouse_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tfmt.read_table(spark, root, version=v)
                 .agg(
                     F.count(F.lit(1)).alias("n"),
-                    # DECIMAL checksum: sum(k) overflows long at 100 TB
-                    # key domains (r9 sf1 scale-proof finding)
-                    F.sum(F.col("c_custkey").cast("decimal(28,0)")).alias("ks"),
+                    _key_sum("c_custkey").alias("ks"),
                     F.sum(
                         F.round("c_acctbal", 2).cast("decimal(18,2)")
                     ).cast("double").alias("bs"),
@@ -9656,17 +9651,18 @@ SELECT CAST(v AS BIGINT) AS version,
        CAST(ks AS DECIMAL(38,0)) AS key_sum,
        CAST(ksq AS DECIMAL(38,0)) AS key_sq_sum
 FROM (
-  SELECT 0 AS v, count(*) AS n, sum(k) AS ks, sum(k * k) AS ksq FROM v0
-  UNION ALL SELECT 1, count(*), sum(k), sum(k * k) FROM v1
-  UNION ALL SELECT 2, count(*), sum(k), sum(k * k) FROM v2
-  UNION ALL SELECT 3, count(*), sum(k), sum(k * k) FROM v1
+  SELECT 0 AS v, count(*) AS n, sum(k) AS ks, sum(CAST(k AS HUGEINT) * k) AS ksq FROM v0
+  UNION ALL SELECT 1, count(*), sum(k), sum(CAST(k AS HUGEINT) * k) FROM v1
+  UNION ALL SELECT 2, count(*), sum(k), sum(CAST(k AS HUGEINT) * k) FROM v2
+  UNION ALL SELECT 3, count(*), sum(k), sum(CAST(k AS HUGEINT) * k) FROM v1
 )
 ORDER BY version
 """
 
 
-# CAST(... AS BIGINT) throughout: DuckDB sum(BIGINT)=HUGEINT (decimal128
-# at the driver's Arrow fetch) vs Spark LONG — the r6 lesson.
+# Counts stay BIGINT (the r6 HUGEINT lesson); key checksums are
+# DECIMAL(38,0) on both sides with the multiply widened to HUGEINT
+# (k*k overflows 64 bits long before the sum does).
 SQL_LAKEHOUSE_DELETION_VECTORS = """
 WITH v0 AS (SELECT c_custkey AS k FROM customer),
 v1 AS (SELECT k FROM v0 WHERE NOT (k <= 40)),
@@ -9677,16 +9673,16 @@ SELECT CAST(v AS BIGINT) AS version,
        CAST(ksq AS DECIMAL(38,0)) AS key_sq_sum,
        CAST(nd AS BIGINT) AS n_deleted
 FROM (
-  SELECT 0 AS v, count(*) AS n, sum(k) AS ks, sum(k * k) AS ksq,
+  SELECT 0 AS v, count(*) AS n, sum(k) AS ks, sum(CAST(k AS HUGEINT) * k) AS ksq,
          0 AS nd FROM v0
   UNION ALL
-  SELECT 1, count(*), sum(k), sum(k * k),
+  SELECT 1, count(*), sum(k), sum(CAST(k AS HUGEINT) * k),
          (SELECT count(*) FROM v0 WHERE k <= 40) FROM v1
   UNION ALL
-  SELECT 2, count(*), sum(k), sum(k * k),
+  SELECT 2, count(*), sum(k), sum(CAST(k AS HUGEINT) * k),
          (SELECT count(*) FROM v1 WHERE k % 7 = 0) FROM v2
   UNION ALL
-  SELECT 3, count(*), sum(k), sum(k * k), 0 FROM v2
+  SELECT 3, count(*), sum(k), sum(CAST(k AS HUGEINT) * k), 0 FROM v2
 )
 ORDER BY version
 """

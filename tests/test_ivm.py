@@ -777,14 +777,20 @@ def test_rollup_sum_survives_long_overflow_volumes(spark, tmp_path):
     """r9 sf1 scale-proof finding: integral SUM measures must route
     through DECIMAL(38,0) — a LONG sum of key-sized values overflows
     signed 64 bits at 100 TB volumes and ANSI mode aborts the refresh.
-    Four rows near Long.MAX/2 overflow a long sum; the widened rollup
-    must create, refresh through churn, and stay exact."""
+    A 3-row group of ~0.43*Long.MAX values overflows a long sum at
+    CREATE time, and the refresh fold overflows again; the widened
+    rollup must create, refresh through churn, and stay exact."""
     from decimal import Decimal
 
     src = str(tmp_path / "src")
     view = str(tmp_path / "view")
     big = 4_000_000_000_000_000_000  # ~0.43 * Long.MAX
-    rows = [Row(k=i, g=i % 2, val=big) for i in range(4)]
+    # group 0 holds THREE big rows at create: 3*big = 1.2e19 > Long.MAX,
+    # so the CREATE path itself overflows a long sum (not just the
+    # later refresh fold) — remove _widen from _rollup_frame and this
+    # first assertion aborts with ARITHMETIC_OVERFLOW under ANSI.
+    rows = [Row(k=0, g=0, val=big), Row(k=1, g=0, val=big),
+            Row(k=2, g=0, val=big), Row(k=3, g=1, val=big)]
     tf.create_table(
         spark.createDataFrame(rows, "k long, g long, val long"),
         src,
@@ -795,7 +801,7 @@ def test_rollup_sum_survives_long_overflow_volumes(spark, tmp_path):
         r["g"]: r["sum_val"]
         for r in ivm.read_rollup(spark, view).collect()
     }
-    assert got == {0: Decimal(2 * big), 1: Decimal(2 * big)}
+    assert got == {0: Decimal(3 * big), 1: Decimal(big)}
     # churn: the delta fold must widen too (sign * val in long would
     # still be fine, but the SUM of deltas must not overflow)
     tf.append(
@@ -810,4 +816,33 @@ def test_rollup_sum_survives_long_overflow_volumes(spark, tmp_path):
         r["g"]: r["sum_val"]
         for r in ivm.read_rollup(spark, view).collect()
     }
-    assert got == {0: Decimal(5 * big), 1: Decimal(2 * big)}
+    assert got == {0: Decimal(6 * big), 1: Decimal(big)}
+
+
+def test_with_avg_keeps_native_decimal_measures_exact(spark, tmp_path):
+    """r9 review pass: the widening→double cast for derived avgs keys
+    off the SPEC's widened_cols list, not the stored sum type — a
+    natively decimal(p,0) measure (NOT widened) must keep its exact
+    decimal avg even when its sum exceeds double's 2^53 integer range,
+    while a widened integral measure casts back to Spark's DOUBLE avg
+    type."""
+    from decimal import Decimal
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    big = 10_000_000_000_000_000_001  # 1e19 + 1: not a double integer
+    rows = spark.createDataFrame(
+        [(0, 0, Decimal(big), 7), (1, 0, Decimal(big), 9)],
+        "k long, g long, dval decimal(20,0), ival long",
+    )
+    tf.create_table(rows, src, stat_cols=["k"])
+    ivm.create_rollup(
+        spark, src, view, keys=["g"], sum_cols=["dval", "ival"]
+    )
+    st = ivm.rollup_state(view)
+    assert st["widened_cols"] == ["ival"]
+    row = ivm.read_rollup(spark, view, with_avg=True).collect()[0]
+    # native decimal: exact — a double round-trip would land on 1e19
+    assert row["avg_dval"] == Decimal(big)
+    # widened integral: Spark's avg-over-integral DOUBLE semantics
+    assert isinstance(row["avg_ival"], float) and row["avg_ival"] == 8.0
