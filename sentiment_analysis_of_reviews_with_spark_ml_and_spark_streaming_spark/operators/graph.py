@@ -141,10 +141,16 @@ def triangle_count(
         )
         .agg(F.count("*").alias("n_triangles"))
     )
+    # wedge count Σ deg·(deg−1) routes through DECIMAL(38,0): a hub of
+    # degree ~3.1e9 overflows deg·(deg−1) in signed 64 bits (ANSI mode
+    # aborts), and past 2^53 a double division would round the exact
+    # even integer — same policy as the r9 checksum widening. The /2 is
+    # exact decimal arithmetic (the sum is even by construction).
+    wdeg = F.col("deg").cast("decimal(19,0)")
     stats = deg.agg(
         F.count("*").alias("n_nodes"),
-        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
-        .cast("long")
+        (F.sum(wdeg * (wdeg - 1)) / 2)
+        .cast("decimal(38,0)")
         .alias("_wedges"),
     )
     n_edges = und.agg(F.count("*").alias("n_edges"))
@@ -241,7 +247,20 @@ def bellman_ford_bounded(
     hop-bounded semantics it IS the algorithm, not an approximation:
     after k rounds, dist(v) is exactly the minimum total weight over
     paths of <= k edges. Integer weights keep min-plus exact (no
-    float summation-order concerns)."""
+    float summation-order concerns) — and the integral-weight contract
+    is ENFORCED: a fractional weight column would be silently truncated
+    by the long accumulation at every relaxation, producing
+    plausible-looking wrong distances, so non-integral types raise up
+    front instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    wt = edges.schema[weight_col].dataType
+    if not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"bellman_ford_bounded requires an integral weight column "
+            f"(min-plus stays exact); got {weight_col}: {wt.simpleString()}"
+            " — quantize fractional weights to integers first"
+        )
     e = (
         edges.select(
             F.col(src_col).alias("src"),

@@ -147,15 +147,26 @@ def history(root: str) -> list[dict]:
     return out
 
 
+def effective_timestamps(root: str) -> list[float]:
+    """Per-version skew-adjusted commit wall-clocks: the running max
+    makes the timeline monotone even under writer clock skew — the
+    same adjustment Delta applies. Commits written before timestamps
+    existed sort as 0. This is THE one timestamp policy; both batch
+    ``TIMESTAMP AS OF`` (:func:`version_at_timestamp`) and the
+    streaming source's ``startingTimestamp`` resolve through it so the
+    two can never disagree on the same table."""
+    out, eff = [], 0.0
+    for v in range(latest_version(root) + 1):
+        eff = max(eff, _read_commit(root, v).get("ts", 0.0))
+        out.append(eff)
+    return out
+
+
 def version_at_timestamp(root: str, ts: float) -> int:
     """The newest version whose commit wall-clock is ≤ ``ts`` (Delta's
-    ``TIMESTAMP AS OF``). Raises if the table didn't exist yet. Commits
-    written before timestamps existed sort as 0 (always included)."""
-    best, eff = -1, 0.0
-    for v in range(latest_version(root) + 1):
-        # running max makes the effective timeline monotone even under
-        # writer clock skew — the same adjustment Delta applies.
-        eff = max(eff, _read_commit(root, v).get("ts", 0.0))
+    ``TIMESTAMP AS OF``). Raises if the table didn't exist yet."""
+    best = -1
+    for v, eff in enumerate(effective_timestamps(root)):
         if eff <= ts:
             best = v
         else:

@@ -111,7 +111,12 @@ def _read_file_batches(
     cols = []
     for field in target:
         if field.name == _VERSION_COL:
-            cols.append(pa.array([version] * n, type=pa.int64()))
+            # constant column in C (numpy full), not a Python list — a
+            # 5M-row file would otherwise materialize 5M interpreter
+            # objects per partition on the worker hot path
+            import numpy as np
+
+            cols.append(pa.array(np.full(n, version, dtype=np.int64)))
         elif field.name in tbl.column_names:
             cols.append(tbl.column(field.name).cast(field.type).combine_chunks())
         else:
@@ -234,9 +239,18 @@ def _read_cdf_batches(part: _CdfPartition, schema: StructType):
     cols = []
     for field in target:
         if field.name == _VERSION_COL:
-            cols.append(pa.array([part.version] * n, type=pa.int64()))
+            import numpy as np
+
+            cols.append(pa.array(np.full(n, part.version, dtype=np.int64)))
         elif field.name == _CHANGE_COL:
-            cols.append(pa.array([change] * n, type=pa.string()))
+            # dictionary-encoded constant: one string + n int32 indices
+            # in C, instead of n Python string objects
+            cols.append(
+                pa.DictionaryArray.from_arrays(
+                    pa.nulls(n, pa.int32()).fill_null(0),
+                    pa.array([change], type=pa.string()),
+                ).cast(pa.string())
+            )
         elif field.name in tbl.column_names:
             cols.append(tbl.column(field.name).cast(field.type).combine_chunks())
         else:
@@ -391,11 +405,13 @@ class LakehouseStreamReader(DataSourceStreamReader):
         if "startingtimestamp" in options:
             # Delta's startingTimestamp: emit every commit whose
             # (skew-adjusted) wall-clock is at or after the timestamp.
+            # Resolves through table_format.effective_timestamps — the
+            # SAME monotone timeline batch TIMESTAMP AS OF uses, so the
+            # two lookups can never drift apart on one table.
             ts = float(options["startingtimestamp"])
-            head = tf.latest_version(self.root)
-            start, eff = head, 0.0
-            for v in range(head + 1):
-                eff = max(eff, tf._read_commit(self.root, v).get("ts", 0.0))
+            effs = tf.effective_timestamps(self.root)
+            start = len(effs) - 1
+            for v, eff in enumerate(effs):
                 if eff >= ts:
                     start = v - 1
                     break
@@ -407,14 +423,30 @@ class LakehouseStreamReader(DataSourceStreamReader):
         return {"version": self.starting}
 
     def latestOffset(self) -> dict:
-        return {"version": tf.latest_version(self.root)}
+        # never behind the requested start: a startingVersion past the
+        # current head must WAIT for those commits (Delta semantics),
+        # not plan a backward (start, head] batch that would first
+        # regress the checkpointed offset to head and then re-emit the
+        # very versions the user asked to skip.
+        return {"version": max(tf.latest_version(self.root), self.starting)}
 
     def partitions(self, start: dict, end: dict):
+        s, e = start["version"], end["version"]
+        # clamp to the commits that actually exist: when startingVersion
+        # sits past the current head, latestOffset holds the offset AT
+        # the start (waiting), but availableNow still plans the empty
+        # (start, start] batch — which must yield zero rows, not a
+        # snapshot lookup at a version that doesn't exist yet.
+        e = min(e, tf.latest_version(self.root))
+        if e <= s:
+            return [_CdfPartition("insert", "", s)] if self.cdf else [
+                _FilePartition("", -1)
+            ]
         if self.cdf:
-            parts = _cdf_partitions(self.root, start["version"], end["version"])
-            return parts or [_CdfPartition("insert", "", start["version"])]
+            parts = _cdf_partitions(self.root, s, e)
+            return parts or [_CdfPartition("insert", "", s)]
         parts = []
-        for v in range(start["version"] + 1, end["version"] + 1):
+        for v in range(s + 1, e + 1):
             rec = tf._read_commit(self.root, v)
             if rec.get("action") in _NOOP_ACTIONS:
                 # data-identical layout rewrites (OPTIMIZE/CLUSTER):

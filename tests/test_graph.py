@@ -147,3 +147,21 @@ def test_bellman_ford_prefers_lighter_multi_hop_path(spark):
         for r in bellman_ford_bounded(edges, seeds, max_hops=4).collect()
     }
     assert got4[5] == 5
+
+
+def test_bellman_ford_rejects_fractional_weights(spark):
+    """r9 review pass: a double weight column was silently truncated by
+    the long accumulation at every relaxation — plausible-looking wrong
+    distances. The integral-weight contract is now enforced up front."""
+    import pytest as _pytest
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.graph import (
+        bellman_ford_bounded,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 3, 0.5)], "src long, dst long, w double"
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    with _pytest.raises(ValueError, match="integral weight"):
+        bellman_ford_bounded(edges, sources, max_hops=3)

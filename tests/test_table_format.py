@@ -1959,3 +1959,51 @@ def test_pred_literal_opposite_quote_is_plain_data():
     assert tf._pred_literal("'it''s'") is None
     assert tf._pred_literal(r"'a\'b'") is None
     assert tf._extract_bounds("s >= 'say \"hi\"'", "s") == ('say "hi"', None)
+
+
+def test_starting_version_past_head_waits_not_regresses(spark, tmp_path):
+    """r9 review pass: startingVersion beyond the current head must
+    WAIT for those commits (Delta semantics). Previously latestOffset
+    returned head < starting, Spark planned a backward (start, head]
+    batch, the checkpointed offset regressed to head, and the next
+    batch re-emitted every version the user asked to skip."""
+    import tempfile
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources import (
+        register_lakehouse_source,
+    )
+
+    register_lakehouse_source(spark)
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 10), root, stat_cols=["k"])     # v0
+    tf.append(_mk(spark, 10, 20, seg="B"), root)                  # v1
+    ckpt = tempfile.mkdtemp(prefix="svwait-")
+    sink = tempfile.mkdtemp(prefix="svwait-sink-")
+
+    def run():
+        q = (
+            spark.readStream.format("lakehouse")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 4)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise q.exception()
+        return spark.read.parquet(sink).collect()
+
+    # head (1) < starting (4): nothing to emit, offset must NOT regress
+    assert run() == []
+    tf.append(_mk(spark, 20, 30, seg="C"), root)                  # v2
+    tf.append(_mk(spark, 30, 40, seg="D"), root)                  # v3
+    tf.append(_mk(spark, 40, 45, seg="E"), root)                  # v4
+    got = run()
+    # versions 2 and 3 were asked to be skipped; only v4 flows
+    assert got and {r["_commit_version"] for r in got} == {4}
+    assert sorted(r["k"] for r in got) == list(range(40, 45))
