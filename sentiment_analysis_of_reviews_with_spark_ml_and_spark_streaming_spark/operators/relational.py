@@ -386,6 +386,24 @@ def rollup_stats(rollup):
     )
 
 
+def efraimidis_spirakis_key(id_col: str, weight_col: str):
+    """THE Efraimidis-Spirakis reservoir key — ln(u)/w with u derived
+    from the first 8 md5 hex chars of the id ((h + 0.5) / 2^32, exact
+    in double), rounded to 9. Float-critical and cross-engine/
+    stream-batch bit-sensitive: the batch sampler, its SQL twins, and
+    streaming_weighted_reservoir must all compute the IDENTICAL
+    expression, so it lives in exactly one place (the
+    textstats.md5_prefix_long rule: any change lands everywhere
+    together or equality breaks silently)."""
+    from .textstats import md5_prefix_long
+
+    h = md5_prefix_long(F.col(id_col).cast("string"), nchars=8).cast(
+        "double"
+    )
+    u = (h + F.lit(0.5)) / F.lit(float(2**32))
+    return F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+
+
 def weighted_sample_per_group(
     df: DataFrame,
     *,
@@ -409,13 +427,7 @@ def weighted_sample_per_group(
     reservoir loop it replaces. Zero-weight rows are excluded (their
     E-S key is -inf)."""
 
-    from .textstats import md5_prefix_long
-
-    h = md5_prefix_long(F.col(id_col).cast("string"), nchars=8).cast("double")
-    u = (h + F.lit(0.5)) / F.lit(float(2**32))
-    es_key = F.round(
-        F.log(u) / F.col(weight_col).cast("double"), 9
-    )
+    es_key = efraimidis_spirakis_key(id_col, weight_col)
     w = Window.partitionBy(group_col).orderBy(
         F.col("_es_key").desc(), F.col(id_col)
     )

@@ -270,7 +270,10 @@ def countmin_estimate(
     """Point estimates for ``probes[value_col]``: min over the depth
     counters addressed by the probe's buckets. The sketch side is tiny
     (<= depth*width rows) and broadcast; the probe side never
-    shuffles. Missing buckets count 0 (value never seen)."""
+    shuffles. Missing buckets count 0 (value never seen). NULL probes
+    are excluded like NULL build values — membership of "not a value"
+    is undefined, not zero."""
+    probes = probes.filter(F.col(value_col).isNotNull())
     pb = probes.select(
         F.col(value_col),
         F.explode(
@@ -323,7 +326,13 @@ def bloom_build(
 ) -> DataFrame:
     """The set bit positions (one row per distinct set bit, <= num_bits
     rows): explode k positions per value, distinct. Partial-aggregate
-    collapses each partition to <= num_bits rows pre-shuffle."""
+    collapses each partition to <= num_bits rows pre-shuffle.
+
+    NULL values are EXCLUDED (the misra_gries_candidates convention): a
+    NULL salts to a NULL hash that sets no real bit, so an unfiltered
+    NULL would silently "build" nothing and then probe as a FALSE
+    NEGATIVE — violating the no-false-negatives contract."""
+    df = df.filter(F.col(value_col).isNotNull())
     return (
         df.select(
             F.explode(
@@ -351,7 +360,9 @@ def bloom_probe(
     """Membership test: probe is bloom-positive iff all num_hashes of
     its bit positions are set. The bit set (<= num_bits rows) is
     broadcast; probes never shuffle except the final per-probe count
-    (key domain = probes)."""
+    (key domain = probes). NULL probes are excluded like NULL build
+    values — membership of "not a value" is undefined, not false."""
+    probes = probes.filter(F.col(value_col).isNotNull())
     # dedupe probe VALUES before exploding: a value probed twice would
     # otherwise join 2×num_hashes bit rows and fail the == num_hashes
     # membership test — a false negative, violating the bloom contract.

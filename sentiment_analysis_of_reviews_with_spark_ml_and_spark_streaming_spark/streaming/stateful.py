@@ -100,7 +100,12 @@ def streaming_heavy_hitters(
     from ..operators.sketch import _mg_reduce
 
     keyed = events.select(
-        (F.abs(F.xxhash64(F.col(value_col))) % num_shards).alias("shard"),
+        # pmod, not abs(...)%: abs(Long.MIN_VALUE) aborts under ANSI
+        # and % keeps the sign (negative shard) — the repo convention
+        # (operators/relational.py) has neither failure mode
+        F.pmod(F.xxhash64(F.col(value_col)), F.lit(num_shards)).alias(
+            "shard"
+        ),
         F.col(value_col).cast("string").alias("value"),
     )
 
@@ -208,8 +213,6 @@ def stream_near_dup_pairs(
             f"max_hamming={max_hamming} breaks the pigeonhole full-recall "
             f"guarantee for bands={bands}: require max_hamming <= bands-1"
         )
-    import pandas as pd  # noqa: F811 - local for the worker closure
-
     fp_schema = f"{id_col} long, simhash long"
 
     def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -249,8 +252,17 @@ def stream_near_dup_pairs(
             # deterministic within-batch order: ids ascending, so the
             # earlier doc is always the "matched" side
             pdf = pdf.sort_values(id_col)
+            known = set(ids)
             for rid, fp in zip(pdf[id_col], pdf["simhash"]):
                 rid, fp = int(rid), int(fp)
+                if rid in known:
+                    # at-least-once re-delivery (or an in-batch dup):
+                    # already fingerprinted — matching it against its
+                    # own stored copy would emit a self-pair (rid, rid,
+                    # 0) and a duplicate state entry that double-emits
+                    # every future match and burns a state slot
+                    continue
+                known.add(rid)
                 for sid, sfp in zip(ids, fps_seen):
                     ham = bin((fp ^ sfp) & ((1 << 64) - 1)).count("1")
                     if ham <= max_hamming:
@@ -329,18 +341,22 @@ def streaming_gapfill_locf(
         if out_hours:
             yield pd.DataFrame(
                 {
-                    "event_type": [etype] * len(out_hours),
-                    "hour": out_hours,
+                    key_col: [etype] * len(out_hours),
+                    hour_col: out_hours,
                     "n_events": out_n,
                     "filled_avg": out_avg,
                     "is_gap": out_gap,
                 }
             )
 
+    # key/hour columns thread NAME AND TYPE through the output schema —
+    # the old hardcoded "event_type string, hour" mislabeled any other
+    # key column and crashed Arrow conversion for non-string keys
+    key_type = hourly.schema[key_col].dataType.simpleString()
     return hourly.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=(
-            "event_type string, hour timestamp, n_events long, "
+            f"{key_col} {key_type}, {hour_col} timestamp, n_events long, "
             "filled_avg double, is_gap int"
         ),
         stateStructType="last_epoch long, last_avg double",
@@ -421,10 +437,11 @@ def running_user_stats_tws(
         def close(self) -> None:
             pass
 
+    key_type = events.schema[key_col].dataType.simpleString()
     return events.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_RunningStats(),
         outputStructType=(
-            f"{key_col} long, n_events long, total_value double, "
+            f"{key_col} {key_type}, n_events long, total_value double, "
             "max_value double"
         ),
         outputMode="Update",
@@ -645,11 +662,9 @@ def streaming_weighted_reservoir(
     Emits the full current reservoir per group per batch (update
     mode): (group, id, es_key, rank).
     """
-    from ..operators.textstats import md5_prefix_long
+    from ..operators.relational import efraimidis_spirakis_key
 
-    h = md5_prefix_long(F.col(id_col).cast("string"), nchars=8).cast("double")
-    u = (h + F.lit(0.5)) / F.lit(float(2**32))
-    es = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    es = efraimidis_spirakis_key(id_col, weight_col)
     keyed = (
         events.filter(F.col(weight_col) > 0)
         .select(F.col(group_col), F.col(id_col), es.alias("_es"))
@@ -889,14 +904,23 @@ def psi_batch(
     FIXED reference edges, then PSI = Σ (q_i − p_i)·ln(q_i/p_i) with
     the 1e-6 zero-share floor — one groupBy per key, bucket count
     bounded by len(edges)+1. ``ref_shares`` is the reference
-    distribution the monitor was armed with (len(edges)+1 shares)."""
+    distribution the monitor was armed with (len(edges)+1 shares).
+
+    NULL and NaN values are EXCLUDED from bucketing on both paths (a
+    NULL has no bucket; Spark would order NaN above every edge while
+    pandas' ``NaN > e`` is False — and a float64 Arrow batch cannot
+    even distinguish the two worker-side), so a key whose every value
+    is NULL/NaN appears in NEITHER output — the one convention both
+    engines can honor exactly."""
     n_b = len(edges) + 1
+    v = F.col(value_col).cast("double")
     bucket = sum(
         [(F.col(value_col) > F.lit(e)).cast("int") for e in edges],
         F.lit(0),
     )
     counts = (
-        df.select(key_col, bucket.alias("_b"))
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(key_col, bucket.alias("_b"))
         .groupBy(key_col)
         .pivot("_b", list(range(n_b)))
         .count()
@@ -941,7 +965,10 @@ def streaming_psi(
     :func:`psi_batch` over the concatenated stream (asserted in
     tests/test_stateful_and_properties.py): the counts are integers,
     so the only float math is the final closed form on the same
-    integer state."""
+    integer state. NULL/NaN values are excluded from bucketing (the
+    psi_batch convention — a float64 Arrow batch can't tell them
+    apart worker-side), and a key with no bucketable rows yet emits
+    NOTHING, matching its absence from the batch output."""
     import math
 
     n_b = len(edges) + 1
@@ -956,6 +983,8 @@ def streaming_psi(
         counts = list(state.get[0]) if state.exists else [0] * n_b
         for pdf in pdfs:
             for v in pdf[value_col].astype(float):
+                if math.isnan(v):  # NULL or NaN: no bucket
+                    continue
                 b = 0
                 for e in edges:
                     if v > e:
@@ -963,11 +992,12 @@ def streaming_psi(
                 counts[b] += 1
         state.update(([int(c) for c in counts],))
         total = float(sum(counts))
+        if total == 0:
+            return  # nothing bucketable yet: batch has no row either
         psi = 0.0
-        if total > 0:
-            for i in range(n_b):
-                q = max(counts[i] / total, 1e-6)
-                psi += (q - ref[i]) * math.log(q / ref[i])
+        for i in range(n_b):
+            q = max(counts[i] / total, 1e-6)
+            psi += (q - ref[i]) * math.log(q / ref[i])
         yield pd.DataFrame({key_col: [k], "psi": [round(psi, 6)]})
 
     return events.groupBy(key_col).applyInPandasWithState(

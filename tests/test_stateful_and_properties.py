@@ -655,3 +655,121 @@ def test_running_stats_custom_key_col(spark, tmp_path):
         for r in spark.sql("SELECT * FROM rs_key").collect()
     }
     assert got == {"click": (2, 4.0), "buy": (1, 2.0)}
+
+
+def test_streaming_psi_null_nan_equals_batch(spark, tmp_path):
+    """r9 review pass: NULL and NaN values are excluded from PSI
+    bucketing on BOTH paths (previously the stream counted them into
+    bucket 0 while the batch dropped NULLs and top-bucketed NaN), and
+    a key with no bucketable rows appears in NEITHER output."""
+    import json as _json
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        psi_batch,
+        streaming_psi,
+    )
+
+    edges = [10.0, 20.0, 30.0]
+    ref = [0.25, 0.25, 0.25, 0.25]
+    rows = [
+        {"event_type": "a", "value": 5.0},
+        {"event_type": "a", "value": None},
+        {"event_type": "a", "value": float("nan")},
+        {"event_type": "a", "value": 25.0},
+        {"event_type": "b", "value": 35.0},
+        {"event_type": "only_null", "value": None},
+    ]
+    src = tmp_path / "psi_nn_src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps(e) for e in rows if e["value"] == e["value"])
+        + "\n"
+        + "\n".join(
+            '{"event_type": "%s", "value": null}' % e["event_type"]
+            for e in rows
+            if e["value"] != e["value"] or e["value"] is None
+        )
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_type string, value double")
+        .load(str(src))
+    )
+    q = (
+        streaming_psi(stream, edges=edges, ref_shares=ref)
+        .writeStream.format("memory")
+        .queryName("psi_nn_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "psi_nn_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {}
+    for r in spark.sql("select * from psi_nn_stream").collect():
+        got[r["event_type"]] = r["psi"]
+    batch = spark.createDataFrame(
+        [(e["event_type"], e["value"]) for e in rows],
+        "event_type string, value double",
+    )
+    want = {
+        r["event_type"]: r["psi"]
+        for r in psi_batch(batch, edges=edges, ref_shares=ref).collect()
+    }
+    assert got == want
+    assert "only_null" not in got and set(got) == {"a", "b"}
+
+
+def test_stream_near_dup_redelivery_no_self_pairs(spark, tmp_path):
+    """r9 review pass: an at-least-once re-delivery of a doc_id must
+    not emit a self-pair (id, id, 0), must not duplicate the state
+    entry (which double-emitted every future match), and must not burn
+    a state slot."""
+    import json as _json
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
+        stream_near_dup_pairs,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        _json.dumps({"doc_id": 1, "text": text}) + "\n"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    q = (
+        stream_near_dup_pairs(stream)
+        .writeStream.format("memory")
+        .queryName("nd_redeliver")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nd_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # re-deliver doc 1, then a genuine near-dup doc 2
+    (src / "b1.json").write_text(
+        _json.dumps({"doc_id": 1, "text": text}) + "\n"
+    )
+    q.processAllAvailable()
+    (src / "b2.json").write_text(
+        _json.dumps({"doc_id": 2, "text": text}) + "\n"
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from nd_redeliver").collect()
+    pairs = [(r["doc_id"], r["matched_doc_id"]) for r in rows]
+    assert (1, 1) not in pairs  # no self-pair from the re-delivery
+    # doc 2 matches doc 1 exactly once per shared band — state holds
+    # ONE copy of doc 1, so no duplicated (2, 1) emissions per band
+    from collections import Counter
+
+    per_band = Counter((r["doc_id"], r["matched_doc_id"], r["band"])
+                       for r in rows)
+    assert all(v == 1 for v in per_band.values())
+    assert any(p == (2, 1) for p in pairs)
