@@ -472,12 +472,98 @@ def streaming_bench(spark) -> dict:
 # stamps `contended: true` into both the full artifact and the summary
 # line — so a contended stamp is self-identifying and compare_bench
 # consumers know to adjudicate against the round's idle archive.
-SENTINEL_FLOOR = {
+# Fallback floors (the r8 idle run) — used only when no archive
+# qualifies; normally floors self-calibrate from the newest
+# uncontended archive (see _sentinel_floors). VERDICT r9 "what's
+# wrong" #2: floors pinned to one past run drift stale as per-round
+# perf work lands, masking slow creep — so they are now re-derived
+# from the newest idle archive at every stamp.
+SENTINEL_FLOOR_FALLBACK = {
     "doc_fingerprint": 0.235,
     "dedup_exact": 0.257,
     "skew_audit_orders_custkey": 0.304,
 }
 SENTINEL_MAX = 1.3
+# Host the floors (fallback AND all legacy archives) were measured on.
+# ADVICE r9: on any other machine the floors are meaningless — the
+# sentinel would burn 3 retries and permanently stamp contended:true
+# on genuinely idle runs — so a host mismatch SKIPS the sentinel with
+# a note, like the sf-mismatch path.
+SENTINEL_CALIBRATION_HOST = "32cpu-x86_64-125GiB"
+
+
+def host_fingerprint() -> str:
+    import platform
+
+    mem_gib = ""
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = int(fh.readline().split()[1])
+        mem_gib = f"-{kb // (1024 * 1024)}GiB"
+    except (OSError, ValueError, IndexError):
+        pass
+    return f"{os.cpu_count()}cpu-{platform.machine()}{mem_gib}"
+
+
+def _sentinel_floors(
+    host: str, arch_dir: str | None = None
+) -> tuple[dict[str, float], str]:
+    """Resolve (floors, source) for this run.
+
+    Priority: SPARK_GRAFT_SENTINEL_FLOORS env (JSON mapping; trusts
+    the operator, no host gate) > the newest sf0.1 archive stamped
+    ``contended: false`` whose recorded host matches this one (legacy
+    archives without a host field count as the calibration host) >
+    the pinned fallback (calibration host only). Floors come from the
+    archive's full timed sweep (its ``queries`` dict), which is the
+    idle steady-state measurement of the three sentinel queries.
+    """
+    env = os.environ.get("SPARK_GRAFT_SENTINEL_FLOORS")
+    if env:
+        floors = {k: float(v) for k, v in json.loads(env).items()}
+        if set(floors) != set(SENTINEL_FLOOR_FALLBACK):
+            raise ValueError(
+                "SPARK_GRAFT_SENTINEL_FLOORS must map exactly the "
+                f"sentinel queries {sorted(SENTINEL_FLOOR_FALLBACK)}"
+            )
+        return floors, "env:SPARK_GRAFT_SENTINEL_FLOORS"
+    if arch_dir is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        arch_dir = os.path.join(here, "bench_archive")
+    candidates = []
+    try:
+        names = os.listdir(arch_dir)
+    except OSError:
+        names = []
+    for fname in names:
+        if not fname.endswith(".json"):
+            continue
+        path = os.path.join(arch_dir, fname)
+        try:
+            data = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        cont = data.get("contention") or {}
+        if (
+            isinstance(data.get("sf"), (int, float))
+            and abs(data["sf"] - 0.1) < 1e-9
+            and cont.get("contended") is False
+            and data.get("host", SENTINEL_CALIBRATION_HOST) == host
+            and all(
+                isinstance(data.get("queries", {}).get(q), (int, float))
+                for q in SENTINEL_FLOOR_FALLBACK
+            )
+        ):
+            candidates.append((os.path.getmtime(path), fname, data))
+    if candidates:
+        _, fname, data = max(candidates)
+        floors = {
+            q: float(data["queries"][q]) for q in SENTINEL_FLOOR_FALLBACK
+        }
+        return floors, f"bench_archive/{fname}"
+    if host == SENTINEL_CALIBRATION_HOST:
+        return dict(SENTINEL_FLOOR_FALLBACK), "pinned-r8-fallback"
+    return {}, ""
 
 
 def _contention_sentinel(spark, sf_dir: str, sf: float) -> dict:
@@ -486,18 +572,24 @@ def _contention_sentinel(spark, sf_dir: str, sf: float) -> dict:
         # meaningless — report that instead of a bogus verdict
         return {"ratio": None, "contended": None,
                 "note": f"no idle floor recorded for sf={sf}"}
+    host = host_fingerprint()
+    floors, floor_source = _sentinel_floors(host)
+    if not floors:
+        return {"ratio": None, "contended": None,
+                "note": f"no idle floors for host {host}; set "
+                        "SPARK_GRAFT_SENTINEL_FLOORS to calibrate"}
     best_ratio, best_per, attempts = None, None, 0
     for attempt in range(1, 4):
         attempts = attempt
         per: dict[str, float] = {}
-        for name, floor in SENTINEL_FLOOR.items():
+        for name, floor in floors.items():
             t_best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).collect()
                 t_best = min(t_best, time.perf_counter() - t0)
             per[name] = round(t_best, 3)
-        ratios = sorted(per[n] / SENTINEL_FLOOR[n] for n in per)
+        ratios = sorted(per[n] / floors[n] for n in per)
         ratio = ratios[len(ratios) // 2]
         if best_ratio is None or ratio < best_ratio:
             best_ratio, best_per = ratio, per
@@ -510,7 +602,9 @@ def _contention_sentinel(spark, sf_dir: str, sf: float) -> dict:
         "per_query": best_per,
         "attempts": attempts,
         "contended": best_ratio > SENTINEL_MAX,
-        "floor_source": "bench_archive/BENCH_LOCAL-3ad74a6f.json",
+        "floors": floors,
+        "floor_source": floor_source,
+        "host": host,
     }
 
 
@@ -575,6 +669,7 @@ def main() -> None:
         "streaming": streaming,
         "sf": sf,
         "contention": sentinel,
+        "host": host_fingerprint(),
     }
     if errors:
         result["errors"] = errors

@@ -252,14 +252,26 @@ def bellman_ford_bounded(
     by the long accumulation at every relaxation, producing
     plausible-looking wrong distances, so non-integral types raise up
     front instead."""
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
 
     wt = edges.schema[weight_col].dataType
-    if not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
+    # DECIMAL(p, 0) values are exactly integral too — accept them and
+    # cast to long below (the relaxation's `.cast("long")` handles it).
+    integral = isinstance(
+        wt, (ByteType, ShortType, IntegerType, LongType)
+    ) or (isinstance(wt, DecimalType) and wt.scale == 0)
+    if not integral:
         raise ValueError(
             f"bellman_ford_bounded requires an integral weight column "
             f"(min-plus stays exact); got {weight_col}: {wt.simpleString()}"
             " — quantize fractional weights to integers first"
+            " (DECIMAL with scale 0 is accepted; nonzero scale is not)"
         )
     e = (
         edges.select(

@@ -213,8 +213,17 @@ def cosine_topk_pandas(
                 rows.append(
                     (int(qid), int(nid[j]), None if s == -np.inf else s)
                 )
-        out = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "_sim"])
-        out["_sim"] = out["_sim"].astype(object)
+        # Build _sim as an object Series UP FRONT: a float-dtype
+        # intermediate would coerce None to NaN before the object cast,
+        # leaving nullness to depend on Arrow's NaN-in-object-column
+        # handling instead of a real None.
+        out = pd.DataFrame(
+            {
+                "query_id": [r[0] for r in rows],
+                "neighbor_id": [r[1] for r in rows],
+                "_sim": pd.Series([r[2] for r in rows], dtype=object),
+            }
+        )
         yield out
 
     partial = corpus.select(id_col, vec_col).mapInPandas(

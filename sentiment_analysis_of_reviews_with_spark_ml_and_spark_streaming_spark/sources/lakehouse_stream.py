@@ -410,6 +410,17 @@ class LakehouseStreamReader(DataSourceStreamReader):
             # two lookups can never drift apart on one table.
             ts = float(options["startingtimestamp"])
             effs = tf.effective_timestamps(self.root)
+            if effs and ts > effs[-1]:
+                # Delta raises when startingTimestamp is after the
+                # latest commit (a typo'd far-future timestamp would
+                # otherwise silently seat the stream at head and
+                # stream nothing). startingVersion past head keeps
+                # its distinct wait-for-those-commits semantics.
+                raise ValueError(
+                    f"startingTimestamp {ts} is after the latest commit "
+                    f"timestamp {effs[-1]} of {self.root}; use "
+                    "startingVersion to wait for future commits"
+                )
             start = len(effs) - 1
             for v, eff in enumerate(effs):
                 if eff >= ts:

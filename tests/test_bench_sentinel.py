@@ -1,0 +1,116 @@
+"""Contention-sentinel floor resolution (bench.py).
+
+VERDICT r9 "what's wrong" #2 + next-step #5: floors pinned to the r8
+idle archive go stale as per-round perf work lands — a sentinel
+calibrated against a slower past masks slow creep. Floors now
+self-calibrate from the NEWEST uncontended sf0.1 archive at stamp
+time, gated on a host fingerprint (ADVICE r9: on any other machine
+the pinned floors would burn 3 retries and stamp contended:true on
+genuinely idle runs), with an env-override escape hatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+import bench
+
+
+SENTINEL_QS = sorted(bench.SENTINEL_FLOOR_FALLBACK)
+CAL_HOST = bench.SENTINEL_CALIBRATION_HOST
+
+
+def _archive(tmp_path, name, *, sf=0.1, contended=False, host=None,
+             queries=None, mtime=None):
+    data = {
+        "sf": sf,
+        "contention": {"contended": contended},
+        "queries": queries
+        or {q: 0.1 + i * 0.01 for i, q in enumerate(SENTINEL_QS)},
+    }
+    if host is not None:
+        data["host"] = host
+    path = tmp_path / name
+    path.write_text(json.dumps(data))
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
+    return data
+
+
+def test_newest_uncontended_archive_wins(tmp_path):
+    now = time.time()
+    _archive(tmp_path, "old.json", mtime=now - 300,
+             queries={q: 0.5 for q in SENTINEL_QS})
+    newest = _archive(tmp_path, "new.json", mtime=now - 10,
+                      queries={q: 0.2 for q in SENTINEL_QS})
+    floors, src = bench._sentinel_floors(CAL_HOST, str(tmp_path))
+    assert src == "bench_archive/new.json"
+    assert floors == {q: newest["queries"][q] for q in SENTINEL_QS}
+
+
+def test_contended_wrong_sf_and_incomplete_archives_skipped(tmp_path):
+    now = time.time()
+    _archive(tmp_path, "contended.json", contended=True, mtime=now)
+    _archive(tmp_path, "sf001.json", sf=0.01, mtime=now)
+    incomplete = _archive(tmp_path, "incomplete.json", mtime=now)
+    # drop one sentinel query from its sweep
+    incomplete["queries"].pop(SENTINEL_QS[0])
+    (tmp_path / "incomplete.json").write_text(json.dumps(incomplete))
+    floors, src = bench._sentinel_floors(CAL_HOST, str(tmp_path))
+    assert src == "pinned-r8-fallback"
+    assert floors == bench.SENTINEL_FLOOR_FALLBACK
+
+
+def test_host_gate(tmp_path):
+    """An archive stamped by ANOTHER host must not calibrate this one;
+    legacy archives without a host field count as the calibration
+    host; a foreign host with no matching archive gets NO floors (the
+    sentinel then skips with a note instead of flagging contention)."""
+    now = time.time()
+    _archive(tmp_path, "foreign.json", host="8cpu-arm64-16GiB",
+             queries={q: 0.01 for q in SENTINEL_QS}, mtime=now)
+    legacy = _archive(tmp_path, "legacy.json", mtime=now - 60,
+                      queries={q: 0.3 for q in SENTINEL_QS})
+    floors, src = bench._sentinel_floors(CAL_HOST, str(tmp_path))
+    assert src == "bench_archive/legacy.json"
+    assert floors == {q: legacy["queries"][q] for q in SENTINEL_QS}
+    floors2, src2 = bench._sentinel_floors("64cpu-x86_64-500GiB",
+                                           str(tmp_path))
+    assert floors2 == {} and src2 == ""
+    # ...but the foreign host's own archive calibrates it
+    floors3, src3 = bench._sentinel_floors("8cpu-arm64-16GiB",
+                                           str(tmp_path))
+    assert src3 == "bench_archive/foreign.json"
+
+
+def test_env_override_beats_archives(tmp_path, monkeypatch):
+    _archive(tmp_path, "new.json")
+    override = {q: 9.9 for q in SENTINEL_QS}
+    monkeypatch.setenv("SPARK_GRAFT_SENTINEL_FLOORS",
+                       json.dumps(override))
+    floors, src = bench._sentinel_floors("any-host-at-all", str(tmp_path))
+    assert floors == override
+    assert src == "env:SPARK_GRAFT_SENTINEL_FLOORS"
+    monkeypatch.setenv("SPARK_GRAFT_SENTINEL_FLOORS",
+                       json.dumps({"wrong_query": 1.0}))
+    with pytest.raises(ValueError, match="sentinel queries"):
+        bench._sentinel_floors(CAL_HOST, str(tmp_path))
+
+
+def test_real_repo_archives_resolve_for_calibration_host():
+    """The committed bench_archive must yield floors for the
+    calibration host, sourced from an actual archive or the pinned
+    fallback — never empty (which would silently skip the sentinel on
+    the very host it exists for)."""
+    floors, src = bench._sentinel_floors(CAL_HOST)
+    assert set(floors) == set(SENTINEL_QS) and src
+    assert all(v > 0 for v in floors.values())
+
+
+def test_host_fingerprint_shape():
+    fp = bench.host_fingerprint()
+    assert "cpu-" in fp and fp.split("cpu-")[0].isdigit()

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.graph import (
     pagerank,
@@ -165,3 +166,27 @@ def test_bellman_ford_rejects_fractional_weights(spark):
     sources = spark.createDataFrame([(1,)], "node long")
     with _pytest.raises(ValueError, match="integral weight"):
         bellman_ford_bounded(edges, sources, max_hops=3)
+
+
+def test_bellman_ford_decimal_scale_gate(spark):
+    """ADVICE r9: DECIMAL(p, 0) weights are exactly integral — min-plus
+    stays exact — so the gate accepts them; nonzero scale still raises
+    (those values would be truncated by the long accumulation)."""
+    import pytest as _pytest
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.graph import (
+        bellman_ford_bounded,
+    )
+
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ok = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 2)], "src long, dst long, w long"
+    ).withColumn("w", F.col("w").cast("decimal(20,0)"))
+    got = {
+        r["node"]: r["dist"]
+        for r in bellman_ford_bounded(ok, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 3: 1, 2: 3}
+    bad = ok.withColumn("w", F.col("w").cast("decimal(20,2)"))
+    with _pytest.raises(ValueError, match="integral weight"):
+        bellman_ford_bounded(bad, seeds, max_hops=3)

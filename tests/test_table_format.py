@@ -1209,6 +1209,38 @@ def test_stream_starting_timestamp(spark, tmp_path):
     assert ks == list(range(10, 15))  # only the post-timestamp append
 
 
+def test_stream_starting_timestamp_past_head_raises(spark, tmp_path):
+    """ADVICE r9: a startingTimestamp AFTER the latest commit must
+    raise (Delta semantics) — a typo'd far-future timestamp would
+    otherwise silently seat the stream at head and stream nothing.
+    startingVersion past head keeps its distinct wait semantics
+    (test_starting_version_past_head_waits_not_regresses)."""
+    import time
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sources import (
+        register_lakehouse_source,
+    )
+
+    register_lakehouse_source(spark)
+    root = str(tmp_path / "t")
+    tf.create_table(_mk(spark, 0, 10), root, stat_cols=["k"])
+    far_future = time.time() + 1_000_000
+    q = (
+        spark.readStream.format("lakehouse")
+        .option("path", root)
+        .option("startingTimestamp", str(far_future))
+        .load()
+        .writeStream.format("memory")
+        .queryName("ts_future")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="after the latest commit"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+
 def test_update_where_both_modes(spark, tmp_path):
     """UPDATE SET ... WHERE: expressions see the OLD row (swap works),
     cow rewrites only matched files, mor masks + appends with ZERO
