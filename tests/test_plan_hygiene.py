@@ -11,6 +11,8 @@ The 100 TB guarantees, enforced as tests, for every named query:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
@@ -53,10 +55,64 @@ SKIP = {
 }
 
 
+# --- Checksum-policy gate (VERDICT r9 next-step #6) ---------------------
+# The r9 sf1 scale-proof found that sum(k) and sum(k*k) key checksums
+# overflow signed-64 at 100 TB key domains and ANSI-abort the job; the
+# fix centralized a DECIMAL(38,0) routing policy (_key_sum /
+# _key_sq_sum in plans/queries.py). This gate stops a future query
+# from reintroducing the raw pattern: every registered plan is scanned
+# for a long/int SUM over a key-named attribute without a decimal
+# cast, and for long*long products of key attributes inside a sum
+# (which overflow at the MULTIPLY, before any accumulator widens).
+# DuckDB twins are exempt from the bare-sum rule (its BIGINT sums
+# accumulate in HUGEINT) but not the product rule (BIGINT*BIGINT
+# raises there too) — see test_oracle_sql_key_products_are_widened.
+_KEYISH = re.compile(r"key|(?:^|_)id(?:_|$)|^id$", re.IGNORECASE)
+_RAW_SUM = re.compile(r"\bsum\((?:distinct )?(\w+)#\d+L?\)")
+_PROD_SUM = re.compile(r"\bsum\(\((\w+)#\d+(L?) \* (\w+)#\d+(L?)\)\)")
+
+
+def raw_key_sum_hits(plan: str) -> list[str]:
+    """Raw-key-checksum patterns in an executed-plan string: the exact
+    renderings a decimal-routed sum can never produce (a cast inside
+    sum renders as ``sum(cast(...))``, which these regexes skip)."""
+    hits = []
+    for m in _RAW_SUM.finditer(plan):
+        if _KEYISH.search(m.group(1)):
+            hits.append(m.group(0))
+    for m in _PROD_SUM.finditer(plan):
+        a, a_long, b, b_long = m.groups()
+        if a_long == "L" and b_long == "L" and (
+            _KEYISH.search(a) or _KEYISH.search(b)
+        ):
+            hits.append(m.group(0))
+    return hits
+
+
+_SQL_PROD_SUM = re.compile(
+    r"\bsum\(\s*([a-z_][a-z_0-9.]*)\s*\*\s*([a-z_][a-z_0-9.]*)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def sql_key_product_hits(sql: str) -> list[str]:
+    hits = []
+    for m in _SQL_PROD_SUM.finditer(sql):
+        a, b = (g.split(".")[-1] for g in m.groups())
+        if _KEYISH.search(a) and _KEYISH.search(b):
+            hits.append(m.group(0))
+    return hits
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
 def test_plan_hygiene(spark, name):
     df = QUERIES[name](spark, SF_DIR_CORRECTNESS)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not raw_key_sum_hits(plan), (
+        f"{name}: raw integral sum over a key-valued column — overflows "
+        "signed-64 at 100 TB key domains under ANSI; route through "
+        "_key_sum/_key_sq_sum (plans/queries.py)"
+    )
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in ARROW_PYTHON_OK:
         assert "Python" not in plan, f"{name}: unexpected Python stage"
@@ -170,6 +226,77 @@ def test_plan_hygiene(spark, name):
             # 1-row hour-span scalar onto the per-type moment table
             "fano_burstiness_types",
         }, f"{name}: unexpected nested-loop join"
+
+
+def test_oracle_sql_key_products_are_widened():
+    """DuckDB accumulates BIGINT sums in HUGEINT (bare sum(k) twins
+    are safe) but BIGINT*BIGINT still raises at the multiply — every
+    key-product checksum twin must widen a side first, the
+    ``sum(CAST(k AS HUGEINT) * k)`` convention (_key_sq_sum)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        ORACLE,
+    )
+
+    offenders = {
+        name: hits
+        for name, sql in ORACLE.items()
+        if (hits := sql_key_product_hits(sql))
+    }
+    assert not offenders, (
+        f"oracle twins with unwidened key products: {offenders}"
+    )
+
+
+def test_checksum_gate_flags_deliberately_bad_plan(spark):
+    """The gate itself must be falsifiable: a raw key-checksum plan
+    (the exact shape the r9 sf1 proof crashed on) is flagged, its
+    decimal-routed twin is not."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumnRenamed("id", "o_orderkey")
+    bad_sum = df.agg(F.sum("o_orderkey").alias("chk"))
+    bad_sq = df.agg(
+        F.sum(F.col("o_orderkey") * F.col("o_orderkey")).alias("chk")
+    )
+    good = df.agg(
+        F.sum(F.col("o_orderkey").cast("decimal(28,0)")).alias("chk")
+    )
+    good_sq = df.agg(
+        F.sum(
+            F.col("o_orderkey").cast("decimal(19,0)")
+            * F.col("o_orderkey").cast("decimal(19,0)")
+        ).alias("chk")
+    )
+    plans = {
+        k: d._jdf.queryExecution().executedPlan().toString()
+        for k, d in {
+            "bad_sum": bad_sum, "bad_sq": bad_sq,
+            "good": good, "good_sq": good_sq,
+        }.items()
+    }
+    assert raw_key_sum_hits(plans["bad_sum"])
+    assert raw_key_sum_hits(plans["bad_sq"])
+    assert not raw_key_sum_hits(plans["good"])
+    assert not raw_key_sum_hits(plans["good_sq"])
+    # non-key long sums stay legal (counts, token totals)
+    cnt = (
+        spark.range(10)
+        .withColumnRenamed("id", "n_tokens")
+        .agg(F.sum("n_tokens").alias("total"))
+    )
+    assert not raw_key_sum_hits(
+        cnt._jdf.queryExecution().executedPlan().toString()
+    )
+    # and the SQL-side detector red/green twins
+    assert sql_key_product_hits(
+        "SELECT sum(o_orderkey * o_orderkey) FROM orders"
+    )
+    assert not sql_key_product_hits(
+        "SELECT sum(CAST(o_orderkey AS HUGEINT) * o_orderkey) FROM orders"
+    )
+    assert not sql_key_product_hits(
+        "SELECT sum(keep * doc_id) FROM d"  # 0/1 flag product: legal
+    )
 
 
 def test_events_ts_predicate_pushes_to_scan(spark):
