@@ -69,3 +69,97 @@ def per_group_pca(
         )
 
     return df.groupBy(group_col).applyInPandas(pca, schema=PCA_SCHEMA)
+
+
+def pca_power_grouped(cov: DataFrame, *, k: int = 10) -> DataFrame:
+    """Fixed-k power iteration + Rayleigh quotient per label, run as an
+    applyInPandas grouped map over the quantized coordinate-form
+    covariance matrix (label, i, j, a, n_vectors) — the certificate
+    twin of the rows-only ``per_group_pca`` SVD path.
+
+    Replicates the relational power chain's arithmetic EXACTLY
+    (plans/queries._PCA_POWER_STEP / _PCA_POWER_RAYLEIGH): the iterate
+    re-quantizes to 9 decimals every step via shortest-repr HALF_UP — the
+    same BigDecimal.valueOf semantics Spark's round(double, n) uses —
+    so the grouped-map result hashes identically to the certified SQL
+    chain on both engines. The per-label matrix is dim² rounded
+    doubles (KB-sized at any corpus scale), so each group's work is
+    O(dim²·k) on one worker; the heavy lifting (the covariance build)
+    stays relational and shuffles once.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import types as T
+
+    label_type = cov.schema["label"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("label", label_type),
+            T.StructField("n_vectors", T.LongType()),
+            T.StructField("trace", T.DoubleType()),
+            T.StructField("lambda1_est", T.DoubleType()),
+            T.StructField("top_share", T.DoubleType()),
+        ]
+    )
+
+    def _round(v: float, n: int) -> float:
+        # Spark round(double, n) = BigDecimal.valueOf(d) (shortest
+        # decimal repr, like Python's repr) setScale(n, HALF_UP)
+        return float(
+            Decimal(repr(float(v))).quantize(
+                Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def power(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["label"].notna()]
+        if not len(pdf):
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "n_vectors": pd.Series([], dtype="int64"),
+                    "trace": pd.Series([], dtype="float64"),
+                    "lambda1_est": pd.Series([], dtype="float64"),
+                    "top_share": pd.Series([], dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values(["i", "j"])
+        label = pdf["label"].iloc[0]
+        n_vectors = int(pdf["n_vectors"].iloc[0])
+        a = {
+            (int(i), int(j)): float(v)
+            for i, j, v in zip(pdf["i"], pdf["j"], pdf["a"])
+        }
+        dims = sorted({i for i, _ in a})
+        x = {i: 1.0 for i in dims}
+        for _ in range(k):
+            y = {}
+            for i in dims:
+                s = 0.0
+                for j in dims:
+                    s += a[(i, j)] * x[j]
+                y[i] = s
+            m = max(abs(v) for v in y.values())
+            div = m if m != 0 else 1.0
+            x = {i: _round(y[i] / div, 9) for i in dims}
+        trace = 0.0
+        for i in dims:
+            trace += a[(i, i)]
+        xax = 0.0
+        for i in dims:
+            for j in dims:
+                xax += (x[i] * a[(i, j)]) * x[j]
+        xx = 0.0
+        for i in dims:
+            xx += x[i] * x[i]
+        return pd.DataFrame(
+            {
+                "label": [label],
+                "n_vectors": [n_vectors],
+                "trace": [_round(trace, 6)],
+                "lambda1_est": [_round(xax / xx, 6)],
+                "top_share": [_round(xax / xx / trace, 6)],
+            }
+        )
+
+    return cov.groupBy("label").applyInPandas(power, schema=out_schema)

@@ -2516,26 +2516,15 @@ ORDER BY t.label"""
 _PCA_POWER_K = 10
 
 
-def q_embedding_pca_power_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed top-eigenvalue estimate, hash-portable (r5): the
-    oracle-backed companion to the rows-only SVD query below. Per-label
-    covariance in coordinate form (exact decimal moment sums → round-9
-    doubles), then a fixed {k}-step power iteration with per-step
-    re-quantization runs as IDENTICAL SQL on both engines — see
-    _pca_power_iteration_sql for why that is bit-portable.
-
-    Scale path: the covariance build is ONE (label,i,j)-keyed shuffle
-    (dim² = 4096 combining keys per label — map-side partial sums do
-    the heavy lifting; the mapInPandas Gram-matrix variant in
-    per_group_pca is the raw-throughput alternative). The matrix is
-    then localCheckpoint-ed — labels·dim² rows, KB-sized at ANY corpus
-    size — and the k power steps run as a DRIVER LOOP with a per-step
-    checkpoint (the CC pointer-doubling pattern, dedup.py): each step's
-    plan is one join + one window over in-memory tables, so plan size
-    is CONSTANT in k. The oracle spells the identical arithmetic as
-    one CTE chain — DuckDB materializes multi-referenced CTEs, Spark
-    would inline them. Iteration cost is O(labels·dim²·k), independent
-    of corpus rows."""
+def _pca_power_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label covariance matrix in coordinate form
+    (label, i, j, a, n_vectors), round(·,9)-quantized doubles built
+    from exact decimal sums — the bit-portable starting point shared
+    by the relational power iteration (q_embedding_pca_power_share)
+    and its applyInPandas certificate twin
+    (q_embedding_pca_label_top_eig). Returned localCheckpoint-ed: the
+    power steps must scan the KB-sized matrix, not re-run the
+    dim²-keyed covariance aggregation each step."""
     emb = _t(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label",
@@ -2579,9 +2568,30 @@ def q_embedding_pca_power_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors",
         )
     )
-    # materialize: the power steps must scan the KB-sized matrix, not
-    # re-run the dim^2-keyed covariance aggregation each step
-    cov = cov.localCheckpoint(eager=True)
+    return cov.localCheckpoint(eager=True)
+
+
+def q_embedding_pca_power_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-eigenvalue estimate, hash-portable (r5): the
+    oracle-backed companion to the rows-only SVD query below. Per-label
+    covariance in coordinate form (exact decimal moment sums → round-9
+    doubles), then a fixed {k}-step power iteration with per-step
+    re-quantization runs as IDENTICAL SQL on both engines — see
+    _pca_power_iteration_sql for why that is bit-portable.
+
+    Scale path: the covariance build is ONE (label,i,j)-keyed shuffle
+    (dim² = 4096 combining keys per label — map-side partial sums do
+    the heavy lifting; the mapInPandas Gram-matrix variant in
+    per_group_pca is the raw-throughput alternative). The matrix is
+    then localCheckpoint-ed — labels·dim² rows, KB-sized at ANY corpus
+    size — and the k power steps run as a DRIVER LOOP with a per-step
+    checkpoint (the CC pointer-doubling pattern, dedup.py): each step's
+    plan is one join + one window over in-memory tables, so plan size
+    is CONSTANT in k. The oracle spells the identical arithmetic as
+    one CTE chain — DuckDB materializes multi-referenced CTEs, Spark
+    would inline them. Iteration cost is O(labels·dim²·k), independent
+    of corpus rows."""
+    cov = _pca_power_cov(spark, sf_dir)
     cov.createOrReplaceTempView("_pca_power_cv")
     x = spark.sql(_PCA_POWER_INIT.format(cv="_pca_power_cv"))
     for _ in range(_PCA_POWER_K):
@@ -2645,6 +2655,24 @@ def _pca_power_oracle_sql(k: int) -> str:
 
 
 SQL_EMBEDDING_PCA_POWER_SHARE = _pca_power_oracle_sql(_PCA_POWER_K)
+
+
+def q_embedding_pca_label_top_eig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas certificate twin of the rows-only per-label PCA
+    (r10; the promotion VERDICT r9 stretch #8 asked for, closing the
+    last flagship family without a driver-certified grouped-map path):
+    the SAME quantized covariance build and the SAME fixed-k power
+    iteration as q_embedding_pca_power_share, but with the k steps and
+    the Rayleigh quotient executed INSIDE an Arrow grouped map
+    (operators/embeddings_stats.pca_power_grouped) instead of the
+    relational driver loop — so one green certifies the applyInPandas
+    plumbing (grouping, Arrow batch shape, schema) against DuckDB.
+    Oracle: SQL_EMBEDDING_PCA_POWER_SHARE verbatim — two independent
+    Spark execution strategies, one SQL replay."""
+    cov = _pca_power_cov(spark, sf_dir)
+    from ..operators.embeddings_stats import pca_power_grouped
+
+    return pca_power_grouped(cov, k=_PCA_POWER_K).orderBy("label")
 
 
 def q_embedding_pca_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17041,6 +17069,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "modern_aggregates_by_type": q_modern_aggregates_by_type,
     "argmax_aggregates_by_priority": q_argmax_aggregates_by_priority,
     "embedding_pca_power_share": q_embedding_pca_power_share,
+    # r10 registry addition (freeze budget): first driver-certified
+    # applyInPandas path for the PCA family (VERDICT r9 stretch #8)
+    "embedding_pca_label_top_eig": q_embedding_pca_label_top_eig,
     # W-C: stale-green rotation — every remaining row whose last driver
     #      green is r02 (32 rows), then the 5 oldest r03 rows; multi-green
     #      r4/r5 veterans rotate past the window.
@@ -17436,6 +17467,8 @@ ORACLE: dict[str, str] = {
     "shard_shuffle_plan": SQL_SHARD_SHUFFLE_PLAN,
     "kmeans_silhouette": SQL_KMEANS_SILHOUETTE,
     "embedding_pca_power_share": SQL_EMBEDDING_PCA_POWER_SHARE,
+    # identical replay by design: two Spark strategies, one oracle
+    "embedding_pca_label_top_eig": SQL_EMBEDDING_PCA_POWER_SHARE,
     "curation_funnel": SQL_CURATION_FUNNEL,
     "sole_blocking_supplier": SQL_SOLE_BLOCKING_SUPPLIER,
     "boilerplate_line_stats": SQL_BOILERPLATE_LINE_STATS,

@@ -107,3 +107,30 @@ def test_pca_power_share_brackets_exact_eigenvalue(spark, duck_cov):
         assert r["lambda1_est"] <= lam1 * (1 + 1e-6), (label, r["lambda1_est"], lam1)
         assert r["lambda1_est"] >= 0.85 * lam1, (label, r["lambda1_est"], lam1)
         assert r["trace"] == pytest.approx(float(evals.sum()), rel=1e-4)
+
+
+def test_pca_grouped_map_twin_equals_relational_chain(spark):
+    """r10 certificate twin (VERDICT r9 stretch #8): the applyInPandas
+    power iteration (pca_power_grouped) must reproduce the relational
+    driver-loop chain bit-for-bit — same quantized covariance input,
+    same per-step round-9 arithmetic, two execution strategies. The
+    DuckDB hash equality is test_queries_oracle's job; this pins the
+    two SPARK paths to each other, so a drift in either arithmetic
+    breaks loudly here."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        QUERIES,
+    )
+
+    twin = sorted(
+        tuple(r)
+        for r in QUERIES["embedding_pca_label_top_eig"](
+            spark, SF_DIR_SMOKE
+        ).collect()
+    )
+    chain = sorted(
+        tuple(r)
+        for r in QUERIES["embedding_pca_power_share"](
+            spark, SF_DIR_SMOKE
+        ).collect()
+    )
+    assert twin == chain and len(twin) > 0

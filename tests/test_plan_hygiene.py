@@ -26,6 +26,9 @@ ARROW_PYTHON_OK = {
     "multimodal_meta",
     "multimodal_byte_features",
     "embedding_pca_by_label",
+    # r10: the PCA grouped-map certificate twin — the Arrow stage IS
+    # what it certifies (power steps over the KB-sized cov matrix)
+    "embedding_pca_label_top_eig",
 }
 # exact brute-force baselines: cross join is deliberate and documented
 # (knn_label_vote scores against a bounded broadcast query set through
