@@ -17607,49 +17607,52 @@ ORACLE: dict[str, str] = {
     "seasonality_strength_dow": SQL_SEASONALITY_STRENGTH_DOW,
 }
 
-# --- ROUND-9 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
-# VERDICT r8 next-steps #1-2: drain the certification backlog and seat
-# the new flagship certificate twins. The window is the r9 queue
-# documented in docs/QUERIES.md plus this round's three new
-# oracle-backed certificates:
-#   W-A (1-40):  every never-driver-graded oracle-backed key, prior
-#                registry order (lakehouse_distinct_rollup, then
-#                psi_price_drift ... seasonality_strength_dow) — after
-#                this window the never-graded count is ZERO.
-#   W-B (41-43): the r9 certificate twins for the rows-only flagships
-#                (similarity_pq_codes, similarity_pq_adc_topk,
-#                als_rank1_factors) — first driver contact for the
-#                PQ and ALS families.
-#   W-C (44-50): the 7 oldest r4-stale keys in prior registry order
-#                (binarize_label ... zscore_value_by_type); the
-#                remaining 17 r4-stale keys roll to r10.
+# --- ROUND-10 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
+# VERDICT r9 next-step #1: close the freshness loop. With the r9 window
+# graded 50/50 green, zero oracle-backed keys are never-driver-graded;
+# this window retires the entire remaining stale backlog:
+#   W-A (1):     embedding_pca_label_top_eig — the r10 registry
+#                addition (applyInPandas certificate twin for the PCA
+#                family, VERDICT r9 stretch #8); never-graded keys
+#                enter the window by policy.
+#   W-B (2-18):  the 17 remaining r4-stale keys in prior registry
+#                order (window_sliding_events ...
+#                quality_filter_decision) — after this window, no key's
+#                newest certificate is older than r5.
+#   W-C (19-50): the 32 oldest r5-green keys in prior registry order
+#                (dedup_ngram_jaccard ... hll_user_rollup); the
+#                remaining 15 r5-green keys head the r11 queue, then
+#                freshness rotation is purely by age.
 # Veterans keep their prior relative order past the window; rows-only
 # queries stay past the window by contract.
-_R9_WINDOW = [
-    # W-A: never-graded backlog (40)
-    "lakehouse_distinct_rollup", "psi_price_drift", "join_size_audit",
-    "ab_sample_size", "split_leakage_audit", "simpson_paradox_audit",
-    "search_eval_ndcg", "embedding_centroid_drift",
-    "spearman_freq_monetary", "theil_sen_trend", "ks_test_click_purchase",
-    "mutual_info_priority_status", "target_encoding_oof",
-    "hard_negative_mining", "holt_linear_revenue", "anova_value_by_type",
-    "kfold_assignment_balance", "label_propagation_communities",
-    "nelson_aalen_hazard", "kendall_tau_daily", "woe_iv_price_urgent",
-    "changepoint_split_day", "oov_rate_by_source", "poisson_bootstrap_ci",
-    "quantile_normalize_chars", "zipf_slope_tokens",
-    "heldout_perplexity_fold", "ltv_cohort_curve", "followed_by_pairs",
-    "abc_classification_parts", "km_greenwood_ci",
-    "negative_sampling_recs", "diff_in_diff_revenue", "srm_check_split",
-    "hurst_exponent_revenue", "effective_sample_size",
-    "bounce_rate_sessions", "fano_burstiness_types", "mi_feature_ranking",
-    "seasonality_strength_dow",
-    # W-B: r9 flagship certificate twins (3)
-    "similarity_pq_codes", "similarity_pq_adc_topk", "als_rank1_factors",
-    # W-C: oldest r4-stale cohort (7)
-    "binarize_label", "union_distinct_nationkeys", "agg_stats_extended",
-    "cube_status_priority", "orders_by_month", "ngram_top_bigrams",
-    "zscore_value_by_type",
+_R10_WINDOW = [
+    # W-A: r10 registry addition (1)
+    "embedding_pca_label_top_eig",
+    # W-B: remaining r4-stale cohort (17)
+    "window_sliding_events", "semi_join_active_customers",
+    "anti_join_inactive_customers", "token_count_bpe",
+    "stemmed_token_frequencies", "hypertable_rollup",
+    "exists_late_shipping", "nation_pair_volume", "custdist_order_counts",
+    "promo_revenue_ratio", "small_quantity_revenue", "having_big_orders",
+    "disjunctive_part_revenue", "idle_rich_customers",
+    "click_attribution_user", "embedding_centroids",
+    "quality_filter_decision",
+    # W-C: 32 oldest r5-green keys (freshness by age)
+    "dedup_ngram_jaccard", "dedup_cluster_canonical", "curation_funnel",
+    "bpe_merge_training", "bpe_tokenized_stats", "scd2_customer_dim",
+    "incremental_rollup_maintenance", "xml_extract_orders",
+    "codec_roundtrip_suite", "weighted_sample_per_source",
+    "shard_shuffle_plan", "table_fingerprint_orders", "kmeans_silhouette",
+    "null_semantics_suite", "date_function_suite", "string_function_suite",
+    "array_function_suite", "map_function_suite", "try_function_suite",
+    "window_function_suite", "cheapest_supplier_per_part",
+    "product_profit_by_nation", "forecast_revenue_change",
+    "excess_inventory_suppliers", "supplier_count_by_part_attrs",
+    "priority_class_by_status", "quality_classifier_agreement",
+    "mixture_sample_docs", "duplicate_span_removal",
+    "embedding_quantization", "similarity_hyperplane_lsh",
+    "hll_user_rollup",
 ]
-assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
-_rest = {k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)}
-QUERIES = {**{k: QUERIES[k] for k in _R9_WINDOW}, **_rest}
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+_rest = {k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)}
+QUERIES = {**{k: QUERIES[k] for k in _R10_WINDOW}, **_rest}
