@@ -94,11 +94,12 @@ def q_topk_part_type_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP — reference EDA3 shape (Scalable_EDA_Final.py:178-189):
     explode split(categories) over positively-rated facts, NOT-IN junk
     filter, group-count, top-10. Here: p_type tokens over high-quantity
-    lineitems. Dim side broadcast; top-k plans TakeOrderedAndProject."""
+    lineitems. No hint on the part side (grows with SF; AQE broadcasts
+    at small SF on measured size); top-k plans TakeOrderedAndProject."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     joined = li.filter(F.col("l_quantity") >= 25).join(
-        F.broadcast(part.select("p_partkey", "p_type")),
+        part.select("p_partkey", "p_type"),
         li.l_partkey == F.col("p_partkey"),
     )
     tokens = joined.select(
@@ -156,8 +157,11 @@ def q_join_left_impute_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference ETL join shape (Yelp_Data_PreProcessing.py:97 +
     Scalable_Project_SVM_Model_Deployment.py:67-81): build a small dim
     (elite users ↦ BUILDING-segment customers), dedup it, LEFT-join the
-    fact on the key, impute nulls via when/otherwise. Dim is broadcast:
-    the fact side never shuffles."""
+    fact on the key, impute nulls via when/otherwise. The stand-in dim
+    here derives from customer (SF-growing), so it carries no hint —
+    AQE broadcasts it at small SF on measured size; the reference's
+    true elite-user dim is genuinely small and join_dim keeps its
+    broadcast default for that case."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     dim = (
@@ -165,7 +169,9 @@ def q_join_left_impute_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("elite"))
         .dropDuplicates()
     )
-    joined = relational.join_dim(orders, dim, on="o_custkey", how="left")
+    joined = relational.join_dim(
+        orders, dim, on="o_custkey", how="left", broadcast_dim=False
+    )
     imputed = joined.withColumn("elite", clean.impute_null("elite", 0))
     return (
         imputed.groupBy("elite")
@@ -190,14 +196,16 @@ GROUP BY 1 ORDER BY 1
 
 def q_join_multi_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop dim chain (review→user→business in the reference):
-    orders→customer→nation→region, all dims broadcast."""
+    orders→customer→nation→region. nation/region broadcast (fixed 25/5
+    rows); customer carries no hint — it grows with SF, AQE broadcasts
+    it at small SF on measured size."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     df = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders.o_custkey == F.col("c_custkey"),
             "left",
         )
@@ -250,7 +258,8 @@ _REVENUE_SQL = (
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-table join, segment + date filters pushed to
-    scans, revenue top-10. Customer dim broadcast; the orders⋈lineitem
+    scans, revenue top-10. The filtered customer side carries no hint
+    (grows with SF; AQE decides on measured size); the orders⋈lineitem
     join shuffles on orderkey only after both sides are filtered."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -264,7 +273,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     joined = (
-        o.join(F.broadcast(building), o.o_custkey == building.c_custkey)
+        o.join(building, o.o_custkey == building.c_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
     )
     agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
@@ -304,9 +313,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
     joined = (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -563,7 +572,7 @@ def q_map_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     per = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy("l_orderkey", "p_brand")
@@ -1364,7 +1373,7 @@ def q_association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_pair_support = 0.02
     baskets = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),
             li.l_partkey == F.col("p_partkey"),
         )
         .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
@@ -2379,7 +2388,7 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     property check (sketch internals aren't cross-engine comparable)."""
     li = _t(spark, sf_dir, "lineitem")
     per_brand = li.join(
-        F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+        _t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
         li.l_partkey == F.col("p_partkey"),
     )
     agg = per_brand.groupBy("p_brand").agg(
@@ -4551,7 +4560,8 @@ GROUP BY 1
 
 def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between supplier and customer
-    nations per year (1995-1996, cross-nation only). Dims broadcast;
+    nations per year (1995-1996, cross-nation only). nation broadcast;
+    customer/supplier carry no hint (grow with SF — AQE decides);
     the lineitem⋈orders orderkey shuffle is the only big exchange."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -4573,11 +4583,11 @@ def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            supplier.select("s_suppkey", "s_nationkey"),
             li.l_suppkey == F.col("s_suppkey"),
         )
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
@@ -4651,20 +4661,21 @@ def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: the driver testdata carries no
     partsupp, so profit omits the ps_supplycost term — documented
     deviation): revenue on 'widget' parts grouped by supplier nation ×
-    order year. Part filter broadcast-semi-joins the lineitem scan."""
+    order year. The part filter reduces the lineitem scan via the join
+    (no hint — part grows with SF; AQE broadcasts at small SF)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
     orders = _t(spark, sf_dir, "orders")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     joined = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .join(
             orders.select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            supplier.select("s_suppkey", "s_nationkey"),
             li.l_suppkey == F.col("s_suppkey"),
         )
         .join(
@@ -4702,7 +4713,8 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-part MINIMUM cost (the correlated-scalar-subquery pattern,
     planned as an aggregate reused on both sides of a per-part min
     join), top-20 by supplier acctbal with full deterministic
-    tiebreak. Region/nation/supplier/part all broadcast; the only big
+    tiebreak. Region/nation broadcast; supplier/part carry no hint
+    (grow with SF — AQE decides); the only big
     exchange is the (partkey, suppkey) cost aggregation."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
@@ -4722,8 +4734,8 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "nation")
     )
     cost = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(asia_suppliers), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(asia_suppliers, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "nation")
         .agg(
             F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_cost")
@@ -4809,7 +4821,8 @@ GROUP BY 1
 
 def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregation ratio — share of 1995
-    revenue from PROMO-type parts. Part dim broadcast; sums are exact
+    revenue from PROMO-type parts. part carries no hint (grows with
+    SF; AQE broadcasts at small SF on measured size); sums are exact
     decimals so the final ratio is one deterministic double division."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -4817,7 +4830,7 @@ def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part")
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_type")),
+        part.select("p_partkey", "p_type"),
         li.l_partkey == F.col("p_partkey"),
     )
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -4909,7 +4922,7 @@ def q_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big._ok == orders.o_orderkey)
-        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+        .join(customer.select("c_custkey", "c_name"),
               F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
@@ -4944,7 +4957,7 @@ def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        part.select("p_partkey", "p_brand", "p_size"),
         li.l_partkey == F.col("p_partkey"),
     )
     band = (
@@ -5079,7 +5092,7 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon = similarity.dequantize(quant, scales)
     cos = similarity.cosine(F.col("embedding"), F.col("reconstructed"))
     per_vec = recon.join(
-        F.broadcast(_t(spark, sf_dir, "embeddings").select("vec_id", "label")),
+        _t(spark, sf_dir, "embeddings").select("vec_id", "label"),
         "vec_id",
     ).select("vec_id", "label", "codes", cos.alias("_cos"))
     min_cos = per_vec.agg(F.min("_cos")).collect()[0][0]
@@ -5595,7 +5608,8 @@ FROM per_sent GROUP BY 1
 
 def q_market_share_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: a supplier nation's share of revenue delivered
-    to one region's customers, per year. All dims broadcast; the only
+    to one region's customers, per year. nation/region broadcast;
+    customer/supplier carry no hint (grow with SF — AQE decides); the
     big exchange is lineitem⋈orders on orderkey; the share is one
     deterministic double division of exact-decimal sums."""
     li = _t(spark, sf_dir, "lineitem")
@@ -5622,8 +5636,8 @@ def q_market_share_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust_nat, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nat, li.l_suppkey == F.col("s_suppkey"))
     )
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
@@ -5670,7 +5684,8 @@ GROUP BY 1
 def q_returned_items_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returns
     (l_returnflag = 'R') for H2-1995 orders, with nation name. Fact⋈
-    fact on orderkey, dims broadcast, top-k via TakeOrderedAndProject;
+    fact on orderkey; nation broadcast, customer un-hinted (grows with
+    SF — AQE decides); top-k via TakeOrderedAndProject;
     tie-break on c_custkey keeps the limit deterministic."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -5685,7 +5700,7 @@ def q_returned_items_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -5739,7 +5754,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         best.join(
-            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            supplier.select("s_suppkey", "s_name"),
             F.col("supplier_no") == F.col("s_suppkey"),
         )
         .select("supplier_no", "s_name", "total_revenue")
@@ -5773,9 +5788,9 @@ def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
     joined = li.join(
-        F.broadcast(
-            supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey")
-        ),
+        # no hint: supplier grows with SF (de-broadcast policy); AQE
+        # still broadcasts at small SF on measured size
+        supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey"),
         li.l_suppkey == F.col("s_suppkey"),
     )
     val = (
@@ -7729,8 +7744,8 @@ def q_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFram
     (brand, type, size) over a filtered attribute domain, excluding
     flagged suppliers via NOT IN.
     Scale: the pair-distinct shuffles on (partkey, suppkey) — the only
-    large exchange; part is broadcast onto the pairs; the flagged-
-    supplier set is a broadcast anti join (NOT IN with guaranteed
+    large exchange; part joins onto the pairs and the flagged-supplier
+    set anti-joins un-hinted (both grow with SF — AQE decides; NOT IN with guaranteed
     non-null rhs ≡ anti join); count(DISTINCT) re-shuffles on the
     3-attribute group key, which is bounded by the attribute domain."""
     li = _t(spark, sf_dir, "lineitem")
@@ -7746,9 +7761,9 @@ def q_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("s_suppkey").alias("_bad")
     )
     return (
-        pairs.join(F.broadcast(wanted), pairs.l_partkey == F.col("p_partkey"))
+        pairs.join(wanted, pairs.l_partkey == F.col("p_partkey"))
         .join(
-            F.broadcast(flagged),
+            flagged,
             pairs.l_suppkey == F.col("_bad"),
             "left_anti",
         )
@@ -7780,8 +7795,9 @@ def q_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     their 1996 demand — via the nested-semi-join pattern.
     Scale: both per-pair aggregates shuffle once on (suppkey, partkey)
     and reuse the same partitioning for the pair join (no extra
-    exchange); the red-part id set, supplier, nation and region dims
-    all broadcast.  Quantity sums accumulate as exact decimals then
+    exchange); nation and region broadcast; the red-part id set and
+    supplier are un-hinted (grow with SF — AQE broadcasts at small SF
+    on measured size).  Quantity sums accumulate as exact decimals then
     convert once to double so the 2·avail > demand comparison is
     engine-portable (same rationale as _dsum)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -7790,7 +7806,7 @@ def q_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     red = part.filter(F.col("p_name").startswith("red ")).select("p_partkey")
-    li_red = li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey")).select(
+    li_red = li.join(red, li.l_partkey == F.col("p_partkey")).select(
         "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
     )
     cut = F.lit("1996-01-01").cast("timestamp")
@@ -10334,7 +10350,8 @@ def q_scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in when they ordered?"). Join shape: EQUI join on the customer
     key carrying the interval predicates as residual conditions — a
     hash join, not a range join, because SCD2 guarantees at most a
-    handful of versions per key; the dim side broadcasts. Orders
+    handful of versions per key; the dim side carries no hint (it
+    mirrors |customer|, SF-growing — AQE broadcasts at small SF). Orders
     predating the dimension's first version fall out of the inner
     join and are recovered by the anti-join UNION as segment
     'PRE_HISTORY' (left-join-free so each leg stays a pure hash
@@ -10370,7 +10387,7 @@ def q_scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
     matched = o.join(
-        F.broadcast(dim),
+        dim,
         (o["o_custkey"] == dim["c_custkey"])
         & (o["odate"] >= dim["valid_from"])
         & (dim["valid_to"].isNull() | (o["odate"] < dim["valid_to"])),
@@ -11755,7 +11772,8 @@ def q_hhi_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     squares cast to DECIMAL(38,0) BEFORE the multiply — summation
     order can't perturb anything; the single double division happens
     per 25-row nation. Plan: one groupBy (suppkey) on the fact, then
-    a broadcast supplier→nation join on the |supplier| aggregate."""
+    a supplier→nation join on the |supplier| aggregate (supplier
+    un-hinted — grows with SF; nation broadcast)."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
@@ -11767,7 +11785,7 @@ def q_hhi_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(price * disc) * 10000).cast("long").alias("c")
     )
     tagged = per_supp.join(
-        F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        supp.select("s_suppkey", "s_nationkey"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     )
     by_nation = tagged.groupBy("s_nationkey").agg(
@@ -13867,7 +13885,7 @@ def q_simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     joined = o.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        c.select("c_custkey", "c_nationkey"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select(
         "c_nationkey",
@@ -14618,7 +14636,7 @@ def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     fact = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         o["o_custkey"] == c["c_custkey"],
     ).select("c_mktsegment", "o_orderpriority", cents.alias("cents"))
     seg = fact.groupBy("c_mktsegment").agg(
@@ -16351,7 +16369,7 @@ def q_diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     fact = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         o["o_custkey"] == c["c_custkey"],
     ).select(
         (F.col("c_mktsegment") == "BUILDING").cast("int").alias("t"),
@@ -16852,7 +16870,7 @@ def q_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     base = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         o["o_custkey"] == c["c_custkey"],
     ).select(
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g"),

@@ -107,9 +107,96 @@ def sql_key_product_hits(sql: str) -> list[str]:
     return hits
 
 
+# --- Broadcast-hint policy gate (r10 review pass) -----------------------
+# An explicit broadcast HINT on an SF-growing table forces a driver
+# OOM at 100 TB, where AQE would have correctly picked a shuffle join
+# (hints outrank AQE's size check). The r10 sweep removed ~30 such
+# hints from the r4-era TPC-H shapes (customer/supplier/part/
+# embeddings sides); this gate stops the pattern from returning: every
+# ResolvedHint subtree in every registered query's analyzed plan must
+# be bounded — either its leaves are fixed-cardinality tables
+# (nation/region/local data) or an Aggregate/Distinct/Limit sits
+# between the hint and any SF-growing base relation (1-row scalars,
+# k-centroid tables, top-k vocabularies, support-filtered item sets).
+# Columns only base relations carry; any leaf exposing one is a scan
+# of (or a checkpoint mirroring) an SF-growing table.
+_GROWING_LEAF_COLS = {
+    "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "l_orderkey",
+    "doc_id", "vec_id", "event_id",
+}
+_BOUNDING_NODES = {
+    "Aggregate", "Deduplicate", "Distinct", "GlobalLimit", "LocalLimit",
+    "Limit",
+}
+
+# name -> justification for a hint the walker cannot prove bounded
+GROWING_HINT_OK: dict[str, str] = {
+    # The brute-force/ADC contract broadcasts a FIXED-SIZE query
+    # anchor set (vec_id < 5 / 10 / 20 on a dense key — bounded by
+    # the literal, not by the corpus); the walker sees only a Filter
+    # over the embeddings scan and cannot prove the bound. Same
+    # contract as CROSS_JOIN_OK.
+    "similarity_cosine_topk": "<=5-row query anchor set",
+    "similarity_pq_adc": "<=5-row query anchor set",
+    "knn_label_vote": "<=10-row query anchor set",
+    "hard_negative_mining": "<=20-row query anchor set",
+}
+
+
+def growing_hint_violations(analyzed) -> list[str]:
+    """ResolvedHint subtrees that reach an SF-growing base relation
+    with no bounding node on the path (analyzed logical plan walk)."""
+
+    def children(node):
+        cs = node.children()
+        return [cs.apply(i) for i in range(cs.size())]
+
+    def leaf_cols(node):
+        out = node.output()
+        return {out.apply(i).name() for i in range(out.size())}
+
+    violations: list[str] = []
+
+    def walk_hint(node):
+        name = node.getClass().getSimpleName().replace("$", "")
+        if name in _BOUNDING_NODES:
+            return
+        kids = children(node)
+        if not kids:
+            growing = leaf_cols(node) & _GROWING_LEAF_COLS
+            if growing:
+                violations.append(
+                    f"{name} leaf with {sorted(growing)} under a "
+                    "broadcast hint, no Aggregate/Limit on the path"
+                )
+            return
+        for k in kids:
+            walk_hint(k)
+
+    def walk(node):
+        if node.getClass().getSimpleName().replace("$", "") == "ResolvedHint":
+            for k in children(node):
+                walk_hint(k)
+            return  # nested hints inside are covered by the same walk
+        for k in children(node):
+            walk(k)
+
+    walk(analyzed)
+    return violations
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
 def test_plan_hygiene(spark, name):
     df = QUERIES[name](spark, SF_DIR_CORRECTNESS)
+    if name not in GROWING_HINT_OK:
+        hint_hits = growing_hint_violations(
+            df._jdf.queryExecution().analyzed()
+        )
+        assert not hint_hits, (
+            f"{name}: broadcast hint forces an SF-growing table into "
+            f"the driver at 100 TB — drop the hint (AQE broadcasts at "
+            f"small SF on measured size): {hint_hits}"
+        )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert not raw_key_sum_hits(plan), (
         f"{name}: raw integral sum over a key-valued column — overflows "
@@ -229,6 +316,54 @@ def test_plan_hygiene(spark, name):
             # 1-row hour-span scalar onto the per-type moment table
             "fano_burstiness_types",
         }, f"{name}: unexpected nested-loop join"
+
+
+def test_growing_hint_gate_red_and_green_fixtures(spark):
+    """The hint walker must flag a broadcast hint wrapping a raw
+    SF-growing scan (red) and pass hints on bounded derivations of the
+    same table — an aggregate, a top-k limit, a distinct (green)."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{SF_DIR_CORRECTNESS}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR_CORRECTNESS}/orders.parquet")
+
+    def hits(df):
+        return growing_hint_violations(df._jdf.queryExecution().analyzed())
+
+    bad = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    )
+    assert hits(bad), "raw growing-table hint not flagged"
+
+    bad_filtered = orders.join(
+        F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+        orders.o_custkey == cust.c_custkey,
+    )
+    assert hits(bad_filtered), (
+        "filtered-but-still-SF-growing hint not flagged"
+    )
+
+    agg = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+    ok_agg = orders.join(
+        F.broadcast(agg), orders.o_custkey.isNotNull(), "left"
+    )
+    assert not hits(ok_agg), "aggregate-bounded hint wrongly flagged"
+
+    topk = cust.orderBy("c_custkey").limit(10).select("c_custkey")
+    ok_limit = orders.join(
+        F.broadcast(topk), orders.o_custkey == topk.c_custkey
+    )
+    assert not hits(ok_limit), "limit-bounded hint wrongly flagged"
+
+    dedup = cust.select("c_mktsegment").distinct()
+    ok_distinct = orders.crossJoin(F.broadcast(dedup))
+    assert not hits(ok_distinct), "distinct-bounded hint wrongly flagged"
+
+    # un-hinted growing joins are out of scope for this gate
+    assert not hits(
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+    )
 
 
 def test_oracle_sql_key_products_are_widened():
