@@ -5734,10 +5734,12 @@ ORDER BY lost_revenue DESC, c_custkey LIMIT 20
 def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
     revenue — scalar-aggregate subquery over an aggregate (the
-    classic "view + max" pattern). Implemented rank-over-aggregate:
-    the per-supplier aggregate is |supplier|-sized, so the global
-    rank window is a single small exchange, not a fact-table sort.
-    Revenue is an exact-decimal sum, so max-equality is bit-portable."""
+    classic "view + max" pattern). The max is a 1-ROW aggregate
+    crossJoined back onto the per-supplier table (the Q22/BM25
+    scalar contract) — NOT a global rank window, which would pull
+    the |supplier|-sized aggregate (SF-growing) into one reducer.
+    Revenue is an exact-decimal sum, so max-equality is bit-portable
+    and rank-1 ties survive identically."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -5746,11 +5748,11 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _revenue_dec().alias("total_revenue")
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
+    top = per_supp.agg(F.max("total_revenue").alias("_max_rev"))
     best = (
-        per_supp.withColumn("_rk", F.rank().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+        per_supp.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .drop("_max_rev")
     )
     return (
         best.join(
@@ -5781,10 +5783,12 @@ def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (partsupp-free adaptation): parts whose shipped
     value from a supplier-nation group exceeds a fixed fraction of that
     group's total value — per-group aggregate vs global scalar
-    aggregate. The global total is an exact-decimal window sum (the
-    threshold compare ``2000 * part_value > total`` is integer-scaled
-    decimal math, bit-portable; no float fraction ever materializes).
-    The window runs over the |part|-sized aggregate, not the fact."""
+    aggregate. The global total is an exact-decimal 1-ROW aggregate
+    crossJoined back (the Q22/BM25 scalar contract — NOT an
+    empty-partitionBy window, which would pull the |part|-sized,
+    SF-growing aggregate into one reducer). The threshold compare
+    ``2000 * part_value > total`` is integer-scaled decimal math,
+    bit-portable; no float fraction ever materializes."""
     li = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
     joined = li.join(
@@ -5800,9 +5804,9 @@ def q_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = joined.groupBy("l_partkey").agg(
         F.sum(val).cast("decimal(30,4)").alias("_val_dec")
     )
-    total = F.sum("_val_dec").over(Window.partitionBy())
+    tot = per_part.agg(F.sum("_val_dec").alias("_total"))
     return (
-        per_part.withColumn("_total", total)
+        per_part.crossJoin(F.broadcast(tot))
         .filter(
             # 2000 pinned to decimal(4,0): result decimal(35,4) stays exact
             # under Spark's 38-digit cap (int literal would promote via

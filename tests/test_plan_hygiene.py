@@ -315,6 +315,15 @@ def test_plan_hygiene(spark, name):
             "hurst_exponent_revenue",
             # 1-row hour-span scalar onto the per-type moment table
             "fano_burstiness_types",
+            # --- r10 review pass: global-window → 1-row-scalar
+            # conversions (the windows pulled SF-growing aggregates
+            # into one reducer) ---
+            # 1-row max-revenue scalar onto the per-supplier aggregate
+            # (Q15 view+max)
+            "top_supplier_revenue",
+            # 1-row exact-decimal total onto the per-part aggregate
+            # (Q11 threshold share)
+            "important_parts_share",
         }, f"{name}: unexpected nested-loop join"
 
 
