@@ -434,6 +434,15 @@ def _pq_sub_dim(df: DataFrame, vec_col: str, m: int) -> int:
 def _first_dim(df: DataFrame, vec_col: str) -> int:
     """Vector width from one row (bounded driver lookup)."""
     row = df.select(F.size(vec_col).alias("n")).limit(1).collect()
+    if not row or row[0]["n"] is None:
+        # empty corpus (or an all-null vector column): fail loudly with
+        # the actual contract instead of an IndexError deep in a plan
+        # build — r10 empty-input sweep finding
+        raise ValueError(
+            f"cannot infer vector dimension from {vec_col!r}: the input "
+            "has no rows with a non-null vector; hyperplane/PQ/IVF "
+            "operators require at least one vector"
+        )
     return int(row[0]["n"])
 
 
