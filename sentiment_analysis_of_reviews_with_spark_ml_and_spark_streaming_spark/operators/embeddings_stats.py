@@ -152,13 +152,25 @@ def pca_power_grouped(cov: DataFrame, *, k: int = 10) -> DataFrame:
         xx = 0.0
         for i in dims:
             xx += x[i] * x[i]
+        # NULL-on-zero, replicating the SQL chain's CASE guards: an
+        # all-zero covariance (single vector / identical vectors)
+        # zeroes the iterate, so xx = 0 and trace = 0 (r10 sweep)
+        lam = None if xx == 0 else _round(xax / xx, 6)
+        share = (
+            None
+            if xx == 0 or trace == 0
+            else _round(xax / xx / trace, 6)
+        )
         return pd.DataFrame(
             {
                 "label": [label],
                 "n_vectors": [n_vectors],
                 "trace": [_round(trace, 6)],
-                "lambda1_est": [_round(xax / xx, 6)],
-                "top_share": [_round(xax / xx / trace, 6)],
+                # object dtype so None crosses Arrow as a real null
+                # (float64 would coerce it to NaN — the cosine_topk
+                # lesson, similarity.py)
+                "lambda1_est": pd.Series([lam], dtype=object),
+                "top_share": pd.Series([share], dtype=object),
             }
         )
 

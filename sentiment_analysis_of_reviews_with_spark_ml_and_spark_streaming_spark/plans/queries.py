@@ -2515,8 +2515,10 @@ _PCA_POWER_INIT = (
 _PCA_POWER_RAYLEIGH = """
 SELECT t.label, t.n_vectors,
        round(t.trace, 6) AS trace,
-       round(n.xax / d.xx, 6) AS lambda1_est,
-       round(n.xax / d.xx / t.trace, 6) AS top_share
+       round(CASE WHEN d.xx = 0 THEN NULL ELSE n.xax / d.xx END, 6)
+         AS lambda1_est,
+       round(CASE WHEN d.xx = 0 OR t.trace = 0 THEN NULL
+                  ELSE n.xax / d.xx / t.trace END, 6) AS top_share
 FROM (SELECT label, sum(a) AS trace, max(n_vectors) AS n_vectors
       FROM {cv} WHERE i = j GROUP BY label) t
 JOIN (SELECT c.label, sum(xi.x * c.a * xj.x) AS xax
@@ -8417,7 +8419,14 @@ def q_incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         # 6-decimal rounding sits inside cross-engine double-summation
         # noise; sqrt contracts that noise by 1/(2*stddev) ~ 4e-11,
         # making round(.,4) deterministic across engines
-        F.round(F.sqrt(F.col("var_v")), 4).alias("stddev_price"),
+        # greatest-0 clamp: at n=1 the two mean-square paths round
+        # differently by ~1 ulp and the 6-decimal variance can land
+        # fractionally NEGATIVE — Spark sqrt() would yield NaN and
+        # DuckDB ERRORS; the clamp is a no-op off the degenerate case
+        # (r10 single-row sweep)
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), F.col("var_v"))), 4
+        ).alias("stddev_price"),
     )
 
 
@@ -8439,9 +8448,9 @@ SELECT o_orderpriority, n AS n_orders,
        round(CAST(sum_v AS DOUBLE), 2) AS sum_price,
        min_v AS min_price, max_v AS max_price,
        round(CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_price,
-       round(sqrt(round(CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)
+       round(sqrt(greatest(0, round(CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)
              - (CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE))
-               * (CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)), 6)), 4)
+               * (CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)), 6))), 4)
          AS stddev_price
 FROM s
 """
@@ -10320,8 +10329,10 @@ def q_spend_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "round(CAST(_sp AS DOUBLE) / n_orders, 4) AS avg_price",
             "round(CAST(_open AS DOUBLE) / n_orders, 6) AS open_rate",
-            "round((CAST(_open AS DOUBLE) / n_orders)"
-            " / (CAST(_tot_open AS DOUBLE) / _tot_n), 6) AS lift",
+            # try_divide: a zero overall open rate is a legal
+            # degenerate input (oracle's x/0 is NULL)
+            "round(try_divide(CAST(_open AS DOUBLE) / n_orders,"
+            " CAST(_tot_open AS DOUBLE) / _tot_n), 6) AS lift",
         )
         .orderBy("decile")
     )
@@ -12574,7 +12585,10 @@ def q_xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt(F.col("scc").cast("double")) * F.sqrt(
         F.col("spp").cast("double")
     )
-    xc = lambda c: F.round(F.col(c).cast("double") / den, 6)  # noqa: E731
+    # try_divide: zero variance on a 1-day series (r10 sweep)
+    xc = lambda c: F.round(  # noqa: E731
+        F.try_divide(F.col(c).cast("double"), den), 6
+    )
     return (
         agg.select(
             xc("nm7").alias("xm7"),
@@ -12678,9 +12692,13 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
         - F.col("tie_term")
     )
-    z = F.when(F.col("s") > 0, F.col("s") - 1).otherwise(
-        F.when(F.col("s") < 0, F.col("s") + 1).otherwise(F.lit(0))
-    ).cast("double") / F.sqrt(var18.cast("double") / 18.0)
+    # try_divide: var18 = 0 on a 1-day series (r10 single-row sweep)
+    z = F.try_divide(
+        F.when(F.col("s") > 0, F.col("s") - 1).otherwise(
+            F.when(F.col("s") < 0, F.col("s") + 1).otherwise(F.lit(0))
+        ).cast("double"),
+        F.sqrt(var18.cast("double") / 18.0),
+    )
     return joined.select(
         F.col("n").cast("long").alias("n_days"),
         F.col("s").alias("s_stat"),
@@ -13072,8 +13090,12 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "channel",
             F.round("p_base", 6).alias("p_base"),
             F.round("p_removed", 6).alias("p_removed"),
+            # try_divide: p_base = 0 on a degenerate journey set
+            # (r10 single-row sweep)
             F.round(
-                F.lit(1.0) - F.col("p_removed") / F.col("p_base"), 6
+                F.lit(1.0)
+                - F.try_divide(F.col("p_removed"), F.col("p_base")),
+                6,
             ).alias("removal_effect"),
         )
         .orderBy("channel")
@@ -13585,12 +13607,15 @@ def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # try_divide: an empty reference/current period zeroes a window
+    # total; greatest() ignores the NULL on both engines, so the
+    # 1e-6 floor takes over identically (r10 single-row sweep)
     p = F.greatest(
-        F.col("nr").cast("double") / F.sum("nr").over(wall),
+        F.try_divide(F.col("nr").cast("double"), F.sum("nr").over(wall)),
         F.lit(1e-6),
     )
     q = F.greatest(
-        F.col("nc").cast("double") / F.sum("nc").over(wall),
+        F.try_divide(F.col("nc").cast("double"), F.sum("nc").over(wall)),
         F.lit(1e-6),
     )
     terms = counts.select(
@@ -13778,11 +13803,14 @@ def q_ab_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.col("_s").cast("double")
     q = F.col("_q").cast("double")
     mean = s / n
-    var = (q - s * s / n) / (n - 1)
+    # try_divide: n=1 groups (var) and zero-mean groups (delta) are
+    # legal degenerate inputs -- NULL, not an ANSI abort (the oracle's
+    # x/0 is already NULL). r10 single-row sweep.
+    var = F.try_divide(q - s * s / n, n - 1)
     delta = F.lit(0.05) * mean
     zsum = F.lit(1.959964 + 0.841621)
     need = F.ceil(
-        F.lit(2.0) * var * zsum * zsum / (delta * delta)
+        F.try_divide(F.lit(2.0) * var * zsum * zsum, delta * delta)
     ).cast("long")
     return m.select(
         "event_type",
@@ -14327,9 +14355,11 @@ def q_spearman_freq_monetary(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd("df_", "df_").alias("_ff"),
         dd("dm_", "dm_").alias("_mm"),
     )
-    rho = F.col("_num").cast("double") / (
+    # try_divide: zero rank spread at n=1 (r10 single-row sweep)
+    rho = F.try_divide(
+        F.col("_num").cast("double"),
         F.sqrt(F.col("_ff").cast("double"))
-        * F.sqrt(F.col("_mm").cast("double"))
+        * F.sqrt(F.col("_mm").cast("double")),
     )
     return agg.select(
         F.col("n_customers").cast("long").alias("n_customers"),
@@ -14603,9 +14633,13 @@ def q_mutual_info_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("o_orderpriority").alias("_r"),
         F.countDistinct("o_orderstatus").alias("_c"),
     )
+    # try_divide: a constant margin makes least(r,c)-1 = 0 (r10
+    # single-row sweep)
     v = F.sqrt(
-        F.col("_chi2")
-        / (F.col("n").cast("double") * (F.least("_r", "_c") - F.lit(1)))
+        F.try_divide(
+            F.col("_chi2"),
+            F.col("n").cast("double") * (F.least("_r", "_c") - F.lit(1)),
+        )
     )
     return agg.select(
         F.col("n").cast("long").alias("n_orders"),
@@ -15315,14 +15349,14 @@ def q_woe_iv_price_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ng").alias("gt"), F.sum(F.col("n") - F.col("ng")).alias("bt")
     )
     j = bins.crossJoin(F.broadcast(tot))
-    woe = F.log(
-        (F.col("ng").cast("double") / F.col("gt"))
-        / ((F.col("n") - F.col("ng")).cast("double") / F.col("bt"))
+    # try_divide: an all-good or all-bad corpus zeroes gt/bt (r10
+    # single-row sweep); NULL propagates through log and the IV sum
+    _pg = F.try_divide(F.col("ng").cast("double"), F.col("gt"))
+    _pb = F.try_divide(
+        (F.col("n") - F.col("ng")).cast("double"), F.col("bt")
     )
-    iv_term = (
-        F.col("ng").cast("double") / F.col("gt")
-        - (F.col("n") - F.col("ng")).cast("double") / F.col("bt")
-    ) * woe
+    woe = F.log(F.try_divide(_pg, _pb))
+    iv_term = (_pg - _pb) * woe
     scored = j.select(
         "decile",
         F.col("n").cast("long").alias("n_orders"),
@@ -17041,7 +17075,11 @@ def q_seasonality_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double") * F.col("syy").cast("double")
         - F.col("sy").cast("double") * F.col("sy").cast("double")
     )
-    fs = F.greatest(F.lit(0.0), F.lit(1.0) - var_resid / var_series)
+    # try_divide: var_series = 0 on a constant/1-day series; both
+    # engines' greatest() ignores the NULL -> 0.0 (r10 sweep)
+    fs = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.try_divide(var_resid, var_series)
+    )
     return agg.select(
         F.col("n").cast("long").alias("n_days"),
         F.round(fs, 6).alias("seasonality_strength"),

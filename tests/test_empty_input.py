@@ -108,3 +108,52 @@ def test_rollup_empty_is_zero_rows_no_error(spark, name, empty_dir):
 def test_vector_operators_fail_loudly_on_empty_input(spark, name, empty_dir):
     with pytest.raises(ValueError, match="cannot infer vector dimension"):
         QUERIES[name](spark, empty_dir).collect()
+
+
+# --- single-row inputs: the OTHER degenerate surface -------------------
+# n=1 / constant-series inputs zero the DENOMINATOR of variance, rank
+# spread, class totals, and Rayleigh quotients — a different crash
+# surface than empty input (the aggregate row EXISTS, its spread is 0).
+# Fixed r10 with try_divide / CASE / greatest-0 clamps; DuckDB's x/0 is
+# already NULL, so the twins stay value-equal on the degenerate input.
+FIXED_SINGLE_ROW_KEYS = [
+    "ab_sample_size",            # var /(n-1), need /(0.05*mean)^2
+    "mann_kendall_trend",        # var18 = 0 at n=1
+    "markov_removal_attribution",# p_base = 0
+    "mutual_info_priority_status",  # least(r,c)-1 = 0
+    "psi_price_drift",           # empty-period window total
+    "seasonality_strength_dow",  # var_series = 0
+    "spearman_freq_monetary",    # zero rank spread
+    "spend_decile_lift",         # zero overall open rate
+    "woe_iv_price_urgent",       # all-good/all-bad class total
+    "xcorr_click_purchase",      # zero variance
+    "embedding_pca_power_share", # Rayleigh xx = 0 (all-zero cov)
+    "embedding_pca_label_top_eig",  # same, in the grouped-map twin
+    "incremental_rollup_maintenance",  # sqrt(rounding-negative var)
+]
+
+
+@pytest.fixture(scope="session")
+def single_row_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.schemas import (
+        TABLE_NAMES,
+    )
+
+    d = tmp_path_factory.mktemp("sf_one")
+    for t in TABLE_NAMES:
+        pq.write_table(
+            pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, 1),
+            str(d / f"{t}.parquet"),
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", FIXED_SINGLE_ROW_KEYS)
+def test_fixed_queries_match_oracle_on_single_row_input(
+    spark, name, single_row_dir
+):
+    result = compare(spark, QUERIES[name], ORACLE[name], single_row_dir)
+    assert result["count_match"], f"{name}: row count {result}"
+    assert result["value_match"], f"{name}: values {result}"
