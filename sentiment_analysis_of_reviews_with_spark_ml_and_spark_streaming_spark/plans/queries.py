@@ -8930,8 +8930,18 @@ def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             root,
             stat_cols=["c_custkey"],
         )
-        tfmt.append(cust.filter(F.col("c_mktsegment") == "AUTOMOBILE"), root)
-        tfmt.delete_where(spark, root, "c_custkey <= 150", prune_col="c_custkey")
+        # capture each DML's returned version and read THOSE with the
+        # canonical labels: a no-op DML commits nothing (documented),
+        # shifting raw version numbers on degenerate data — but its
+        # oracle replay is the identity, so label i's content is the
+        # prior version's content, which is exactly what re-reading the
+        # returned (unchanged) version yields. r10 degenerate sweep.
+        v1 = tfmt.append(
+            cust.filter(F.col("c_mktsegment") == "AUTOMOBILE"), root
+        )
+        v2 = tfmt.delete_where(
+            spark, root, "c_custkey <= 150", prune_col="c_custkey"
+        )
         updates = cust.filter(
             (F.col("c_mktsegment") == "MACHINERY")
             | (
@@ -8939,9 +8949,9 @@ def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("c_custkey") % 7 == 0)
             )
         ).select("c_custkey", F.lit("UP").alias("c_mktsegment"))
-        tfmt.merge_upsert(updates, root, key_col="c_custkey")
+        v3 = tfmt.merge_upsert(updates, root, key_col="c_custkey")
         rows = []
-        for v in range(4):
+        for lbl, v in enumerate([0, v1, v2, v3]):
             r = (
                 tfmt.read_table(spark, root, version=v)
                 .agg(
@@ -8952,7 +8962,7 @@ def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .collect()[0]
             )
-            rows.append((v, r["n"], r["ks"], r["ksq"], r["nseg"]))
+            rows.append((lbl, r["n"], r["ks"], r["ksq"], r["nseg"]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -9032,8 +9042,17 @@ def q_lakehouse_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             root,
             stat_cols=["c_custkey"],
         )
-        tfmt.append(cust.filter(F.col("c_mktsegment") == "AUTOMOBILE"), root)
-        tfmt.delete_where(spark, root, "c_custkey <= 150", prune_col="c_custkey")
+        # capture returned versions and read the feed PER SEGMENT with
+        # canonical labels: a no-op DML commits nothing (documented),
+        # shifting raw commit numbers on degenerate data, while its
+        # oracle change set is empty — the segment skip reproduces
+        # exactly that (the time_travel convention, r10 sweep)
+        v1 = tfmt.append(
+            cust.filter(F.col("c_mktsegment") == "AUTOMOBILE"), root
+        )
+        v2 = tfmt.delete_where(
+            spark, root, "c_custkey <= 150", prune_col="c_custkey"
+        )
         updates = cust.filter(
             (F.col("c_mktsegment") == "MACHINERY")
             | (
@@ -9041,19 +9060,25 @@ def q_lakehouse_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("c_custkey") % 7 == 0)
             )
         ).select("c_custkey", F.lit("UP").alias("c_mktsegment"))
-        tfmt.merge_upsert(updates, root, key_col="c_custkey")
-        rows = [
-            (r["_commit_version"], r["_change_type"], r["n"], r["ks"])
-            for r in (
-                tfmt.table_changes(spark, root, 0, 3)
-                .groupBy("_commit_version", "_change_type")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    _key_sum("c_custkey").alias("ks"),
+        v3 = tfmt.merge_upsert(updates, root, key_col="c_custkey")
+        rows = []
+        prev = 0
+        for lbl, v in enumerate([v1, v2, v3], start=1):
+            if v == prev:  # no-op commit: empty change set
+                continue
+            rows.extend(
+                (lbl, r["_change_type"], r["n"], r["ks"])
+                for r in (
+                    tfmt.table_changes(spark, root, prev, v)
+                    .groupBy("_change_type")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        _key_sum("c_custkey").alias("ks"),
+                    )
+                    .collect()
                 )
-                .collect()
             )
-        ]
+            prev = v
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -9434,17 +9459,22 @@ def q_lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             cust.repartitionByRange(6, "c_custkey"), root,
             stat_cols=["c_custkey"],
         )
-        tfmt.delete_where(
+        # capture returned versions; a no-op DML commits nothing
+        # (documented), so raw numbers shift on degenerate data while
+        # the canonical labels keep the oracle's row grid (the
+        # time_travel convention, r10 degenerate sweep)
+        v1 = tfmt.delete_where(
             spark, root, "c_custkey <= 40", prune_col="c_custkey",
             mode="mor",
         )
-        tfmt.delete_where(
+        v2 = tfmt.delete_where(
             spark, root, "c_custkey % 7 = 0", prune_col="c_custkey",
             mode="mor",
         )
-        tfmt.compact(spark, root, target_files=2)
+        v3 = tfmt.compact(spark, root, target_files=2)
         rows = []
-        for v in range(4):
+        prev = None
+        for lbl, v in enumerate([0, v1, v2, v3]):
             r = (
                 tfmt.read_table(spark, root, version=v)
                 .agg(
@@ -9456,12 +9486,13 @@ def q_lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             nd = (
                 0
-                if v == 0
-                else tfmt.table_changes(spark, root, v - 1, v)
+                if lbl == 0 or v == prev  # no-op commit: empty feed
+                else tfmt.table_changes(spark, root, prev, v)
                 .filter(F.col("_change_type") == "deleted")
                 .count()
             )
-            rows.append((v, r["n"], r["ks"], r["ksq"], nd))
+            prev = v
+            rows.append((lbl, r["n"], r["ks"], r["ksq"], nd))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -9496,14 +9527,17 @@ def q_lakehouse_restore_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             root,
             stat_cols=["c_custkey"],
         )
-        tfmt.append(cust.filter(F.col("c_custkey") % 2 == 1), root)
-        tfmt.delete_where(
+        # capture returned versions; restore targets the CAPTURED
+        # append version, not a literal (the time_travel convention,
+        # r10 degenerate sweep — a no-op DML shifts raw numbers)
+        v1 = tfmt.append(cust.filter(F.col("c_custkey") % 2 == 1), root)
+        v2 = tfmt.delete_where(
             spark, root, "c_custkey % 5 = 0", prune_col="c_custkey",
             mode="mor",
         )
-        tfmt.restore_table(root, 1)
+        v3 = tfmt.restore_table(root, v1)
         rows = []
-        for v in range(4):
+        for lbl, v in enumerate([0, v1, v2, v3]):
             r = (
                 tfmt.read_table(spark, root, version=v)
                 .agg(
@@ -9513,7 +9547,7 @@ def q_lakehouse_restore_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .collect()[0]
             )
-            rows.append((v, r["n"], r["ks"], r["ksq"]))
+            rows.append((lbl, r["n"], r["ks"], r["ksq"]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -9552,14 +9586,14 @@ def q_lakehouse_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         # representation boundaries that Spark (shortest-repr HALF_UP)
         # and DuckDB (true-binary) round differently — the registry's
         # decimal-routing convention (docs/QUERIES.md)
-        tfmt.update_where(
+        v1 = tfmt.update_where(
             spark, root, "c_custkey <= 60",
             {"c_acctbal":
              "cast(round(cast(c_acctbal as decimal(18,2)) * 1.1, 2) "
              "as double)"},
             prune_col="c_custkey", mode="cow",
         )
-        tfmt.update_where(
+        v2 = tfmt.update_where(
             spark, root, "c_custkey % 9 = 0",
             {"c_acctbal":
              "cast(cast(c_acctbal as decimal(18,2)) + c_custkey "
@@ -9567,15 +9601,14 @@ def q_lakehouse_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             prune_col="c_custkey", mode="mor",
         )
         rows = []
-        # no-op DML commits nothing (documented update_where semantic),
-        # so a degenerate (empty) source yields a SHORTER lineage; clamp
-        # reads to head but keep the version labels so the row grid
-        # matches the oracle's 3 CASE projections (r10 empty-input
-        # sweep). At any real SF head == 2 and the clamp is a no-op.
-        head = tfmt.latest_version(root)
-        for v in range(3):
+        # read at the versions the DMLs returned, canonical labels: a
+        # no-op DML commits nothing (documented), and its oracle
+        # replay is the identity — so re-reading the unchanged version
+        # is exactly the oracle's row (the time_travel convention,
+        # r10 degenerate sweep)
+        for lbl, v in enumerate([0, v1, v2]):
             r = (
-                tfmt.read_table(spark, root, version=min(v, head))
+                tfmt.read_table(spark, root, version=v)
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     _key_sum("c_custkey").alias("ks"),
@@ -9586,7 +9619,7 @@ def q_lakehouse_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()[0]
             )
             rows.append((
-                v, r["n"], r["ks"],
+                lbl, r["n"], r["ks"],
                 # NULL balance sum = empty version (r10 sweep)
                 float(r["bs"]) if r["bs"] is not None else None,
             ))
