@@ -98,6 +98,12 @@ def learn_bpe_merges(
     # unpersisting before the derived state is ever computed (the old
     # code) made every iteration replay the whole merge chain from the
     # raw word table: O(n_merges²) recomputation.
+    # Scale note: persist() shortcuts EXECUTION but not lineage, so
+    # plan-analysis cost still grows with the merge chain (~O(n²)
+    # total). Fine at the certified n_merges=3..tens; for a real
+    # 30k-merge tokenizer run, swap the persist for
+    # localCheckpoint(eager=True) (the CC pointer-doubling pattern,
+    # dedup.py) to truncate lineage and keep analysis O(1) per step.
     cached_prev: DataFrame | None = None
     for step in range(1, n_merges + 1):
         state = state.persist()
