@@ -16585,10 +16585,13 @@ def q_srm_check_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
     )
-    chi = (
+    # try_divide: na+nb = 0 when every key hashes to neither arm
+    # (all-NULL keys / fully filtered input) — NULL, not an ANSI
+    # abort; the oracle's x/0 is already NULL (r10 degenerate sweep)
+    chi = F.try_divide(
         ((F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb")))
-        .cast("double")
-        / (F.col("na") + F.col("nb")).cast("double")
+        .cast("double"),
+        (F.col("na") + F.col("nb")).cast("double"),
     )
     return agg.select(
         F.col("na").cast("long").alias("n_arm_a"),
