@@ -1653,12 +1653,19 @@ def q_xml_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     r4): each order serialized to an XML fragment IN the query, then
     parsed back via attribute xpath (@id), element xpath (text()), and
     schema'd from_xml — a pure roundtrip, so ground truth is the source
-    columns themselves and the oracle simply re-selects them. This is
-    the falsifiable way to certify a parser the oracle engine doesn't
-    have: any Spark-side parse defect (entity handling, attribute
-    quoting, double rendering) breaks the hash. Escape-sensitive values
-    excluded (o_orderpriority carries no XML metachars — asserted by
-    the junk-free filter so the fixture can't silently acquire '&').
+    columns themselves. This is the falsifiable way to certify a
+    parser the oracle engine doesn't have: any Spark-side parse defect
+    (entity handling, attribute quoting, double rendering) flips a
+    named per-surface flag. The hashed surface is FLAGS ONLY (r11,
+    after the r10 driver red on the value form): each parsed-back
+    value is compared to its source column row-wise and bool_and'd, so
+    only a version-INCONSISTENT engine (a parser that doesn't invert
+    its own renderer) goes red — a version-different-but-self-
+    consistent engine stays green, and a red names its culprit surface
+    (id_ok = attribute xpath, price_ok = schema'd double element,
+    priority_ok = string element). Escape-sensitive values excluded
+    (o_orderpriority carries no XML metachars — asserted by the
+    junk-free filter so the fixture can't silently acquire '&').
     Cost discipline (measured at sf0.1): EVERY xpath_*/from_xml call
     DOM-parses its input — ~10 µs/row/call — so the query parses each
     row at most twice (one schema'd from_xml for the elements, one
@@ -1685,24 +1692,26 @@ def q_xml_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "st", F.expr("from_xml(x, 'price double, priority string')")
         )
         .select(
-            F.expr("xpath_long(x, '/order/@id')").alias("id_back"),
-            F.col("st.price").alias("price_back"),
-            F.col("st.priority").alias("priority_back"),
+            "o_orderpriority",
+            (F.expr("xpath_long(x, '/order/@id')") == F.col("o_orderkey"))
+            .alias("_id_ok"),
+            (F.col("st.price") == F.col("o_totalprice")).alias("_price_ok"),
+            (F.col("st.priority") == F.col("o_orderpriority"))
+            .alias("_priority_ok"),
         )
     )
-    return parsed.groupBy("priority_back").agg(
+    return parsed.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        _key_sum("id_back").alias("sum_ids"),
-        _dsum("price_back").alias("sum_price"),
+        F.bool_and("_id_ok").alias("id_ok"),
+        F.bool_and("_price_ok").alias("price_ok"),
+        F.bool_and("_priority_ok").alias("priority_ok"),
     )
 
 
 SQL_XML_EXTRACT_ORDERS = """
-SELECT o_orderpriority AS priority_back,
+SELECT o_orderpriority,
        count(*) AS n_orders,
-       CAST(sum(o_orderkey) AS DECIMAL(38,0)) AS sum_ids,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-         AS sum_price
+       TRUE AS id_ok, TRUE AS price_ok, TRUE AS priority_ok
 FROM orders
 WHERE o_orderkey % 10 = 0
   AND NOT regexp_matches(o_orderpriority, '[<>&''\"]')
@@ -1720,8 +1729,13 @@ def q_codec_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly wrong in a determinism-certified roundtrip (the ONLY
     reason ECB appears here; never use ECB for real secrecy). Any
     codec asymmetry (charset, padding, '+'-vs-%20 space handling)
-    breaks the equality flags; the oracle re-selects source columns
-    and expects every flag true."""
+    breaks the equality flags; the oracle expects every flag true.
+    The hashed surface is FLAGS + count ONLY (r11, after the r10
+    driver red on the value form): the former sum-of-extracted-ids
+    checksum and min(host) value columns became row-wise equality
+    flags (ids_ok / host_ok), so only a version-INCONSISTENT engine —
+    one whose parse_url doesn't invert its own url builder — goes
+    red, and a red names its culprit codec."""
     orders = _t(spark, sf_dir, "orders")
     url = F.concat(
         F.lit("https://shop.example.com/orders/"),
@@ -1732,11 +1746,15 @@ def q_codec_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = "0123456789abcdef"
     checked = orders.withColumn("u", url).select(
         "o_orderpriority",
-        F.expr("parse_url(u, 'HOST')").alias("host"),
-        F.expr(
-            "cast(regexp_extract(parse_url(u, 'PATH'),"
-            " '/orders/([0-9]+)', 1) as long)"
-        ).alias("id_back"),
+        (F.expr("parse_url(u, 'HOST')") == F.lit("shop.example.com"))
+        .alias("host_ok"),
+        (
+            F.expr(
+                "cast(regexp_extract(parse_url(u, 'PATH'),"
+                " '/orders/([0-9]+)', 1) as long)"
+            )
+            == F.col("o_orderkey")
+        ).alias("ids_ok"),
         (
             F.expr("url_decode(parse_url(u, 'QUERY', 'priority'))")
             == F.col("o_orderpriority")
@@ -1765,8 +1783,8 @@ def q_codec_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return checked.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        _key_sum("id_back").alias("sum_ids"),
-        F.min("host").alias("host"),
+        F.bool_and("ids_ok").alias("ids_ok"),
+        F.bool_and("host_ok").alias("host_ok"),
         F.bool_and("url_ok").alias("url_ok"),
         F.bool_and("b64_ok").alias("b64_ok"),
         F.bool_and("hex_ok").alias("hex_ok"),
@@ -1777,8 +1795,7 @@ def q_codec_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CODEC_ROUNDTRIP_SUITE = """
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       CAST(sum(o_orderkey) AS DECIMAL(38,0)) AS sum_ids,
-       'shop.example.com' AS host,
+       TRUE AS ids_ok, TRUE AS host_ok,
        TRUE AS url_ok, TRUE AS b64_ok, TRUE AS hex_ok, TRUE AS aes_ok
 FROM orders GROUP BY 1
 """
@@ -6956,15 +6973,29 @@ FROM s, tot
 
 def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixture plan MATERIALIZED (r4): q_mixture_token_budget
-    derives per-source sampling rates; this query executes the
-    down-sample with the engine's deterministic hash sampler — doc
-    uniform u = first-8-hex-of-md5(doc_id)/2^32, keep iff u < rate —
-    and reports per-source survivors with a membership checksum
+    derives per-source sampling targets; this query executes the
+    down-sample with the engine's deterministic hash sampler and
+    reports per-source survivors with a membership checksum
     (sum of kept doc_ids), so the oracle falsifies the exact kept SET,
     not just its size. No RNG anywhere: the same doc lands the same
     way at any cluster size, which is what makes the sample
-    reproducible (and resumable) at 100 TB. Rates divide identical
-    longs on both engines, so the double comparison is bit-portable.
+    reproducible (and resumable) at 100 TB.
+
+    INTEGER-EXACT keep decision (r11, after the r10 driver red): the
+    original form compared the doc uniform u = md5_prefix/2^32 against
+    a FLOAT rate = min(1.0, target_tokens/n_tokens), which is
+    bit-portable only while both engines type the division identically
+    — DuckDB's BIGINT/HUGEINT/DECIMAL division typing has changed
+    across releases, so a version-different (not version-broken)
+    oracle engine can flip a boundary doc. The keep rule is now pure
+    integer arithmetic on both engines — keep iff
+      target_tokens >= n_tokens  (rate saturates at 1.0)
+      OR md5_prefix * n_tokens < target_tokens * 2^32
+    with the cross-multiplication widened to DECIMAL(38,0)/HUGEINT so
+    no division (float or decimal) exists anywhere in the decision.
+    Mathematically identical to u < target/n in exact arithmetic, and
+    the correct resumable-sampling contract at 100 TB: a keep-set that
+    cannot drift across engine or hardware versions.
     Plan: one scan + bounded per-source agg broadcast back onto the
     scan — no fact-side shuffle beyond the final bounded-key agg."""
     docs = _t(spark, sf_dir, "documents")
@@ -6995,20 +7026,29 @@ def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = per_src.agg(F.sum("_w").alias("_tw"))
-    rates = per_src.crossJoin(F.broadcast(tot)).select(
+    targets = per_src.crossJoin(F.broadcast(tot)).select(
         "source",
-        F.least(
-            F.lit(1.0),
-            F.expr(f"({budget} * _w) div _tw") / F.col("n_tokens"),
-        ).alias("_rate"),
+        F.col("n_tokens").alias("_src_tokens"),
+        F.expr(f"({budget} * _w) div _tw").alias("_tt"),
     )
-    u = (
-        textstats.md5_prefix_long(F.col("doc_id").cast("string"), nchars=8)
-        / F.lit(4294967296.0)
+    # md5 prefix in [0, 2^32); n_tokens can reach ~1e15 at 100 TB, so
+    # the cross-product needs 128-bit headroom: decimal(19,0) operands
+    # → decimal(38,0) products, exact on both engines.
+    u_dec = textstats.md5_prefix_long(
+        F.col("doc_id").cast("string"), nchars=8
+    ).cast("decimal(19,0)")
+    keep = (
+        F.when(F.col("_tt") >= F.col("_src_tokens"), F.lit(1))
+        .otherwise(
+            (
+                u_dec * F.col("_src_tokens").cast("decimal(19,0)")
+                < F.col("_tt").cast("decimal(19,0)")
+                * F.lit(4294967296).cast("decimal(19,0)")
+            ).cast("int")
+        )
     )
-    keep = (u < F.col("_rate")).cast("int")
     return (
-        with_nt.join(F.broadcast(rates), "source")
+        with_nt.join(F.broadcast(targets), "source")
         .select("source", "doc_id", "_nt", keep.alias("_keep"))
         .groupBy("source")
         .agg(
@@ -7035,16 +7075,20 @@ WITH d AS (
           % 9 + 1) AS w
   FROM d GROUP BY source
 ), tot AS (SELECT sum(w) AS tw FROM s),
-rates AS (
-  SELECT source,
-         least(1.0, ((20000 * w) // tw) * 1.0 / n_tokens) AS rate
-  FROM s, tot
+targets AS (
+  SELECT source, n_tokens, (20000 * w) // tw AS tt FROM s, tot
 ), k AS (
+  -- integer-exact keep (see q_mixture_sample_docs): no float or
+  -- decimal DIVISION anywhere — cross-multiplied in HUGEINT so the
+  -- decision cannot drift with engine division-typing changes
   SELECT d.source, d.doc_id, d.nt,
-         CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
-                        AS BIGINT) / 4294967296.0 < r.rate
+         CASE WHEN r.tt >= r.n_tokens THEN 1
+              WHEN CAST(CAST(concat('0x',
+                       substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) AS HUGEINT) * r.n_tokens
+                   < CAST(r.tt AS HUGEINT) * 4294967296
               THEN 1 ELSE 0 END AS keep
-  FROM d JOIN rates r ON d.source = r.source
+  FROM d JOIN targets r ON d.source = r.source
 )
 SELECT source, count(*) AS n_docs,
        CAST(sum(keep) AS BIGINT) AS n_kept,
