@@ -22,6 +22,20 @@ from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sessi
     get_spark,
 )
 
+
+def _env_probe(spark) -> dict:
+    """Engine-version fingerprint embedded in every bench artifact
+    (VERDICT r10 #1a: the r10 red certificates are most plausibly
+    grading-environment version drift; this makes each archived run
+    carry the versions it measured under). Never raises."""
+    try:
+        from scripts.env_probe import probe
+
+        return probe(spark)
+    except Exception as exc:  # noqa: BLE001 - the probe must never cost
+        # the artifact; an unprobeable environment is itself reported
+        return {"err": f"{type(exc).__name__}: {exc}"[:200]}
+
 HEADLINE = [
     "pricing_summary",
     "shipping_priority",
@@ -670,6 +684,7 @@ def main() -> None:
         "sf": sf,
         "contention": sentinel,
         "host": host_fingerprint(),
+        "env": _env_probe(spark),
     }
     if errors:
         result["errors"] = errors

@@ -22,6 +22,7 @@ this script is the full-registry discovery tool.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -29,21 +30,32 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # --- whitelists: loud requires-data errors are CORRECT behavior -------
-# MLlib fits / ALS / vector-dim probes cannot produce a model or an
-# index from zero (or one) rows; each raises a clear message.
-REQUIRES_DATA = {
+# MLlib fits / vector-dim probes cannot produce a model or an index
+# from zero (or one) rows; each raises a clear message. Each entry
+# pins the EXPECTED error via a regex matched against the full
+# exception text (ADVICE r10: a blanket catch printed any unrelated
+# new crash — e.g. a regression's AnalysisException — as
+# 'requires-data (whitelisted)' without flipping the gate's exit
+# status). An unexpected error on a whitelisted query now counts as a
+# CRASH like everywhere else. Entries verified against the actual
+# raise sites 2026-08-16; names that stopped raising (als_rank1 /
+# single-row ml_tfidf/quality_classifier) and names with no oracle
+# (the sweep iterates sorted(ORACLE)) were dropped rather than kept
+# as dead rows.
+_NO_VECTOR = r"cannot infer vector dimension"
+REQUIRES_DATA: dict[str, dict[str, str]] = {
     "empty": {
-        "ml_tfidf_features", "ml_train_f1", "quality_classifier_agreement",
-        "dedup_minhash_lsh", "similarity_ann_lsh", "similarity_ivf",
-        "als_recommendations", "als_rank1_factors",
-        "similarity_hyperplane_lsh", "similarity_pq_codes",
-        "similarity_pq_adc_topk", "similarity_pq_adc",
-        "observe_scan_metrics",
+        "ml_tfidf_features": r"Haven't seen any document yet",
+        "ml_train_f1": r"Haven't seen any document yet",
+        "quality_classifier_agreement":
+            r"Nothing has been added to this summarizer",
+        "observe_scan_metrics": r"key not found: scan_metrics",
+        "similarity_hyperplane_lsh": _NO_VECTOR,
+        "similarity_pq_codes": _NO_VECTOR,
+        "similarity_pq_adc_topk": _NO_VECTOR,
     },
     "single": {
-        "ml_tfidf_features", "ml_train_f1", "quality_classifier_agreement",
-        "dedup_minhash_lsh", "similarity_ann_lsh", "similarity_ivf",
-        "als_recommendations", "als_rank1_factors",
+        "ml_train_f1": r"only supports binary classification",
     },
 }
 # Spark returns 0 rows for rollup/cube/grouping-sets over empty input;
@@ -90,12 +102,16 @@ def sweep(spark, profile: str) -> int:
             try:
                 r = compare(spark, QUERIES[name], ORACLE[name], d)
             except Exception as ex:  # noqa: BLE001 - report, don't die
-                if name in REQUIRES_DATA[profile]:
+                expected = REQUIRES_DATA[profile].get(name)
+                if expected and re.search(expected, str(ex)):
                     print(f"  [{profile}] {name}: requires-data "
-                          f"(whitelisted): {str(ex).splitlines()[0][:90]}")
+                          f"(expected error matched): "
+                          f"{str(ex).splitlines()[0][:90]}")
                 else:
                     bad += 1
-                    print(f"  [{profile}] {name}: CRASH "
+                    kind = ("whitelisted query raised an UNEXPECTED error"
+                            if expected else "CRASH")
+                    print(f"  [{profile}] {name}: {kind} "
                           f"{str(ex).splitlines()[0][:140]}")
                 continue
             ok = r["count_match"] and r["value_match"]

@@ -432,12 +432,20 @@ def _pq_sub_dim(df: DataFrame, vec_col: str, m: int) -> int:
 
 
 def _first_dim(df: DataFrame, vec_col: str) -> int:
-    """Vector width from one row (bounded driver lookup)."""
-    row = df.select(F.size(vec_col).alias("n")).limit(1).collect()
+    """Vector width from one row (bounded driver lookup). Probes only
+    non-null vectors: limit(1) over the raw column may land on a NULL
+    row in a corpus that still holds valid vectors, turning a valid
+    input into a misleading hard failure (ADVICE r10)."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("n"))
+        .limit(1)
+        .collect()
+    )
     if not row or row[0]["n"] is None:
-        # empty corpus (or an all-null vector column): fail loudly with
-        # the actual contract instead of an IndexError deep in a plan
-        # build — r10 empty-input sweep finding
+        # genuinely empty corpus / all-null vector column: fail loudly
+        # with the actual contract instead of an IndexError deep in a
+        # plan build — r10 empty-input sweep finding
         raise ValueError(
             f"cannot infer vector dimension from {vec_col!r}: the input "
             "has no rows with a non-null vector; hyperplane/PQ/IVF "

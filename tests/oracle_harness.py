@@ -3,6 +3,22 @@
 Runs a Spark query and its oracle SQL side-by-side and compares
 row count, column names, and order-insensitive values — the same
 contract CORRECTNESS_r{N}.json grades, so failures show up here first.
+
+Two comparison modes, both enforced by the sf0.01 sweep:
+
+- the ORIGINAL value comparison (``_normalize``), which coerces
+  Decimal→float and flags numeric-kind divergence separately — kept
+  because its diffs are readable;
+- the CANONICAL-SERIALIZATION hash (``canonical_hash``, r11 / VERDICT
+  r10 stretch #8): every cell is stringified deterministically WITH
+  its Python kind (Decimal keeps its scale, float keeps its repr
+  including ``-0.0``, bool/int/str/date/datetime/bytes/list are each
+  tagged), rows are sorted and sha256'd. This is the strictest
+  driver-shaped contract the repo can express: any divergence the
+  driver's hasher could see that is NOT an engine-version difference
+  (kind, scale, float sign, repr) fails here first, so a local green
+  + driver red narrows the cause to engine versions (see
+  scripts/env_probe.py).
 """
 
 from __future__ import annotations
@@ -91,6 +107,60 @@ def decimal_float_mismatches(
     return sorted(c for c in set(sk) & set(dk) if sk[c] != dk[c])
 
 
+def canonical_cell(v: Any) -> str:
+    """Deterministic kind-tagged serialization of one cell. Every
+    Python kind the engines emit gets a distinct tag, so a
+    Decimal-vs-float or -0.0-vs-0.0 divergence changes the hash —
+    exactly the class of difference the driver's hasher sees and the
+    readable comparison coerces away."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "N"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"D:{v}"  # str() preserves scale: Decimal('5.00') -> '5.00'
+    if isinstance(v, float):
+        return "f:nan" if math.isnan(v) else f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if isinstance(v, datetime.datetime):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, (list, tuple)):  # includes Spark Row (tuple subclass)
+        return "[" + ",".join(canonical_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        items = sorted(v.items(), key=lambda kv: repr(kv[0]))
+        return (
+            "{"
+            + ",".join(
+                f"{canonical_cell(k)}={canonical_cell(val)}" for k, val in items
+            )
+            + "}"
+        )
+    return f"o:{type(v).__name__}:{v!r}"
+
+
+def canonical_hash(rows: list[tuple], cols: list[str]) -> str:
+    """Order-insensitive sha256 over the canonical serialization:
+    columns sorted by name (the driver's convention), rows sorted by
+    their serialized form."""
+    import hashlib
+
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canonical_cell(r[i]) for i in idx) for r in rows
+    )
+    return hashlib.sha256("\x1e".join(lines).encode()).hexdigest()
+
+
 def compare(spark, query_fn, sql: str, sf_dir: str) -> dict:
     sdf = query_fn(spark, sf_dir)
     s_cols = sdf.columns
@@ -127,4 +197,34 @@ def compare(spark, query_fn, sql: str, sf_dir: str) -> dict:
         if dfm:
             result["decimal_float_mismatch"] = dfm
             result["value_match"] = False
+        # Strict driver-shaped contract: kind-tagged canonical
+        # serialization hashes must agree (catches -0.0, Decimal
+        # scale, and any kind divergence the coercing compare hides).
+        sh = canonical_hash(s_rows, s_cols)
+        dh = canonical_hash(d_rows, d_cols)
+        result["canonical_match"] = sh == dh
+        if not result["canonical_match"]:
+            result["value_match"] = False
+            if "first_diffs" not in result:
+                sc = sorted(
+                    "\x1f".join(
+                        canonical_cell(r[i])
+                        for i in sorted(
+                            range(len(s_cols)), key=lambda i: s_cols[i]
+                        )
+                    )
+                    for r in s_rows
+                )
+                dc = sorted(
+                    "\x1f".join(
+                        canonical_cell(r[i])
+                        for i in sorted(
+                            range(len(d_cols)), key=lambda i: d_cols[i]
+                        )
+                    )
+                    for r in d_rows
+                )
+                result["first_diffs"] = [
+                    (a, b) for a, b in zip(sc, dc) if a != b
+                ][:3]
     return result

@@ -117,6 +117,33 @@ def test_vector_operators_fail_loudly_on_empty_input(spark, name, empty_dir):
         QUERIES[name](spark, empty_dir).collect()
 
 
+def test_first_dim_skips_null_vectors(spark):
+    """A corpus holding SOME null vectors must not trip the
+    no-non-null-vector guard just because the probe row sampled by
+    limit(1) happened to be NULL (ADVICE r10): the probe filters to
+    non-null vectors first, and only a genuinely all-null column
+    raises."""
+    from pyspark.sql import Row
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.similarity import (
+        _first_dim,
+    )
+
+    mixed = spark.createDataFrame(
+        [Row(vec_id=1, e=None), Row(vec_id=2, e=[1.0, 2.0, 3.0])],
+        "vec_id long, e array<double>",
+    )
+    # coalesce(1) + the null row first: without the isNotNull filter
+    # the limit(1) probe deterministically lands on the null
+    assert _first_dim(mixed.orderBy("vec_id").coalesce(1), "e") == 3
+
+    all_null = spark.createDataFrame(
+        [Row(vec_id=1, e=None)], "vec_id long, e array<double>"
+    )
+    with pytest.raises(ValueError, match="cannot infer vector dimension"):
+        _first_dim(all_null, "e")
+
+
 # --- single-row inputs: the OTHER degenerate surface -------------------
 # n=1 / constant-series inputs zero the DENOMINATOR of variance, rank
 # spread, class totals, and Rayleigh quotients — a different crash

@@ -160,6 +160,13 @@ def growing_hint_violations(analyzed) -> list[str]:
     def walk_hint(node):
         name = node.getClass().getSimpleName().replace("$", "")
         if name in _BOUNDING_NODES:
+            # bounded FOR THE CURRENT hint — but a nested hint below
+            # the bound is its own violation surface, so resume the
+            # hint search underneath instead of abandoning the subtree
+            # (ADVICE r10: hint → Aggregate → hint → growing scan was
+            # silently passed)
+            for k in children(node):
+                walk(k)
             return
         kids = children(node)
         if not kids:
@@ -177,7 +184,15 @@ def growing_hint_violations(analyzed) -> list[str]:
         if node.getClass().getSimpleName().replace("$", "") == "ResolvedHint":
             for k in children(node):
                 walk_hint(k)
-            return  # nested hints inside are covered by the same walk
+            # a nested hint inside this hint's subtree must also be
+            # examined INDEPENDENTLY: if the outer hint is bounded by
+            # an Aggregate, walk_hint never reaches the inner one
+            # (ADVICE r10). A growing leaf under two unbounded hints
+            # may be reported once per hint — duplication is fine,
+            # silence is not.
+            for k in children(node):
+                walk(k)
+            return
         for k in children(node):
             walk(k)
 
@@ -373,6 +388,39 @@ def test_growing_hint_gate_red_and_green_fixtures(spark):
     assert not hits(
         orders.join(cust, orders.o_custkey == cust.c_custkey)
     )
+
+    # NESTED hint below a bounding node (ADVICE r10): the outer hint
+    # is aggregate-bounded, but the inner broadcast of a raw growing
+    # scan feeding that aggregate is its own driver-OOM and must be
+    # flagged independently — the pre-fix walker stopped at the
+    # Aggregate and never saw it.
+    inner_bad = cust.join(
+        F.broadcast(orders.select("o_custkey", "o_totalprice")),
+        cust.c_custkey == orders.o_custkey,
+    )
+    nested = orders.join(
+        F.broadcast(
+            inner_bad.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+        ),
+        orders.o_custkey.isNotNull(),
+        "left",
+    )
+    assert hits(nested), "nested growing-scan hint under a bound not flagged"
+
+    # and the green twin: nested hint whose inner broadcast is itself
+    # bounded stays clean
+    inner_ok = cust.join(
+        F.broadcast(orders.groupBy("o_custkey").agg(F.count("*").alias("m"))),
+        cust.c_custkey == F.col("o_custkey"),
+    )
+    nested_ok = orders.join(
+        F.broadcast(
+            inner_ok.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+        ),
+        orders.o_custkey.isNotNull(),
+        "left",
+    )
+    assert not hits(nested_ok), "bounded nested hint wrongly flagged"
 
 
 def test_oracle_sql_key_products_are_widened():

@@ -21,6 +21,15 @@ must return BIT-IDENTICAL rows under
 A float that wobbles between (a) and (b) at sf0.01 is exactly the
 float that silently diverges between the test cluster and the 100 TB
 cluster.
+
+SERIAL-ONLY ASSUMPTION (ADVICE r10): the forced re-plan mutates the
+SHARED SparkSession conf (autoBroadcastJoinThreshold /
+shuffle.partitions) around a collect and restores it in a finally —
+correct while pytest runs this module serially (the repo's setup; no
+xdist configured), but any concurrently executing test sharing the
+session would observe the worst-case config mid-run. If pytest-xdist
+is ever enabled, give this module a dedicated SparkSession fixture
+instead of the shared one.
 """
 
 from __future__ import annotations
