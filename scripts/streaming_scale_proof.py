@@ -16,6 +16,13 @@ Same doc-family recipe as bench.streaming_bench: family = value %
 N_FAMILIES picks the 12-word text, so 10x families = 10x distinct
 fingerprints/band keys at the same duplicate-heavy profile.
 
+r11 extension (VERDICT r10 next-step #7): the four remaining stateful
+twins — streaming_ewma, streaming_cusum, streaming_weighted_reservoir,
+streaming_interval_merge — get the same 1x/10x state-curve treatment
+(state rows must track distinct keys, never rows ingested; per-row
+cost must not grow with cardinality). Their stream==batch equality was
+already pinned in tests/test_stateful_and_properties.py.
+
     python scripts/streaming_scale_proof.py
 """
 
@@ -36,7 +43,11 @@ from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.sessi
 )
 from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.streaming.stateful import (
     stream_near_dup_pairs,
+    streaming_cusum,
+    streaming_ewma,
     streaming_heavy_hitters,
+    streaming_interval_merge,
+    streaming_weighted_reservoir,
 )
 
 SETTLE_S = 30
@@ -146,6 +157,146 @@ def run_heavy_hitters(spark, rows_per_batch: int, cardinality: int) -> dict:
     return _drain(q, SETTLE_S)
 
 
+def _keyed_value_stream(spark, rows_per_batch: int, keys: int):
+    """(user_id, event_id, value) rows: key = value % keys, event_id
+    strictly increasing (so per-key order is well-defined), value a
+    bounded float — the input shape of the EWMA/CUSUM twins."""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+        .select(
+            (F.col("value") % keys).alias("user_id"),
+            F.col("value").alias("event_id"),
+            (F.col("value") % 100).cast("double").alias("value"),
+        )
+    )
+
+
+def _run_stateful(stream_df, build, prefix: str) -> dict:
+    q = (
+        build(stream_df)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=prefix))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    return _drain(q, SETTLE_S)
+
+
+def run_twin_scales(spark) -> tuple[dict, list[tuple[str, bool, str]]]:
+    """r11 extension (VERDICT r10 next-step #7): the four remaining
+    stateful twins — EWMA, CUSUM, weighted reservoir, interval merge —
+    measured at 1x (5k rows/trigger, 200 keys) and 10x (50k
+    rows/trigger, 2000 keys). Their stream==batch equality is already
+    pinned in tests/test_stateful_and_properties.py; what was missing
+    is the STATE CURVE: state rows must track DISTINCT KEYS (one state
+    row per group for all four — O(1) scalars for EWMA/CUSUM/interval,
+    an O(k)-bounded array pair for the reservoir), never rows
+    ingested, and per-row cost must not grow with cardinality."""
+    result: dict[str, dict] = {}
+    checks: list[tuple[str, bool, str]] = []
+    r1, k1 = 5_000, 200
+    r10, k10 = 50_000, 2_000
+
+    def kv(rows, keys):
+        return _keyed_value_stream(spark, rows, keys)
+
+    twins = {
+        "streaming_ewma": lambda df: streaming_ewma(df, alpha=0.5),
+        "streaming_cusum": lambda df: streaming_cusum(
+            df, target=50.0, threshold=500.0
+        ),
+    }
+    for name, build in twins.items():
+        m1 = _run_stateful(kv(r1, k1), build, f"scale-{name}-")
+        m10 = _run_stateful(kv(r10, k10), build, f"scale-{name}-")
+        result[name] = {"x1": m1, "x10": m10}
+        for tag, m, keys in (("x1", m1, k1), ("x10", m10, k10)):
+            if "state_rows" in m:
+                checks.append((
+                    f"{name}_state_keys_{tag}",
+                    m["state_rows"] <= keys,
+                    f"{m['state_rows']} state rows <= {keys} keys "
+                    f"({m['input_rows_total']} rows ingested)",
+                ))
+        if m1.get("rows_per_sec") and m10.get("rows_per_sec"):
+            ratio = m10["rows_per_sec"] / m1["rows_per_sec"]
+            checks.append((
+                f"{name}_throughput_sublinear",
+                ratio >= 1.0,
+                f"capacity x10/x1 = {ratio:.2f}",
+            ))
+
+    # weighted reservoir: group_col is a STRING type key
+    def res_stream(rows, keys):
+        return (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows)
+            .load()
+            .select(
+                F.concat(
+                    F.lit("g"), (F.col("value") % keys).cast("string")
+                ).alias("event_type"),
+                F.col("value").alias("event_id"),
+                (F.col("value") % 100 + 1).cast("double").alias("value"),
+            )
+        )
+
+    def res_build(df):
+        return streaming_weighted_reservoir(df, k=5)
+
+    m1 = _run_stateful(res_stream(r1, k1), res_build, "scale-res-")
+    m10 = _run_stateful(res_stream(r10, k10), res_build, "scale-res-")
+    result["streaming_weighted_reservoir"] = {"x1": m1, "x10": m10}
+    for tag, m, keys in (("x1", m1, k1), ("x10", m10, k10)):
+        if "state_rows" in m:
+            checks.append((
+                f"reservoir_state_groups_{tag}",
+                m["state_rows"] <= keys,
+                f"{m['state_rows']} state rows <= {keys} groups "
+                f"(k=5 ids+keys arrays inside each; "
+                f"{m['input_rows_total']} rows ingested)",
+            ))
+    if "state_bytes" in m1 and "state_bytes" in m10:
+        checks.append((
+            "reservoir_state_bytes_o_k_groups",
+            m10["state_bytes"] <= m1["state_bytes"] * 15,
+            f"{m10['state_bytes']} vs {m1['state_bytes']} bytes "
+            "(<= 15x for 10x groups: O(k x groups), never O(rows))",
+        ))
+
+    # interval merge: starts arrive non-decreasing per key by
+    # construction (event order); intervals overlap ~50% of the time
+    def iv_stream(rows, keys):
+        return (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows)
+            .load()
+            .select(
+                (F.col("value") % keys).alias("user_id"),
+                F.col("value").alias("s"),
+                (F.col("value") + (F.col("value") % 3 + 1) * keys).alias("e"),
+            )
+        )
+
+    m1 = _run_stateful(iv_stream(r1, k1), streaming_interval_merge, "scale-iv-")
+    m10 = _run_stateful(
+        iv_stream(r10, k10), streaming_interval_merge, "scale-iv-"
+    )
+    result["streaming_interval_merge"] = {"x1": m1, "x10": m10}
+    for tag, m, keys in (("x1", m1, k1), ("x10", m10, k10)):
+        if "state_rows" in m:
+            checks.append((
+                f"interval_state_open_blocks_{tag}",
+                m["state_rows"] <= keys,
+                f"{m['state_rows']} state rows <= {keys} keys (one "
+                f"open block each; {m['input_rows_total']} ingested)",
+            ))
+    return result, checks
+
+
 def main() -> None:
     spark = get_spark(app_name="streaming-scale-proof")
     result: dict[str, dict] = {}
@@ -168,7 +319,10 @@ def main() -> None:
     hh10 = run_heavy_hitters(spark, 100_000, 5_000)
     result["streaming_heavy_hitters"] = {"x1": hh1, "x10": hh10}
 
-    checks: list[tuple[str, bool, str]] = []
+    twin_result, twin_checks = run_twin_scales(spark)
+    result.update(twin_result)
+
+    checks: list[tuple[str, bool, str]] = list(twin_checks)
 
     def check(name: str, ok: bool, detail: str) -> None:
         checks.append((name, bool(ok), detail))

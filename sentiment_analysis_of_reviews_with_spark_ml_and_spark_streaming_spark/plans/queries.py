@@ -2734,7 +2734,12 @@ def q_embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     L2 norm — fully SQL-expressible, so the driver cross-checks the
     embedding pipeline's moments even though the SVD itself is
     rows-only. All sums pass through exact decimals so results are
-    partial-aggregation-order independent."""
+    partial-aggregation-order independent. The per-dim variance is
+    clamped at 0 in decimal (it is mathematically nonnegative; float
+    error can leave a -1e-12-scale epsilon whose ROUNDED sign the
+    engines disagree on — DuckDB's round keeps -0.0, Spark's does
+    not; found by the r11 canonical-hash degenerate sweep on
+    single-row input)."""
     emb = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     ex = emb.select("label", F.posexplode(v).alias("dim", "x"))
@@ -2745,9 +2750,13 @@ def q_embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s2"),
         F.count("*").alias("n"),
     )
-    var = (
-        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
-    ).cast("decimal(28,12)")
+    var = F.greatest(
+        F.lit(0).cast("decimal(28,12)"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / F.col("n")
+        ).cast("decimal(28,12)"),
+    )
     tv = per_dim.groupBy("label").agg(
         F.sum(var).cast("double").alias("total_var")
     )
@@ -2785,9 +2794,11 @@ per_dim AS (
   FROM ex GROUP BY 1, 2
 ),
 tv AS (
+  -- greatest-0 clamp: variance is nonnegative; see the Spark twin
   SELECT label,
-         CAST(sum(CAST((s2 - s1 * s1 / n) / n AS DECIMAL(28,12))) AS DOUBLE)
-           AS total_var
+         CAST(sum(greatest(CAST(0 AS DECIMAL(28,12)),
+                           CAST((s2 - s1 * s1 / n) / n AS DECIMAL(28,12))))
+              AS DOUBLE) AS total_var
   FROM per_dim GROUP BY 1
 ),
 norms AS (SELECT label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -6117,6 +6128,94 @@ def q_winsorized_value_stats_approx(
             ),
         )
     )
+
+
+def q_winsorized_value_stats_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic certificate twin of the APPROX winsorize path
+    (r11, VERDICT r10 stretch #9 — the promotion PQ/ALS/PCA got):
+    the same scale shape as winsorized_value_stats_approx — a
+    MERGEABLE bounded-state sketch aggregated map-side, bounds
+    broadcast back onto the fact scan for the clip pass, zero
+    full-partition sort/window materialization — but the sketch is a
+    fixed ε-GRID HISTOGRAM (bucket = floor(value·16), ε = 1/16)
+    instead of approx_percentile's GK sketch, so every intermediate
+    is integer-exact and the whole pipeline replays in portable SQL.
+    The p05/p95 bounds come from the cumulative bucket counts via
+    integer cross-multiplication (20·cum ≥ n / 20·cum ≥ 19·n — no
+    float percentile anywhere), and the clip comparisons happen in
+    bucket space (floor(v·16) < b05), so both engines decide every
+    row identically. The per-type histogram is ≤ |value range|·16
+    rows regardless of SF — the cumulative window runs on KB-scale
+    data while the two fact scans stay pure groupBy aggregations.
+    Nulls are filtered first: Spark windows order NULL FIRST and
+    DuckDB NULLS LAST, so an unfiltered NULL bucket would silently
+    shift the cumulative sums between engines."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    b = F.floor(F.col("value") * 16).cast("long")
+    hist = ev.groupBy("event_type", b.alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("b")
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "b",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") * 20 >= F.col("n"), F.col("b"))
+        ).alias("b05"),
+        F.min(
+            F.when(F.col("cum") * 20 >= F.col("n") * 19, F.col("b"))
+        ).alias("b95"),
+    )
+    joined = ev.join(F.broadcast(bounds), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("b05").alias("b05"),
+        F.min("b95").alias("b95"),
+        F.sum(
+            (F.floor(F.col("value") * 16).cast("long") < F.col("b05"))
+            .cast("long")
+        ).alias("n_clipped_low"),
+        F.sum(
+            (F.floor(F.col("value") * 16).cast("long") > F.col("b95"))
+            .cast("long")
+        ).alias("n_clipped_high"),
+    )
+
+
+SQL_WINSORIZED_VALUE_STATS_GRID = """
+WITH h AS (
+  SELECT event_type, CAST(floor(value * 16) AS BIGINT) AS b,
+         count(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, b,
+         sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+), bounds AS (
+  SELECT event_type,
+         min(CASE WHEN 20 * cum >= n THEN b END) AS b05,
+         min(CASE WHEN 20 * cum >= 19 * n THEN b END) AS b95
+  FROM cum GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n_events,
+       CAST(min(bo.b05) AS BIGINT) AS b05,
+       CAST(min(bo.b95) AS BIGINT) AS b95,
+       CAST(sum(CASE WHEN CAST(floor(e.value * 16) AS BIGINT) < bo.b05
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN CAST(floor(e.value * 16) AS BIGINT) > bo.b95
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+FROM events e JOIN bounds bo ON e.event_type = bo.event_type
+WHERE e.value IS NOT NULL
+GROUP BY 1
+"""
 
 
 def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17506,6 +17605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mi_feature_ranking": q_mi_feature_ranking,
     "seasonality_strength_dow": q_seasonality_strength_dow,
     "winsorized_value_stats_approx": q_winsorized_value_stats_approx,
+    "winsorized_value_stats_grid": q_winsorized_value_stats_grid,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
     "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -17678,6 +17778,7 @@ ORACLE: dict[str, str] = {
     "sentence_chunks": SQL_SENTENCE_CHUNKS,
     "hash_stratified_sample": SQL_HASH_STRATIFIED_SAMPLE,
     "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
+    "winsorized_value_stats_grid": SQL_WINSORIZED_VALUE_STATS_GRID,
     "pii_redaction_stats": SQL_PII_REDACTION_STATS,
     "repeated_ngram_fraction": SQL_REPEATED_NGRAM_FRACTION,
     "tokenizer_compression_ratio": SQL_TOKENIZER_COMPRESSION_RATIO,
@@ -17794,15 +17895,21 @@ ORACLE: dict[str, str] = {
 #                order (theta_segment_overlap ...
 #                peak_concurrency_by_type) — after these, no key's
 #                newest certificate is older than r6.
-#   W-C (19-50): 32 of the 36 oracle-backed queries whose code the
+#   W-C (19):    winsorized_value_stats_grid — the r11 registry
+#                addition (deterministic ε-grid-histogram certificate
+#                twin for the approx-winsorize scale path, VERDICT r10
+#                stretch #9); never-graded keys enter the window by
+#                policy.
+#   W-D (20-50): 31 of the 36 oracle-backed queries whose code the
 #                r10 review campaign (de-hint sweep, scalar-join
 #                conversions, try_divide/degenerate fixes) touched
 #                AFTER their newest grading — the staleness class the
-#                r10 verdict named (#2). The 4 deferred to r12
+#                r10 verdict named (#2). The 5 deferred to r12
 #                (topk_part_type_tokens, join_left_impute_flag,
-#                join_multi_hop, shipping_priority) are dehint-ONLY
-#                changes with bit-identical forced-replan certificates
-#                in tests/test_plan_independence.py, and the first is
+#                join_multi_hop, shipping_priority,
+#                approx_distinct_parts) are dehint-ONLY changes with
+#                bit-identical forced-replan certificates in
+#                tests/test_plan_independence.py, and the first is
 #                the entry query the driver smoke-runs every round.
 # Veterans keep their prior relative order past the window; rows-only
 # queries stay past the window by contract.
@@ -17817,8 +17924,10 @@ _R11_WINDOW = [
     "data_quality_expectations", "readability_scores",
     "distinct_users_skewsafe", "regression_trend_by_priority",
     "mad_outliers_by_type", "peak_concurrency_by_type",
-    # W-C: r10-touched-after-grading cohort (32)
-    "ab_sample_size", "approx_distinct_parts", "diff_in_diff_revenue",
+    # W-C: r11 registry addition (1)
+    "winsorized_value_stats_grid",
+    # W-D: r10-touched-after-grading cohort (31)
+    "ab_sample_size", "diff_in_diff_revenue",
     "embedding_pca_power_share", "funnel_conversion",
     "hhi_supplier_nation", "holt_linear_revenue", "important_parts_share",
     "join_size_audit", "lakehouse_deletion_vectors",
