@@ -591,7 +591,10 @@ def _sentinel_floors(
 # floors. Floor self-calibrates from the newest uncontended archive
 # that recorded one; the fallback below is the first idle measurement
 # on the calibration host (r11).
-STREAM_SENTINEL_FLOOR_FALLBACK = 320_000.0  # rows/s, calibration host
+STREAM_SENTINEL_FLOOR_FALLBACK = 130_000.0  # rows/s, idle calibration
+# (two idle runs 2026-08-16: 137.7k / 127.7k rows/s on the
+# calibration host; rate source capped at 100k rows/s input, the
+# measured value includes catch-up triggers)
 STREAM_SENTINEL_MAX = 1.3  # floor/measured ratio above this = contended
 
 

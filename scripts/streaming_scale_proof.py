@@ -173,10 +173,10 @@ def _keyed_value_stream(spark, rows_per_batch: int, keys: int):
     )
 
 
-def _run_stateful(stream_df, build, prefix: str) -> dict:
+def _run_stateful(stream_df, build, prefix: str, mode: str = "append") -> dict:
     q = (
         build(stream_df)
-        .writeStream.outputMode("append")
+        .writeStream.outputMode(mode)
         .format("noop")
         .option("checkpointLocation", tempfile.mkdtemp(prefix=prefix))
         .trigger(processingTime="1 second")
@@ -247,8 +247,10 @@ def run_twin_scales(spark) -> tuple[dict, list[tuple[str, bool, str]]]:
     def res_build(df):
         return streaming_weighted_reservoir(df, k=5)
 
-    m1 = _run_stateful(res_stream(r1, k1), res_build, "scale-res-")
-    m10 = _run_stateful(res_stream(r10, k10), res_build, "scale-res-")
+    m1 = _run_stateful(res_stream(r1, k1), res_build, "scale-res-", "update")
+    m10 = _run_stateful(
+        res_stream(r10, k10), res_build, "scale-res-", "update"
+    )
     result["streaming_weighted_reservoir"] = {"x1": m1, "x10": m10}
     for tag, m, keys in (("x1", m1, k1), ("x10", m10, k10)):
         if "state_rows" in m:
@@ -268,7 +270,10 @@ def run_twin_scales(spark) -> tuple[dict, list[tuple[str, bool, str]]]:
         ))
 
     # interval merge: starts arrive non-decreasing per key by
-    # construction (event order); intervals overlap ~50% of the time
+    # construction (event order). Per key, consecutive starts are
+    # `keys` apart and e = s + (s % 3) * keys, so ~1/3 of intervals
+    # END before the next one starts (a closed block is emitted) and
+    # the rest merge — both paths of the operator run at both scales.
     def iv_stream(rows, keys):
         return (
             spark.readStream.format("rate-micro-batch")
@@ -277,7 +282,7 @@ def run_twin_scales(spark) -> tuple[dict, list[tuple[str, bool, str]]]:
             .select(
                 (F.col("value") % keys).alias("user_id"),
                 F.col("value").alias("s"),
-                (F.col("value") + (F.col("value") % 3 + 1) * keys).alias("e"),
+                (F.col("value") + (F.col("value") % 3) * keys).alias("e"),
             )
         )
 
