@@ -1461,9 +1461,10 @@ pruned AS (
   SELECT item_b, item_a, n_co FROM kept
 )
 SELECT r.antecedent, r.consequent, r.n_co,
-       round(r.n_co * 1.0 / nb.n, 6) AS support,
-       round(r.n_co * 1.0 / ia.n_item, 6) AS confidence,
-       round((r.n_co * 1.0 / ia.n_item) / (ic2.n_item * 1.0 / nb.n), 6)
+       round(CAST(r.n_co AS DOUBLE) / nb.n, 6) AS support,
+       round(CAST(r.n_co AS DOUBLE) / ia.n_item, 6) AS confidence,
+       round((CAST(r.n_co AS DOUBLE) / ia.n_item)
+             / (CAST(ic2.n_item AS DOUBLE) / nb.n), 6)
          AS lift
 FROM rules r
 JOIN ic ia ON r.antecedent = ia.item
@@ -1929,7 +1930,7 @@ SQL_BPE_TOKENIZED_STATS = (
 SELECT coalesce(CAST(sum(wcount) AS BIGINT), 0) AS n_words,
        CAST(sum(n_chars * wcount) AS BIGINT) AS n_char_tokens,
        CAST(sum(n_tok * wcount) AS BIGINT) AS n_bpe_tokens,
-       round(sum(n_tok * wcount) * 1.0 / sum(wcount), 6) AS fertility
+       round(CAST(sum(n_tok * wcount) AS DOUBLE) / sum(wcount), 6) AS fertility
 FROM applied
 """
 )
@@ -1998,12 +1999,12 @@ WITH base AS (
 SELECT source,
        CAST(sum(n_copies) AS BIGINT) AS n_docs,
        count(*) AS n_unique_texts,
-       round(1.0 - count(*) * 1.0 / sum(n_copies), 4) AS dup_rate,
+       round(1.0 - CAST(count(*) AS DOUBLE) / sum(n_copies), 4) AS dup_rate,
        CAST(sum(n_en) AS BIGINT) AS n_en,
        CAST(sum(tok_sum) AS BIGINT) AS n_tokens,
-       round(sum(tok_sum) * 1.0 / sum(n_copies), 4) AS mean_tokens,
+       round(CAST(sum(tok_sum) AS DOUBLE) / sum(n_copies), 4) AS mean_tokens,
        CAST(max(tok_max) AS INTEGER) AS max_tokens,
-       round(sum(n_short) * 1.0 / sum(n_copies), 4) AS short_doc_frac
+       round(CAST(sum(n_short) AS DOUBLE) / sum(n_copies), 4) AS short_doc_frac
 FROM per_fp GROUP BY 1
 """
 
@@ -2248,10 +2249,10 @@ SELECT cohort_day,
        count(DISTINCT user_id) AS cohort_size,
        count(DISTINCT CASE WHEN off = 1 THEN user_id END) AS retained_d1,
        count(DISTINCT CASE WHEN off = 7 THEN user_id END) AS retained_d7,
-       round(count(DISTINCT CASE WHEN off = 1 THEN user_id END)
-             * 1.0 / count(DISTINCT user_id), 6) AS d1_rate,
-       round(count(DISTINCT CASE WHEN off = 7 THEN user_id END)
-             * 1.0 / count(DISTINCT user_id), 6) AS d7_rate
+       round(CAST(count(DISTINCT CASE WHEN off = 1 THEN user_id END)
+                  AS DOUBLE) / count(DISTINCT user_id), 6) AS d1_rate,
+       round(CAST(count(DISTINCT CASE WHEN off = 7 THEN user_id END)
+                  AS DOUBLE) / count(DISTINCT user_id), 6) AS d7_rate
 FROM j GROUP BY 1
 """
 
@@ -6805,7 +6806,8 @@ WITH v AS (
 SELECT (SELECT count(*) FROM v) AS n_viewed,
        (SELECT count(*) FROM c) AS n_clicked_after,
        (SELECT count(*) FROM p) AS n_purchased_after,
-       round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM v), 6)
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / (SELECT count(*) FROM v), 6)
          AS view_to_purchase_rate
 """
 
@@ -6846,7 +6848,8 @@ SELECT doc_id,
        CAST(len(kept) AS BIGINT) AS n_kept_lines,
        round(CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) = 0
                   THEN 0.0
-                  ELSE coalesce(list_sum(list_transform(kept, x -> length(x))), 0) * 1.0
+                  ELSE CAST(coalesce(list_sum(list_transform(kept, x -> length(x))), 0)
+                            AS DOUBLE)
                        / list_sum(list_transform(lines, x -> length(x)))
              END, 4) AS kept_char_frac,
        has_lorem AS has_lorem_ipsum,
@@ -7136,15 +7139,19 @@ def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_dec = textstats.md5_prefix_long(
         F.col("doc_id").cast("string"), nchars=8
     ).cast("decimal(19,0)")
-    keep = (
-        F.when(F.col("_tt") >= F.col("_src_tokens"), F.lit(1))
-        .otherwise(
+    # coalesce(0): a source whose EVERY text is null has n_tokens
+    # NULL, making both branches unknown — Spark's when-otherwise
+    # yields NULL there while the SQL twin's CASE falls to ELSE 0;
+    # pin the keep decision to 0 on both engines
+    keep = F.coalesce(
+        F.when(F.col("_tt") >= F.col("_src_tokens"), F.lit(1)).otherwise(
             (
                 u_dec * F.col("_src_tokens").cast("decimal(19,0)")
                 < F.col("_tt").cast("decimal(19,0)")
                 * F.lit(4294967296).cast("decimal(19,0)")
             ).cast("int")
-        )
+        ),
+        F.lit(0),
     )
     return (
         with_nt.join(F.broadcast(targets), "source")
@@ -7697,7 +7704,7 @@ per AS (
 tot AS (SELECT sum(tokens_final) AS t FROM per)
 SELECT source, n_raw, n_after_dedup, n_after_boilerplate, n_after_quality,
        tokens_final,
-       round(tokens_final * 1.0 / tot.t, 6) AS final_share
+       round(CAST(tokens_final AS DOUBLE) / tot.t, 6) AS final_share
 FROM per, tot
 """.replace("{quality_filter_decision}", SQL_QUALITY_FILTER_DECISION)
 
@@ -7840,7 +7847,7 @@ per_doc AS (
          count(*) AS n_lines,
          CAST(sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_boilerplate_lines,
-         round(sum(CASE WHEN f.df >= 3 THEN l.chars ELSE 0 END) * 1.0
+         round(CAST(sum(CASE WHEN f.df >= 3 THEN l.chars ELSE 0 END) AS DOUBLE)
                / sum(l.chars), 4) AS boilerplate_char_frac
   FROM lines l JOIN linedf f ON md5(l.norm) = f.lh
   GROUP BY 1
@@ -10775,7 +10782,7 @@ WITH pairs AS (
   GROUP BY 1, 2
 )
 SELECT prev_type, next_type, n_transitions,
-       round(n_transitions * 1.0
+       round(CAST(n_transitions AS DOUBLE)
              / sum(n_transitions) OVER (PARTITION BY prev_type), 6)
          AS p_next_given_prev
 FROM counts
