@@ -114,3 +114,67 @@ def test_real_repo_archives_resolve_for_calibration_host():
 def test_host_fingerprint_shape():
     fp = bench.host_fingerprint()
     assert "cpu-" in fp and fp.split("cpu-")[0].isdigit()
+
+
+# --- streaming sentinel floor (r11, VERDICT r10 next-step #3) ----------
+
+
+def _stream_archive(tmp_path, name, *, rps, contended=False,
+                    stream_contended=False, host=CAL_HOST, mtime=None):
+    data = {
+        "sf": 0.1,
+        "host": host,
+        "contention": {
+            "contended": contended,
+            "stream": {"rows_per_sec": rps, "contended": stream_contended},
+        },
+        "queries": {},
+    }
+    path = tmp_path / name
+    path.write_text(json.dumps(data))
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
+
+
+def test_stream_floor_newest_uncontended_archive(tmp_path):
+    now = time.time()
+    _stream_archive(tmp_path, "old.json", rps=150000.0, mtime=now - 300)
+    _stream_archive(tmp_path, "new.json", rps=120000.0, mtime=now - 10)
+    floor, src = bench._stream_sentinel_floor(CAL_HOST, str(tmp_path))
+    assert floor == 120000.0
+    assert src == "newest-uncontended-archive"
+
+
+def test_stream_floor_skips_contended_and_foreign_host(tmp_path):
+    now = time.time()
+    # batch-contended run: not a floor
+    _stream_archive(tmp_path, "cont.json", rps=90000.0, contended=True,
+                    mtime=now - 5)
+    # stream-contended run: not a floor either
+    _stream_archive(tmp_path, "scont.json", rps=80000.0,
+                    stream_contended=True, mtime=now - 4)
+    # another machine's run: not a floor for this host
+    _stream_archive(tmp_path, "other.json", rps=70000.0,
+                    host="8cpu-arm64-16GiB", mtime=now - 3)
+    floor, src = bench._stream_sentinel_floor(CAL_HOST, str(tmp_path))
+    assert floor == bench.STREAM_SENTINEL_FLOOR_FALLBACK
+    assert src == "pinned-r11-fallback"
+    # and a foreign host with NO archives gets no floor at all (skip)
+    floor, src = bench._stream_sentinel_floor("8cpu-arm64-16GiB",
+                                              str(tmp_path))
+    assert floor == 70000.0 or floor == 0.0  # its own archive qualifies
+    # (the other.json archive IS that host's uncontended run)
+    assert floor == 70000.0
+
+
+def test_env_probe_shape():
+    """The engine-version probe records every hash-sensitive engine
+    and never raises (it is embedded in artifacts whose emission must
+    not fail)."""
+    from scripts.env_probe import probe
+
+    p = probe()
+    for key in ("python", "pyspark", "duckdb", "pyarrow", "pandas",
+                "numpy"):
+        assert key in p
+    assert p["pyspark"], "pyspark version missing from probe"
