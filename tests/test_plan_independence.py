@@ -72,6 +72,15 @@ DEHINTED = [
     "diff_in_diff_revenue",
     "mi_feature_ranking",
     "join_left_impute_flag",
+    # r11: the value-surface-hardened certificates + the grid twin —
+    # their keep/flag/bound decisions are CLAIMED partition- and
+    # plan-independent (integer-exact cross-multiplication, bool_and
+    # flags, bucket-space clips); certify it under the forced
+    # worst-case re-plan like the de-hinted cohort
+    "mixture_sample_docs",
+    "xml_extract_orders",
+    "codec_roundtrip_suite",
+    "winsorized_value_stats_grid",
 ]
 
 
