@@ -599,9 +599,13 @@ STREAM_SENTINEL_MAX = 1.3  # floor/measured ratio above this = contended
 
 
 def _stream_sentinel_floor(host: str, arch_dir: str | None = None) -> tuple[float, str]:
-    """Newest uncontended sf0.1 archive's recorded stream-sentinel
-    throughput for this host, else the pinned fallback (calibration
-    host only), else 0 (skip)."""
+    """MEDIAN of the ≤3 newest uncontended sf0.1 archives' recorded
+    stream-sentinel throughputs for this host, else the pinned
+    fallback (calibration host only), else 0 (skip). Median-of-3, not
+    newest: a single anomalously fast run would otherwise become a
+    permanent ratchet — every later normal run reads contended, is
+    excluded from ever becoming a floor itself, and the verdict never
+    self-corrects (r11 review finding)."""
     if arch_dir is None:
         here = os.path.dirname(os.path.abspath(__file__))
         arch_dir = os.path.join(here, "bench_archive")
@@ -616,21 +620,31 @@ def _stream_sentinel_floor(host: str, arch_dir: str | None = None) -> tuple[floa
         path = os.path.join(arch_dir, fname)
         try:
             data = json.load(open(path))
+            mtime = os.path.getmtime(path)
         except (OSError, ValueError):
             continue
         cont = data.get("contention") or {}
         rps = (cont.get("stream") or {}).get("rows_per_sec")
         if (
-            isinstance(rps, (int, float))
+            isinstance(data.get("sf"), (int, float))
+            and abs(data["sf"] - 0.1) < 1e-9
+            and isinstance(rps, (int, float))
             and rps > 0
             and cont.get("contended") is False
             and not (cont.get("stream") or {}).get("contended", False)
             and data.get("host") == host
         ):
-            candidates.append((os.path.getmtime(path), float(rps)))
+            candidates.append((mtime, float(rps)))
     if candidates:
-        _, rps = max(candidates)
-        return rps, "newest-uncontended-archive"
+        newest = sorted(candidates, reverse=True)[:3]
+        rps_sorted = sorted(r for _, r in newest)
+        # lower-middle on even counts: biasing the floor LOW means a
+        # borderline run reads uncontended rather than contended —
+        # the conservative direction for a gate whose false positives
+        # poison the archive pool
+        return rps_sorted[(len(rps_sorted) - 1) // 2], (
+            f"median-of-{len(newest)}-newest-uncontended-archives"
+        )
     if host == SENTINEL_CALIBRATION_HOST:
         return STREAM_SENTINEL_FLOOR_FALLBACK, "pinned-r11-fallback"
     return 0.0, ""
@@ -638,17 +652,20 @@ def _stream_sentinel_floor(host: str, arch_dir: str | None = None) -> tuple[floa
 
 def _stream_sentinel(spark) -> dict:
     """Measure the fixed-shape micro-stream and judge it against the
-    floor. Never raises (the sentinel must not cost the artifact)."""
+    floor. Never raises — the ENTIRE body (floor resolution included:
+    a bench_archive rotation between listdir and getmtime raises
+    OSError) sits inside the try, because an escaped exception here
+    would cost the whole artifact (r11 review finding)."""
     import tempfile
 
     from pyspark.sql import functions as F
 
-    host = host_fingerprint()
-    floor, source = _stream_sentinel_floor(host)
-    if not floor:
-        return {"rows_per_sec": None, "contended": None,
-                "note": f"no streaming floor for host {host}"}
     try:
+        host = host_fingerprint()
+        floor, source = _stream_sentinel_floor(host)
+        if not floor:
+            return {"rows_per_sec": None, "contended": None,
+                    "note": f"no streaming floor for host {host}"}
         src = (
             spark.readStream.format("rate")
             .option("rowsPerSecond", 100000)
@@ -674,15 +691,21 @@ def _stream_sentinel(spark) -> dict:
         return {"rows_per_sec": None, "contended": None,
                 "err": f"{type(exc).__name__}: {exc}"[:200]}
     rps = m.get("rows_per_sec") or 0.0
-    ratio = round(floor / rps, 2) if rps else None
-    return {
+    ratio = round(floor / rps, 2) if rps > 0 else None
+    out = {
         "rows_per_sec": rps,
         "floor": floor,
         "floor_source": source,
         "ratio": ratio,
-        "contended": (ratio > STREAM_SENTINEL_MAX) if ratio else None,
+        "contended": (ratio > STREAM_SENTINEL_MAX)
+        if ratio is not None
+        else None,
         "n_triggers": m.get("n_triggers"),
     }
+    if m.get("err"):
+        # a dead micro-stream must explain its 0.0, not hide it
+        out["err"] = m["err"]
+    return out
 
 
 def _contention_sentinel(spark, sf_dir: str, sf: float) -> dict:

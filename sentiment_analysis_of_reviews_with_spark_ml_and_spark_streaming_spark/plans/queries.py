@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import SENTIMENT_LEXICON, sentiment_compound, tokenize_ws
@@ -1694,11 +1694,23 @@ def q_xml_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderpriority",
-            (F.expr("xpath_long(x, '/order/@id')") == F.col("o_orderkey"))
-            .alias("_id_ok"),
-            (F.col("st.price") == F.col("o_totalprice")).alias("_price_ok"),
-            (F.col("st.priority") == F.col("o_orderpriority"))
-            .alias("_priority_ok"),
+            # coalesce(False): a parse defect that returns NULL must
+            # read as FAILURE, not be skipped by bool_and — `NULL ==
+            # x` is NULL and bool_and ignores NULLs, so without the
+            # coalesce a partial-NULL parser would stay green (r11
+            # review finding)
+            F.coalesce(
+                F.expr("xpath_long(x, '/order/@id')")
+                == F.col("o_orderkey"),
+                F.lit(False),
+            ).alias("_id_ok"),
+            F.coalesce(
+                F.col("st.price") == F.col("o_totalprice"), F.lit(False)
+            ).alias("_price_ok"),
+            F.coalesce(
+                F.col("st.priority") == F.col("o_orderpriority"),
+                F.lit(False),
+            ).alias("_priority_ok"),
         )
     )
     return parsed.groupBy("o_orderpriority").agg(
@@ -1745,36 +1757,45 @@ def q_codec_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("url_encode(o_orderpriority)"),
     )
     key = "0123456789abcdef"
+
+    def _ok(cmp: Column) -> Column:
+        # NULL-safe: a codec that returns NULL must read as FAILURE —
+        # `NULL == x` is NULL and bool_and skips NULLs, so without
+        # this a partial-NULL decoder would stay green (r11 review
+        # finding, same fix as q_xml_extract_orders)
+        return F.coalesce(cmp, F.lit(False))
+
     checked = orders.withColumn("u", url).select(
         "o_orderpriority",
-        (F.expr("parse_url(u, 'HOST')") == F.lit("shop.example.com"))
-        .alias("host_ok"),
-        (
+        _ok(
+            F.expr("parse_url(u, 'HOST')") == F.lit("shop.example.com")
+        ).alias("host_ok"),
+        _ok(
             F.expr(
                 "cast(regexp_extract(parse_url(u, 'PATH'),"
                 " '/orders/([0-9]+)', 1) as long)"
             )
             == F.col("o_orderkey")
         ).alias("ids_ok"),
-        (
+        _ok(
             F.expr("url_decode(parse_url(u, 'QUERY', 'priority'))")
             == F.col("o_orderpriority")
         ).alias("url_ok"),
-        (
+        _ok(
             F.expr(
                 "cast(unbase64(base64(cast(o_orderpriority as binary)))"
                 " as string)"
             )
             == F.col("o_orderpriority")
         ).alias("b64_ok"),
-        (
+        _ok(
             F.expr(
                 "decode(unhex(hex(encode(o_orderpriority, 'utf-8'))),"
                 " 'utf-8')"
             )
             == F.col("o_orderpriority")
         ).alias("hex_ok"),
-        (
+        _ok(
             F.expr(
                 f"cast(aes_decrypt(aes_encrypt(cast(o_orderpriority as"
                 f" binary), '{key}', 'ECB'), '{key}', 'ECB') as string)"

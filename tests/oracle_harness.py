@@ -148,17 +148,24 @@ def canonical_cell(v: Any) -> str:
     return f"o:{type(v).__name__}:{v!r}"
 
 
-def canonical_hash(rows: list[tuple], cols: list[str]) -> str:
-    """Order-insensitive sha256 over the canonical serialization:
-    columns sorted by name (the driver's convention), rows sorted by
-    their serialized form."""
-    import hashlib
-
+def canonical_lines(rows: list[tuple], cols: list[str]) -> list[str]:
+    """One serialized line per row: columns sorted by name (the
+    driver's convention), rows sorted by their serialized form. The
+    SINGLE source of the serialization — the hash and the diff
+    diagnostics are both built from it, so they can never disagree."""
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
+    return sorted(
         "\x1f".join(canonical_cell(r[i]) for i in idx) for r in rows
     )
-    return hashlib.sha256("\x1e".join(lines).encode()).hexdigest()
+
+
+def canonical_hash(rows: list[tuple], cols: list[str]) -> str:
+    """Order-insensitive sha256 over the canonical serialization."""
+    import hashlib
+
+    return hashlib.sha256(
+        "\x1e".join(canonical_lines(rows, cols)).encode()
+    ).hexdigest()
 
 
 def compare(spark, query_fn, sql: str, sf_dir: str) -> dict:
@@ -200,31 +207,19 @@ def compare(spark, query_fn, sql: str, sf_dir: str) -> dict:
         # Strict driver-shaped contract: kind-tagged canonical
         # serialization hashes must agree (catches -0.0, Decimal
         # scale, and any kind divergence the coercing compare hides).
-        sh = canonical_hash(s_rows, s_cols)
-        dh = canonical_hash(d_rows, d_cols)
-        result["canonical_match"] = sh == dh
+        sc = canonical_lines(s_rows, s_cols)
+        dc = canonical_lines(d_rows, d_cols)
+        result["canonical_match"] = sc == dc
         if not result["canonical_match"]:
             result["value_match"] = False
             if "first_diffs" not in result:
-                sc = sorted(
-                    "\x1f".join(
-                        canonical_cell(r[i])
-                        for i in sorted(
-                            range(len(s_cols)), key=lambda i: s_cols[i]
-                        )
-                    )
-                    for r in s_rows
-                )
-                dc = sorted(
-                    "\x1f".join(
-                        canonical_cell(r[i])
-                        for i in sorted(
-                            range(len(d_cols)), key=lambda i: d_cols[i]
-                        )
-                    )
-                    for r in d_rows
-                )
-                result["first_diffs"] = [
-                    (a, b) for a, b in zip(sc, dc) if a != b
-                ][:3]
+                # symmetric set difference, not a zip of two sorted
+                # lists — one divergent row that sorts elsewhere would
+                # misalign every zipped pair after it and point the
+                # debugger at phantom rows (r11 review finding)
+                d_set, s_set = set(dc), set(sc)
+                result["first_diffs"] = {
+                    "spark_only": [ln for ln in sc if ln not in d_set][:3],
+                    "oracle_only": [ln for ln in dc if ln not in s_set][:3],
+                }
     return result

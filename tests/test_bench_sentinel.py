@@ -136,13 +136,21 @@ def _stream_archive(tmp_path, name, *, rps, contended=False,
         os.utime(path, (mtime, mtime))
 
 
-def test_stream_floor_newest_uncontended_archive(tmp_path):
+def test_stream_floor_median_of_newest_uncontended_archives(tmp_path):
     now = time.time()
-    _stream_archive(tmp_path, "old.json", rps=150000.0, mtime=now - 300)
+    # a single anomalously FAST run must not ratchet the floor: the
+    # median of the 3 newest wins, lower-middle on even counts
+    _stream_archive(tmp_path, "older.json", rps=125000.0, mtime=now - 600)
+    _stream_archive(tmp_path, "lucky.json", rps=170000.0, mtime=now - 300)
     _stream_archive(tmp_path, "new.json", rps=120000.0, mtime=now - 10)
     floor, src = bench._stream_sentinel_floor(CAL_HOST, str(tmp_path))
+    assert floor == 125000.0  # the lucky 170k outlier is not the floor
+    assert src == "median-of-3-newest-uncontended-archives"
+    # two archives: lower-middle (conservative, biases uncontended)
+    os.remove(tmp_path / "older.json")
+    floor, src = bench._stream_sentinel_floor(CAL_HOST, str(tmp_path))
     assert floor == 120000.0
-    assert src == "newest-uncontended-archive"
+    assert src == "median-of-2-newest-uncontended-archives"
 
 
 def test_stream_floor_skips_contended_and_foreign_host(tmp_path):
@@ -159,12 +167,14 @@ def test_stream_floor_skips_contended_and_foreign_host(tmp_path):
     floor, src = bench._stream_sentinel_floor(CAL_HOST, str(tmp_path))
     assert floor == bench.STREAM_SENTINEL_FLOOR_FALLBACK
     assert src == "pinned-r11-fallback"
-    # and a foreign host with NO archives gets no floor at all (skip)
+    # a foreign host resolves against its OWN uncontended archive
     floor, src = bench._stream_sentinel_floor("8cpu-arm64-16GiB",
                                               str(tmp_path))
-    assert floor == 70000.0 or floor == 0.0  # its own archive qualifies
-    # (the other.json archive IS that host's uncontended run)
     assert floor == 70000.0
+    # and a foreign host with no archives at all gets no floor (skip)
+    floor, src = bench._stream_sentinel_floor("2cpu-riscv-4GiB",
+                                              str(tmp_path))
+    assert floor == 0.0 and src == ""
 
 
 def test_env_probe_shape():
