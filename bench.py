@@ -525,12 +525,17 @@ def _sentinel_floors(
     """Resolve (floors, source) for this run.
 
     Priority: SPARK_GRAFT_SENTINEL_FLOORS env (JSON mapping; trusts
-    the operator, no host gate) > the newest sf0.1 archive stamped
-    ``contended: false`` whose recorded host matches this one (legacy
-    archives without a host field count as the calibration host) >
-    the pinned fallback (calibration host only). Floors come from the
-    archive's full timed sweep (its ``queries`` dict), which is the
-    idle steady-state measurement of the three sentinel queries.
+    the operator, no host gate) > the per-query LOWER-MEDIAN of the
+    ≤3 newest sf0.1 archives stamped ``contended: false`` whose
+    recorded host matches this one (legacy archives without a host
+    field count as the calibration host) > the pinned fallback
+    (calibration host only). Median-of-3, not newest (r11, same fix
+    as the streaming floor): a single slow-but-under-threshold run
+    would otherwise drag the floor down and mask creep, and a single
+    lucky-fast run would ratchet it up and flag every normal run.
+    Floors come from each archive's full timed sweep (its
+    ``queries`` dict), the idle steady-state measurement of the three
+    sentinel queries.
     """
     env = os.environ.get("SPARK_GRAFT_SENTINEL_FLOORS")
     if env:
@@ -570,11 +575,13 @@ def _sentinel_floors(
         ):
             candidates.append((os.path.getmtime(path), fname, data))
     if candidates:
-        _, fname, data = max(candidates)
-        floors = {
-            q: float(data["queries"][q]) for q in SENTINEL_FLOOR_FALLBACK
-        }
-        return floors, f"bench_archive/{fname}"
+        newest = sorted(candidates, key=lambda c: c[0], reverse=True)[:3]
+        floors = {}
+        for q in SENTINEL_FLOOR_FALLBACK:
+            vals = sorted(float(d["queries"][q]) for _, _, d in newest)
+            floors[q] = vals[(len(vals) - 1) // 2]
+        names = ",".join(fname for _, fname, _ in newest)
+        return floors, f"median-of-{len(newest)}:[{names}]"
     if host == SENTINEL_CALIBRATION_HOST:
         return dict(SENTINEL_FLOOR_FALLBACK), "pinned-r8-fallback"
     return {}, ""

@@ -41,15 +41,26 @@ def _archive(tmp_path, name, *, sf=0.1, contended=False, host=None,
     return data
 
 
-def test_newest_uncontended_archive_wins(tmp_path):
+def test_median_of_newest_uncontended_archives_wins(tmp_path):
+    """r11: floors are the per-query lower-median of the <=3 newest
+    uncontended archives — one slow-but-uncontended run can no longer
+    drag the floor down (masking creep), one lucky-fast run can no
+    longer ratchet it up (flagging every normal run)."""
     now = time.time()
-    _archive(tmp_path, "old.json", mtime=now - 300,
-             queries={q: 0.5 for q in SENTINEL_QS})
-    newest = _archive(tmp_path, "new.json", mtime=now - 10,
-                      queries={q: 0.2 for q in SENTINEL_QS})
+    _archive(tmp_path, "ancient.json", mtime=now - 900,
+             queries={q: 0.5 for q in SENTINEL_QS})  # outside newest-3
+    _archive(tmp_path, "slowish.json", mtime=now - 300,
+             queries={q: 0.30 for q in SENTINEL_QS})
+    _archive(tmp_path, "lucky.json", mtime=now - 100,
+             queries={q: 0.10 for q in SENTINEL_QS})
+    _archive(tmp_path, "new.json", mtime=now - 10,
+             queries={q: 0.20 for q in SENTINEL_QS})
     floors, src = bench._sentinel_floors(CAL_HOST, str(tmp_path))
-    assert src == "bench_archive/new.json"
-    assert floors == {q: newest["queries"][q] for q in SENTINEL_QS}
+    assert src.startswith("median-of-3:[")
+    assert "ancient.json" not in src
+    # median of {0.30, 0.10, 0.20} = 0.20: neither the lucky 0.10 nor
+    # the slow 0.30 becomes the floor
+    assert floors == {q: 0.20 for q in SENTINEL_QS}
 
 
 def test_contended_wrong_sf_and_incomplete_archives_skipped(tmp_path):
@@ -76,7 +87,7 @@ def test_host_gate(tmp_path):
     legacy = _archive(tmp_path, "legacy.json", mtime=now - 60,
                       queries={q: 0.3 for q in SENTINEL_QS})
     floors, src = bench._sentinel_floors(CAL_HOST, str(tmp_path))
-    assert src == "bench_archive/legacy.json"
+    assert src == "median-of-1:[legacy.json]"
     assert floors == {q: legacy["queries"][q] for q in SENTINEL_QS}
     floors2, src2 = bench._sentinel_floors("64cpu-x86_64-500GiB",
                                            str(tmp_path))
@@ -84,7 +95,7 @@ def test_host_gate(tmp_path):
     # ...but the foreign host's own archive calibrates it
     floors3, src3 = bench._sentinel_floors("8cpu-arm64-16GiB",
                                            str(tmp_path))
-    assert src3 == "bench_archive/foreign.json"
+    assert src3 == "median-of-1:[foreign.json]"
 
 
 def test_env_override_beats_archives(tmp_path, monkeypatch):
