@@ -61,6 +61,13 @@ TOP10 = [
     "similarity_pq_adc",
     # 11th: the r8 registry addition sits right behind the ten
     "lakehouse_distinct_rollup",
+    # r11 additions: the hardened integer-exact sampler and the new
+    # grid-histogram winsorize twin — their scale claims (one bounded
+    # broadcast back onto a single fact scan; window only over the
+    # KB-scale histogram) get the same 10x measurement as the
+    # slowest-11
+    "mixture_sample_docs",
+    "winsorized_value_stats_grid",
 ]
 
 SRC = "/root/testdata/sf0.1"
