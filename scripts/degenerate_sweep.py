@@ -57,6 +57,10 @@ REQUIRES_DATA: dict[str, dict[str, str]] = {
     "single": {
         "ml_train_f1": r"only supports binary classification",
     },
+    # 50 identical rows: one class, one distinct doc/vector
+    "constant": {
+        "ml_train_f1": r"only supports binary classification",
+    },
 }
 # Spark returns 0 rows for rollup/cube/grouping-sets over empty input;
 # the SQL standard (and DuckDB) emit the grand-total row — documented
@@ -65,6 +69,26 @@ ENGINE_DEVIATION = {
     "empty": {"rollup_returnflag", "cube_status_priority",
               "hypertable_rollup"},
     "single": set(),
+    "constant": set(),
+}
+# The `constant` profile replicates ONE row 50x, which duplicates
+# PRIMARY KEYS (doc_id/vec_id/custkey...) — input the real tables
+# never produce. Queries keyed on a PK legitimately assume uniqueness
+# (the oracle partitions/joins by it; Spark scores per row or
+# explodes the join), so their twins diverge on this profile BY
+# CONTRACT, not by bug. Each entry names the assumed key. The r11
+# sweep DID yield real fixes on this profile before this whitelist:
+# two ANSI zero-variance aborts (zscore, regression_trend) and a
+# bloom oracle aligned to bloom_probe's per-VALUE contract.
+KEY_INVARIANT = {
+    "constant": {
+        "lang_id": "doc_id (oracle argmax partitions by it)",
+        "ml_tfidf_features": "doc_id (IDF df counts rows vs docs)",
+        "embedding_quantization": "vec_id (recon join fans out)",
+        "multimodal_byte_features": "doc_id (per-doc histogram rows)",
+    },
+    "empty": {},
+    "single": {},
 }
 
 
@@ -82,6 +106,14 @@ def make_tables(profile: str) -> str:
         if profile == "empty":
             sch = pq.read_schema(src)
             tbl = pa.table({f.name: pa.array([], type=f.type) for f in sch})
+        elif profile == "constant":
+            # 50 IDENTICAL rows (r11): zero variance with n>1, total
+            # rank ties, every row in one group — a different
+            # denominator class than empty (no rows) and single (n=1):
+            # var/(n-1) divides 0 by 49, rank spreads are 0 at full n,
+            # and medians/percentiles interpolate between equal values
+            one = pq.read_table(src).slice(0, 1)
+            tbl = pa.concat_tables([one] * 50)
         else:
             tbl = pq.read_table(src).slice(0, 1)
         pq.write_table(tbl, os.path.join(d, f"{t}.parquet"))
@@ -118,17 +150,25 @@ def sweep(spark, profile: str) -> int:
             if not ok and name in ENGINE_DEVIATION[profile]:
                 print(f"  [{profile}] {name}: rollup-over-empty engine "
                       "deviation (documented)")
+            elif not ok and name in KEY_INVARIANT[profile]:
+                print(f"  [{profile}] {name}: primary-key-uniqueness "
+                      f"assumption, out of contract on this profile "
+                      f"({KEY_INVARIANT[profile][name]})")
             elif not ok:
                 bad += 1
-                print(f"  [{profile}] {name}: MISMATCH "
-                      f"{r.get('first_diffs', [])[:2]}")
+                # first_diffs is a list of row pairs (readable compare)
+                # or a spark_only/oracle_only dict (canonical compare)
+                diffs = r.get("first_diffs", [])
+                if isinstance(diffs, list):
+                    diffs = diffs[:2]
+                print(f"  [{profile}] {name}: MISMATCH {diffs}")
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return bad
 
 
 def main() -> None:
-    profiles = sys.argv[1:] or ["empty", "single"]
+    profiles = sys.argv[1:] or ["empty", "single", "constant"]
     from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.session import (
         get_spark,
     )

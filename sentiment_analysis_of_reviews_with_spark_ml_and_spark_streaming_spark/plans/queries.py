@@ -2501,10 +2501,16 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
 def q_zscore_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score via window aggregates — the NATIVE design for
     relational normalization (the applyInPandas grouped-map is reserved
-    for math SQL can't express; see embedding_pca_by_label)."""
+    for math SQL can't express; see embedding_pca_by_label). try_divide:
+    a CONSTANT-valued group has stddev 0, and the bare division is an
+    ANSI job abort at any scale — DuckDB's x/0 is already NULL, so the
+    twins stay value-equal (r11 constant-profile sweep finding)."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("event_type")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev("value").over(w)
+    z = F.try_divide(
+        F.col("value") - F.avg("value").over(w),
+        F.stddev("value").over(w),
+    )
     return ev.select("event_id", "event_type", F.round(z, 6).alias("zscore"))
 
 
@@ -8495,60 +8501,93 @@ FROM upd u LEFT JOIN cur c ON c.k = u.k WHERE c.k IS NULL
 
 
 def q_regression_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native linear-regression aggregates (Spark 3.5 regr_* family,
-    identical in DuckDB): per order priority, the OLS fit of
-    o_totalprice against days-since-1992. All JVM-side algebraic
-    aggregates — one scan, one group-key shuffle, partial+final like
-    any sum; the closed-form fit replaces a driver-side sklearn loop
-    at 100 TB. Slope/r2/corr rounded to 6, intercept to 2 (its ~1e5
-    magnitude leaves 6-decimal cross-engine float agreement to chance)."""
+    """Native linear-regression aggregates: per order priority, the
+    OLS fit of o_totalprice against days-since-1992. All JVM-side
+    algebraic aggregates — one scan, one group-key shuffle,
+    partial+final like any sum; the closed-form fit replaces a
+    driver-side sklearn loop at 100 TB. Slope/r2/corr rounded to 6,
+    intercept to 2 (its ~1e5 magnitude leaves 6-decimal cross-engine
+    float agreement to chance).
+
+    The ratio family (slope/intercept/r2/corr) derives from
+    covar_pop/var_pop moments with try_divide instead of calling
+    regr_slope/regr_r2/corr directly: a CONSTANT-x group (every order
+    the same day — any single-day partition at 100 TB) makes var(x)=0
+    and the native aggregates' internal division an ANSI job abort
+    (r11 constant-profile sweep finding). The SAME moment formulas run
+    verbatim in the oracle, so the twins agree on every input: NULL
+    slope/corr at var(x)=0 (DuckDB's x/0 is NULL), r2 = 1.0 at
+    var(y)=0 with var(x)>0 (the regr_r2 convention, kept explicitly).
+    regr_count/regr_avgx/regr_avgy have no division and stay native."""
     orders = _t(spark, sf_dir, "orders")
     x = F.datediff(
         F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
     ).cast("double")
     y = F.col("o_totalprice")
-    return orders.groupBy("o_orderpriority").agg(
+    agg = orders.groupBy("o_orderpriority").agg(
         F.regr_count(y, x).alias("n_orders"),
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
-        F.round(F.corr(y, x), 6).alias("price_day_corr"),
-        F.round(F.regr_avgx(y, x), 6).alias("avg_day"),
-        F.round(F.regr_avgy(y, x), 4).alias("avg_price"),
+        F.covar_pop(y, x).alias("_sxy"),
+        F.var_pop(x).alias("_vx"),
+        F.var_pop(y).alias("_vy"),
+        F.regr_avgx(y, x).alias("_avgx"),
+        F.regr_avgy(y, x).alias("_avgy"),
+    )
+    slope = F.try_divide(F.col("_sxy"), F.col("_vx"))
+    r2 = (
+        F.when(F.col("_vx") == 0, F.lit(None).cast("double"))
+        .when(F.col("_vy") == 0, F.lit(1.0))
+        .otherwise(
+            F.try_divide(
+                F.col("_sxy") * F.col("_sxy"), F.col("_vx") * F.col("_vy")
+            )
+        )
+    )
+    corr = F.try_divide(
+        F.col("_sxy"), F.sqrt(F.col("_vx") * F.col("_vy"))
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("_avgy") - slope * F.col("_avgx"), 2).alias(
+            "intercept"
+        ),
+        F.round(r2, 6).alias("r2"),
+        F.round(corr, 6).alias("price_day_corr"),
+        F.round("_avgx", 6).alias("avg_day"),
+        F.round("_avgy", 4).alias("avg_price"),
     )
 
 
 SQL_REGRESSION_TREND_BY_PRIORITY = """
-SELECT o_orderpriority,
-       regr_count(o_totalprice,
-                  CAST(date_diff('day', DATE '1992-01-01',
-                                 CAST(o_orderdate AS DATE)) AS DOUBLE))
-         AS n_orders,
-       round(regr_slope(o_totalprice,
-                        CAST(date_diff('day', DATE '1992-01-01',
-                                       CAST(o_orderdate AS DATE)) AS DOUBLE)),
-             6) AS slope,
-       round(regr_intercept(o_totalprice,
-                            CAST(date_diff('day', DATE '1992-01-01',
-                                           CAST(o_orderdate AS DATE)) AS DOUBLE)),
-             2) AS intercept,
-       round(regr_r2(o_totalprice,
-                     CAST(date_diff('day', DATE '1992-01-01',
-                                    CAST(o_orderdate AS DATE)) AS DOUBLE)),
-             6) AS r2,
-       round(corr(o_totalprice,
-                  CAST(date_diff('day', DATE '1992-01-01',
-                                 CAST(o_orderdate AS DATE)) AS DOUBLE)),
-             6) AS price_day_corr,
-       round(regr_avgx(o_totalprice,
-                       CAST(date_diff('day', DATE '1992-01-01',
-                                      CAST(o_orderdate AS DATE)) AS DOUBLE)),
-             6) AS avg_day,
-       round(regr_avgy(o_totalprice,
-                       CAST(date_diff('day', DATE '1992-01-01',
-                                      CAST(o_orderdate AS DATE)) AS DOUBLE)),
-             4) AS avg_price
-FROM orders GROUP BY 1
+WITH m AS (
+  SELECT o_orderpriority,
+         regr_count(o_totalprice, x) AS n_orders,
+         covar_pop(o_totalprice, x) AS sxy,
+         var_pop(x) AS vx,
+         var_pop(o_totalprice) AS vy,
+         regr_avgx(o_totalprice, x) AS avgx,
+         regr_avgy(o_totalprice, x) AS avgy
+  FROM (
+    SELECT o_orderpriority, o_totalprice,
+           CAST(date_diff('day', DATE '1992-01-01',
+                          CAST(o_orderdate AS DATE)) AS DOUBLE) AS x
+    FROM orders
+  ) GROUP BY 1
+)
+-- the SAME moment formulas as the Spark twin (try_divide <-> DuckDB's
+-- NULL-on-zero division), so a constant-x group yields NULL on both
+-- engines instead of an ANSI abort on one
+SELECT o_orderpriority, n_orders,
+       round(sxy / vx, 6) AS slope,
+       round(avgy - (sxy / vx) * avgx, 2) AS intercept,
+       round(CASE WHEN vx = 0 THEN NULL
+                  WHEN vy = 0 THEN 1.0
+                  ELSE (sxy * sxy) / (vx * vy) END, 6) AS r2,
+       round(sxy / sqrt(vx * vy), 6) AS price_day_corr,
+       round(avgx, 6) AS avg_day,
+       round(avgy, 4) AS avg_price
+FROM m
 """
 
 
@@ -10093,7 +10132,11 @@ WITH members AS (
          CAST(concat('0x', substr(md5(concat('bloom3:', CAST(h.k AS VARCHAR), ':', CAST(custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS bit
   FROM members, unnest([0, 1, 2, 3, 4]) AS h(k)
 ), probes AS (
-  SELECT c_custkey AS custkey FROM customer
+  -- DISTINCT mirrors bloom_probe's documented per-VALUE contract
+  -- (operators/sketch.py: probes dedupe before exploding, one verdict
+  -- per value) — without it the audit counts ROWS and the twins
+  -- diverge on duplicate-key input (r11 constant-profile finding)
+  SELECT DISTINCT c_custkey AS custkey FROM customer
 ), pb AS (
   SELECT p.custkey,
          CAST(concat('0x', substr(md5(concat('bloom3:', CAST(h.k AS VARCHAR), ':', CAST(p.custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS bit

@@ -200,3 +200,42 @@ def test_fixed_queries_match_oracle_on_single_row_input(
     result = compare(spark, QUERIES[name], ORACLE[name], single_row_dir)
     assert result["count_match"], f"{name}: row count {result}"
     assert result["value_match"], f"{name}: values {result}"
+
+
+# --- constant inputs: 50 IDENTICAL rows (r11) ---------------------------
+# Zero variance with n>1 — a different denominator class than single
+# (n=1): var/(n-1) divides 0 by 49, window stddev is exactly 0 at full
+# count, and regression Sxx is 0 with a populated group. Found by the
+# degenerate sweep's new `constant` profile; at 100 TB this is any
+# constant-valued group (one-day partitions, single-value event types)
+# aborting the whole job under ANSI.
+FIXED_CONSTANT_KEYS = [
+    "zscore_value_by_type",          # window stddev = 0 -> try_divide
+    "regression_trend_by_priority",  # var(x) = 0 -> moment math + try_divide
+    "bloom_membership_audit",        # oracle aligned to per-VALUE probes
+]
+
+
+@pytest.fixture(scope="session")
+def constant_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.schemas import (
+        TABLE_NAMES,
+    )
+
+    d = tmp_path_factory.mktemp("sf_constant")
+    for t in TABLE_NAMES:
+        one = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, 1)
+        pq.write_table(pa.concat_tables([one] * 50), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", FIXED_CONSTANT_KEYS)
+def test_fixed_queries_match_oracle_on_constant_input(
+    spark, name, constant_dir
+):
+    result = compare(spark, QUERIES[name], ORACLE[name], constant_dir)
+    assert result["count_match"], f"{name}: row count {result}"
+    assert result["value_match"], f"{name}: values {result}"
