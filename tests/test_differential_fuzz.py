@@ -566,3 +566,31 @@ def test_fuzz_interval_merge_blocks(spark, tmp_path_factory, rows):
         FROM blocks GROUP BY k, bid
         """,
     )
+
+
+# --- r11: the integer-exact hash-sampler keep rule ----------------------
+
+
+@given(
+    u=st.integers(min_value=0, max_value=2**32 - 1),
+    tt=st.integers(min_value=0, max_value=10**15),
+    n=st.integers(min_value=1, max_value=10**15),
+)
+@settings(max_examples=300, deadline=None)
+def test_integer_exact_keep_rule_equals_rational_comparison(u, tt, n):
+    """q_mixture_sample_docs' r11 keep rule —
+        keep iff tt >= n OR u*n < tt*2^32
+    — must equal the ORIGINAL float-free semantics u/2^32 < min(1,
+    tt/n) evaluated in exact rational arithmetic, for any md5 prefix
+    u in [0, 2^32), token target tt and source token count n up to
+    100 TB magnitudes. This is the claim that lets the Spark twin and
+    the DuckDB twin (DECIMAL(38,0)/HUGEINT cross-multiplication)
+    decide every row identically on any engine version: the rule
+    contains no division to type-drift."""
+    from fractions import Fraction
+
+    integer_rule = tt >= n or u * n < tt * (2**32)
+    rational_rule = Fraction(u, 2**32) < min(
+        Fraction(1), Fraction(tt, n)
+    )
+    assert integer_rule == rational_rule
