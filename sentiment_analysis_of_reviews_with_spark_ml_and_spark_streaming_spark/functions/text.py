@@ -232,8 +232,13 @@ def vader_score(
         emph.alias("emph"),
         F.posexplode(F.split(F.trim(text), "\\s+")).alias("pos", "rawtok"),
     )
+    # \p{L}\p{N}, not A-Za-z0-9: the ASCII class ate accented LETTERS
+    # off token edges ('café' → 'caf'), silently under-scoring
+    # non-ASCII-bearing text (r11 review finding). \p classes parse
+    # identically in Java regex and RE2, so the SQL twin mirrors this
+    # verbatim.
     strip = F.regexp_replace(
-        "rawtok", "^[^A-Za-z0-9']+|[^A-Za-z0-9']+$", ""
+        "rawtok", "^[^\\p{L}\\p{N}']+|[^\\p{L}\\p{N}']+$", ""
     )
     toks = base.select(
         id_col,

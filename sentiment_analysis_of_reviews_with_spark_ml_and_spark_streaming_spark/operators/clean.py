@@ -37,14 +37,16 @@ def squeeze_spaces(col: Column | str) -> Column:
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Full cleaning chain: punct/digit strip → space squeeze → ltrim.
+    """Full cleaning chain: punct/digit strip → space squeeze.
 
     Equivalent to the reference's UDF composition
     ``remove_spaces_udf(punct_remover('text'))`` + ``ltrim``
     (Scalable_Project_ML_Model_Analysis.py:86,112) in one codegen'd
-    expression.
+    expression — the reference's trailing ltrim is subsumed:
+    squeeze_spaces already trims BOTH edges, so the extra ltrim node
+    was a no-op (r11 review finding).
     """
-    return F.ltrim(squeeze_spaces(strip_punct_digits(col)))
+    return squeeze_spaces(strip_punct_digits(col))
 
 
 def binarize_rating(col: Column | str, threshold: float = 4.0) -> Column:
@@ -53,6 +55,12 @@ def binarize_rating(col: Column | str, threshold: float = 4.0) -> Column:
     The reference's untyped UDF returned the *string* '1'/'0' and was
     re-cast downstream (Scalable_Project_ML_Model_Analysis.py:75-78,89);
     we emit int directly (documented semantic cleanup, SURVEY.md §7.4).
+
+    PRECONDITION: run quarantine_bad_stars / drop_null_rows first.
+    NULL or unparseable stars fall to the otherwise(0) branch — the
+    reference's semantics, kept for parity — which silently turns
+    junk rows into confident NEGATIVE labels if the cleaning stage is
+    skipped (r11 review note).
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.when(c.try_cast("double") >= threshold, 1).otherwise(0).cast("int")
@@ -73,7 +81,16 @@ def drop_null_rows(df: DataFrame, subset: list[str]) -> DataFrame:
 URL_PATTERN = r"(?:https?://|www\.)\S+"
 HTML_TAG_PATTERN = r"<[^>]{1,200}>"
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_PATTERN = r"\+?\d[\d\s().-]{7,}\d"
+# >= 7 digits, each pair separated by at most TWO phone separators
+# ('...555) 123...' has ') ' between digit groups) — the old
+# char-class form [\d\s().-]{7,} matched any 9+-char span with just
+# TWO digits, so dotted version strings ('1.2.3.4.5') and sparse
+# spaced digit runs were masked corpus-wide (r11 review finding).
+# Digit-dense date shapes ('2020-08-16') still mask: a conservative
+# PII stance (dates of birth ARE PII) this pipeline accepts. RE2- and
+# Java-compatible (no lookaround — the pattern is embedded verbatim in
+# the DuckDB oracle twins).
+PHONE_PATTERN = r"\+?\d(?:[\s().-]{0,2}\d){6,}"
 
 
 def strip_urls(col: Column | str, replacement: str = " ") -> Column:

@@ -10,8 +10,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokenize_ws
-
 # Tiny per-language stopword marker sets (public common stopwords).
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
@@ -20,6 +18,12 @@ LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "für"],
     "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
 }
+
+# Languages written WITHOUT whitespace word segmentation: their markers
+# must match as substrings — the space-boundary rule below can never
+# fire on real unsegmented text (r11 review finding: every real Chinese
+# doc scored 0 hits and fell to 'und').
+UNSEGMENTED_LANGS = {"zh"}
 
 # A BPE-ish word/number/punct-run splitter: words, digit runs, or
 # single non-space symbols — a cheap proxy for subword token counts.
@@ -62,8 +66,13 @@ def c4_line_stats(
     Python; runs at scan speed over 100 TB and composes with any
     downstream filter. Returns (id, n_lines, n_kept_lines,
     kept_char_frac, has_lorem_ipsum, has_curly_brace, keep_doc).
+
+    NULL text coalesces to '' (r11 review finding): NULL poisoned
+    every stat INCLUDING keep_doc, so the doc vanished from BOTH the
+    keep and the reject partitions of any downstream filter — the same
+    guard score_sentiment/vader_score already apply.
     """
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     # \r?\n so CRLF text doesn't leave \r on every line; the terminal-
     # punctuation check reads the literal last char instead of a '$'
     # regex — Java's '$' matches BEFORE a trailing line terminator
@@ -73,9 +82,13 @@ def c4_line_stats(
     wc = lambda ln: F.when(F.trim(ln) == "", 0).otherwise(  # noqa: E731
         F.size(F.split(F.trim(ln), "\\s+"))
     )
-    is_kept = lambda ln: F.substring(F.rtrim(ln), -1, 1).isin(  # noqa: E731
-        ".", "!", "?", '"'
-    ) & (wc(ln) >= min_words_per_line)
+    # regexp strip, not rtrim: rtrim removes only SPACES, so a line
+    # ending '.\t' read its last char as the tab and was wrongly
+    # rejected — C4's reference semantics strip all whitespace
+    # (str.strip) before the endswith check (r11 review finding)
+    is_kept = lambda ln: F.substring(  # noqa: E731
+        F.regexp_replace(ln, "\\s+$", ""), -1, 1
+    ).isin(".", "!", "?", '"') & (wc(ln) >= min_words_per_line)
     kept = F.filter(lines, is_kept)
     total_chars = F.aggregate(
         lines, F.lit(0), lambda acc, ln: acc + F.length(ln)
@@ -119,8 +132,17 @@ def lang_marker_hits(text: Column, lang: str) -> Column:
     normalized text (zero-width boundary assertions, so adjacent marker
     tokens all count) — ~5x faster than the interpreted higher-order
     filter over a token array, with identical token semantics.
+
+    UNSEGMENTED_LANGS (zh) count markers as SUBSTRINGS of the lowered
+    text instead: real Chinese is not whitespace-segmented, so the
+    ' token ' boundary rule matched nothing and every zh doc resolved
+    'und' (r11 review finding). The SQL twin mirrors both modes.
     """
     alternation = "|".join(LANG_MARKERS[lang])
+    if lang in UNSEGMENTED_LANGS:
+        return F.size(
+            F.regexp_extract_all(F.lower(text), F.lit(alternation), 0)
+        )
     pattern = f"(?<= )(?:{alternation})(?= )"
     return F.size(F.regexp_extract_all(_spaced_norm(text), F.lit(pattern), 0))
 
@@ -160,8 +182,13 @@ def quality_score(
     Returns (id, n_chars_obs, n_tokens, punct_ratio, stopword_ratio,
     mean_token_len, quality). All ratios rounded(6) for cross-engine
     comparability.
+
+    NULL text coalesces to '' (r11 review finding): F.least skips
+    NULLs, so a NULL doc scored length_ok=1.0 and quality 0.625 —
+    OUTRANKING genuine gibberish text (0.55) in any threshold filter.
+    Empty text now scores the floor the formula gives zero tokens.
     """
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(c)
     n_tokens = token_count_ws(c)
     n_punct = F.length(c) - F.length(F.regexp_replace(c, "[\\p{Punct}]", ""))

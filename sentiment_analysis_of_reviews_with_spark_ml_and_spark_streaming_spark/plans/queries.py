@@ -3186,7 +3186,8 @@ tok0 AS (
 tok AS (
   SELECT doc_id, emph, u.pos - 1 AS pos,
          regexp_replace(u.tok,
-                        '^[^A-Za-z0-9'']+|[^A-Za-z0-9'']+$', '', 'g') AS strip
+                        '^[^\\p{{L}}\\p{{N}}'']+|[^\\p{{L}}\\p{{N}}'']+$',
+                        '', 'g') AS strip
   FROM tok0
 ),
 tok2 AS (
@@ -3258,13 +3259,38 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_markers_values_sql() -> str:
-    from ..operators.textstats import LANG_MARKERS
+    """Token-matched (whitespace-segmented) languages only — the
+    unsegmented set (zh) matches as substrings in its own UNION branch
+    of SQL_LANG_ID, mirroring lang_marker_hits' two modes."""
+    from ..operators.textstats import LANG_MARKERS, UNSEGMENTED_LANGS
 
     rows = []
     for lang in sorted(LANG_MARKERS):
+        if lang in UNSEGMENTED_LANGS:
+            continue
         words = ", ".join(f"'{_sql_str(w)}'" for w in LANG_MARKERS[lang])
         rows.append(f"('{lang}', [{words}])")
     return ", ".join(rows)
+
+
+def _unsegmented_scores_sql() -> str:
+    """UNION ALL branches counting each unsegmented language's markers
+    as substrings of the lowered text (regexp alternation — real
+    Chinese has no whitespace segmentation, so the token path scores 0
+    on it; r11 review finding)."""
+    from ..operators.textstats import LANG_MARKERS, UNSEGMENTED_LANGS
+
+    branches = []
+    for lang in sorted(UNSEGMENTED_LANGS):
+        alternation = "|".join(_sql_str(w) for w in LANG_MARKERS[lang])
+        branches.append(
+            f"""
+  UNION ALL
+  SELECT doc_id, '{lang}' AS lang,
+         len(regexp_extract_all(lower(text), '{alternation}')) AS hits
+  FROM documents"""
+        )
+    return "".join(branches)
 
 
 SQL_LANG_ID = f"""
@@ -3274,6 +3300,7 @@ WITH toks AS (
   SELECT doc_id, m.lang,
          len(list_filter(toks.t, x -> list_contains(m.markers, x))) AS hits
   FROM toks, (VALUES {_lang_markers_values_sql()}) AS m(lang, markers)
+  {_unsegmented_scores_sql()}
 ), best AS (
   SELECT doc_id, lang, hits,
          row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
@@ -3300,12 +3327,17 @@ def _en_markers_sql() -> str:
 
 SQL_QUALITY_SCORES = f"""
 WITH base AS (
-  SELECT doc_id, text,
-         string_split_regex(trim(lower(text)), '\\s+') AS toks,
-         length(text) AS n_chars,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+  -- coalesce mirrors the Spark twin: NULL text is empty, not a
+  -- NULL-skipping least() artifact (r11 review)
+  SELECT doc_id,
+         string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks,
+         length(coalesce(text, '')) AS n_chars,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+         END AS n_tokens,
+         length(coalesce(text, ''))
+           - length(regexp_replace(coalesce(text, ''), '[[:punct:]]', '', 'g'))
+           AS n_punct
   FROM documents
 ), derived AS (
   SELECT doc_id, n_chars, n_tokens,
@@ -6858,13 +6890,18 @@ def q_c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_C4_LINE_FILTER_STATS = """
 WITH l AS (
-  SELECT doc_id, string_split_regex(text, '\\r?\\n') AS lines,
-         contains(lower(text), 'lorem ipsum') AS has_lorem,
-         contains(text, '{') AS has_brace
+  -- COALESCE + regexp rstrip mirror the Spark twin (r11 review):
+  -- NULL text must not poison keep_doc, and rtrim strips only spaces
+  SELECT doc_id,
+         string_split_regex(coalesce(text, ''), '\\r?\\n') AS lines,
+         contains(lower(coalesce(text, '')), 'lorem ipsum') AS has_lorem,
+         contains(coalesce(text, ''), '{') AS has_brace
   FROM documents
 ), k AS (
   SELECT doc_id, lines, has_lorem, has_brace,
-         list_filter(lines, x -> right(rtrim(x), 1) IN ('.', '!', '?', '"') AND
+         list_filter(lines, x ->
+           right(regexp_replace(x, '\\s+$', ''), 1)
+             IN ('.', '!', '?', '"') AND
            (CASE WHEN trim(x) = '' THEN 0
                  ELSE len(string_split_regex(trim(x), '\\s+')) END) >= 5
          ) AS kept

@@ -510,3 +510,59 @@ def test_ivf_index_incremental_add_quantized_uses_stored_scales(
     assert clamped and all(
         max(map(abs, codes)) <= 127 for codes in clamped.values()
     )
+
+
+def test_c4_and_quality_null_text_guard(spark):
+    """r11 review: NULL text poisoned every c4 stat including
+    keep_doc (the doc vanished from BOTH keep and reject partitions)
+    and scored quality 0.625 via NULL-skipping least() — OUTRANKING
+    genuine gibberish. Both operators now coalesce to ''."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        textstats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "asdfgh qwerty zxcvb poiuy")],
+        "doc_id long, text string",
+    )
+    c4 = {r["doc_id"]: r for r in textstats.c4_line_stats(docs).collect()}
+    assert c4[1]["keep_doc"] is False  # not NULL: filterable both ways
+    assert c4[1]["n_kept_lines"] == 0
+
+    q = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    assert q[1]["n_tokens"] == 0
+    # the NULL doc must not outrank real (even gibberish) text
+    assert q[1]["quality"] <= q[2]["quality"]
+
+
+def test_c4_line_keeps_tab_trailing_punct_line(spark):
+    """r11 review: rtrim strips only SPACES, so 'good line.\\t' read
+    its last char as the tab and was wrongly rejected vs C4's
+    str.strip() semantics."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        textstats,
+    )
+
+    text = "one two three four five six.\t\nseven eight nine ten eleven."
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = textstats.c4_line_stats(docs).collect()[0]
+    assert row["n_kept_lines"] == 2
+
+
+def test_lang_id_detects_unsegmented_chinese(spark):
+    """r11 review: the space-boundary marker rule can never fire on
+    real (unsegmented) Chinese — every zh doc resolved 'und'. zh
+    markers now match as substrings."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        textstats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "我们的朋友是很好的人了"), (2, "the cat and the dog for it")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.lang_id(docs).collect()}
+    assert out[1]["lang_guess"] == "zh" and out[1]["marker_hits"] >= 4
+    assert out[2]["lang_guess"] == "en"

@@ -109,3 +109,51 @@ def test_clean_stage_stays_in_codegen(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_phone_pattern_is_digit_dense(spark):
+    """r11 review: the old char-class phone pattern matched any
+    9+-char span holding just TWO digits, masking version strings and
+    sparse digit runs corpus-wide. The rebuilt pattern needs >= 7
+    digits with at most one separator between each pair; digit-dense
+    date shapes still mask (dates of birth ARE PII — the conservative
+    stance this pipeline takes)."""
+    rows = spark.createDataFrame(
+        [
+            (1, "call +1 (555) 123-4567 now"),     # real phone: masked
+            (2, "version 1.2.3.4.5 released"),     # 5 digits: kept
+            (3, "a 1------2 ladder"),              # sparse: kept
+            (4, "born 2020-08-16 here"),           # digit-dense: masked
+        ],
+        "id int, text string",
+    )
+    from pyspark.sql import functions as F
+
+    out = {
+        r["id"]: r["m"]
+        for r in rows.select(
+            "id", clean.mask_pii(F.col("text")).alias("m")
+        ).collect()
+    }
+    assert "<PHONE>" in out[1]
+    assert out[2] == "version 1.2.3.4.5 released"
+    assert out[3] == "a 1------2 ladder"
+    assert "<PHONE>" in out[4]
+
+
+def test_binarize_rating_null_precondition_documented(spark):
+    """NULL/unparseable stars fall to label 0 — reference parity,
+    kept; the docstring requires the quarantine stage first. This test
+    pins the parity behavior so a silent change surfaces."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("5",), ("3",), (None,), ("abc",)], "stars string"
+    )
+    out = [
+        r["label"]
+        for r in df.select(
+            clean.binarize_rating(F.col("stars")).alias("label")
+        ).collect()
+    ]
+    assert out == [1, 0, 0, 0]
