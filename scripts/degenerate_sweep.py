@@ -61,6 +61,10 @@ REQUIRES_DATA: dict[str, dict[str, str]] = {
     "constant": {
         "ml_train_f1": r"only supports binary classification",
     },
+    # one real row + one all-null-measures row: still one class/doc
+    "nullrow": {
+        "ml_train_f1": r"only supports binary classification",
+    },
 }
 # Spark returns 0 rows for rollup/cube/grouping-sets over empty input;
 # the SQL standard (and DuckDB) emit the grand-total row — documented
@@ -70,6 +74,7 @@ ENGINE_DEVIATION = {
               "hypertable_rollup"},
     "single": set(),
     "constant": set(),
+    "nullrow": set(),
 }
 # The `constant` profile replicates ONE row 50x, which duplicates
 # PRIMARY KEYS (doc_id/vec_id/custkey...) — input the real tables
@@ -89,6 +94,24 @@ KEY_INVARIANT = {
     },
     "empty": {},
     "single": {},
+    "nullrow": {},
+}
+
+
+# Key (PK/FK) columns per table: the nullrow profile keeps these
+# non-null (uniqueness-respecting, +1-shifted) and nulls everything
+# else — NULL keys are a different (invariant-violating) input class.
+_KEY_COLS = {
+    "region": {"r_regionkey"},
+    "nation": {"n_nationkey", "n_regionkey"},
+    "customer": {"c_custkey", "c_nationkey"},
+    "supplier": {"s_suppkey", "s_nationkey"},
+    "part": {"p_partkey"},
+    "orders": {"o_orderkey", "o_custkey"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"},
+    "events": {"event_id", "user_id"},
+    "documents": {"doc_id"},
+    "embeddings": {"vec_id"},
 }
 
 
@@ -114,6 +137,33 @@ def make_tables(profile: str) -> str:
             # and medians/percentiles interpolate between equal values
             one = pq.read_table(src).slice(0, 1)
             tbl = pa.concat_tables([one] * 50)
+        elif profile == "nullrow":
+            # one REAL row + one row with every NON-KEY column NULL
+            # (keys +1-shifted so uniqueness holds): exercises NULL
+            # group keys? no — NULL measures, NULL text, NULL
+            # timestamps, NULL vectors flowing through every
+            # aggregate, window order, and join — ubiquitous at
+            # 100 TB, absent from the pristine fixture (r11)
+            one = pq.read_table(src).slice(0, 1)
+            keys = _KEY_COLS[t]
+            cols = {}
+            for field in one.schema:
+                col = one.column(field.name)
+                if field.name in keys:
+                    shifted = pa.array(
+                        [col.to_pylist()[0] + 1], type=field.type
+                    )
+                    cols[field.name] = pa.concat_arrays(
+                        [col.combine_chunks(), shifted]
+                    )
+                else:
+                    cols[field.name] = pa.concat_arrays(
+                        [
+                            col.combine_chunks(),
+                            pa.array([None], type=field.type),
+                        ]
+                    )
+            tbl = pa.table(cols)
         else:
             tbl = pq.read_table(src).slice(0, 1)
         pq.write_table(tbl, os.path.join(d, f"{t}.parquet"))
@@ -168,7 +218,7 @@ def sweep(spark, profile: str) -> int:
 
 
 def main() -> None:
-    profiles = sys.argv[1:] or ["empty", "single", "constant"]
+    profiles = sys.argv[1:] or ["empty", "single", "constant", "nullrow"]
     from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.session import (
         get_spark,
     )

@@ -479,18 +479,25 @@ FROM orders GROUP BY 1 ORDER BY 1
 def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-native histogram replacing RDD.histogram
     (Scalable_EDA_Final.py:140)."""
-    orders = _t(spark, sf_dir, "orders")
+    # null-price rows excluded on both engines: with hi=lo the
+    # oracle's CASE bucketed NULL prices into bucket 0 while the
+    # operator drops them (r11 nullrow sweep)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     return relational.histogram(orders, "o_totalprice", buckets=10)
 
 
 SQL_HISTOGRAM_TOTALPRICE = """
-WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+WITH o AS (SELECT o_totalprice FROM orders
+           WHERE o_totalprice IS NOT NULL),
+b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM o),
 c AS (
   SELECT CAST(CASE WHEN hi = lo THEN 0
               ELSE least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9)
               END AS INT) AS bucket,
          count(*) AS count
-  FROM orders, b GROUP BY 1
+  FROM o, b GROUP BY 1
 )
 SELECT g.bucket, CAST(coalesce(c.count, 0) AS BIGINT) AS count
 FROM (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bucket) g
@@ -880,7 +887,13 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality — measured 0% error — so the margin is wide)."""
     from ..operators import sketch
 
-    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    ev = (
+        _events(spark, sf_dir)
+        # a NULL group key never matches the rolled<->exact JOIN, so
+        # Spark dropped the null-type row the oracle kept (r11 nullrow)
+        .filter(F.col("event_type").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
     fine = sketch.hll_build(ev, ["event_type", "day"], "user_id")
     rolled = sketch.hll_rollup(fine, ["event_type"])
     exact = ev.groupBy("event_type").agg(
@@ -1748,8 +1761,14 @@ def q_codec_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum and min(host) value columns became row-wise equality
     flags (ids_ok / host_ok), so only a version-INCONSISTENT engine —
     one whose parse_url doesn't invert its own url builder — goes
-    red, and a red names its culprit codec."""
-    orders = _t(spark, sf_dir, "orders")
+    red, and a red names its culprit codec. NULL o_orderpriority rows
+    are excluded on both engines (r11 nullrow sweep): a roundtrip of
+    NULL input is vacuous, not a codec failure — the flags' coalesce-
+    to-False is reserved for a codec that RETURNS null on real
+    input."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+    )
     url = F.concat(
         F.lit("https://shop.example.com/orders/"),
         F.col("o_orderkey").cast("string"),
@@ -1819,7 +1838,7 @@ SELECT o_orderpriority,
        count(*) AS n_orders,
        TRUE AS ids_ok, TRUE AS host_ok,
        TRUE AS url_ok, TRUE AS b64_ok, TRUE AS hex_ok, TRUE AS aes_ok
-FROM orders GROUP BY 1
+FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
 """
 
 
@@ -2768,7 +2787,12 @@ def q_embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines disagree on — DuckDB's round keeps -0.0, Spark's does
     not; found by the r11 canonical-hash degenerate sweep on
     single-row input)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # null vectors excluded by contract (r11 nullrow sweep:
+    # DuckDB's list_inner_product CRASHES on null-bearing args while
+    # Spark silently nulls — filtering makes both engines deliberate)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     v = F.col("embedding").cast("array<double>")
     ex = emb.select("label", F.posexplode(v).alias("dim", "x"))
     per_dim = ex.groupBy("label", "dim").agg(
@@ -2807,7 +2831,8 @@ def q_embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMBEDDING_STATS_BY_LABEL = """
-WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
 ex AS (
   SELECT label, u.dim AS dim, u.x AS x FROM (
     SELECT label, unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x})) AS u
@@ -2870,7 +2895,8 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 def q_window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window aggregation (2 h windows every 1 h) — the batch
     twin of streaming sliding windows; each event lands in 2 windows."""
-    ev = _events(spark, sf_dir)
+    # null-ts rows excluded on both engines (r11 nullrow sweep)
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     win = F.window("ts", "2 hours", "1 hour")
     return (
         ev.groupBy(win.alias("w"), F.col("event_type"))
@@ -2889,7 +2915,7 @@ WITH starts AS (
   SELECT event_type,
          unnest([date_trunc('hour', ts),
                  date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
        count(*) AS n_events
@@ -3928,7 +3954,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-trivial match set). Brute-force here (exact oracle); the
     scale path blocks candidates through ann_lsh/ivf first and runs
     this as the verify stage."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # null vectors excluded by contract (r11 nullrow sweep:
+    # DuckDB's list_inner_product CRASHES on null-bearing args while
+    # Spark silently nulls — filtering makes both engines deliberate)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
@@ -3940,7 +3971,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_EMBEDDING_COSINE = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.e, b.e)
              / (sqrt(list_dot_product(a.e, a.e))
@@ -3956,7 +3988,12 @@ WHERE a.vec_id < b.vec_id
 def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 10 vectors —
     exact ANN baseline, JVM-side arithmetic only."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # null vectors excluded by contract (r11 nullrow sweep:
+    # DuckDB's list_inner_product CRASHES on null-bearing args while
+    # Spark silently nulls — filtering makes both engines deliberate)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     queries = emb.filter(F.col("vec_id") < 10)
     out = similarity.cosine_topk_bruteforce(emb, queries, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
@@ -3965,9 +4002,10 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SIMILARITY_COSINE_TOPK = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < 10
+  FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
 ), c AS (
-  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE embedding IS NOT NULL
 ), scored AS (
   SELECT query_id, neighbor_id,
          list_dot_product(qv, cv)
@@ -4141,7 +4179,10 @@ def q_ml_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import LANG_MARKERS
 
     stop = sorted(set(LANG_MARKERS["en"]) | {"one", "s", "a", ""})
-    docs = _t(spark, sf_dir, "documents")
+    # null-text docs dropped BEFORE the fit: MLlib tokenizer/summarizer
+    # stages abort on NULL input (r11 nullrow sweep) — the reference's
+    # own order (dropna precedes tokenization)
+    docs = _t(spark, sf_dir, "documents").dropna(subset=["text"])
     pipe = Pipeline(
         stages=build_feature_pipeline(text_col="text", stop_words=stop)
     )
@@ -4171,9 +4212,12 @@ def q_ml_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ML_TFIDF_FEATURES = """
-WITH tok AS (
+WITH docs_nn AS (
+  -- mirrors the Spark twin's dropna(text) before the fit (r11)
+  SELECT * FROM documents WHERE text IS NOT NULL
+), tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s')) AS w
-  FROM documents
+  FROM docs_nn
 ),
 tf AS (
   SELECT doc_id, w, count(*) AS tf
@@ -4182,7 +4226,7 @@ tf AS (
   GROUP BY doc_id, w
 ),
 df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs_nn),
 feat AS (
   SELECT tf.doc_id, tf.tf * ln((n.n + 1) / (df.df + 1)) AS v
   FROM tf JOIN df USING (w) CROSS JOIN n
@@ -4190,7 +4234,7 @@ feat AS (
 SELECT d.doc_id,
        coalesce(s.n_nonzero_terms, 0) AS n_nonzero_terms,
        coalesce(s.tfidf_l2_norm, 0.0) AS tfidf_l2_norm
-FROM documents d
+FROM docs_nn d
 LEFT JOIN (
   SELECT doc_id,
          count(*) FILTER (WHERE v != 0) AS n_nonzero_terms,
@@ -4221,7 +4265,10 @@ def q_ml_train_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw F1 is asserted by the ML tests, not hashed here."""
     from ..ml.pipeline import train_and_evaluate
 
-    docs = _t(spark, sf_dir, "documents")
+    # null-text docs dropped BEFORE the fit: MLlib tokenizer/summarizer
+    # stages abort on NULL input (r11 nullrow sweep) — the reference's
+    # own order (dropna precedes tokenization)
+    docs = _t(spark, sf_dir, "documents").dropna(subset=["text"])
     labeled = docs.withColumn(
         "label", F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
     )
@@ -4258,7 +4305,10 @@ def q_quality_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     separable in hashed n-gram space with wide margin)."""
     from ..ml.quality import train_quality_classifier
 
-    docs = _t(spark, sf_dir, "documents")
+    # null-text docs dropped BEFORE the fit: MLlib tokenizer/summarizer
+    # stages abort on NULL input (r11 nullrow sweep) — the reference's
+    # own order (dropna precedes tokenization)
+    docs = _t(spark, sf_dir, "documents").dropna(subset=["text"])
     _model, scored = train_quality_classifier(docs)
     agree = scored.agg(
         F.count("*").alias("n"),
@@ -4289,7 +4339,7 @@ WITH f AS (
          CAST(floor((length(trim(text))
                      - length(replace(trim(text), '...', ''))) / 3) AS BIGINT)
            AS n_ell
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT source, count(*) AS n_docs,
        CAST(sum(CASE WHEN n_tokens >= 40 AND n_tokens <= 5000
@@ -4307,7 +4357,7 @@ SELECT 'linear_svc' AS model,
        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_positive,
        TRUE AS f1_above_floor
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -5332,7 +5382,12 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the exploded vectors is scale-safe. Every float sum runs
     through exact decimals (embedding_stats_by_label pattern), so the
     whole chain is partial-aggregation-order independent."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # null vectors excluded by contract (r11 nullrow sweep:
+    # DuckDB's list_inner_product CRASHES on null-bearing args while
+    # Spark silently nulls — filtering makes both engines deliberate)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     v = F.col("embedding").cast("array<double>")
     ex = emb.select("vec_id", "label", F.posexplode(v).alias("dim", "x"))
     cent = ex.groupBy("label", "dim").agg(
@@ -5378,7 +5433,8 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMBEDDING_CENTROIDS = """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
 ex AS (
   SELECT vec_id, label, u.dim AS dim, u.x AS x FROM (
     SELECT vec_id, label, unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x})) AS u
@@ -6931,12 +6987,18 @@ def q_semdedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the brute-force `dedup_embedding_cosine` oracle twin (which
     found the global pair set this keep-set must be consistent with
     inside clusters)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # null vectors excluded by contract (r11 nullrow sweep:
+    # DuckDB's list_inner_product CRASHES on null-bearing args while
+    # Spark silently nulls — filtering makes both engines deliberate)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return dedup.semdedup(emb, n_clusters=8, threshold=0.4)
 
 
 SQL_SEMDEDUP_KEEP_SET = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE embedding IS NOT NULL),
 seeds AS (SELECT vec_id AS seed_id, e AS se FROM v ORDER BY vec_id LIMIT 8),
 assign AS (
   SELECT v.vec_id, seeds.seed_id,
@@ -7276,7 +7338,11 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pagerank playbook), and per-round rounding keeps both engines'
     float streams synchronized. Feeds the SemDeDup/IVF tier: these
     centroids are what replaces the seed rule at production scale."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # null vectors excluded by contract (r11 nullrow sweep; same
+    # rule as the cosine/centroid family)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return similarity.kmeans_fixed(emb, k=4, iterations=3)
 
 
@@ -7301,7 +7367,8 @@ def _kmeans_cte_parts(k: int = 4, iterations: int = 3) -> tuple[list[str], str, 
 )"""
 
     parts = [
-        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings WHERE embedding IS NOT NULL)",
         f"""c0 AS (
   SELECT vec_id AS cid, list_transform(e, x -> round(x, 9)) AS ce
   FROM v ORDER BY vec_id LIMIT {k}
@@ -7352,7 +7419,12 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-probe centroid ranking, and candidate top-5 exactly. The
     ml.KMeans-backed `similarity_ivf` stays the production variant
     (rows-only, recall-tested)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # null vectors excluded by contract (r11 nullrow sweep:
+    # DuckDB's list_inner_product CRASHES on null-bearing args while
+    # Spark silently nulls — filtering makes both engines deliberate)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk_deterministic(
         emb, queries, k_clusters=4, iterations=3, n_probe=2, k=5
@@ -7424,7 +7496,11 @@ def q_similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND encoding exactly: every vector's m-byte PQ code is value-hash
     checked. m=4 subspaces × k=4 codes × 2 iterations over the 64-dim
     embeddings."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # null vectors excluded by contract (r11 nullrow sweep; same
+    # rule as the cosine/centroid family)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     books = similarity.pq_train(emb, m=4, k_codes=4, iterations=2)
     codes = similarity.pq_encode(emb, books, m=4)
     return codes.select(
@@ -7461,7 +7537,8 @@ def _pq_cte_parts(
 )"""
 
     parts = [
-        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings WHERE embedding IS NOT NULL)",
         f"""sv AS (
   SELECT v.vec_id, sub.s,
          v.e[sub.s * {sub_dim} + 1 : sub.s * {sub_dim} + {sub_dim}] AS svec
@@ -7526,7 +7603,11 @@ def q_similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end). At 100 TB the scan touches m-byte codes, not d-float
     vectors; the lookup join is an equi-join on bounded (s, code)
     keys."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # null vectors excluded by contract (r11 nullrow sweep; same
+    # rule as the cosine/centroid family)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return similarity.pq_topk_adc(
         emb,
         emb.filter(F.col("vec_id") < 5),
@@ -8380,7 +8461,8 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the native operator needs only ONE shuffle on user_id
     (merging is a sort-based in-partition pass) vs the islands form's
     two window functions over the same sort."""
-    ev = _events(spark, sf_dir)
+    # null-ts rows excluded on both engines (r11 nullrow sweep)
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
     per_session = ev.groupBy("user_id", sw.alias("sw")).agg(
         F.count("*").alias("n_events")
@@ -8399,7 +8481,7 @@ WITH flagged AS (
                                                       OVER w)
                    >= 1800000000
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sessions AS (
   SELECT user_id,
@@ -9061,7 +9143,11 @@ def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     used, so assignment ties break identically. The DuckDB twin replays
     training via the unrolled-CTE chain and the same a/b/rounding
     ladder."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # null vectors excluded by contract (r11 nullrow sweep; same
+    # rule as the cosine/centroid family)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     cents = similarity.kmeans_fixed(
         emb, k=4, iterations=3, return_centroids=True
     )
@@ -10404,7 +10490,11 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume). Global day ranks come from
     relational.distributed_row_number (range-bucketed prefix
     offsets), not a single-partition window."""
-    o = _t(spark, sf_dir, "orders")
+    # null-date/null-price rows excluded on both engines (r11 nullrow sweep)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.count("*").alias("n_orders"),
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
@@ -10445,7 +10535,9 @@ WITH daily AS (
          CAST(count(*) AS BIGINT) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
            AS cents
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
 ), ranked AS (
   SELECT *, row_number() OVER (ORDER BY day) AS rn FROM daily
 ), offs AS (
@@ -10525,7 +10617,10 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) / HUGEINT), so the only float ops are the final
     identical divisions. Tie-break (spend, custkey) makes ranks — and
     therefore SUM(i*x_i) — deterministic across engines."""
-    o = _t(spark, sf_dir, "orders")
+    # null-price rows excluded on both engines (r11 nullrow sweep)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     spend = o.groupBy("o_custkey").agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
@@ -10551,7 +10646,7 @@ WITH spend AS (
   SELECT o_custkey,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
            AS cents
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 ), ranked AS (
   SELECT cents,
          row_number() OVER (ORDER BY cents, o_custkey) AS rn
@@ -10577,7 +10672,10 @@ def q_spend_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic model-calibration readout, here over a portable
     deterministic score. All rates divide exact integer counts;
     means route through decimal sums."""
-    o = _t(spark, sf_dir, "orders")
+    # null-price rows excluded on both engines (r11 nullrow sweep)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     ranked = relational.distributed_row_number(
         o.select(
             "o_totalprice",
@@ -10628,7 +10726,7 @@ WITH ranked AS (
          CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open,
          row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
          count(*) OVER () AS n_total
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ), deciles AS (
   SELECT (rn - 1) * 10 // n_total + 1 AS decile,
          CAST(count(*) AS BIGINT) AS n_orders,
@@ -10655,7 +10753,11 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly re-ranked. Rows-only check (like the LSH/IVF tiers);
     recall vs exact cosine and a numpy differential twin are
     unit-tested in tests/test_dedup_similarity.py."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # null vectors excluded by contract (r11 nullrow sweep; same
+    # rule as the cosine/centroid family)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.pq_topk_adc(
         emb, queries, m=8, k_codes=16, k=5, refine=25
@@ -10958,7 +11060,10 @@ def q_equidepth_histogram_lineitem(
     thread at SF-10k). Bucket assignment is INTEGER floor division of
     the rank (no float boundary ambiguity); per-bucket lo/hi/count
     are raw values and exact integers."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    # null-price rows excluded on both engines (r11 nullrow sweep)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    ).select(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
     ranked = relational.distributed_row_number(
@@ -10986,7 +11091,7 @@ WITH ranked AS (
          row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
                             l_linenumber) AS rn,
          count(*) OVER () AS n_total
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 )
 SELECT CAST((rn - 1) * 20 // n_total + 1 AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
@@ -12193,7 +12298,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         distributed_row_number,
     )
 
-    o = _t(spark, sf_dir, "orders")
+    # null-date/null-price rows excluded on both engines (r11 nullrow sweep)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_d"),
@@ -12246,7 +12355,9 @@ WITH per_cust AS (
          CAST(count(*) AS BIGINT) AS freq,
          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                        AS BIGINT)) AS BIGINT) AS mon
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
 ), base AS (
   SELECT o_custkey, freq, mon,
          date_diff('day', last_d,
@@ -13846,12 +13957,22 @@ def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     PSI = Σ (p_i − q_i)·ln(p_i/q_i) sums DECIMAL(28,12)-quantized
     terms (zero-count buckets floored to 1e-6 share, the standard PSI
     guard, identically on both engines). Two scans + one 10-row
-    epilogue; the split date is the exact median order date."""
-    o = _t(spark, sf_dir, "orders").select(
-        F.to_date("o_orderdate").alias("day"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+    epilogue; the split date is the exact median order date.
+    Null-date/null-price rows are excluded on both engines (r11
+    nullrow sweep: a NULL day makes is_ref NULL, which Spark groups
+    as its own bucket while the oracle's CASE folds to ELSE)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.to_date("o_orderdate").alias("day"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
     )
     split = o.agg(
         F.expr("percentile(datediff(day, DATE'1970-01-01'), 0.5)").alias(
@@ -13922,6 +14043,7 @@ WITH o AS (
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
            AS cents
   FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
 ), split AS (
   SELECT CAST(floor(quantile_cont(
              date_diff('day', DATE '1970-01-01', day), 0.5)) AS INT)
@@ -15048,9 +15170,12 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     of trivia. Exact brute force here (the oracle shape, like
     similarity_cosine_topk); the scale path blocks candidates through
     ann_lsh/ivf first and applies the label-mismatch filter to the
-    candidate set. Anchors are broadcast; ties break on neighbor id."""
+    candidate set. Anchors are broadcast; ties break on neighbor id.
+    Null-vector anchors are excluded on both engines (r11 nullrow)."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
+    q = emb.filter(
+        (F.col("vec_id") < 10) & F.col("embedding").isNotNull()
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qv"),
         F.col("label").alias("_ql"),
@@ -15088,7 +15213,7 @@ SQL_HARD_NEGATIVE_MINING = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
          label AS ql
-  FROM embeddings WHERE vec_id < 10
+  FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL
 ), c AS (
   SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
          label AS neg_label
@@ -15123,7 +15248,11 @@ def q_holt_linear_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     array; the heavy lifting (the fact-table rollup to days) stays
     fully distributed. The DuckDB oracle replays the identical
     double ops via a recursive CTE — same op order ⇒ bit-equal."""
-    o = _t(spark, sf_dir, "orders")
+    # null-date/null-price rows excluded on both engines (r11 nullrow sweep)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
@@ -15169,7 +15298,9 @@ WITH RECURSIVE daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
            AS cents
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
 ), ranked AS (
   SELECT row_number() OVER (ORDER BY day) AS rn,
          CAST(cents AS DOUBLE) AS y
@@ -15611,13 +15742,21 @@ def q_woe_iv_price_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         distributed_row_number,
     )
 
-    o = _t(spark, sf_dir, "orders")
+    # null-price rows are excluded (a decile of a NULL price is
+    # meaningless, and NULL sort position differs between engines);
+    # a NULL priority counts as not-urgent, mirroring the oracle's
+    # CASE-ELSE-0 (r11 nullrow sweep)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     base = o.select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("cents"),
         "o_orderkey",
-        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g"),
+        F.coalesce(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int"), F.lit(0)
+        ).alias("g"),
     )
     ranked = distributed_row_number(base, ["cents", "o_orderkey"], out_col="_rn")
     wall = Window.rowsBetween(
@@ -15663,7 +15802,7 @@ WITH base AS (
            AS cents,
          o_orderkey,
          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ), ranked AS (
   SELECT g, row_number() OVER (ORDER BY cents, o_orderkey) AS _rn,
          count(*) OVER () AS _n
@@ -15705,7 +15844,11 @@ def q_changepoint_split_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     over day order — no one-reducer window), each candidate scored
     in parallel, top-1 by gain. The scan is O(days) after the
     fact-table rollup, and the argmax is a TakeOrdered(1)."""
-    o = _t(spark, sf_dir, "orders")
+    # null-date/null-price rows excluded on both engines (r11 nullrow sweep)
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
@@ -15755,7 +15898,9 @@ WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
            AS cents
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
 ), ps AS (
   SELECT day,
          CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
