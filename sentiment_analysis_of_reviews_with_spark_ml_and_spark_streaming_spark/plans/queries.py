@@ -923,7 +923,7 @@ SELECT event_type,
        count(DISTINCT CAST(ts AS DATE)) AS n_days,
        count(DISTINCT user_id) AS exact_distinct_users,
        TRUE AS estimate_within_5pct
-FROM events GROUP BY 1
+FROM events WHERE event_type IS NOT NULL GROUP BY 1
 """
 
 
@@ -995,7 +995,8 @@ def q_string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge; the rest are byte-exact in both engines. One scan, pure
     codegen projection; md5 over the concatenated transforms
     compresses the per-row check into one hash column."""
-    part = _t(spark, sf_dir, "part")
+    # null p_name rows excluded on both engines (r11 nullrow)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").isNotNull())
     name = F.col("p_name")
     transforms = F.concat_ws(
         "|",
@@ -1042,7 +1043,7 @@ SELECT p_partkey,
                   substr(p_name, length(p_name) - 1, 2)),
            split_part(p_name, ' ', 1)
        )) AS BIGINT) AS transforms_len
-FROM part
+FROM part WHERE p_name IS NOT NULL
 """
 
 
@@ -1175,10 +1176,19 @@ def q_modern_aggregates_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically (count DESC, item ASC) — exact below the
     sketch's tracking capacity, so the top-1 bucket equals the exact
     SQL ranking."""
-    ev = _events(spark, sf_dir).select(
-        "event_type",
-        "value",
-        F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+    # null-type/null-value rows excluded on both engines: approx_top_k
+    # skips an all-null group (dropping it via explode) while the
+    # oracle's count ranking keeps it (r11 nullrow sweep)
+    ev = (
+        _events(spark, sf_dir)
+        .filter(
+            F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            "value",
+            F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+        )
     )
     agg = ev.groupBy("event_type").agg(
         F.round(F.expr("median(value)"), 4).alias("median_value"),
@@ -1218,6 +1228,7 @@ WITH b AS (
   SELECT event_type, value,
          CAST(floor(value / 10) AS BIGINT) AS bucket
   FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
 ), m AS (
   SELECT event_type,
          round(median(value), 4) AS median_value,
@@ -3120,7 +3131,11 @@ SELECT stem, cnt FROM (
 def q_sentiment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon sentiment scoring, fully codegen'd (replaces the NLTK
     VADER per-row UDF, Scalable_EDA_Final.py:377-386)."""
-    docs = _t(spark, sf_dir, "documents")
+    # null-text docs excluded on both engines: no content to score/
+    # fingerprint (r11 nullrow sweep)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return docs.select(
         "doc_id",
         F.round(sentiment_compound(tokenize_ws("text")), 6).alias("compound"),
@@ -3140,7 +3155,7 @@ WITH raw AS (
          coalesce(list_sum(list_transform(
              string_split_regex(trim(lower(text)), '\\s+'),
              t -> {_sentiment_case_sql()})), 0.0) AS r
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, round(r / sqrt(r * r + 15.0), 6) AS compound FROM raw
 """
@@ -3152,7 +3167,11 @@ def q_sentiment_vader_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     (replaces NLTK ``sia_udf``, Scalable_EDA_Final.py:377-386)."""
     from ..functions.text import vader_score
 
-    docs = _t(spark, sf_dir, "documents")
+    # null-text docs excluded on both engines: no content to score/
+    # fingerprint (r11 nullrow sweep)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     return vader_score(docs)
 
 
@@ -3202,7 +3221,7 @@ base AS (
                  WHEN (len(text) - len(replace(text, '?', ''))) > 1
                  THEN (len(text) - len(replace(text, '?', ''))) * {VL.QM_UNIT!r}
                  ELSE 0.0 END) AS emph
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 tok0 AS (
   SELECT doc_id, emph,
@@ -3422,7 +3441,11 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing-style) bottom-k sketches, md5 variant —
     ANSI-portable hashing makes the whole sketch oracle-checkable
     (the xxhash64 variant is the cheaper production path, same plan)."""
-    docs = _t(spark, sf_dir, "documents")
+    # null-text docs excluded on both engines: no content to score/
+    # fingerprint (r11 nullrow sweep)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     out = textstats.rolling_fingerprint_sketch(docs, hash_fn="md5")
     return out.select(
         "doc_id",
@@ -3435,7 +3458,7 @@ SQL_ROLLING_FINGERPRINT = """
 WITH n AS (
   SELECT doc_id,
          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), hs AS (
   SELECT doc_id,
          list_sort(list_distinct(list_transform(
@@ -4140,7 +4163,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded via Arrow-batched mapInPandas (deterministic fake decode).
     The oracle reproduces the byte-level metadata in SQL, so the whole
     mapInPandas path is value-checked."""
-    docs = _t(spark, sf_dir, "documents")
+    # null-text docs excluded on both engines: no content to score/
+    # fingerprint (r11 nullrow sweep)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     bin_docs = multimodal.to_binary_docs(docs)
     return multimodal.decode_image_meta(bin_docs)
 
@@ -4151,7 +4178,7 @@ SELECT doc_id, 'text/plain' AS mime,
        md5(substr(text, 1, 16)) AS header_hash,
        CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INT) AS fake_width,
        CAST(1 + ascii(substr(text, -1, 1)) % 64 AS INT) AS fake_height
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -6481,7 +6508,11 @@ def q_repeated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     than interpreted HOF slicing — see docs/SCALING.md); the RE2
     oracle builds the identical shingles with list ops instead,
     since RE2 has no lookahead."""
-    docs = _t(spark, sf_dir, "documents")
+    # null-text docs excluded on both engines: no content to score/
+    # fingerprint (r11 nullrow sweep)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
     bi = F.regexp_extract_all(norm, F.lit(r"(?=(\S+ \S+))\S+ ?"), 1)
     tri = F.regexp_extract_all(norm, F.lit(r"(?=(\S+ \S+ \S+))\S+ ?"), 1)
@@ -6505,7 +6536,7 @@ def q_repeated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REPEATED_NGRAM_FRACTION = """
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), g AS (
   SELECT doc_id,
          list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
@@ -8307,8 +8338,12 @@ def q_observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect() (not count()) is REQUIRED here: observed metrics are
     # only populated by an action that runs the full observed plan, and
     # count() may skip the CollectMetrics node via plan shortcuts; the
-    # result is bounded (≤3 return flags)
-    n_groups = len(business.collect())
+    # result is bounded (≤3 return flags). NULL return flags form a
+    # groupBy group but are NOT a distinct flag VALUE — excluded to
+    # match the oracle's COUNT(DISTINCT) semantics (r11 nullrow sweep)
+    n_groups = len(
+        [r for r in business.collect() if r["l_returnflag"] is not None]
+    )
     # _jdf has no stability contract (py4j classic-DataFrame internal,
     # verified against Spark 4.1). It is the only batch path to
     # observed metrics that avoids the public Observation helper's
@@ -8509,7 +8544,12 @@ def q_argmax_aggregates_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
     scalar ordering values, so a struct tiebreak is not portable);
     any_value is applied to a group-CONSTANT expression, the only form
     with a deterministic answer. Single scan, one group-key shuffle."""
-    orders = _t(spark, sf_dir, "orders")
+    # null-price rows excluded on both engines: concat_ws SKIPS null
+    # parts while the oracle's '||' nulls the whole sort key, flipping
+    # arg_max verdicts on null-bearing groups (r11 nullrow sweep)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     sort_key = F.concat_ws(
         "|",
         F.format_string("%016.2f", F.col("o_totalprice")),
@@ -8538,7 +8578,7 @@ SELECT o_orderpriority,
        bool_or(o_orderstatus = 'O') AS any_open,
        bool_and(o_totalprice > 0) AS all_positive,
        any_value(substr(o_orderpriority, 1, 1)) AS priority_digit
-FROM orders GROUP BY 1
+FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 """
 
 
@@ -8722,7 +8762,12 @@ def q_incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     daily full-table rescan into an O(|new partition|) fold."""
     from ..operators import relational
 
-    orders = _t(spark, sf_dir, "orders")
+    # null-date rows excluded on both engines: they fall outside
+    # BOTH eras of the base/delta split while the oracle aggregates
+    # the full union (r11 nullrow sweep)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     cutoff = F.lit("1997-01-01").cast("timestamp")
     base = relational.mergeable_rollup(
         orders.filter(F.col("o_orderdate") < cutoff),
@@ -8771,7 +8816,7 @@ WITH s AS (
          -- stays exact, matching Spark's capped decimal product
          sum(CAST(o_totalprice AS DECIMAL(19,6))
              * CAST(o_totalprice AS DECIMAL(19,6))) AS sum_sq
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 )
 SELECT o_orderpriority, n AS n_orders,
        round(CAST(sum_v AS DOUBLE), 2) AS sum_price,
@@ -10456,7 +10501,12 @@ def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS dominance definition — a completely different computation
     path, so agreement falsifies the bucketed prefix logic. Values are
     raw column reads (no arithmetic), hash-exact by construction."""
-    p = _t(spark, sf_dir, "part")
+    # null-dimension rows excluded on both engines: NULL comparisons
+    # make the oracle's NOT EXISTS vacuously true, seating a (NULL,
+    # NULL) row on the frontier the operator never emits (r11 nullrow)
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
     return (
         relational.pareto_frontier_2d(p, "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_size")
@@ -10464,9 +10514,13 @@ def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PARETO_FRONTIER_PARTS = """
-SELECT DISTINCT p_retailprice, p_size FROM part p
+SELECT DISTINCT p_retailprice, p_size
+FROM (SELECT * FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL) p
 WHERE NOT EXISTS (
-  SELECT 1 FROM part q
+  SELECT 1 FROM (SELECT * FROM part
+                 WHERE p_retailprice IS NOT NULL
+                   AND p_size IS NOT NULL) q
   WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
 )
@@ -16129,7 +16183,11 @@ def q_quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group lookup is pure arithmetic + element_at (no range
     join). Audit output per source: after normalization the
     per-source means collapse onto the pooled scale."""
-    d = _t(spark, sf_dir, "documents").select(
+    # null n_chars rows excluded on both engines (r11 nullrow:
+    # NULL rank position differs, NULLS FIRST vs LAST)
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    ).select(
         "source", F.col("n_chars").alias("v")
     )
     counts = d.groupBy("source", "v").agg(F.count("*").alias("c"))
@@ -16201,6 +16259,7 @@ def q_quantile_normalize_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUANTILE_NORMALIZE_CHARS = f"""
 WITH d AS (
   SELECT source, n_chars AS v FROM documents
+  WHERE n_chars IS NOT NULL
 ), counts AS (
   SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
 ), ranked AS (
