@@ -667,6 +667,7 @@ def _stream_sentinel(spark) -> dict:
 
     from pyspark.sql import functions as F
 
+    q = None
     try:
         host = host_fingerprint()
         floor, source = _stream_sentinel_floor(host)
@@ -697,6 +698,18 @@ def _stream_sentinel(spark) -> dict:
     except Exception as exc:  # noqa: BLE001
         return {"rows_per_sec": None, "contended": None,
                 "err": f"{type(exc).__name__}: {exc}"[:200]}
+    finally:
+        # _progress_metrics stops the stream on its normal path, but an
+        # exception between start() and that stop (recentProgress/stop
+        # py4j failure) would leave the micro-stream running and
+        # contending with the timed sweep it exists to protect — skewing
+        # every subsequent measurement in the artifact (r11 ADVICE)
+        if q is not None:
+            try:
+                if q.isActive:
+                    q.stop()
+            except Exception:  # noqa: BLE001 - best-effort cleanup
+                pass
     rps = m.get("rows_per_sec") or 0.0
     ratio = round(floor / rps, 2) if rps > 0 else None
     out = {

@@ -78,19 +78,27 @@ def drop_null_rows(df: DataFrame, subset: list[str]) -> DataFrame:
     return df.dropna(subset=subset)
 
 
-URL_PATTERN = r"(?:https?://|www\.)\S+"
+# \S spelled out as Java's complement class: RE2's \S admits \x0B
+# (vertical tab) where Java's excludes it — these patterns are
+# embedded verbatim in DuckDB oracle twins, so every whitespace
+# shorthand must be byte-identical across engines (r12, the
+# TRAILING_WS_PATTERN convention in operators/textstats.py).
+URL_PATTERN = r"(?:https?://|www\.)[^ \t\n\x0B\f\r]+"
 HTML_TAG_PATTERN = r"<[^>]{1,200}>"
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# >= 7 digits, each pair separated by at most TWO phone separators
-# ('...555) 123...' has ') ' between digit groups) — the old
-# char-class form [\d\s().-]{7,} matched any 9+-char span with just
-# TWO digits, so dotted version strings ('1.2.3.4.5') and sparse
-# spaced digit runs were masked corpus-wide (r11 review finding).
+# >= 7 digits, each pair separated by at most THREE phone separators
+# (' - ' between digit groups: '555 - 123 - 4567'; the r11 {0,2} cap
+# dropped those spaced-dash formats — a PII-recall regression the r11
+# ADVICE flagged) — the old char-class form [\d\s().-]{7,} matched any
+# 9+-char span with just TWO digits, so dotted version strings
+# ('1.2.3.4.5') and sparse spaced digit runs were masked corpus-wide
+# (r11 review finding); the >=7-digit floor still rejects those.
 # Digit-dense date shapes ('2020-08-16') still mask: a conservative
 # PII stance (dates of birth ARE PII) this pipeline accepts. RE2- and
 # Java-compatible (no lookaround — the pattern is embedded verbatim in
 # the DuckDB oracle twins).
-PHONE_PATTERN = r"\+?\d(?:[\s().-]{0,2}\d){6,}"
+# separator class spells out Java's \s (see URL_PATTERN note)
+PHONE_PATTERN = r"\+?\d(?:[ \t\n\x0B\f\r().-]{0,3}\d){6,}"
 
 
 def strip_urls(col: Column | str, replacement: str = " ") -> Column:

@@ -29,6 +29,14 @@ UNSEGMENTED_LANGS = {"zh"}
 # single non-space symbols — a cheap proxy for subword token counts.
 BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+# Byte-identical trailing-whitespace strip for BOTH engines: Java's \s
+# includes \x0B (vertical tab) where RE2's does not, so a bare \s+$
+# keeps a '.\x0B' line on Spark but rejects it in DuckDB — the exact
+# cross-engine regex class the repo's byte-for-byte convention exists
+# to prevent (r11 ADVICE; see clean.PUNCT_DIGITS_CLASS). The class
+# spells out Java's \s so Spark behavior is unchanged.
+TRAILING_WS_PATTERN = "[ \\t\\n\\x0B\\f\\r]+$"
+
 
 def token_count_ws(text: Column | str) -> Column:
     """Whitespace token count; 0 for empty/blank text."""
@@ -85,9 +93,11 @@ def c4_line_stats(
     # regexp strip, not rtrim: rtrim removes only SPACES, so a line
     # ending '.\t' read its last char as the tab and was wrongly
     # rejected — C4's reference semantics strip all whitespace
-    # (str.strip) before the endswith check (r11 review finding)
+    # (str.strip) before the endswith check (r11 review finding).
+    # TRAILING_WS_PATTERN, not \s+$: the class must be byte-identical
+    # in the DuckDB twin (RE2 \s lacks \x0B) — r11 ADVICE.
     is_kept = lambda ln: F.substring(  # noqa: E731
-        F.regexp_replace(ln, "\\s+$", ""), -1, 1
+        F.regexp_replace(ln, TRAILING_WS_PATTERN, ""), -1, 1
     ).isin(".", "!", "?", '"') & (wc(ln) >= min_words_per_line)
     kept = F.filter(lines, is_kept)
     total_chars = F.aggregate(

@@ -7000,7 +7000,9 @@ def q_c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_C4_LINE_FILTER_STATS = """
 WITH l AS (
   -- COALESCE + regexp rstrip mirror the Spark twin (r11 review):
-  -- NULL text must not poison keep_doc, and rtrim strips only spaces
+  -- NULL text must not poison keep_doc, and rtrim strips only spaces.
+  -- The rstrip class is spelled out byte-for-byte (RE2 \s lacks \x0B
+  -- where Java's includes it — textstats.TRAILING_WS_PATTERN)
   SELECT doc_id,
          string_split_regex(coalesce(text, ''), '\\r?\\n') AS lines,
          contains(lower(coalesce(text, '')), 'lorem ipsum') AS has_lorem,
@@ -7009,7 +7011,7 @@ WITH l AS (
 ), k AS (
   SELECT doc_id, lines, has_lorem, has_brace,
          list_filter(lines, x ->
-           right(regexp_replace(x, '\\s+$', ''), 1)
+           right(regexp_replace(x, '[ \\t\\n\\x0B\\f\\r]+$', ''), 1)
              IN ('.', '!', '?', '"') AND
            (CASE WHEN trim(x) = '' THEN 0
                  ELSE len(string_split_regex(trim(x), '\\s+')) END) >= 5
