@@ -561,7 +561,7 @@ SQL_TOPK_PER_GROUP = """
 SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                            ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rank
   FROM orders
 ) WHERE rank <= 3
 """
@@ -843,7 +843,7 @@ def q_moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MOVING_AVG_USER_VALUE = """
 SELECT event_id,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
          AS moving_avg
 FROM events
@@ -1119,7 +1119,7 @@ WITH per_order AS (
               AS BIGINT) AS epoch_day,
          row_number() OVER (PARTITION BY strftime(CAST(o_orderdate AS DATE),
                                                   '%Y-%m')
-                            ORDER BY o_orderkey) AS rn
+                            ORDER BY o_orderkey NULLS FIRST) AS rn
   FROM orders
 )
 SELECT month, o_orderkey, quarter, dow, doy, days_to_month_end,
@@ -1261,7 +1261,7 @@ WITH b AS (
 ), ranked AS (
   SELECT event_type, bucket, c,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY c DESC, bucket ASC) AS rn
+                            ORDER BY c DESC NULLS LAST, bucket ASC NULLS FIRST) AS rn
   FROM counts
 )
 SELECT m.event_type, m.median_value, m.mode_bucket,
@@ -2190,16 +2190,16 @@ SELECT event_type, event_id, round(value, 6) AS value,
        round(lead(value, 1) OVER w - value, 6) AS delta_next,
        round(CAST(sum(CAST(value AS DECIMAL(18,6)))
                   OVER (PARTITION BY event_type
-                        ORDER BY value DESC, event_id
+                        ORDER BY value DESC NULLS LAST, event_id NULLS FIRST
                         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
              / count(*) OVER (PARTITION BY event_type
-                              ORDER BY value DESC, event_id
+                              ORDER BY value DESC NULLS LAST, event_id NULLS FIRST
                               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
              6) AS centered_avg3
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
   AND ts < TIMESTAMP '2024-01-01 01:00:00'
-WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+WINDOW w AS (PARTITION BY event_type ORDER BY value DESC NULLS LAST, event_id NULLS FIRST)
 """
 
 
@@ -2395,7 +2395,7 @@ WITH ev AS (
 SELECT g.event_type, g.hour,
        CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
        last_value(h.hourly_avg IGNORE NULLS) OVER (
-           PARTITION BY g.event_type ORDER BY g.hour
+           PARTITION BY g.event_type ORDER BY g.hour NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg,
        CAST(h.hourly_avg IS NULL AS INTEGER) AS is_gap
 FROM grid g LEFT JOIN hourly h
@@ -3034,10 +3034,10 @@ WITH flagged AS (
                    > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST)
 ), sessions AS (
   SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ), per_session AS (
@@ -3284,7 +3284,7 @@ ctx AS (
                         AND (max(is_caps) OVER (PARTITION BY doc_id) = 1
                              AND max(is_noncaps_alpha) OVER (PARTITION BY doc_id) = 1)
                    THEN {c_incr!r} * sign(v0) ELSE 0.0 END AS v_caps
-  FROM flags f WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  FROM flags f WINDOW w AS (PARTITION BY doc_id ORDER BY pos NULLS FIRST)
 ),
 ctx2 AS (
   SELECT c.*, b1.bv AS bv1, b2.bv AS bv2, b3.bv AS bv3
@@ -3370,7 +3370,7 @@ WITH toks AS (
   {_unsegmented_scores_sql()}
 ), best AS (
   SELECT doc_id, lang, hits,
-         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC NULLS LAST, lang DESC NULLS LAST) AS rn
   FROM scores
 )
 SELECT CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_guess,
@@ -3729,10 +3729,10 @@ WITH toks AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER w IS NULL
                    OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS brk
-  FROM seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  FROM seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos NULLS FIRST)
 ), isl2 AS (
   SELECT doc_id, pos,
-         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos NULLS FIRST
                         ROWS UNBOUNDED PRECEDING) AS island
   FROM isl
 ), regions AS (
@@ -3781,10 +3781,10 @@ WITH toks AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER w IS NULL
                    OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS brk
-  FROM seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  FROM seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos NULLS FIRST)
 ), isl2 AS (
   SELECT doc_id, pos,
-         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos NULLS FIRST
                         ROWS UNBOUNDED PRECEDING) AS island
   FROM isl
 ), regions AS (
@@ -3800,7 +3800,7 @@ WITH toks AS (
   FROM regions r JOIN toks t USING (doc_id)
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY span_hash
-                               ORDER BY doc_id, span_start) AS rk
+                               ORDER BY doc_id NULLS FIRST, span_start NULLS FIRST) AS rk
   FROM spans
 ), removed AS (
   SELECT doc_id, span_start, span_start + n_tokens AS span_end
@@ -4061,7 +4061,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
        round(sim, 4) AS cosine_sim
 FROM (SELECT query_id, neighbor_id, sim,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, neighbor_id) AS rank
+                                ORDER BY sim DESC NULLS LAST, neighbor_id NULLS FIRST) AS rank
       FROM scored)
 WHERE rank <= 5
 """
@@ -4139,7 +4139,7 @@ scored AS (
 SELECT doc_id, term, CAST(rank AS INT) AS rank, round(tfidf, 6) AS tfidf
 FROM (SELECT doc_id, term, tfidf,
              row_number() OVER (PARTITION BY doc_id
-                                ORDER BY tfidf DESC, term) AS rank
+                                ORDER BY tfidf DESC NULLS LAST, term NULLS FIRST) AS rank
       FROM scored)
 WHERE rank <= 3
 """
@@ -4610,7 +4610,7 @@ WITH toks AS (
 ), binned AS (
   SELECT doc_id, source, shard, n_tokens,
          CAST(floor(coalesce(sum(n_tokens) OVER (
-             PARTITION BY source, shard ORDER BY doc_id
+             PARTITION BY source, shard ORDER BY doc_id NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
            AS BIGINT) AS bin_id
   FROM toks
@@ -5411,7 +5411,7 @@ WITH b AS (
 ), ranked AS (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos DESC, neighbor_id) AS rk
+                            ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rk
   FROM cand
 )
 SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank,
@@ -5738,7 +5738,7 @@ SELECT * FROM (
          round(cume_dist() OVER w, 6) AS cume
   FROM orders
   WINDOW w AS (PARTITION BY o_orderpriority
-               ORDER BY o_totalprice DESC, o_orderkey)
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST)
 )
 WHERE rn <= 100
 """
@@ -6166,7 +6166,7 @@ WITH sents AS (
   FROM sents
 ), assigned AS (
   SELECT doc_id, sent_idx, n_tok,
-         CAST(floor((sum(n_tok) OVER (PARTITION BY doc_id ORDER BY sent_idx
+         CAST(floor((sum(n_tok) OVER (PARTITION BY doc_id ORDER BY sent_idx NULLS FIRST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      - n_tok) / 64) AS BIGINT) AS chunk_id
   FROM per_sent
@@ -6361,7 +6361,7 @@ WITH h AS (
   FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), cum AS (
   SELECT event_type, b,
-         sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY event_type ORDER BY b NULLS FIRST) AS cum,
          sum(c) OVER (PARTITION BY event_type) AS n
   FROM h
 ), bounds AS (
@@ -6645,7 +6645,7 @@ SQL_QUANTILE_BINNING_EVENTS = """
 WITH b AS (
   SELECT event_type, value,
          ntile(10) OVER (PARTITION BY event_type
-                         ORDER BY value, event_id) AS decile
+                         ORDER BY value NULLS FIRST, event_id NULLS FIRST) AS decile
   FROM events
 )
 SELECT event_type, decile, count(*) AS n_events,
@@ -6902,7 +6902,7 @@ WITH hourly AS (
 SELECT s.event_type, CAST(s.hour_start AS TIMESTAMP) AS hour_start,
        CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
        last_value(h.avg_v IGNORE NULLS) OVER (
-         PARTITION BY s.event_type ORDER BY s.hour_start
+         PARTITION BY s.event_type ORDER BY s.hour_start NULLS FIRST
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS avg_value_ffill
 FROM spine s LEFT JOIN hourly h
@@ -7065,7 +7065,7 @@ assign AS (
 best AS (
   SELECT vec_id, seed_id AS cluster FROM (
     SELECT vec_id, seed_id,
-           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, seed_id) AS rn
+           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC NULLS LAST, seed_id NULLS FIRST) AS rn
     FROM assign
   ) WHERE rn = 1
 ),
@@ -7419,7 +7419,7 @@ def _kmeans_cte_parts(k: int = 4, iterations: int = 3) -> tuple[list[str], str, 
         return f"""a{i} AS (
   SELECT vec_id, cid AS cluster FROM (
     SELECT v.vec_id, c.cid,
-           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC NULLS FIRST, c.cid ASC NULLS FIRST) AS rn
     FROM v CROSS JOIN {prev} c
   ) WHERE rn = 1
 )"""
@@ -7510,7 +7510,7 @@ def _ivf_kmeans_oracle_sql(
         f"""probe AS (
   SELECT query_id, cid AS cluster FROM (
     SELECT q.query_id, c.cid,
-           row_number() OVER (PARTITION BY q.query_id ORDER BY {qd2} ASC, c.cid ASC) AS rn
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {qd2} ASC NULLS FIRST, c.cid ASC NULLS FIRST) AS rn
     FROM q CROSS JOIN {final_cent} c
   ) WHERE rn <= {n_probe}
 )""",
@@ -7533,7 +7533,7 @@ def _ivf_kmeans_oracle_sql(
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine_sim
 FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    PARTITION BY query_id ORDER BY cosine_sim DESC NULLS LAST, neighbor_id NULLS FIRST) AS rank
   FROM scored
 ) WHERE rank <= {k}"""
     )
@@ -7589,7 +7589,7 @@ def _pq_cte_parts(
   SELECT vec_id, s, code FROM (
     SELECT sv.vec_id, sv.s, c.code,
            row_number() OVER (PARTITION BY sv.vec_id, sv.s
-             ORDER BY {d2} ASC, c.code ASC) AS rn
+             ORDER BY {d2} ASC NULLS FIRST, c.code ASC NULLS FIRST) AS rn
     FROM sv JOIN {prev} c USING (s)
   ) WHERE rn = 1
 )"""
@@ -7603,10 +7603,10 @@ def _pq_cte_parts(
   FROM v CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS s) sub
 )""",
         f"""c0 AS (
-  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id NULLS FIRST) - 1 AS code,
          list_transform(svec, x -> round(x, 9)) AS ce
   FROM sv
-  QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= {k_codes}
+  QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id NULLS FIRST) <= {k_codes}
 )""",
         """u AS (
   SELECT vec_id, s, j, svec[j] AS val
@@ -7704,7 +7704,7 @@ def _pq_adc_oracle_sql(k: int = 5) -> str:
 SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, adc2 AS score
 FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY adc2 ASC, neighbor_id) AS rn
+    PARTITION BY query_id ORDER BY adc2 ASC NULLS FIRST, neighbor_id NULLS FIRST) AS rn
   FROM adc
 ) WHERE rn <= {k}"""
     )
@@ -8544,10 +8544,10 @@ WITH flagged AS (
                    >= 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events WHERE ts IS NOT NULL
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST)
 ), sessions AS (
   SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ), per_session AS (
@@ -8945,7 +8945,7 @@ WITH deltas AS (
 ),
 swept AS (
   SELECT event_type,
-         sum(delta) OVER (PARTITION BY event_type ORDER BY t) AS running
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t NULLS FIRST) AS running
   FROM deltas
 )
 SELECT event_type, CAST(max(running) AS BIGINT) AS peak_concurrent,
@@ -9082,7 +9082,7 @@ keyed AS (
 ranked AS (
   SELECT doc_id, source, n_tokens,
          row_number() OVER (PARTITION BY source
-                            ORDER BY es_key DESC, doc_id) AS rn
+                            ORDER BY es_key DESC NULLS LAST, doc_id NULLS FIRST) AS rn
   FROM keyed
 )
 SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens
@@ -9200,7 +9200,7 @@ WITH keyed AS (
 )
 SELECT doc_id, CAST(shuffle_key % 8 AS INTEGER) AS shard,
        CAST(row_number() OVER (PARTITION BY shuffle_key % 8
-                               ORDER BY shuffle_key, doc_id) AS INTEGER)
+                               ORDER BY shuffle_key NULLS FIRST, doc_id NULLS FIRST) AS INTEGER)
          AS pos
 FROM keyed
 """
@@ -9286,7 +9286,7 @@ def _kmeans_silhouette_oracle_sql(k: int = 4, iterations: int = 3) -> str:
 )""",
         """ranked AS (
   SELECT vec_id, cid, d2,
-         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 NULLS FIRST, cid NULLS FIRST) AS rn
   FROM pd
 )""",
         """ab AS (
@@ -10519,7 +10519,7 @@ SQL_ROLLING_REVENUE_90D = """
 SELECT o_orderkey, o_custkey, o_orderdate AS orderdate,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
          PARTITION BY o_custkey
-         ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+         ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) NULLS FIRST
          RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
        ) AS DOUBLE) AS rev_90d
 FROM orders
@@ -10628,7 +10628,7 @@ WITH daily AS (
   WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
   GROUP BY 1
 ), ranked AS (
-  SELECT *, row_number() OVER (ORDER BY day) AS rn FROM daily
+  SELECT *, row_number() OVER (ORDER BY day NULLS FIRST) AS rn FROM daily
 ), offs AS (
   SELECT unnest(range(0, 30)) AS d
 ), scattered AS (
@@ -10738,7 +10738,7 @@ WITH spend AS (
   FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 ), ranked AS (
   SELECT cents,
-         row_number() OVER (ORDER BY cents, o_custkey) AS rn
+         row_number() OVER (ORDER BY cents NULLS FIRST, o_custkey NULLS FIRST) AS rn
   FROM spend
 )
 SELECT CAST(count(*) AS BIGINT) AS n_customers,
@@ -10813,7 +10813,7 @@ SQL_SPEND_DECILE_LIFT = """
 WITH ranked AS (
   SELECT o_totalprice,
          CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open,
-         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         row_number() OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST) AS rn,
          count(*) OVER () AS n_total
   FROM orders WHERE o_totalprice IS NOT NULL
 ), deciles AS (
@@ -11012,7 +11012,7 @@ WITH q AS (
   SELECT query_id, label
   FROM (SELECT query_id, label,
                row_number() OVER (PARTITION BY query_id
-                                  ORDER BY sim DESC, neighbor_id) AS rank
+                                  ORDER BY sim DESC NULLS LAST, neighbor_id NULLS FIRST) AS rank
         FROM scored)
   WHERE rank <= 5
 ), votes AS (
@@ -11021,7 +11021,7 @@ WITH q AS (
 )
 SELECT query_id, label AS predicted_label, n_votes
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY n_votes DESC, label ASC) AS rn
+                                   ORDER BY n_votes DESC NULLS LAST, label ASC NULLS FIRST) AS rn
       FROM votes)
 WHERE rn = 1 ORDER BY query_id
 """
@@ -11065,7 +11065,7 @@ SQL_MARKOV_TRANSITIONS_EVENTS = """
 WITH pairs AS (
   SELECT user_id,
          lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev_type,
+                               ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_type,
          event_type AS next_type
   FROM events
 ), counts AS (
@@ -11177,8 +11177,8 @@ def q_equidepth_histogram_lineitem(
 SQL_EQUIDEPTH_HISTOGRAM_LINEITEM = """
 WITH ranked AS (
   SELECT l_extendedprice,
-         row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
-                            l_linenumber) AS rn,
+         row_number() OVER (ORDER BY l_extendedprice NULLS FIRST, l_orderkey NULLS FIRST,
+                            l_linenumber NULLS FIRST) AS rn,
          count(*) OVER () AS n_total
   FROM lineitem WHERE l_extendedprice IS NOT NULL
 )
@@ -11581,12 +11581,12 @@ WITH daily AS (
   FROM daily
 ), run1 AS (
   SELECT day, cents, n, tot, sq,
-         sum(cents * n - tot) OVER (ORDER BY day ROWS BETWEEN
+         sum(cents * n - tot) OVER (ORDER BY day NULLS FIRST ROWS BETWEEN
              UNBOUNDED PRECEDING AND CURRENT ROW) AS s
   FROM stats
 ), run AS (
   SELECT day, cents, n, tot, sq, s,
-         least(min(s) OVER (ORDER BY day ROWS BETWEEN
+         least(min(s) OVER (ORDER BY day NULLS FIRST ROWS BETWEEN
                UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS smin
   FROM run1
 )
@@ -11795,16 +11795,16 @@ WITH base AS (
   FROM events
 ), flagged AS (
   SELECT user_id, s, e,
-         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s NULLS FIRST
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
                   THEN 1
-              WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s
+              WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s NULLS FIRST
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                   THEN 1 ELSE 0 END AS new_block
   FROM base
 ), blocks AS (
   SELECT user_id, s, e,
-         sum(new_block) OVER (PARTITION BY user_id ORDER BY s
+         sum(new_block) OVER (PARTITION BY user_id ORDER BY s NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block_id
   FROM flagged
 ), agg AS (
@@ -11859,7 +11859,7 @@ SQL_TWAP_USER_VALUE = """
 WITH base AS (
   SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
          lead(epoch_us(ts::TIMESTAMP)) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id)
+             (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
            - epoch_us(ts::TIMESTAMP) AS dur
   FROM events
 ), agg AS (
@@ -11944,9 +11944,9 @@ WITH daily AS (
   FROM daily
 ), lagged AS (
   SELECT d,
-         lag(d, 1) OVER (ORDER BY day) AS d1,
-         lag(d, 7) OVER (ORDER BY day) AS d7,
-         lag(d, 30) OVER (ORDER BY day) AS d30
+         lag(d, 1) OVER (ORDER BY day NULLS FIRST) AS d1,
+         lag(d, 7) OVER (ORDER BY day NULLS FIRST) AS d7,
+         lag(d, 30) OVER (ORDER BY day NULLS FIRST) AS d30
   FROM dev
 ), agg AS (
   SELECT sum(CAST(d AS HUGEINT) * d) AS den,
@@ -12024,7 +12024,7 @@ WITH g AS (
   FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
 ), ps AS (
   SELECT pos, neg,
-         sum(neg) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+         sum(neg) OVER (ORDER BY value NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING
                         AND CURRENT ROW) AS cumneg
   FROM g
 )
@@ -12121,10 +12121,10 @@ WITH od AS (
   FROM orders
 ), durs AS (
   SELECT date_diff('day', d,
-             coalesce(lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey),
+             coalesce(lead(d) OVER (PARTITION BY ck ORDER BY d NULLS FIRST, o_orderkey NULLS FIRST),
                       (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)))
            AS dur,
-         CASE WHEN lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey)
+         CASE WHEN lead(d) OVER (PARTITION BY ck ORDER BY d NULLS FIRST, o_orderkey NULLS FIRST)
               IS NOT NULL THEN 1 ELSE 0 END AS obs
   FROM od
 ), byd AS (
@@ -12134,20 +12134,20 @@ WITH od AS (
 ), risk AS (
   SELECT dur, d_events,
          CAST(sum(m) OVER () AS BIGINT)
-           - CAST(coalesce(sum(m) OVER (ORDER BY dur ROWS BETWEEN
+           - CAST(coalesce(sum(m) OVER (ORDER BY dur NULLS FIRST ROWS BETWEEN
                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
   FROM byd
 ), curve AS (
   SELECT dur, d_events, n_risk,
          max(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
-             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+             OVER (ORDER BY dur NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND
                    CURRENT ROW) AS z,
          sum(CASE WHEN d_events < n_risk AND d_events > 0
                   THEN CAST(ln(1.0 - CAST(d_events AS DOUBLE)
                                    / CAST(n_risk AS DOUBLE))
                             AS DECIMAL(28,12))
                   ELSE CAST(0 AS DECIMAL(28,12)) END)
-             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+             OVER (ORDER BY dur NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND
                    CURRENT ROW) AS cl
   FROM risk
 )
@@ -12260,7 +12260,7 @@ WITH m AS (
   FROM pairs
 ), ranked AS (
   SELECT type_a, type_b, z,
-         CAST(row_number() OVER (ORDER BY abs(z) DESC, type_a, type_b)
+         CAST(row_number() OVER (ORDER BY abs(z) DESC NULLS LAST, type_a NULLS FIRST, type_b NULLS FIRST)
               AS INT) AS bh_rank
   FROM zs
 ), crit AS (
@@ -12455,9 +12455,9 @@ WITH per_cust AS (
   FROM per_cust
 ), ranked AS (
   SELECT o_custkey, mon,
-         row_number() OVER (ORDER BY -rec, o_custkey) AS rnr,
-         row_number() OVER (ORDER BY freq, o_custkey) AS rnf,
-         row_number() OVER (ORDER BY mon, o_custkey) AS rnm,
+         row_number() OVER (ORDER BY -rec NULLS FIRST, o_custkey NULLS FIRST) AS rnr,
+         row_number() OVER (ORDER BY freq NULLS FIRST, o_custkey NULLS FIRST) AS rnf,
+         row_number() OVER (ORDER BY mon NULLS FIRST, o_custkey NULLS FIRST) AS rnm,
          count(*) OVER () AS n
   FROM base
 ), scored AS (
@@ -12568,7 +12568,7 @@ WITH toks AS (
   FROM pos
 ), islands AS (
   SELECT doc_id, pos, tok, d,
-         sum(d) OVER (PARTITION BY doc_id ORDER BY pos
+         sum(d) OVER (PARTITION BY doc_id ORDER BY pos NULLS FIRST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS pid
   FROM flagged
@@ -13004,7 +13004,7 @@ SELECT doc_id, sidx AS top_sentence, round(s, 6) AS score
 FROM (
   SELECT doc_id, sidx, s,
          row_number() OVER (PARTITION BY doc_id
-                            ORDER BY round(s, 6) DESC, sidx) AS rk
+                            ORDER BY round(s, 6) DESC NULLS LAST, sidx NULLS FIRST) AS rk
   FROM s{iterations}
 ) WHERE rk = 1 ORDER BY doc_id
 """
@@ -13106,10 +13106,10 @@ WITH daily AS (
   FROM daily
 ), lagged AS (
   SELECT dc, dp,
-         lag(dp, 7) OVER (ORDER BY day) AS pm7,
-         lag(dp, 1) OVER (ORDER BY day) AS pm1,
-         lead(dp, 1) OVER (ORDER BY day) AS pp1,
-         lead(dp, 7) OVER (ORDER BY day) AS pp7
+         lag(dp, 7) OVER (ORDER BY day NULLS FIRST) AS pm7,
+         lag(dp, 1) OVER (ORDER BY day NULLS FIRST) AS pm1,
+         lead(dp, 1) OVER (ORDER BY day NULLS FIRST) AS pp1,
+         lead(dp, 7) OVER (ORDER BY day NULLS FIRST) AS pp7
   FROM dev
 ), agg AS (
   SELECT sum(CAST(dc AS HUGEINT) * dc) AS scc,
@@ -13619,10 +13619,10 @@ WITH pre AS (
 ), steps AS (
   SELECT user_id, event_type AS src,
          coalesce(lead(event_type)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
                   CASE WHEN fp IS NOT NULL THEN 'conv' ELSE 'null' END)
            AS dst,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
            AS rn
   FROM pre2
 ), trans AS (
@@ -13708,13 +13708,13 @@ WITH flagged AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN epoch_us(ts::TIMESTAMP)
                    - lag(epoch_us(ts::TIMESTAMP))
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                    > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), sessions AS (
   SELECT user_id, ts, event_id, event_type,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM flagged
@@ -13724,7 +13724,7 @@ WITH flagged AS (
            || lead(event_type, 2) OVER w AS path,
          lead(event_type, 2) OVER w AS ok
   FROM sessions
-  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 )
 SELECT path, CAST(count(*) AS BIGINT) AS n
 FROM tri WHERE ok IS NOT NULL
@@ -13927,7 +13927,7 @@ WITH daily AS (
   FROM scattered GROUP BY 1
 ), tested AS (
   SELECT d.day, d.cents, f.num, f.den,
-         row_number() OVER (ORDER BY d.day DESC) AS rn
+         row_number() OVER (ORDER BY d.day DESC NULLS LAST) AS rn
   FROM daily d JOIN fc f ON d.day = f.day
 ), per_day AS (
   SELECT CAST(abs((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
@@ -14011,7 +14011,7 @@ WITH tagged AS (
   WHERE fp IS NOT NULL AND ts < fp AND event_type <> 'purchase'
 ), seq AS (
   SELECT user_id, event_type AS channel,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
            AS pos,
          count(*) OVER (PARTITION BY user_id) AS n
   FROM touches
@@ -14669,7 +14669,7 @@ WITH toks AS (
               AS BIGINT) AS rel
   FROM scored GROUP BY 1
 ), ranked AS (
-  SELECT rel, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS i
+  SELECT rel, row_number() OVER (ORDER BY bm25 DESC NULLS LAST, doc_id NULLS FIRST) AS i
   FROM per_doc
 ), dcg AS (
   SELECT sum(CAST(CAST(rel AS DOUBLE) / log2(i + 1) AS DECIMAL(28,12)))
@@ -14681,7 +14681,7 @@ WITH toks AS (
 ), ideal AS (
   SELECT sum(CAST(CAST(rel AS DOUBLE) / log2(i + 1) AS DECIMAL(28,12)))
            AS idcg
-  FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS i
+  FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC NULLS LAST, doc_id NULLS FIRST) AS i
         FROM per_doc) WHERE i <= 10
 )
 SELECT n_relevant_at_10,
@@ -14870,14 +14870,14 @@ WITH per_cust AS (
   FROM orders GROUP BY 1
 ), rf AS (
   SELECT freq,
-         2 * (CAST(sum(c) OVER (ORDER BY freq ROWS BETWEEN UNBOUNDED
+         2 * (CAST(sum(c) OVER (ORDER BY freq NULLS FIRST ROWS BETWEEN UNBOUNDED
                   PRECEDING AND CURRENT ROW) AS BIGINT) - c) + c + 1
            AS r2f
   FROM (SELECT freq, CAST(count(*) AS BIGINT) AS c
         FROM per_cust GROUP BY 1)
 ), rm AS (
   SELECT mon,
-         2 * (CAST(sum(c) OVER (ORDER BY mon ROWS BETWEEN UNBOUNDED
+         2 * (CAST(sum(c) OVER (ORDER BY mon NULLS FIRST ROWS BETWEEN UNBOUNDED
                   PRECEDING AND CURRENT ROW) AS BIGINT) - c) + c + 1
            AS r2m
   FROM (SELECT mon, CAST(count(*) AS BIGINT) AS c
@@ -15066,7 +15066,7 @@ WITH pv AS (
   SELECT CAST(sum(c1) OVER w AS BIGINT) AS k1,
          CAST(sum(c2) OVER w AS BIGINT) AS k2
   FROM pv
-  WINDOW w AS (ORDER BY value
+  WINDOW w AS (ORDER BY value NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), tot AS (
   SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
@@ -15318,7 +15318,7 @@ SELECT query_id, neighbor_id, neg_label, CAST(rank AS INT) AS rank,
        round(sim, 4) AS cosine_sim
 FROM (SELECT query_id, neighbor_id, neg_label, sim,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, neighbor_id) AS rank
+                                ORDER BY sim DESC NULLS LAST, neighbor_id NULLS FIRST) AS rank
       FROM scored)
 WHERE rank <= 3
 """
@@ -15391,7 +15391,7 @@ WITH RECURSIVE daily AS (
   WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
   GROUP BY 1
 ), ranked AS (
-  SELECT row_number() OVER (ORDER BY day) AS rn,
+  SELECT row_number() OVER (ORDER BY day NULLS FIRST) AS rn,
          CAST(cents AS DOUBLE) AS y
   FROM daily
 ), rec AS (
@@ -15706,10 +15706,10 @@ WITH od AS (
   FROM orders
 ), durs AS (
   SELECT date_diff('day', d,
-             coalesce(lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey),
+             coalesce(lead(d) OVER (PARTITION BY ck ORDER BY d NULLS FIRST, o_orderkey NULLS FIRST),
                       (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)))
            AS dur,
-         CASE WHEN lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey)
+         CASE WHEN lead(d) OVER (PARTITION BY ck ORDER BY d NULLS FIRST, o_orderkey NULLS FIRST)
               IS NOT NULL THEN 1 ELSE 0 END AS obs
   FROM od
 ), byd AS (
@@ -15719,14 +15719,14 @@ WITH od AS (
 ), risk AS (
   SELECT dur, d_events,
          CAST(sum(m) OVER () AS BIGINT)
-           - CAST(coalesce(sum(m) OVER (ORDER BY dur ROWS BETWEEN
+           - CAST(coalesce(sum(m) OVER (ORDER BY dur NULLS FIRST ROWS BETWEEN
                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
   FROM byd
 ), curve AS (
   SELECT dur, d_events, n_risk,
          sum(CAST(CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
                   AS DECIMAL(28,12)))
-             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+             OVER (ORDER BY dur NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND
                    CURRENT ROW) AS h
   FROM risk
 )
@@ -15893,7 +15893,7 @@ WITH base AS (
          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
   FROM orders WHERE o_totalprice IS NOT NULL
 ), ranked AS (
-  SELECT g, row_number() OVER (ORDER BY cents, o_orderkey) AS _rn,
+  SELECT g, row_number() OVER (ORDER BY cents NULLS FIRST, o_orderkey NULLS FIRST) AS _rn,
          count(*) OVER () AS _n
   FROM base
 ), binned AS (
@@ -15992,9 +15992,9 @@ WITH daily AS (
   GROUP BY 1
 ), ps AS (
   SELECT day,
-         CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+         CAST(sum(cents) OVER (ORDER BY day NULLS FIRST ROWS BETWEEN UNBOUNDED
              PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
-         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+         CAST(row_number() OVER (ORDER BY day NULLS FIRST) AS BIGINT) AS k
   FROM daily
 ), tot AS (
   SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS t
@@ -16299,7 +16299,7 @@ WITH d AS (
   SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
 ), ranked AS (
   SELECT source, v, c,
-         2 * CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+         2 * CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) + c + 1 AS r2,
          CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ns
@@ -16382,7 +16382,7 @@ WITH toks AS (
   SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
   ORDER BY cnt DESC, token LIMIT 1000
 ), ranked AS (
-  SELECT CAST(ln(CAST(row_number() OVER (ORDER BY cnt DESC, token)
+  SELECT CAST(ln(CAST(row_number() OVER (ORDER BY cnt DESC NULLS LAST, token NULLS FIRST)
                       AS DOUBLE)) AS DECIMAL(28,12)) AS x,
          CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,12)) AS y
   FROM top
@@ -16618,7 +16618,7 @@ SQL_FOLLOWED_BY_PAIRS = """
 WITH pos AS (
   SELECT user_id, event_type AS t,
          CAST(row_number() OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS BIGINT) AS p
+                                 ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS BIGINT) AS p
   FROM events
 ), probes AS (
   SELECT user_id, t AS type_a, p + d.d AS pb
@@ -16685,7 +16685,7 @@ WITH per_part AS (
   FROM lineitem GROUP BY 1
 ), ps AS (
   SELECT l_partkey, rev,
-         CAST(sum(rev) OVER (ORDER BY -rev, l_partkey ROWS BETWEEN
+         CAST(sum(rev) OVER (ORDER BY -rev NULLS FIRST, l_partkey NULLS FIRST ROWS BETWEEN
              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
   FROM per_part
 ), tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM per_part),
@@ -16810,10 +16810,10 @@ WITH od AS (
   FROM orders
 ), durs AS (
   SELECT date_diff('day', d,
-             coalesce(lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey),
+             coalesce(lead(d) OVER (PARTITION BY ck ORDER BY d NULLS FIRST, o_orderkey NULLS FIRST),
                       (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)))
            AS dur,
-         CASE WHEN lead(d) OVER (PARTITION BY ck ORDER BY d, o_orderkey)
+         CASE WHEN lead(d) OVER (PARTITION BY ck ORDER BY d NULLS FIRST, o_orderkey NULLS FIRST)
               IS NOT NULL THEN 1 ELSE 0 END AS obs
   FROM od
 ), byd AS (
@@ -16823,20 +16823,20 @@ WITH od AS (
 ), risk AS (
   SELECT dur, d_events,
          CAST(sum(m) OVER () AS BIGINT)
-           - CAST(coalesce(sum(m) OVER (ORDER BY dur ROWS BETWEEN
+           - CAST(coalesce(sum(m) OVER (ORDER BY dur NULLS FIRST ROWS BETWEEN
                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
   FROM byd
 ), curve AS (
   SELECT dur, d_events, n_risk,
          max(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
-             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+             OVER (ORDER BY dur NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND
                    CURRENT ROW) AS z,
          sum(CASE WHEN d_events < n_risk AND d_events > 0
                   THEN CAST(ln(1.0 - CAST(d_events AS DOUBLE)
                                    / CAST(n_risk AS DOUBLE))
                             AS DECIMAL(28,12))
                   ELSE CAST(0 AS DECIMAL(28,12)) END)
-             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+             OVER (ORDER BY dur NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND
                    CURRENT ROW) AS cl,
          sum(CASE WHEN d_events < n_risk AND d_events > 0
                   THEN CAST(CAST(d_events AS DOUBLE)
@@ -16844,7 +16844,7 @@ WITH od AS (
                                * CAST(n_risk - d_events AS DOUBLE))
                             AS DECIMAL(38,18))
                   ELSE CAST(0 AS DECIMAL(38,18)) END)
-             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+             OVER (ORDER BY dur NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND
                    CURRENT ROW) AS gv
   FROM risk
 )
@@ -16941,7 +16941,7 @@ WITH users AS (
            PARTITION BY ck
            ORDER BY CAST(('0x' || substring(
                      md5(concat_ws('|', 'negsamp', ck, pk)), 1, 15))
-                     ::BIGINT AS BIGINT), pk) AS rank
+                     ::BIGINT AS BIGINT) NULLS FIRST, pk NULLS FIRST) AS rank
   FROM neg
 )
 SELECT ck AS custkey, CAST(rank AS INT) AS rank, pk AS neg_partkey
@@ -17206,7 +17206,7 @@ WITH daily AS (
            AS y
   FROM orders GROUP BY 1
 ), ranked AS (
-  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn, y
+  SELECT CAST(row_number() OVER (ORDER BY day NULLS FIRST) AS BIGINT) AS rn, y
   FROM daily
 ), blocked AS (
   SELECT s.s, rn, y, (rn - 1) // s.s AS blk
@@ -17221,7 +17221,7 @@ WITH daily AS (
   FROM full_blocks WHERE n = s
 ), prefixed AS (
   SELECT s, blk, d,
-         sum(d) OVER (PARTITION BY s, blk ORDER BY rn ROWS BETWEEN
+         sum(d) OVER (PARTITION BY s, blk ORDER BY rn NULLS FIRST ROWS BETWEEN
              UNBOUNDED PRECEDING AND CURRENT ROW) AS p
   FROM devs
 ), per_blk AS (
@@ -17363,11 +17363,11 @@ WITH flagged AS (
                    - epoch_us(lag(ts::TIMESTAMP) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 ), sessions AS (
   SELECT user_id, ts, event_id, event_type,
-         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts,
-             event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST,
+             event_id NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS BIGINT) AS session_id
   FROM flagged
 ), per_sess AS (
@@ -17375,7 +17375,7 @@ WITH flagged AS (
   FROM (
     SELECT event_type,
            row_number() OVER (PARTITION BY user_id, session_id
-                              ORDER BY ts, event_id) AS rn,
+                              ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn,
            CAST(count(*) OVER (PARTITION BY user_id, session_id)
                 AS BIGINT) AS n_events
     FROM sessions

