@@ -27,7 +27,11 @@ UNSEGMENTED_LANGS = {"zh"}
 
 # A BPE-ish word/number/punct-run splitter: words, digit runs, or
 # single non-space symbols — a cheap proxy for subword token counts.
-BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+# The whitespace complement is spelled out (Java's \s set): the
+# pattern is interpolated verbatim into DuckDB twins, and RE2's \s
+# lacks \x0B, which would count vertical tabs as BPE tokens on one
+# engine only (r12 sweep of the r11-ADVICE regex-class finding).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
 # Byte-identical trailing-whitespace strip for BOTH engines: Java's \s
 # includes \x0B (vertical tab) where RE2's does not, so a bare \s+$

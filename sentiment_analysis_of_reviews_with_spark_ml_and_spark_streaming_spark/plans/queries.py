@@ -139,7 +139,7 @@ SELECT token, cnt FROM (
        unnest(string_split(p.p_type, ' ')) AS t(token)
   WHERE l.l_quantity >= 25 AND token NOT IN ('0','1')
   GROUP BY 1
-) ORDER BY cnt DESC, token LIMIT 10
+) ORDER BY cnt DESC NULLS LAST, token NULLS FIRST LIMIT 10
 """
 
 
@@ -315,7 +315,7 @@ WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '2024-06-01'
   AND l.l_shipdate > TIMESTAMP '2024-06-01'
 GROUP BY 1, 2, 3
-ORDER BY revenue DESC, o_orderkey LIMIT 10
+ORDER BY revenue DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 10
 """
 
 
@@ -541,7 +541,7 @@ def q_sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SORT_LIMIT_TOP_ORDERS = """
 SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 10
 """
 
 
@@ -881,7 +881,7 @@ def q_ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_TOP_BIGRAMS = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -893,7 +893,7 @@ SELECT bigram, cnt FROM (
   SELECT u.bigram AS bigram, count(*) AS cnt
   FROM sh, unnest(shingles) AS u(bigram)
   GROUP BY 1
-) ORDER BY cnt DESC, bigram LIMIT 15
+) ORDER BY cnt DESC NULLS LAST, bigram NULLS FIRST LIMIT 15
 """
 
 
@@ -986,7 +986,7 @@ def q_array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ARRAY_FUNCTION_SUITE = """
 WITH t AS (
   SELECT doc_id,
-         string_split_regex(trim(lower(text)), '\\s+') AS toks
+         string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
   FROM documents
 ), c AS (
   SELECT doc_id, toks,
@@ -1281,7 +1281,7 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines)."""
     docs = _t(spark, sf_dir, "documents")
     txt = F.trim(F.lower(F.col("text")))
-    n_words = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).cast("long")
+    n_words = F.size(F.regexp_extract_all(txt, F.lit(r"[^ \t\n\x0B\f\r]+"), 0)).cast("long")
     n_sents = F.greatest(
         F.size(F.regexp_extract_all(txt, F.lit(r"[.!?]+"), 0)).cast("long"),
         F.lit(1).cast("long"),
@@ -1309,7 +1309,7 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_READABILITY_SCORES = """
 WITH c AS (
   SELECT doc_id,
-         CAST(len(regexp_extract_all(trim(lower(text)), '\\S+')) AS BIGINT)
+         CAST(len(regexp_extract_all(trim(lower(text)), '[^ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
            AS n_words,
          greatest(CAST(len(regexp_extract_all(trim(lower(text)), '[.!?]+'))
                        AS BIGINT), 1) AS n_sentences,
@@ -1559,7 +1559,7 @@ SQL_KEYWORD_SEARCH_POSTINGS = """
 WITH postings AS (
   SELECT doc_id, term, count(*) AS tf
   FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
     FROM documents
   )
   GROUP BY 1, 2
@@ -1569,7 +1569,7 @@ FROM postings
 WHERE term IN ('spark', 'join', 'filter')
 GROUP BY doc_id
 HAVING count(DISTINCT term) = 3
-ORDER BY score DESC, doc_id
+ORDER BY score DESC NULLS LAST, doc_id NULLS FIRST
 LIMIT 15
 """
 
@@ -1654,7 +1654,7 @@ def q_keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KEYWORD_SEARCH_BM25 = """
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
   FROM documents
 ), dl AS (
   SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
@@ -1690,7 +1690,7 @@ SELECT doc_id,
        round(coalesce(c_spark, 0.0) + coalesce(c_join, 0.0)
              + coalesce(c_filter, 0.0), 4) AS bm25
 FROM per_term
-ORDER BY bm25 DESC, doc_id
+ORDER BY bm25 DESC NULLS LAST, doc_id NULLS FIRST
 LIMIT 15
 """
 
@@ -1895,7 +1895,7 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BPE_MERGE_TRAINING = """
 WITH wf AS (
   SELECT w, count(*) AS wcount FROM (
-    SELECT replace(unnest(string_split_regex(trim(lower(text)), '\\s+')),
+    SELECT replace(unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')),
                    '·', '') AS w
     FROM documents
   ) WHERE length(w) >= 2 GROUP BY 1
@@ -1912,7 +1912,7 @@ WITH wf AS (
   ) WHERE p[2] IS NOT NULL
   GROUP BY 1, 2
 ), b1 AS (
-  SELECT a, b, pair_count FROM p1 ORDER BY pair_count DESC, a, b LIMIT 1
+  SELECT a, b, pair_count FROM p1 ORDER BY pair_count DESC NULLS LAST, a NULLS FIRST, b NULLS FIRST LIMIT 1
 ), s2 AS (
   SELECT replace(replace(replace(s1.s, m.pat, m.rep), m.pat, m.rep),
                  m.pat, m.rep) AS s, s1.wcount
@@ -1927,7 +1927,7 @@ WITH wf AS (
   ) WHERE p[2] IS NOT NULL
   GROUP BY 1, 2
 ), b2 AS (
-  SELECT a, b, pair_count FROM p2 ORDER BY pair_count DESC, a, b LIMIT 1
+  SELECT a, b, pair_count FROM p2 ORDER BY pair_count DESC NULLS LAST, a NULLS FIRST, b NULLS FIRST LIMIT 1
 ), s3 AS (
   SELECT replace(replace(replace(s2.s, m.pat, m.rep), m.pat, m.rep),
                  m.pat, m.rep) AS s, s2.wcount
@@ -1942,7 +1942,7 @@ WITH wf AS (
   ) WHERE p[2] IS NOT NULL
   GROUP BY 1, 2
 ), b3 AS (
-  SELECT a, b, pair_count FROM p3 ORDER BY pair_count DESC, a, b LIMIT 1
+  SELECT a, b, pair_count FROM p3 ORDER BY pair_count DESC NULLS LAST, a NULLS FIRST, b NULLS FIRST LIMIT 1
 )
 SELECT 1 AS step, a, b, a || b AS merged, pair_count FROM b1
 UNION ALL SELECT 2, a, b, a || b, pair_count FROM b2
@@ -2056,7 +2056,7 @@ def q_data_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DATA_CARD_BY_SOURCE = """
 WITH base AS (
   SELECT source, lang,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tok,
          md5(text) AS fp
   FROM documents
 ), per_fp AS (
@@ -3063,7 +3063,7 @@ def q_clean_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CLEAN_NORMALIZE_DOCS = f"""
 SELECT doc_id,
        ltrim(trim(regexp_replace(regexp_replace(text, '{_PUNCT_SQL}', ' ', 'g'),
-                                 '\\s+', ' ', 'g'))) AS clean_text
+                                 '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS clean_text
 FROM documents
 """
 
@@ -3080,9 +3080,9 @@ def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_FREQUENCIES = """
 SELECT token, cnt FROM (
   SELECT t.token AS token, count(*) AS cnt
-  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t(token)
   GROUP BY 1
-) ORDER BY cnt DESC, token LIMIT 20
+) ORDER BY cnt DESC NULLS LAST, token NULLS FIRST LIMIT 20
 """
 
 
@@ -3097,7 +3097,7 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_TOKEN_COUNTS = """
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+            ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
 FROM documents
 """
 
@@ -3133,7 +3133,7 @@ def q_stemmed_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STEMMED_TOKEN_FREQUENCIES = """
 WITH toks AS (
   SELECT t.token AS token
-  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t(token)
 ), stemmed AS (
   SELECT regexp_replace(
            regexp_replace(
@@ -3146,7 +3146,7 @@ WITH toks AS (
 )
 SELECT stem, cnt FROM (
   SELECT stem, count(*) AS cnt FROM stemmed GROUP BY 1
-) ORDER BY cnt DESC, stem LIMIT 20
+) ORDER BY cnt DESC NULLS LAST, stem NULLS FIRST LIMIT 20
 """
 
 
@@ -3175,7 +3175,7 @@ SQL_SENTIMENT_DOCS = f"""
 WITH raw AS (
   SELECT doc_id,
          coalesce(list_sum(list_transform(
-             string_split_regex(trim(lower(text)), '\\s+'),
+             string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
              t -> {_sentiment_case_sql()})), 0.0) AS r
   FROM documents WHERE text IS NOT NULL
 )
@@ -3237,7 +3237,7 @@ def _vader_sql() -> str:
 WITH lex AS (SELECT * FROM (VALUES {lex_vals}) t(word, val)),
 boosters AS (SELECT * FROM (VALUES {boost_vals}) t(word, bv)),
 base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
          least(len(text) - len(replace(text, '!', '')), 4) * {VL.EP_UNIT!r}
          + (CASE WHEN (len(text) - len(replace(text, '?', ''))) > 3 THEN {VL.QM_CAP!r}
                  WHEN (len(text) - len(replace(text, '?', ''))) > 1
@@ -3362,7 +3362,7 @@ def _unsegmented_scores_sql() -> str:
 
 SQL_LANG_ID = f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ), scores AS (
   SELECT doc_id, m.lang,
          len(list_filter(toks.t, x -> list_contains(m.markers, x))) AS hits
@@ -3397,10 +3397,10 @@ WITH base AS (
   -- coalesce mirrors the Spark twin: NULL text is empty, not a
   -- NULL-skipping least() artifact (r11 review)
   SELECT doc_id,
-         string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks,
+         string_split_regex(trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
          length(coalesce(text, '')) AS n_chars,
          CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-              ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+              ELSE len(string_split_regex(trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'))
          END AS n_tokens,
          length(coalesce(text, ''))
            - length(regexp_replace(coalesce(text, ''), '[[:punct:]]', '', 'g'))
@@ -3452,10 +3452,10 @@ def _stoplist_sql() -> str:
 SQL_TOP_WORDS_NO_STOPWORDS = f"""
 SELECT word, cnt FROM (
   SELECT t.word AS word, count(*) AS cnt
-  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(word)
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t(word)
   WHERE t.word NOT IN ({_stoplist_sql()}) AND t.word != ''
   GROUP BY 1
-) ORDER BY cnt DESC, word LIMIT 20
+) ORDER BY cnt DESC NULLS LAST, word NULLS FIRST LIMIT 20
 """
 
 
@@ -3479,7 +3479,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLING_FINGERPRINT = """
 WITH n AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
   FROM documents WHERE text IS NOT NULL
 ), hs AS (
   SELECT doc_id,
@@ -3511,7 +3511,7 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REPETITION_RATIO = """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
   FROM documents
 )
 SELECT doc_id, len(toks) AS n_tokens,
@@ -3547,7 +3547,7 @@ SQL_CORPUS_STATS_BY_SOURCE = """
 SELECT source, lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+                 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT)
              / count(*), 4) AS avg_tokens
 FROM documents GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -3561,7 +3561,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_FINGERPRINT = """
-SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fingerprint
 FROM documents
 """
 
@@ -3610,7 +3610,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leave every doc's set, and sz is recomputed over the capped sets.
 _SQL_CAPPED_JACCARD_PAIRS = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -3649,7 +3649,7 @@ FROM pairs WHERE inter / (sz_a + sz_b - inter) >= 0.2
 # self-join), so its exact verify keeps full-set Jaccard semantics.
 SQL_DEDUP_NGRAM_JACCARD_UNCAPPED = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -3694,7 +3694,7 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DUPLICATE_SPANS = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ), spans AS (
   SELECT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS span_hash
   FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS r(i)
@@ -3717,7 +3717,7 @@ def q_maximal_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MAXIMAL_DUPLICATE_SPANS = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ), wins AS (
   SELECT doc_id, r.i - 1 AS pos, md5(array_to_string(t[r.i:r.i+4], ' ')) AS h
   FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS r(i)
@@ -3769,7 +3769,7 @@ def q_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DUPLICATE_SPAN_REMOVAL = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ), wins AS (
   SELECT doc_id, r.i - 1 AS pos, md5(array_to_string(t[r.i:r.i+4], ' ')) AS h
   FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS r(i)
@@ -3905,7 +3905,7 @@ def _minhash_portable_oracle_sql(
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -3964,7 +3964,7 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, tok, count(*) AS cnt FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
     FROM documents
   ) GROUP BY 1, 2
 ),
@@ -4125,7 +4125,7 @@ def q_tfidf_native_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TFIDF_NATIVE_TOP_TERMS = """
 WITH terms AS (
   SELECT doc_id, t.term AS term
-  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t(term)
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
 ), dfreq AS (
@@ -4265,7 +4265,7 @@ WITH docs_nn AS (
   -- mirrors the Spark twin's dropna(text) before the fit (r11)
   SELECT * FROM documents WHERE text IS NOT NULL
 ), tok AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s')) AS w
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]')) AS w
   FROM docs_nn
 ),
 tf AS (
@@ -4380,8 +4380,8 @@ SQL_QUALITY_CLASSIFIER_AGREEMENT = """
 WITH f AS (
   SELECT source,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                          t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
          length(trim(text)) AS n_chars,
          length(trim(text)) - length(replace(trim(text), '#', '')) AS n_hash,
@@ -4453,7 +4453,7 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_CLUSTER_CANONICAL = """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -4540,7 +4540,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONTAMINATION_CHECK = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -4605,7 +4605,7 @@ SQL_PACK_SEQUENCES = """
 WITH toks AS (
   SELECT doc_id, source, doc_id % 4 AS shard,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
   FROM documents
 ), binned AS (
   SELECT doc_id, source, shard, n_tokens,
@@ -4981,7 +4981,7 @@ SELECT c.p_partkey, c.s_suppkey, c.s_name, c.s_acctbal, c.nation,
        CAST(c.c AS DOUBLE) AS supply_cost
 FROM cost c
 WHERE c.c = (SELECT min(c2.c) FROM cost c2 WHERE c2.p_partkey = c.p_partkey)
-ORDER BY c.s_acctbal DESC, c.p_partkey, c.s_suppkey
+ORDER BY c.s_acctbal DESC NULLS LAST, c.p_partkey NULLS FIRST, c.s_suppkey NULLS FIRST
 LIMIT 20
 """
 
@@ -5550,7 +5550,7 @@ SQL_DETERMINISTIC_SPLIT = """
 WITH s AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
   FROM documents
 )
@@ -5612,7 +5612,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-joined token window so downstream chunk-level dedup composes
     with the dedup tier."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    toks = F.split(F.trim(F.lower(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
     chunked = base.select(
         "doc_id",
@@ -5640,7 +5640,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CHUNK_DOCUMENTS = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ), ch AS (
   SELECT doc_id,
          unnest(list_transform(
@@ -5690,7 +5690,7 @@ def q_unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_UNIGRAM_LOGPROB_DOCS = """
 WITH toks AS (
   SELECT doc_id, u.tok FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
     FROM documents
   ) AS u(doc_id, tok)
 ), vocab AS (
@@ -5767,20 +5767,20 @@ FROM part
 
 def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation stats: sentences per doc and mean sentence
-    token length. Splitter is ``[.!?]+\\s+`` (delimiters consumed) —
+    token length. Splitter is ``[.!?]+[ \\t\\n\\x0B\\f\\r]+`` (delimiters consumed) —
     deliberately lookaround-free so the Java-regex and RE2 (DuckDB)
     engines segment identically. Mean lengths route through decimals
     for hash portability."""
     docs = _t(spark, sf_dir, "documents")
     sents = F.filter(
-        F.split(F.trim(F.col("text")), "[.!?]+\\s+"),
+        F.split(F.trim(F.col("text")), "[.!?]+[ \\t\\n\\x0B\\f\\r]+"),
         lambda s: F.length(s) > 0,
     )
     per_sent = docs.select(
         "doc_id", F.explode(sents).alias("sent")
     ).select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("sent")), "\\s+")).cast("long").alias("n_tok"),
+        F.size(F.split(F.trim(F.col("sent")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").alias("n_tok"),
     )
     return per_sent.groupBy("doc_id").agg(
         F.count("*").alias("n_sentences"),
@@ -5795,12 +5795,12 @@ SQL_SENTENCE_STATS = """
 WITH sents AS (
   SELECT doc_id, s FROM (
     SELECT doc_id,
-           unnest(string_split_regex(trim(text), '[.!?]+\\s+')) AS s
+           unnest(string_split_regex(trim(text), '[.!?]+[ \\t\\n\\x0B\\f\\r]+')) AS s
     FROM documents
   ) WHERE length(s) > 0
 ), per_sent AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS n_tok
+         CAST(len(string_split_regex(trim(s), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tok
   FROM sents
 )
 SELECT doc_id, count(*) AS n_sentences,
@@ -5931,7 +5931,7 @@ WHERE l.l_returnflag = 'R'
   AND o.o_orderdate >= TIMESTAMP '1995-07-01'
   AND o.o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY 1, 2, 3, 4
-ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+ORDER BY lost_revenue DESC NULLS LAST, c_custkey NULLS FIRST LIMIT 20
 """
 
 
@@ -6052,7 +6052,7 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure codegen string ops."""
     docs = _t(spark, sf_dir, "documents")
     txt = F.trim(F.col("text"))
-    toks = F.split(txt, "\\s+")
+    toks = F.split(txt, "[ \\t\\n\\x0B\\f\\r]+")
     n_tokens = F.when(txt == "", F.lit(0)).otherwise(F.size(toks)).cast("long")
     n_alpha = F.size(
         F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
@@ -6085,8 +6085,8 @@ SQL_GOPHER_QUALITY_RULES = """
 WITH f AS (
   SELECT source,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                          t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
          length(trim(text)) AS n_chars,
          length(trim(text)) - length(replace(trim(text), '#', '')) AS n_hash,
@@ -6117,11 +6117,11 @@ def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     — sentences are never split mid-way, unlike the fixed-stride
     ``chunk_documents``. Prefix sums are per-doc window aggregations
     over integer token counts, so chunk assignment is bit-portable.
-    Splitter is the lookaround-free ``[.!?]+\\s+`` (see
+    Splitter is the lookaround-free ``[.!?]+[ \\t\\n\\x0B\\f\\r]+`` (see
     q_sentence_stats) so Java regex and RE2 segment identically."""
     docs = _t(spark, sf_dir, "documents")
     sents = F.filter(
-        F.split(F.trim(F.col("text")), "[.!?]+\\s+"),
+        F.split(F.trim(F.col("text")), "[.!?]+[ \\t\\n\\x0B\\f\\r]+"),
         lambda s: F.length(s) > 0,
     )
     per_sent = docs.select(
@@ -6130,7 +6130,7 @@ def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         # 1-based to match SQL ordinality (generate_subscripts) convention
         (F.col("_pos") + 1).alias("sent_idx"),
-        F.size(F.split(F.trim(F.col("sent")), "\\s+")).cast("long").alias("n_tok"),
+        F.size(F.split(F.trim(F.col("sent")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").alias("n_tok"),
     )
     w = (
         Window.partitionBy("doc_id")
@@ -6156,13 +6156,13 @@ SQL_SENTENCE_CHUNKS = """
 WITH sents AS (
   SELECT doc_id, s, i FROM (
     SELECT doc_id,
-           unnest(string_split_regex(trim(text), '[.!?]+\\s+')) AS s,
-           generate_subscripts(string_split_regex(trim(text), '[.!?]+\\s+'), 1) AS i
+           unnest(string_split_regex(trim(text), '[.!?]+[ \\t\\n\\x0B\\f\\r]+')) AS s,
+           generate_subscripts(string_split_regex(trim(text), '[.!?]+[ \\t\\n\\x0B\\f\\r]+'), 1) AS i
     FROM documents
   ) WHERE length(s) > 0
 ), per_sent AS (
   SELECT doc_id, i AS sent_idx,
-         CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS n_tok
+         CAST(len(string_split_regex(trim(s), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tok
   FROM sents
 ), assigned AS (
   SELECT doc_id, sent_idx, n_tok,
@@ -6510,7 +6510,7 @@ WITH planted AS (
                          '{_sql_str(clean.URL_PATTERN)}', ' ', 'g'),
                      '{_sql_str(clean.EMAIL_PATTERN)}', '<EMAIL>', 'g'),
                  '{_sql_str(clean.PHONE_PATTERN)}', '<PHONE>', 'g'),
-             '\\s+', ' ', 'g')) AS t
+             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
   FROM planted
 )
 SELECT doc_id, md5(t) AS redacted_md5,
@@ -6535,7 +6535,7 @@ def q_repeated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+", " "))
     bi = F.regexp_extract_all(norm, F.lit(r"(?=(\S+ \S+))\S+ ?"), 1)
     tri = F.regexp_extract_all(norm, F.lit(r"(?=(\S+ \S+ \S+))\S+ ?"), 1)
     n_bi = F.size(bi).cast("long")
@@ -6557,7 +6557,7 @@ def q_repeated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REPEATED_NGRAM_FRACTION = """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
   FROM documents WHERE text IS NOT NULL
 ), g AS (
   SELECT doc_id,
@@ -6607,7 +6607,7 @@ SQL_TOKENIZER_COMPRESSION_RATIO = f"""
 WITH d AS (
   SELECT lang, length(trim(text)) AS nc,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw,
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS nw,
          len(regexp_extract_all(text, '{_sql_str(textstats.BPE_ISH_PATTERN)}')) AS nb
   FROM documents
 )
@@ -6671,7 +6671,7 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_EDIT_DISTANCE = """
 WITH base AS (
   SELECT doc_id AS id, lang,
-         CAST(floor(len(string_split_regex(trim(lower(text)), '\\s+')) / 8)
+         CAST(floor(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) / 8)
               AS BIGINT) AS bkt,
          substr(lower(trim(text)), 1, 16) AS opening,
          substr(lower(trim(text)), 1, 120) AS prefix
@@ -6707,9 +6707,9 @@ SQL_HEAVY_HITTER_TOKENS = """
 SELECT token, cnt FROM (
   SELECT t.token AS token, count(*) AS cnt
   FROM documents d,
-       unnest(string_split_regex(trim(lower(d.text)), '\\s+')) AS t(token)
+       unnest(string_split_regex(trim(lower(d.text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t(token)
   GROUP BY 1
-) ORDER BY cnt DESC, token LIMIT 10
+) ORDER BY cnt DESC NULLS LAST, token NULLS FIRST LIMIT 10
 """
 
 
@@ -6782,7 +6782,7 @@ r0 AS (SELECT node, 1.0 / p.n AS r FROM nodes CROSS JOIN p),
 SELECT node - 10000000 AS s_suppkey, round(r, 8) AS "rank"
 FROM r{iterations}
 WHERE node >= 10000000
-ORDER BY "rank" DESC, s_suppkey
+ORDER BY "rank" DESC NULLS LAST, s_suppkey NULLS FIRST
 LIMIT 20
 """
 
@@ -7014,7 +7014,7 @@ WITH l AS (
            right(regexp_replace(x, '[ \\t\\n\\x0B\\f\\r]+$', ''), 1)
              IN ('.', '!', '?', '"') AND
            (CASE WHEN trim(x) = '' THEN 0
-                 ELSE len(string_split_regex(trim(x), '\\s+')) END) >= 5
+                 ELSE len(string_split_regex(trim(x), '[ \\t\\n\\x0B\\f\\r]+')) END) >= 5
          ) AS kept
   FROM l
 )
@@ -7054,7 +7054,7 @@ def q_semdedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEMDEDUP_KEEP_SET = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE embedding IS NOT NULL),
-seeds AS (SELECT vec_id AS seed_id, e AS se FROM v ORDER BY vec_id LIMIT 8),
+seeds AS (SELECT vec_id AS seed_id, e AS se FROM v ORDER BY vec_id NULLS FIRST LIMIT 8),
 assign AS (
   SELECT v.vec_id, seeds.seed_id,
          round(list_dot_product(v.e, seeds.se)
@@ -7140,7 +7140,7 @@ def q_bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BIGRAM_LOGPROB_DOCS = """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS l
   FROM documents
 ), bi AS (
   SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
@@ -7227,7 +7227,7 @@ SQL_MIXTURE_TOKEN_BUDGET = """
 WITH s AS (
   SELECT source, count(*) AS n_docs,
          CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+                  ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT)
            AS n_tokens,
          (coalesce(try_cast(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0) % 9 + 1)
            AS w
@@ -7356,7 +7356,7 @@ SQL_MIXTURE_SAMPLE_DOCS = """
 WITH d AS (
   SELECT source, doc_id,
          CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT)
            AS nt
   FROM documents
 ), s AS (
@@ -7795,7 +7795,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", "\\r?\\n")).alias("_l"))
         .select(
             "doc_id",
-            F.trim(F.regexp_replace(F.lower("_l"), "\\s+", " ")).alias("_norm"),
+            F.trim(F.regexp_replace(F.lower("_l"), "[ \\t\\n\\x0B\\f\\r]+", " ")).alias("_norm"),
         )
         .filter(F.col("_norm") != "")
     )
@@ -7864,11 +7864,11 @@ WITH qd AS ({quality_filter_decision}),
 dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
 lines AS (
   SELECT d.doc_id,
-         trim(regexp_replace(lower(u.l), '\\s+', ' ', 'g')) AS norm
+         trim(regexp_replace(lower(u.l), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
   FROM documents d
   JOIN dd ON d.doc_id = dd.doc_id,
        unnest(string_split_regex(d.text, '\\r?\\n')) AS u(l)
-  WHERE trim(regexp_replace(lower(u.l), '\\s+', ' ', 'g')) != ''
+  WHERE trim(regexp_replace(lower(u.l), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) != ''
 ),
 linedf AS (
   SELECT md5(norm) AS lh, count(DISTINCT doc_id) AS df
@@ -7979,7 +7979,7 @@ WHERE EXISTS (
     WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
   )
 GROUP BY s.s_name
-ORDER BY numwait DESC, s_name
+ORDER BY numwait DESC NULLS LAST, s_name NULLS FIRST
 LIMIT 10
 """
 
@@ -8002,7 +8002,7 @@ def q_boilerplate_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.col("text"), "\\r?\\n")).alias("_pos", "_line"),
     ).select(
         "doc_id",
-        F.trim(F.regexp_replace(F.lower(F.col("_line")), "\\s+", " ")).alias(
+        F.trim(F.regexp_replace(F.lower(F.col("_line")), "[ \\t\\n\\x0B\\f\\r]+", " ")).alias(
             "_norm"
         ),
         F.length("_line").alias("_chars"),
@@ -8033,13 +8033,13 @@ def q_boilerplate_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BOILERPLATE_LINE_STATS = """
 WITH lines AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(l), '\\s+', ' ', 'g')) AS norm,
+         trim(regexp_replace(lower(l), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm,
          length(l) AS chars
   FROM (
     SELECT doc_id, unnest(string_split_regex(text, '\\r?\\n')) AS l
     FROM documents
   )
-  WHERE trim(regexp_replace(lower(l), '\\s+', ' ', 'g')) != ''
+  WHERE trim(regexp_replace(lower(l), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) != ''
 ),
 linedf AS (
   SELECT md5(norm) AS lh, count(DISTINCT doc_id) AS df
@@ -8312,7 +8312,7 @@ def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _lat_customer c JOIN LATERAL (
           SELECT o_orderkey, o_totalprice FROM _lat_orders
           WHERE o_custkey = c.c_custkey
-          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 2) t
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
@@ -8323,7 +8323,7 @@ SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
 FROM customer c JOIN LATERAL (
   SELECT o_orderkey, o_totalprice FROM orders
   WHERE o_custkey = c.c_custkey
-  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON TRUE
+  ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 2) t ON TRUE
 WHERE c.c_mktsegment = 'BUILDING'
 """
 
@@ -9069,7 +9069,7 @@ SQL_WEIGHTED_SAMPLE_PER_SOURCE = """
 WITH t AS (
   SELECT doc_id, source,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
   FROM documents
 ),
 keyed AS (
@@ -10258,7 +10258,7 @@ def q_countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_COUNTMIN_TOKEN_COUNTS = """
 WITH toks AS (
   SELECT t.token AS token
-  FROM documents, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+  FROM documents, unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t(token)
 ), pairs AS (
   SELECT r.row_idx,
          CAST(concat('0x', substr(md5(concat('cms11:', CAST(r.row_idx AS VARCHAR), ':', token)), 1, 15)) AS BIGINT) % 1024 AS bucket
@@ -10268,7 +10268,7 @@ WITH toks AS (
 ), exact AS (
   SELECT token, count(*) AS exact_cnt FROM toks GROUP BY 1
 ), probes AS (
-  SELECT token, exact_cnt FROM exact ORDER BY exact_cnt DESC, token LIMIT 20
+  SELECT token, exact_cnt FROM exact ORDER BY exact_cnt DESC NULLS LAST, token NULLS FIRST LIMIT 20
 ), pb AS (
   SELECT p.token, r.row_idx,
          CAST(concat('0x', substr(md5(concat('cms11:', CAST(r.row_idx AS VARCHAR), ':', p.token)), 1, 15)) AS BIGINT) % 1024 AS bucket
@@ -11209,7 +11209,7 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_PREFIX_FILTER = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -12597,7 +12597,7 @@ WITH toks AS (
   GROUP BY 1
 )
 SELECT phrase, n_words, mentions, score
-FROM uniq ORDER BY score DESC, phrase LIMIT 15
+FROM uniq ORDER BY score DESC NULLS LAST, phrase NULLS FIRST LIMIT 15
 """
 
 
@@ -12877,7 +12877,7 @@ def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sents = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), "[.!?]+\\s+")).alias(
+        F.posexplode(F.split(F.trim(F.col("text")), "[.!?]+[ \\t\\n\\x0B\\f\\r]+")).alias(
             "sidx", "sent"
         ),
     ).filter(F.length("sent") > 0)
@@ -12970,8 +12970,8 @@ def _textrank_oracle_sql(iterations: int = _TEXTRANK_ITERS) -> str:
     return f"""
 WITH raw AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(text), '[.!?]+\\s+')) AS sent,
-         unnest(range(len(string_split_regex(trim(text), '[.!?]+\\s+'))))
+         unnest(string_split_regex(trim(text), '[.!?]+[ \\t\\n\\x0B\\f\\r]+')) AS sent,
+         unnest(range(len(string_split_regex(trim(text), '[.!?]+[ \\t\\n\\x0B\\f\\r]+'))))
            AS sidx
   FROM documents
 ), sents AS (
@@ -13728,7 +13728,7 @@ WITH flagged AS (
 )
 SELECT path, CAST(count(*) AS BIGINT) AS n
 FROM tri WHERE ok IS NOT NULL
-GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+GROUP BY 1 ORDER BY n DESC NULLS LAST, path NULLS FIRST LIMIT 20
 """
 
 
@@ -14362,7 +14362,7 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(b < "f6", "train").when(b < "fb", "val").otherwise("test")
     )
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ")
     fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
     tagged = docs.select(split.alias("split"), fp.alias("fp"))
     train_fps = (
@@ -14402,7 +14402,7 @@ WITH tagged AS (
               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fb'
               THEN 'val' ELSE 'test' END AS split,
          ('0x' || substring(
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+             md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
              1, 15))::BIGINT AS fp
   FROM documents
 ), train_fps AS (
@@ -14634,7 +14634,7 @@ def q_search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEARCH_EVAL_NDCG = """
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
   FROM documents
 ), dl AS (
   SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
@@ -15630,7 +15630,7 @@ l1 AS (
 SELECT CAST(lab AS BIGINT) AS community,
        CAST(count(*) AS BIGINT) AS community_size
 FROM l2 GROUP BY lab
-ORDER BY community_size DESC, community LIMIT 10
+ORDER BY community_size DESC NULLS LAST, community NULLS FIRST LIMIT 10
 """
 
 
@@ -16016,7 +16016,7 @@ WITH daily AS (
 )
 SELECT day AS split_day, k, n AS n_days, mean_before_dollars,
        mean_after_dollars, round(g, 4) AS gain_dollars_sq
-FROM scored ORDER BY g DESC, day LIMIT 1
+FROM scored ORDER BY g DESC NULLS LAST, day NULLS FIRST LIMIT 1
 """
 
 
@@ -16064,11 +16064,11 @@ SQL_OOV_RATE_BY_SOURCE = """
 WITH toks AS (
   SELECT source, t.token AS token
   FROM documents,
-       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+       unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t(token)
 ), vocab AS (
   SELECT token FROM (
     SELECT token, count(*) AS cnt FROM toks GROUP BY 1
-    ORDER BY cnt DESC, token LIMIT 1000
+    ORDER BY cnt DESC NULLS LAST, token NULLS FIRST LIMIT 1000
   )
 )
 SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -16377,10 +16377,10 @@ SQL_ZIPF_SLOPE_TOKENS = """
 WITH toks AS (
   SELECT t.token AS token
   FROM documents,
-       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+       unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t(token)
 ), top AS (
   SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
-  ORDER BY cnt DESC, token LIMIT 1000
+  ORDER BY cnt DESC NULLS LAST, token NULLS FIRST LIMIT 1000
 ), ranked AS (
   SELECT CAST(ln(CAST(row_number() OVER (ORDER BY cnt DESC NULLS LAST, token NULLS FIRST)
                       AS DOUBLE)) AS DECIMAL(28,12)) AS x,
@@ -16458,7 +16458,7 @@ WITH toks AS (
               ::BIGINT AS BIGINT) % 5 AS fold,
          t.token AS token
   FROM documents,
-       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+       unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS t(token)
 ), train AS (
   SELECT token, CAST(count(*) AS BIGINT) AS ct
   FROM toks WHERE fold != 0 GROUP BY 1
@@ -16925,7 +16925,7 @@ def q_negative_sampling_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NEGATIVE_SAMPLING_RECS = """
 WITH users AS (
-  SELECT DISTINCT o_custkey AS ck FROM orders ORDER BY ck LIMIT 20
+  SELECT DISTINCT o_custkey AS ck FROM orders ORDER BY ck NULLS FIRST LIMIT 20
 ), cand AS (
   SELECT u.ck, p.p_partkey AS pk FROM part p, users u
 ), pos AS (
