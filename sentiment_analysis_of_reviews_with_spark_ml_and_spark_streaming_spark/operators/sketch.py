@@ -239,7 +239,15 @@ def countmin_build(
     domain is <= depth*width — partial aggregation collapses each
     partition to <= depth*width rows before the shuffle, so shuffle
     volume is O(partitions * depth * width), independent of input size
-    or key cardinality."""
+    or key cardinality.
+
+    NULL values are EXCLUDED (the misra_gries/bloom convention — r12
+    review): an unfiltered NULL salts to a NULL md5 and lands depth
+    junk (row_idx, NULL-bucket) counter rows in the sketch — they can
+    never match a real probe's bucket, but they pad the counter table
+    and make the build-side NULL contract silently diverge from the
+    probe side, which already excludes NULLs."""
+    df = df.filter(F.col(value_col).isNotNull())
     pairs = df.select(
         F.explode(
             F.array(
