@@ -114,6 +114,7 @@ HEADLINE = [
     "association_rules_brands",
     "data_quality_expectations",
     "readability_scores",
+    "zipf_heaps_by_source",
     "modern_aggregates_by_type",
     "null_semantics_suite",
     "date_function_suite",

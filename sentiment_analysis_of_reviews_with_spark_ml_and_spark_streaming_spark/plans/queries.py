@@ -5707,6 +5707,144 @@ FROM lp GROUP BY 1
 """
 
 
+def _zipf_rank_weights(n: int = 50) -> tuple[list[int], str]:
+    """Centered ln(rank) regression weights for the fixed rank grid
+    1..n, in exact micro-units: W_i = round((ln i − mean ln) · 1e6) as
+    integer literals, plus the denominator 1e6 · Σ (ln i − mean ln)²
+    rendered with repr() (shortest round-trip — Java parseDouble and
+    C++ strtod are both correctly-rounded, so the same string is the
+    same double on both engines). Computed ONCE per process and
+    embedded verbatim in BOTH the Spark plan and the DuckDB twin, so
+    cross-engine equality cannot depend on this machine's libm."""
+    import math
+
+    logs = [math.log(i) for i in range(1, n + 1)]
+    mean = sum(logs) / n
+    w = [round((x - mean) * 1_000_000) for x in logs]
+    denom = 1_000_000.0 * sum((x - mean) ** 2 for x in logs)
+    return w, repr(denom)
+
+
+def q_zipf_heaps_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostics per source (r12 registry addition):
+    the Zipf rank-frequency slope over each source's top-20 tokens and
+    the Heaps vocabulary-growth exponent ln V / ln N — the two
+    classical power laws a 100 TB curation run tracks per source
+    (natural language sits near slope −1; template/boilerplate
+    sources flatten, keyboard-mash steepens; a Heaps exponent near 1
+    means the source never repeats itself — an id-dump, not prose).
+
+    Engine-portable regression without a single risky operation: the
+    regressor grid is FIXED (ranks 1..50), so the centered weights
+    W_i = (ln i − mean)·1e6 are integer literals embedded in both
+    plans (_zipf_rank_weights); y = ln(count) quantizes to
+    DECIMAL(28,12) (the quantized-log convention); Σ W_i·y_i is exact
+    decimal arithmetic (decimal(7,0) × decimal(28,12) → decimal(36,12)
+    — inside 38 digits, no precision cap on either engine); the slope
+    is ONE double division by a shared literal. The grid is top-20
+    (the synthetic corpus carries ~31-word per-source vocabularies;
+    real corpora would use 50+ — the weights derive from n, nothing
+    else changes); sources with fewer than 20 distinct tokens are
+    excluded on both sides (the weights center a 20-point grid).
+    Scale shape: one (source, token) shuffle (vocabulary-sized), a
+    20-row-per-source window, KB-scale everything after; the fact
+    table is scanned once."""
+    w_units, denom = _zipf_rank_weights(20)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = docs.select(
+        "source", F.explode(tokenize_ws(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    per_source = counts.groupBy("source").agg(
+        F.count("*").alias("n_vocab"),
+        F.sum("cnt").alias("n_tokens"),
+    ).filter(F.col("n_vocab") >= 20)
+    win = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("tok")
+    )
+    ranked = counts.withColumn("rk", F.row_number().over(win)).filter(
+        F.col("rk") <= 20
+    )
+    w_arr = F.array(*[F.lit(w) for w in w_units])
+    pts = ranked.select(
+        "source",
+        F.element_at(w_arr, F.col("rk")).cast("decimal(7,0)").alias("w"),
+        F.log("cnt").cast("decimal(28,12)").alias("y"),
+    )
+    reg = pts.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("y")).cast("double")
+            / F.expr(f"CAST('{denom}' AS DOUBLE)"),
+            6,
+        ).alias("zipf_slope_top20"),
+    )
+    heaps = (
+        F.log(F.col("n_vocab")).cast("decimal(28,12)").cast("double")
+        / F.log(F.col("n_tokens")).cast("decimal(28,12)").cast("double")
+    )
+    return (
+        per_source.join(reg, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_vocab",
+            F.round(heaps, 6).alias("heaps_exponent"),
+            "zipf_slope_top20",
+        )
+    )
+
+
+def _zipf_heaps_oracle_sql() -> str:
+    w_units, denom = _zipf_rank_weights(20)
+    w_list = ", ".join(str(w) for w in w_units)
+    return f"""
+WITH toks AS (
+  SELECT source, u.tok FROM (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)),
+                                     '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+  ) AS u(source, tok)
+  WHERE u.tok <> ''
+), counts AS (
+  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+), per_source AS (
+  SELECT source, count(*) AS n_vocab, sum(cnt) AS n_tokens
+  FROM counts GROUP BY 1 HAVING count(*) >= 20
+), ranked AS (
+  SELECT source, cnt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC NULLS LAST,
+                                     tok NULLS FIRST) AS rk
+  FROM counts
+), pts AS (
+  SELECT source,
+         CAST(([{w_list}])[rk] AS DECIMAL(7,0)) AS w,
+         CAST(ln(cnt) AS DECIMAL(28,12)) AS y
+  FROM ranked WHERE rk <= 20
+), reg AS (
+  SELECT source,
+         round(CAST(sum(w * y) AS DOUBLE)
+               / CAST('{denom}' AS DOUBLE), 6) AS zipf_slope_top20
+  FROM pts GROUP BY 1
+)
+SELECT p.source,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(p.n_vocab AS BIGINT) AS n_vocab,
+       round(CAST(CAST(ln(p.n_vocab) AS DECIMAL(28,12)) AS DOUBLE)
+             / CAST(CAST(ln(p.n_tokens) AS DECIMAL(28,12)) AS DOUBLE), 6)
+         AS heaps_exponent,
+       r.zipf_slope_top20
+FROM per_source p JOIN reg r ON p.source = r.source
+"""
+
+
+SQL_ZIPF_HEAPS_BY_SOURCE = _zipf_heaps_oracle_sql()
+
+
 def q_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-window family in one pass: row_number, ntile
     deciles, percent_rank and cume_dist over order value within each
@@ -17712,6 +17850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_stats_by_label": q_embedding_stats_by_label,
     "repetition_ratio": q_repetition_ratio,
     "corpus_stats_by_source": q_corpus_stats_by_source,
+    "zipf_heaps_by_source": q_zipf_heaps_by_source,
     "tfidf_native_top_terms": q_tfidf_native_top_terms,
     "topk_part_type_tokens": q_topk_part_type_tokens,
     "pricing_summary": q_pricing_summary,
@@ -18011,6 +18150,7 @@ ORACLE: dict[str, str] = {
     "embedding_stats_by_label": SQL_EMBEDDING_STATS_BY_LABEL,
     "repetition_ratio": SQL_REPETITION_RATIO,
     "corpus_stats_by_source": SQL_CORPUS_STATS_BY_SOURCE,
+    "zipf_heaps_by_source": SQL_ZIPF_HEAPS_BY_SOURCE,
     "tfidf_native_top_terms": SQL_TFIDF_NATIVE_TOP_TERMS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
@@ -18248,12 +18388,15 @@ ORACLE: dict[str, str] = {
 #                window (dehint-only changes, forced-replan
 #                certificates in tests/test_plan_independence.py);
 #                first is the entry query the driver smoke-runs.
-#   W-C (15-50): the r6 cohort — now the registry's oldest tier
+#   W-C (15-49): the r6 cohort — now the registry's oldest tier
 #                (47 keys; 6 already seated above/in W-B) — by name;
-#                the last 5 alphabetically (top_words_no_stopwords,
-#                topk_per_group, unigram_logprob_docs,
-#                unpivot_part_measures, variant_props_stats) defer
-#                to r13 for space.
+#                the last 6 alphabetically (token_frequencies,
+#                top_words_no_stopwords, topk_per_group,
+#                unigram_logprob_docs, unpivot_part_measures,
+#                variant_props_stats) defer to r13 for space.
+#   W-D (50):    zipf_heaps_by_source — the r12 registry addition
+#                (Zipf slope + Heaps exponent corpus diagnostics);
+#                never-graded keys enter the window by policy.
 # Veterans keep their prior relative order past the window; rows-only
 # queries stay past the window by contract.
 _R12_WINDOW = [
@@ -18281,7 +18424,8 @@ _R12_WINDOW = [
     "rollup_returnflag", "sentence_stats", "sentiment_docs",
     "session_window_native", "skew_audit_orders_custkey",
     "sort_limit_top_orders", "tfidf_native_top_terms",
-    "token_frequencies",
+    # W-D: r12 registry addition (1)
+    "zipf_heaps_by_source",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 _rest = {k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)}
