@@ -111,3 +111,98 @@ def test_minhash_signatures_match_java_replay(spark, seed, num_tables):
     for rid, vec in rows:
         expected = signature(sorted(vec.indices.tolist()), coefs)
         assert got[rid] == expected, (rid, got[rid], expected)
+
+
+# --- BucketedRandomProjectionLSH (the similarity_ann_lsh family) --------
+#
+# Same certification pattern for the OTHER ml.feature LSH the engine
+# ships: BRP hashes are floor(dot(x, v_t) / bucketLength) over seeded
+# random unit vectors v_t — normalized JDK nextGaussian draws
+# (Marsaglia polar method over the same 48-bit LCG, JDK spec). The
+# replay reproduces the draws bit-for-bit; the dot product is summed
+# sequentially like netlib ddot. floor() quantization absorbs any
+# last-ulp libm difference except on measure-zero bucket boundaries.
+
+
+class JavaRandomGaussian(JavaRandom):
+    """JavaRandom + nextDouble/nextGaussian per the JDK spec."""
+
+    def __init__(self, seed: int):
+        super().__init__(seed)
+        self._next_g = None
+
+    def next_double(self) -> float:
+        hi = self._next(26)
+        lo = self._next(27)
+        return ((hi << 27) + lo) / float(1 << 53)
+
+    def next_gaussian(self) -> float:
+        import math
+
+        if self._next_g is not None:
+            g, self._next_g = self._next_g, None
+            return g
+        while True:
+            v1 = 2 * self.next_double() - 1
+            v2 = 2 * self.next_double() - 1
+            s = v1 * v1 + v2 * v2
+            if 0 < s < 1:
+                break
+        mult = math.sqrt(-2 * math.log(s) / s)
+        self._next_g = v2 * mult
+        return v1 * mult
+
+
+def brp_unit_vectors(
+    seed: int, num_tables: int, dim: int
+) -> list[list[float]]:
+    import math
+
+    r = JavaRandomGaussian(seed)
+    out = []
+    for _ in range(num_tables):
+        v = [r.next_gaussian() for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v))
+        out.append([x / norm for x in v])
+    return out
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+@pytest.mark.parametrize("seed,num_tables", [(42, 3), (11, 6)])
+def test_brp_lsh_hashes_match_java_replay(spark, seed, num_tables):
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors
+
+    dim, bucket_length = 8, 2.0
+    rows = [
+        (0, Vectors.dense([1.0, -2.0, 0.5, 3.0, 0.0, 1.5, -0.25, 2.0])),
+        (1, Vectors.dense([-1.0, 0.0, 4.0, 0.0, 2.5, -3.0, 1.0, 0.5])),
+        (2, Vectors.dense([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])),
+    ]
+    df = spark.createDataFrame(rows, ["id", "features"])
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    ).fit(df)
+    got = {
+        r["id"]: [v[0] for v in r["hashes"]]
+        for r in model.transform(df).select("id", "hashes").collect()
+    }
+    units = brp_unit_vectors(seed, num_tables, dim)
+    for rid, vec in rows:
+        expected = [
+            float(math.floor(_seq_dot(list(vec), u) / bucket_length))
+            for u in units
+        ]
+        assert got[rid] == expected, (rid, got[rid], expected)
