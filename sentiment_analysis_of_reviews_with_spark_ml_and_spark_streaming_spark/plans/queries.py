@@ -1695,6 +1695,76 @@ LIMIT 15
 """
 
 
+def q_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (r12; Cormack,
+    Clarke & Buettcher, SIGIR 2009 — the standard hybrid-search merge
+    every RAG stack ships): the BM25 disjunctive ranking and the
+    conjunctive posting-intersection ranking over the same query terms
+    fuse as RRF(d) = Σ_r 1/(60 + rank_r(d)) across the rankers that
+    retrieved d. RRF needs only RANKS — which is exactly why it is the
+    production fusion choice (scores from different rankers are not
+    commensurable, ranks always are) and exactly what makes it
+    engine-exact here: ranks are integers with full deterministic
+    tiebreaks, each reciprocal is one double division by an
+    integer, and the two contributions sum in fixed textual order.
+    Composes the two certified search queries AS-IS (their top-15
+    lists re-ranked by row_number), so the fusion layer — not a
+    re-implementation — is what this certificate adds. Scale shape:
+    both inputs are k-row lists regardless of corpus size; the fusion
+    is a full-outer join of two 15-row frames."""
+    bm25 = q_keyword_search_bm25(spark, sf_dir)
+    cov = q_keyword_search_postings(spark, sf_dir)
+    wa = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    a = bm25.select("doc_id", F.row_number().over(wa).alias("rank_bm25"))
+    b = cov.select("doc_id", F.row_number().over(wb).alias("rank_boolean"))
+    fused = a.join(b, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(60) + F.col("rank_bm25")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(60) + F.col("rank_boolean")), F.lit(0.0)
+        ),
+        8,
+    )
+    return (
+        fused.select(
+            "doc_id", "rank_bm25", "rank_boolean", rrf.alias("rrf_score")
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# The oracle embeds the two certified rankers' SQL verbatim as
+# subqueries — the fusion layer is the only new logic on either side.
+SQL_SEARCH_RRF_FUSION = """
+WITH bm25_list AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC NULLS LAST,
+                            doc_id NULLS FIRST) AS rank_bm25
+  FROM ({bm25}) AS _a
+), bool_list AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC NULLS LAST,
+                            doc_id NULLS FIRST) AS rank_boolean
+  FROM ({bool}) AS _b
+), fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CAST(a.rank_bm25 AS INT) AS rank_bm25,
+         CAST(b.rank_boolean AS INT) AS rank_boolean,
+         round(
+           coalesce(CAST(1 AS DOUBLE) / (60 + a.rank_bm25), 0.0)
+           + coalesce(CAST(1 AS DOUBLE) / (60 + b.rank_boolean), 0.0),
+           8) AS rrf_score
+  FROM bm25_list a FULL OUTER JOIN bool_list b ON a.doc_id = b.doc_id
+)
+SELECT * FROM fused
+ORDER BY rrf_score DESC NULLS LAST, doc_id NULLS FIRST LIMIT 10
+""".format(bm25=SQL_KEYWORD_SEARCH_BM25, bool=SQL_KEYWORD_SEARCH_POSTINGS)
+
+
 def q_xml_extract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native XML surface (Spark 4.0 from_xml + the xpath_* family,
     r4): each order serialized to an XML fragment IN the query, then
@@ -17910,6 +17980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count_copurchase": q_triangle_count_copurchase,
     "keyword_search_postings": q_keyword_search_postings,
     "keyword_search_bm25": q_keyword_search_bm25,
+    "search_rrf_fusion": q_search_rrf_fusion,
     "dedup_minhash_portable": q_dedup_minhash_portable,
     "intersect_repeat_buyers": q_intersect_repeat_buyers,
     "cohort_retention": q_cohort_retention,
@@ -18211,6 +18282,7 @@ ORACLE: dict[str, str] = {
     "session_window_native": SQL_SESSION_WINDOW_NATIVE,
     "argmax_aggregates_by_priority": SQL_ARGMAX_AGGREGATES_BY_PRIORITY,
     "keyword_search_bm25": SQL_KEYWORD_SEARCH_BM25,
+    "search_rrf_fusion": SQL_SEARCH_RRF_FUSION,
     "recursive_month_series": SQL_RECURSIVE_MONTH_SERIES,
     "xml_extract_orders": SQL_XML_EXTRACT_ORDERS,
     "codec_roundtrip_suite": SQL_CODEC_ROUNDTRIP_SUITE,

@@ -259,6 +259,10 @@ def test_plan_hygiene(spark, name):
             # the postings — broadcast side is a single row by
             # construction (BM25 normalization constants)
             "keyword_search_bm25",
+            # composes keyword_search_bm25 verbatim, inheriting its
+            # 1-row stats crossJoin; the fusion layer itself joins two
+            # 15-row rank lists (r12)
+            "search_rrf_fusion",
             # three 1-row aggregates (stats × edge count × triangle
             # count) crossJoined into the single result row
             "triangle_count_copurchase",
