@@ -206,3 +206,83 @@ def test_brp_lsh_hashes_match_java_replay(spark, seed, num_tables):
             for u in units
         ]
         assert got[rid] == expected, (rid, got[rid], expected)
+
+
+# --- HashingTF (murmur3_x86_32) -----------------------------------------
+#
+# The remaining unpinned stage of the dedup_minhash_lsh hash chain:
+# shingle -> HashingTF index -> MinHash signature. HashingTF maps a
+# term to pmod(murmur3_x86_32(utf8(term), seed=42), numFeatures) with
+# the STANDARD murmur3 tail (Spark's hashUnsafeBytes2: little-endian
+# tail accumulate + one k1 mix + fmix). With this and the signature
+# replay above, every hash the ml.feature dedup path computes is
+# certified against independent first-principles math.
+
+
+def murmur3_x86_32(data: bytes, seed: int) -> int:
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data) // 4 * 4
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k1 = 0
+    for shift, i in enumerate(range(n, len(data))):
+        k1 ^= (data[i] & 0xFF) << (8 * shift)
+    if k1:
+        k1 = (k1 * c1) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        k1 = (k1 * c2) & 0xFFFFFFFF
+        h ^= k1
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _hashingtf_index(term: str, num_features: int) -> int:
+    """Java-int pmod of the signed murmur3 value (Utils.nonNegativeMod)."""
+    v = murmur3_x86_32(term.encode("utf-8"), 42)
+    if v >= 1 << 31:
+        v -= 1 << 32
+    return v % num_features
+
+
+def test_hashingtf_indices_match_murmur3_replay(spark):
+    from pyspark.ml.feature import HashingTF
+
+    # every tail length 0-3, multibyte UTF-8, and a shingle-shaped term
+    terms = ["", "a", "ab", "abc", "abcd", "abcde", "héllo",
+             "日本語", "the quick brown", "sh_ingle_3gram"]
+    terms = [t for t in terms if t]  # HashingTF ignores nothing; '' is a real term
+    df = spark.createDataFrame([(terms,)], ["words"])
+    for nf in (1 << 10, 1 << 18):
+        tf = HashingTF(inputCol="words", outputCol="feat", numFeatures=nf)
+        vec = tf.transform(df).collect()[0]["feat"]
+        got = sorted(int(i) for i in vec.indices)
+        expected = sorted({_hashingtf_index(t, nf) for t in terms})
+        assert got == expected, (nf, got, expected)
+
+
+def test_hashingtf_counts_match_replay(spark):
+    """Term multiplicities land as counts on the replayed indices."""
+    from pyspark.ml.feature import HashingTF
+
+    words = ["dup", "dup", "dup", "solo"]
+    df = spark.createDataFrame([(words,)], ["words"])
+    tf = HashingTF(inputCol="words", outputCol="feat", numFeatures=1 << 12)
+    vec = tf.transform(df).collect()[0]["feat"]
+    got = {int(i): float(v) for i, v in zip(vec.indices, vec.values)}
+    expected = {}
+    for w in words:
+        idx = _hashingtf_index(w, 1 << 12)
+        expected[idx] = expected.get(idx, 0.0) + 1.0
+    assert got == expected
