@@ -15119,7 +15119,26 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     table squared (~3M rows at sf0.1 — theta_segment_overlap's
     boundedness contract), and both medians are exact interpolated
     percentiles over identical double multisets. Output in
-    dollars/day."""
+    dollars/day.
+
+    The slope median goes through the distributed-rank family, not
+    the ``percentile`` aggregate (r12 perf finding): Spark's exact
+    Percentile is an ImperativeAggregate that hashmap-counts every
+    distinct double in ONE reducer — 10.3 s of this query's 14.5 s at
+    sf0.1 was that single aggregate over the 2.9M-pair multiset, and
+    at larger day counts it is the plan's only non-scaling stage. The
+    replacement: range-bucketed global row_number over the slopes
+    (operators/relational.distributed_row_number — a parallel sort
+    shuffle), pick the two middle ranks (the pair COUNT is the closed
+    form d·(d−1)/2 off the tiny day table, no extra pass), and
+    interpolate ``lower + (upper−lower)·0.5`` — the exact double
+    formula Percentile and quantile_cont both use, so the surface is
+    bit-identical to the aggregate it replaces (ranks among tied
+    slopes are arbitrary, but value-at-rank is well defined). The
+    intercept median stays on ``percentile``: one row per DAY is
+    KB-scale at any SF."""
+    from ..operators.relational import distributed_row_number
+
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
@@ -15128,7 +15147,10 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.datediff("day", F.lit("1970-01-01").cast("date")).alias("x"),
         "cents",
-    )
+    ).localCheckpoint(eager=True)  # 3 consumers; one row per day
+    d = daily.count()
+    n_pairs = d * (d - 1) // 2
+    lo, hi = (n_pairs + 1) // 2, n_pairs // 2 + 1
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
         (
@@ -15136,21 +15158,23 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.x") - F.col("a.x")).cast("double")
         ).alias("slope")
     )
-    m = slopes.agg(
-        F.count("*").alias("n_pairs"),
-        F.expr("percentile(slope, 0.5)").alias("_m"),
+    ranked = distributed_row_number(slopes, ["slope"], out_col="_rn")
+    m = ranked.filter(F.col("_rn").isin(lo, hi)).agg(
+        (
+            F.min("slope")
+            + (F.max("slope") - F.min("slope")) * F.lit(0.5)
+        ).alias("_m")
     )
     resid = daily.crossJoin(F.broadcast(m)).select(
-        "n_pairs",
         "_m",
         (F.col("cents").cast("double") - F.col("_m") * F.col("x")).alias(
             "_r"
         ),
     )
-    return resid.groupBy("n_pairs", "_m").agg(
+    return resid.groupBy("_m").agg(
         F.expr("percentile(_r, 0.5)").alias("_b")
     ).select(
-        "n_pairs",
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
         F.round(F.col("_m") / 100.0, 4).alias("slope_dollars_per_day"),
         F.round(F.col("_b") / 100.0, 4).alias("intercept_dollars"),
     )
