@@ -13721,6 +13721,13 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     denom = Window.partitionBy("variant", "src")
+    # localCheckpoint: probs embeds the ONLY data-sized work (the
+    # per-user journey window) yet is re-referenced by all 12 value-
+    # iteration rounds below — unpinned, the optimizer plans a 12-way
+    # self-referencing DAG over the full journey pipeline (the
+    # iterative-DataFrame trap pagerank/bfs already guard against;
+    # r12 perf finding: 18.8 s → ~4 s at sf0.1). The pinned frame is
+    # ≤ 5 variants × 7×7 states — constant-sized at any SF.
     probs = variants.groupBy("variant", "src", "dst").agg(
         F.sum("n").alias("n")
     ).select(
@@ -13728,7 +13735,7 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         "dst",
         (F.col("n").cast("double") / F.sum("n").over(denom)).alias("p"),
-    )
+    ).localCheckpoint(eager=True)
     # value iteration on the constant-sized table; x(conv)=1 absorbing
     states = probs.select("variant", F.col("src").alias("state")).distinct()
     x = states.withColumn("x", F.lit(0.0))
@@ -13769,7 +13776,11 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(28,12)")
             .cast("double")
             .alias("x"),
-        )
+            # per-round localCheckpoint (the pagerank discipline): the
+            # 12 rounds otherwise nest into one 12-join-deep plan whose
+            # OPTIMIZER time dominates a ≤35-row/round computation
+            # (~4.6 s of plan work vs ~1 s of tiny jobs — r12 profile)
+        ).localCheckpoint(eager=True)
     base = x.filter(
         (F.col("variant") == "") & (F.col("state") == "start")
     ).select(F.col("x").alias("p_base"))
