@@ -9565,23 +9565,41 @@ def q_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).select("c_custkey", F.lit("UP").alias("c_mktsegment"))
         v3 = tfmt.merge_upsert(updates, root, key_col="c_custkey")
-        rows = []
+        # ONE readback job: the four version snapshots union (tagged by
+        # canonical label) into a single grouped aggregate — the
+        # per-version loop ran 4 sequential agg+collect jobs whose
+        # scheduling latency, not data volume, dominated (r12 profile:
+        # 2.6 s → 0.9 s at sf0.1). Aggregation per version is
+        # order-insensitive, so values are identical.
+        u = None
         for lbl, v in enumerate([0, v1, v2, v3]):
-            r = (
-                tfmt.read_table(spark, root, version=v)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    _key_sum_str("c_custkey").alias("ks"),
-                    _key_sq_sum_str("c_custkey").alias("ksq"),
-                    F.countDistinct("c_mktsegment").alias("nseg"),
-                )
-                .collect()[0]
+            f = tfmt.read_table(spark, root, version=v).select(
+                F.lit(lbl).cast("long").alias("version"),
+                "c_custkey",
+                "c_mktsegment",
             )
-            rows.append((lbl, r["n"], r["ks"], r["ksq"], r["nseg"]))
+            u = f if u is None else u.unionByName(f)
+        got = {
+            r["version"]: (r["version"], r["n"], r["ks"], r["ksq"],
+                           r["nseg"])
+            for r in u.groupBy("version")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                _key_sum_str("c_custkey").alias("ks"),
+                _key_sq_sum_str("c_custkey").alias("ksq"),
+                F.countDistinct("c_mktsegment").alias("nseg"),
+            )
+            .collect()
+        }
+        # an EMPTY version has no group row, but the per-version global
+        # aggregate it replaces always emitted one (n=0, NULL sums) —
+        # fill the canonical grid so degenerate inputs keep the oracle's
+        # row shape (r10 degenerate-sweep contract)
+        rows = [got.get(lbl, (lbl, 0, None, None, 0)) for lbl in range(4)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
-        rows,
+        sorted(rows),
         "version long, n_rows long, key_sum string, "
         "key_sq_sum string, n_segments long",
     )
@@ -9678,24 +9696,34 @@ def q_lakehouse_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).select("c_custkey", F.lit("UP").alias("c_mktsegment"))
         v3 = tfmt.merge_upsert(updates, root, key_col="c_custkey")
-        rows = []
+        # ONE readback job (r12; the time_travel pattern): non-noop
+        # commits' feeds union (tagged by canonical label) into a
+        # single grouped aggregate instead of one collect per segment
+        feed = None
         prev = 0
         for lbl, v in enumerate([v1, v2, v3], start=1):
             if v == prev:  # no-op commit: empty change set
                 continue
-            rows.extend(
-                (lbl, r["_change_type"], r["n"], r["ks"])
-                for r in (
-                    tfmt.table_changes(spark, root, prev, v)
-                    .groupBy("_change_type")
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        _key_sum_str("c_custkey").alias("ks"),
-                    )
-                    .collect()
-                )
+            seg = tfmt.table_changes(spark, root, prev, v).select(
+                F.lit(lbl).cast("long").alias("_v"),
+                "_change_type",
+                "c_custkey",
             )
+            feed = seg if feed is None else feed.unionByName(seg)
             prev = v
+        rows = (
+            []
+            if feed is None
+            else [
+                (r["_v"], r["_change_type"], r["n"], r["ks"])
+                for r in feed.groupBy("_v", "_change_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    _key_sum_str("c_custkey").alias("ks"),
+                )
+                .collect()
+            ]
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -10092,31 +10120,59 @@ def q_lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="mor",
         )
         v3 = tfmt.compact(spark, root, target_files=2)
-        rows = []
+        # TWO readback jobs total (r12; the time_travel pattern): the
+        # four tagged snapshots union into one grouped checksum
+        # aggregate, and the non-noop commits' change feeds union into
+        # one grouped deleted-count — the per-version loop ran 7
+        # sequential jobs whose scheduling latency dominated.
+        u = None
+        for lbl, v in enumerate([0, v1, v2, v3]):
+            f = tfmt.read_table(spark, root, version=v).select(
+                F.lit(lbl).cast("long").alias("version"), "c_custkey"
+            )
+            u = f if u is None else u.unionByName(f)
+        got = {
+            r["version"]: (r["version"], r["n"], r["ks"], r["ksq"])
+            for r in u.groupBy("version")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                _key_sum_str("c_custkey").alias("ks"),
+                _key_sq_sum_str("c_custkey").alias("ksq"),
+            )
+            .collect()
+        }
+        feed = None
         prev = None
         for lbl, v in enumerate([0, v1, v2, v3]):
-            r = (
-                tfmt.read_table(spark, root, version=v)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    _key_sum_str("c_custkey").alias("ks"),
-                    _key_sq_sum_str("c_custkey").alias("ksq"),
+            if lbl > 0 and v != prev:  # no-op commit: empty feed
+                seg = tfmt.table_changes(spark, root, prev, v).select(
+                    F.lit(lbl).cast("long").alias("version"),
+                    "_change_type",
                 )
-                .collect()[0]
-            )
-            nd = (
-                0
-                if lbl == 0 or v == prev  # no-op commit: empty feed
-                else tfmt.table_changes(spark, root, prev, v)
-                .filter(F.col("_change_type") == "deleted")
-                .count()
-            )
+                feed = seg if feed is None else feed.unionByName(seg)
             prev = v
-            rows.append((lbl, r["n"], r["ks"], r["ksq"], nd))
+        nd = (
+            {}
+            if feed is None
+            else {
+                r["version"]: r["nd"]
+                for r in feed.filter(
+                    F.col("_change_type") == "deleted"
+                )
+                .groupBy("version")
+                .agg(F.count(F.lit(1)).alias("nd"))
+                .collect()
+            }
+        )
+        # empty-version/empty-feed grid fill (see time_travel)
+        rows = [
+            got.get(lbl, (lbl, 0, None, None)) + (nd.get(lbl, 0),)
+            for lbl in range(4)
+        ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
-        rows,
+        sorted(rows),
         "version long, n_rows long, key_sum string, "
         "key_sq_sum string, n_deleted long",
     )
@@ -10156,22 +10212,32 @@ def q_lakehouse_restore_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="mor",
         )
         v3 = tfmt.restore_table(root, v1)
-        rows = []
+        # ONE readback job over the union of tagged snapshots (the
+        # time_travel pattern — r12 profile: scheduling latency of 4
+        # sequential collects dominated the KB-scale aggregates)
+        u = None
         for lbl, v in enumerate([0, v1, v2, v3]):
-            r = (
-                tfmt.read_table(spark, root, version=v)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    _key_sum_str("c_custkey").alias("ks"),
-                    _key_sq_sum_str("c_custkey").alias("ksq"),
-                )
-                .collect()[0]
+            f = tfmt.read_table(spark, root, version=v).select(
+                F.lit(lbl).cast("long").alias("version"), "c_custkey"
             )
-            rows.append((lbl, r["n"], r["ks"], r["ksq"]))
+            u = f if u is None else u.unionByName(f)
+        got = {
+            r["version"]: (r["version"], r["n"], r["ks"], r["ksq"])
+            for r in u.groupBy("version")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                _key_sum_str("c_custkey").alias("ks"),
+                _key_sq_sum_str("c_custkey").alias("ksq"),
+            )
+            .collect()
+        }
+        # empty-version grid fill (see time_travel): the replaced
+        # global aggregate emitted n=0 rows the groupBy drops
+        rows = [got.get(lbl, (lbl, 0, None, None)) for lbl in range(4)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
-        rows,
+        sorted(rows),
         "version long, n_rows long, key_sum string, "
         "key_sq_sum string",
     )
@@ -10220,33 +10286,42 @@ def q_lakehouse_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
              "as double)"},
             prune_col="c_custkey", mode="mor",
         )
-        rows = []
         # read at the versions the DMLs returned, canonical labels: a
         # no-op DML commits nothing (documented), and its oracle
         # replay is the identity — so re-reading the unchanged version
         # is exactly the oracle's row (the time_travel convention,
-        # r10 degenerate sweep)
+        # r10 degenerate sweep). ONE readback job over the union of
+        # tagged snapshots (r12; the time_travel pattern).
+        u = None
         for lbl, v in enumerate([0, v1, v2]):
-            r = (
-                tfmt.read_table(spark, root, version=v)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    _key_sum_str("c_custkey").alias("ks"),
-                    F.sum(
-                        F.round("c_acctbal", 2).cast("decimal(18,2)")
-                    ).cast("double").alias("bs"),
-                )
-                .collect()[0]
+            f = tfmt.read_table(spark, root, version=v).select(
+                F.lit(lbl).cast("long").alias("version"),
+                "c_custkey",
+                "c_acctbal",
             )
-            rows.append((
-                lbl, r["n"], r["ks"],
+            u = f if u is None else u.unionByName(f)
+        got = {
+            r["version"]: (
+                r["version"], r["n"], r["ks"],
                 # NULL balance sum = empty version (r10 sweep)
                 float(r["bs"]) if r["bs"] is not None else None,
-            ))
+            )
+            for r in u.groupBy("version")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                _key_sum_str("c_custkey").alias("ks"),
+                F.sum(
+                    F.round("c_acctbal", 2).cast("decimal(18,2)")
+                ).cast("double").alias("bs"),
+            )
+            .collect()
+        }
+        # empty-version grid fill (see time_travel)
+        rows = [got.get(lbl, (lbl, 0, None, None)) for lbl in range(3)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
-        rows,
+        sorted(rows),
         "version long, n_rows long, key_sum string, bal_sum double",
     )
 
@@ -15159,7 +15234,11 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("day", F.lit("1970-01-01").cast("date")).alias("x"),
         "cents",
     ).localCheckpoint(eager=True)  # 3 consumers; one row per day
-    d = daily.count()
+    # non-null days only: a NULL o_orderdate day-group never satisfies
+    # the a.x < b.x pair join, so it must not count toward the closed
+    # form either (r12 nullrow-profile regression, caught by the
+    # degenerate sweep)
+    d = daily.filter(F.col("x").isNotNull()).count()
     n_pairs = d * (d - 1) // 2
     lo, hi = (n_pairs + 1) // 2, n_pairs // 2 + 1
     a, b = daily.alias("a"), daily.alias("b")
