@@ -18574,13 +18574,20 @@ ORACLE: dict[str, str] = {
 #                window (dehint-only changes, forced-replan
 #                certificates in tests/test_plan_independence.py);
 #                first is the entry query the driver smoke-runs.
-#   W-C (15-49): the r6 cohort — now the registry's oldest tier
+#   W-C (15-47): the r6 cohort — now the registry's oldest tier
 #                (47 keys; 6 already seated above/in W-B) — by name;
-#                the last 6 alphabetically (token_frequencies,
+#                the last 8 alphabetically (sort_limit_top_orders,
+#                tfidf_native_top_terms, token_frequencies,
 #                top_words_no_stopwords, topk_per_group,
 #                unigram_logprob_docs, unpivot_part_measures,
 #                variant_props_stats) defer to r13 for space.
-#   W-D (50):    zipf_heaps_by_source — the r12 registry addition
+#   W-D (48-49): theil_sen_trend + markov_removal_attribution — the
+#                r12 latency campaign REWROTE their plans (rank-based
+#                median; pinned value iteration) after their r11
+#                certificates were graded: the touched-after-grading
+#                staleness class (VERDICT r10 #2) outranks age
+#                rotation, so they re-certify immediately.
+#   W-E (50):    zipf_heaps_by_source — the r12 registry addition
 #                (Zipf slope + Heaps exponent corpus diagnostics);
 #                never-graded keys enter the window by policy.
 # Veterans keep their prior relative order past the window; rows-only
@@ -18609,8 +18616,9 @@ _R12_WINDOW = [
     "redacted_documents", "repetition_ratio", "rolling_fingerprint",
     "rollup_returnflag", "sentence_stats", "sentiment_docs",
     "session_window_native", "skew_audit_orders_custkey",
-    "sort_limit_top_orders", "tfidf_native_top_terms",
-    # W-D: r12 registry addition (1)
+    # W-D: latency-campaign rewrites, re-certifying (2)
+    "theil_sen_trend", "markov_removal_attribution",
+    # W-E: r12 registry addition (1)
     "zipf_heaps_by_source",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
