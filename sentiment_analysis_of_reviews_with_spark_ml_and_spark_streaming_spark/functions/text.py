@@ -43,10 +43,16 @@ SENTIMENT_LEXICON: dict[str, float] = {
 _NORM = 15.0  # VADER's alpha
 
 
+# Java's \s spelled out byte-for-byte so the pattern mirrored into
+# DuckDB twins is textually identical on both engines (the r12
+# byte-identical shared-pattern convention; RE2's \s lacks \x0B).
+WS_SPLIT_PATTERN = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def tokenize_ws(col: Column | str) -> Column:
     """Lowercase + whitespace tokenize (Tokenizer parity, no pipeline)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(F.lower(c)), "\\s+")
+    return F.split(F.trim(F.lower(c)), WS_SPLIT_PATTERN)
 
 
 def _lexicon_map(lexicon: dict[str, float]) -> Column:

@@ -86,19 +86,36 @@ def drop_null_rows(df: DataFrame, subset: list[str]) -> DataFrame:
 URL_PATTERN = r"(?:https?://|www\.)[^ \t\n\x0B\f\r]+"
 HTML_TAG_PATTERN = r"<[^>]{1,200}>"
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# >= 7 digits, each pair separated by at most THREE phone separators
-# (' - ' between digit groups: '555 - 123 - 4567'; the r11 {0,2} cap
-# dropped those spaced-dash formats — a PII-recall regression the r11
-# ADVICE flagged) — the old char-class form [\d\s().-]{7,} matched any
-# 9+-char span with just TWO digits, so dotted version strings
-# ('1.2.3.4.5') and sparse spaced digit runs were masked corpus-wide
-# (r11 review finding); the >=7-digit floor still rejects those.
-# Digit-dense date shapes ('2020-08-16') still mask: a conservative
-# PII stance (dates of birth ARE PII) this pipeline accepts. RE2- and
-# Java-compatible (no lookaround — the pattern is embedded verbatim in
-# the DuckDB oracle twins).
-# separator class spells out Java's \s (see URL_PATTERN note)
-PHONE_PATTERN = r"\+?\d(?:[ \t\n\x0B\f\r().-]{0,3}\d){6,}"
+# Phone shapes, >= 7 digits, three lookaround-free alternatives
+# (leftmost-first on both Java and RE2 — the pattern is embedded
+# verbatim in the DuckDB oracle twins):
+#   1. tight: any digit run with at most ONE separator between each
+#      adjacent pair ('5551234567', '555-123-4567', '555 123 4567');
+#      unbounded length like the r11 pattern.
+#   2. wide, long lead: a >=3-digit group then 2-3 more >=2-digit
+#      groups, 1-3 separators between groups ('555 - 123 - 4567').
+#   3. wide, short lead: a 1-2 digit country/area code then 3-4
+#      >=2-digit groups ('+1 (555) 010-42', '+44 - 20 - 7946 - 0958').
+# The r12 single-alternative form \d(?:[sep]{0,3}\d){6,} recovered
+# spaced-dash phones but also masked any >=7-digit span whose digits
+# are INDIVIDUALLY separated by up to 3 chars — spaced numeric lists
+# ('1 - 2 - 3 - 4 - 5 - 6 - 7') masked corpus-wide (r12 ADVICE).
+# Requiring >=2-digit groups whenever separators run wide, and
+# capping wide groups at 4-5 (the separator budget), keeps the
+# spaced-dash recall without that over-masking. The >=7-digit floor
+# still rejects dotted version strings ('1.2.3.4.5'); digit-dense
+# date shapes ('2020-08-16') still mask via alternative 1: a
+# conservative PII stance (dates of birth ARE PII) this pipeline
+# accepts. Separator class spells out Java's \s (see URL_PATTERN
+# note).
+_PHONE_SEP = r"[ \t\n\x0B\f\r().-]"
+PHONE_PATTERN = (
+    r"\+?(?:"
+    r"\d(?:" + _PHONE_SEP + r"?\d){6,}"
+    r"|\d{3,}(?:" + _PHONE_SEP + r"{1,3}\d{2,}){2,3}"
+    r"|\d{1,2}(?:" + _PHONE_SEP + r"{1,3}\d{2,}){3,4}"
+    r")"
+)
 
 
 def strip_urls(col: Column | str, replacement: str = " ") -> Column:

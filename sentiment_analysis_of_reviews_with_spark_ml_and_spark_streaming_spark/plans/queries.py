@@ -6668,7 +6668,14 @@ def q_redacted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.when(
             did % 7 == 0,
-            F.concat(F.lit(" call +1 (555) 010-"), did % 100, F.lit(" ok")),
+            # lpad to a 2-digit tail group: real phone formats never
+            # end in a 1-digit group, and the r13 PHONE_PATTERN
+            # requires >=2-digit groups once separators run wide
+            F.concat(
+                F.lit(" call +1 (555) 010-"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit(" ok"),
+            ),
         ).otherwise(F.lit("")),
         F.when(
             did % 11 == 0,
@@ -6701,7 +6708,7 @@ WITH planted AS (
                  THEN ' contact user' || doc_id || '@example.com now'
                  ELSE '' END
          || CASE WHEN doc_id % 7 = 0
-                 THEN ' call +1 (555) 010-' || (doc_id % 100) || ' ok'
+                 THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ok'
                  ELSE '' END
          || CASE WHEN doc_id % 11 = 0
                  THEN ' <div class=x>see</div> https://ex.org/d/' || doc_id || ' end'
@@ -7209,8 +7216,9 @@ SQL_C4_LINE_FILTER_STATS = """
 WITH l AS (
   -- COALESCE + regexp rstrip mirror the Spark twin (r11 review):
   -- NULL text must not poison keep_doc, and rtrim strips only spaces.
-  -- The rstrip class is spelled out byte-for-byte (RE2 \s lacks \x0B
-  -- where Java's includes it — textstats.TRAILING_WS_PATTERN)
+  -- The rstrip class is spelled out byte-for-byte (RE2 whitespace
+  -- shorthand lacks the vertical tab where Java's includes it --
+  -- textstats.TRAILING_WS_PATTERN)
   SELECT doc_id,
          string_split_regex(coalesce(text, ''), '\\r?\\n') AS lines,
          contains(lower(coalesce(text, '')), 'lorem ipsum') AS has_lorem,

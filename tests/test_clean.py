@@ -124,6 +124,10 @@ def test_phone_pattern_is_digit_dense(spark):
             (2, "version 1.2.3.4.5 released"),     # 5 digits: kept
             (3, "a 1------2 ladder"),              # sparse: kept
             (4, "born 2020-08-16 here"),           # digit-dense: masked
+            (5, "call 555 - 123 - 4567 now"),      # spaced-dash phone: masked
+            (6, "list 1 - 2 - 3 - 4 - 5 - 6 - 7 end"),  # spaced list: kept
+            (7, "ring +44 - 20 - 7946 - 0958 uk"),  # wide 4-group intl: masked
+            (8, "steps 1 - 22 - 3 - 44 - 5 - 66 - 7 mix"),  # 1-digit gaps: kept
         ],
         "id int, text string",
     )
@@ -139,6 +143,10 @@ def test_phone_pattern_is_digit_dense(spark):
     assert out[2] == "version 1.2.3.4.5 released"
     assert out[3] == "a 1------2 ladder"
     assert "<PHONE>" in out[4]
+    assert "<PHONE>" in out[5]
+    assert out[6] == "list 1 - 2 - 3 - 4 - 5 - 6 - 7 end"
+    assert "<PHONE>" in out[7]
+    assert out[8] == "steps 1 - 22 - 3 - 44 - 5 - 66 - 7 mix"
 
 
 def test_binarize_rating_null_precondition_documented(spark):

@@ -19,6 +19,9 @@ def test_oracle_match(spark, name):
     result = compare(spark, QUERIES[name], ORACLE[name], SF_DIR_CORRECTNESS)
     assert result["count_match"], f"{name}: row count {result}"
     assert result["schema_match"], f"{name}: schema {result}"
+    assert result.get("kind_policy_ok", True), (
+        f"{name}: decimal final surface (kind policy) {result}"
+    )
     assert result["value_match"], f"{name}: values {result}"
 
 

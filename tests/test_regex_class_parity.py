@@ -60,6 +60,30 @@ def test_word_split_counts_match_on_vtab(spark):
         assert spark_n == duck_n, (s, spark_n, duck_n)
 
 
+def test_tokenize_ws_pattern_is_spelled_class(spark):
+    """tokenize_ws must carry the byte-identical spelled class (not
+    Java's \\s shorthand) so every twin that mirrors it stays
+    textually identical, and must still tokenize \\x0B as whitespace
+    (Java-\\s-equivalent behavior pin)."""
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.functions import (
+        text,
+    )
+
+    assert text.WS_SPLIT_PATTERN == WS_CLASS + "+"
+    for s in SAMPLES:
+        lit = s.replace("'", "''")
+        toks = (
+            spark.range(1)
+            .select(text.tokenize_ws(F.lit(s)).alias("t"))
+            .collect()[0]["t"]
+        )
+        duck = _duck_one(
+            f"SELECT string_split_regex(trim(lower('{lit}')), "
+            f"'{WS_CLASS}+')"
+        )
+        assert toks == duck, (s, toks, duck)
+
+
 def test_trailing_ws_strip_matches_on_vtab(spark):
     """c4's rstrip-then-last-char check agrees on '.\\x0B' lines."""
     for s in SAMPLES:
@@ -112,6 +136,10 @@ def test_pii_patterns_match_on_vtab(spark):
     cases = [
         "call 555\x0b123\x0b4567 now",
         "call 555 - 123 - 4567 now",
+        "call 555\x0b-\x0b123\x0b-\x0b4567 now",
+        "list 1 - 2 - 3 - 4 - 5 - 6 - 7 end",
+        "ring +44 - 20 - 7946 - 0958 uk",
+        "dial +1 (555) 010-42 ok",
         "see https://x.example/a\x0btail",
         "version 1.2.3.4.5 stays",
     ]
