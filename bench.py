@@ -325,6 +325,9 @@ HEADLINE = [
     "similarity_pq_codes",
     "similarity_pq_adc_topk",
     "als_rank1_factors",
+    # r13: ml.feature LSH replay twins (JDK-LCG hash chain certified)
+    "dedup_minhash_ml_replay",
+    "similarity_brp_ml_replay",
 ]
 
 

@@ -53,6 +53,10 @@ REQUIRES_DATA: dict[str, dict[str, str]] = {
         "similarity_hyperplane_lsh": _NO_VECTOR,
         "similarity_pq_codes": _NO_VECTOR,
         "similarity_pq_adc_topk": _NO_VECTOR,
+        # LSH.fit probes the first row for the vector dimension —
+        # empty input has no head (r13, the two ml-replay twins)
+        "dedup_minhash_ml_replay": r"head of empty array",
+        "similarity_brp_ml_replay": r"head of empty array",
     },
     "single": {
         "ml_train_f1": r"only supports binary classification",

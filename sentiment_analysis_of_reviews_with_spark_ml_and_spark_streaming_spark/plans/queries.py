@@ -4002,6 +4002,151 @@ WHERE ({band_pred})
 SQL_DEDUP_MINHASH_PORTABLE = _minhash_portable_oracle_sql()
 
 
+def q_dedup_minhash_ml_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ml.feature MinHashLSH hash chain, driver-certified (VERDICT
+    r12 #2): real MinHashLSH signatures over an oracle-replayable
+    (md5-based) index space, banded r = 2 (the portable twin's
+    shape; see minhash_ml_replay_candidates for why not
+    approxSimilarityJoin's r = 1). The DuckDB twin replays the
+    seeded JDK-LCG
+    coefficient draws and the published min((1+i)*a+b) mod P map from
+    first principles (functions/jdk_random.py) — if a Spark upgrade
+    changes the RNG, the prime, or the formula, this certificate goes
+    red instead of production candidate sets shifting silently.
+    Integer-only surface (id_a, id_b, n_agree)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_ml_replay_candidates(
+        docs, n=3, num_hash_tables=8, seed=42
+    )
+
+
+def _minhash_ml_replay_oracle_sql(
+    num_tables: int = 8, rows_per_band: int = 2, seed: int = 42
+) -> str:
+    """First-principles replay of minhash_ml_replay_candidates:
+    identical shingles and md5-based indices (the portable twin's sh /
+    base CTEs), signature map min((1 + i) * a_t + b_t) mod HASH_PRIME
+    with (a, b) literals from the JDK-LCG replay, band-equality
+    predicate (r = rows_per_band) instead of the banded equi-join."""
+    from ..functions.jdk_random import (
+        MINHASH_ML_PRIME,
+        minhash_ml_coefficients,
+    )
+
+    coeffs = minhash_ml_coefficients(seed, num_tables)
+    p = MINHASH_ML_PRIME
+    mins = ",\n         ".join(
+        f"min(((1 + h0) * {a} + {b}) % {p}) AS m{k}"
+        for k, (a, b) in enumerate(coeffs)
+    )
+    n_bands = num_tables // rows_per_band
+    band_pred = "\n    OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{b * rows_per_band + r} = b.m{b * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.m{k} = b.m{k} THEN 1 ELSE 0 END)"
+        for k in range(num_tables)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+), base AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(u.shingle), 1, 15)) AS BIGINT) % {p} AS h0
+  FROM sh, unnest(shingles) AS u(shingle)
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM base GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({agree} AS BIGINT) AS n_agree
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE {band_pred}
+"""
+
+
+SQL_DEDUP_MINHASH_ML_REPLAY = _minhash_ml_replay_oracle_sql()
+
+
+def q_similarity_brp_ml_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ml.feature BucketedRandomProjectionLSH hash chain,
+    driver-certified (VERDICT r12 #2): real BRP-LSH bucket ids over
+    the embeddings table, collision-joined against the vec_id < 10
+    query set — exactly the candidate generation ann_lsh_topk's
+    approxSimilarityJoin performs, with the hash family replayed by
+    the DuckDB twin from the JDK-LCG Gaussian spec. Integer-only
+    surface (query_id, neighbor_id, n_shared_tables)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brp_ml_replay_collisions(
+        emb, bucket_length=0.1, num_hash_tables=4, seed=42, query_max_id=10
+    )
+
+
+def _brp_ml_replay_oracle_sql(
+    num_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    bucket_length: float = 0.1,
+    query_max_id: int = 10,
+) -> str:
+    """First-principles replay of brp_ml_replay_collisions: seeded
+    Gaussian unit vectors (JDK LCG + Marsaglia polar) inlined as
+    full-precision literals, dot product as a left-associated '+'
+    chain (bit-identical to netlib ddot's left-associated unrolled
+    loop), floor(dot / bucketLength) buckets, brute-force collision
+    join. repr() round-trips every double literal exactly."""
+    from ..functions.jdk_random import brp_unit_vectors
+
+    units = brp_unit_vectors(seed, num_tables, dim)
+
+    def dot(u: list[float]) -> str:
+        return " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {u[i]!r}"
+            for i in range(dim)
+        )
+
+    bcols = ",\n         ".join(
+        f"CAST(floor(({dot(u)}) / {bucket_length!r}) AS BIGINT) AS b{t}"
+        for t, u in enumerate(units)
+    )
+    per_table = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM h"
+        for t in range(num_tables)
+    )
+    return f"""
+WITH h AS (
+  SELECT vec_id,
+         {bcols}
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+), b AS (
+  {per_table}
+)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       count(*) AS n_shared_tables
+FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+                 AND q.vec_id <> c.vec_id
+WHERE q.vec_id < {query_max_id}
+GROUP BY 1, 2
+"""
+
+
+SQL_SIMILARITY_BRP_ML_REPLAY = _brp_ml_replay_oracle_sql()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via banded fingerprint join (native
     bit-twiddling expressions; no Python).
@@ -18104,6 +18249,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyword_search_bm25": q_keyword_search_bm25,
     "search_rrf_fusion": q_search_rrf_fusion,
     "dedup_minhash_portable": q_dedup_minhash_portable,
+    "dedup_minhash_ml_replay": q_dedup_minhash_ml_replay,
     "intersect_repeat_buyers": q_intersect_repeat_buyers,
     "cohort_retention": q_cohort_retention,
     "gapfill_locf_hourly": q_gapfill_locf_hourly,
@@ -18288,6 +18434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_native": q_dedup_minhash_native,
     "similarity_ann_lsh": q_similarity_ann_lsh,
+    "similarity_brp_ml_replay": q_similarity_brp_ml_replay,
     "similarity_ivf": q_similarity_ivf,
     "embedding_pca_by_label": q_embedding_pca_by_label,
 }
@@ -18367,6 +18514,8 @@ ORACLE: dict[str, str] = {
     "als_rank1_factors": SQL_ALS_RANK1_FACTORS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_portable": SQL_DEDUP_MINHASH_PORTABLE,
+    "dedup_minhash_ml_replay": SQL_DEDUP_MINHASH_ML_REPLAY,
+    "similarity_brp_ml_replay": SQL_SIMILARITY_BRP_ML_REPLAY,
     "redacted_documents": SQL_REDACTED_DOCUMENTS,
     "quality_classifier_agreement": SQL_QUALITY_CLASSIFIER_AGREEMENT,
     "forecast_revenue_change": SQL_FORECAST_REVENUE_CHANGE,

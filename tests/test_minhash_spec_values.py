@@ -286,3 +286,37 @@ def test_hashingtf_counts_match_replay(spark):
         idx = _hashingtf_index(w, 1 << 12)
         expected[idx] = expected.get(idx, 0.0) + 1.0
     assert got == expected
+
+
+# --- package replay module (functions/jdk_random.py) ---------------------
+#
+# Round 13 promoted the replay math INTO the package so generated
+# DuckDB oracles (dedup_minhash_ml_replay / similarity_brp_ml_replay)
+# can inline the coefficient/unit-vector draws as SQL literals. This
+# file keeps its own independent implementation; the tests below pin
+# the package module against it so an accidental edit to either side
+# fails here before it shifts a driver-graded surface.
+
+
+def test_package_minhash_coefficients_match_independent_replay():
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.functions import (
+        jdk_random,
+    )
+
+    assert jdk_random.MINHASH_ML_PRIME == HASH_PRIME
+    for seed, nt in ((42, 8), (7, 4), (12345, 16)):
+        assert (
+            jdk_random.minhash_ml_coefficients(seed, nt)
+            == minhash_coefficients(seed, nt)
+        )
+
+
+def test_package_brp_unit_vectors_match_independent_replay():
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.functions import (
+        jdk_random,
+    )
+
+    for seed, nt, dim in ((42, 4, 64), (11, 6, 8)):
+        a = jdk_random.brp_unit_vectors(seed, nt, dim)
+        b = brp_unit_vectors(seed, nt, dim)
+        assert a == b  # bit-exact, not approx: same LCG, same polar
