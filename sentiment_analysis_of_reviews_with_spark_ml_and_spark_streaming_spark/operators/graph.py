@@ -227,6 +227,71 @@ def bfs_distances(
     return visited
 
 
+def bfs_distances_bipartite(
+    incidence: DataFrame,
+    sources: DataFrame,
+    *,
+    group_col: str = "basket",
+    item_col: str = "item",
+    node_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS over a co-MEMBERSHIP graph (nodes adjacent iff
+    they share a group) WITHOUT materializing the quadratic edge list.
+
+    :func:`bfs_distances` over co-purchase edges first builds the
+    pairwise edge set — O(Σ group_size²) rows (2.4M at sf0.1 from a
+    600k-row incidence; unbounded blow-up risk is why callers cap
+    group size). But the hop relation itself factors through the
+    bipartite incidence: frontier items → their groups (one equi-join
+    on item) → those groups' items (one equi-join on group). Each hop
+    is two joins against the incidence — O(|incidence|) — and the
+    edge list never exists. Two persisted copies of the incidence
+    (hash-partitioned on item and on group) let every hop's big side
+    reuse its layout; only the frontier/group sets shuffle per hop.
+    At 100 TB this removes the single largest shuffle AND the
+    quadratic intermediate from the co-purchase BFS.
+
+    Semantics are IDENTICAL to bfs_distances over the derived edge
+    set {(a,b): share a group, a≠b}: the self-pair the edge set
+    excludes is always already visited (it IS the frontier node), so
+    the visited anti-join drops it either way; first-discovery hop ==
+    shortest path length; sources are dist 0.
+    """
+    inc_by_item = (
+        incidence.select(
+            F.col(group_col).alias("g"), F.col(item_col).alias("node")
+        )
+        .repartition("node")
+        .persist()
+    )
+    inc_by_group = inc_by_item.repartition("g").persist()
+    inc_by_item.count()  # materialize both layouts once
+    inc_by_group.count()
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        groups = inc_by_item.join(frontier, "node").select("g").distinct()
+        reached = inc_by_group.join(groups, "g").select("node").distinct()
+        fresh = (
+            reached.join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if fresh.isEmpty():
+            break
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select("node")
+    inc_by_item.unpersist()
+    inc_by_group.unpersist()
+    return visited
+
+
 def bellman_ford_bounded(
     edges: DataFrame,
     sources: DataFrame,
@@ -236,6 +301,7 @@ def bellman_ford_bounded(
     weight_col: str = "w",
     node_col: str = "node",
     max_hops: int = 3,
+    src_partitioned: bool = False,
 ) -> DataFrame:
     """Weighted single/multi-source shortest paths bounded at
     ``max_hops`` edges: ``max_hops`` rounds of Bellman-Ford min-plus
@@ -273,15 +339,20 @@ def bellman_ford_bounded(
             " — quantize fractional weights to integers first"
             " (DECIMAL with scale 0 is accepted; nonzero scale is not)"
         )
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"),
-            F.col(dst_col).alias("dst"),
-            F.col(weight_col).alias("w"),
-        )
-        .repartition("src")
-        .persist()
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).alias("w"),
     )
+    # ``src_partitioned``: the caller already produced the edge list
+    # hash-partitioned on src (e.g. repartition("src") BEFORE its
+    # per-pair aggregation — HashPartitioning(src) satisfies a
+    # (src, dst) groupBy's clustering, so that plan reaches here with
+    # the layout every round's probe join reuses); re-shuffling the
+    # full edge list again here would be a wasted exchange.
+    if not src_partitioned:
+        e = e.repartition("src")
+    e = e.persist()
     e.count()
     dist = (
         sources.select(F.col(node_col).alias("node"))

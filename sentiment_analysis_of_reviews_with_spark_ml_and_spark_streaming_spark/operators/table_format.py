@@ -1640,14 +1640,41 @@ def table_changes(
         ]
         added = _side(added_entries)
         removed = _side(removed_entries)
-        d = (
-            added.exceptAll(removed)
-            .withColumn("_change_type", F.lit("inserted"))
-            .unionByName(
-                removed.exceptAll(added)
-                .withColumn("_change_type", F.lit("deleted"))
+        # exceptAll is a full-width multiset shuffle — only mixed
+        # add+remove commits (merge, compact, cow delete rewrites) need
+        # the cancellation; append-only and remove-only commits get the
+        # identity short-circuit (exceptAll with an empty side IS the
+        # other side), which removed ~2 s per append fold from every
+        # IVM refresh at sf0.1 (r13 latency campaign)
+        action = rec.get("action")
+        if not removed_entries:
+            d = added.withColumn("_change_type", F.lit("inserted"))
+        elif not added_entries:
+            d = removed.withColumn("_change_type", F.lit("deleted"))
+        elif action in ("compact", "cluster"):
+            # layout-only commits rewrite the SAME logical rows (DV
+            # masks applied on both sides), so the two exceptAll
+            # shuffles always cancelled to an empty feed — emit it
+            # directly
+            d = spark.createDataFrame([], st).withColumn(
+                "_change_type", F.lit("inserted")
             )
-        )
+        elif action == "delete":
+            # copy-on-write delete: added files are survivor subsets
+            # of the removed files, so the inserted side is empty by
+            # construction — one exceptAll instead of two
+            d = removed.exceptAll(added).withColumn(
+                "_change_type", F.lit("deleted")
+            )
+        else:
+            d = (
+                added.exceptAll(removed)
+                .withColumn("_change_type", F.lit("inserted"))
+                .unionByName(
+                    removed.exceptAll(added)
+                    .withColumn("_change_type", F.lit("deleted"))
+                )
+            )
         dv_items = rec.get("dv", {})
         if dv_items:
             new_entries = [

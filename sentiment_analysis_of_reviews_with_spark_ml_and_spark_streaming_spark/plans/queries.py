@@ -10805,13 +10805,16 @@ def q_graph_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = all Brand#13 parts, edges = parts sharing an order
     (basket capped at 20 items — the hot-key guard that keeps pair
     generation from going quadratic on pathological carts), output =
-    min hop distance <= 3 per reachable part. The engine is frontier
-    expansion (operators/graph.py:bfs_distances — per hop one
-    equi-join against a src-partitioned edge list, state is (node,
-    int), lineage truncated per hop); the oracle is a recursive-CTE
-    path enumeration with UNION dedup + min(dist) — same answer,
-    exponentially different asymptotics, which is the point: the
-    frontier shape is the one that survives a 1000-executor graph."""
+    min hop distance <= 3 per reachable part. The engine is BIPARTITE
+    frontier expansion (operators/graph.py:bfs_distances_bipartite —
+    per hop two equi-joins against the persisted 600k-row
+    (basket, item) incidence, so the 2.4M-row pairwise edge list the
+    r12 plan materialized, distinct-ed and re-joined per hop never
+    exists; state is (node, int), lineage truncated per hop); the
+    oracle is a recursive-CTE path enumeration over the explicit edge
+    set with UNION dedup + min(dist) — same answer, exponentially
+    different asymptotics, which is the point: the incidence-factored
+    frontier is the shape that survives a 1000-executor graph."""
     from ..operators import graph
 
     li = _t(spark, sf_dir, "lineitem")
@@ -10823,18 +10826,10 @@ def q_graph_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = items.join(
         F.broadcast(sizes.filter(F.col("_n") <= 20).select("basket")), "basket"
     )
-    a = items.select("basket", F.col("item").alias("src"))
-    b = items.select("basket", F.col("item").alias("dst"))
-    edges = (
-        a.join(b, "basket")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
     seeds = part.filter(F.col("p_brand") == "Brand#13").select(
         F.col("p_partkey").alias("node")
     )
-    out = graph.bfs_distances(edges, seeds, max_hops=3)
+    out = graph.bfs_distances_bipartite(items, seeds, max_hops=3)
     return out.select(
         F.col("node").alias("p_partkey"), F.col("dist").cast("long").alias("dist")
     )
@@ -11698,6 +11693,13 @@ def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         a.join(b, "basket")
         .filter(F.col("src") != F.col("dst"))
+        # one shuffle, reused twice (r13): hash(src) satisfies the
+        # (src, dst) groupBy's clustering AND every relaxation round's
+        # src-probe join, so the pair aggregation and the persisted
+        # edge layout share this single exchange instead of the
+        # groupBy shuffling on (src, dst) and bellman re-shuffling the
+        # 2.4M aggregated edges on src again
+        .repartition("src")
         .groupBy("src", "dst")
         .agg(F.count("*").alias("_co"))
         .select(
@@ -11711,7 +11713,9 @@ def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = part.filter(F.col("p_brand") == "Brand#23").select(
         F.col("p_partkey").alias("node")
     )
-    out = graph.bellman_ford_bounded(edges, seeds, max_hops=3)
+    out = graph.bellman_ford_bounded(
+        edges, seeds, max_hops=3, src_partitioned=True
+    )
     return out.select(
         F.col("node").alias("p_partkey"),
         F.col("dist").cast("long").alias("total_w"),
