@@ -18717,71 +18717,76 @@ ORACLE: dict[str, str] = {
     "seasonality_strength_dow": SQL_SEASONALITY_STRENGTH_DOW,
 }
 
-# --- ROUND-12 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
-# VERDICT r11 next-steps #1/#2:
-#   W-A (1-9):   the DECIMAL(38,0) hashed-surface class, re-kinded —
-#                the six r11 hash-reds (rows/schema green,
-#                bit-identical locally; final-projection checksums
-#                were the one kind the grading environment renders
-#                differently) plus the three latent greens carrying
-#                the same cells (snapshot_diff_customer r6,
-#                lakehouse_incremental_rollup r8,
-#                lakehouse_star_rollup r8). All nine now render
-#                checksums as STRING/VARCHAR on both engines with the
-#                exact decimal/HUGEINT math kept internal
-#                (docs/DESIGN.md 'Portable hashed-surface kinds');
-#                the harness gate rejects any decimal final.
-#   W-B (10-14): the five r10-review keys deferred from the r11
-#                window (dehint-only changes, forced-replan
-#                certificates in tests/test_plan_independence.py);
-#                first is the entry query the driver smoke-runs.
-#   W-C (15-47): the r6 cohort — now the registry's oldest tier
-#                (47 keys; 6 already seated above/in W-B) — by name;
-#                the last 8 alphabetically (sort_limit_top_orders,
-#                tfidf_native_top_terms, token_frequencies,
-#                top_words_no_stopwords, topk_per_group,
-#                unigram_logprob_docs, unpivot_part_measures,
-#                variant_props_stats) defer to r13 for space.
-#   W-D (48-49): theil_sen_trend + markov_removal_attribution — the
-#                r12 latency campaign REWROTE their plans (rank-based
-#                median; pinned value iteration) after their r11
-#                certificates were graded: the touched-after-grading
-#                staleness class (VERDICT r10 #2) outranks age
-#                rotation, so they re-certify immediately.
-#   W-E (50):    zipf_heaps_by_source — the r12 registry addition
-#                (Zipf slope + Heaps exponent corpus diagnostics);
-#                never-graded keys enter the window by policy.
+# --- ROUND-13 GRADING WINDOW (reorder epilogue; policy: docs/QUERIES.md) ---
+# VERDICT r12 next-steps #1/#2/#3:
+#   W-A (1-3):   never-graded keys enter first — search_rrf_fusion
+#                (added after the r12 window was seated; the only
+#                oracle-backed key without a certificate) and the two
+#                r13 ml.feature replay twins
+#                (dedup_minhash_ml_replay, similarity_brp_ml_replay:
+#                the JDK-LCG hash-chain certification VERDICT r12 #2
+#                asked for).
+#   W-B (4-11):  touched-after-grading (the class that outranks age
+#                rotation, VERDICT r10 #2): redacted_documents (r13
+#                PHONE_PATTERN narrowing + 2-digit plant), the five
+#                CDF/IVM consumers of the r13 action-aware
+#                table_changes rewrite (lakehouse_table_changes,
+#                lakehouse_deletion_vectors,
+#                lakehouse_incremental_rollup, lakehouse_star_rollup,
+#                lakehouse_distinct_rollup), and the two r13 graph
+#                rewrites (graph_bfs_copurchase: bipartite frontier;
+#                graph_weighted_paths: shared src shuffle).
+#                NOT seated for the tokenize_ws respelling: Java \s
+#                IS the spelled class byte-for-byte (JDK Pattern
+#                spec, pinned on \x0B adversarial inputs in
+#                test_regex_class_parity), so consumers' surfaces are
+#                provably unchanged — behavior-identical pattern-text
+#                edits don't trigger the staleness class.
+#   W-C (12-19): the r6 cohort's last 8 keys (deferred from the r12
+#                window for space) — the registry's oldest tier
+#                retires this round.
+#   W-D (20-50): the r7 cohort, oldest-first rotation (31 of 43 by
+#                name; the last 12 alphabetically —
+#                repeated_ngram_fraction, resample_fill_events,
+#                semdedup_keep_set, sentence_chunks,
+#                sentiment_vader_full, sessionize_events,
+#                similarity_cosine_topk, similarity_ivf_kmeans,
+#                sole_blocking_supplier, tokenizer_compression_ratio,
+#                window_hourly_events, winsorized_value_stats —
+#                defer to r14, where they join the r8 cohort).
+#                pii_redaction_stats (r13 PHONE_PATTERN consumer)
+#                falls in this cohort anyway.
 # Veterans keep their prior relative order past the window; rows-only
 # queries stay past the window by contract.
-_R12_WINDOW = [
-    # W-A: the re-kinded checksum-surface twins (9)
-    "mixture_sample_docs", "lakehouse_time_travel",
-    "lakehouse_table_changes", "lakehouse_deletion_vectors",
-    "lakehouse_restore_lineage", "lakehouse_update_dml",
-    "snapshot_diff_customer", "lakehouse_incremental_rollup",
-    "lakehouse_star_rollup",
-    # W-B: r11-deferred dehint keys (5)
-    "topk_part_type_tokens", "join_left_impute_flag", "join_multi_hop",
-    "shipping_priority", "approx_distinct_parts",
-    # W-C: r6 cohort, oldest tier (36)
-    "argmax_aggregates_by_priority", "chunk_documents",
-    "clean_normalize_docs", "corpus_stats_by_source",
-    "data_card_by_source", "deterministic_split", "doc_fingerprint",
-    "doc_token_counts", "dropna_after_left_join", "duplicate_spans",
-    "embedding_stats_by_label", "except_customers_without_orders",
-    "histogram_totalprice", "lang_id", "lateral_top_orders",
-    "mixture_token_budget", "modern_aggregates_by_type",
-    "multimodal_meta", "observe_scan_metrics", "predicate_range",
-    "pricing_summary", "quality_scores", "quantiles_price_by_priority",
-    "rank_family_orders", "recursive_month_series",
-    "redacted_documents", "repetition_ratio", "rolling_fingerprint",
-    "rollup_returnflag", "sentence_stats", "sentiment_docs",
-    "session_window_native", "skew_audit_orders_custkey",
-    # W-D: latency-campaign rewrites, re-certifying (2)
-    "theil_sen_trend", "markov_removal_attribution",
-    # W-E: r12 registry addition (1)
-    "zipf_heaps_by_source",
+_R13_WINDOW = [
+    # W-A: never-graded (3)
+    "search_rrf_fusion", "dedup_minhash_ml_replay",
+    "similarity_brp_ml_replay",
+    # W-B: touched after grading (8)
+    "redacted_documents", "lakehouse_table_changes",
+    "lakehouse_deletion_vectors", "lakehouse_incremental_rollup",
+    "lakehouse_star_rollup", "lakehouse_distinct_rollup",
+    "graph_bfs_copurchase", "graph_weighted_paths",
+    # W-C: r6 cohort, last 8
+    "sort_limit_top_orders", "tfidf_native_top_terms",
+    "token_frequencies", "top_words_no_stopwords", "topk_per_group",
+    "unigram_logprob_docs", "unpivot_part_measures",
+    "variant_props_stats",
+    # W-D: r7 cohort, first 31 by name
+    "asof_last_purchase", "bigram_logprob_docs",
+    "boilerplate_line_stats", "c4_line_filter_stats",
+    "contamination_check", "dedup_edit_distance",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_pipeline_verified",
+    "dedup_simhash", "distinct_segments", "filter_isin_priority",
+    "filter_not_in_brand", "global_counts", "gopher_quality_rules",
+    "hash_stratified_sample", "heavy_hitter_tokens",
+    "json_extract_props", "kmeans_clusters", "maximal_duplicate_spans",
+    "ml_tfidf_features", "ml_train_f1", "moving_avg_user_value",
+    "multimodal_byte_features", "pack_sequences",
+    "pagerank_purchase_graph", "pii_redaction_stats",
+    "pivot_event_type", "profile_orders", "quantile_binning_events",
+    "range_join_click_context",
 ]
-assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
-_rest = {k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)}
-QUERIES = {**{k: QUERIES[k] for k in _R12_WINDOW}, **_rest}
+assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
+_rest = {k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)}
+QUERIES = {**{k: QUERIES[k] for k in _R13_WINDOW}, **_rest}

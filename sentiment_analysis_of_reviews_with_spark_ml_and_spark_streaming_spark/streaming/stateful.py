@@ -242,17 +242,48 @@ def stream_near_dup_pairs(
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # SWAR popcount over the WHOLE stored-state vector per arriving
+        # doc (numpy 1.x has no bitwise_count; unsigned arithmetic
+        # wraps like C by design). The r12 per-doc Python loop was the
+        # pipeline's bind on duplicate-heavy streams: 2k docs/s x up to
+        # max_state_per_band stored fingerprints = millions of
+        # interpreted xor/popcount iterations per trigger (1.6k rows/s
+        # end-to-end). The vectorized scan is one C pass per doc.
+        _M1 = np.uint64(0x5555555555555555)
+        _M2 = np.uint64(0x3333333333333333)
+        _M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+        _H01 = np.uint64(0x0101010101010101)
+
+        def _hammings(stored: "np.ndarray", fp: int) -> "np.ndarray":
+            v = stored ^ np.uint64(fp & ((1 << 64) - 1))
+            v = v - ((v >> np.uint64(1)) & _M1)
+            v = (v & _M2) + ((v >> np.uint64(2)) & _M2)
+            v = (v + (v >> np.uint64(4))) & _M4
+            return (v * _H01) >> np.uint64(56)
+
         if state.exists:
             ids, fps_seen = state.get
             ids, fps_seen = list(ids), list(fps_seen)
         else:
             ids, fps_seen = [], []
+        # pre-batch state snapshot as vectors; in-batch arrivals are
+        # appended to the (small) tail lists and scanned interpreted —
+        # per trigger per band key the tail is a handful of docs while
+        # the stored state can be thousands
+        base_ids = np.asarray(ids, dtype=np.int64)
+        base_fps = np.asarray(fps_seen, dtype=np.int64).view(np.uint64)
+        tail_ids: list[int] = []
+        tail_fps: list[int] = []
         rows = []
+        band_no = int(key[0])
         for pdf in batches:
             # deterministic within-batch order: ids ascending, so the
             # earlier doc is always the "matched" side
             pdf = pdf.sort_values(id_col)
             known = set(ids)
+            known.update(tail_ids)
             for rid, fp in zip(pdf[id_col], pdf["simhash"]):
                 rid, fp = int(rid), int(fp)
                 if rid in known:
@@ -263,12 +294,20 @@ def stream_near_dup_pairs(
                     # every future match and burns a state slot
                     continue
                 known.add(rid)
-                for sid, sfp in zip(ids, fps_seen):
-                    ham = bin((fp ^ sfp) & ((1 << 64) - 1)).count("1")
-                    if ham <= max_hamming:
-                        rows.append((rid, sid, ham, int(key[0])))
-                ids.append(rid)
-                fps_seen.append(fp)
+                if len(base_ids):
+                    ham = _hammings(base_fps, fp)
+                    for i in np.nonzero(ham <= max_hamming)[0]:
+                        rows.append(
+                            (rid, int(base_ids[i]), int(ham[i]), band_no)
+                        )
+                for sid, sfp in zip(tail_ids, tail_fps):
+                    h = bin((fp ^ sfp) & ((1 << 64) - 1)).count("1")
+                    if h <= max_hamming:
+                        rows.append((rid, sid, h, band_no))
+                tail_ids.append(rid)
+                tail_fps.append(fp)
+        ids.extend(tail_ids)
+        fps_seen.extend(tail_fps)
         if len(ids) > max_state_per_band:
             ids = ids[-max_state_per_band:]
             fps_seen = fps_seen[-max_state_per_band:]

@@ -140,23 +140,33 @@ def test_pii_patterns_match_on_vtab(spark):
         "list 1 - 2 - 3 - 4 - 5 - 6 - 7 end",
         "ring +44 - 20 - 7946 - 0958 uk",
         "dial +1 (555) 010-42 ok",
+        # leftmost-FIRST alternation pins: at one start position the
+        # tight alternative matches a SHORTER span than the wide one
+        # would — Java picks first-listed, and DuckDB's RE2 must too
+        # (RE2 default is PCRE-style leftmost-first, not POSIX
+        # leftmost-longest); a divergence here shifts mask boundaries
+        "1234567 - 890 - 123",
+        "555-123-4567 - 890 - 1234",
         "see https://x.example/a\x0btail",
         "version 1.2.3.4.5 stays",
     ]
     for s in cases:
         lit = s.replace("'", "''")
         for pat in (clean.PHONE_PATTERN, clean.URL_PATTERN):
-            spark_n = (
+            # compare the MATCHED STRINGS, not just their count: a
+            # leftmost-first vs leftmost-longest divergence can yield
+            # the same match count with different span boundaries
+            spark_m = (
                 spark.range(1)
                 .select(
-                    F.size(
-                        F.regexp_extract_all(F.lit(s), F.lit(pat), 0)
-                    ).alias("n")
+                    F.regexp_extract_all(F.lit(s), F.lit(pat), 0).alias(
+                        "m"
+                    )
                 )
-                .collect()[0]["n"]
+                .collect()[0]["m"]
             )
-            duck_n = _duck_one(
-                f"SELECT len(regexp_extract_all('{lit}', "
-                f"'{pat.replace(chr(39), chr(39) * 2)}'))"
+            duck_m = _duck_one(
+                f"SELECT regexp_extract_all('{lit}', "
+                f"'{pat.replace(chr(39), chr(39) * 2)}')"
             )
-            assert spark_n == duck_n, (s, pat, spark_n, duck_n)
+            assert spark_m == duck_m, (s, pat, spark_m, duck_m)
