@@ -351,12 +351,25 @@ def _progress_metrics(query, settle_seconds: float) -> dict:
         return {"rows_per_sec": 0.0, "trigger_ms_avg": 0.0, "n_triggers": 0}
     rps = [p["processedRowsPerSecond"] for p in rows]
     lat = [p["durationMs"]["triggerExecution"] for p in rows]
-    return {
+    out = {
         "rows_per_sec": round(sum(rps) / len(rps), 1),
         "trigger_ms_avg": round(sum(lat) / len(lat), 1),
         "trigger_ms_max": max(lat),
         "n_triggers": len(rows),
     }
+    # output-side throughput: on amplifying operators (the near-dup
+    # verify emits ~state-size PAIRS per input doc on duplicate-heavy
+    # streams — r13 measured ~1000x) input-relative rows_per_sec
+    # understates the work a trigger completes by three orders of
+    # magnitude; report what the sink actually absorbed alongside it
+    out_rows = sum(
+        max(0, p.get("sink", {}).get("numOutputRows", 0) or 0)
+        for p in rows
+    )
+    dur_s = sum(lat) / 1000.0
+    if out_rows > 0 and dur_s > 0:
+        out["out_rows_per_sec"] = round(out_rows / dur_s, 1)
+    return out
 
 
 def streaming_bench(spark) -> dict:

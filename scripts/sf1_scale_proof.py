@@ -68,6 +68,13 @@ TOP10 = [
     # slowest-11
     "mixture_sample_docs",
     "winsorized_value_stats_grid",
+    # r13 additions (VERDICT r12 #9): the late-r12 fusion query and
+    # the two ml.feature replay twins — posting-list shuffles over
+    # bounded top-15 lists; banded signature join; bucket-collision
+    # join against a fixed query set
+    "search_rrf_fusion",
+    "dedup_minhash_ml_replay",
+    "similarity_brp_ml_replay",
 ]
 
 SRC = "/root/testdata/sf0.1"

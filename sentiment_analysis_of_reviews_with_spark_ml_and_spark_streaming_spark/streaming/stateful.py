@@ -276,8 +276,14 @@ def stream_near_dup_pairs(
         base_fps = np.asarray(fps_seen, dtype=np.int64).view(np.uint64)
         tail_ids: list[int] = []
         tail_fps: list[int] = []
-        rows = []
-        band_no = int(key[0])
+        # emission is vectorized too: on duplicate-heavy streams the
+        # match amplification runs ~state-size pairs PER DOC, so a
+        # per-pair rows.append() burns more interpreter time than the
+        # hamming scan it follows — matches accumulate as numpy column
+        # chunks and concatenate once per trigger
+        out_rid: list["np.ndarray"] = []
+        out_sid: list["np.ndarray"] = []
+        out_ham: list["np.ndarray"] = []
         for pdf in batches:
             # deterministic within-batch order: ids ascending, so the
             # earlier doc is always the "matched" side
@@ -296,14 +302,29 @@ def stream_near_dup_pairs(
                 known.add(rid)
                 if len(base_ids):
                     ham = _hammings(base_fps, fp)
-                    for i in np.nonzero(ham <= max_hamming)[0]:
-                        rows.append(
-                            (rid, int(base_ids[i]), int(ham[i]), band_no)
+                    hits = np.nonzero(ham <= max_hamming)[0]
+                    if len(hits):
+                        out_rid.append(
+                            np.full(len(hits), rid, dtype=np.int64)
                         )
-                for sid, sfp in zip(tail_ids, tail_fps):
-                    h = bin((fp ^ sfp) & ((1 << 64) - 1)).count("1")
-                    if h <= max_hamming:
-                        rows.append((rid, sid, h, band_no))
+                        out_sid.append(base_ids[hits])
+                        out_ham.append(ham[hits].astype(np.int32))
+                tail_hits = [
+                    (sid, h)
+                    for sid, sfp in zip(tail_ids, tail_fps)
+                    if (h := bin((fp ^ sfp) & ((1 << 64) - 1)).count("1"))
+                    <= max_hamming
+                ]
+                if tail_hits:
+                    out_rid.append(
+                        np.full(len(tail_hits), rid, dtype=np.int64)
+                    )
+                    out_sid.append(
+                        np.array([t[0] for t in tail_hits], dtype=np.int64)
+                    )
+                    out_ham.append(
+                        np.array([t[1] for t in tail_hits], dtype=np.int32)
+                    )
                 tail_ids.append(rid)
                 tail_fps.append(fp)
         ids.extend(tail_ids)
@@ -312,9 +333,25 @@ def stream_near_dup_pairs(
             ids = ids[-max_state_per_band:]
             fps_seen = fps_seen[-max_state_per_band:]
         state.update((ids, fps_seen))
-        yield pd.DataFrame(
-            rows, columns=[id_col, "matched_doc_id", "hamming", "band"]
-        )
+        if out_rid:
+            n = int(sum(len(a) for a in out_rid))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_rid),
+                    "matched_doc_id": np.concatenate(out_sid),
+                    "hamming": np.concatenate(out_ham),
+                    "band": np.full(n, int(key[0]), dtype=np.int32),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    id_col: np.array([], dtype=np.int64),
+                    "matched_doc_id": np.array([], dtype=np.int64),
+                    "hamming": np.array([], dtype=np.int32),
+                    "band": np.array([], dtype=np.int32),
+                }
+            )
 
     return banded.groupBy("band", "key").applyInPandasWithState(
         verify,
