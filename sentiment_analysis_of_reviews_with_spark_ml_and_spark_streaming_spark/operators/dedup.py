@@ -65,7 +65,13 @@ def shingle(
     # all empty docs paired with each other at jaccard 1.0 (an
     # O(n_empty²) blowup in the inverted-index and minhash band joins).
     ngrams = (
-        F.when(norm == "", F.array().cast("array<string>"))
+        # NULL text maps to zero shingles like empty text (r13): the
+        # old fall-through hit the short-doc branch (size(NULL) = -1)
+        # and produced the single shingle [NULL] — a doc the DuckDB
+        # twins all DROP (len(split(NULL)) IS NULL fails their len>0
+        # filter) and whose NULL hash could NPE ml.feature consumers
+        # (HashingTF rejects null array elements)
+        F.when(norm.isNull() | (norm == ""), F.array().cast("array<string>"))
         .when(F.size(toks) < n, F.array(F.array_join(toks, " ")))
         .otherwise(F.regexp_extract_all(norm, pattern, 1))
     )

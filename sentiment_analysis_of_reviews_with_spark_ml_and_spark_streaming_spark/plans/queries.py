@@ -3742,9 +3742,22 @@ FROM pairs WHERE inter / (sz_a + sz_b - inter) >= 0.2
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs — the 100 TB dedup path. No SQL
-    oracle (hash-family internals); correctness is covered by the
-    exact-Jaccard twin above + unit tests on recall."""
+    """MinHash-LSH candidate pairs — the 100 TB dedup path
+    (shingle → HashingTF → MinHashLSH.approxSimilarityJoin).
+
+    Oracle-backed since r13: the DuckDB twin replays the ENTIRE
+    ml.feature hash chain from first principles — murmur3_x86_32 over
+    each shingle's UTF-8 bytes computed byte-exactly in SQL
+    (hex(encode(term)) chunked little-endian through a list_reduce of
+    the published mix rounds), pmod 2^18 for the HashingTF index
+    (power-of-two features make Java's nonNegativeMod the unsigned
+    mod), the seeded JDK-LCG (a, b) coefficient draws as literals
+    (functions/jdk_random.py), single-signature banding exactly like
+    approxSimilarityJoin, and keyDistance = 1 − |A∩B|/|A∪B| on the
+    index sets with the STRICT < threshold the join applies
+    (pinned in tests/test_minhash_spec_values.py). This was the
+    registry's largest rows-only family; nothing in the chain is
+    opaque to the oracle anymore."""
     docs = _t(spark, sf_dir, "documents")
     # 4 tables: recall vs the exact twin is 256/256 on this corpus at
     # half the candidate-join cost of 8
@@ -3752,6 +3765,147 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_hash_tables=4, max_jaccard_distance=0.8
     )
     return out.select("id_a", "id_b", F.round("jaccard_distance", 6).alias("jaccard_distance"))
+
+
+def _murmur3_term_idx_ctes(num_features: int, seed: int) -> str:
+    """CTE chain `m3b … m3(term, idx)` replaying HashingTF's
+    murmur3_x86_32(utf8(term), seed) pmod num_features byte-exactly in
+    DuckDB SQL. Expects a prior CTE ``terms(term)``. All 32-bit
+    arithmetic runs as BIGINT with the two 32×32-bit multiplies routed
+    through HUGEINT; rotations are the two-disjoint-bit-range sum
+    (a·2^k mod 2^32 + a div 2^(32−k)). ``num_features`` must be a
+    power of two so Java's signed nonNegativeMod equals the unsigned
+    mod (2^32 ≡ 0 mod 2^k). Differentially tested against the Python
+    replay AND live HashingTF in tests/test_minhash_spec_values.py."""
+    assert num_features & (num_features - 1) == 0
+    # one murmur round as the list_reduce lambda body over (h, k)
+    k1 = "CAST(CAST(k AS HUGEINT) * 3432918353 % 4294967296 AS BIGINT)"
+    k2 = f"(({k1}) * 32768 % 4294967296 + ({k1}) // 131072)"
+    k3 = f"CAST(CAST({k2} AS HUGEINT) * 461845907 % 4294967296 AS BIGINT)"
+    hx = f"xor(h, {k3})"
+    hr = f"(({hx}) * 8192 % 4294967296 + ({hx}) // 524288)"
+    rnd = (
+        f"CAST((CAST({hr} AS HUGEINT) * 5 + 3864292196) % 4294967296 "
+        "AS BIGINT)"
+    )
+    # tail mix over t1 (the 1-3 trailing bytes, little-endian)
+    t1c1 = "CAST(CAST(t1 AS HUGEINT) * 3432918353 % 4294967296 AS BIGINT)"
+    t1rot = f"(({t1c1}) * 32768 % 4294967296 + ({t1c1}) // 131072)"
+    t1mix = (
+        f"CAST(CAST({t1rot} AS HUGEINT) * 461845907 % 4294967296 "
+        "AS BIGINT)"
+    )
+    return f"""m3b AS (
+  SELECT term, hex(encode(term)) AS hx,
+         octet_length(encode(term)) AS n
+  FROM terms
+), m3body AS (
+  SELECT term, n, hx,
+    list_reduce(
+      list_prepend(CAST({seed} AS BIGINT),
+        list_transform(range(1, n // 4 + 1), i -> CAST(concat('0x',
+          substr(hx, (i*4-1)*2+1, 2), substr(hx, (i*4-2)*2+1, 2),
+          substr(hx, (i*4-3)*2+1, 2), substr(hx, (i*4-4)*2+1, 2))
+          AS BIGINT))),
+      (h, k) -> {rnd}) AS h1
+  FROM m3b
+), m3tail AS (
+  SELECT term, n, h1, hx,
+    (CASE WHEN n % 4 >= 1 THEN
+       CAST(concat('0x', substr(hx, (n // 4 * 4) * 2 + 1, 2)) AS BIGINT)
+     ELSE 0 END
+     + CASE WHEN n % 4 >= 2 THEN
+       CAST(concat('0x', substr(hx, (n // 4 * 4 + 1) * 2 + 1, 2)) AS BIGINT) * 256
+     ELSE 0 END
+     + CASE WHEN n % 4 >= 3 THEN
+       CAST(concat('0x', substr(hx, (n // 4 * 4 + 2) * 2 + 1, 2)) AS BIGINT) * 65536
+     ELSE 0 END) AS t1
+  FROM m3body
+), m3mix AS (
+  SELECT term, n,
+    CASE WHEN t1 <> 0 THEN xor(h1, {t1mix}) ELSE h1 END AS h2
+  FROM m3tail
+), m3f0 AS (SELECT term, xor(h2, CAST(n AS BIGINT)) AS v FROM m3mix
+), m3f1 AS (SELECT term, xor(v, v // 65536) AS v FROM m3f0
+), m3f2 AS (SELECT term,
+    CAST(CAST(v AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT) AS v
+  FROM m3f1
+), m3f3 AS (SELECT term, xor(v, v // 8192) AS v FROM m3f2
+), m3f4 AS (SELECT term,
+    CAST(CAST(v AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT) AS v
+  FROM m3f3
+), m3f5 AS (SELECT term, xor(v, v // 65536) AS v FROM m3f4
+), m3 AS (SELECT term, v % {num_features} AS idx FROM m3f5)"""
+
+
+def _minhash_lsh_full_oracle_sql(
+    num_tables: int = 4,
+    seed: int = 42,
+    threshold: float = 0.8,
+    num_features: int = 1 << 18,
+) -> str:
+    """Full first-principles replay of minhash_lsh_candidates:
+    identical trigram shingles, HashingTF indices via the murmur3 SQL
+    chain, MinHashLSH signatures from the JDK-LCG coefficient
+    literals, approxSimilarityJoin's single-signature banding, exact
+    keyDistance on the index sets, STRICT < threshold."""
+    from ..functions.jdk_random import (
+        MINHASH_ML_PRIME,
+        minhash_ml_coefficients,
+    )
+
+    coeffs = minhash_ml_coefficients(seed, num_tables)
+    p = MINHASH_ML_PRIME
+    mins = ",\n         ".join(
+        f"min(((1 + idx) * {a} + {b}) % {p}) AS m{k}"
+        for k, (a, b) in enumerate(coeffs)
+    )
+    band_pred = " OR ".join(f"a.m{k} = b.m{k}" for k in range(num_tables))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+), terms AS (
+  SELECT DISTINCT u.shingle AS term FROM sh, unnest(shingles) AS u(shingle)
+), {_murmur3_term_idx_ctes(num_features, seed)},
+didx AS (
+  SELECT DISTINCT s.doc_id, m3.idx
+  FROM sh s, unnest(s.shingles) AS u(shingle)
+  JOIN m3 ON m3.term = u.shingle
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM didx GROUP BY doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM didx GROUP BY 1
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {band_pred}
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM didx a JOIN didx b ON a.idx = b.idx AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dist AS (
+  SELECT c.id_a, c.id_b,
+         1 - CAST(coalesce(i.i, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - coalesce(i.i, 0)) AS d
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(d, 6) AS jaccard_distance
+FROM dist WHERE d < {threshold}
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _minhash_lsh_full_oracle_sql()
 
 
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -18518,6 +18672,7 @@ ORACLE: dict[str, str] = {
     "als_rank1_factors": SQL_ALS_RANK1_FACTORS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_portable": SQL_DEDUP_MINHASH_PORTABLE,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_ml_replay": SQL_DEDUP_MINHASH_ML_REPLAY,
     "similarity_brp_ml_replay": SQL_SIMILARITY_BRP_ML_REPLAY,
     "redacted_documents": SQL_REDACTED_DOCUMENTS,
@@ -18745,8 +18900,9 @@ ORACLE: dict[str, str] = {
 #   W-C (12-19): the r6 cohort's last 8 keys (deferred from the r12
 #                window for space) — the registry's oldest tier
 #                retires this round.
-#   W-D (20-50): the r7 cohort, oldest-first rotation (31 of 43 by
-#                name; the last 12 alphabetically —
+#   W-D (20-49): the r7 cohort, oldest-first rotation (30 of 43 by
+#                name; the last 13 alphabetically —
+#                range_join_click_context,
 #                repeated_ngram_fraction, resample_fill_events,
 #                semdedup_keep_set, sentence_chunks,
 #                sentiment_vader_full, sessionize_events,
@@ -18756,6 +18912,9 @@ ORACLE: dict[str, str] = {
 #                defer to r14, where they join the r8 cohort).
 #                pii_redaction_stats (r13 PHONE_PATTERN consumer)
 #                falls in this cohort anyway.
+#   W-E (50):    dedup_minhash_lsh — newly oracle-backed mid-round
+#                (the murmur3-in-SQL HashingTF replay completed the
+#                chain); never-graded-as-oracle enters by policy.
 # Veterans keep their prior relative order past the window; rows-only
 # queries stay past the window by contract.
 _R13_WINDOW = [
@@ -18785,7 +18944,11 @@ _R13_WINDOW = [
     "multimodal_byte_features", "pack_sequences",
     "pagerank_purchase_graph", "pii_redaction_stats",
     "pivot_event_type", "profile_orders", "quantile_binning_events",
-    "range_join_click_context",
+    # W-E: newly oracle-backed flagship (the full murmur3+MinHashLSH
+    # replay landed mid-round): never-graded-as-oracle outranks age,
+    # so it takes the last slot; range_join_click_context (r7) joins
+    # the r14 deferral set
+    "dedup_minhash_lsh",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 _rest = {k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)}

@@ -320,3 +320,93 @@ def test_package_brp_unit_vectors_match_independent_replay():
         a = jdk_random.brp_unit_vectors(seed, nt, dim)
         b = brp_unit_vectors(seed, nt, dim)
         assert a == b  # bit-exact, not approx: same LCG, same polar
+
+
+# --- murmur3-in-SQL (the r13 HashingTF oracle chain) ---------------------
+#
+# dedup_minhash_lsh's DuckDB oracle computes murmur3_x86_32 over each
+# shingle's UTF-8 bytes IN SQL (plans/queries._murmur3_term_idx_ctes).
+# These tests close the triangle: SQL == this file's Python replay
+# (which test_hashingtf_indices_match_murmur3_replay already pins
+# against live HashingTF), on structured adversaries and on fuzz.
+
+
+def _murmur3_sql_values(terms: list[str], num_features: int, seed: int):
+    import duckdb
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        _murmur3_term_idx_ctes,
+    )
+
+    q = (
+        "WITH terms AS (SELECT unnest(?) AS term), "
+        + _murmur3_term_idx_ctes(num_features, seed)
+        + " SELECT term, idx FROM m3"
+    )
+    con = duckdb.connect()
+    try:
+        return dict(con.execute(q, [terms]).fetchall())
+    finally:
+        con.close()
+
+
+def test_murmur3_sql_matches_python_replay_structured():
+    terms = [
+        "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+        "héllo", "日本語テキスト", "naïve café", "a\x00b", "\x00\x00\x00",
+        "x" * 101, "the quick brown fox", "sh ingle 3gram",
+        " ", "  ", "\t", "🙂🙂", "ßharp",
+    ]
+    got = _murmur3_sql_values(terms, 1 << 18, 42)
+    for t in terms:
+        assert got[t] == _hashingtf_index(t, 1 << 18), t
+
+
+def test_murmur3_sql_matches_python_replay_fuzz():
+    import random
+    import string
+
+    rng = random.Random(13)
+    alphabet = string.printable + "éßü日本語🙂"
+    terms = list(
+        {
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randrange(1, 40))
+            )
+            for _ in range(300)
+        }
+    )
+    got = _murmur3_sql_values(terms, 1 << 18, 42)
+    for t in terms:
+        assert got[t] == _hashingtf_index(t, 1 << 18), repr(t)
+
+
+def test_approx_similarity_join_threshold_is_strict(spark):
+    """dedup_minhash_lsh's oracle applies d < threshold because
+    approxSimilarityJoin does: a pair at EXACTLY the threshold
+    distance must be excluded (pinned here so a Spark semantics
+    change goes red loudly)."""
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.linalg import Vectors
+
+    dim = 1000
+    # A={1,2,3}, B={3,4,5}: jaccard distance exactly 1 - 1/5 = 0.8
+    rows = [
+        (0, Vectors.sparse(dim, [1, 2, 3], [1.0] * 3)),
+        (1, Vectors.sparse(dim, [3, 4, 5], [1.0] * 3)),
+    ]
+    df = spark.createDataFrame(rows, ["id", "features"])
+    # 64 tables => a band collision is certain (J = 1/5 per table,
+    # P(no collision) = (4/5)^64 ~ 6e-7), so an empty result is the
+    # FILTER, not missed candidates
+    m = MinHashLSH(
+        inputCol="features", outputCol="h", numHashTables=64, seed=1
+    ).fit(df)
+    at = m.approxSimilarityJoin(df, df, 0.8, distCol="d").filter(
+        "datasetA.id < datasetB.id"
+    )
+    assert at.count() == 0
+    above = m.approxSimilarityJoin(df, df, 0.8000001, distCol="d").filter(
+        "datasetA.id < datasetB.id"
+    )
+    assert above.count() == 1
