@@ -61,6 +61,7 @@ REQUIRES_DATA: dict[str, dict[str, str]] = {
         # zero pairs)
         "dedup_minhash_ml_replay": r"head of empty array",
         "similarity_brp_ml_replay": r"head of empty array",
+        "similarity_ann_lsh": r"head of empty array",
     },
     "single": {
         "ml_train_f1": r"only supports binary classification",

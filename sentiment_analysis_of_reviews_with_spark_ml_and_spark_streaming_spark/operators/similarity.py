@@ -490,11 +490,15 @@ def ann_lsh_topk(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    c = corpus.select(
+    # NULL vectors can't be hashed: array_to_vector(NULL) NPEs inside
+    # the JVM (caught by the r13 nullrow sweep when this query went
+    # oracle-backed) — excluded by contract, mirrored by the twin's
+    # WHERE embedding IS NOT NULL
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )

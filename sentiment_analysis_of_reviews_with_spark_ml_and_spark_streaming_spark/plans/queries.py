@@ -4437,11 +4437,93 @@ WHERE rank <= 5
 
 
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN — the scale path. Rows-only check
-    (hash-family internals); recall vs the exact twin is unit-tested."""
+    """LSH-bucketed approximate NN — the scale path.
+
+    Oracle-backed since r13: the DuckDB twin replays the whole
+    BucketedRandomProjectionLSH chain — seeded Gaussian unit vectors
+    (functions/jdk_random.py) inlined as literals,
+    floor(dot / bucketLength) buckets via left-associated double
+    chains, approxSimilarityJoin's bucket-collision candidates, and
+    keyDistance = sqrt(Vectors.sqdist) replayed as the same
+    sequential (a_i − b_i)² accumulation — so the top-k ranking is
+    value-hash certified, not just rows-counted."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ann_lsh_topk(emb, queries, k=5)
+
+
+def _ann_lsh_oracle_sql(
+    num_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    bucket_length: float = 2.0,
+    k: int = 5,
+    query_max_id: int = 10,
+) -> str:
+    """Full replay of ann_lsh_topk: BRP buckets from the JDK-LCG
+    Gaussian unit-vector literals, bucket-collision candidate join
+    (threshold ∞ ⇒ no distance filter), euclidean distance as the
+    sequential left-associated sum Vectors.sqdist computes, top-k by
+    (distance, neighbor_id). Ranking happens on the UNROUNDED double
+    (bit-identical across engines); the surface rounds to 4."""
+    from ..functions.jdk_random import brp_unit_vectors
+
+    units = brp_unit_vectors(seed, num_tables, dim)
+
+    def dot(u: list[float]) -> str:
+        return " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {u[i]!r}"
+            for i in range(dim)
+        )
+
+    bcols = ",\n         ".join(
+        f"CAST(floor(({dot(u)}) / {bucket_length!r}) AS BIGINT) AS b{t}"
+        for t, u in enumerate(units)
+    )
+    per_table = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM h"
+        for t in range(num_tables)
+    )
+    sq = " + ".join(
+        f"(CAST(qa.embedding[{i + 1}] AS DOUBLE)"
+        f" - CAST(ca.embedding[{i + 1}] AS DOUBLE))"
+        f" * (CAST(qa.embedding[{i + 1}] AS DOUBLE)"
+        f" - CAST(ca.embedding[{i + 1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+), h AS (
+  SELECT vec_id,
+         {bcols}
+  FROM e
+), b AS (
+  {per_table}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < {query_max_id} AND q.vec_id <> c.vec_id
+), d AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         sqrt({sq}) AS dist
+  FROM cand
+  JOIN e qa ON qa.vec_id = cand.query_id
+  JOIN e ca ON ca.vec_id = cand.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist NULLS FIRST,
+                                     neighbor_id NULLS FIRST) AS rk
+  FROM d
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank,
+       round(dist, 4) AS euclidean_dist
+FROM r WHERE rk <= {k}
+"""
+
+
+SQL_SIMILARITY_ANN_LSH = _ann_lsh_oracle_sql()
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -18673,6 +18755,7 @@ ORACLE: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_portable": SQL_DEDUP_MINHASH_PORTABLE,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "similarity_ann_lsh": SQL_SIMILARITY_ANN_LSH,
     "dedup_minhash_ml_replay": SQL_DEDUP_MINHASH_ML_REPLAY,
     "similarity_brp_ml_replay": SQL_SIMILARITY_BRP_ML_REPLAY,
     "redacted_documents": SQL_REDACTED_DOCUMENTS,
@@ -18900,9 +18983,9 @@ ORACLE: dict[str, str] = {
 #   W-C (12-19): the r6 cohort's last 8 keys (deferred from the r12
 #                window for space) — the registry's oldest tier
 #                retires this round.
-#   W-D (20-49): the r7 cohort, oldest-first rotation (30 of 43 by
-#                name; the last 13 alphabetically —
-#                range_join_click_context,
+#   W-D (20-48): the r7 cohort, oldest-first rotation (29 of 43 by
+#                name; the last 14 alphabetically —
+#                quantile_binning_events, range_join_click_context,
 #                repeated_ngram_fraction, resample_fill_events,
 #                semdedup_keep_set, sentence_chunks,
 #                sentiment_vader_full, sessionize_events,
@@ -18912,9 +18995,11 @@ ORACLE: dict[str, str] = {
 #                defer to r14, where they join the r8 cohort).
 #                pii_redaction_stats (r13 PHONE_PATTERN consumer)
 #                falls in this cohort anyway.
-#   W-E (50):    dedup_minhash_lsh — newly oracle-backed mid-round
-#                (the murmur3-in-SQL HashingTF replay completed the
-#                chain); never-graded-as-oracle enters by policy.
+#   W-E (49-50): dedup_minhash_lsh + similarity_ann_lsh — newly
+#                oracle-backed mid-round (the murmur3-in-SQL
+#                HashingTF replay and the BRP euclidean keyDistance
+#                replay completed both ml.feature chains);
+#                never-graded-as-oracle enters by policy.
 # Veterans keep their prior relative order past the window; rows-only
 # queries stay past the window by contract.
 _R13_WINDOW = [
@@ -18943,12 +19028,13 @@ _R13_WINDOW = [
     "ml_tfidf_features", "ml_train_f1", "moving_avg_user_value",
     "multimodal_byte_features", "pack_sequences",
     "pagerank_purchase_graph", "pii_redaction_stats",
-    "pivot_event_type", "profile_orders", "quantile_binning_events",
-    # W-E: newly oracle-backed flagship (the full murmur3+MinHashLSH
-    # replay landed mid-round): never-graded-as-oracle outranks age,
-    # so it takes the last slot; range_join_click_context (r7) joins
-    # the r14 deferral set
-    "dedup_minhash_lsh",
+    "pivot_event_type", "profile_orders",
+    # W-E: newly oracle-backed flagships (the full murmur3+MinHashLSH
+    # replay and the BRP euclidean-distance replay landed mid-round):
+    # never-graded-as-oracle outranks age, so they take the last two
+    # slots; quantile_binning_events + range_join_click_context (r7)
+    # join the r14 deferral set
+    "dedup_minhash_lsh", "similarity_ann_lsh",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 _rest = {k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)}
