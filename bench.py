@@ -328,6 +328,8 @@ HEADLINE = [
     # r13: ml.feature LSH replay twins (JDK-LCG hash chain certified)
     "dedup_minhash_ml_replay",
     "similarity_brp_ml_replay",
+    # r13: encoding-anomaly curation audit (scan-speed counters)
+    "encoding_anomaly_stats",
 ]
 
 

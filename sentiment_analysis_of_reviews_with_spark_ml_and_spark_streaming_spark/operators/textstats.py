@@ -308,3 +308,48 @@ def fingerprint(
     Returns (id, fingerprint)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+# --- encoding-anomaly detection (r13) --------------------------------------
+#
+# Standard web-corpus curation signals the quality tier didn't cover:
+# U+FFFD replacement characters (lossy transcodes), C0 control
+# characters outside tab/newline/CR (binary bleed-through), and the
+# classic UTF-8-decoded-as-Latin-1 mojibake digraphs (A-tilde +
+# accented-vowel tail for lead byte 0xC3; a-circumflex + Euro +
+# curly-punctuation tail for 0xE2 0x80; stray A-circumflex before
+# NBSP/degree/guillemet for 0xC2). All three are literal/char-class
+# regex counts that Java and RE2 interpret identically (no shorthand
+# classes, no lookaround), so the patterns are embedded verbatim in
+# DuckDB oracle twins. \u escapes keep this source pure ASCII — raw
+# mojibake literals in source are themselves a mojibake hazard.
+REPLACEMENT_CHAR_PATTERN = "\uFFFD"
+# C0 controls minus tab (09), LF (0A), CR (0D); VT/FF (0B/0C)
+# included: in web text they are bleed-through, not prose
+CONTROL_CHAR_PATTERN = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+MOJIBAKE_PATTERN = (
+    # U+00C3 + the Latin-1 continuation renderings of accented vowels
+    "\u00C3[\u00A9\u00A8\u00A0\u00A1\u00A4\u00AA\u00AB"
+    "\u00AD\u00AE\u00B1\u00B3\u00B4\u00B6\u00B8\u00B9\u00BA\u00BC]"
+    # U+00E2 U+20AC + curly quote / dash / ellipsis tails
+    "|\u00E2\u20AC[\u2122\u0153\u02DC\u00A6\u201C\u201D]"
+    # stray U+00C2 before NBSP / degree / guillemets / section / middot
+    "|\u00C2[\u00A0\u00B0\u00BB\u00AB\u00A7\u00B7]"
+)
+
+
+def encoding_anomaly_counts(text):
+    """(n_replacement, n_control, n_mojibake) literal-pattern counts
+    over one text column — each a LONG, NULL-safe via coalesce('')."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.coalesce(c, F.lit(""))
+    n_rep = F.size(
+        F.regexp_extract_all(c, F.lit(REPLACEMENT_CHAR_PATTERN), 0)
+    )
+    n_ctl = F.size(F.regexp_extract_all(c, F.lit(CONTROL_CHAR_PATTERN), 0))
+    n_moj = F.size(F.regexp_extract_all(c, F.lit(MOJIBAKE_PATTERN), 0))
+    return (
+        n_rep.cast("long"),
+        n_ctl.cast("long"),
+        n_moj.cast("long"),
+    )

@@ -3456,6 +3456,95 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
+def q_encoding_anomaly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-anomaly curation audit (r13 registry addition): per
+    source, counts of U+FFFD replacement characters, C0 control
+    characters (minus tab/LF/CR), and UTF-8-as-Latin-1 mojibake
+    digraphs (textstats.encoding_anomaly_counts) — the transcode-
+    corruption signals every web-corpus curation run tracks next to
+    the C4/Gopher gates. The synthetic corpus is clean, so both
+    engines plant deterministic doc_id-derived anomalies (the
+    redacted_documents device: without the plant the counters never
+    fire and the hash check could not falsify them): mojibake e-acute
+    at doc_id % 7, a BEL control at % 11, U+FFFD at % 13, a curly-
+    quote mojibake triple at % 17, and a stray A-circumflex+NBSP at
+    % 19. One scan, pure codegen; at 100 TB this is a scan-speed map
+    + a |sources|-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(did % 7 == 0, F.lit(" caf\u00C3\u00A9 menu")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" x\u0007y")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" a\uFFFDb")).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit(" it\u00E2\u20AC\u2122s")).otherwise(F.lit("")),
+        F.when(did % 19 == 0, F.lit(" 10\u00C2\u00A0km")).otherwise(F.lit("")),
+    )
+    n_rep, n_ctl, n_moj = textstats.encoding_anomaly_counts(planted)
+    flagged = docs.select(
+        "source",
+        n_rep.alias("r"),
+        n_ctl.alias("c"),
+        n_moj.alias("m"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("r") + F.col("c") + F.col("m") > 0).cast("long")).alias(
+            "n_docs_affected"
+        ),
+        F.sum("r").alias("n_replacement"),
+        F.sum("c").alias("n_control"),
+        F.sum("m").alias("n_mojibake"),
+    )
+
+
+def _encoding_anomaly_oracle_sql() -> str:
+    """Twin of q_encoding_anomaly_stats: identical plants built from
+    chr() codepoints (keeps this source and the SQL text free of raw
+    control/mojibake bytes) and the SAME pattern constants
+    interpolated verbatim (literal alternations/classes — Java and
+    RE2 agree on them by construction)."""
+    rep = _sql_str(textstats.REPLACEMENT_CHAR_PATTERN)
+    ctl = _sql_str(textstats.CONTROL_CHAR_PATTERN)
+    moj = _sql_str(textstats.MOJIBAKE_PATTERN)
+    return f"""
+WITH planted AS (
+  SELECT source,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' caf' || chr(195) || chr(169) || ' menu'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' x' || chr(7) || 'y' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' a' || chr(65533) || 'b' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' it' || chr(226) || chr(8364) || chr(8482) || 's'
+                 ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN ' 10' || chr(194) || chr(160) || 'km' ELSE '' END
+         AS t
+  FROM documents
+), f AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{rep}')) AS r,
+         len(regexp_extract_all(t, '{ctl}')) AS c,
+         len(regexp_extract_all(t, '{moj}')) AS m
+  FROM planted
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN r + c + m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_affected,
+       CAST(sum(r) AS BIGINT) AS n_replacement,
+       CAST(sum(c) AS BIGINT) AS n_control,
+       CAST(sum(m) AS BIGINT) AS n_mojibake
+FROM f GROUP BY 1
+"""
+
+
+SQL_ENCODING_ANOMALY_STATS = _encoding_anomaly_oracle_sql()
+
+
 def _en_markers_sql() -> str:
     from ..operators.textstats import LANG_MARKERS
 
@@ -18422,6 +18511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentiment_docs": q_sentiment_docs,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
+    "encoding_anomaly_stats": q_encoding_anomaly_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "embedding_stats_by_label": q_embedding_stats_by_label,
@@ -18725,6 +18815,7 @@ ORACLE: dict[str, str] = {
     "sentiment_vader_full": SQL_SENTIMENT_VADER_FULL,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
+    "encoding_anomaly_stats": SQL_ENCODING_ANOMALY_STATS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "embedding_stats_by_label": SQL_EMBEDDING_STATS_BY_LABEL,

@@ -566,3 +566,45 @@ def test_lang_id_detects_unsegmented_chinese(spark):
     out = {r["doc_id"]: r for r in textstats.lang_id(docs).collect()}
     assert out[1]["lang_guess"] == "zh" and out[1]["marker_hits"] >= 4
     assert out[2]["lang_guess"] == "en"
+
+
+def test_encoding_anomaly_counts_unit(spark):
+    """The three anomaly counters on crafted strings: clean text scores
+    zero everywhere; each planted artifact is counted exactly once by
+    exactly its own counter; NULL text is 0/0/0 (coalesce guard).
+    Anomalous characters are built from escapes so this source stays
+    free of raw control/mojibake bytes."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators import (
+        textstats,
+    )
+
+    rows = [
+        (1, "perfectly clean ascii prose."),
+        (2, "caf\u00C3\u00A9 menu"),            # mojibake e-acute
+        (3, "it\u00E2\u20AC\u2122s fine"),      # mojibake curly quote
+        (4, "10\u00C2\u00A0km away"),            # stray A-circ + NBSP
+        (5, "bell \u0007 rang"),                  # C0 control (BEL)
+        (6, "tab\tand\nnewline stay clean"),     # allowed whitespace
+        (7, "lost \uFFFD char"),                  # replacement char
+        (8, None),                                 # NULL text
+        (9, "caf\u00E9 r\u00E9sum\u00E9"),      # REAL accents: clean
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    r, c, m = textstats.encoding_anomaly_counts(F.col("text"))
+    got = {
+        row["id"]: (row["r"], row["c"], row["m"])
+        for row in df.select(
+            "id", r.alias("r"), c.alias("c"), m.alias("m")
+        ).collect()
+    }
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (0, 0, 1)
+    assert got[3] == (0, 0, 1)
+    assert got[4] == (0, 0, 1)
+    assert got[5] == (0, 1, 0)
+    assert got[6] == (0, 0, 0)
+    assert got[7] == (1, 0, 0)
+    assert got[8] == (0, 0, 0)
+    assert got[9] == (0, 0, 0)

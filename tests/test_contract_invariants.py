@@ -24,10 +24,15 @@ def test_rows_only_set_is_intentional():
     rows_only = set(qs) - set(osql)
     allowed = {
         # seeded-RNG hash families / ml internals with no portable
-        # SQL replay; each has a recall- or property-test twin
-        "dedup_minhash_lsh",
+        # SQL replay; each has a recall- or property-test twin.
+        # r13 promoted dedup_minhash_lsh (murmur3-in-SQL completed the
+        # HashingTF -> MinHashLSH replay) and similarity_ann_lsh (BRP
+        # buckets + sequential sqdist chain) out of this set — the
+        # xxhash64-based native variant stays: 64-bit xxhash over
+        # variable-length strings has no reasonable SQL replay, and
+        # its end-to-end result is already certified through the
+        # composed dedup_pipeline_verified oracle
         "dedup_minhash_native",
-        "similarity_ann_lsh",
         "similarity_ivf",
         "embedding_pca_by_label",
         # round 3 promoted ml_tfidf_features / ml_train_f1 /
