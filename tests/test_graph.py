@@ -190,3 +190,60 @@ def test_bellman_ford_decimal_scale_gate(spark):
     bad = ok.withColumn("w", F.col("w").cast("decimal(20,2)"))
     with _pytest.raises(ValueError, match="integral weight"):
         bellman_ford_bounded(bad, seeds, max_hops=3)
+
+
+def test_bfs_bipartite_equals_edge_list_bfs_randomized(spark):
+    """bfs_distances_bipartite over a (group, item) incidence must
+    agree EXACTLY with bfs_distances over the derived co-membership
+    edge set {(a,b): share a group, a != b} — the r13 rewrite's
+    semantic contract, checked on seeded random bipartite graphs
+    (including isolated seeds, singleton groups, and multi-group
+    overlaps)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.operators.graph import (
+        bfs_distances,
+        bfs_distances_bipartite,
+    )
+
+    for seed in (7, 21):
+        rng = random.Random(seed)
+        n_groups, n_items = 25, 60
+        inc = sorted(
+            {
+                (rng.randrange(n_groups), rng.randrange(n_items))
+                for _ in range(150)
+            }
+        )
+        inc_df = spark.createDataFrame(inc, "basket int, item int")
+        seeds = sorted(rng.sample(range(n_items), 5))
+        seeds_df = spark.createDataFrame(
+            [(s,) for s in seeds], "node int"
+        )
+        # derived pairwise edge set (what the old plan materialized)
+        by_group: dict[int, list[int]] = {}
+        for g, i in inc:
+            by_group.setdefault(g, []).append(i)
+        edges = sorted(
+            {
+                (a, b)
+                for members in by_group.values()
+                for a in members
+                for b in members
+                if a != b
+            }
+        )
+        edges_df = spark.createDataFrame(edges, "src int, dst int")
+        got_bip = {
+            r["node"]: r["dist"]
+            for r in bfs_distances_bipartite(
+                inc_df, seeds_df, max_hops=3
+            ).collect()
+        }
+        got_edge = {
+            r["node"]: r["dist"]
+            for r in bfs_distances(edges_df, seeds_df, max_hops=3).collect()
+        }
+        assert got_bip == got_edge, (seed, got_bip, got_edge)
