@@ -4153,11 +4153,199 @@ def q_dedup_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+
+
+# --- XXH64 replayed in DuckDB SQL (r13; converts dedup_minhash_native) ----
+#
+# Spark's xxhash64 is the published XXH64 (Collet) with seed 42:
+# the native MinHash family is xxhash64(shingle_string) re-keyed as
+# xxhash64(h0_long, lit(k)) = hashInt(k, hashLong(h0, 42)). Every
+# 64-bit op runs on HUGEINT: (a*b) mod 2^64 splits into 32-bit halves
+# (a full 64x64 product would exceed HUGEINT), rotations are
+# disjoint-bit-range sums, shifts are integer division. Stages are
+# CTE columns so expression text stays linear (the fmix chain would
+# otherwise nest exponentially). Differentially tested against live
+# F.xxhash64 on every tail length, the >=32-byte stripe path, and
+# multibyte UTF-8 in tests/test_minhash_spec_values.py.
+_XXH_M64 = 1 << 64
+_XXH_P1, _XXH_P2, _XXH_P3, _XXH_P4, _XXH_P5 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _xxh_mul64(a: str, const: int) -> str:
+    """(a * const) mod 2^64 for 64-bit a (HUGEINT expr) and constant."""
+    lo, hi = const % (1 << 32), const >> 32
+    return (f"(((({a}) % 4294967296) * {lo} + "
+            f"(((({a}) % 4294967296) * {hi} + (({a}) // 4294967296) * {lo})"
+            f" % 4294967296) * 4294967296) % {_XXH_M64})")
+
+
+def _xxh_rotl(a: str, r: int) -> str:
+    return f"(((({a}) * {1 << r}) % {_XXH_M64}) + (({a}) // {1 << (64 - r)}))"
+
+
+def _xxh_chunk8(hx: str, off: str) -> str:
+    """little-endian 8-byte value at BYTE offset `off` (0-based) of hex
+    string column `hx` -> HUGEINT in [0, 2^64)."""
+    def four(o):
+        return ("CAST(concat('0x', "
+                f"substr({hx}, ({o} + 3) * 2 + 1, 2), "
+                f"substr({hx}, ({o} + 2) * 2 + 1, 2), "
+                f"substr({hx}, ({o} + 1) * 2 + 1, 2), "
+                f"substr({hx}, ({o}) * 2 + 1, 2)) AS BIGINT)")
+    return (f"(CAST({four(off)} AS HUGEINT) + "
+            f"CAST({four(f'({off}) + 4')} AS HUGEINT) * 4294967296)")
+
+
+def _xxh_chunk4(hx: str, off: str) -> str:
+    return ("CAST(concat('0x', "
+            f"substr({hx}, ({off} + 3) * 2 + 1, 2), "
+            f"substr({hx}, ({off} + 2) * 2 + 1, 2), "
+            f"substr({hx}, ({off} + 1) * 2 + 1, 2), "
+            f"substr({hx}, ({off}) * 2 + 1, 2)) AS BIGINT)")
+
+
+def _xxh_byte1(hx: str, off: str) -> str:
+    return f"CAST(concat('0x', substr({hx}, ({off}) * 2 + 1, 2)) AS BIGINT)"
+
+
+def _xxh_stripe_round(v: str, k: str) -> str:
+    """v' = _xxh_rotl(v + k*_XXH_P2, 31) * _XXH_P1  (all mod 2^64)"""
+    inner = f"(({v}) + {_xxh_mul64(k, _XXH_P2)}) % {_XXH_M64}"
+    return _xxh_mul64(_xxh_rotl(inner, 31), _XXH_P1)
+
+
+def _xxh_string_hash_ctes(seed: int = 42) -> str:
+    """CTE chain: expects tb(term, hx, n); yields xs9(term, h0u)."""
+    # stripe fold: acc struct {a,b,c,d}; i = stripe index 0-based
+    body = ", ".join(
+        f"'{f}': {_xxh_stripe_round(f'acc.{f}', _xxh_chunk8('hx', f'i * 32 + {8 * j}'))}"
+        for j, f in enumerate(("a", "b", "c", "d"))
+    )
+    init = (f"{{'a': CAST({(seed + _XXH_P1 + _XXH_P2) % _XXH_M64} AS HUGEINT), "
+            f"'b': CAST({(seed + _XXH_P2) % _XXH_M64} AS HUGEINT), "
+            f"'c': CAST({seed % _XXH_M64} AS HUGEINT), "
+            f"'d': CAST({(seed - _XXH_P1) % _XXH_M64} AS HUGEINT)}}")
+    merge_h = (f"({_xxh_rotl('v.a', 1)} + {_xxh_rotl('v.b', 7)} + "
+               f"{_xxh_rotl('v.c', 12)} + {_xxh_rotl('v.d', 18)}) % {_XXH_M64}")
+
+    def merge_round(h: str, vf: str) -> str:
+        k1 = _xxh_mul64(_xxh_rotl(_xxh_mul64(f"v.{vf}", _XXH_P2), 31), _XXH_P1)
+        return f"({_xxh_mul64(f'xor(CAST({h} AS HUGEINT), {k1})', _XXH_P1)} + {_XXH_P4}) % {_XXH_M64}"
+
+    k1t = _xxh_mul64(_xxh_rotl(_xxh_mul64("k", _XXH_P2), 31), _XXH_P1)
+    tail8 = f"({_xxh_mul64(_xxh_rotl(f'xor(h, {k1t})', 27), _XXH_P1)} + {_XXH_P4}) % {_XXH_M64}"
+
+    k4v = f'CAST({_xxh_chunk4("hx", "n // 8 * 8")} AS HUGEINT)'
+    four_mix_inline = (
+        f"({_xxh_mul64(_xxh_rotl(f'xor(h, ({k4v} * {_XXH_P1}) % {_XXH_M64})', 23), _XXH_P2)}"
+        f" + {_XXH_P3}) % {_XXH_M64}")
+    return f"""xs0 AS (
+  SELECT term, hx, n,
+    list_reduce(
+      list_prepend({init},
+        list_transform(range(0, n // 32), i -> {{'a': CAST(i AS HUGEINT), 'b': CAST(0 AS HUGEINT), 'c': CAST(0 AS HUGEINT), 'd': CAST(0 AS HUGEINT)}})),
+      (acc, x) -> {{{body.replace("i * 32", "CAST(x.a AS BIGINT) * 32")}}}) AS v
+  FROM tb
+), xs1 AS (
+  SELECT term, hx, n,
+    CASE WHEN n >= 32 THEN {merge_h} ELSE CAST({(seed + _XXH_P5) % _XXH_M64} AS HUGEINT) END AS h, v
+  FROM xs0
+), xs2 AS (
+  SELECT term, hx, n,
+    CASE WHEN n >= 32 THEN {merge_round('h', 'a')} ELSE h END AS h, v FROM xs1
+), xs3 AS (
+  SELECT term, hx, n,
+    CASE WHEN n >= 32 THEN {merge_round('h', 'b')} ELSE h END AS h, v FROM xs2
+), xs4 AS (
+  SELECT term, hx, n,
+    CASE WHEN n >= 32 THEN {merge_round('h', 'c')} ELSE h END AS h, v FROM xs3
+), xs5 AS (
+  SELECT term, hx, n,
+    (CASE WHEN n >= 32 THEN {merge_round('h', 'd')} ELSE h END + n) % {_XXH_M64} AS h
+  FROM xs4
+), xs6 AS (
+  SELECT term, hx, n,
+    list_reduce(
+      list_prepend(h,
+        list_transform(range(0, (n % 32) // 8),
+                       j -> {_xxh_chunk8('hx', '(n // 32) * 32 + CAST(j AS BIGINT) * 8')})),
+      (h, k) -> {tail8}) AS h
+  FROM xs5
+), xs7 AS (
+  SELECT term, hx, n,
+    CASE WHEN n % 8 >= 4 THEN {four_mix_inline} ELSE h END AS h
+  FROM xs6
+), xs8 AS (
+  SELECT term, hx, n,
+    CASE WHEN n % 4 >= 1 THEN {_xxh_mul64(_xxh_rotl(f"xor(h, (CAST({_xxh_byte1('hx', 'n // 4 * 4')} AS HUGEINT) * {_XXH_P5}) % {_XXH_M64})", 11), _XXH_P1)} ELSE h END AS h0
+  FROM xs7
+), xs8b AS (
+  SELECT term, hx, n,
+    CASE WHEN n % 4 >= 2 THEN {_xxh_mul64(_xxh_rotl(f"xor(h0, (CAST({_xxh_byte1('hx', 'n // 4 * 4 + 1')} AS HUGEINT) * {_XXH_P5}) % {_XXH_M64})", 11), _XXH_P1)} ELSE h0 END AS h0
+  FROM xs8
+), xs8c AS (
+  SELECT term, hx, n,
+    CASE WHEN n % 4 >= 3 THEN {_xxh_mul64(_xxh_rotl(f"xor(h0, (CAST({_xxh_byte1('hx', 'n // 4 * 4 + 2')} AS HUGEINT) * {_XXH_P5}) % {_XXH_M64})", 11), _XXH_P1)} ELSE h0 END AS h
+  FROM xs8b
+), xf1 AS (SELECT term, xor(h, h // {1 << 33}) AS h FROM xs8c
+), xf2 AS (SELECT term, {_xxh_mul64('h', _XXH_P2)} AS h FROM xf1
+), xf3 AS (SELECT term, xor(h, h // {1 << 29}) AS h FROM xf2
+), xf4 AS (SELECT term, {_xxh_mul64('h', _XXH_P3)} AS h FROM xf3
+), xs9 AS (SELECT term, xor(h, h // {1 << 32}) AS h0u FROM xf4)"""
+
+
+def _xxh_long_then_int_ctes(num_hashes: int, seed: int = 42) -> str:
+    """From xs9(term, h0u): per-(term, k) signed hashes
+    khs(term, k, hk) replaying xxhash64(h0_col, lit(k))."""
+    C0 = (seed + _XXH_P5 + 8) % _XXH_M64
+    k1 = _xxh_mul64(_xxh_rotl(_xxh_mul64("h0u", _XXH_P2), 31), _XXH_P1)
+    kt_rows = ", ".join(f"({k}, {(k * _XXH_P1) % _XXH_M64})" for k in range(num_hashes))
+    return f"""xl0 AS (
+  SELECT term, xor(CAST({C0} AS HUGEINT), {k1}) AS h FROM xs9
+), xl1 AS (
+  SELECT term, ({_xxh_mul64(_xxh_rotl('h', 27), _XXH_P1)} + {_XXH_P4}) % {_XXH_M64} AS h FROM xl0
+), xlf1 AS (SELECT term, xor(h, h // {1 << 33}) AS h FROM xl1
+), xlf2 AS (SELECT term, {_xxh_mul64('h', _XXH_P2)} AS h FROM xlf1
+), xlf3 AS (SELECT term, xor(h, h // {1 << 29}) AS h FROM xlf2
+), xlf4 AS (SELECT term, {_xxh_mul64('h', _XXH_P3)} AS h FROM xlf3
+), xb AS (
+  SELECT term, (xor(h, h // {1 << 32}) + {(_XXH_P5 + 4) % _XXH_M64}) % {_XXH_M64} AS hbase
+  FROM xlf4
+), kt(k, kc) AS (VALUES {kt_rows}
+), kh0 AS (
+  SELECT term, k, xor(hbase, CAST(kc AS HUGEINT)) AS h FROM xb, kt
+), kh1 AS (
+  SELECT term, k, ({_xxh_mul64(_xxh_rotl('h', 23), _XXH_P2)} + {_XXH_P3}) % {_XXH_M64} AS h FROM kh0
+), khf1 AS (SELECT term, k, xor(h, h // {1 << 33}) AS h FROM kh1
+), khf2 AS (SELECT term, k, {_xxh_mul64('h', _XXH_P2)} AS h FROM khf1
+), khf3 AS (SELECT term, k, xor(h, h // {1 << 29}) AS h FROM khf2
+), khf4 AS (SELECT term, k, {_xxh_mul64('h', _XXH_P3)} AS h FROM khf3
+), khs AS (
+  SELECT term, k,
+    CAST(CASE WHEN xor(h, h // {1 << 32}) >= {1 << 63}
+              THEN xor(h, h // {1 << 32}) - {_XXH_M64}
+              ELSE xor(h, h // {1 << 32}) END AS BIGINT) AS hk
+  FROM khf4
+)"""
+
+
 def q_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native banded MinHash (no ml.feature, 100% codegen): candidate
-    pairs with estimated Jaccard. Rows-only (xxhash64 family isn't
-    reproducible in the oracle); recall vs the exact twin is
-    unit-tested."""
+    pairs with estimated Jaccard.
+
+    Oracle-backed since r13: the DuckDB twin replays the FULL xxhash64
+    family from the published XXH64 spec — string hash over each
+    shingle's UTF-8 bytes (stripe accumulators, every tail length),
+    then hashInt(k, hashLong(h0, 42)) for the 32 re-keyed family
+    members — entirely in SQL (_xxh_string_hash_ctes /
+    _xxh_long_then_int_ctes), then brute-force band-pair equality
+    (r = 2) and the same agree/32 estimate. The engine's band KEY is
+    xxhash64 of the signature pair; the oracle's pair-equality
+    predicate is collision-equivalent (a 64-bit band-key collision
+    adding a candidate has probability ~2^-64 and would still need
+    est >= 0.15 to surface). The last hash-deterministic rows-only
+    family is now value-hash certified; recall vs the exact twin
+    stays unit-tested."""
     docs = _t(spark, sf_dir, "documents")
     out = dedup.minhash_native_candidates(
         docs, num_hashes=32, rows_per_band=2, min_est_jaccard=0.15
@@ -4165,6 +4353,72 @@ def q_dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
+
+
+def _minhash_native_oracle_sql(
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    min_est: float = 0.15,
+    seed: int = 42,
+) -> str:
+    """First-principles replay of minhash_native_candidates: identical
+    trigram shingles, per-shingle XXH64 + 32 re-keyed members via the
+    staged SQL chain, per-doc min signatures, r=2 band-pair equality,
+    est = agree/num_hashes with the STRICT >= min_est filter."""
+    n_bands = num_hashes // rows_per_band
+    mins = ",\n         ".join(
+        f"max(CASE WHEN k = {k} THEN mh END) AS m{k}"
+        for k in range(num_hashes)
+    )
+    band_pred = "\n    OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{b * rows_per_band + r} = b.m{b * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.m{k} = b.m{k} THEN 1 ELSE 0 END)"
+        for k in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks WHERE len(t) > 0
+), terms AS (
+  SELECT DISTINCT u.shingle AS term FROM sh, unnest(shingles) AS u(shingle)
+), tb AS (
+  SELECT term, hex(encode(term)) AS hx, octet_length(encode(term)) AS n
+  FROM terms
+), {_xxh_string_hash_ctes(seed)}, {_xxh_long_then_int_ctes(num_hashes, seed)},
+perdoc AS (
+  SELECT s.doc_id, h.k, min(h.hk) AS mh
+  FROM sh s, unnest(s.shingles) AS u(shingle)
+  JOIN khs h ON h.term = u.shingle
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM perdoc GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST({agree} AS DOUBLE) / {num_hashes} AS est
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {band_pred}
+)
+SELECT id_a, id_b, round(est, 6) AS est_jaccard
+FROM cand WHERE est >= {min_est}
+"""
+
+
+SQL_DEDUP_MINHASH_NATIVE = _minhash_native_oracle_sql()
 
 
 def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -18846,6 +19100,7 @@ ORACLE: dict[str, str] = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_portable": SQL_DEDUP_MINHASH_PORTABLE,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_minhash_native": SQL_DEDUP_MINHASH_NATIVE,
     "similarity_ann_lsh": SQL_SIMILARITY_ANN_LSH,
     "dedup_minhash_ml_replay": SQL_DEDUP_MINHASH_ML_REPLAY,
     "similarity_brp_ml_replay": SQL_SIMILARITY_BRP_ML_REPLAY,
@@ -19074,8 +19329,8 @@ ORACLE: dict[str, str] = {
 #   W-C (12-19): the r6 cohort's last 8 keys (deferred from the r12
 #                window for space) — the registry's oldest tier
 #                retires this round.
-#   W-D (20-48): the r7 cohort, oldest-first rotation (29 of 43 by
-#                name; the last 14 alphabetically —
+#   W-D (20-47): the r7 cohort, oldest-first rotation (28 of 43 by
+#                name; the last 15 alphabetically — profile_orders,
 #                quantile_binning_events, range_join_click_context,
 #                repeated_ngram_fraction, resample_fill_events,
 #                semdedup_keep_set, sentence_chunks,
@@ -19086,11 +19341,12 @@ ORACLE: dict[str, str] = {
 #                defer to r14, where they join the r8 cohort).
 #                pii_redaction_stats (r13 PHONE_PATTERN consumer)
 #                falls in this cohort anyway.
-#   W-E (49-50): dedup_minhash_lsh + similarity_ann_lsh — newly
-#                oracle-backed mid-round (the murmur3-in-SQL
-#                HashingTF replay and the BRP euclidean keyDistance
-#                replay completed both ml.feature chains);
-#                never-graded-as-oracle enters by policy.
+#   W-E (48-50): dedup_minhash_lsh + similarity_ann_lsh +
+#                dedup_minhash_native — newly oracle-backed mid-round
+#                (the murmur3-in-SQL HashingTF replay, the BRP
+#                euclidean keyDistance replay, and the XXH64
+#                split-multiply replay completed all three hash
+#                chains); never-graded-as-oracle enters by policy.
 # Veterans keep their prior relative order past the window; rows-only
 # queries stay past the window by contract.
 _R13_WINDOW = [
@@ -19119,13 +19375,14 @@ _R13_WINDOW = [
     "ml_tfidf_features", "ml_train_f1", "moving_avg_user_value",
     "multimodal_byte_features", "pack_sequences",
     "pagerank_purchase_graph", "pii_redaction_stats",
-    "pivot_event_type", "profile_orders",
-    # W-E: newly oracle-backed flagships (the full murmur3+MinHashLSH
-    # replay and the BRP euclidean-distance replay landed mid-round):
-    # never-graded-as-oracle outranks age, so they take the last two
-    # slots; quantile_binning_events + range_join_click_context (r7)
-    # join the r14 deferral set
-    "dedup_minhash_lsh", "similarity_ann_lsh",
+    "pivot_event_type",
+    # W-E: newly oracle-backed flagships (the murmur3+MinHashLSH
+    # replay, the BRP euclidean-distance replay, and the late XXH64
+    # replay all landed mid-round): never-graded-as-oracle outranks
+    # age, so they take the last three slots; profile_orders +
+    # quantile_binning_events + range_join_click_context (r7) join
+    # the r14 deferral set
+    "dedup_minhash_lsh", "similarity_ann_lsh", "dedup_minhash_native",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 _rest = {k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)}

@@ -28,11 +28,9 @@ def test_rows_only_set_is_intentional():
         # r13 promoted dedup_minhash_lsh (murmur3-in-SQL completed the
         # HashingTF -> MinHashLSH replay) and similarity_ann_lsh (BRP
         # buckets + sequential sqdist chain) out of this set — the
-        # xxhash64-based native variant stays: 64-bit xxhash over
-        # variable-length strings has no reasonable SQL replay, and
-        # its end-to-end result is already certified through the
-        # composed dedup_pipeline_verified oracle
-        "dedup_minhash_native",
+        # r13 (late): dedup_minhash_native promoted too — the XXH64
+        # split-multiply SQL replay (_xxh_string_hash_ctes) closed the
+        # "no reasonable SQL replay" objection
         "similarity_ivf",
         "embedding_pca_by_label",
         # round 3 promoted ml_tfidf_features / ml_train_f1 /

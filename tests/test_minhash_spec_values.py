@@ -410,3 +410,58 @@ def test_approx_similarity_join_threshold_is_strict(spark):
         "datasetA.id < datasetB.id"
     )
     assert above.count() == 1
+
+
+# --- XXH64-in-SQL (the r13 native-minhash oracle chain) ------------------
+#
+# dedup_minhash_native's DuckDB oracle computes Spark's xxhash64 —
+# XXH64 seed 42 over UTF-8 bytes, then hashInt(k, hashLong(h0, 42))
+# for the re-keyed family — in SQL with 64-bit ops on HUGEINT
+# (plans/queries._xxh_string_hash_ctes / _xxh_long_then_int_ctes).
+# This differential pins the SQL chain directly against live
+# F.xxhash64 on adversarial shapes: every tail length mod 4/8, the
+# 31/32/33-byte stripe boundary, long stripes, and multibyte UTF-8.
+
+
+def test_xxh64_sql_chain_matches_spark(spark):
+    import duckdb
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.plans.queries import (
+        _xxh_long_then_int_ctes,
+        _xxh_string_hash_ctes,
+    )
+    from pyspark.sql import functions as F
+
+    terms = [
+        "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+        "abcdefgh", "abcdefghi", "x" * 12, "x" * 16, "x" * 31,
+        "x" * 32, "y" * 33, "z" * 40, "w" * 64, "q" * 65,
+        "the quick brown fox jumps over", "héllo wörld", "日本語" * 15,
+    ]
+    num_k = 4
+    q = (
+        "WITH t AS (SELECT unnest(?) AS term), "
+        "tb AS (SELECT term, hex(encode(term)) AS hx, "
+        "octet_length(encode(term)) AS n FROM t), "
+        + _xxh_string_hash_ctes(42)
+        + ", "
+        + _xxh_long_then_int_ctes(num_k, 42)
+        + " SELECT term, k, hk FROM khs"
+    )
+    con = duckdb.connect()
+    try:
+        duck = {(t, k): v for t, k, v in con.execute(q, [terms]).fetchall()}
+    finally:
+        con.close()
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = df.select(
+        "term",
+        F.xxhash64("term").alias("h0"),
+        *[
+            F.xxhash64(F.xxhash64("term"), F.lit(k)).alias(f"m{k}")
+            for k in range(num_k)
+        ],
+    ).collect()
+    for r in rows:
+        for k in range(num_k):
+            assert duck[(r["term"], k)] == r[f"m{k}"], (r["term"][:20], k)
