@@ -196,35 +196,47 @@ def bfs_distances(
     ``min(dist)``: first-discovery hop == shortest path length, and a
     source node is dist 0 even when also reachable via a cycle.
     """
+    from functools import reduce
+
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .repartition("src")
         .persist()
     )
     e.count()  # materialize once; every hop probes this layout
-    visited = (
+    # r14: the visited set is APPEND-ONLY (dist never changes once
+    # assigned), so it is kept as a list of per-hop checkpointed
+    # frames instead of being union-rewritten each hop — the old shape
+    # re-materialized the whole O(|V|) visited table every hop (guide
+    # §1.2: don't recompute what you already have). The anti-join
+    # probes the lazy union of checkpointed frames: same bytes
+    # scanned, zero re-writes.
+    parts = [
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)
-    )
-    frontier = visited.select("node")
+    ]
+    frontier = parts[0].select("node")
     for hop in range(1, max_hops + 1):
         reached = (
             e.join(frontier.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        fresh = reached.join(visited.select("node"), "node", "left_anti")
+        visited_nodes = reduce(
+            lambda a, b: a.unionByName(b), [p.select("node") for p in parts]
+        )
+        fresh = reached.join(visited_nodes, "node", "left_anti")
         fresh = fresh.withColumn("dist", F.lit(hop)).localCheckpoint(
             eager=True
         )
         if fresh.isEmpty():
             break
-        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        parts.append(fresh)
         frontier = fresh.select("node")
     e.unpersist()
-    return visited
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def bfs_distances_bipartite(
@@ -258,6 +270,8 @@ def bfs_distances_bipartite(
     the visited anti-join drops it either way; first-discovery hop ==
     shortest path length; sources are dist 0.
     """
+    from functools import reduce
+
     inc_by_item = (
         incidence.select(
             F.col(group_col).alias("g"), F.col(item_col).alias("node")
@@ -268,28 +282,33 @@ def bfs_distances_bipartite(
     inc_by_group = inc_by_item.repartition("g").persist()
     inc_by_item.count()  # materialize both layouts once
     inc_by_group.count()
-    visited = (
+    # r14: append-only visited list of checkpointed per-hop frames —
+    # see bfs_distances; removes the O(|V|) visited re-write per hop.
+    parts = [
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)
-    )
-    frontier = visited.select("node")
+    ]
+    frontier = parts[0].select("node")
     for hop in range(1, max_hops + 1):
         groups = inc_by_item.join(frontier, "node").select("g").distinct()
         reached = inc_by_group.join(groups, "g").select("node").distinct()
+        visited_nodes = reduce(
+            lambda a, b: a.unionByName(b), [p.select("node") for p in parts]
+        )
         fresh = (
-            reached.join(visited.select("node"), "node", "left_anti")
+            reached.join(visited_nodes, "node", "left_anti")
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=True)
         )
         if fresh.isEmpty():
             break
-        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        parts.append(fresh)
         frontier = fresh.select("node")
     inc_by_item.unpersist()
     inc_by_group.unpersist()
-    return visited
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def bellman_ford_bounded(
@@ -365,32 +384,49 @@ def bellman_ford_bounded(
     # already relaxed when it was first attained), so each round joins
     # the edge list against the improved set, not the whole dist table
     # — on settling graphs the frontier shrinks round over round.
+    #
+    # r14 fused round (guide §1.2 "remove unnecessary passes"): the old
+    # round materialized TWICE per hop — `improved` (relax ⋈ dist
+    # filter) and then `dist ∪ improved → groupBy min` — re-shuffling
+    # and re-writing the whole O(|V|) dist table a second time each
+    # round. One FULL OUTER join on node computes both in a single
+    # pass: new dist = least(old, candidate) (least skips NULLs, so
+    # never-seen nodes adopt their candidate and unreached nodes keep
+    # their old value), improved = candidate beats old. The dist side
+    # arrives hash-partitioned on node from the previous round's
+    # checkpoint (LogicalRDD preserves partitioning), so only the
+    # relaxed side shuffles. Identical fixpoint semantics: min-union
+    # == least per node; the improved set is unchanged; an empty
+    # improved set leaves every dist value equal, matching the old
+    # break-before-update.
     frontier = dist
     for _ in range(max_hops):
         relaxed = (
             e.join(frontier.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+                (F.col("dist") + F.col("w")).cast("long").alias("_cand"),
             )
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("_cand").alias("_cand"))
         )
-        prev = dist.select("node", F.col("dist").alias("_old"))
-        improved = (
-            relaxed.join(prev, "node", "left")
-            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-            .select("node", "dist")
+        merged = (
+            dist.withColumnRenamed("dist", "_old")
+            .join(relaxed, "node", "full")
+            .select(
+                "node",
+                F.least("_old", "_cand").alias("dist"),
+                (
+                    F.col("_cand").isNotNull()
+                    & (F.col("_old").isNull() | (F.col("_cand") < F.col("_old")))
+                ).alias("_imp"),
+            )
             .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        improved = merged.filter(F.col("_imp")).select("node", "dist")
+        dist = merged.select("node", "dist")
+        if improved.isEmpty():  # cheap: scans the checkpointed frame
             break
-        dist = (
-            dist.unionByName(improved)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
         frontier = improved
     e.unpersist()
     return dist

@@ -14532,87 +14532,74 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     denom = Window.partitionBy("variant", "src")
-    # localCheckpoint: probs embeds the ONLY data-sized work (the
-    # per-user journey window) yet is re-referenced by all 12 value-
-    # iteration rounds below — unpinned, the optimizer plans a 12-way
-    # self-referencing DAG over the full journey pipeline (the
-    # iterative-DataFrame trap pagerank/bfs already guard against;
-    # r12 perf finding: 18.8 s → ~4 s at sf0.1). The pinned frame is
-    # ≤ 5 variants × 7×7 states — constant-sized at any SF.
-    probs = variants.groupBy("variant", "src", "dst").agg(
+    # The ONLY data-sized work is the per-user journey window + this
+    # (src, dst) groupBy; the probability table it produces is
+    # ≤ 5 variants × 7×7 states — constant-sized at any SF. r12 pinned
+    # it with localCheckpoint and ran the 12 value-iteration rounds as
+    # 12 distributed jobs (one ≤35-row join+groupBy+checkpoint each):
+    # ~3 s of pure job-scheduling overhead per run at ANY scale. r14
+    # (guide §5 "the driver should do almost no data work" — and a
+    # ≤245-row table is no data work): one bounded collect, then the
+    # identical recurrence on the driver — same double multiply, same
+    # per-round DECIMAL(28,12) HALF_UP quantization (Spark's
+    # double→decimal cast goes through the shortest-repr string,
+    # exactly Python's repr(float) → Decimal), so the surface stays
+    # bit-identical to the oracle's unrolled x1..x12 chain. The
+    # distributed plan this replaces is in plans/r14/
+    # markov_removal_attribution_before.txt.
+    probs_rows = variants.groupBy("variant", "src", "dst").agg(
         F.sum("n").alias("n")
     ).select(
         "variant",
         "src",
         "dst",
         (F.col("n").cast("double") / F.sum("n").over(denom)).alias("p"),
-    ).localCheckpoint(eager=True)
-    # value iteration on the constant-sized table; x(conv)=1 absorbing
-    states = probs.select("variant", F.col("src").alias("state")).distinct()
-    x = states.withColumn("x", F.lit(0.0))
+    ).collect()
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _q12(v: float) -> float:
+        # cast(double as decimal(28,12)) then back: HALF_UP at 1e-12
+        return float(
+            Decimal(repr(v)).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+        )
+
+    def _r6(v: float) -> float:
+        # F.round(double, 6): shortest-repr BigDecimal, HALF_UP at 1e-6
+        return float(
+            Decimal(repr(v)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+
+    # value iteration on the constant-sized table; x(conv)=1 absorbing.
+    # Per-group terms sum in a fixed (dst-sorted) order; the 1e-12
+    # quantization each round absorbs sum-order ulps exactly as it
+    # already does between the Spark and DuckDB evaluations.
+    probs_rows.sort(key=lambda r: (r["variant"], r["src"], r["dst"]))
+    states = sorted({(r["variant"], r["src"]) for r in probs_rows})
+    x = {s: 0.0 for s in states}
     for _ in range(_MARKOV_ITERS):
-        nxt = (
-            probs.join(
-                x.select(
-                    "variant",
-                    F.col("state").alias("dst"),
-                    F.col("x").alias("xd"),
-                ),
-                ["variant", "dst"],
-                "left",
-            )
-            .select(
-                "variant",
-                "src",
-                (
-                    F.col("p")
-                    * F.when(F.col("dst") == "conv", F.lit(1.0)).otherwise(
-                        F.coalesce(F.col("xd"), F.lit(0.0))
-                    )
-                ).alias("_term"),
-            )
-            .groupBy("variant", "src")
-            .agg(F.sum("_term").alias("_s"))
+        acc = {s: 0.0 for s in states}
+        for r in probs_rows:
+            xd = 1.0 if r["dst"] == "conv" else x.get((r["variant"], r["dst"]), 0.0)
+            acc[(r["variant"], r["src"])] += r["p"] * xd
+        x = {s: _q12(v) for s, v in acc.items()}
+    p_base = x.get(("", "start"), 0.0)
+    out_rows = []
+    for variant, state in states:
+        if variant == "" or state != "start":
+            continue
+        p_removed = x[(variant, state)]
+        # try_divide semantics: NULL removal effect on p_base = 0
+        # (degenerate journey set, r10 single-row sweep)
+        effect = (
+            None if p_base == 0.0 else _r6(1.0 - p_removed / p_base)
         )
-        x = states.join(
-            nxt.select(
-                "variant", F.col("src").alias("state"), "_s"
-            ),
-            ["variant", "state"],
-            "left",
-        ).select(
-            "variant",
-            "state",
-            F.coalesce("_s", F.lit(0.0))
-            .cast("decimal(28,12)")
-            .cast("double")
-            .alias("x"),
-            # per-round localCheckpoint (the pagerank discipline): the
-            # 12 rounds otherwise nest into one 12-join-deep plan whose
-            # OPTIMIZER time dominates a ≤35-row/round computation
-            # (~4.6 s of plan work vs ~1 s of tiny jobs — r12 profile)
-        ).localCheckpoint(eager=True)
-    base = x.filter(
-        (F.col("variant") == "") & (F.col("state") == "start")
-    ).select(F.col("x").alias("p_base"))
-    removed = x.filter(
-        (F.col("variant") != "") & (F.col("state") == "start")
-    ).select(F.col("variant").alias("channel"), F.col("x").alias("p_removed"))
-    return (
-        removed.crossJoin(F.broadcast(base))
-        .select(
-            "channel",
-            F.round("p_base", 6).alias("p_base"),
-            F.round("p_removed", 6).alias("p_removed"),
-            # try_divide: p_base = 0 on a degenerate journey set
-            # (r10 single-row sweep)
-            F.round(
-                F.lit(1.0)
-                - F.try_divide(F.col("p_removed"), F.col("p_base")),
-                6,
-            ).alias("removal_effect"),
-        )
-        .orderBy("channel")
+        out_rows.append((variant, _r6(p_base), _r6(p_removed), effect))
+    out_rows.sort(key=lambda t: t[0])
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, p_base double, p_removed double, "
+        "removal_effect double",
     )
 
 
