@@ -114,7 +114,14 @@ def ngram_jaccard_pairs(
     LSH candidates (``minhash_lsh_candidates``) instead of the full
     inverted index, and keep the DF cap on as the boilerplate guard.
     """
-    sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
+    # r14: materialize the shingle pass once — `bare` is referenced by
+    # both the hot-shingle aggregate and the kept anti-join (and the
+    # uncapped branch's `inv` feeds both sides of the self-join), so
+    # the scan + regex shingling otherwise recomputes 2-4x (guide
+    # §1.2). Same rationale as prefix_filter_pairs.
+    sh = shingle(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
+        eager=True
+    )
     if max_shingle_df is not None:
         bare = sh.select(
             F.col(id_col).alias("_id"), F.explode("shingles").alias("_shingle")
@@ -246,7 +253,13 @@ def minhash_native_candidates(
             F.min(F.xxhash64(F.col("_h0"), F.lit(k))).alias(f"_h{k}")
             for k in range(num_hashes)
         ]
-    )
+        # r14: materialize the signatures ONCE — `bands` feeds both
+        # sides of the band self-join and Spark plans no
+        # ReusedExchange here (r13 plan: the scan → shingle → explode
+        # → K-hash → groupBy chain appeared twice). One row of K longs
+        # per doc, the cheapest frame in the pipeline to pin (guide
+        # §1.2).
+    ).localCheckpoint(eager=True)
     bands = sig.select(
         F.col(id_col),
         *[F.col(f"_h{k}") for k in range(num_hashes)],
@@ -646,13 +659,21 @@ def maximal_duplicate_spans(
             F.regexp_extract_all(norm, F.lit(window_pat), 1)
         ).alias("pos", "_span"),
     ).select(id_col, "pos", F.md5("_span").alias("_h"))
-    dup_hashes = (
-        wins.groupBy("_h")
-        .agg(F.count("*").alias("_c"))
+    # r14: duplication gate via count-over-window instead of
+    # groupBy + semi-join back — the old shape computed the window
+    # explode + md5 pass TWICE (both sides of the semi-join; no
+    # exchange reuse in the r13 plan) and shuffled twice on _h. The
+    # window partitions by the same key the aggregation grouped on,
+    # so this is one pass and one exchange (guide §2.4), with
+    # identical semantics (keep windows whose hash occurs >=
+    # min_occurrences corpus-wide).
+    seeds = (
+        wins.withColumn(
+            "_c", F.count("*").over(Window.partitionBy("_h"))
+        )
         .filter(F.col("_c") >= min_occurrences)
-        .select("_h")
+        .select(id_col, "pos", "_h")
     )
-    seeds = wins.join(dup_hashes, "_h", "left_semi")
 
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)
@@ -784,16 +805,27 @@ def near_dup_verified(
     the banding recalls every true pair (tune num_hashes/rows_per_band
     per corpus; unit-tested on ours).
     """
-    cand = minhash_native_candidates(
-        df,
-        id_col=id_col,
-        text_col=text_col,
-        n=n,
-        num_hashes=num_hashes,
-        rows_per_band=rows_per_band,
-        min_est_jaccard=0.0,
-    ).select("id_a", "id_b")
-    sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
+    cand = (
+        minhash_native_candidates(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+            min_est_jaccard=0.0,
+        )
+        .select("id_a", "id_b")
+        # r14: spread the exact verify — same AQE-coalescing trap as
+        # prefix_filter_pairs (16-byte candidate rows coalesce to 1-2
+        # tasks; the array_intersect over full shingle arrays lands on
+        # them). Round-robin over defaultParallelism, scale-adaptive.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    # r14: one shingle pass for both verify sides (was recomputed 2x).
+    sh = shingle(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
+        eager=True
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
     joined = cand.join(a, "id_a").join(b, "id_b")
@@ -927,7 +959,13 @@ def simhash_near_dup_pairs(
             f"max_hamming={max_hamming} breaks the pigeonhole full-recall "
             f"guarantee for bands={bands}: require max_hamming <= bands-1"
         )
-    fps = simhash(df, id_col=id_col, text_col=text_col)
+    # r14: materialize the fingerprints ONCE — the band self-join
+    # otherwise re-runs the whole simhash pipeline (token explode +
+    # dict join + 64-vote groupBy) per side; (id, long) rows, the
+    # cheapest possible pin.
+    fps = simhash(df, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=True
+    )
     banded = _simhash_bands(fps, id_col, bands)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key"
@@ -998,7 +1036,13 @@ def connected_components(
             F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")
         )
     )
-    sym = sym.distinct().localCheckpoint(eager=True)
+    # r14: materialize sym HASH-PARTITIONED ON v — the neighbor-min
+    # join probes sym.v against labels.node every round, and a
+    # LogicalRDD checkpoint preserves its partitioning (the
+    # graph.py:src_partitioned trick), so only the (long, long) labels
+    # side shuffles per round instead of the whole edge list (guide
+    # §2.4 "two operations keyed the same way share one exchange").
+    sym = sym.distinct().repartition("v").localCheckpoint(eager=True)
 
     labels = (
         sym.groupBy("u")
@@ -1016,9 +1060,16 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("ncomp"))
         )
-        propagated = labels.join(neigh, labels.node == neigh.u, "left").select(
-            "node",
-            F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"),
+        propagated = (
+            labels.join(neigh, labels.node == neigh.u, "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            # r14: pin it — propagated feeds BOTH sides of the
+            # pointer-doubling self-join below; unpinned, the
+            # neighbor-min join + groupBy re-ran twice per round.
+            .localCheckpoint(eager=True)
         )
         # pointer-doubling pass: label(node) <- label(label(node)).
         # Every label is itself a node id, so a self-join resolves one
@@ -1243,9 +1294,12 @@ def semdedup(
     # bit-identical to the DuckDB oracle's per-pair formula.
     from .similarity import _dot, _norm
 
+    # r14: materialize (id, vec, norm) once — it feeds the assignment
+    # cross join AND the cluster attach below (the r13 plan held 18
+    # parquet scans of the embedding table; no exchange reuse fires).
     withn = emb.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
-    )
+    ).localCheckpoint(eager=True)
     # hoist the seed norms onto the (tiny, broadcast) seeds frame too —
     # inline, the O(dim) HOF norm would re-evaluate n×k times in the
     # assignment cross join. Same float sequence, bit-identical result.
@@ -1271,7 +1325,9 @@ def semdedup(
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col("_seed_id").alias("cluster"))
     )
-    vb = withn.join(best, id_col)
+    # r14: pin the clustered vectors — vb feeds both pairwise sides
+    # and the final keep join (3 references).
+    vb = withn.join(best, id_col).localCheckpoint(eager=True)
     a = vb.select(
         F.col("cluster").alias("_ca"),
         F.col(id_col).alias("_ida"),
@@ -1431,7 +1487,17 @@ def prefix_filter_pairs(
     Returns (id_a, id_b, jaccard) for pairs with J >= p/q.
     """
     p, q = threshold_frac
-    sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
+    # r14: materialize the shingle pass ONCE (localCheckpoint). The
+    # frame is referenced by dfreq, the prefix ranking, and both sides
+    # of the verify join — unpinned, the scan + regex shingling
+    # pipeline recomputed up to 6x (12 parquet scans in the r13 plan,
+    # plans/r14/dedup_prefix_filter_before.txt; guide §1.2 "don't
+    # compute things you throw away"). At 100 TB this is the standard
+    # materialize-the-inverted-index step: O(corpus shingle) bytes on
+    # executor-local disk in exchange for one scan instead of six.
+    sh = shingle(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
+        eager=True
+    )
     inv = sh.select(
         F.col(id_col).alias("_id"),
         F.size("shingles").alias("_sz"),
@@ -1449,6 +1515,11 @@ def prefix_filter_pairs(
             <= F.col("_sz") - F.expr(f"(_sz * {p} + {q - 1}) div {q}") + 1
         )
         .select("_id", "_g")
+        # r14: pin the prefix too — it feeds BOTH sides of the
+        # candidate self-join, and each side otherwise re-runs the
+        # dfreq join + rarity window (the two Window nodes in the
+        # before-plan). One window pass instead of two.
+        .localCheckpoint(eager=True)
     )
     cand = (
         prefix.alias("a")
@@ -1458,6 +1529,15 @@ def prefix_filter_pairs(
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
+        # r14: spread the verify. AQE coalesces the distinct's
+        # exchange by BYTES, and candidate pairs are 16-byte rows —
+        # a few MB — so the whole array_intersect verify (the
+        # expensive stage: the arrays are attached AFTER this
+        # exchange) landed on 1-2 tasks (measured 7.0s on 2 tasks vs
+        # 1.9s spread at sf0.1). Round-robin over defaultParallelism
+        # is scale-adaptive (local[N] -> N, cluster -> total cores);
+        # the re-shuffle itself is a few MB.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     sa = sh.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("_sha")

@@ -5223,10 +5223,15 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = dedup.ngram_jaccard_pairs(
         docs, n=3, threshold=0.2, max_shingle_df=_JACCARD_MAX_SHINGLE_DF
     ).select("id_a", "id_b")
-    fp = docs.select(F.md5(F.col("text")).alias("_fp"), "doc_id")
-    grp_min = fp.groupBy("_fp").agg(F.min("doc_id").alias("id_a"))
+    # r14: exact-dup edges via ONE window over the md5 fingerprints
+    # instead of groupBy(min) + join back — the old shape computed the
+    # md5 scan twice and shuffled twice on _fp; min-over-partition is
+    # the same grouping key, one pass (guide §2.4: window partitioned
+    # like the aggregation shares the exchange).
+    fp_w = Window.partitionBy("_fp")
     exact_edges = (
-        fp.join(grp_min, "_fp")
+        docs.select(F.md5(F.col("text")).alias("_fp"), "doc_id")
+        .withColumn("id_a", F.min("doc_id").over(fp_w))
         .filter(F.col("doc_id") != F.col("id_a"))
         .select("id_a", F.col("doc_id").alias("id_b"))
     )
@@ -5236,11 +5241,15 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(labels, docs.doc_id == labels.node, "left")
         .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("component"))
     )
-    sizes = lab.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return lab.join(sizes, "component").select(
+    # r14: cluster_size via count-over-window for the same reason —
+    # the old groupBy + self-join on component recomputed lab (and its
+    # docs scan + labels join) twice.
+    return lab.select(
         "doc_id",
         "component",
-        "cluster_size",
+        F.count("*")
+        .over(Window.partitionBy("component"))
+        .alias("cluster_size"),
         (F.col("doc_id") == F.col("component")).cast("int").alias("is_canonical"),
     )
 
