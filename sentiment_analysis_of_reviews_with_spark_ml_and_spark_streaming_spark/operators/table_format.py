@@ -824,6 +824,12 @@ def merge_upsert(
         )
     if batch_id is not None and batch_id in committed_batch_ids(root):
         return latest_version(root)
+    # r14: pin the batch ONCE — the merge evaluates `updates` four
+    # times (dup check, bounds, exact-key collect, the merge itself),
+    # and a caller-provided pipeline (filter over a scan, a join...)
+    # otherwise re-runs per action (guide §1.2). O(batch) bytes, the
+    # quantity MERGE is already proportional to.
+    updates = updates.localCheckpoint(eager=True)
     # NULL keys are excluded from the uniqueness check: a NULL source
     # key never equi-matches a target row (SQL join semantics), so any
     # number of NULL-key rows are plain inserts, as in Delta's
