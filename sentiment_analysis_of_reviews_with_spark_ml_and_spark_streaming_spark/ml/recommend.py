@@ -156,13 +156,24 @@ def als_rank1_fixed(
             "factors only exist after the first alternating half-step"
         )
     dec = "decimal(28,12)"
-    v = ratings.select("item").distinct().select(
+    # r14: the ratings triples feed EVERY half-step (plus v0) — the
+    # lazily-unrolled plan recomputed the orders ⋈ lineitem build 5x
+    # (36 parquet scans, plans/r14/als_rank1_factors_before.txt).
+    # Materialize them ONCE; each half-step's factors pin too (the
+    # next sweep AND the final union both consume them). Measured
+    # against a two-layout (by-item + by-user repartitioned) variant:
+    # identical at sf0.1 (both within host noise of the unpinned
+    # plan, whose 36 scans are cheap and fully parallel there), but
+    # the single pin adds the fewest barriers while removing the 5x
+    # join recompute that dominates at scale (guide §1.2).
+    r_by_item = r_by_user = ratings.localCheckpoint(eager=True)
+    v = r_by_item.select("item").distinct().select(
         "item", F.lit(1.0).alias("f")
     )
     u = None
     for _ in range(iterations):
         u = (
-            ratings.join(v, "item")
+            r_by_item.join(v, "item")
             .groupBy("user")
             .agg(
                 F.round(
@@ -175,9 +186,10 @@ def als_rank1_fixed(
                     factor_round,
                 ).alias("f")
             )
+            .localCheckpoint(eager=True)
         )
         v = (
-            ratings.join(u, "user")
+            r_by_user.join(u, "user")
             .groupBy("item")
             .agg(
                 F.round(
@@ -190,6 +202,7 @@ def als_rank1_fixed(
                     factor_round,
                 ).alias("f")
             )
+            .localCheckpoint(eager=True)
         )
     return u.select(
         F.lit("user").alias("role"),

@@ -128,7 +128,10 @@ def triangle_count(
     oriented = keyed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+        # r14: pin — e1/e2/e3 all read this frame and the two degree
+        # joins otherwise re-execute per wedge-join side (16
+        # SortMergeJoins in the r13 plan, plans/r14/triage.json).
+    ).localCheckpoint(eager=True)
     e1 = oriented.select(F.col("a"), F.col("b"))
     e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = oriented.select(F.col("a").alias("ta"), F.col("b").alias("tc"))

@@ -1240,7 +1240,13 @@ def pq_train(
     assignment distances round before use, ties break on code id.
     """
     sub_dim = _pq_sub_dim(corpus, vec_col, m)
-    sv = _subvectors(corpus, id_col, vec_col, m, sub_dim)
+    # r14: pin the subvector frame — the seeding window plus EVERY
+    # Lloyd round's assignment join re-derive it (the corpus explode
+    # re-ran iterations+1 times in the r13 plan; guide §1.2). O(n·m)
+    # rows, exactly what PQ training is proportional to.
+    sv = _subvectors(corpus, id_col, vec_col, m, sub_dim).localCheckpoint(
+        eager=True
+    )
     wseed = Window.partitionBy("_s").orderBy(F.col(id_col))
     cent = (
         sv.withColumn("_rk", F.row_number().over(wseed))

@@ -1423,6 +1423,12 @@ def q_association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     min_pair_support = 0.02
+    # r14: pin the basket-item incidence — it feeds the basket count
+    # (already an eager action), the item counts AND the pruned frame,
+    # and `pruned` feeds both self-join sides; the unpinned r13 plan
+    # re-ran the lineitem ⋈ part join + distinct for each (24 parquet
+    # scans, plans/r14/triage.json). Same discipline as the LPA/graph
+    # operators (guide §1.2).
     baskets = (
         li.join(
             part.select("p_partkey", "p_brand"),
@@ -1430,6 +1436,7 @@ def q_association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_baskets = baskets.select("basket").distinct().count()
     floor_cnt = int(min_pair_support * n_baskets)
@@ -1437,7 +1444,7 @@ def q_association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent = item_counts.filter(F.col("n_item") >= floor_cnt)
     pruned = baskets.join(
         F.broadcast(frequent.select("item")), "item"
-    )
+    ).localCheckpoint(eager=True)
     a = pruned.select("basket", F.col("item").alias("item_a"))
     b = pruned.select("basket", F.col("item").alias("item_b"))
     pairs = (
@@ -1446,6 +1453,9 @@ def q_association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_co"))
         .filter(F.col("n_co") >= floor_cnt)
+        # pairs is bounded by the brand vocabulary² yet feeds both
+        # rule directions — pin so the basket self-join runs once.
+        .localCheckpoint(eager=True)
     )
     ca = item_counts.select(
         F.col("item").alias("item_a"), F.col("n_item").alias("_na")
@@ -2497,6 +2507,9 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", "o_custkey")
         .distinct()
+        # r14: pin — feeds the degree cap AND both projection sides
+        # (the lineitem ⋈ orders join re-ran 3x unpinned).
+        .localCheckpoint(eager=True)
     )
     keep = (
         buyers.groupBy("l_partkey")
@@ -5315,7 +5328,11 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     small by nature, so the broadcast join IS the 100 TB plan: one
     scan of the corpus, no shuffle of document payloads."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingle(docs, n=5)
+    # r14: one shingling pass — sh feeds the benchmark set, the
+    # corpus inverted index AND the per-doc base counts (3 references;
+    # the r13 plan re-ran the 5-gram regex scan for each, 6 parquet
+    # scans). Same materialize-once discipline as the dedup operators.
+    sh = dedup.shingle(docs, n=5).localCheckpoint(eager=True)
     is_bench = F.col("doc_id") % 97 == 0
     bench_sh = (
         sh.filter(is_bench).select(F.explode("shingles").alias("shingle")).distinct()
@@ -6242,11 +6259,14 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = F.col("embedding").cast("array<double>")
     ex = emb.select("vec_id", "label", F.posexplode(v).alias("dim", "x"))
+    # r14: pin the (labels × dims)-bounded centroid table — both the
+    # norm pass and the broadcast dot join consume it, and each
+    # otherwise re-ran the full corpus explode + aggregate.
     cent = ex.groupBy("label", "dim").agg(
         (
             F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")
         ).alias("c")
-    )
+    ).localCheckpoint(eager=True)
     cn = cent.groupBy("label").agg(
         F.sqrt(
             F.sum((F.col("c") * F.col("c")).cast("decimal(28,12)")).cast("double")
@@ -8732,10 +8752,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never text payloads); the rest is id-keyed joins + one
     bounded-key agg; the grand total is a single-row broadcast."""
     docs = _t(spark, sf_dir, "documents")
+    # r14: pin the two frames every stage re-reads — canonical feeds
+    # the line join AND the final flags join, lines feeds the line-DF
+    # aggregate AND the boilerplate anti-join; unpinned, the md5 dedup
+    # agg and the line explode + normalize re-ran per consumer (14
+    # duplicate documents scans in the r13 plan).
     canonical = (
         docs.groupBy(F.md5("text").alias("_fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(True).alias("_canon"))
+        .localCheckpoint(eager=True)
     )
     # boilerplate stage runs on canonical docs only: duplicate copies
     # must not inflate a line's document frequency
@@ -8747,6 +8773,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace(F.lower("_l"), "[ \\t\\n\\x0B\\f\\r]+", " ")).alias("_norm"),
         )
         .filter(F.col("_norm") != "")
+        .localCheckpoint(eager=True)
     )
     linedf = lines.groupBy(F.md5("_norm").alias("_lh")).agg(
         F.count_distinct("doc_id").alias("_df")
@@ -13445,10 +13472,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = distributed_row_number(keyed, ["_kr", "o_custkey"], out_col="_rnr")
     r2 = distributed_row_number(r1, ["freq", "o_custkey"], out_col="_rnf")
     r3 = distributed_row_number(r2, ["mon", "o_custkey"], out_col="_rnm")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    scored = r3.withColumn("_n", F.count("*").over(wall)).selectExpr(
+    # r14: the customer count was a count(*) over an UNPARTITIONED
+    # window — the single-reducer trap this query's ranking stage
+    # specifically avoids (every r3 row funneled through one task).
+    # A scalar aggregate + broadcast is the same value with no
+    # repartition-to-1 (guide §2.4); r3 is already pinned by
+    # distributed_row_number so the extra action is one cheap job.
+    n_row = r3.agg(F.count(F.lit(1)).alias("_n"))
+    scored = r3.crossJoin(F.broadcast(n_row)).selectExpr(
         "o_custkey",
         "mon",
         f"CAST({_ntile_expr('_rnr', '_n', 5)} AS INT) AS r_score",
@@ -13908,7 +13939,14 @@ def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.trim(F.col("text")), "[.!?]+[ \\t\\n\\x0B\\f\\r]+")).alias(
             "sidx", "sent"
         ),
-    ).filter(F.length("sent") > 0)
+    ).filter(F.length("sent") > 0).localCheckpoint(eager=True)
+    # r14: pin the shared frames — sents feeds the token explode AND
+    # the node set, toks feeds both sides of the co-occurrence
+    # self-join, ew feeds every power-iteration round, and each
+    # round's scores feed the next round plus the final ranking.
+    # Unpinned, the 3 unrolled rounds re-derived everything from the
+    # documents scan (16 parquet scans / 32 exchanges in the r13
+    # plan, plans/r14/triage.json) — the pagerank/LPA discipline.
     toks = (
         sents.select(
             "doc_id",
@@ -13917,6 +13955,7 @@ def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("tok") != "")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e = (
         toks.alias("a")
@@ -13935,7 +13974,7 @@ def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew = e.join(
         wdeg,
         (F.col("doc_id") == F.col("ddoc")) & (F.col("sj") == F.col("dj")),
-    ).select("doc_id", "si", "sj", "w", "deg")
+    ).select("doc_id", "si", "sj", "w", "deg").localCheckpoint(eager=True)
     nodes = sents.select("doc_id", "sidx")
     s = nodes.withColumn("s", F.lit(1.0))
     for _ in range(_TEXTRANK_ITERS):
@@ -13961,7 +14000,7 @@ def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.15) + F.lit(0.85) * F.coalesce("c", F.lit(0.0))).alias(
                 "s"
             ),
-        )
+        ).localCheckpoint(eager=True)
     wr = Window.partitionBy("doc_id").orderBy(
         F.round("s", 6).desc(), F.col("sidx")
     )
@@ -15570,7 +15609,15 @@ def q_search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokenize_ws(F.col("text"))).alias("term")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # r14: pin the per-doc length table — it feeds the corpus stats
+    # AND the scoring join (the full token explode + groupBy re-ran
+    # per consumer; part of the 8 duplicate documents scans in the
+    # r13 plan). The explode itself stays lazy for the postings
+    # branch: one more narrow scan beats materializing the O(tokens)
+    # exploded frame.
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint(
+        eager=True
+    )
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -15626,10 +15673,20 @@ def q_search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel"),
     )
+    # r14: pin the scored table (both rankings re-derived the whole
+    # BM25 pipeline), and take each top-10 with orderBy + limit —
+    # TakeOrderedAndProject, a distributed top-k — instead of a
+    # row_number over an UNPARTITIONED window, which funneled every
+    # matched doc through one task before the <=10 filter (guide
+    # §2.5's single-reducer trap; same total order, so the kept rows
+    # and their positions are identical). The residual row_number
+    # runs over the 10 surviving rows.
+    per_doc = per_doc.localCheckpoint(eager=True)
     wr = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
     ranked = (
-        per_doc.withColumn("i", F.row_number().over(wr))
-        .filter(F.col("i") <= 10)
+        per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(10)
+        .withColumn("i", F.row_number().over(wr))
     )
     dcg_term = (
         F.col("rel").cast("double") / F.log2(F.col("i") + 1)
@@ -15641,8 +15698,9 @@ def q_search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wi = Window.orderBy(F.col("rel").desc(), F.col("doc_id"))
     ideal = (
-        per_doc.withColumn("i", F.row_number().over(wi))
-        .filter(F.col("i") <= 10)
+        per_doc.orderBy(F.col("rel").desc(), F.col("doc_id"))
+        .limit(10)
+        .withColumn("i", F.row_number().over(wi))
         .agg(F.sum(dcg_term).alias("_idcg"))
     )
     return dcg.crossJoin(F.broadcast(ideal)).select(
@@ -15836,9 +15894,11 @@ def q_spearman_freq_monetary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    # r14: pin — feeds both rank passes and the final join (the
+    # orders groupBy re-ran 3x unpinned).
     per_cust = o.groupBy("o_custkey").agg(
         F.count("*").alias("freq"), F.sum(cents).alias("mon")
-    )
+    ).localCheckpoint(eager=True)
 
     def doubled_ranks(col: str, out: str):
         counts = per_cust.groupBy(col).agg(F.count("*").alias("_c"))
@@ -15854,18 +15914,21 @@ def q_spearman_freq_monetary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_cust.join(doubled_ranks("freq", "r2f"), "freq").join(
         doubled_ranks("mon", "r2m"), "mon"
     )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # r14: the three scalars (n, Σr2f, Σr2m) came from an
+    # UNPARTITIONED window — every customer row funneled through one
+    # task (the single-reducer trap; guide §2.5). One aggregate +
+    # broadcast computes the identical values with no
+    # repartition-to-1. `ranked` pins so the rank joins run once, not
+    # once per consumer.
+    ranked = ranked.localCheckpoint(eager=True)
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("r2f").alias("_sf"),
+        F.sum("r2m").alias("_sm"),
     )
-    dev = ranked.select(
-        (
-            F.col("r2f") * F.count("*").over(wall)
-            - F.sum("r2f").over(wall)
-        ).alias("df_"),
-        (
-            F.col("r2m") * F.count("*").over(wall)
-            - F.sum("r2m").over(wall)
-        ).alias("dm_"),
+    dev = ranked.crossJoin(F.broadcast(totals)).select(
+        (F.col("r2f") * F.col("_n") - F.col("_sf")).alias("df_"),
+        (F.col("r2m") * F.col("_n") - F.col("_sm")).alias("dm_"),
     )
     dd = lambda a, b: F.sum(  # noqa: E731
         F.col(a).cast("decimal(38,0)") * F.col(b)
@@ -16623,6 +16686,15 @@ def q_label_propagation_communities(
         F.broadcast(sizes.filter(F.col("_n") <= 20).select("basket")),
         "basket",
     )
+    # r14: pin the capped basket-item incidence and the support-
+    # filtered edge list — `items` feeds both self-join sides AND the
+    # node set, `edges` feeds both propagation rounds, and each
+    # round's label frame feeds the next round twice (self ∪
+    # neighbor). Unpinned, the lazily-unrolled 2-round plan held 40
+    # parquet scans of lineitem (plans/r14/
+    # label_propagation_communities_before.txt); the r13 graph
+    # operators already follow this discipline (guide §1.2).
+    items = items.localCheckpoint(eager=True)
     a = items.select("basket", F.col("item").alias("src"))
     b = items.select("basket", F.col("item").alias("dst"))
     edges = (
@@ -16632,6 +16704,7 @@ def q_label_propagation_communities(
         .agg(F.count("*").alias("_sup"))
         .filter(F.col("_sup") >= 2)
         .select("src", "dst")
+        .localCheckpoint(eager=True)
     )
     nodes = items.select(F.col("item").alias("node")).distinct()
     lab = nodes.select("node", F.col("node").alias("lab"))
@@ -16641,7 +16714,9 @@ def q_label_propagation_communities(
                 lab.withColumnRenamed("node", "dst"), "dst"
             ).select(F.col("src").alias("node"), "lab")
         )
-        lab = candidates.groupBy("node").agg(F.min("lab").alias("lab"))
+        lab = candidates.groupBy("node").agg(
+            F.min("lab").alias("lab")
+        ).localCheckpoint(eager=True)
     return (
         lab.groupBy("lab")
         .agg(F.count("*").alias("community_size"))
