@@ -216,11 +216,57 @@ def stream_near_dup_pairs(
     fp_schema = f"{id_col} long, simhash long"
 
     def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r14: vectorized twin of _simhash_py — the r13 per-row map
+        # ran an interpreted 64-iteration bit loop PER TOKEN and
+        # re-hashed every repeated token, and was the pipeline's
+        # input-side bind (the verify stage went SWAR in r13; this
+        # stage stayed scalar). Same integer arithmetic exactly:
+        # identical tokenizer, md5 15-hex-digit 60-bit hash, int64
+        # count-weighted ±1 votes, votes>0 bit assembly — the bit
+        # matrix is just the j-loop transposed onto numpy, and the
+        # per-TASK hash cache (guide §4.5) only memoizes a pure
+        # function. Differential-tested against _simhash_py.
+        import hashlib
+        import re as _re
+        from collections import Counter
+
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+        cache: dict[str, int] = {}
+
+        def fp_one(text: str) -> int:
+            counts = Counter(ws.split(text.lower().strip(" ")))
+            hs = np.empty(len(counts), dtype=np.uint64)
+            cs = np.empty(len(counts), dtype=np.int64)
+            for j, (tok, cnt) in enumerate(counts.items()):
+                h = cache.get(tok)
+                if h is None:
+                    h = int(
+                        hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    cache[tok] = h
+                hs[j] = h
+                cs[j] = cnt
+            bits = (
+                (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+            ).astype(np.int64)
+            votes = (cs[:, None] * (2 * bits - 1)).sum(axis=0)
+            fp = int(
+                np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << shifts, initial=np.uint64(0)
+                )
+            )
+            return fp - (1 << 64) if fp >= (1 << 63) else fp
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "simhash": pdf[text_col].map(_simhash_py).astype("int64"),
+                    "simhash": pd.Series(
+                        [fp_one(t) for t in pdf[text_col]], dtype="int64"
+                    ),
                 }
             )
 
