@@ -8901,10 +8901,14 @@ def q_sole_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
+    # r14: pin — the late set feeds both the semi-join probe side and
+    # the anti-join build side; the lineitem ⋈ orders join re-ran for
+    # each unpinned.
     late = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
         .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=True)
     )
     l1 = late.select(
         F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
@@ -14209,11 +14213,14 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundedness contract as theta_segment_overlap — never the fact
     table. One groupBy(day) shuffle; integer cents make sign() exact."""
     o = _t(spark, sf_dir, "orders")
+    # r14: pin the calendar-bounded day table — both pair-join sides,
+    # the tie counts and the row count re-ran the orders groupBy
+    # unpinned (4 duplicate scans in the r13 plan).
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
         .alias("cents")
-    )
+    ).localCheckpoint(eager=True)
     a, b = daily.alias("a"), daily.alias("b")
     s_stat = (
         a.join(b, F.col("a.day") < F.col("b.day"))
@@ -16215,9 +16222,12 @@ def q_mutual_info_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame
     chisq_priority_vs_status (which emits the chi² statistic; V
     normalizes it to [0,1])."""
     o = _t(spark, sf_dir, "orders")
+    # r14: pin the ≤15-row contingency table — margins, total and the
+    # expected-count join all re-ran the orders scan + groupBy
+    # unpinned (4 duplicate scans in the r13 plan).
     joint = o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("cxy")
-    )
+    ).localCheckpoint(eager=True)
     margx = joint.groupBy("o_orderpriority").agg(F.sum("cxy").alias("cx"))
     margy = joint.groupBy("o_orderstatus").agg(F.sum("cxy").alias("cy"))
     tot = joint.agg(F.sum("cxy").alias("n"))
@@ -18621,7 +18631,13 @@ def q_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fv"),
     ).select("g", F.col("fv.feature").alias("f"), F.col("fv.value").alias("v"))
-    joint = base.groupBy("f", "v", "g").agg(F.count("*").alias("cvg"))
+    # r14: pin the bounded joint table — three marginal aggregates
+    # plus the MI join consume it, and each re-ran the orders ⋈
+    # customer join + explode unpinned (4 duplicate scans of both
+    # tables in the r13 plan).
+    joint = base.groupBy("f", "v", "g").agg(
+        F.count("*").alias("cvg")
+    ).localCheckpoint(eager=True)
     margv = joint.groupBy("f", "v").agg(F.sum("cvg").alias("cv"))
     margg = joint.groupBy("f", "g").agg(F.sum("cvg").alias("cg"))
     tot = joint.groupBy("f").agg(F.sum("cvg").alias("n"))
