@@ -3971,7 +3971,7 @@ WITH toks AS (
          list_distinct(list_transform(
              range(1, greatest(len(t) - 2, 1) + 1),
              i -> array_to_string(t[i:i+2], ' '))) AS shingles
-  FROM toks WHERE len(t) > 0
+  FROM toks WHERE len(t) > 0 AND t <> ['']
 ), terms AS (
   SELECT DISTINCT u.shingle AS term FROM sh, unnest(shingles) AS u(shingle)
 ), {_murmur3_term_idx_ctes(num_features, seed)},
@@ -4404,7 +4404,7 @@ WITH toks AS (
          list_distinct(list_transform(
              range(1, greatest(len(t) - 2, 1) + 1),
              i -> array_to_string(t[i:i+2], ' '))) AS shingles
-  FROM toks WHERE len(t) > 0
+  FROM toks WHERE len(t) > 0 AND t <> ['']
 ), terms AS (
   SELECT DISTINCT u.shingle AS term FROM sh, unnest(shingles) AS u(shingle)
 ), tb AS (
@@ -4491,7 +4491,7 @@ WITH toks AS (
          list_distinct(list_transform(
              range(1, greatest(len(t) - 2, 1) + 1),
              i -> array_to_string(t[i:i+2], ' '))) AS shingles
-  FROM toks WHERE len(t) > 0
+  FROM toks WHERE len(t) > 0 AND t <> ['']
 ), base AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(u.shingle), 1, 15)) AS BIGINT) % {p} AS h0
@@ -4571,7 +4571,7 @@ WITH toks AS (
          list_distinct(list_transform(
              range(1, greatest(len(t) - 2, 1) + 1),
              i -> array_to_string(t[i:i+2], ' '))) AS shingles
-  FROM toks WHERE len(t) > 0
+  FROM toks WHERE len(t) > 0 AND t <> ['']
 ), base AS (
   SELECT doc_id,
          CAST(concat('0x', substr(md5(u.shingle), 1, 15)) AS BIGINT) % {p} AS h0

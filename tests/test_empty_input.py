@@ -287,3 +287,63 @@ def test_fixed_queries_match_oracle_on_nullrow_input(
     result = compare(spark, QUERIES[name], ORACLE[name], nullrow_dir)
     assert result["count_match"], f"{name}: row count {result}"
     assert result["value_match"], f"{name}: values {result}"
+
+
+@pytest.fixture(scope="session")
+def blank_docs_dir(tmp_path_factory):
+    """sf0.001 with documents REPLACED by a corpus holding an
+    empty-text doc, a whitespace-only doc and a NULL-text doc among
+    real ones — the r13 ADVICE divergence class: DuckDB's
+    string_split_regex('') yields [''], so such docs passed the
+    shingle CTE's len(t) > 0 gate and got an '' shingle while the
+    engine's shingle() drops them before LSH."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sentiment_analysis_of_reviews_with_spark_ml_and_spark_streaming_spark.schemas import (
+        TABLE_NAMES,
+    )
+
+    d = tmp_path_factory.mktemp("sf_blank_docs")
+    for t in TABLE_NAMES:
+        if t != "documents":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                        str(d / f"{t}.parquet"))
+    real = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    texts = real.column("text").to_pylist()[:6]
+    rows = {
+        "doc_id": list(range(1, 11)),
+        "text": texts + ["", "   ", "\t\n ", None],
+        "lang": ["en"] * 10,
+        "source": ["web"] * 10,
+        "n_chars": [len(t) if t else 0 for t in texts] + [0, 3, 3, 0],
+    }
+    sch = pq.read_schema("/root/testdata/sf0.001/documents.parquet")
+    sch = pa.schema([sch.field(i) for i in range(len(sch.names))])
+    pq.write_table(
+        pa.table({n: pa.array(rows[n], type=sch.field(n).type)
+                  for n in sch.names}),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_minhash_lsh",
+    "dedup_minhash_native",
+    "dedup_minhash_portable",
+    "dedup_minhash_ml_replay",
+])
+def test_minhash_twins_drop_blank_docs_like_the_engine(
+    spark, name, blank_docs_dir
+):
+    """r14 (ADVICE r13): empty/whitespace-only/NULL-text docs must be
+    dropped IDENTICALLY by the engine (shingle() maps them to zero
+    shingles) and the DuckDB twins (t <> [''] in the shingle CTE) —
+    before this fix the oracle kept an '' shingle for them and the
+    hash diverged on any corpus holding a blank doc."""
+    result = compare(spark, QUERIES[name], ORACLE[name], blank_docs_dir)
+    assert result["count_match"], f"{name}: row count {result}"
+    assert result["value_match"], f"{name}: values {result}"

@@ -368,6 +368,13 @@ def test_plan_hygiene(spark, name):
             # 1-row exact-decimal total onto the per-part aggregate
             # (Q11 threshold share)
             "important_parts_share",
+            # --- r14 optimization pass: unpartitioned-window →
+            # 1-row-scalar conversions (the windows funneled every
+            # customer row through one task) ---
+            # 1-row customer-count scalar onto the triple-ranked table
+            "rfm_segments",
+            # 1-row (n, Σr2f, Σr2m) totals onto the doubled-rank pairs
+            "spearman_freq_monetary",
         }, f"{name}: unexpected nested-loop join"
 
 
