@@ -822,10 +822,13 @@ def near_dup_verified(
         # them). Round-robin over defaultParallelism, scale-adaptive.
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
-    # r14: one shingle pass for both verify sides (was recomputed 2x).
-    sh = shingle(df, id_col=id_col, text_col=text_col, n=n).localCheckpoint(
-        eager=True
-    )
+    # r14: deliberately NOT pinning this shingle frame — an A/B at
+    # sf0.1 (4 variants x 2 rounds, /tmp toggle harness) showed the
+    # checkpoint of the full shingle arrays costs MORE than the two
+    # narrow recomputed scans it saves (4.7s vs 3.8s with the
+    # candidate repartition), unlike prefix_filter_pairs where six
+    # consumers amortize the pin.
+    sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
     joined = cand.join(a, "id_a").join(b, "id_b")
