@@ -501,10 +501,14 @@ def streaming_bench(spark) -> dict:
 # pure-relational queries the per-round diffs essentially never touch.
 # Before the timed sweep, each sentinel runs twice (min taken); if the
 # median ratio vs. its idle floor exceeds SENTINEL_MAX, the run is
-# CONTENDED: bench waits and retries up to 3 times, then proceeds but
-# stamps `contended: true` into both the full artifact and the summary
-# line — so a contended stamp is self-identifying and compare_bench
-# consumers know to adjudicate against the round's idle archive.
+# CONTENDED: bench waits and retries on an escalating schedule
+# (45/90/150/240 s — r15, after r14's contention outlasted the old
+# 3×60 s budget and contaminated the round's headline), then proceeds
+# but stamps `contended: true` into both the full artifact and the
+# summary line — so a contended stamp is self-identifying and
+# compare_bench consumers know to adjudicate against the round's idle
+# archive. A post-sweep one-pass re-measure lands in `ratio_post`
+# (informational; never feeds the verdict or the floor ratchet).
 # Fallback floors (the r8 idle run) — used only when no archive
 # qualifies; normally floors self-calibrate from the newest
 # uncontended archive (see _sentinel_floors). VERDICT r9 "what's
@@ -760,7 +764,16 @@ def _contention_sentinel(spark, sf_dir: str, sf: float) -> dict:
                 "note": f"no idle floors for host {host}; set "
                         "SPARK_GRAFT_SENTINEL_FLOORS to calibrate"}
     best_ratio, best_per, attempts = None, None, 0
-    for attempt in range(1, 4):
+    # r15 (VERDICT r14 "what's wrong" #1): the r14 driver run stayed
+    # contended through all 3×60 s retries and the 385 s sweep executed
+    # on a busy host — PERF refused to compare and the round's ground
+    # truth was lost. The retry budget now ESCALATES (45/90/150/240 s,
+    # ~8.7 min total vs the old 2 min) so transient load has room to
+    # drain before the sweep starts; the verdict semantics, floors and
+    # threshold are unchanged, and a still-contended run proceeds and
+    # stamps `contended: true` exactly as before.
+    sleeps = (45, 90, 150, 240)
+    for attempt in range(1, len(sleeps) + 2):
         attempts = attempt
         per: dict[str, float] = {}
         for name, floor in floors.items():
@@ -776,8 +789,8 @@ def _contention_sentinel(spark, sf_dir: str, sf: float) -> dict:
             best_ratio, best_per = ratio, per
         if ratio <= SENTINEL_MAX:
             break
-        if attempt < 3:  # no retry follows the last attempt
-            time.sleep(60)
+        if attempt <= len(sleeps):  # no retry follows the last attempt
+            time.sleep(sleeps[attempt - 1])
     return {
         "ratio": round(best_ratio, 2),
         "per_query": best_per,
@@ -836,6 +849,27 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - record and keep going
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(timings.values()), 3)
+    # r15: post-sweep re-measure of the sentinel queries (one pass, no
+    # retries) — catches contention that STARTED mid-sweep, which the
+    # pre-sweep verdict cannot see. Purely informational: `contended`
+    # keeps its pre-sweep meaning (floors self-calibrate from it, and a
+    # post-ratio inflated by 210 queries of JVM churn must not poison
+    # the archive ratchet); consumers read `ratio_post` to adjudicate.
+    floors_post = sentinel.get("floors") or {}
+    if floors_post:
+        try:
+            per_post = {}
+            for name, floor in floors_post.items():
+                t_best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, sf_dir).collect()
+                    t_best = min(t_best, time.perf_counter() - t0)
+                per_post[name] = round(t_best, 3)
+            rr = sorted(per_post[n] / floors_post[n] for n in per_post)
+            sentinel["ratio_post"] = round(rr[len(rr) // 2], 2)
+        except Exception:  # noqa: BLE001 - informational only
+            sentinel["ratio_post"] = None
     try:
         streaming = streaming_bench(spark)
     except Exception as exc:  # noqa: BLE001

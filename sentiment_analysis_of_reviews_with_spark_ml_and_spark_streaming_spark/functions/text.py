@@ -246,13 +246,32 @@ def vader_score(
     strip = F.regexp_replace(
         "rawtok", "^[^\\p{L}\\p{N}']+|[^\\p{L}\\p{N}']+$", ""
     )
-    toks = base.select(
+    # r15 (guide §4.4-adjacent, shared-subexpression hoisting): `strip`
+    # used to be inlined FOUR times per token (lower + three rlikes) and
+    # the caps rlike twice — Catalyst re-evaluated the edge-strip regex
+    # per reference. Naming each once in its own projection keeps a
+    # single evaluation (CollapseProject does not re-inline non-cheap
+    # aliases referenced more than once — the same device the
+    # sequential-valence steps below rely on). Identical values.
+    stripped = base.select(
         id_col,
         "emph",
         "pos",
-        F.lower(strip).alias("word"),
-        strip.rlike("^[A-Z][A-Z]+$").cast("int").alias("is_caps"),
-        (strip.rlike("[A-Za-z]") & ~strip.rlike("^[A-Z][A-Z]+$"))
+        strip.alias("_st"),
+    ).select(
+        id_col,
+        "emph",
+        "pos",
+        F.col("_st"),
+        F.col("_st").rlike("^[A-Z][A-Z]+$").cast("int").alias("is_caps"),
+    )
+    toks = stripped.select(
+        id_col,
+        "emph",
+        "pos",
+        F.lower("_st").alias("word"),
+        "is_caps",
+        (F.col("_st").rlike("[A-Za-z]") & (F.col("is_caps") == 0))
         .cast("int")
         .alias("is_noncaps_alpha"),
     )

@@ -184,31 +184,111 @@ def minhash_lsh_candidates(
     Deterministic under a fixed seed. Banding: num_hash_tables trades
     recall vs candidate volume; shuffle is O(docs × tables), never
     O(docs²).
-    """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    r15 (guide §4.1 / §1.2): everything downstream of HashingTF now
+    runs as native expressions — the ml.feature chain evaluated its
+    MinHash functions as a row-at-a-time JVM UDF over sparse vectors,
+    TWICE (once per self-join side; the transform was never cached),
+    and ``approxSimilarityJoin`` deduplicated candidate pairs by a
+    ``distinct()`` over FULL (features, hashes) struct pairs — the
+    heaviest shuffle in the plan carried every sparse vector once per
+    candidate row. Value-identical replacement:
+
+    - HashingTF itself is KEPT (one JVM pass over the shingle arrays):
+      its murmur3_x86_32 is the hashUnsafeBytes2 variant, which Spark
+      SQL's ``hash()`` does NOT reproduce for byte lengths % 4 != 0
+      (``hashUnsafeBytes`` mixes tail bytes one-per-round) — pinned in
+      tests/test_minhash_native_rewrite.py. The sparse indices come
+      out natively via ``unwrap_udt`` — no vector UDF.
+    - MinHashLSH signature t: ``min over indices i of
+      ((1 + i) · aₜ + bₜ) mod HASH_PRIME`` with the seeded JDK-LCG
+      (aₜ, bₜ) draws replayed by functions/jdk_random.py — the exact
+      published formula, computed per row with array HOFs (exact in
+      long arithmetic: i < 2¹⁸, a < 2³¹; no shuffle at all).
+    - approxSimilarityJoin: posexplode hashes → equi-join on
+      (position, value) → distinct pairs → keyDistance =
+      1 − |A∩B|/|A∪B| on the index SETS → STRICT < threshold. Same
+      steps, same float arithmetic; the pair-dedup now shuffles
+      16-byte id pairs instead of struct-wrapped vectors.
+
+    End-to-end row equality vs the live ml.feature chain is pinned in
+    tests/test_minhash_native_rewrite.py; the DuckDB oracle replays
+    the chain from first principles independently of either.
+    """
+    from pyspark.ml.feature import HashingTF
+
+    from ..functions.jdk_random import (
+        MINHASH_ML_PRIME,
+        minhash_ml_coefficients,
+    )
+
+    p = MINHASH_ML_PRIME
+    coeffs = minhash_ml_coefficients(seed, num_hash_tables)
     sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18
     )
-    # MinHashLSH requires at least one non-zero entry; cache because the
-    # self-join consumes the featurized frame twice (and fit() a third
-    # time) — without it the shingling recomputes per consumer
-    feat = tf.transform(sh).filter(F.size("shingles") > 0).cache()
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
-    )
-    model = lsh.fit(feat)
-    joined = model.approxSimilarityJoin(
-        feat, feat, max_jaccard_distance, distCol="jaccard_distance"
-    )
-    return (
-        joined.select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            F.col("jaccard_distance"),
+    feat = tf.transform(sh).filter(F.size("shingles") > 0)
+
+    def _sig(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                "_idx",
+                lambda i: ((i.cast("long") + F.lit(1)) * F.lit(a) + F.lit(b))
+                % F.lit(p),
+            )
         )
+
+    # one projection produces the index SET (keyDistance input) and
+    # all num_hash_tables signatures. Pinned: the band self-join
+    # consumes it twice and the distance join twice more (no
+    # ReusedExchange in Spark 4.1 self-join plans — the r14 finding).
+    doc = (
+        feat.select(
+            F.col(id_col),
+            F.unwrap_udt("features").getField("indices").alias("_idx"),
+        )
+        .select(
+            F.col(id_col),
+            "_idx",
+            *[_sig(a, b).alias(f"_m{t}") for t, (a, b) in enumerate(coeffs)],
+        )
+        .localCheckpoint(eager=True)
+    )
+    bands = doc.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"_m{t}").alias("v")
+                    )
+                    for t in range(num_hash_tables)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.t").alias("_t"), F.col("bk.v").alias("_v"))
+    cand = (
+        bands.select(F.col(id_col).alias("id_a"), "_t", "_v")
+        .join(bands.select(F.col(id_col).alias("id_b"), "_t", "_v"), ["_t", "_v"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = doc.select(F.col(id_col), "_idx")
+    joined = cand.join(
+        sets.select(F.col(id_col).alias("id_a"), F.col("_idx").alias("_ia")),
+        "id_a",
+    ).join(
+        sets.select(F.col(id_col).alias("id_b"), F.col("_idx").alias("_ib")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("_ia", "_ib")).cast("double")
+    union = F.size("_ia").cast("double") + F.size("_ib").cast("double") - inter
+    dist = F.lit(1.0) - inter / union
+    return (
+        joined.select("id_a", "id_b", dist.alias("jaccard_distance"))
+        .filter(F.col("jaccard_distance") < F.lit(max_jaccard_distance))
     )
 
 
@@ -253,13 +333,19 @@ def minhash_native_candidates(
             F.min(F.xxhash64(F.col("_h0"), F.lit(k))).alias(f"_h{k}")
             for k in range(num_hashes)
         ]
-        # r14: materialize the signatures ONCE — `bands` feeds both
-        # sides of the band self-join and Spark plans no
-        # ReusedExchange here (r13 plan: the scan → shingle → explode
-        # → K-hash → groupBy chain appeared twice). One row of K longs
-        # per doc, the cheapest frame in the pipeline to pin (guide
-        # §1.2).
-    ).localCheckpoint(eager=True)
+        # r15 (VERDICT r14 #1): the r14 signature localCheckpoint was
+        # REVERTED on measurement — the pin was plan-justified (the
+        # band self-join re-ran the scan → shingle → explode → K-hash
+        # → groupBy chain per side; no ReusedExchange in Spark 4.1),
+        # but an interleaved same-session A/B at sf0.1 (min-of-4:
+        # pinned 2.658 s vs unpinned 2.574 s, unpinned won 3/4 pairs)
+        # agreed with BOTH r14 stamp pairs (driver 2.77→7.68 s,
+        # same-host 3.37→5.21 s): the eager materialization barrier
+        # costs more than the duplicated all-codegen recompute. At
+        # cluster scale the trade may reverse (two full corpus scans
+        # vs one executor-local write) — revisit with cluster numbers,
+        # not local ones.
+    )
     bands = sig.select(
         F.col(id_col),
         *[F.col(f"_h{k}") for k in range(num_hashes)],
@@ -462,8 +548,8 @@ def minhash_ml_replay_candidates(
     (``md5_prefix_long % MINHASH_ML_PRIME`` — the same device the
     portable family uses, reduced mod Spark ML's HASH_PRIME so the
     vector dimension satisfies MinHashLSH's ``inputDim <= prime``
-    requirement), while the signatures themselves come from the REAL
-    ``pyspark.ml.feature.MinHashLSH`` model. A DuckDB oracle replays
+    requirement), while the signatures follow the REAL
+    ``pyspark.ml.feature.MinHashLSH`` formula. A DuckDB oracle replays
     the full chain from first principles: the JDK-LCG coefficient
     draws (functions/jdk_random.py, spec-pinned in
     tests/test_minhash_spec_values.py) and the published
@@ -482,51 +568,49 @@ def minhash_ml_replay_candidates(
     agreeing signature positions — an integer-only surface (no float
     kinds for the driver's hasher).
 
-    The sparse-vector assembly UDF is certification-scaffolding, not
-    the 100 TB path (that stays :func:`minhash_lsh_candidates` /
-    :func:`minhash_native_candidates`); it touches (id, indices)
-    pairs once, after the shingle aggregation.
+    r15 (guide §4.1): the sparse-vector assembly UDF +
+    ``MinHashLSH.fit/transform`` are gone — the signatures come from
+    the SAME published formula the model applies,
+    ``min over indices i of ((1 + i) · aₜ + bₜ) mod HASH_PRIME`` with
+    the seeded JDK-LCG (aₜ, bₜ) draws from functions/jdk_random.py
+    (spec-pinned against live ml.feature output in
+    tests/test_minhash_spec_values.py), evaluated as native
+    expressions in the index aggregation itself. min over duplicate
+    indices == min over the distinct set, and the arithmetic is exact
+    in longs (i < HASH_PRIME < 2³¹, a < 2³¹ ⇒ products < 2⁶²), so the
+    values are identical to the model's double-carried integers.
     """
-    from pyspark.ml.feature import MinHashLSH
-    from pyspark.ml.functions import vector_to_array
-    from pyspark.ml.linalg import Vectors, VectorUDT
-
-    from ..functions.jdk_random import MINHASH_ML_PRIME
+    from ..functions.jdk_random import (
+        MINHASH_ML_PRIME,
+        minhash_ml_coefficients,
+    )
 
     p = MINHASH_ML_PRIME
+    coeffs = minhash_ml_coefficients(seed, num_hash_tables)
     sh = shingle(df, id_col=id_col, text_col=text_col, n=n)
-    idx = (
+    exploded = (
         sh.select(F.col(id_col), F.explode("shingles").alias("_s"))
         .filter(F.col("_s").isNotNull())
         .select(
             F.col(id_col), (textstats.md5_prefix_long("_s") % p).alias("_i")
         )
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_set("_i")).alias("_idx"))
     )
-
-    @F.udf(returnType=VectorUDT())
-    def _to_sparse(ix):
-        return Vectors.sparse(p, [int(v) for v in ix], [1.0] * len(ix))
-
-    feat = idx.select(F.col(id_col), _to_sparse("_idx").alias("features"))
-    feat = feat.cache()  # fit() + both join sides re-consume it
-    model = MinHashLSH(
-        inputCol="features",
-        outputCol="hashes",
-        numHashTables=num_hash_tables,
-        seed=seed,
-    ).fit(feat)
-    # signature values are integers < HASH_PRIME carried in doubles —
-    # exact, so the long cast is lossless
-    sig = model.transform(feat).select(
-        F.col(id_col),
-        *[
-            vector_to_array(F.col("hashes")[t])[0]
-            .cast("long")
-            .alias(f"_m{t}")
-            for t in range(num_hash_tables)
-        ],
+    # one groupBy yields every signature; pinned because the band
+    # self-join consumes it twice (the old path cached the featurized
+    # frame but re-ran the model transform — a per-row JVM UDF over
+    # sparse vectors — once per side)
+    sig = (
+        exploded.groupBy(id_col)
+        .agg(
+            *[
+                F.min(
+                    ((F.col("_i") + F.lit(1)) * F.lit(a) + F.lit(b))
+                    % F.lit(p)
+                ).alias(f"_m{t}")
+                for t, (a, b) in enumerate(coeffs)
+            ]
+        )
+        .localCheckpoint(eager=True)
     )
     if num_hash_tables % rows_per_band:
         raise ValueError("num_hash_tables must be a multiple of rows_per_band")
@@ -820,6 +904,11 @@ def near_dup_verified(
         # prefix_filter_pairs (16-byte candidate rows coalesce to 1-2
         # tasks; the array_intersect over full shingle arrays lands on
         # them). Round-robin over defaultParallelism, scale-adaptive.
+        # r15 (VERDICT r14 #1): KEPT on re-measurement — interleaved
+        # same-session A/B at sf0.1 (min-of-4: spread 2.860 s vs
+        # unspread 2.938 s, spread won 3/4 pairs); the r14 closing
+        # stamp's 3.36→5.89 s was host weather, as the builder's own
+        # back-to-back A/B (3.84→3.79 s) already indicated.
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     # r14: deliberately NOT pinning this shingle frame — an A/B at

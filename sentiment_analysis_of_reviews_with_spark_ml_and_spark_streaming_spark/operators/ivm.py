@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
+from ._obs import checkpoint_with_metrics
+
 from . import bloom_index as bloom
 from . import table_format as tfmt
 
@@ -411,14 +413,19 @@ def refresh_rollup(
             ]
         )
     )
-    delta = delta.localCheckpoint(eager=True)  # CDF replay is iterative; pin it
+    # r15 (VERDICT r14 #6): the bounds probe rides the delta pin
+    # (named observe; see operators/_obs.py for why not pyspark
+    # Observation) — one action per refresh where there were two
+    # (pin, then a separate agg job over the checkpointed delta).
     k0 = keys[0]
-    b = delta.agg(
+    delta, b = checkpoint_with_metrics(  # CDF replay is iterative; pin it
+        delta,
+        "ivm_delta_bounds",
         F.count(F.lit(1)).alias("n"),
         F.min(k0).alias("lo"),
         F.max(k0).alias("hi"),
         F.max(F.col(k0).isNull().cast("int")).alias("has_null"),
-    ).collect()[0]
+    )
     ivm_rec = {"src_version": head}
     if dim is not None:
         ivm_rec["dim_version"] = dim_head
@@ -664,10 +671,17 @@ def _apply_delta(old: DataFrame, delta, keys, sum_cols, minmax_cols, st, recompu
         F.col("n_rows") > 0
     )
     if minmax_cols:
-        updated = updated.localCheckpoint(eager=True)  # split reuses it
+        # r15: the unsafe-group probe rides the pin action (named
+        # observe; see operators/_obs.py) — the split used to pay a
+        # separate isEmpty() job on the frame it had just pinned.
+        updated, m = checkpoint_with_metrics(  # split reuses it
+            updated,
+            "ivm_unsafe_probe",
+            F.count(F.when(F.col("_unsafe"), 1)).alias("n_unsafe"),
+        )
         safe = updated.filter(~F.col("_unsafe")).drop("_unsafe")
         rec_keys = updated.filter(F.col("_unsafe")).select(*keys)
-        if rec_keys.isEmpty():  # insert-only/interior churn: no recompute
+        if m["n_unsafe"] == 0:  # insert-only/interior churn: no recompute
             updated = safe
         else:
             recomputed = recompute_fn(rec_keys).select(

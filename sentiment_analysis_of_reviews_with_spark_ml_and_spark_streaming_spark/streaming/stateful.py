@@ -234,7 +234,12 @@ def stream_near_dup_pairs(
 
         shifts = np.arange(64, dtype=np.uint64)
         ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+        # r15 (ADVICE r14): the memo is capped — a high-vocabulary
+        # partition could otherwise grow executor memory without
+        # bound. Past the cap new tokens just hash (md5 is cheap);
+        # cached values stay valid, so results are unchanged.
         cache: dict[str, int] = {}
+        cache_cap = 1 << 18
 
         def fp_one(text: str) -> int:
             counts = Counter(ws.split(text.lower().strip(" ")))
@@ -246,7 +251,8 @@ def stream_near_dup_pairs(
                     h = int(
                         hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16
                     )
-                    cache[tok] = h
+                    if len(cache) < cache_cap:
+                        cache[tok] = h
                 hs[j] = h
                 cs[j] = cnt
             bits = (

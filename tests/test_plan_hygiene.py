@@ -146,6 +146,11 @@ GROWING_HINT_OK: dict[str, str] = {
     # contract as CROSS_JOIN_OK.
     "similarity_cosine_topk": "<=5-row query anchor set",
     "similarity_pq_adc": "<=5-row query anchor set",
+    # r15: pq_topk_adc broadcasts the query-anchor distance TABLE
+    # (|anchors|·m·k_codes rows) and the refine shortlist
+    # (|anchors|·refine rows) — both derivatives of the same bounded
+    # anchor set the sibling entry covers.
+    "similarity_pq_adc_topk": "<=5-row query anchor set",
     "knn_label_vote": "<=10-row query anchor set",
     "hard_negative_mining": "<=20-row query anchor set",
 }
