@@ -2,7 +2,7 @@
 plan at sf0.1 (build-time actions included, no collect) and tabulate
 smell metrics — parquet scan count (recompute proxy), exchanges,
 windows, Python eval nodes, cartesian products, sort-merge joins.
-Writes plans/r14/triage.json. Run: python scripts/triage_r14.py
+Writes plans/r15/triage.json. Run: python scripts/triage_r14.py
 """
 from __future__ import annotations
 
@@ -52,7 +52,7 @@ def main() -> None:
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200],
                          "build_s": round(time.perf_counter() - t0, 2)}
         print(json.dumps({name: out[name]}), flush=True)
-    with open("plans/r14/triage.json", "w") as fh:
+    with open("plans/r15/triage.json", "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     spark.stop()
 

@@ -10,8 +10,11 @@ Four tiers, each with a distinct scale/recall trade-off:
 - ngram-jaccard: exact pairwise Jaccard over word-ngram shingles via
   an inverted-index self-join (blocking on shared shingle). Exact but
   O(pairs-sharing-a-shingle); usable as the verify stage after LSH.
-- minhash-lsh: ``ml.feature.MinHashLSH`` banded candidate generation —
-  the 100 TB path (candidates only, linear-ish shuffle).
+- minhash-lsh: MinHash banded candidate generation — the 100 TB path
+  (candidates only, linear-ish shuffle). Since r15 the ml.feature
+  semantics (HashingTF murmur3 indices, MinHashLSH's JDK-LCG
+  signatures, approxSimilarityJoin banding/keyDistance) run as native
+  expressions, value-identical to the model chain.
 - simhash: 64-bit simhash fingerprint from md5-derived token hashes,
   fully native expressions; near-dup = small hamming distance.
 """

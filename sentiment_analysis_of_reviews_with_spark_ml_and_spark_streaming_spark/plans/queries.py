@@ -3845,7 +3845,10 @@ FROM pairs WHERE inter / (sz_a + sz_b - inter) >= 0.2
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs — the 100 TB dedup path
-    (shingle → HashingTF → MinHashLSH.approxSimilarityJoin).
+    (shingle → HashingTF indices → MinHashLSH-semantics banding; since
+    r15 everything after HashingTF is native expressions,
+    value-identical to the old fit/transform/approxSimilarityJoin
+    chain — see operators/dedup.minhash_lsh_candidates).
 
     Oracle-backed since r13: the DuckDB twin replays the ENTIRE
     ml.feature hash chain from first principles — murmur3_x86_32 over
@@ -11438,12 +11441,22 @@ def q_graph_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    items = li.select(
-        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-    ).distinct()
-    sizes = items.groupBy("basket").agg(F.count("*").alias("_n"))
-    items = items.join(
-        F.broadcast(sizes.filter(F.col("_n") <= 20).select("basket")), "basket"
+    # r15 (guide §2.4): size cap via count-over-window on one
+    # basket-keyed exchange — same rewrite as q_graph_weighted_paths
+    # (identical capped-incidence rows; one lineitem scan instead of
+    # two, no broadcast join-back).
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .repartition("basket")
+        .dropDuplicates(["basket", "item"])
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("basket"))
+        )
+        .filter(F.col("_n") <= 20)
+        .drop("_n")
     )
     seeds = part.filter(F.col("p_brand") == "Brand#13").select(
         F.col("p_partkey").alias("node")
@@ -12300,12 +12313,27 @@ def q_graph_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    items = li.select(
-        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-    ).distinct()
-    sizes = items.groupBy("basket").agg(F.count("*").alias("_n"))
-    items = items.join(
-        F.broadcast(sizes.filter(F.col("_n") <= 20).select("basket")), "basket"
+    # r15 (guide §2.4): the basket-size cap is a count-over-window on
+    # ONE basket-keyed exchange — hash(basket) satisfies both the
+    # (basket, item) dedup's clustering and the window's partitioning,
+    # so the old shape's second lineitem scan (sizes agg) and its
+    # broadcast join-back are gone (plan: 8 scans → 2, the capped
+    # chain itself 2 scans → 1; edge build 1.96 s → 1.08 s min-of-3
+    # interleaved at sf0.1, identical 2,392,000 edge rows). Basket
+    # cardinality is bounded per order, so the single-key exchange
+    # cannot skew.
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .repartition("basket")
+        .dropDuplicates(["basket", "item"])
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("basket"))
+        )
+        .filter(F.col("_n") <= 20)
+        .drop("_n")
     )
     a = items.select("basket", F.col("item").alias("src"))
     b = items.select("basket", F.col("item").alias("dst"))
@@ -16688,13 +16716,22 @@ def q_label_propagation_communities(
     non-degenerate (504 communities at sf0.01, 16.6k at sf0.1).
     Output: the 10 largest 2-round communities."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-    ).distinct()
-    sizes = items.groupBy("basket").agg(F.count("*").alias("_n"))
-    items = items.join(
-        F.broadcast(sizes.filter(F.col("_n") <= 20).select("basket")),
-        "basket",
+    # r15 (guide §2.4): size cap via count-over-window on one
+    # basket-keyed exchange — same rewrite as q_graph_weighted_paths
+    # (identical capped-incidence rows; one lineitem scan feeding the
+    # pin instead of two).
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .repartition("basket")
+        .dropDuplicates(["basket", "item"])
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("basket"))
+        )
+        .filter(F.col("_n") <= 20)
+        .drop("_n")
     )
     # r14: pin the capped basket-item incidence and the support-
     # filtered edge list — `items` feeds both self-join sides AND the
